@@ -1,0 +1,798 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.ops.{Exact, PairMining, Quality, TopK}
+import graft.tables.Tables
+
+/** The reference workload (SURVEY.md §2.12), re-expressed Spark-first over
+  * the driver testdata star schema. Semantic transliteration (SURVEY §7.2 /
+  * FIXTURES.md §3): country := nation.n_name, invoice := orders,
+  * invoice_line := lineitem, track := part.p_name, genre := part.p_type,
+  * artist/album := part.p_brand / p_name, "USA" := 'NATION_0'.
+  *
+  * Date-math conventions (fixed on BOTH the Spark and DuckDB-oracle side,
+  * avoiding the MySQL TIMESTAMPDIFF(MONTH) parity trap — SURVEY §5.3):
+  * churn cutoff = last purchase > 183 days before the dataset max date
+  * (the reference's "6 months", SQL_file.sql:142); inactivity = 91 days
+  * (the reference's "3 months", SQL_file.sql:238); old/new cohort split =
+  * first purchase year <= 1995 (the reference's <=2017, SQL_file.sql:318).
+  *
+  * Every query is a pure (SparkSession, sfDir) => DataFrame with a total
+  * deterministic ORDER BY, exact decimal aggregation (graft.ops.Exact) and
+  * explicit tiebreaks in every window — so the driver's hash-compare
+  * against DuckDB is bit-stable.
+  */
+object Chinook {
+  val USA = "NATION_0"
+  val CHURN_DAYS = 183
+  val INACTIVE_DAYS = 91
+  val OLD_COHORT_MAX_YEAR = 1995
+
+  import Exact._
+
+  // ---- shared sub-plans (the reference's view / common CTEs) ------------
+
+  /** customer enriched with country (customer ⋈ nation; nation is 25 rows —
+    * always broadcast, at any scale). */
+  private def custCountry(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).join(
+      broadcast(Tables.nation(s, dir)),
+      col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("country"),
+        col("c_mktsegment"))
+
+  /** orders ⋈ customer ⋈ nation — the invoice-with-billing-country analog. */
+  private def ordersCountry(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).join(custCountry(s, dir),
+      col("o_custkey") === col("c_custkey"))
+
+  /** Full star: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ part (the
+    * reference's 5-way join, SQL_file.sql:32–42). part is a real dimension
+    * (unbounded at 100 TB) so we do NOT force-broadcast it — Catalyst/AQE
+    * picks broadcast at test scale and shuffled hash at cluster scale. */
+  private def salesStar(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+
+  /** Per-customer last purchase + days since, anchored on the global max
+    * order date (the reference's scalar-subquery "now", SQL_file.sql:142).
+    * The 1-row anchor is cross-joined broadcast — no driver-side collect. */
+  private def custRecency(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val last = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_dt"),
+        count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("monetary_dec"))
+    val anchor = o.agg(max(col("o_orderdate")).as("max_dt"))
+    last.crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        datediff(to_date(col("max_dt")), to_date(col("last_dt"))).cast(LongType))
+  }
+
+  /** The reference's CREATE VIEW usa_genre_sales (SQL_file.sql:148–165):
+    * per-genre USA revenue, % of USA total, revenue rank. Consumed by
+    * q09_genre_sales / q09_top_brands / q11_genre_rank / s01. */
+  def usaGenreSales(s: SparkSession, dir: String): DataFrame = {
+    val usa = salesStar(s, dir).filter(col("n_name") === USA)
+    val byGenre = usa.groupBy(col("p_type").as("genre"))
+      .agg(sumRevenue.as("rev_dec"))
+    val total = byGenre.agg(sum(col("rev_dec")).as("tot_dec"))
+    byGenre.crossJoin(broadcast(total))
+      .select(
+        col("genre"),
+        col("rev_dec").cast(DoubleType).as("total_revenue"),
+        round(col("rev_dec").cast(DoubleType) * 100.0 /
+          col("tot_dec").cast(DoubleType), 4).as("pct_of_total"))
+      .withColumn("rnk",
+        rank().over(Window.orderBy(desc("total_revenue"), col("genre")))
+          .cast(LongType))
+  }
+
+  private val usaGenreSalesSql: String =
+    s"""WITH g AS (
+       |  SELECT p_type AS genre,
+       |         SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS rev_dec
+       |  FROM lineitem
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation   ON c_nationkey = n_nationkey
+       |  JOIN part     ON l_partkey = p_partkey
+       |  WHERE n_name = '$USA'
+       |  GROUP BY 1),
+       |t AS (SELECT SUM(rev_dec) AS tot_dec FROM g)
+       |SELECT genre,
+       |       CAST(rev_dec AS DOUBLE) AS total_revenue,
+       |       ROUND(CAST(rev_dec AS DOUBLE) * 100.0 / CAST(tot_dec AS DOUBLE), 4) AS pct_of_total,
+       |       CAST(rank() OVER (ORDER BY CAST(rev_dec AS DOUBLE) DESC, genre) AS BIGINT) AS rnk
+       |FROM g, t""".stripMargin
+
+  // ---- q01: data-quality probes (SQL_file.sql:4–22) ---------------------
+
+  def q01_dup(s: SparkSession, dir: String): DataFrame =
+    Quality.duplicates(Tables.orders(s, dir), Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+
+  def q01_null(s: SparkSession, dir: String): DataFrame =
+    Quality.anyNullCount(Tables.orders(s, dir),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))
+
+  // ---- q02: top-5 tracks in USA (SQL_file.sql:25–46) --------------------
+
+  def q02_top_parts_usa(s: SparkSession, dir: String): DataFrame = {
+    val agg = salesStar(s, dir).filter(col("n_name") === USA)
+      .groupBy(col("p_name").as("track"), col("p_brand").as("artist"),
+        col("p_type").as("genre"))
+      .agg(sum(money(col("l_quantity"))).cast(DoubleType).as("total_qty"),
+        sumRevenueD.as("total_revenue"))
+    TopK.globalTopK(agg,
+      Seq(desc("total_revenue"), desc("total_qty"), col("track")), 5)
+      .orderBy(col("rnk"))
+  }
+
+  // ---- q03: customer demographics (SQL_file.sql:50–57) ------------------
+
+  def q03_demographics(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+    c.groupBy(col("r_name").as("region"), col("n_name").as("country"),
+        coalesce(col("c_mktsegment"), lit("N/A")).as("segment"))
+      .agg(count(lit(1)).as("total_customers"))
+      .orderBy(desc("total_customers"), col("region"), col("country"), col("segment"))
+  }
+
+  // ---- q04: revenue by geography (SQL_file.sql:60–68) -------------------
+
+  def q04_rev_by_geo(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("country"))
+      .agg(count(lit(1)).as("total_invoices"),
+        sumMoneyD(col("o_totalprice")).as("total_revenue"))
+      .orderBy(desc("total_revenue"), col("country"))
+
+  // ---- q05: top-5 customers per country (SQL_file.sql:71–89) ------------
+
+  def q05_top_cust_per_country(s: SparkSession, dir: String): DataFrame = {
+    val spend = ordersCountry(s, dir)
+      .groupBy(col("country"), col("c_custkey"), col("c_name").as("customer"))
+      .agg(sumMoneyD(col("o_totalprice")).as("total_spent"))
+    TopK.perGroupDense(spend, Seq(col("country")),
+        Seq(desc("total_spent"), col("c_custkey")), 5)
+      .orderBy(col("country"), col("rnk"), col("c_custkey"))
+  }
+
+  // ---- q06: best-selling part per customer (SQL_file.sql:92–114) --------
+
+  def q06_top_part_per_cust(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+    val agg = li.groupBy(col("o_custkey"), col("p_partkey"), col("p_name").as("track"))
+      .agg(sumRevenueD.as("revenue"))
+    val top = TopK.perGroupFirst(agg, Seq(col("o_custkey")),
+      Seq(desc("revenue"), col("p_partkey")))
+    top.join(custCountry(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name").as("customer"), col("track"),
+        col("p_partkey"), col("revenue"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---- q07: purchase trends — inter-purchase gap + AOV (:117–133) -------
+
+  def q07_purchase_trends(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val seq = Tables.orders(s, dir)
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap", datediff(to_date(col("o_orderdate")), to_date(col("prev"))))
+    seq.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        ratio(sum(col("gap").cast(LongType)), count(col("gap"))).as("avg_gap_days"),
+        ratio(sumMoney(col("o_totalprice")), count(lit(1))).as("avg_order_value"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---- q08: global churn rate (SQL_file.sql:136–144) --------------------
+
+  def q08_churn_rate(s: SparkSession, dir: String): DataFrame =
+    custRecency(s, dir).agg(
+      count(lit(1)).as("total_customers"),
+      sum(when(col("recency_days") > CHURN_DAYS, 1L).otherwise(0L)).as("churned"),
+      round(ratio(
+        sum(when(col("recency_days") > CHURN_DAYS, 1L).otherwise(0L)) * 100.0,
+        count(lit(1))), 2).as("churn_rate"))
+
+  // ---- q09/q11: the usa_genre_sales view + consumers (:148–222) ---------
+
+  def q09_genre_sales(s: SparkSession, dir: String): DataFrame =
+    usaGenreSales(s, dir).orderBy(col("rnk"))
+
+  def q09_top_brands(s: SparkSession, dir: String): DataFrame = {
+    val top3 = usaGenreSales(s, dir).filter(col("rnk") <= 3).select(col("genre"))
+    val brandAgg = salesStar(s, dir).filter(col("n_name") === USA)
+      .groupBy(col("p_type").as("genre"), col("p_brand").as("artist"))
+      .agg(sumRevenueD.as("revenue"))
+      .join(broadcast(top3), Seq("genre"), "left_semi")
+    TopK.perGroupDense(brandAgg, Seq(col("genre")),
+        Seq(desc("revenue"), col("artist")), 3)
+      .orderBy(col("genre"), col("rnk"), col("artist"))
+  }
+
+  def q11_genre_rank(s: SparkSession, dir: String): DataFrame =
+    usaGenreSales(s, dir).select(col("genre"), col("total_revenue"), col("rnk"))
+      .orderBy(col("rnk"))
+
+  // ---- q10: customers spanning >2 genres (SQL_file.sql:202–214) ---------
+
+  def q10_multi_genre_cust(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+    li.groupBy(col("o_custkey"))
+      .agg(countDistinct(col("p_type")).as("genres_purchased"))
+      .filter(col("genres_purchased") > 2)
+      .join(custCountry(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name").as("customer"), col("genres_purchased"))
+      .orderBy(desc("genres_purchased"), col("c_custkey"))
+  }
+
+  // ---- q12: inactive >= 91 days (SQL_file.sql:226–239) ------------------
+
+  def q12_inactive(s: SparkSession, dir: String): DataFrame =
+    custRecency(s, dir)
+      .filter(col("recency_days") >= INACTIVE_DAYS)
+      .join(custCountry(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name").as("customer"), col("country"),
+        to_date(col("last_dt")).as("last_purchase"), col("recency_days"))
+      .orderBy(desc("recency_days"), col("c_custkey"))
+
+  // ---- s01: top-2 parts per top-3 USA genre by units (:248–273) ---------
+
+  def s01_parts_to_promote(s: SparkSession, dir: String): DataFrame = {
+    val top3 = usaGenreSales(s, dir).filter(col("rnk") <= 3).select(col("genre"))
+    val albumAgg = salesStar(s, dir).filter(col("n_name") === USA)
+      .groupBy(col("p_type").as("genre"), col("p_name").as("album"))
+      .agg(sum(money(col("l_quantity"))).cast(DoubleType).as("units_sold"))
+      .join(broadcast(top3), Seq("genre"), "left_semi")
+    TopK.perGroupDense(albumAgg, Seq(col("genre")),
+        Seq(desc("units_sold"), col("album")), 2)
+      .orderBy(col("genre"), col("rnk"), col("album"))
+  }
+
+  // ---- s02: top-2 genres per non-USA country (:276–300) -----------------
+
+  def s02_top_genres_non_usa(s: SparkSession, dir: String): DataFrame = {
+    val agg = salesStar(s, dir).filter(col("n_name") =!= USA)
+      .groupBy(col("n_name").as("country"), col("p_type").as("genre"))
+      .agg(sumRevenueD.as("revenue"))
+    TopK.perGroupDense(agg, Seq(col("country")),
+        Seq(desc("revenue"), col("genre")), 2)
+      .orderBy(col("country"), col("rnk"), col("genre"))
+  }
+
+  // ---- s03: old-vs-new cohort comparison (:304–387) ---------------------
+
+  def s03_old_vs_new(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val status = o.groupBy(col("o_custkey"))
+      .agg(min(col("o_orderdate")).as("first_dt"))
+      .withColumn("status",
+        when(year(col("first_dt")) <= OLD_COHORT_MAX_YEAR, "Old").otherwise("New"))
+      .select(col("o_custkey").as("cust"), col("status"))
+    val custAgg = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("spent_dec"))
+      .join(status, col("o_custkey") === col("cust"))
+    val byStatus = custAgg.groupBy(col("status")).agg(
+      count(lit(1)).as("n_customers"),
+      sum(col("spent_dec")).cast(DoubleType).as("total_revenue"),
+      ratio(sum(col("spent_dec")), count(lit(1))).as("avg_spend_per_customer"),
+      avgLong(col("n_orders")).as("avg_orders_per_customer"))
+    // corrected basket semantics (SURVEY §2.3 note): lines per *order*,
+    // not fanned out per customer-invoice pair
+    val basket = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(status, col("o_custkey") === col("cust"))
+      .groupBy(col("status"))
+      .agg(avgLong(col("n_lines")).as("avg_basket_size"))
+    byStatus.join(basket, Seq("status")).orderBy(col("status"))
+  }
+
+  // ---- s04: basket-affinity pair mining (:392–454) ----------------------
+
+  private def affinity(s: SparkSession, dir: String, labelCol: String): DataFrame = {
+    val lines = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col(labelCol))
+    PairMining.ordered(
+      PairMining.coOccurrence(lines, "l_orderkey", "l_linenumber", labelCol))
+  }
+
+  def s04_affinity_genre(s: SparkSession, dir: String): DataFrame =
+    affinity(s, dir, "p_type")
+  def s04_affinity_brand(s: SparkSession, dir: String): DataFrame =
+    affinity(s, dir, "p_brand")
+  def s04_affinity_part(s: SparkSession, dir: String): DataFrame =
+    affinity(s, dir, "p_name")
+
+  // ---- s05: regional churn + behavior (:458–497) -------------------------
+
+  def s05_regional_churn(s: SparkSession, dir: String): DataFrame =
+    custRecency(s, dir)
+      .join(custCountry(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("country"))
+      .agg(count(lit(1)).as("total_customers"),
+        sum(when(col("recency_days") > CHURN_DAYS, 1L).otherwise(0L)).as("churned"),
+        round(ratio(
+          sum(when(col("recency_days") > CHURN_DAYS, 1L).otherwise(0L)) * 100.0,
+          count(lit(1))), 2).as("churn_rate"))
+      .orderBy(desc("churn_rate"), col("country"))
+
+  def s05_regional_behavior(s: SparkSession, dir: String): DataFrame = {
+    val ordLines = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+    ordersCountry(s, dir)
+      .join(ordLines, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("country"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        ratio(sumMoney(col("o_totalprice")), count(lit(1))).as("avg_order_value"),
+        avgLong(col("n_lines")).as("avg_basket_size"))
+      .orderBy(col("country"))
+  }
+
+  // ---- s06: RFM risk segmentation (:501–558) -----------------------------
+
+  def s06_risk_profile(s: SparkSession, dir: String): DataFrame = {
+    val rfm = custRecency(s, dir)
+      .withColumn("monetary", col("monetary_dec").cast(DoubleType))
+    val globalAvg = rfm.agg(
+      ratio(sum(col("monetary_dec")), count(lit(1))).as("avg_spent"))
+    rfm.crossJoin(broadcast(globalAvg))
+      .withColumn("risk_tier",
+        when(col("recency_days") > CHURN_DAYS, "High Risk")
+          .when(col("recency_days") > INACTIVE_DAYS, "Medium Risk")
+          .otherwise("Low Risk"))
+      .groupBy(col("risk_tier"))
+      .agg(count(lit(1)).as("n_customers"),
+        avgLong(col("recency_days")).as("avg_recency_days"),
+        avgLong(col("n_orders")).as("avg_frequency"),
+        ratio(sum(col("monetary_dec")), count(lit(1))).as("avg_monetary"),
+        sum(when(col("monetary") < col("avg_spent"), 1L).otherwise(0L))
+          .as("below_avg_spenders"))
+      .orderBy(col("risk_tier"))
+  }
+
+  // ---- s07: CLV segmentation (:562–645) ----------------------------------
+
+  def s07_clv(s: SparkSession, dir: String): DataFrame = {
+    val itemsPerCust = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("ic_cust"))
+      .agg(count(lit(1)).as("n_items"))
+    val base = custRecency(s, dir)
+      .join(itemsPerCust, col("o_custkey") === col("ic_cust"))
+      .withColumn("monetary", col("monetary_dec").cast(DoubleType))
+      .withColumn("basket", ratio(col("n_items"), col("n_orders")))
+    val avgs = base.agg(
+      ratio(sum(col("monetary_dec")), count(lit(1))).as("avg_spent"),
+      avgLong(col("n_orders")).as("avg_orders"))
+    base.crossJoin(broadcast(avgs))
+      .withColumn("value_tier",
+        when(col("monetary") >= col("avg_spent") * 1.2, "High Value")
+          .when(col("monetary") >= col("avg_spent") * 0.8, "Mid Value")
+          .otherwise("Low Value"))
+      .withColumn("activity",
+        when(col("recency_days") <= INACTIVE_DAYS, "Active")
+          .when(col("recency_days") <= CHURN_DAYS, "At Risk")
+          .otherwise("Inactive"))
+      .groupBy(col("value_tier"), col("activity"))
+      .agg(count(lit(1)).as("n_customers"),
+        ratio(sum(col("monetary_dec")), count(lit(1))).as("avg_spent_usd"),
+        avgLong(col("recency_days")).as("avg_recency_days"),
+        sum(when(col("n_orders") > col("avg_orders"), 1L).otherwise(0L))
+          .as("frequent_buyers"),
+        sum(when(col("basket").between(2.0, 5.0), 1L).otherwise(0L))
+          .as("medium_basket_customers"))
+      .orderBy(col("value_tier"), col("activity"))
+  }
+
+  // ---- s10: schema evolution — ALTER TABLE ADD COLUMN analog (:649–650) --
+
+  def s10_schema_evolution(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .withColumn("release_year",
+        (lit(1990L) + col("p_partkey") % 30L).cast(IntegerType))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("release_year"))
+      .orderBy(col("p_partkey"))
+
+  // ---- s11: per-country customer metrics (:654–679) -----------------------
+
+  def s11_country_metrics(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("spent_dec"))
+    val itemsPerCust = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("ic_cust"))
+      .agg(count(lit(1)).as("n_items"))
+    perCust.join(itemsPerCust, col("o_custkey") === col("ic_cust"))
+      .join(custCountry(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("country"))
+      .agg(count(lit(1)).as("n_customers"),
+        ratio(sum(col("spent_dec")), count(lit(1))).as("avg_spend_per_customer"),
+        avgLong(col("n_items")).as("avg_items_per_customer"),
+        avgLong(col("n_orders")).as("avg_orders_per_customer"))
+      .orderBy(col("country"))
+  }
+
+  // ======================================================================
+  // Registry + DuckDB oracle SQL (SURVEY §5.2 — the correctness gate)
+  // ======================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_dup" -> (q01_dup _),
+    "q01_null" -> (q01_null _),
+    "q02_top_parts_usa" -> (q02_top_parts_usa _),
+    "q03_demographics" -> (q03_demographics _),
+    "q04_rev_by_geo" -> (q04_rev_by_geo _),
+    "q05_top_cust_per_country" -> (q05_top_cust_per_country _),
+    "q06_top_part_per_cust" -> (q06_top_part_per_cust _),
+    "q07_purchase_trends" -> (q07_purchase_trends _),
+    "q08_churn_rate" -> (q08_churn_rate _),
+    "q09_genre_sales" -> (q09_genre_sales _),
+    "q09_top_brands" -> (q09_top_brands _),
+    "q10_multi_genre_cust" -> (q10_multi_genre_cust _),
+    "q11_genre_rank" -> (q11_genre_rank _),
+    "q12_inactive" -> (q12_inactive _),
+    "s01_parts_to_promote" -> (s01_parts_to_promote _),
+    "s02_top_genres_non_usa" -> (s02_top_genres_non_usa _),
+    "s03_old_vs_new" -> (s03_old_vs_new _),
+    "s04_affinity_genre" -> (s04_affinity_genre _),
+    "s04_affinity_brand" -> (s04_affinity_brand _),
+    "s04_affinity_part" -> (s04_affinity_part _),
+    "s05_regional_churn" -> (s05_regional_churn _),
+    "s05_regional_behavior" -> (s05_regional_behavior _),
+    "s06_risk_profile" -> (s06_risk_profile _),
+    "s07_clv" -> (s07_clv _),
+    "s10_schema_evolution" -> (s10_schema_evolution _),
+    "s11_country_metrics" -> (s11_country_metrics _))
+
+  private val recencySql: String =
+    """recency AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_dt, count(*) AS n_orders,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+      |  FROM orders GROUP BY 1),
+      |anchor AS (SELECT max(o_orderdate) AS max_dt FROM orders),
+      |rec AS (
+      |  SELECT r.*, date_diff('day', CAST(last_dt AS DATE), CAST(max_dt AS DATE)) AS recency_days
+      |  FROM recency r, anchor)""".stripMargin
+
+  private def affinitySql(labelCol: String): String =
+    s"""WITH lines AS (
+       |  SELECT l_orderkey AS bk, l_linenumber AS ln, $labelCol AS lab
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+       |SELECT least(a.lab, b.lab) AS label_a, greatest(a.lab, b.lab) AS label_b,
+       |       count(*) AS pair_count
+       |FROM lines a JOIN lines b ON a.bk = b.bk AND a.ln < b.ln
+       |WHERE a.lab <> b.lab
+       |GROUP BY 1, 2
+       |ORDER BY pair_count DESC, label_a, label_b""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_dup" ->
+      """SELECT o_orderkey, count(*) AS cnt FROM orders
+        |GROUP BY o_orderkey HAVING count(*) > 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q01_null" ->
+      """SELECT count(*) AS null_rows FROM orders
+        |WHERE o_orderkey IS NULL OR o_custkey IS NULL OR o_orderstatus IS NULL
+        |   OR o_totalprice IS NULL OR o_orderdate IS NULL OR o_orderpriority IS NULL""".stripMargin,
+
+    "q02_top_parts_usa" ->
+      s"""WITH agg AS (
+         |  SELECT p_name AS track, p_brand AS artist, p_type AS genre,
+         |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+         |         CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation   ON c_nationkey = n_nationkey
+         |  JOIN part     ON l_partkey = p_partkey
+         |  WHERE n_name = '$USA'
+         |  GROUP BY 1, 2, 3),
+         |ranked AS (
+         |  SELECT *, CAST(rank() OVER (ORDER BY total_revenue DESC, total_qty DESC, track) AS BIGINT) AS rnk
+         |  FROM agg)
+         |SELECT * FROM ranked WHERE rnk <= 5 ORDER BY rnk""".stripMargin,
+
+    "q03_demographics" ->
+      """SELECT r_name AS region, n_name AS country,
+        |       COALESCE(c_mktsegment, 'N/A') AS segment,
+        |       count(*) AS total_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY total_customers DESC, region, country, segment""".stripMargin,
+
+    "q04_rev_by_geo" ->
+      """SELECT r_name AS region, n_name AS country, count(*) AS total_invoices,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2
+        |ORDER BY total_revenue DESC, country""".stripMargin,
+
+    "q05_top_cust_per_country" ->
+      """WITH spend AS (
+        |  SELECT n_name AS country, c_custkey, c_name AS customer,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT country, c_custkey, customer, total_spent,
+        |         CAST(dense_rank() OVER (PARTITION BY country ORDER BY total_spent DESC, c_custkey) AS BIGINT) AS rnk
+        |  FROM spend)
+        |SELECT * FROM ranked WHERE rnk <= 5 ORDER BY country, rnk, c_custkey""".stripMargin,
+
+    "q06_top_part_per_cust" ->
+      """WITH agg AS (
+        |  SELECT o_custkey, p_partkey, p_name AS track,
+        |         CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY revenue DESC, p_partkey) AS rn
+        |  FROM agg)
+        |SELECT c_custkey, c_name AS customer, track, p_partkey, revenue
+        |FROM ranked JOIN customer ON o_custkey = c_custkey
+        |WHERE rn = 1 ORDER BY c_custkey""".stripMargin,
+
+    "q07_purchase_trends" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderdate, o_totalprice,
+        |         lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders)
+        |SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+        |       CAST(SUM(date_diff('day', CAST(prev AS DATE), CAST(o_orderdate AS DATE))) AS DOUBLE)
+        |         / count(prev) AS avg_gap_days,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_value
+        |FROM seq GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q08_churn_rate" ->
+      s"""WITH $recencySql
+         |SELECT count(*) AS total_customers,
+         |       SUM(CASE WHEN recency_days > $CHURN_DAYS THEN 1 ELSE 0 END) AS churned,
+         |       ROUND(CAST(SUM(CASE WHEN recency_days > $CHURN_DAYS THEN 1 ELSE 0 END) * 100.0 AS DOUBLE)
+         |             / count(*), 2) AS churn_rate
+         |FROM rec""".stripMargin,
+
+    "q09_genre_sales" ->
+      s"""WITH v AS ($usaGenreSalesSql)
+         |SELECT * FROM v ORDER BY rnk""".stripMargin,
+
+    "q09_top_brands" ->
+      s"""WITH v AS ($usaGenreSalesSql),
+         |agg AS (
+         |  SELECT p_type AS genre, p_brand AS artist,
+         |         CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |  FROM lineitem
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation   ON c_nationkey = n_nationkey
+         |  JOIN part     ON l_partkey = p_partkey
+         |  WHERE n_name = '$USA'
+         |    AND p_type IN (SELECT genre FROM v WHERE rnk <= 3)
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, CAST(dense_rank() OVER (PARTITION BY genre ORDER BY revenue DESC, artist) AS BIGINT) AS rnk
+         |  FROM agg)
+         |SELECT * FROM ranked WHERE rnk <= 3 ORDER BY genre, rnk, artist""".stripMargin,
+
+    "q10_multi_genre_cust" ->
+      """WITH g AS (
+        |  SELECT o_custkey, count(DISTINCT p_type) AS genres_purchased
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1 HAVING count(DISTINCT p_type) > 2)
+        |SELECT c_custkey, c_name AS customer, genres_purchased
+        |FROM g JOIN customer ON o_custkey = c_custkey
+        |ORDER BY genres_purchased DESC, c_custkey""".stripMargin,
+
+    "q11_genre_rank" ->
+      s"""WITH v AS ($usaGenreSalesSql)
+         |SELECT genre, total_revenue, rnk FROM v ORDER BY rnk""".stripMargin,
+
+    "q12_inactive" ->
+      s"""WITH $recencySql
+         |SELECT c_custkey, c_name AS customer, n_name AS country,
+         |       CAST(last_dt AS DATE) AS last_purchase, recency_days
+         |FROM rec
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE recency_days >= $INACTIVE_DAYS
+         |ORDER BY recency_days DESC, c_custkey""".stripMargin,
+
+    "s01_parts_to_promote" ->
+      s"""WITH v AS ($usaGenreSalesSql),
+         |agg AS (
+         |  SELECT p_type AS genre, p_name AS album,
+         |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS units_sold
+         |  FROM lineitem
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation   ON c_nationkey = n_nationkey
+         |  JOIN part     ON l_partkey = p_partkey
+         |  WHERE n_name = '$USA'
+         |    AND p_type IN (SELECT genre FROM v WHERE rnk <= 3)
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, CAST(dense_rank() OVER (PARTITION BY genre ORDER BY units_sold DESC, album) AS BIGINT) AS rnk
+         |  FROM agg)
+         |SELECT * FROM ranked WHERE rnk <= 2 ORDER BY genre, rnk, album""".stripMargin,
+
+    "s02_top_genres_non_usa" ->
+      s"""WITH agg AS (
+         |  SELECT n_name AS country, p_type AS genre,
+         |         CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |  FROM lineitem
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation   ON c_nationkey = n_nationkey
+         |  JOIN part     ON l_partkey = p_partkey
+         |  WHERE n_name <> '$USA'
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, CAST(dense_rank() OVER (PARTITION BY country ORDER BY revenue DESC, genre) AS BIGINT) AS rnk
+         |  FROM agg)
+         |SELECT * FROM ranked WHERE rnk <= 2 ORDER BY country, rnk, genre""".stripMargin,
+
+    "s03_old_vs_new" ->
+      s"""WITH status AS (
+         |  SELECT o_custkey AS cust,
+         |         CASE WHEN year(min(o_orderdate)) <= $OLD_COHORT_MAX_YEAR
+         |              THEN 'Old' ELSE 'New' END AS status
+         |  FROM orders GROUP BY 1),
+         |cust_agg AS (
+         |  SELECT o_custkey, count(*) AS n_orders,
+         |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spent_dec
+         |  FROM orders GROUP BY 1),
+         |by_status AS (
+         |  SELECT status, count(*) AS n_customers,
+         |         CAST(SUM(spent_dec) AS DOUBLE) AS total_revenue,
+         |         CAST(SUM(spent_dec) AS DOUBLE) / count(*) AS avg_spend_per_customer,
+         |         CAST(SUM(n_orders) AS DOUBLE) / count(*) AS avg_orders_per_customer
+         |  FROM cust_agg JOIN status ON o_custkey = cust GROUP BY 1),
+         |basket AS (
+         |  SELECT status, CAST(SUM(n_lines) AS DOUBLE) / count(*) AS avg_basket_size
+         |  FROM (SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1) b
+         |  JOIN orders ON b.l_orderkey = o_orderkey
+         |  JOIN status ON o_custkey = cust
+         |  GROUP BY 1)
+         |SELECT by_status.status, n_customers, total_revenue, avg_spend_per_customer,
+         |       avg_orders_per_customer, avg_basket_size
+         |FROM by_status JOIN basket ON by_status.status = basket.status
+         |ORDER BY status""".stripMargin,
+
+    "s04_affinity_genre" -> affinitySql("p_type"),
+    "s04_affinity_brand" -> affinitySql("p_brand"),
+    "s04_affinity_part" -> affinitySql("p_name"),
+
+    "s05_regional_churn" ->
+      s"""WITH $recencySql
+         |SELECT n_name AS country, count(*) AS total_customers,
+         |       SUM(CASE WHEN recency_days > $CHURN_DAYS THEN 1 ELSE 0 END) AS churned,
+         |       ROUND(CAST(SUM(CASE WHEN recency_days > $CHURN_DAYS THEN 1 ELSE 0 END) * 100.0 AS DOUBLE)
+         |             / count(*), 2) AS churn_rate
+         |FROM rec
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY 1
+         |ORDER BY churn_rate DESC, country""".stripMargin,
+
+    "s05_regional_behavior" ->
+      """WITH ord_lines AS (
+        |  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1)
+        |SELECT n_name AS country,
+        |       count(DISTINCT o_custkey) AS n_customers,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_value,
+        |       CAST(SUM(n_lines) AS DOUBLE) / count(*) AS avg_basket_size
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN ord_lines ON o_orderkey = l_orderkey
+        |GROUP BY 1
+        |ORDER BY country""".stripMargin,
+
+    "s06_risk_profile" ->
+      s"""WITH $recencySql,
+         |g AS (SELECT CAST(SUM(monetary_dec) AS DOUBLE) / count(*) AS avg_spent FROM rec),
+         |tiers AS (
+         |  SELECT rec.*,
+         |         CASE WHEN recency_days > $CHURN_DAYS THEN 'High Risk'
+         |              WHEN recency_days > $INACTIVE_DAYS THEN 'Medium Risk'
+         |              ELSE 'Low Risk' END AS risk_tier,
+         |         CAST(monetary_dec AS DOUBLE) AS monetary, avg_spent
+         |  FROM rec, g)
+         |SELECT risk_tier, count(*) AS n_customers,
+         |       CAST(SUM(recency_days) AS DOUBLE) / count(*) AS avg_recency_days,
+         |       CAST(SUM(n_orders) AS DOUBLE) / count(*) AS avg_frequency,
+         |       CAST(SUM(monetary_dec) AS DOUBLE) / count(*) AS avg_monetary,
+         |       SUM(CASE WHEN monetary < avg_spent THEN 1 ELSE 0 END) AS below_avg_spenders
+         |FROM tiers GROUP BY 1 ORDER BY risk_tier""".stripMargin,
+
+    "s07_clv" ->
+      s"""WITH $recencySql,
+         |items AS (
+         |  SELECT o_custkey AS ic_cust, count(*) AS n_items
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+         |base AS (
+         |  SELECT rec.*, n_items,
+         |         CAST(monetary_dec AS DOUBLE) AS monetary,
+         |         CAST(n_items AS DOUBLE) / n_orders AS basket
+         |  FROM rec JOIN items ON o_custkey = ic_cust),
+         |avgs AS (
+         |  SELECT CAST(SUM(monetary_dec) AS DOUBLE) / count(*) AS avg_spent,
+         |         CAST(SUM(n_orders) AS DOUBLE) / count(*) AS avg_orders
+         |  FROM base),
+         |tiers AS (
+         |  SELECT base.*,
+         |         CASE WHEN monetary >= avg_spent * 1.2 THEN 'High Value'
+         |              WHEN monetary >= avg_spent * 0.8 THEN 'Mid Value'
+         |              ELSE 'Low Value' END AS value_tier,
+         |         CASE WHEN recency_days <= $INACTIVE_DAYS THEN 'Active'
+         |              WHEN recency_days <= $CHURN_DAYS THEN 'At Risk'
+         |              ELSE 'Inactive' END AS activity,
+         |         avg_orders
+         |  FROM base, avgs)
+         |SELECT value_tier, activity, count(*) AS n_customers,
+         |       CAST(SUM(monetary_dec) AS DOUBLE) / count(*) AS avg_spent_usd,
+         |       CAST(SUM(recency_days) AS DOUBLE) / count(*) AS avg_recency_days,
+         |       SUM(CASE WHEN n_orders > avg_orders THEN 1 ELSE 0 END) AS frequent_buyers,
+         |       SUM(CASE WHEN basket BETWEEN 2.0 AND 5.0 THEN 1 ELSE 0 END) AS medium_basket_customers
+         |FROM tiers GROUP BY 1, 2 ORDER BY value_tier, activity""".stripMargin,
+
+    "s10_schema_evolution" ->
+      """SELECT p_partkey, p_name, p_brand, p_type,
+        |       CAST(1990 + p_partkey % 30 AS INTEGER) AS release_year
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "s11_country_metrics" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spent_dec
+        |  FROM orders GROUP BY 1),
+        |items AS (
+        |  SELECT o_custkey AS ic_cust, count(*) AS n_items
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT n_name AS country, count(*) AS n_customers,
+        |       CAST(SUM(spent_dec) AS DOUBLE) / count(*) AS avg_spend_per_customer,
+        |       CAST(SUM(n_items) AS DOUBLE) / count(*) AS avg_items_per_customer,
+        |       CAST(SUM(n_orders) AS DOUBLE) / count(*) AS avg_orders_per_customer
+        |FROM per_cust
+        |JOIN items ON o_custkey = ic_cust
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1
+        |ORDER BY country""".stripMargin)
+}
