@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Market-basket pair mining (reference SQL_file.sql:392–454).
@@ -14,28 +14,42 @@ import org.apache.spark.sql.functions._
   * semantics (SURVEY.md §7.5 #3): canonicalize with least/greatest so every
   * cross-label line pair counts exactly once.
   *
-  * Scale: the self-join is an equi-join on the basket key (hash join, no
-  * cartesian) with the `<` residual as a post-join filter. Baskets are
-  * small (~4 lines), so the blow-up per basket is C(n,2) — bounded. At
-  * 100 TB the join shuffles both sides by basket key once; AQE handles
-  * skewed mega-baskets via skew-join splitting.
+  * Physical shape, chosen for 100 TB: NOT a self-join. A self-join on the
+  * basket key reads + shuffles the (already joined) line relation twice and
+  * recomputes its upstream plan for both sides. Instead we group once by
+  * basket (`collect_list` of (line_id,label) structs — baskets are small,
+  * ~4 lines, so a basket's array is bytes, not MBs), then expand the
+  * C(n,2) pairs *inside* the row with codegen'd higher-order functions
+  * (`transform`+`slice`+`flatten`). One wide shuffle of the narrow
+  * (basket, line, label) projection, one tiny shuffle of pair counts.
+  * Skewed mega-baskets would make one array large; C(n,2) blow-up is the
+  * same in both shapes, but if a basket could be huge the self-join + AQE
+  * skew split would be preferable — our basket key is an order (bounded
+  * fan-out by construction), so in-row expansion wins.
   */
 object PairMining {
   /** Unordered co-occurrence counts of `labelCol` values within a basket.
     *
     * `lines` must contain `basketCol`, `lineIdCol` (unique within basket)
-    * and `labelCol`. Output: label_a < label_b, pair_count (desc). */
+    * and `labelCol`. Output: label_a < label_b, pair_count. Semantics are
+    * identical to the reference's `a.ln < b.ln` self-join: after sorting
+    * the basket's array by line id, position order == line-id order, and
+    * `slice(..., i+2, ...)` visits exactly the j > i positions. */
   def coOccurrence(lines: DataFrame, basketCol: String, lineIdCol: String,
                    labelCol: String): DataFrame = {
-    val a = lines.select(
-      col(basketCol).as("bk"), col(lineIdCol).as("ln"), col(labelCol).as("lab"))
-    val b = a.select(col("bk").as("bk2"), col("ln").as("ln2"), col("lab").as("lab2"))
-    a.join(b, col("bk") === col("bk2") && col("ln") < col("ln2"))
-      .filter(col("lab") =!= col("lab2"))
-      .select(
-        least(col("lab"), col("lab2")).as("label_a"),
-        greatest(col("lab"), col("lab2")).as("label_b"))
-      .groupBy("label_a", "label_b")
+    val baskets = lines
+      .select(col(basketCol).as("bk"), col(lineIdCol).as("ln"), col(labelCol).as("lab"))
+      .groupBy(col("bk"))
+      .agg(sort_array(collect_list(struct(col("ln"), col("lab")))).as("items"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |            y -> struct(least(x.lab, y.lab) AS label_a,
+          |                        greatest(x.lab, y.lab) AS label_b))))""".stripMargin))
+        .as("p"))
+      .filter(col("p.label_a") =!= col("p.label_b"))
+      .groupBy(col("p.label_a").as("label_a"), col("p.label_b").as("label_b"))
       .agg(count(lit(1)).as("pair_count"))
   }
 

@@ -78,8 +78,21 @@ object Chinook {
 
   /** The reference's CREATE VIEW usa_genre_sales (SQL_file.sql:148–165):
     * per-genre USA revenue, % of USA total, revenue rank. Consumed by
-    * q09_genre_sales / q09_top_brands / q11_genre_rank / s01. */
-  def usaGenreSales(s: SparkSession, dir: String): DataFrame = {
+    * q09_genre_sales / q09_top_brands / q11_genre_rank / s01.
+    *
+    * The reference creates the view once and reads it four times; MySQL
+    * re-materializes it per consumer (SURVEY §3.1). We do one better and
+    * persist the 6-row aggregated result per (session, sfDir) — the four
+    * consumers then reuse it instead of re-running the star join + agg.
+    * At 100 TB the cached relation is still |genres| rows — caching the
+    * *aggregate*, never the base data, is the scale-safe choice. */
+  private val viewCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def usaGenreSales(s: SparkSession, dir: String): DataFrame =
+    viewCache.getOrElseUpdate((s, dir), usaGenreSalesPlan(s, dir).persist())
+
+  private def usaGenreSalesPlan(s: SparkSession, dir: String): DataFrame = {
     val usa = salesStar(s, dir).filter(col("n_name") === USA)
     val byGenre = usa.groupBy(col("p_type").as("genre"))
       .agg(sumRevenue.as("rev_dec"))
@@ -175,16 +188,22 @@ object Chinook {
   // ---- q06: best-selling part per customer (SQL_file.sql:92–114) --------
 
   def q06_top_part_per_cust(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    // Aggregate on integer keys only (revenue needs no part columns), rank,
+    // and keep one row per customer BEFORE joining dimensions: the part and
+    // customer joins then see |customers| rows, not |customer×part| rows.
+    // p_name is functionally dependent on p_partkey, so grouping by the key
+    // alone is semantically identical to the reference's 3-column group.
+    val agg = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
-    val agg = li.groupBy(col("o_custkey"), col("p_partkey"), col("p_name").as("track"))
+      .groupBy(col("o_custkey"), col("l_partkey"))
       .agg(sumRevenueD.as("revenue"))
     val top = TopK.perGroupFirst(agg, Seq(col("o_custkey")),
-      Seq(desc("revenue"), col("p_partkey")))
-    top.join(custCountry(s, dir), col("o_custkey") === col("c_custkey"))
-      .select(col("c_custkey"), col("c_name").as("customer"), col("track"),
-        col("p_partkey"), col("revenue"))
+      Seq(desc("revenue"), col("l_partkey")))
+    top
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .join(custCountry(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name").as("customer"),
+        col("p_name").as("track"), col("p_partkey"), col("revenue"))
       .orderBy(col("c_custkey"))
   }
 
@@ -479,13 +498,20 @@ object Chinook {
       |  SELECT r.*, date_diff('day', CAST(last_dt AS DATE), CAST(max_dt AS DATE)) AS recency_days
       |  FROM recency r, anchor)""".stripMargin
 
+  // NOTE: l_linenumber is NOT unique within an order in this testdata, so
+  // the reference's `a.line_id < b.line_id` idiom would silently drop pairs
+  // whose two lines share a line number. Both sides therefore impose a
+  // strict total order per basket (row_number here, array position in
+  // PairMining.coOccurrence) — any total order yields the same pair counts.
   private def affinitySql(labelCol: String): String =
     s"""WITH lines AS (
-       |  SELECT l_orderkey AS bk, l_linenumber AS ln, $labelCol AS lab
+       |  SELECT l_orderkey AS bk, $labelCol AS lab,
+       |         row_number() OVER (PARTITION BY l_orderkey
+       |                            ORDER BY l_linenumber, $labelCol) AS rn
        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
        |SELECT least(a.lab, b.lab) AS label_a, greatest(a.lab, b.lab) AS label_b,
        |       count(*) AS pair_count
-       |FROM lines a JOIN lines b ON a.bk = b.bk AND a.ln < b.ln
+       |FROM lines a JOIN lines b ON a.bk = b.bk AND a.rn < b.rn
        |WHERE a.lab <> b.lab
        |GROUP BY 1, 2
        |ORDER BY pair_count DESC, label_a, label_b""".stripMargin
@@ -580,7 +606,7 @@ object Chinook {
     "q08_churn_rate" ->
       s"""WITH $recencySql
          |SELECT count(*) AS total_customers,
-         |       SUM(CASE WHEN recency_days > $CHURN_DAYS THEN 1 ELSE 0 END) AS churned,
+         |       CAST(SUM(CASE WHEN recency_days > $CHURN_DAYS THEN 1 ELSE 0 END) AS BIGINT) AS churned,
          |       ROUND(CAST(SUM(CASE WHEN recency_days > $CHURN_DAYS THEN 1 ELSE 0 END) * 100.0 AS DOUBLE)
          |             / count(*), 2) AS churn_rate
          |FROM rec""".stripMargin,
@@ -688,10 +714,10 @@ object Chinook {
          |  JOIN orders ON b.l_orderkey = o_orderkey
          |  JOIN status ON o_custkey = cust
          |  GROUP BY 1)
-         |SELECT by_status.status, n_customers, total_revenue, avg_spend_per_customer,
+         |SELECT by_status.status AS status, n_customers, total_revenue, avg_spend_per_customer,
          |       avg_orders_per_customer, avg_basket_size
          |FROM by_status JOIN basket ON by_status.status = basket.status
-         |ORDER BY status""".stripMargin,
+         |ORDER BY 1""".stripMargin,
 
     "s04_affinity_genre" -> affinitySql("p_type"),
     "s04_affinity_brand" -> affinitySql("p_brand"),
@@ -700,7 +726,7 @@ object Chinook {
     "s05_regional_churn" ->
       s"""WITH $recencySql
          |SELECT n_name AS country, count(*) AS total_customers,
-         |       SUM(CASE WHEN recency_days > $CHURN_DAYS THEN 1 ELSE 0 END) AS churned,
+         |       CAST(SUM(CASE WHEN recency_days > $CHURN_DAYS THEN 1 ELSE 0 END) AS BIGINT) AS churned,
          |       ROUND(CAST(SUM(CASE WHEN recency_days > $CHURN_DAYS THEN 1 ELSE 0 END) * 100.0 AS DOUBLE)
          |             / count(*), 2) AS churn_rate
          |FROM rec
@@ -738,7 +764,7 @@ object Chinook {
          |       CAST(SUM(recency_days) AS DOUBLE) / count(*) AS avg_recency_days,
          |       CAST(SUM(n_orders) AS DOUBLE) / count(*) AS avg_frequency,
          |       CAST(SUM(monetary_dec) AS DOUBLE) / count(*) AS avg_monetary,
-         |       SUM(CASE WHEN monetary < avg_spent THEN 1 ELSE 0 END) AS below_avg_spenders
+         |       CAST(SUM(CASE WHEN monetary < avg_spent THEN 1 ELSE 0 END) AS BIGINT) AS below_avg_spenders
          |FROM tiers GROUP BY 1 ORDER BY risk_tier""".stripMargin,
 
     "s07_clv" ->
@@ -768,8 +794,8 @@ object Chinook {
          |SELECT value_tier, activity, count(*) AS n_customers,
          |       CAST(SUM(monetary_dec) AS DOUBLE) / count(*) AS avg_spent_usd,
          |       CAST(SUM(recency_days) AS DOUBLE) / count(*) AS avg_recency_days,
-         |       SUM(CASE WHEN n_orders > avg_orders THEN 1 ELSE 0 END) AS frequent_buyers,
-         |       SUM(CASE WHEN basket BETWEEN 2.0 AND 5.0 THEN 1 ELSE 0 END) AS medium_basket_customers
+         |       CAST(SUM(CASE WHEN n_orders > avg_orders THEN 1 ELSE 0 END) AS BIGINT) AS frequent_buyers,
+         |       CAST(SUM(CASE WHEN basket BETWEEN 2.0 AND 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS medium_basket_customers
          |FROM tiers GROUP BY 1, 2 ORDER BY value_tier, activity""".stripMargin,
 
     "s10_schema_evolution" ->
