@@ -7,9 +7,9 @@ object SparkEntry {
     graft.queries.Chinook.q05_top_cust_per_country(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Chinook.queries
+    graft.queries.Chinook.queries ++ graft.queries.Extensions.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Chinook.oracleSql
+    graft.queries.Chinook.oracleSql ++ graft.queries.Extensions.oracleSql
 }

@@ -1,0 +1,172 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §7.6):
+  * exact (content hash), near-dup via n-gram Jaccard (inverted index),
+  * MinHash+LSH (banded candidate generation), SimHash (bit fingerprints),
+  * and embedding-cosine near-dup (see Similarity for the kernels).
+  *
+  * Scale design notes, per operator:
+  *  - exact: one hash per row + one groupBy shuffle on the 32-byte digest;
+  *    the canonical 100 TB dedup pass.
+  *  - n-gram Jaccard: inverted-index equi-join on shingle (NOT an O(n²)
+  *    cross join) — cost ∝ Σ df(shingle)². The df cap drops
+  *    stop-shingles that would otherwise square into the join; at corpus
+  *    scale that cap is what keeps the pass sub-quadratic.
+  *  - MinHash+LSH: per-row signatures (no shuffle), then a join only on
+  *    (band, bucket) — candidate count ∝ collisions, not n². This is THE
+  *    sub-quadratic near-dup path at 100 TB; the Jaccard verify touches
+  *    only candidates.
+  *  - SimHash: per-row 32-bit fingerprint; pairing at scale goes through
+  *    prefix bands (same LSH idea) — the all-pairs form here is for the
+  *    bounded test corpus and documented as such.
+  *
+  * All hashing is md5-hex — identical lowercase-hex output in Spark and
+  * DuckDB, so signatures/fingerprints are bit-portable to the oracle.
+  */
+object Dedup {
+  /** Exact-duplicate groups by content digest. Returns one row per
+    * duplicated digest with its cardinality and the member ids. */
+  def exactDupGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(col(idCol), sha2(col(contentCol), 256).as("digest"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col(idCol))).as("member_ids"))
+      .filter(col("n_copies") > 1)
+
+  /** Exact-dedup summary: total rows, distinct contents, removable rows. */
+  def exactDupSummary(df: DataFrame, contentCol: String): DataFrame =
+    df.select(sha2(col(contentCol), 256).as("digest"))
+      .agg(count(lit(1)).as("total_docs"),
+        countDistinct(col("digest")).as("distinct_docs"))
+      .withColumn("duplicate_docs", col("total_docs") - col("distinct_docs"))
+
+  /** (id, shingle) inverted-index relation: distinct w-token shingles per
+    * document, exploded. `dfCap` drops shingles occurring in more than
+    * that many documents (stop-shingles) — they contribute nothing to
+    * near-dup detection but dominate the self-join cost. */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+                   w: Int = 3, dfCap: Option[Int] = None): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), w)).as("shingle"))
+    dfCap match {
+      case None => base
+      case Some(cap) =>
+        val keep = base.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") <= cap)
+          .select(col("shingle"))
+        base.join(keep, Seq("shingle"), "left_semi")
+    }
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via the inverted index:
+    * |A∩B| from the shingle equi-join, |A|,|B| from per-doc counts,
+    * J = c / (|A|+|B|−c). Output: id_a < id_b, jaccard ≥ threshold. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, w)
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = idx.as("a")
+      .join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"),
+        Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"),
+        Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** MinHash signature column: for permutation i in [0, perms), the
+    * minimum md5 of "i|shingle" — computed entirely per-row with nested
+    * higher-order functions (no explode, no shuffle). Empty shingle set →
+    * array of nulls. */
+  def minhashSignature(shingles: Column, perms: Int = 16): Column =
+    transform(sequence(lit(0), lit(perms - 1)),
+      i => array_min(transform(shingles,
+        s => md5(concat(i.cast("string"), lit("|"), s)))))
+
+  /** LSH banding: (id, band, bucket) rows where bucket is the md5 of the
+    * band's r signature values. Docs sharing any (band, bucket) are
+    * near-dup candidates. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rows: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          j => md5(concat_ws(",", slice(col(sigCol), j * rows + 1, lit(rows)))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    * exact-Jaccard verification of candidates only. Semantically the
+    * verified output is ⊆ ngramJaccardPairs (LSH may miss pairs — that is
+    * the recall/cost trade, tunable via bands × rows). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      w: Int = 3, perms: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val rows = perms / bands
+    val withSh = df.select(col(idCol).as("id"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh"))
+    val sigs = withSh.withColumn("sig", minhashSignature(col("sh"), perms))
+    val bandRows = lshBands(sigs, "id", "sig", bands, rows)
+    val candidates = bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sets = withSh.select(col("id"), col("sh"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash over the document's distinct tokens. Bit j's
+    * pseudo-random ±1 per token comes from the first hex char of
+    * md5("j|token") (< '8' → −1, ≥ '8' → +1); the bit is set when the sum
+    * is positive. Per-row only — no shuffle, codegen-friendly, and
+    * bit-identical in the DuckDB oracle. */
+  def simhash(toks: Column, bits: Int = 32): Column = {
+    val distinctToks = array_distinct(toks)
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), j =>
+        when(
+          aggregate(distinctToks, lit(0),
+            (acc, t) => acc +
+              when(substring(md5(concat(j.cast("string"), lit("|"), t)), 1, 1) >= "8", 1)
+                .otherwise(-1)) > 0,
+          pow(lit(2.0), j).cast(LongType)) // 2^j exact in double for j ≤ 31
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** All-pairs SimHash near-dups with Hamming distance ≤ maxDist. The
+    * id < id self-join is quadratic — fine for a bounded corpus; at scale
+    * pair through simhash prefix bands exactly like lshBands. */
+  def simhashPairs(df: DataFrame, idCol: String, hashCol: String,
+                   maxDist: Int = 4): DataFrame = {
+    val h = df.select(col(idCol).as("id"), col(hashCol).as("h"))
+    h.as("a").join(h.as("b"), col("a.id") < col("b.id"))
+      .withColumn("hamming",
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast(LongType))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators for LLM-data-pipeline workloads (SURVEY.md §7.6).
+  *
+  * Everything here is a pure per-row `Column` expression built from Spark
+  * built-ins (regexp, higher-order array functions, md5) — no UDFs, no
+  * shuffles, fully inside whole-stage codegen. That is the 100 TB design:
+  * text featurization is embarrassingly parallel, so the operators must not
+  * introduce exchanges; a scan + project over a document corpus scales
+  * linearly with executors.
+  *
+  * Every function has an exact ANSI-SQL twin runnable by DuckDB (see
+  * graft.queries.Extensions) — the md5-based hashing is deliberately chosen
+  * because both engines produce identical lowercase-hex md5 strings,
+  * making fingerprints and MinHash signatures bit-identical across engines.
+  */
+object TextOps {
+  /** Tokenization convention, fixed engine-wide: lowercase maximal runs of
+    * [a-z0-9]. A BPE-ish refinement would add punctuation classes; the
+    * regex is the contract — both Spark (Java regex) and the DuckDB oracle
+    * (RE2) interpret this subset identically. */
+  val TokenPattern = "[a-z0-9]+"
+
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  /** Distinct w-token shingles ("n-gram" units for dedup), joined by a
+    * single space. Documents with < w tokens shingle to an empty set. */
+  def shingles(toks: Column, w: Int = 3): Column = {
+    val n = size(toks)
+    array_distinct(
+      when(n >= w,
+        transform(sequence(lit(1), n - (w - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(w)))))
+        .otherwise(array()))
+  }
+
+  /** Token statistics: total / distinct counts, type-token ratio, average
+    * token length. All integer arithmetic until one final IEEE divide, so
+    * the values are deterministic and engine-portable. */
+  def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_tokens", size(t).cast(LongType))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)).cast(LongType))
+      .withColumn("total_token_chars",
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast(LongType))
+      .withColumn("type_token_ratio",
+        when(col("n_tokens") > 0,
+          col("n_distinct_tokens").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .otherwise(lit(0.0)))
+      .withColumn("avg_token_len",
+        when(col("n_tokens") > 0,
+          col("total_token_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Stopword list for quality scoring / language ID. Tiny by design —
+    * the operator mechanics (set-membership over token arrays) are what
+    * scale; a production lexicon is a config swap. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => x.isInCollection(words))).cast(LongType)
+
+  /** Heuristic document-quality score in [0,1]: length saturation ×
+    * (1 − punctuation ratio) × stopword presence. The formula is a
+    * deterministic composition of integer counts and IEEE double ops. */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    df.withColumn("n_chars", length(col(textCol)).cast(LongType))
+      .withColumn("n_tokens", size(t).cast(LongType))
+      .withColumn("punct_chars",
+        length(regexp_replace(lower(col(textCol)), lit("[a-z0-9 ]"), lit("")))
+          .cast(LongType))
+      .withColumn("stopword_count", countIn(t, EnglishStopwords))
+      .withColumn("punct_ratio",
+        when(col("n_chars") > 0,
+          col("punct_chars").cast(DoubleType) / col("n_chars").cast(DoubleType))
+          .otherwise(0.0))
+      .withColumn("stopword_ratio",
+        when(col("n_tokens") > 0,
+          col("stopword_count").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .otherwise(0.0))
+      .withColumn("quality_score",
+        round(
+          least(col("n_tokens").cast(DoubleType) / 50.0, lit(1.0))
+            * (lit(1.0) - col("punct_ratio"))
+            * least(col("stopword_ratio") * 5.0 + 0.5, lit(1.0)), 6))
+  }
+
+  /** Marker lexicons for n-gram-heuristic language ID. Ordered — the
+    * CASE ladder ties break toward the earlier language. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "los", "que", "y", "las"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq())
+
+  /** Language-ID by marker-word frequency (+ CJK codepoint presence for
+    * zh). Emits one score column per language and an argmax prediction;
+    * per-row only, so it runs at scan speed. */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val scored = LangMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      val score =
+        if (lang == "zh")
+          size(regexp_extract_all(col(textCol), lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+            .cast(LongType)
+        else countIn(t, markers)
+      d.withColumn(s"score_$lang", score)
+    }
+    // argmax with declaration-order tiebreak: a CASE ladder where each
+    // language wins only if strictly greater than all later ones.
+    val langs = LangMarkers.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((lang, i), elseCol) =>
+        if (i == langs.size - 1) elseCol
+        else {
+          val later = langs.drop(i + 1)
+          val geAllLater = later.map(l => col(s"score_$lang") >= col(s"score_$l"))
+            .reduce(_ && _)
+          when(geAllLater, lit(lang)).otherwise(elseCol)
+        }
+    }
+    scored.withColumn("predicted_lang", pred)
+  }
+
+  /** Document fingerprint: the minimum md5 over the document's w-token
+    * shingles — a 1-permutation MinHash (winnowing-lite). Two documents
+    * sharing a fingerprint are near-dup candidates; the full MinHash
+    * signature lives in Dedup.minhashSignatures. Empty shingle set → null
+    * fingerprint. */
+  def fingerprint(toks: Column, w: Int = 3): Column =
+    array_min(transform(shingles(toks, w), s => md5(s)))
+}

@@ -1,0 +1,418 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.EventStreams
+import graft.tables.Tables
+
+/** North-star extension queries (SURVEY.md §7.6): the LLM-data-pipeline
+  * operators over the documents / embeddings / events tables, each with a
+  * DuckDB oracle twin where ANSI-SQL-expressible. Streaming-only behavior
+  * (watermarks, incremental state) has no oracle and is covered by
+  * MemoryStream specs instead (graft.StreamingSpec).
+  *
+  * Shared engine-wide conventions that make Spark and DuckDB bit-agree:
+  * md5 lowercase-hex for all content hashing, exact decimal accumulation
+  * for float sums, integer arithmetic until one final IEEE double divide,
+  * and a deterministic total ORDER BY on every result.
+  */
+object Extensions {
+  val JaccardThreshold = 0.5
+  val CosineDupThreshold = 0.4
+  val QuerySetSize = 10
+
+  // ---- x01: exact dedup ---------------------------------------------------
+
+  def x01_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDupSummary(Tables.documents(s, dir), "text")
+
+  // ---- x02: exact n-gram Jaccard near-dup (inverted index) ---------------
+
+  def x02_dedup_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        w = 3, threshold = JaccardThreshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- x03: MinHash + LSH near-dup ---------------------------------------
+
+  def x03_dedup_minhash_lsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- x04: SimHash fingerprints + near-dup pairs ------------------------
+
+  def x04_dedup_simhash(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Dedup.simhash(TextOps.tokens(col("text")), bits = 32).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  def x04_dedup_simhash_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+        x04_dedup_simhash(s, dir), "doc_id", "simhash", maxDist = 4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- x05: embedding-cosine near-dup ------------------------------------
+
+  def x05_dedup_embedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", CosineDupThreshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- x06/x07: similarity search ----------------------------------------
+
+  def x06_sim_topk_brute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < QuerySetSize),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  def x07_sim_topk_ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < QuerySetSize),
+        "vec_id", "embedding", k = 3, bits = 4)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  // ---- x08–x11: text analysis --------------------------------------------
+
+  def x08_text_stats(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokenStats(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("n_distinct_tokens"), col("total_token_chars"),
+        col("type_token_ratio"), col("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  def x09_text_quality(s: SparkSession, dir: String): DataFrame =
+    TextOps.qualityScore(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("punct_chars"), col("stopword_count"), col("punct_ratio"),
+        col("stopword_ratio"), col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  def x10_text_langid(s: SparkSession, dir: String): DataFrame =
+    TextOps.langId(Tables.documents(s, dir))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted_lang"))
+
+  def x11_text_fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.fingerprint(TextOps.tokens(col("text")), w = 3).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
+
+  def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
+    EventStreams.tumblingStats(Tables.events(s, dir), "1 hour")
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  def x13_events_sessions(s: SparkSession, dir: String): DataFrame =
+    EventStreams.userSessions(Tables.events(s, dir), "30 minutes")
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  // ---- x14: multimodal byte-histogram features ---------------------------
+
+  def x14_multimodal_histogram(s: SparkSession, dir: String): DataFrame =
+    Multimodal.documentByteHistogram(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        col("bucket").cast(LongType).as("bucket"),
+        col("count").as("n_in_bucket"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  // ======================================================================
+  // Registry
+  // ======================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_dedup_exact" -> (x01_dedup_exact _),
+    "x02_dedup_ngram_jaccard" -> (x02_dedup_ngram_jaccard _),
+    "x03_dedup_minhash_lsh" -> (x03_dedup_minhash_lsh _),
+    "x04_dedup_simhash" -> (x04_dedup_simhash _),
+    "x04_dedup_simhash_pairs" -> (x04_dedup_simhash_pairs _),
+    "x05_dedup_embedding" -> (x05_dedup_embedding _),
+    "x06_sim_topk_brute" -> (x06_sim_topk_brute _),
+    "x07_sim_topk_ivf" -> (x07_sim_topk_ivf _),
+    "x08_text_stats" -> (x08_text_stats _),
+    "x09_text_quality" -> (x09_text_quality _),
+    "x10_text_langid" -> (x10_text_langid _),
+    "x11_text_fingerprint" -> (x11_text_fingerprint _),
+    "x12_events_tumbling" -> (x12_events_tumbling _),
+    "x13_events_sessions" -> (x13_events_sessions _),
+    "x14_multimodal_histogram" -> (x14_multimodal_histogram _))
+
+  // ======================================================================
+  // DuckDB oracle SQL
+  // ======================================================================
+
+  /** tokens + distinct 3-token shingles, shared CTE prefix. */
+  private val shinglesCte: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(t) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(t) - 1),
+      |                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+      |              ELSE CAST([] AS VARCHAR[]) END AS sh
+      |  FROM toks)""".stripMargin
+
+  /** Fixed-point quantization + exact integer dot product — mirrors
+    * Similarity.quantize/dotQ bit-for-bit (×2^20 is a binary scale: the
+    * double multiply never rounds; round() is half-away-from-zero in both
+    * engines and exact ties are impossible on dyadic inputs). */
+  private def quantSql(v: String): String =
+    s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+
+  private def dotSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(list_zip($a, $b),
+       |  p -> p[1] * p[2])) AS BIGINT)""".stripMargin
+
+  private val simhashSql: String =
+    """CAST(list_sum(list_transform(range(0, 32), j ->
+      |  CASE WHEN list_sum(list_transform(dt, t ->
+      |         CASE WHEN substr(md5(j::VARCHAR || '|' || t), 1, 1) >= '8'
+      |              THEN 1 ELSE -1 END)) > 0
+      |       THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_dedup_exact" ->
+      """SELECT count(*) AS total_docs,
+        |       count(DISTINCT sha256(text)) AS distinct_docs,
+        |       count(*) - count(DISTINCT sha256(text)) AS duplicate_docs
+        |FROM documents""".stripMargin,
+
+    "x02_dedup_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |idx AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM sh),
+         |sizes AS (SELECT id, count(*) AS n FROM idx GROUP BY 1),
+         |common AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common,
+         |       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON id_a = sa.id
+         |JOIN sizes sb ON id_b = sb.id
+         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JaccardThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x03_dedup_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |sigs AS (
+         |  SELECT doc_id, sh,
+         |         list_transform(range(0, 16), i ->
+         |           list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+         |  FROM sh),
+         |bandrows AS (
+         |  SELECT doc_id, j AS band,
+         |         md5(array_to_string(list_slice(sig, CAST(j*4+1 AS INT), CAST(j*4+4 AS INT)), ',')) AS bucket
+         |  FROM sigs, unnest(range(0, 4)) AS u(j)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bandrows x JOIN bandrows y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |verified AS (
+         |  SELECT id_a, id_b,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+         |  FROM cand
+         |  JOIN sh a ON id_a = a.doc_id
+         |  JOIN sh b ON id_b = b.doc_id)
+         |SELECT id_a, id_b, jaccard FROM verified
+         |WHERE jaccard >= $JaccardThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x04_dedup_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |d AS (SELECT doc_id, list_distinct(t) AS dt FROM toks)
+         |SELECT doc_id, $simhashSql AS simhash
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "x04_dedup_simhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |d AS (SELECT doc_id, list_distinct(t) AS dt FROM toks),
+         |h AS (SELECT doc_id, $simhashSql AS simhash FROM d)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x05_dedup_embedding" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
+         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM pairs
+         |WHERE cosine >= $CosineDupThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x06_sim_topk_brute" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+         |q AS (SELECT vec_id AS q_id, v AS qvec, norm_sq AS qn FROM n WHERE vec_id < $QuerySetSize),
+         |scored AS (
+         |  SELECT q_id, c.vec_id AS c_id,
+         |         CAST(${dotSql("qvec", "c.v")} AS DOUBLE)
+         |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.norm_sq AS DOUBLE))) AS cosine
+         |  FROM q JOIN n c ON c.vec_id <> q_id),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 5
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "x07_sim_topk_ivf" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq,
+         |         (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END ||
+         |          CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END ||
+         |          CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END ||
+         |          CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+         |  FROM qv),
+         |q AS (SELECT vec_id AS q_id, v AS qvec, norm_sq AS qn, bucket FROM n WHERE vec_id < $QuerySetSize),
+         |scored AS (
+         |  SELECT q_id, q.bucket AS bucket, c.vec_id AS c_id,
+         |         CAST(${dotSql("qvec", "c.v")} AS DOUBLE)
+         |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.norm_sq AS DOUBLE))) AS cosine
+         |  FROM q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q_id),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT q_id, bucket, c_id, cosine, rnk FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    "x08_text_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |       CAST(len(t) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+        |       CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS total_token_chars,
+        |       CASE WHEN len(t) > 0
+        |            THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+        |            ELSE 0.0 END AS type_token_ratio,
+        |       CASE WHEN len(t) > 0
+        |            THEN CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+        |            ELSE 0.0 END AS avg_token_len
+        |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "x09_text_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(text) AS BIGINT) AS n_chars,
+        |         CAST(len(t) AS BIGINT) AS n_tokens,
+        |         CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
+        |         CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','in','is','it','for'))) AS BIGINT) AS stopword_count
+        |  FROM toks),
+        |r AS (
+        |  SELECT *,
+        |         CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+        |         CASE WHEN n_tokens > 0 THEN CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+        |  FROM m)
+        |SELECT doc_id, n_chars, n_tokens, punct_chars, stopword_count,
+        |       punct_ratio, stopword_ratio,
+        |       ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+        |             * (1.0 - punct_ratio)
+        |             * least(stopword_ratio * 5.0 + 0.5, 1.0), 6) AS quality_score
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "x10_text_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS BIGINT) AS s_en,
+        |         CAST(len(list_filter(t, x -> x IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de,
+        |         CAST(len(list_filter(t, x -> x IN ('el','los','que','y','las'))) AS BIGINT) AS s_es,
+        |         CAST(len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS s_fr,
+        |         CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
+        |  FROM toks),
+        |pred AS (
+        |  SELECT lang,
+        |         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |              WHEN s_fr >= s_zh THEN 'fr'
+        |              ELSE 'zh' END AS predicted_lang
+        |  FROM scored)
+        |SELECT lang, predicted_lang, count(*) AS n_docs
+        |FROM pred GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
+
+    "x11_text_fingerprint" ->
+      s"""WITH $shinglesCte
+         |SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS fingerprint
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "x12_events_tumbling" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS window_start_us,
+        |       event_type, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+
+    "x13_events_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |       epoch_us(min(ts)) AS session_start_us,
+        |       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "x14_multimodal_histogram" ->
+      """WITH chars AS (
+        |  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) % 16 AS bucket
+        |  FROM documents, unnest(range(1, len(text) + 1)) AS u(i)),
+        |h AS (SELECT doc_id, bucket, count(*) AS n_in_bucket FROM chars GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |       CASE d.doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |       CAST(len(d.text) AS BIGINT) AS n_bytes,
+        |       CAST(h.bucket AS BIGINT) AS bucket,
+        |       h.n_in_bucket
+        |FROM h JOIN documents d ON h.doc_id = d.doc_id
+        |ORDER BY d.doc_id, h.bucket""".stripMargin)
+}

@@ -31,7 +31,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    * sessions set spark.sql.legacy.parquet.nanosAsLong so it surfaces as
+    * nanosecond longs, converted here to microsecond timestamps with
+    * integral division (`div` — a double division would lose precision:
+    * nanos since 1970 exceed 2^53). Floor-division matches DuckDB's
+    * CAST(ns AS TIMESTAMP) truncation, so oracle timestamps agree. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
