@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Specs for the LLM-pipeline extension operators (SURVEY.md §7.6). */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens lowercases and splits on non-alphanumerics") {
+    val r = Seq("Hello, World-42!").toDF("text")
+      .select(TextOps.tokens(col("text"))).first().getSeq[String](0)
+    assert(r == Seq("hello", "world", "42"))
+  }
+
+  test("shingles produces distinct 3-grams; short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
+    val r = df.collect().map(_.getSeq[String](0))
+    assert(r(0).toSet == Set("a b c", "b c d") && r(1).isEmpty)
+  }
+
+  test("tokenStats computes counts and ratios") {
+    val r = TextOps.tokenStats(Seq("the the cat").toDF("text")).first()
+    assert(r.getAs[Long]("n_tokens") == 3L)
+    assert(r.getAs[Long]("n_distinct_tokens") == 2L)
+    assert(r.getAs[Long]("total_token_chars") == 9L)
+    assert(math.abs(r.getAs[Double]("type_token_ratio") - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("qualityScore is in [0,1] and penalizes punctuation") {
+    val r = TextOps.qualityScore(
+      Seq("the quick brown fox and a dog", "!!!???###").toDF("text"))
+      .select("quality_score").collect().map(_.getDouble(0))
+    assert(r.forall(s => s >= 0.0 && s <= 1.0))
+    assert(r(0) > r(1))
+  }
+
+  test("langId predicts by marker frequency with declaration-order ties") {
+    val r = TextOps.langId(Seq("der hund ist und das", "the cat is of the")
+        .toDF("text"))
+      .select("predicted_lang").collect().map(_.getString(0))
+    assert(r.toSeq == Seq("de", "en"))
+  }
+
+  test("fingerprint equals min shingle md5 and is null for short docs") {
+    val r = Seq("x y z w", "tiny").toDF("text")
+      .select(TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
+      .collect()
+    assert(r(0).getString(0).matches("[0-9a-f]{32}") && r(1).isNullAt(0))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark makes big data small again and fast too"),
+    (1L, "spark makes big data small again and fast too"), // exact dup of 0
+    (2L, "spark makes big data small again and quick too"), // near dup of 0
+    (3L, "completely different content about nothing at all here")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds the identical pair only") {
+    val r = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n_copies") == 2L)
+    assert(r(0).getSeq[Long](2) == Seq(0L, 1L))
+  }
+
+  test("exactDupSummary counts removable rows") {
+    val r = Dedup.exactDupSummary(docs, "text").first()
+    assert(r.getAs[Long]("total_docs") == 4L)
+    assert(r.getAs[Long]("distinct_docs") == 3L)
+    assert(r.getAs[Long]("duplicate_docs") == 1L)
+  }
+
+  test("ngramJaccardPairs finds exact and near dups above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+    assert(pairs.contains((0L, 1L))) // identical → J = 1
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashLshPairs candidates verify to the same near-dup set") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+    assert(pairs.contains((0L, 1L))) // identical docs always collide
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs hash equal; hamming 0 pair emitted") {
+    val hashed = docs.select(col("doc_id"),
+      Dedup.simhash(TextOps.tokens(col("text"))).as("simhash"))
+    val h = hashed.orderBy("doc_id").collect().map(_.getLong(1))
+    assert(h(0) == h(1))
+    val pairs = Dedup.simhashPairs(hashed, "doc_id", "simhash", maxDist = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal to 0
+    (2L, Array(2.0f, 0.0f, 0.0f, 0.0f)),   // parallel to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))). // antiparallel to 0
+    toDF("vec_id", "embedding")
+
+  test("quantized cosine: parallel=1, orthogonal=0, antiparallel=-1") {
+    val r = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", -2.0)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    assert(r((0L, 2L)) == 1.0)
+    assert(r((0L, 1L)) == 0.0)
+    assert(r((0L, 3L)) == -1.0)
+  }
+
+  test("bruteForceTopK ranks by cosine with id tiebreak, excluding self") {
+    val r = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rnk").collect().map(x => (x.getAs[Long]("c_id"), x.getAs[Long]("rnk")))
+    assert(r.toSeq == Seq((2L, 1L), (1L, 2L), (3L, 3L)))
+  }
+
+  test("ivfTopK probes only the query's sign bucket") {
+    val r = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3, bits = 4)
+    // bucket of v0 = "1111" (0 quantizes to >= 0); v3 is in "0111" → excluded
+    val ids = r.collect().map(_.getAs[Long]("c_id")).toSet
+    assert(!ids.contains(3L))
+    assert(ids.contains(2L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeStub histogram counts bytes mod 16") {
+    val h = Multimodal.decodeStub("aab".getBytes("UTF-8"))
+    // 'a'=97 → 1, 'b'=98 → 2
+    assert(h(1) == 2L && h(2) == 1L && h.sum == 3L)
+  }
+
+  test("documentByteHistogram runs the mapPartitions pipeline end to end") {
+    val docs = Seq((0L, "aa"), (1L, "b")).toDF("doc_id", "text")
+    val r = Multimodal.documentByteHistogram(spark, docs)
+      .orderBy("doc_id", "bucket").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("bucket"), x.getAs[Long]("count")))
+    assert(r.toSeq == Seq((0L, 1, 2L), (1L, 2, 1L)))
+  }
+
+  test("mediaFromDocuments assigns deterministic formats and byte counts") {
+    val docs = Seq((0L, "xy"), (1L, "z"), (2L, "w")).toDF("doc_id", "text")
+    val r = Multimodal.mediaFromDocuments(docs).orderBy("doc_id").collect()
+      .map(x => (x.getAs[String]("format"), x.getAs[Long]("n_bytes")))
+    assert(r.toSeq == Seq(("png", 2L), ("jpeg", 1L), ("wav", 1L)))
+  }
+
+  test("sampleFrames slices payloads on stride boundaries") {
+    val docs = Seq((7L, "abcdefgh")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs).as[Multimodal.MediaRow]
+    val frames = Multimodal.sampleFrames(media, stride = 4, frameLen = 2)
+      .collect().sortBy(_._2)
+    assert(frames.length == 2)
+    assert(new String(frames(0)._3, "UTF-8") == "ab")
+    assert(new String(frames(1)._3, "UTF-8") == "ef")
+  }
+}

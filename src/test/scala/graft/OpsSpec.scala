@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Exact, PairMining, Quality, TopK}
+
+/** Specs for the core operator families (SURVEY.md §2): quality probes,
+  * top-k idioms, pair mining, exact aggregation. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicates finds only keys with count > 1") {
+    val df = Seq(1, 2, 2, 3, 3, 3).toDF("k")
+    val dup = Quality.duplicates(df, Seq("k")).orderBy("k").collect()
+    assert(dup.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((2, 2L), (3, 3L)))
+  }
+
+  test("anyNullCount counts rows with any audited column null") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (Some(3), None))
+      .toDF("x", "y")
+    assert(Quality.anyNullCount(df, Seq("x", "y")).first().getLong(0) == 2L)
+  }
+
+  test("nullAudit reports per-column null counts in one pass") {
+    val df = Seq((Some(1), None: Option[String]), (None, Some("b"))).toDF("x", "y")
+    val r = Quality.nullAudit(df, Seq("x", "y")).first()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+  }
+
+  test("cleanse applies the docx Q1 policy: numeric→0, categorical→Unknown") {
+    val df = Seq((Some(1), Some("a")), (None, None)).toDF("n", "c")
+    val r = Quality.cleanse(df, Seq("n"), Seq("c")).orderBy("n").collect()
+    assert(r.map(x => (x.getInt(0), x.getString(1))).toSeq ==
+      Seq((0, "Unknown"), (1, "a")))
+  }
+}
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sales = Seq(
+    ("us", "a", 10.0), ("us", "b", 20.0), ("us", "c", 20.0), ("us", "d", 5.0),
+    ("de", "e", 7.0), ("de", "f", 3.0)).toDF("grp", "id", "v")
+
+  test("perGroupDense keeps ties and ranks without gaps") {
+    val r = TopK.perGroupDense(sales, Seq(col("grp")),
+        Seq(desc("v"), col("id")), 2)
+      .orderBy("grp", "rnk", "id").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(3)))
+    // dense_rank with tiebreak id: b=1, c=2, a=3 → top2 keeps b,c per us
+    assert(r.toSeq == Seq(("de", "e", 1L), ("de", "f", 2L),
+      ("us", "b", 1L), ("us", "c", 2L)))
+  }
+
+  test("perGroupFirst returns exactly one deterministic row per group") {
+    val r = TopK.perGroupFirst(sales, Seq(col("grp")), Seq(desc("v"), col("id")))
+      .orderBy("grp").collect().map(x => (x.getString(0), x.getString(1)))
+    assert(r.toSeq == Seq(("de", "e"), ("us", "b")))
+  }
+
+  test("globalTopK equals rank-then-filter under a total order") {
+    val r = TopK.globalTopK(sales, Seq(desc("v"), col("id")), 3)
+      .orderBy("rnk").collect().map(x => (x.getString(1), x.getLong(3)))
+    assert(r.toSeq == Seq(("b", 1L), ("c", 2L), ("a", 3L)))
+  }
+}
+
+class PairMiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("coOccurrence counts each unordered cross-label line pair once") {
+    // basket 1: rock, rock, metal → pairs: (metal,rock) ×2
+    // basket 2: jazz, rock       → pairs: (jazz,rock) ×1
+    val lines = Seq(
+      (1L, 1, "rock"), (1L, 2, "rock"), (1L, 3, "metal"),
+      (2L, 1, "jazz"), (2L, 2, "rock")).toDF("bk", "ln", "lab")
+    val r = PairMining.ordered(PairMining.coOccurrence(lines, "bk", "ln", "lab"))
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq == Seq(("metal", "rock", 2L), ("jazz", "rock", 1L)))
+  }
+
+  test("coOccurrence handles duplicate line ids (total order per basket)") {
+    val lines = Seq((1L, 1, "a"), (1L, 1, "b"), (1L, 1, "c")).toDF("bk", "ln", "lab")
+    val r = PairMining.coOccurrence(lines, "bk", "ln", "lab").collect()
+    assert(r.map(_.getLong(2)).sum == 3L) // C(3,2) distinct-label pairs
+  }
+}
+
+class ExactSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sumMoney is exact regardless of partitioning") {
+    val vals = Seq.fill(1000)(0.1)
+    val one = vals.toDF("v").repartition(1).agg(Exact.sumMoneyD(col("v"))).first().getDouble(0)
+    val many = vals.toDF("v").repartition(7).agg(Exact.sumMoneyD(col("v"))).first().getDouble(0)
+    assert(one == many && one == 100.0)
+  }
+
+  test("lineRevenue applies the engine-wide revenue convention at 4 decimals") {
+    val df = Seq((10.0, 0.25)).toDF("l_extendedprice", "l_discount")
+    assert(df.select(Exact.sumRevenueD).first().getDouble(0) == 7.5)
+  }
+}

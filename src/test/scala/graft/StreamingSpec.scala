@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming specs (SURVEY.md §2.9): windowed aggregation over
+  * an unbounded source, watermark-driven late-data handling, and custom
+  * state via flatMapGroupsWithState. No DuckDB oracle exists for streaming
+  * semantics — these MemoryStream suites are the gate. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("tumblingStats over a stream emits per-window per-type stats") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[Event]
+    source.addData(
+      Event(ts(1), 1L, "click", 1.0),
+      Event(ts(2), 2L, "click", 2.0),
+      Event(ts(11), 1L, "view", 5.0))
+    val q = EventStreams
+      .watermarkedTumblingStats(source.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("tumbling")
+      .orderBy("window_start", "event_type").collect()
+      .map(x => (x.getTimestamp(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      (ts(0), "click", 2L, 3.0),
+      (ts(10), "view", 1L, 5.0)))
+  }
+
+  test("watermark drops events later than the allowed lateness") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStreams
+      .watermarkedTumblingStats(source.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    // batch 1 establishes watermark at 40:00 − 5min = 35:00 → window
+    // [00:00,10:00) is final and emitted on the next trigger
+    source.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(40), 2L, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: an event at 10:02 is older than the watermark → dropped
+    source.addData(Event(ts(2), 3L, "click", 9.0))
+    q.processAllAvailable(); q.stop()
+    val emitted = spark.table("late").collect()
+      .map(x => (x.getTimestamp(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    // the finalized [00:00,10:00) click window must contain ONLY batch-1
+    assert(emitted.contains((ts(0), "click", 1L, 1.0)))
+    assert(!emitted.contains((ts(0), "click", 2L, 10.0)))
+  }
+
+  test("userSessions (batch form) merges events within the gap") {
+    val events = Seq(
+      Event(ts(0), 1L, "click", 1.0),
+      Event(ts(20), 1L, "view", 2.0),  // 20min gap < 30 → same session
+      Event(ts(55), 1L, "click", 3.0), // 35min gap ≥ 30 → new session
+      Event(ts(5), 2L, "view", 4.0)).toDF()
+    val r = EventStreams.userSessions(events, "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1), x.getTimestamp(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1L, ts(0), ts(50), 2L),  // end = last event 10:20 + 30min
+      (1L, ts(55), Timestamp.valueOf("2024-01-01 11:25:00"), 1L),
+      (2L, ts(5), ts(35), 1L)))
+  }
+
+  test("runningUserActivity maintains state across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStreams.runningUserActivity(source.toDS())
+      .writeStream.format("memory").queryName("activity")
+      .outputMode("update").start()
+    source.addData(Event(ts(1), 1L, "purchase", 10.0), Event(ts(2), 1L, "click", 0.0))
+    q.processAllAvailable()
+    source.addData(Event(ts(3), 1L, "purchase", 20.0))
+    q.processAllAvailable(); q.stop()
+    val updates = spark.table("activity").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // batch 1 update: 2 events 1 purchase; batch 2 update: 3 events 2 purchases
+    assert(updates.contains((1L, 2L, 1L)))
+    assert(updates.contains((1L, 3L, 2L)))
+  }
+}
