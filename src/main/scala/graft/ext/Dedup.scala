@@ -69,7 +69,10 @@ object Dedup {
     * J = c / (|A|+|B|−c). Output: id_a < id_b, jaccard ≥ threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         w: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, w)
+    // Materialize the index once: it feeds three consumers (sizes + both
+    // self-join sides); without a barrier Catalyst inlines the shingle
+    // expression into each, re-tokenizing every document three times.
+    val idx = shingleIndex(df, idCol, textCol, w).persist()
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = idx.as("a")
       .join(idx.as("b"),
@@ -93,9 +96,7 @@ object Dedup {
     * higher-order functions (no explode, no shuffle). Empty shingle set →
     * array of nulls. */
   def minhashSignature(shingles: Column, perms: Int = 16): Column =
-    transform(sequence(lit(0), lit(perms - 1)),
-      i => array_min(transform(shingles,
-        s => md5(concat(i.cast("string"), lit("|"), s)))))
+    org.apache.spark.sql.graftfn.HashSketches.minhashSignature(shingles, perms)
 
   /** LSH banding: (id, band, bucket) rows where bucket is the md5 of the
     * band's r signature values. Docs sharing any (band, bucket) are
@@ -116,10 +117,15 @@ object Dedup {
                       w: Int = 3, perms: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val rows = perms / bands
+    // Materialize shingle sets and signatures: this IS the production
+    // shape at scale — a persisted signature table, small relative to the
+    // corpus (16 hashes + the shingle set per doc). Without the barrier,
+    // projection collapse would recompute the full 16-permutation minhash
+    // inside every band row and on both sides of the candidate join.
     val withSh = df.select(col(idCol).as("id"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh"))
+      TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh")).persist()
     val sigs = withSh.withColumn("sig", minhashSignature(col("sh"), perms))
-    val bandRows = lshBands(sigs, "id", "sig", bands, rows)
+    val bandRows = lshBands(sigs, "id", "sig", bands, rows).persist()
     val candidates = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
@@ -138,35 +144,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 32-bit SimHash over the document's distinct tokens. Bit j's
+  /** 32-bit tf-weighted SimHash over the document's tokens. Bit j's
     * pseudo-random ±1 per token comes from the first hex char of
-    * md5("j|token") (< '8' → −1, ≥ '8' → +1); the bit is set when the sum
-    * is positive. Per-row only — no shuffle, codegen-friendly, and
-    * bit-identical in the DuckDB oracle. */
-  def simhash(toks: Column, bits: Int = 32): Column = {
-    val distinctToks = array_distinct(toks)
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), j =>
-        when(
-          aggregate(distinctToks, lit(0),
-            (acc, t) => acc +
-              when(substring(md5(concat(j.cast("string"), lit("|"), t)), 1, 1) >= "8", 1)
-                .otherwise(-1)) > 0,
-          pow(lit(2.0), j).cast(LongType)) // 2^j exact in double for j ≤ 31
-          .otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+    * md5("j|token") (< '8' → −1, ≥ '8' → +1), summed over every token
+    * OCCURRENCE (term-frequency weighting — on a shared-vocabulary corpus
+    * an unweighted simhash collapses: most docs contain most words, so
+    * distinct-token sums are nearly identical across docs). The bit is set
+    * when the sum is positive. Per-row only — no shuffle, and bit-identical
+    * in the DuckDB oracle. */
+  def simhash(toks: Column, bits: Int = 32): Column =
+    org.apache.spark.sql.graftfn.HashSketches.simhash(toks, bits)
 
-  /** All-pairs SimHash near-dups with Hamming distance ≤ maxDist. The
-    * id < id self-join is quadratic — fine for a bounded corpus; at scale
-    * pair through simhash prefix bands exactly like lshBands. */
+  /** SimHash near-dups with Hamming distance ≤ maxDist — EXACT banded
+    * algorithm, not all-pairs: partition the `bits` fingerprint bits into
+    * maxDist+1 disjoint chunks; by pigeonhole, any pair within distance
+    * maxDist agrees exactly on at least one chunk, so an equi-join on
+    * (chunk index, chunk value) generates a candidate superset with 100%
+    * recall, then the XOR popcount verifies. Turns the quadratic
+    * nested-loop self-join into a hash join whose cost tracks collisions —
+    * the standard sub-quadratic simhash-dedup shape at corpus scale. */
   def simhashPairs(df: DataFrame, idCol: String, hashCol: String,
-                   maxDist: Int = 4): DataFrame = {
-    val h = df.select(col(idCol).as("id"), col(hashCol).as("h"))
-    h.as("a").join(h.as("b"), col("a.id") < col("b.id"))
+                   maxDist: Int = 4, bits: Int = 32): DataFrame = {
+    // Materialize the fingerprints: the joins would otherwise inline the
+    // full simhash expression (bits × tokens md5 evaluations) per pair.
+    val h = df.select(col(idCol).as("id"), col(hashCol).as("h")).persist()
+    val nBands = maxDist + 1
+    val chunkBits = (bits + nBands - 1) / nBands
+    val bandCols = (0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftrightunsigned(col("h"), j * chunkBits)
+          .bitwiseAND(lit((1L << chunkBits) - 1)).as("chunk"))
+    }
+    val bandRows = h.select(col("id"), col("h"),
+        explode(array(bandCols: _*)).as("bc"))
+      .select(col("id"), col("h"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    bandRows.as("x")
+      .join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk")
+          && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct()
       .withColumn("hamming",
-        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast(LongType))
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast(LongType))
       .filter(col("hamming") <= maxDist)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

@@ -44,9 +44,12 @@ object Similarity {
     transform(v, x => round(x.cast(DoubleType) * Scale).cast(LongType))
 
   /** Exact integer dot product of two QUANTIZED (long-array) columns.
-    * 64 dims × (4·2^20)² products stay far below 2^63. */
+    * 64 dims × (4·2^20)² products stay far below 2^63. Uses the codegen'd
+    * graft.functions.DotProductLong — the equivalent built-in fold
+    * (`aggregate(zip_with(a,b,_*_),0L,_+_)`) is interpreted per element
+    * and dominated the all-pairs similarity queries (see its Scaladoc). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    org.apache.spark.sql.graftfn.DotProductLong.dot(a, b)
 
   /** Cosine similarity given an integer dot and integer squared norms. */
   def cosineFromParts(dot: Column, normSqA: Column, normSqB: Column): Column =
@@ -54,11 +57,14 @@ object Similarity {
       (sqrt(normSqA.cast(DoubleType)) * sqrt(normSqB.cast(DoubleType)))
 
   /** Replace a float vector column with its quantized form + squared norm,
-    * precomputed once — at scale you materialize this next to the vectors
-    * instead of recomputing per candidate pair. */
+    * precomputed once. Materialized (persist) because every caller feeds it
+    * into a join: without the barrier, projection collapse would
+    * re-quantize the vector inside every candidate pair instead of once
+    * per row — at scale this is the stored quantized index. */
   def withNorm(df: DataFrame, vecCol: String, normCol: String = "norm_sq"): DataFrame =
     df.withColumn(vecCol, quantize(col(vecCol)))
       .withColumn(normCol, dotQ(col(vecCol), col(vecCol)))
+      .persist()
 
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (self-matches excluded). Query set must be broadcast-

@@ -29,15 +29,13 @@ object TextOps {
     regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
 
   /** Distinct w-token shingles ("n-gram" units for dedup), joined by a
-    * single space. Documents with < w tokens shingle to an empty set. */
-  def shingles(toks: Column, w: Int = 3): Column = {
-    val n = size(toks)
-    array_distinct(
-      when(n >= w,
-        transform(sequence(lit(1), n - (w - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(w)))))
-        .otherwise(array()))
-  }
+    * single space. Documents with < w tokens shingle to an empty set.
+    * Backed by the codegen-friendly ShingleArray expression; semantically
+    * identical to `array_distinct(transform(sequence(1, n-w+1), i ->
+    * concat_ws(' ', slice(toks, i, w))))`, which is what the DuckDB
+    * oracle mirrors (consumers are order-insensitive). */
+  def shingles(toks: Column, w: Int = 3): Column =
+    org.apache.spark.sql.graftfn.ShingleArray.shingles(toks, w)
 
   /** Token statistics: total / distinct counts, type-token ratio, average
     * token length. All integer arithmetic until one final IEEE divide, so

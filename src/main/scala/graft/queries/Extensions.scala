@@ -53,7 +53,7 @@ object Extensions {
 
   def x04_dedup_simhash_pairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
-        x04_dedup_simhash(s, dir), "doc_id", "simhash", maxDist = 4)
+        x04_dedup_simhash(s, dir), "doc_id", "simhash", maxDist = 2)
       .orderBy(col("id_a"), col("id_b"))
 
   // ---- x05: embedding-cosine near-dup ------------------------------------
@@ -181,6 +181,8 @@ object Extensions {
     s"""CAST(list_sum(list_transform(list_zip($a, $b),
        |  p -> p[1] * p[2])) AS BIGINT)""".stripMargin
 
+  // tf-weighted: the inner sum runs over every token occurrence (dt is
+  // the raw token list, not list_distinct) — mirrors Dedup.simhash.
   private val simhashSql: String =
     """CAST(list_sum(list_transform(range(0, 32), j ->
       |  CASE WHEN list_sum(list_transform(dt, t ->
@@ -241,7 +243,7 @@ object Extensions {
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
          |  FROM documents),
-         |d AS (SELECT doc_id, list_distinct(t) AS dt FROM toks)
+         |d AS (SELECT doc_id, t AS dt FROM toks)
          |SELECT doc_id, $simhashSql AS simhash
          |FROM d ORDER BY doc_id""".stripMargin,
 
@@ -249,12 +251,12 @@ object Extensions {
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
          |  FROM documents),
-         |d AS (SELECT doc_id, list_distinct(t) AS dt FROM toks),
+         |d AS (SELECT doc_id, t AS dt FROM toks),
          |h AS (SELECT doc_id, $simhashSql AS simhash FROM d)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM h a JOIN h b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
          |ORDER BY id_a, id_b""".stripMargin,
 
     "x05_dedup_embedding" ->
