@@ -456,6 +456,47 @@ object Chinook {
       .orderBy(col("country"))
   }
 
+  // ---- s12: hierarchical rollup (SURVEY §2.4 "absent" — engine extension)
+
+  /** Revenue by geography with subtotal rows at every hierarchy level
+    * (region → country → grand total) in one pass — `rollup` is a single
+    * Expand + aggregation, NOT one query per level. */
+  def s12_rollup_geo(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("country"),
+        col("o_totalprice"))
+      .rollup(col("region"), col("country"))
+      .agg(count(lit(1)).as("n_invoices"), sumMoneyD(col("o_totalprice")).as("revenue"),
+        grouping_id().cast(LongType).as("gid"))
+      .select(
+        coalesce(col("region"), lit("ALL")).as("region"),
+        coalesce(col("country"), lit("ALL")).as("country"),
+        col("gid"), col("n_invoices"), col("revenue"))
+      .orderBy(col("gid"), col("region"), col("country"))
+
+  // ---- s13: set operations (SURVEY §2.7 "absent" — engine extension) ----
+
+  /** Cross-genre buyer segmentation via INTERSECT / EXCEPT set semantics:
+    * customers who bought both of two genres, and those who bought only
+    * the first. */
+  def s13_setops(s: SparkSession, dir: String): DataFrame = {
+    def buyers(genre: String): DataFrame =
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_type") === genre)
+        .select(col("o_custkey").as("c_custkey"))
+    val a = buyers("STANDARD")
+    val b = buyers("PROMO")
+    a.intersect(b).withColumn("segment", lit("both"))
+      .unionByName(a.except(b).withColumn("segment", lit("only_standard")))
+      .select(col("segment"), col("c_custkey"))
+      .orderBy(col("segment"), col("c_custkey"))
+  }
+
   // ======================================================================
   // Registry + DuckDB oracle SQL (SURVEY §5.2 — the correctness gate)
   // ======================================================================
@@ -486,7 +527,9 @@ object Chinook {
     "s06_risk_profile" -> (s06_risk_profile _),
     "s07_clv" -> (s07_clv _),
     "s10_schema_evolution" -> (s10_schema_evolution _),
-    "s11_country_metrics" -> (s11_country_metrics _))
+    "s11_country_metrics" -> (s11_country_metrics _),
+    "s12_rollup_geo" -> (s12_rollup_geo _),
+    "s13_setops" -> (s13_setops _))
 
   private val recencySql: String =
     """recency AS (
@@ -802,6 +845,38 @@ object Chinook {
       """SELECT p_partkey, p_name, p_brand, p_type,
         |       CAST(1990 + p_partkey % 30 AS INTEGER) AS release_year
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "s12_rollup_geo" ->
+      """WITH base AS (
+        |  SELECT r_name AS region, n_name AS country, o_totalprice
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT COALESCE(region, 'ALL') AS region,
+        |       COALESCE(country, 'ALL') AS country,
+        |       CAST(GROUPING(region, country) AS BIGINT) AS gid,
+        |       count(*) AS n_invoices,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM base
+        |GROUP BY ROLLUP(region, country)
+        |ORDER BY gid, region, country""".stripMargin,
+
+    "s13_setops" ->
+      """WITH std AS (
+        |  SELECT o_custkey AS c_custkey FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'STANDARD'),
+        |promo AS (
+        |  SELECT o_custkey AS c_custkey FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO')
+        |SELECT 'both' AS segment, c_custkey FROM (SELECT c_custkey FROM std INTERSECT SELECT c_custkey FROM promo)
+        |UNION ALL
+        |SELECT 'only_standard' AS segment, c_custkey FROM (SELECT c_custkey FROM std EXCEPT SELECT c_custkey FROM promo)
+        |ORDER BY segment, c_custkey""".stripMargin,
 
     "s11_country_metrics" ->
       """WITH per_cust AS (
