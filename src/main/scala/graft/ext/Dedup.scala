@@ -69,21 +69,23 @@ object Dedup {
     * J = c / (|A|+|B|−c). Output: id_a < id_b, jaccard ≥ threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         w: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // Materialize the index once: it feeds three consumers (sizes + both
-    // self-join sides); without a barrier Catalyst inlines the shingle
-    // expression into each, re-tokenizing every document three times.
-    val idx = shingleIndex(df, idCol, textCol, w).persist()
-    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val common = idx.as("a")
+    // Each index row carries its document's set size, so |A| and |B| ride
+    // through the equi-join as grouping keys — no post-hoc size joins.
+    // Materialized once (persist): it feeds both self-join sides; without
+    // a barrier Catalyst inlines the shingle expression into each,
+    // re-tokenizing every document twice.
+    val idx = df
+      .select(col(idCol).as("id"),
+        TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh"))
+      .select(col("id"), size(col("sh")).cast(LongType).as("n"),
+        explode(col("sh")).as("shingle"))
+      .persist()
+    idx.as("a")
       .join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"),
-        Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"),
-        Seq("id_b"))
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))

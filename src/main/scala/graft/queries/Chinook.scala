@@ -330,9 +330,24 @@ object Chinook {
 
   // ---- s04: basket-affinity pair mining (:392–454) ----------------------
 
+  /** The three affinity queries differ only in label column; the joined
+    * (order, line, labels) projection is computed once per (session, dir)
+    * and persisted — the narrow 5-column projection of the fact table,
+    * not the fact table itself. At cluster scale this is the materialized
+    * "basket lines" relation every market-basket pass starts from. */
+  private val linesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def basketLines(s: SparkSession, dir: String): DataFrame =
+    linesCache.getOrElseUpdate((s, dir),
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("p_type"), col("p_brand"), col("p_name"))
+        .persist())
+
   private def affinity(s: SparkSession, dir: String, labelCol: String): DataFrame = {
-    val lines = Tables.lineitem(s, dir)
-      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+    val lines = basketLines(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col(labelCol))
     PairMining.ordered(
       PairMining.coOccurrence(lines, "l_orderkey", "l_linenumber", labelCol))
@@ -497,6 +512,30 @@ object Chinook {
       .orderBy(col("segment"), col("c_custkey"))
   }
 
+  // ---- s14: dispersion stats (SURVEY §2.4 "absent" — engine extension) --
+
+  /** Exact median (interpolating percentile over integral quantities —
+    * midpoints are dyadic, so both engines agree bitwise) and stddev via
+    * explicit decimal moments: Σx and Σx² accumulate exactly in decimal
+    * (order-independent), then one deterministic double formula — unlike
+    * built-in stddev_samp, whose running-variance accumulation is
+    * float-order-dependent and would break oracle hash parity. */
+  def s14_dispersion(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+    li.groupBy(col("p_type").as("genre"))
+      .agg(count(lit(1)).as("n_lines"),
+        expr("percentile(l_quantity, 0.5D)").as("median_qty"),
+        sum(money(col("l_quantity"))).cast(DoubleType).as("sx"),
+        sum(money(col("l_quantity")) * money(col("l_quantity")))
+          .cast(DoubleType).as("sxx"))
+      .select(col("genre"), col("n_lines"), col("median_qty"),
+        (col("sx") / col("n_lines")).as("mean_qty"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n_lines"))
+          / (col("n_lines") - 1)).as("stddev_qty"))
+      .orderBy(col("genre"))
+  }
+
   // ======================================================================
   // Registry + DuckDB oracle SQL (SURVEY §5.2 — the correctness gate)
   // ======================================================================
@@ -529,7 +568,8 @@ object Chinook {
     "s10_schema_evolution" -> (s10_schema_evolution _),
     "s11_country_metrics" -> (s11_country_metrics _),
     "s12_rollup_geo" -> (s12_rollup_geo _),
-    "s13_setops" -> (s13_setops _))
+    "s13_setops" -> (s13_setops _),
+    "s14_dispersion" -> (s14_dispersion _))
 
   private val recencySql: String =
     """recency AS (
@@ -845,6 +885,17 @@ object Chinook {
       """SELECT p_partkey, p_name, p_brand, p_type,
         |       CAST(1990 + p_partkey % 30 AS INTEGER) AS release_year
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "s14_dispersion" ->
+      """SELECT p_type AS genre, count(*) AS n_lines,
+        |       quantile_cont(l_quantity, 0.5) AS median_qty,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_qty,
+        |       sqrt((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |             - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |               * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |            / (count(*) - 1)) AS stddev_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "s12_rollup_geo" ->
       """WITH base AS (
