@@ -68,6 +68,15 @@ object EventStreams {
                               lateness: String): DataFrame =
     userSessions(stream.withWatermark("ts", lateness), gap)
 
+  /** Streaming exact deduplication: emit each event_id once, keeping
+    * dedup state only within the watermark horizon (a duplicate arriving
+    * later than `lateness` after the original is outside the state window
+    * — the bounded-state trade every infinite-stream dedup must make).
+    * The batch analog is dropDuplicates / Dedup.exactDupGroups. */
+  def dedupedEvents(stream: DataFrame, lateness: String): DataFrame =
+    stream.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // --- custom stateful processing (flatMapGroupsWithState) ---------------
 
   case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String,

@@ -72,6 +72,21 @@ class StreamingSpec extends SparkSpec {
       (2L, ts(5), ts(35), 1L)))
   }
 
+  test("dedupedEvents drops duplicate event ids across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val stream = source.toDF().toDF("ts", "event_id", "value")
+    val q = EventStreams.dedupedEvents(stream, "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    source.addData((ts(1), 100L, 1.0), (ts(2), 100L, 2.0), (ts(3), 101L, 3.0))
+    q.processAllAvailable()
+    source.addData((ts(4), 100L, 4.0), (ts(5), 102L, 5.0)) // 100 is a dup
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq == Seq(100L, 101L, 102L))
+  }
+
   test("runningUserActivity maintains state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[Event]
