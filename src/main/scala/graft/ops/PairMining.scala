@@ -53,6 +53,25 @@ object PairMining {
       .agg(count(lit(1)).as("pair_count"))
   }
 
+  /** Pair counts from a PRE-GROUPED basket relation — `itemsCol` is an
+    * array of structs each holding several label fields, so one grouped
+    * (and typically persisted) relation serves every label's affinity
+    * query without re-shuffling the line relation per label. Pair counts
+    * are invariant to array order (every unordered position pair is
+    * visited exactly once), so no per-basket sort is needed. */
+  def coOccurrenceFromBaskets(baskets: DataFrame, itemsCol: String,
+                              labelField: String): DataFrame =
+    baskets
+      .select(explode(expr(
+        s"""flatten(transform($itemsCol, (x, i) ->
+           |  transform(slice($itemsCol, i + 2, size($itemsCol)),
+           |            y -> struct(least(x.$labelField, y.$labelField) AS label_a,
+           |                        greatest(x.$labelField, y.$labelField) AS label_b))))""".stripMargin))
+        .as("p"))
+      .filter(col("p.label_a") =!= col("p.label_b"))
+      .groupBy(col("p.label_a").as("label_a"), col("p.label_b").as("label_b"))
+      .agg(count(lit(1)).as("pair_count"))
+
   /** Canonical-pair ordering for presentation. */
   def ordered(pairs: DataFrame): DataFrame =
     pairs.orderBy(desc("pair_count"), col("label_a"), col("label_b"))

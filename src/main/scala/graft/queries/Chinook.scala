@@ -330,28 +330,28 @@ object Chinook {
 
   // ---- s04: basket-affinity pair mining (:392–454) ----------------------
 
-  /** The three affinity queries differ only in label column; the joined
-    * (order, line, labels) projection is computed once per (session, dir)
-    * and persisted — the narrow 5-column projection of the fact table,
-    * not the fact table itself. At cluster scale this is the materialized
-    * "basket lines" relation every market-basket pass starts from. */
-  private val linesCache =
+  /** The three affinity queries differ only in label column; the GROUPED
+    * basket relation (one row per order, items array carrying all three
+    * labels) is built with a single shuffle per (session, dir) and
+    * persisted — each label's pair expansion then reads it shuffle-free.
+    * At cluster scale this is the materialized "baskets" relation every
+    * market-basket pass starts from. Pair counts are array-order
+    * invariant, so no per-basket sort is needed. */
+  private val basketsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def basketLines(s: SparkSession, dir: String): DataFrame =
-    linesCache.getOrElseUpdate((s, dir),
+  private def baskets(s: SparkSession, dir: String): DataFrame =
+    basketsCache.getOrElseUpdate((s, dir),
       Tables.lineitem(s, dir)
         .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("p_type"), col("p_brand"), col("p_name"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_list(struct(col("p_type"), col("p_brand"), col("p_name")))
+          .as("items"))
         .persist())
 
-  private def affinity(s: SparkSession, dir: String, labelCol: String): DataFrame = {
-    val lines = basketLines(s, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), col(labelCol))
+  private def affinity(s: SparkSession, dir: String, labelCol: String): DataFrame =
     PairMining.ordered(
-      PairMining.coOccurrence(lines, "l_orderkey", "l_linenumber", labelCol))
-  }
+      PairMining.coOccurrenceFromBaskets(baskets(s, dir), "items", labelCol))
 
   def s04_affinity_genre(s: SparkSession, dir: String): DataFrame =
     affinity(s, dir, "p_type")
