@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface of the engine (SURVEY.md §2.1 S5/S6).
+  *
+  * The reference's only "source" is a pre-loaded MySQL catalog and its only
+  * "sink" is the client result grid; the engine generalizes both to the
+  * formats a Spark deployment actually uses. Schemas are always explicit —
+  * inference is disabled by passing a StructType, so a production run never
+  * pays an inference scan and never drifts from the declared contract
+  * (SURVEY §1.4).
+  *
+  * Scale notes: every reader hands Catalyst a `FileSourceScanExec` with
+  * pushdown + pruning; `writePartitioned` lays data out for partition
+  * pruning (PartitionSpec proves pruning fires); `writeBucketed` pre-hashes
+  * rows so later equi-joins/aggregations on the bucket keys skip their
+  * shuffle entirely — the 100 TB answer to repeated co-located joins.
+  */
+object Sources {
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JDBC source (the BASELINE "database dump or JDBC source" path).
+    * `partitionColumn`/bounds split the read into `numPartitions` parallel
+    * range queries — without them a JDBC read is a single-task scan, which
+    * is never acceptable at scale. No JDBC driver ships in this
+    * environment, so this wrapper is exercised only by its parquet/csv
+    * siblings' tests; the call shape is the stock spark.read.jdbc. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: String, lowerBound: Long, upperBound: Long,
+           numPartitions: Int,
+           props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, props)
+}
+
+object Sinks {
+  private def base(df: DataFrame, mode: String): DataFrameWriter[Row] =
+    df.write.mode(mode)
+
+  def writeParquet(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    base(df, mode).parquet(path)
+
+  /** Hive-style partitioned layout (dir per key value) → partition pruning
+    * for readers filtering on the partition columns. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: String = "overwrite"): Unit =
+    base(df, mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table: rows are hash-distributed into
+    * `buckets` files per partition by `bucketCols`; subsequent joins or
+    * aggregations keyed on them read co-located data with NO exchange. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String], mode: String = "overwrite"): Unit =
+    base(df, mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+               mode: String = "overwrite"): Unit =
+    base(df, mode).option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    base(df, mode).json(path)
+}

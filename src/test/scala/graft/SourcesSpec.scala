@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.{Sinks, Sources}
+
+/** Round-trip specs for the source/sink surface. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("v", DoubleType)))
+
+  private val data = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+
+  test("csv round-trip with explicit schema (no inference scan)") {
+    val dir = tmp("graft_csv")
+    Sinks.writeCsv(data.toDF("id", "name", "v"), dir)
+    val back = Sources.csv(spark, dir, schema)
+    assert(back.schema == schema)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == data)
+  }
+
+  test("json round-trip with explicit schema") {
+    val dir = tmp("graft_json")
+    Sinks.writeJson(data.toDF("id", "name", "v"), dir)
+    val back = Sources.json(spark, dir, schema)
+    assert(back.orderBy("id").count() == 3)
+    assert(back.schema == schema)
+  }
+
+  test("bucketed table: equi-join on bucket key plans without an exchange on the bucketed sides") {
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    // a previously failed run can leave the managed location behind with
+    // no catalog entry; clear it so saveAsTable can claim the path
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("bkt_a", "bkt_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+    val df = (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    Sinks.writeBucketed(df, "bkt_a", 4, Seq("k"))
+    Sinks.writeBucketed(df, "bkt_b", 4, Seq("k"))
+    // tiny test tables would broadcast (bucketing bypassed); force the
+    // shuffle-join path the bucketing exists to optimize
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val p = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // bucketed scan feeds the join directly: no Exchange below the join
+      assert(!p.contains("Exchange hashpartitioning(k"), p)
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned sink + pruned source") {
+    val dir = tmp("graft_part")
+    Sinks.writePartitioned(
+      data.toDF("id", "name", "v").withColumn("part", col("id") % 2), dir, Seq("part"))
+    val back = Sources.parquet(spark, dir).filter(col("part") === 0)
+    assert(back.count() == 1)
+  }
+}
