@@ -46,7 +46,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimHash(es(0), intArg(es(1), "simhash bits"))),
     (FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "perm count"))))
+      (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "perm count"))),
+    (FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
+      (es: Seq[Expression]) => HeavyHitters(es(0), intArg(es(1), "k"))))
 
   /** Register on a live session (temp functions in its registry). */
   def register(spark: SparkSession): Unit = {

@@ -38,7 +38,8 @@ class EngineSpec extends SparkSpec {
     // run and produce expressions); full injection needs a fresh session,
     // which local test JVMs share
     assert(GraftFunctions.descriptions.map(_._1.funcName).sorted ==
-      Seq("dot_product_long", "minhash_signature", "shingle_array", "simhash"))
+      Seq("dot_product_long", "heavy_hitters", "minhash_signature",
+        "shingle_array", "simhash"))
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw
   }

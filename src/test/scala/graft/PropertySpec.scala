@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.ops.{Exact, PairMining, TopK}
+
+/** Property-based specs (SURVEY.md §5.2 item 4) — the invariants that bit
+  * the reference's semantics, checked over generated inputs. ScalaCheck
+  * drives Spark jobs, so case counts are kept small but the data shapes
+  * are adversarial (ties, duplicate line ids, hot keys, random partition
+  * counts). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+  private def holds(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("dense ranks are 1-based, gap-free, bounded by k (under heavy ties)") {
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.oneOf("g1", "g2", "g3"), Gen.choose(1, 4), Gen.choose(0, 999)))
+    holds(Prop.forAll(gen) { rows =>
+      rows.isEmpty || {
+        val df = rows.map { case (g, v, id) => (g, v.toDouble, id) }.toDF("grp", "v", "id")
+        val ranked = TopK.perGroupDense(df, Seq(col("grp")),
+          Seq(desc("v"), col("id")), 3)
+        val byGroup = ranked.collect().groupBy(_.getString(0))
+        byGroup.values.forall { rs =>
+          val ranks = rs.map(_.getAs[Long]("rnk")).sorted
+          ranks.head == 1L && ranks.last <= 3L &&
+            ranks.distinct.zipWithIndex.forall { case (r, i) => r == i + 1 }
+        }
+      }
+    })
+  }
+
+  test("pair mining: canonical order, exact cross-label pair count per basket") {
+    val gen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(1L, 5L), Gen.choose(1, 3), Gen.oneOf("a", "b", "c")))
+    holds(Prop.forAll(gen) { rows =>
+      rows.isEmpty || {
+        val df = rows.map { case (bk, ln, lab) => (bk, ln, lab) }.toDF("bk", "ln", "lab")
+        val pairs = PairMining.coOccurrence(df, "bk", "ln", "lab").collect()
+        val expected = rows.groupBy(_._1).values.map { basket =>
+          val n = basket.size.toLong
+          val sameLabel = basket.groupBy(_._3).values
+            .map(g => g.size.toLong * (g.size - 1) / 2).sum
+          n * (n - 1) / 2 - sameLabel
+        }.sum
+        pairs.forall(r => r.getString(0) < r.getString(1)) &&
+          pairs.map(_.getLong(2)).sum == expected
+      }
+    })
+  }
+
+  test("exact money sums are invariant to partition count") {
+    val gen = Gen.zip(Gen.listOfN(200, Gen.choose(0, 99999)), Gen.choose(1, 16))
+    holds(Prop.forAll(gen) { case (cents, parts) =>
+      cents.isEmpty || {
+        val vals = cents.map(_ / 100.0)
+        val expected = cents.map(_.toLong).sum / 100.0
+        val got = vals.toDF("v").repartition(parts)
+          .agg(Exact.sumMoneyD(col("v"))).head().getDouble(0)
+        got == expected
+      }
+    })
+  }
+
+  test("simhash is invariant under token permutation; hamming is symmetric") {
+    val gen = Gen.zip(
+      Gen.listOfN(12, Gen.oneOf("spark", "flink", "duck", "row", "col")),
+      Gen.choose(0L, Long.MaxValue))
+    holds(Prop.forAll(gen) { case (toks, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(toks)
+      val df = Seq((toks, shuffled)).toDF("a", "b")
+      val r = df.select(
+        graft.ext.Dedup.simhash(col("a")).as("ha"),
+        graft.ext.Dedup.simhash(col("b")).as("hb")).head()
+      r.getLong(0) == r.getLong(1)
+    })
+  }
+
+  test("quantized cosine stays in [-1, 1] (+ rounding headroom)") {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-2.0f, 2.0f))
+    holds(Prop.forAll(Gen.zip(vecGen, vecGen)) { case (a, b) =>
+      (a.forall(_ == 0f) || b.forall(_ == 0f)) || {
+        val df = Seq((0L, a.toArray), (1L, b.toArray)).toDF("vec_id", "embedding")
+        val pairs = graft.ext.Similarity
+          .cosineNearDupPairs(df, "vec_id", "embedding", -2.0).collect()
+        // quantization can overshoot |1| by at most ~d·ulp; allow 1e-6
+        pairs.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-6)
+      }
+    })
+  }
+
+  test("heavy hitters: every item above the n/(k+1) threshold is reported") {
+    val gen = Gen.listOfN(300, Gen.frequency(
+      5 -> Gen.const("hot"), 2 -> Gen.const("warm"),
+      1 -> Gen.oneOf((1 to 50).map("cold" + _))))
+    holds(Prop.forAll(gen) { items =>
+      items.isEmpty || {
+        val k = 4
+        val n = items.size
+        val freq = items.groupBy(identity).map { case (i, xs) => i -> xs.size }
+        val mustReport = freq.filter(_._2 > n / (k + 1)).keySet
+        val reported = Seq(items).toDF("items")
+          .select(explode(col("items")).as("item"))
+          .agg(org.apache.spark.sql.graftfn.HeavyHitters.of(col("item"), k).as("hh"))
+          .head().getSeq[org.apache.spark.sql.Row](0)
+          .map(_.getString(0)).toSet
+        mustReport.subsetOf(reported)
+      }
+    })
+  }
+
+  test("heavy_hitters is callable from SQL and bounded by k") {
+    org.apache.spark.sql.graftfn.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT heavy_hitters(c, 3) AS hh FROM VALUES
+        |('x'),('x'),('x'),('y'),('y'),('z'),('w') AS t(c)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(r.length <= 3)
+    assert(r.map(_.getString(0)).contains("x"))
+  }
+}
