@@ -123,6 +123,24 @@ object Extensions {
         col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("session_start_us"))
 
+  // ---- x15: as-of join — click→purchase attribution ----------------------
+
+  /** For every purchase event, the user's most recent strictly-earlier
+    * click (classic attribution). Oracle: DuckDB's native ASOF LEFT JOIN;
+    * our side composes the scalable union+window shape (graft.ops.AsOf). */
+  def x15_asof_attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.ops.AsOf.lastBefore(purchases, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_ts_us"),
+        unix_micros(col("asof_ts")).as("click_ts_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   // ---- x14: multimodal byte-histogram features ---------------------------
 
   def x14_multimodal_histogram(s: SparkSession, dir: String): DataFrame =
@@ -151,7 +169,8 @@ object Extensions {
     "x11_text_fingerprint" -> (x11_text_fingerprint _),
     "x12_events_tumbling" -> (x12_events_tumbling _),
     "x13_events_sessions" -> (x13_events_sessions _),
-    "x14_multimodal_histogram" -> (x14_multimodal_histogram _))
+    "x14_multimodal_histogram" -> (x14_multimodal_histogram _),
+    "x15_asof_attribution" -> (x15_asof_attribution _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -404,6 +423,19 @@ object Extensions {
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "x15_asof_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       epoch_us(p.ts) AS purchase_ts_us,
+        |       epoch_us(c.ts) AS click_ts_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts < p.ts
+        |ORDER BY purchase_id""".stripMargin,
 
     "x14_multimodal_histogram" ->
       """WITH chars AS (

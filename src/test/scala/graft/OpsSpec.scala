@@ -100,3 +100,31 @@ class ExactSpec extends SparkSpec {
     assert(df.select(Exact.sumRevenueD).first().getDouble(0) == 7.5)
   }
 }
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("lastBefore picks the latest strictly-earlier right row per key") {
+    val left = Seq((1L, ts(10), "p1"), (1L, ts(30), "p2"), (2L, ts(5), "p3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts(9)), (1L, ts(10)), (1L, ts(29)), (2L, ts(50)))
+      .toDF("k", "t")
+    val r = graft.ops.AsOf.lastBefore(left, right, Seq("k"), "t", "t")
+      .orderBy("tag").collect()
+      .map(x => (x.getAs[String]("tag"), Option(x.getAs[Timestamp]("asof_ts"))))
+    assert(r.toSeq == Seq(
+      ("p1", Some(ts(9))),   // strict: equal-ts right at 10:10 excluded
+      ("p2", Some(ts(29))),
+      ("p3", None)))         // no earlier click for key 2
+  }
+
+  test("inclusive mode admits equal-timestamp right rows") {
+    val left = Seq((1L, ts(10), "p1")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts(10))).toDF("k", "t")
+    val r = graft.ops.AsOf.lastBefore(left, right, Seq("k"), "t", "t",
+      strict = false).collect()
+    assert(r(0).getAs[Timestamp]("asof_ts") == ts(10))
+  }
+}
