@@ -141,6 +141,27 @@ object Extensions {
       .orderBy(col("purchase_id"))
   }
 
+  // ---- x16: range join — events into overlapping value bands -------------
+
+  /** Count/sum events whose value falls in each of ten OVERLAPPING bands
+    * [8i, 8i+15) — overlap makes it a genuine range join (a value can
+    * land in two bands), not a floor() bucketing. Binned equi-join shape
+    * (graft.ops.RangeJoin); oracle: DuckDB's inequality join (IEJoin). */
+  def x16_range_value_bands(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val bands = s.range(10).select(
+      col("id").as("band_id"),
+      (col("id") * 8.0).cast(DoubleType).as("lo"),
+      (col("id") * 8.0 + 15.0).cast(DoubleType).as("hi"))
+    val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+    graft.ops.RangeJoin.pointInInterval(ev, bands, "value", "lo", "hi", 8.0)
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(DoubleType).as("total_value"))
+      .orderBy(col("band_id"))
+  }
+
   // ---- x14: multimodal byte-histogram features ---------------------------
 
   def x14_multimodal_histogram(s: SparkSession, dir: String): DataFrame =
@@ -170,7 +191,8 @@ object Extensions {
     "x12_events_tumbling" -> (x12_events_tumbling _),
     "x13_events_sessions" -> (x13_events_sessions _),
     "x14_multimodal_histogram" -> (x14_multimodal_histogram _),
-    "x15_asof_attribution" -> (x15_asof_attribution _))
+    "x15_asof_attribution" -> (x15_asof_attribution _),
+    "x16_range_value_bands" -> (x16_range_value_bands _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -436,6 +458,15 @@ object Extensions {
         |       epoch_us(c.ts) AS click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts < p.ts
         |ORDER BY purchase_id""".stripMargin,
+
+    "x16_range_value_bands" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, i * 8.0 AS lo, i * 8.0 + 15.0 AS hi
+        |  FROM unnest(range(0, 10)) AS t(i))
+        |SELECT band_id, lo, hi, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin,
 
     "x14_multimodal_histogram" ->
       """WITH chars AS (

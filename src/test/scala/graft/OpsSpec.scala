@@ -128,3 +128,26 @@ class AsOfSpec extends SparkSpec {
     assert(r(0).getAs[Timestamp]("asof_ts") == ts(10))
   }
 }
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pointInInterval matches overlapping bands, exclusive upper edge") {
+    val points = Seq((1L, 8.0), (2L, 15.0), (3L, 7.9), (4L, 99.0)).toDF("id", "v")
+    val bands = Seq((0L, 0.0, 15.0), (1L, 8.0, 23.0)).toDF("band", "lo", "hi")
+    val r = graft.ops.RangeJoin.pointInInterval(points, bands, "v", "lo", "hi", 8.0)
+      .select("id", "band").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((1L, 0L), (1L, 1L), (2L, 1L), (3L, 0L)))
+  }
+
+  test("binned range join equals the naive inequality join") {
+    val rnd = new scala.util.Random(7)
+    val points = (1 to 300).map(i => (i.toLong, rnd.nextDouble() * 100)).toDF("id", "v")
+    val bands = (0 until 12).map(i => (i.toLong, i * 7.5, i * 7.5 + 20.0)).toDF("band", "lo", "hi")
+    val fast = graft.ops.RangeJoin.pointInInterval(points, bands, "v", "lo", "hi", 10.0)
+      .select("id", "band")
+    val naive = points.join(bands, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("id", "band")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+}
