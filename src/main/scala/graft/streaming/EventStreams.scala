@@ -77,6 +77,28 @@ object EventStreams {
     stream.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: every click within `horizon` before a
+    * purchase by the same user (streaming attribution — the unbounded
+    * analog of the batch as-of query x15, with interval rather than
+    * latest-only semantics). Both sides carry watermarks, and the time
+    * bound `c.ts ∈ (p.ts − horizon, p.ts)` lets Spark evict join state
+    * once the watermark passes a row's match window — without the bound,
+    * stream-stream join state grows forever. */
+  def streamingAttribution(purchases: DataFrame, clicks: DataFrame,
+                           horizon: String, lateness: String): DataFrame = {
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") < col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   // --- custom stateful processing (flatMapGroupsWithState) ---------------
 
   case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String,

@@ -87,6 +87,28 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(100L, 101L, 102L))
   }
 
+  test("streamingAttribution joins clicks within the horizon, drops older ones") {
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.streamingAttribution(
+        purchases.toDF().withColumn("event_id",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts"))),
+        clicks.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    clicks.addData(
+      Event(ts(0), 1L, "click", 0.0),   // 31 min before → outside horizon
+      Event(ts(20), 1L, "click", 0.0),  // inside horizon
+      Event(ts(25), 2L, "click", 0.0))  // other user
+    purchases.addData(Event(ts(31), 1L, "purchase", 9.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("attr").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("c_ts")))
+    assert(rows.toSeq == Seq((1L, ts(20))))
+  }
+
   test("runningUserActivity maintains state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[Event]
