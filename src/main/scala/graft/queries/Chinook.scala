@@ -353,6 +353,16 @@ object Chinook {
     PairMining.ordered(
       PairMining.coOccurrenceFromBaskets(baskets(s, dir), "items", labelCol))
 
+  /** Release the per-session materialized relations (view aggregate,
+    * grouped baskets). Long-lived sessions running many scale-factor dirs
+    * call this between corpora; Verify/Bench sessions just exit. */
+  def clearCaches(s: SparkSession): Unit = {
+    viewCache.filterInPlace { case ((sess, _), df) =>
+      if (sess eq s) { df.unpersist(); false } else true }
+    basketsCache.filterInPlace { case ((sess, _), df) =>
+      if (sess eq s) { df.unpersist(); false } else true }
+  }
+
   def s04_affinity_genre(s: SparkSession, dir: String): DataFrame =
     affinity(s, dir, "p_type")
   def s04_affinity_brand(s: SparkSession, dir: String): DataFrame =
