@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -162,6 +162,27 @@ object Extensions {
       .orderBy(col("band_id"))
   }
 
+  // ---- x17: semi-structured JSON property extraction ---------------------
+
+  /** Parse the events table's JSON `props` column and aggregate an
+    * extracted numeric field — the semi-structured access path every
+    * event pipeline needs. `get_json_object` is a codegen'd per-row
+    * expression (a production schema-on-read would use from_json with a
+    * declared schema; path extraction keeps the oracle portable). */
+  def x17_json_props(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("total_k"),
+        ratio(sum(col("k")), count(col("k"))).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private def ratio(n: Column, d: Column): Column =
+    n.cast(org.apache.spark.sql.types.DoubleType) /
+      d.cast(org.apache.spark.sql.types.DoubleType)
+
   // ---- x14: multimodal byte-histogram features ---------------------------
 
   def x14_multimodal_histogram(s: SparkSession, dir: String): DataFrame =
@@ -192,7 +213,8 @@ object Extensions {
     "x13_events_sessions" -> (x13_events_sessions _),
     "x14_multimodal_histogram" -> (x14_multimodal_histogram _),
     "x15_asof_attribution" -> (x15_asof_attribution _),
-    "x16_range_value_bands" -> (x16_range_value_bands _))
+    "x16_range_value_bands" -> (x16_range_value_bands _),
+    "x17_json_props" -> (x17_json_props _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -458,6 +480,14 @@ object Extensions {
         |       epoch_us(c.ts) AS click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts < p.ts
         |ORDER BY purchase_id""".stripMargin,
+
+    "x17_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        |         / count(json_extract_string(props, '$.k')) AS avg_k,
+        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "x16_range_value_bands" ->
       """WITH bands AS (
