@@ -546,6 +546,42 @@ object Chinook {
       .orderBy(col("genre"))
   }
 
+  // ---- s15: full cube (region × segment with all subtotal combinations) --
+
+  def s15_cube_geo_segment(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("c_mktsegment").as("segment"))
+      .cube(col("region"), col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        grouping_id().cast(LongType).as("gid"))
+      .select(coalesce(col("region"), lit("ALL")).as("region"),
+        coalesce(col("segment"), lit("ALL")).as("segment"),
+        col("gid"), col("n_customers"))
+      .orderBy(col("gid"), col("region"), col("segment"))
+
+  // ---- s16: pivot — revenue matrix, region rows × order-year columns -----
+
+  /** Wide reshaping via pivot with an EXPLICIT pivot-value list (an
+    * implicit list would trigger a driver-side distinct collection and
+    * make the output schema data-dependent — never acceptable at scale). */
+  def s16_pivot_revenue(s: SparkSession, dir: String): DataFrame = {
+    val years = 1992 to 1998
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), year(col("o_orderdate")).as("yr"),
+        col("o_totalprice"))
+      .groupBy(col("region"))
+      .pivot("yr", years.map(Integer.valueOf))
+      .agg(sumMoneyD(col("o_totalprice")))
+      .select(col("region") +: years.map(y =>
+        coalesce(col(y.toString), lit(0.0)).as(s"rev_$y")): _*)
+      .orderBy(col("region"))
+  }
+
   // ======================================================================
   // Registry + DuckDB oracle SQL (SURVEY §5.2 — the correctness gate)
   // ======================================================================
@@ -579,7 +615,9 @@ object Chinook {
     "s11_country_metrics" -> (s11_country_metrics _),
     "s12_rollup_geo" -> (s12_rollup_geo _),
     "s13_setops" -> (s13_setops _),
-    "s14_dispersion" -> (s14_dispersion _))
+    "s14_dispersion" -> (s14_dispersion _),
+    "s15_cube_geo_segment" -> (s15_cube_geo_segment _),
+    "s16_pivot_revenue" -> (s16_pivot_revenue _))
 
   private val recencySql: String =
     """recency AS (
@@ -895,6 +933,35 @@ object Chinook {
       """SELECT p_partkey, p_name, p_brand, p_type,
         |       CAST(1990 + p_partkey % 30 AS INTEGER) AS release_year
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "s15_cube_geo_segment" ->
+      """WITH base AS (
+        |  SELECT r_name AS region, c_mktsegment AS segment
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT COALESCE(region, 'ALL') AS region,
+        |       COALESCE(segment, 'ALL') AS segment,
+        |       CAST(GROUPING(region, segment) AS BIGINT) AS gid,
+        |       count(*) AS n_customers
+        |FROM base
+        |GROUP BY CUBE(region, segment)
+        |ORDER BY gid, region, segment""".stripMargin,
+
+    "s16_pivot_revenue" ->
+      ("""WITH base AS (
+        |  SELECT r_name AS region, year(o_orderdate) AS yr,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT region,
+        |""".stripMargin +
+        (1992 to 1998).map(y =>
+          s"       COALESCE(CAST(SUM(price) FILTER (yr = $y) AS DOUBLE), 0.0) AS rev_$y")
+          .mkString(",\n") +
+        "\nFROM base GROUP BY region ORDER BY region"),
 
     "s14_dispersion" ->
       """SELECT p_type AS genre, count(*) AS n_lines,
