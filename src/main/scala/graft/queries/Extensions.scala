@@ -107,6 +107,31 @@ object Extensions {
         TextOps.fingerprint(TextOps.tokens(col("text")), w = 3).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  // ---- x18: corpus-statistics rarity scoring -----------------------------
+
+  /** Per-document bigram rarity against CORPUS-level statistics: two-pass
+    * shape — aggregate global bigram frequencies, then join them back to
+    * every occurrence and re-aggregate per document. This is the plan
+    * behind corpus-level quality/rarity filtering in training-data
+    * pipelines (a document whose phrases are globally rare is either
+    * novel or noise). All-integer arithmetic until one final divide, so
+    * the oracle matches bitwise; no log-likelihood here because libm
+    * functions are not bit-portable across engines. */
+  def x18_text_rarity(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graftfn.ShingleArray
+          .shingleOccurrences(TextOps.tokens(col("text")), 2)).as("bigram"))
+      .persist() // feeds both the corpus-stats pass and the per-doc join
+    val cf = occ.groupBy(col("bigram")).agg(count(lit(1)).as("cf"))
+    occ.join(cf, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        ratio(sum(col("cf")), count(lit(1))).as("avg_bigram_cf"),
+        min(col("cf")).as("min_bigram_cf"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -214,7 +239,8 @@ object Extensions {
     "x14_multimodal_histogram" -> (x14_multimodal_histogram _),
     "x15_asof_attribution" -> (x15_asof_attribution _),
     "x16_range_value_bands" -> (x16_range_value_bands _),
-    "x17_json_props" -> (x17_json_props _))
+    "x17_json_props" -> (x17_json_props _),
+    "x18_text_rarity" -> (x18_text_rarity _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -480,6 +506,21 @@ object Extensions {
         |       epoch_us(c.ts) AS click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts < p.ts
         |ORDER BY purchase_id""".stripMargin,
+
+    "x18_text_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bigram
+        |  FROM toks, unnest(range(1, len(t))) AS u(i)
+        |  WHERE len(t) >= 2),
+        |cf AS (SELECT bigram, count(*) AS cf FROM occ GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(SUM(cf.cf) AS DOUBLE) / count(*) AS avg_bigram_cf,
+        |       min(cf.cf) AS min_bigram_cf
+        |FROM occ JOIN cf USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x17_json_props" ->
       """SELECT event_type, count(*) AS n_events,

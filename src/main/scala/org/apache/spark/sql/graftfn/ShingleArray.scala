@@ -30,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * consumers use the result order-insensitively, so the two engines'
   * distinct orders need not match.
   */
-case class ShingleArray(child: Expression, w: Int)
+case class ShingleArray(child: Expression, w: Int, dedupe: Boolean = true)
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   require(w >= 1, "shingle width must be >= 1")
 
@@ -47,17 +47,22 @@ case class ShingleArray(child: Expression, w: Int)
     val n = arr.numElements()
     if (n < w) new GenericArrayData(Array.empty[Any])
     else {
-      val seen = new java.util.LinkedHashSet[UTF8String]((n - w + 1) * 2)
+      // LinkedHashSet when deduping (insertion order == first occurrence,
+      // array_distinct's order); plain sequence otherwise (every
+      // occurrence, for frequency-weighted consumers).
+      val sink: java.util.Collection[UTF8String] =
+        if (dedupe) new java.util.LinkedHashSet[UTF8String]((n - w + 1) * 2)
+        else new java.util.ArrayList[UTF8String](n - w + 1)
       val parts = new Array[UTF8String](w)
       var i = 0
       while (i <= n - w) {
         var j = 0
         while (j < w) { parts(j) = arr.getUTF8String(i + j); j += 1 }
-        seen.add(UTF8String.concatWs(space, parts: _*))
+        sink.add(UTF8String.concatWs(space, parts: _*))
         i += 1
       }
-      val out = new Array[Any](seen.size)
-      val it = seen.iterator()
+      val out = new Array[Any](sink.size)
+      val it = sink.iterator()
       var k = 0
       while (it.hasNext) { out(k) = it.next(); k += 1 }
       new GenericArrayData(out)
@@ -71,4 +76,9 @@ case class ShingleArray(child: Expression, w: Int)
 object ShingleArray {
   def shingles(toks: Column, w: Int): Column =
     ExpressionUtils.column(ShingleArray(ExpressionUtils.expression(toks), w))
+
+  /** Every w-gram occurrence, in document order (no dedup). */
+  def shingleOccurrences(toks: Column, w: Int): Column =
+    ExpressionUtils.column(
+      ShingleArray(ExpressionUtils.expression(toks), w, dedupe = false))
 }
