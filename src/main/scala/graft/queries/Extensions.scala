@@ -152,14 +152,18 @@ object Extensions {
 
   /** For every purchase event, the user's most recent strictly-earlier
     * click (classic attribution). Oracle: DuckDB's native ASOF LEFT JOIN;
-    * our side composes the scalable union+window shape (graft.ops.AsOf). */
+    * our side runs the engine's CUSTOM physical operator
+    * (graftfn.AsOfJoinExec — sort-merge as-of over co-partitioned
+    * children); the composed union+window form (graft.ops.AsOf) is
+    * equivalence-tested against it and remains the no-extension fallback. */
   def x15_asof_attribution(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts"))
-    graft.ops.AsOf.lastBefore(purchases, clicks, Seq("user_id"), "ts", "ts")
+    org.apache.spark.sql.graftfn.AsOfJoinNative
+      .lastBefore(purchases, clicks, Seq("user_id"), "ts", "ts")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         unix_micros(col("ts")).as("purchase_ts_us"),
         unix_micros(col("asof_ts")).as("click_ts_us"))

@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.IntegerType
   *    functions with no code changes).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(e.injectFunction)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
 
 object GraftFunctions {

@@ -151,3 +151,45 @@ class RangeJoinSpec extends SparkSpec {
     assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
   }
 }
+
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+  import java.sql.Timestamp
+  import org.apache.spark.sql.graftfn.AsOfJoinNative
+  private def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+
+  test("native exec matches the composed as-of on random data") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 400).map(i =>
+      (rnd.nextInt(20).toLong, ts(rnd.nextInt(59)), i.toLong)).toDF("k", "t", "id")
+    val right = (1 to 300).map(_ =>
+      (rnd.nextInt(20).toLong, ts(rnd.nextInt(59)))).toDF("k", "t")
+    val native = AsOfJoinNative.lastBefore(left, right, Seq("k"), "t", "t")
+      .select("id", "asof_ts")
+    val composed = graft.ops.AsOf.lastBefore(left, right, Seq("k"), "t", "t")
+      .select("id", "asof_ts")
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+    assert(native.count() == 400)
+  }
+
+  test("native exec handles strict vs inclusive ties like the composed op") {
+    val left = Seq((1L, ts(10), "p")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts(10))).toDF("k", "t")
+    val strict = AsOfJoinNative.lastBefore(left, right, Seq("k"), "t", "t").first()
+    val incl = AsOfJoinNative.lastBefore(left, right, Seq("k"), "t", "t",
+      strict = false).first()
+    assert(strict.isNullAt(strict.fieldIndex("asof_ts")))
+    assert(incl.getAs[Timestamp]("asof_ts") == ts(10))
+  }
+
+  test("native exec plans AsOfJoinExec with co-partitioned sorted children") {
+    val left = Seq((1L, ts(1), 1L)).toDF("k", "t", "id")
+    val right = Seq((1L, ts(0))).toDF("k", "t")
+    val df = AsOfJoinNative.lastBefore(left, right, Seq("k"), "t", "t")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(p.contains("Exchange hashpartitioning(k"), p)
+    assert(p.contains("Sort [k"), p)
+    assert(df.count() == 1)
+  }
+}
