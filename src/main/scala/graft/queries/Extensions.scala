@@ -212,6 +212,28 @@ object Extensions {
     n.cast(org.apache.spark.sql.types.DoubleType) /
       d.cast(org.apache.spark.sql.types.DoubleType)
 
+  // ---- x19: skew-salted aggregation under the oracle gate ----------------
+
+  /** Per-event-type value totals computed through the two-phase SALTED
+    * path (graft.ops.Skew): 5 hot keys × thousands of rows each is
+    * exactly the shape that pins one reducer per key in a plain groupBy.
+    * The oracle is the direct aggregation — the gate proves the salted
+    * plan is semantically invisible. Decimal accumulation keeps the
+    * two-phase partial sums exact, so even the doubles hash-match. */
+  def x19_salted_agg(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Skew
+    val ev = Tables.events(s, dir)
+      .withColumn("value_dec", col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    Skew.saltedSumCount(ev, Seq("event_type"), col("value_dec"),
+        saltFrom = Seq("event_id"), buckets = 32,
+        sumName = "total_value_dec", cntName = "n_events")
+      .select(col("event_type"),
+        col("total_value_dec").cast(org.apache.spark.sql.types.DoubleType)
+          .as("total_value"),
+        col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   // ---- x14: multimodal byte-histogram features ---------------------------
 
   def x14_multimodal_histogram(s: SparkSession, dir: String): DataFrame =
@@ -244,7 +266,8 @@ object Extensions {
     "x15_asof_attribution" -> (x15_asof_attribution _),
     "x16_range_value_bands" -> (x16_range_value_bands _),
     "x17_json_props" -> (x17_json_props _),
-    "x18_text_rarity" -> (x18_text_rarity _))
+    "x18_text_rarity" -> (x18_text_rarity _),
+    "x19_salted_agg" -> (x19_salted_agg _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -510,6 +533,12 @@ object Extensions {
         |       epoch_us(c.ts) AS click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts < p.ts
         |ORDER BY purchase_id""".stripMargin,
+
+    "x19_salted_agg" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "x18_text_rarity" ->
       """WITH toks AS (

@@ -72,6 +72,25 @@ class StreamingSpec extends SparkSpec {
       (2L, ts(5), ts(35), 1L)))
   }
 
+  test("watermarkedUserSessions emits finalized sessions on an unbounded stream") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val q = EventStreams
+      .watermarkedUserSessions(source.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    // session: two events 3 min apart; then an event far ahead advances
+    // the watermark past session end + gap → session finalizes
+    source.addData(Event(ts(0), 7L, "click", 1.0), Event(ts(3), 7L, "view", 2.0))
+    q.processAllAvailable()
+    source.addData(Event(ts(59), 8L, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("sess_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"), r.getAs[Long]("n_events")))
+    assert(rows.toSeq == Seq((7L, ts(0), ts(13), 2L))) // end = last event + gap
+  }
+
   test("dedupedEvents drops duplicate event ids across micro-batches") {
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[(java.sql.Timestamp, Long, Double)]
