@@ -71,15 +71,14 @@ object Dedup {
                         w: Int = 3, threshold: Double = 0.5): DataFrame = {
     // Each index row carries its document's set size, so |A| and |B| ride
     // through the equi-join as grouping keys — no post-hoc size joins.
-    // Materialized once (persist): it feeds both self-join sides; without
-    // a barrier Catalyst inlines the shingle expression into each,
-    // re-tokenizing every document twice.
-    val idx = df
+    // Materialized once (persist, tracked in ExtCaches): it feeds both
+    // self-join sides; without a barrier Catalyst inlines the shingle
+    // expression into each, re-tokenizing every document twice.
+    val idx = ExtCaches.persistTracked(df
       .select(col(idCol).as("id"),
         TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh"))
       .select(col("id"), size(col("sh")).cast(LongType).as("n"),
-        explode(col("sh")).as("shingle"))
-      .persist()
+        explode(col("sh")).as("shingle")))
     idx.as("a")
       .join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -124,10 +123,10 @@ object Dedup {
     // corpus (16 hashes + the shingle set per doc). Without the barrier,
     // projection collapse would recompute the full 16-permutation minhash
     // inside every band row and on both sides of the candidate join.
-    val withSh = df.select(col(idCol).as("id"),
-      TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh")).persist()
+    val withSh = ExtCaches.persistTracked(df.select(col(idCol).as("id"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh")))
     val sigs = withSh.withColumn("sig", minhashSignature(col("sh"), perms))
-    val bandRows = lshBands(sigs, "id", "sig", bands, rows).persist()
+    val bandRows = ExtCaches.persistTracked(lshBands(sigs, "id", "sig", bands, rows))
     val candidates = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
@@ -167,9 +166,11 @@ object Dedup {
     * the standard sub-quadratic simhash-dedup shape at corpus scale. */
   def simhashPairs(df: DataFrame, idCol: String, hashCol: String,
                    maxDist: Int = 4, bits: Int = 32): DataFrame = {
-    // Materialize the fingerprints: the joins would otherwise inline the
-    // full simhash expression (bits × tokens md5 evaluations) per pair.
-    val h = df.select(col(idCol).as("id"), col(hashCol).as("h")).persist()
+    // Materialize the fingerprints (tracked in ExtCaches): the joins would
+    // otherwise inline the full simhash expression (bits × tokens md5
+    // evaluations) per pair.
+    val h = ExtCaches.persistTracked(
+      df.select(col(idCol).as("id"), col(hashCol).as("h")))
     val nBands = maxDist + 1
     val chunkBits = (bits + nBands - 1) / nBands
     val bandCols = (0 until nBands).map { j =>

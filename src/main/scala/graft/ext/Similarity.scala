@@ -57,14 +57,15 @@ object Similarity {
       (sqrt(normSqA.cast(DoubleType)) * sqrt(normSqB.cast(DoubleType)))
 
   /** Replace a float vector column with its quantized form + squared norm,
-    * precomputed once. Materialized (persist) because every caller feeds it
+    * precomputed once. Materialized (persist, tracked in [[ExtCaches]] so a
+    * long-lived session can release it) because every caller feeds it
     * into a join: without the barrier, projection collapse would
     * re-quantize the vector inside every candidate pair instead of once
     * per row — at scale this is the stored quantized index. */
   def withNorm(df: DataFrame, vecCol: String, normCol: String = "norm_sq"): DataFrame =
-    df.withColumn(vecCol, quantize(col(vecCol)))
-      .withColumn(normCol, dotQ(col(vecCol), col(vecCol)))
-      .persist()
+    ExtCaches.persistTracked(
+      df.withColumn(vecCol, quantize(col(vecCol)))
+        .withColumn(normCol, dotQ(col(vecCol), col(vecCol))))
 
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (self-matches excluded). Query set must be broadcast-
@@ -109,17 +110,88 @@ object Similarity {
       .select(col("q_id"), col("bucket"), col("c_id"), col("cosine"), col("rnk"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: all id_a < id_b pairs with
-    * cosine ≥ threshold. All-pairs form for bounded corpora; the scale
-    * path buckets by signBucket first (cosine-similar vectors share sign
-    * patterns with high probability) and compares within buckets. */
-  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
+  /** EXACT all-pairs cosine scoring: every id_a < id_b pair with cosine ≥
+    * threshold. The `a.id < b.id` condition has no equi-key, so Spark
+    * plans a nested-loop product — O(n²) BY DEFINITION of the exact
+    * semantics. This is the bounded-corpus baseline (kernel verification,
+    * recall measurement for [[cosineNearDupPairs]]); it must never appear
+    * in a pipeline meant for corpus scale — use [[cosineNearDupPairs]]
+    * there, which generates candidates through a banded equi-join. */
+  def cosineAllPairsExact(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
     val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
       .withColumn("cosine",
         cosineFromParts(dotQ(col("a.vec"), col("b.vec")), col("a.norm"), col("b.norm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
+  /** Per-band LSH keys for a QUANTIZED vector: band j (0-based) packs the
+    * sign bits of components [j·r+1 .. j·r+r] into a long, tagged with the
+    * band index in the high bits so one equi-join column covers all bands.
+    * A missing component (vector shorter than bands·r) contributes a 0
+    * bit; a zero component counts as non-negative. Sign-of-coordinate is
+    * random-hyperplane LSH with canonical-basis hyperplanes — valid when
+    * components are centered (true of the synthetic corpus); a production
+    * deployment substitutes trained or pseudo-random hyperplanes, which
+    * changes only this key expression, not the plan shape. */
+  def bandKeys(vec: Column, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { j =>
+      (0 until bitsPerBand).map { i =>
+        when(element_at(vec, j * bitsPerBand + i + 1) >= 0L, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _) + lit(j.toLong << bitsPerBand)
+    }: _*)
+
+  /** Embedding-cosine near-duplicate pairs, banded-LSH form — the corpus-
+    * scale shape (same machinery as MinHash LSH / SimHash pigeonhole in
+    * [[Dedup]]):
+    *
+    *   1. quantize + norm each vector once (the stored index),
+    *   2. explode each row into `bands` (id, band-key) rows — narrow,
+    *   3. candidates = self-EQUI-join on the band key (ShuffledHashJoin,
+    *      cost ∝ Σ bucket² — collisions, not n²), distinct'd,
+    *   4. fetch the two vectors back by id equi-joins, verify cosine ≥
+    *      threshold exactly.
+    *
+    * Never plans a CartesianProduct/BroadcastNestedLoopJoin (asserted in
+    * PlanSpec). Semantics: the pair set is `candidates ∩ {cosine ≥ t}` —
+    * a pair is reported iff the two vectors agree on ALL sign bits of at
+    * least one band. For genuinely near-duplicate vectors this is
+    * near-total recall (per-hyperplane agreement p = 1 − θ/π: at cosine
+    * 0.95, p ≈ 0.90, so 8 bands × 8 bits give ≈ 99% recall); at loose
+    * thresholds LSH is deliberately selective — that is the recall/cost
+    * trade, tunable via bands × bitsPerBand, and the DuckDB oracle
+    * computes the identical banded semantics.
+    *
+    * `hotBucketCap`: drop band keys shared by more than `cap` rows
+    * (degenerate signatures — e.g. a mostly-positive corpus collapsing
+    * into one bucket). Same role as the shingle df-cap in
+    * [[Dedup.shingleIndex]]: at 100 TB the cap is what bounds the
+    * worst-case Σ bucket² of step 3. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, bands: Int = 8, bitsPerBand: Int = 8,
+                         hotBucketCap: Option[Int] = None): DataFrame = {
+    val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
+    val e0 = v.select(col("id"),
+      explode(bandKeys(col("vec"), bands, bitsPerBand)).as("bk"))
+    val e = hotBucketCap.fold(e0) { cap =>
+      val keep = e0.groupBy(col("bk"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= cap)
+        .select(col("bk"))
+      e0.join(keep, Seq("bk"), "left_semi")
+    }
+    val candidates = e.as("a")
+      .join(e.as("b"), col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("norm").as("na")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("norm").as("nb")), Seq("id_b"))
+      .withColumn("cosine", cosineFromParts(dotQ(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

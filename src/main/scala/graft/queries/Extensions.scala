@@ -22,6 +22,9 @@ import graft.tables.Tables
 object Extensions {
   val JaccardThreshold = 0.5
   val CosineDupThreshold = 0.4
+  /** x05 LSH geometry: 8 bands × 8 sign bits cover all 64 embedding dims. */
+  val CosineBands = 8
+  val CosineBandBits = 8
   val QuerySetSize = 10
 
   // ---- x01: exact dedup ---------------------------------------------------
@@ -60,7 +63,7 @@ object Extensions {
 
   def x05_dedup_embedding(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id",
-        "embedding", CosineDupThreshold)
+        "embedding", CosineDupThreshold, CosineBands, CosineBandBits)
       .orderBy(col("id_a"), col("id_b"))
 
   // ---- x06/x07: similarity search ----------------------------------------
@@ -118,11 +121,12 @@ object Extensions {
     * the oracle matches bitwise; no log-likelihood here because libm
     * functions are not bit-portable across engines. */
   def x18_text_rarity(s: SparkSession, dir: String): DataFrame = {
-    val occ = Tables.documents(s, dir)
+    // Cached (tracked in ExtCaches): feeds both the corpus-stats pass and
+    // the per-doc join-back.
+    val occ = graft.ext.ExtCaches.persistTracked(Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(org.apache.spark.sql.graftfn.ShingleArray
-          .shingleOccurrences(TextOps.tokens(col("text")), 2)).as("bigram"))
-      .persist() // feeds both the corpus-stats pass and the per-doc join
+          .shingleOccurrences(TextOps.tokens(col("text")), 2)).as("bigram")))
     val cf = occ.groupBy(col("bigram")).agg(count(lit(1)).as("cf"))
     occ.join(cf, Seq("bigram"))
       .groupBy(col("doc_id"))
@@ -297,6 +301,20 @@ object Extensions {
     s"""CAST(list_sum(list_transform(list_zip($a, $b),
        |  p -> p[1] * p[2])) AS BIGINT)""".stripMargin
 
+  /** LSH band key for band `j` over the quantized vector `v` — mirrors
+    * Similarity.bandKeys: sign bits of components [j·r+1 .. j·r+r] packed
+    * little-endian, band index in the high bits. */
+  private def bandKeySql(j: Int, r: Int): String =
+    (0 until r).map(i =>
+        s"(CASE WHEN v[${j * r + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(s"(${j.toLong << r} + ", " + ", ")")
+
+  /** UNION ALL of one (vec_id, bk) SELECT per band, from CTE `n`. */
+  private def bandRowsSql(bands: Int, r: Int): String =
+    (0 until bands).map(j =>
+        s"  SELECT vec_id, ${bandKeySql(j, r)} AS bk FROM n")
+      .mkString("\n  UNION ALL\n")
+
   // tf-weighted: the inner sum runs over every token occurrence (dt is
   // the raw token list, not list_distinct) — mirrors Dedup.simhash.
   private val simhashSql: String =
@@ -380,11 +398,16 @@ object Extensions {
          |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
          |n AS (
          |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+         |e AS (
+         |${bandRowsSql(CosineBands, CosineBandBits)}),
+         |c AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id < b.vec_id),
          |pairs AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
-         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
-         |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         |  SELECT id_a, id_b,
+         |         CAST(${dotSql("na.v", "nb.v")} AS DOUBLE)
+         |           / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE))) AS cosine
+         |  FROM c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b)
          |SELECT id_a, id_b, cosine FROM pairs
          |WHERE cosine >= $CosineDupThreshold
          |ORDER BY id_a, id_b""".stripMargin,

@@ -113,11 +113,43 @@ class SimilaritySpec extends SparkSpec {
     toDF("vec_id", "embedding")
 
   test("quantized cosine: parallel=1, orthogonal=0, antiparallel=-1") {
-    val r = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", -2.0)
+    val r = Similarity.cosineAllPairsExact(vecs, "vec_id", "embedding", -2.0)
       .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
     assert(r((0L, 2L)) == 1.0)
     assert(r((0L, 1L)) == 0.0)
     assert(r((0L, 3L)) == -1.0)
+  }
+
+  test("LSH near-dup finds identical and near-identical vectors") {
+    val dup = Seq(
+      (0L, Array.fill(16)(0.5f)),
+      (1L, Array.fill(16)(0.5f)),                    // exact duplicate of 0
+      (2L, Array.fill(16)(0.5f).updated(3, 0.48f)),  // near-duplicate of 0
+      (3L, Array.tabulate(16)(i => if (i % 2 == 0) 1f else -1f))) // unrelated
+      .toDF("vec_id", "embedding")
+    val r = Similarity.cosineNearDupPairs(dup, "vec_id", "embedding", 0.99,
+        bands = 4, bitsPerBand = 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("LSH near-dup output is a subset of exact all-pairs output") {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.cosineAllPairsExact(e, "vec_id", "embedding", 0.4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupPairs(e, "vec_id", "embedding", 0.4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(lsh.nonEmpty && lsh.subsetOf(exact), s"lsh=$lsh")
+  }
+
+  test("LSH near-dup hotBucketCap drops degenerate buckets") {
+    // All-positive vectors: every row lands in the same band keys, so a
+    // cap of 1 removes every bucket and no candidates survive.
+    val dup = Seq((0L, Array.fill(8)(1f)), (1L, Array.fill(8)(1f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.cosineNearDupPairs(dup, "vec_id", "embedding", 0.0,
+      bands = 2, bitsPerBand = 4, hotBucketCap = Some(1))
+    assert(r.count() == 0L)
   }
 
   test("bruteForceTopK ranks by cosine with id tiebreak, excluding self") {

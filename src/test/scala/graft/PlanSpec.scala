@@ -61,4 +61,86 @@ class PlanSpec extends SparkSpec {
       graft.tables.Tables.documents(spark, dir), "doc_id", "text"))
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x05: banded-LSH near-dup plans only equi-joins (no BNLJ, no product)") {
+    val p = formatted(Extensions.x05_dedup_embedding(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  // ---- fleet-wide gate ------------------------------------------------
+  //
+  // Every claim of "this is the plan you'd want at 100×" becomes a test:
+  // across ALL SparkEntry queries, the initial physical plan (including
+  // subquery plans) must contain
+  //   - no CartesianProductExec, ever;
+  //   - no BroadcastNestedLoopJoinExec, UNLESS its broadcast side is a
+  //     global (ungrouped) aggregate — the 1-row scalar-subquery anchor
+  //     pattern (q08/q12/s06/s07 recency and ratio anchors), which is
+  //     bounded by construction — or the query is whitelisted;
+  //   - no ungrouped WindowExec whose input has not already been reduced
+  //     by a grouped aggregate or a limit (an unpartitioned window over a
+  //     raw relation single-tasks the whole dataset at scale).
+  test("fleet gate: no cartesian-class join or unpartitioned raw window in any query plan") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    // x06 brute-force top-k is the documented non-equi baseline: the
+    // corpus-scan join against the broadcast query set is its semantics.
+    val bnljWhitelist = Set("x06_sim_topk_brute")
+
+    def isOneRowAnchor(b: BroadcastNestedLoopJoinExec): Boolean = {
+      val build = b.buildSide match {
+        case BuildLeft => b.left
+        case _         => b.right
+      }
+      build.exists {
+        case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty
+        case _                      => false
+      }
+    }
+
+    def isReduced(plan: SparkPlan): Boolean = plan.exists {
+      case agg: BaseAggregateExec => agg.groupingExpressions.nonEmpty
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.sparkPlan
+      plan.collectWithSubqueries {
+        case c: CartesianProductExec =>
+          Some(s"$name: CartesianProduct\n${c.simpleStringWithNodeId()}")
+        case b: BroadcastNestedLoopJoinExec
+            if !bnljWhitelist.contains(name) && !isOneRowAnchor(b) =>
+          Some(s"$name: non-anchor BroadcastNestedLoopJoin\n${b.simpleStringWithNodeId()}")
+        case w: WindowExec if w.partitionSpec.isEmpty && !isReduced(w.child) =>
+          Some(s"$name: unpartitioned WindowExec over un-reduced input\n${w.simpleStringWithNodeId()}")
+      }.flatten
+    }
+    graft.queries.Chinook.clearCaches(spark)
+    graft.ext.ExtCaches.clearCaches()
+    assert(violations.isEmpty, violations.mkString("\n\n"))
+  }
+
+  // Negative control: the gate's node matcher must actually fire on the
+  // shapes it polices — otherwise the fleet gate could pass vacuously.
+  test("fleet gate detector catches a deliberate cartesian-class join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import spark.implicits._
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(4, 5, 6).toDF("y")
+    val cross = a.crossJoin(b).queryExecution.sparkPlan
+    val nonEqui = a.join(b, $"x" < $"y").queryExecution.sparkPlan
+    assert(cross.exists {
+      case _: CartesianProductExec | _: BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }, cross.toString)
+    assert(nonEqui.exists {
+      case _: CartesianProductExec | _: BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }, nonEqui.toString)
+  }
 }

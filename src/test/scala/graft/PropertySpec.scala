@@ -89,7 +89,7 @@ class PropertySpec extends SparkSpec {
       (a.forall(_ == 0f) || b.forall(_ == 0f)) || {
         val df = Seq((0L, a.toArray), (1L, b.toArray)).toDF("vec_id", "embedding")
         val pairs = graft.ext.Similarity
-          .cosineNearDupPairs(df, "vec_id", "embedding", -2.0).collect()
+          .cosineAllPairsExact(df, "vec_id", "embedding", -2.0).collect()
         // quantization can overshoot |1| by at most ~d·ulp; allow 1e-6
         pairs.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-6)
       }
