@@ -1,4 +1,5 @@
 package graft
+
 object Bench {
   /** The headline set: the reference workload's own 26 queries (the
     * surface BASELINE measures — SURVEY §2.12). The engine's extension
@@ -16,31 +17,76 @@ object Bench {
     "s06_risk_profile", "s07_clv", "s10_schema_evolution",
     "s11_country_metrics")
 
+  /** Measurement protocol (run-to-run variance at sf0.1 is ±30% on single
+    * runs, so single-shot numbers are noise):
+    *  - every query runs `reps` times (default 3) and reports the MEDIAN;
+    *  - the two shared cached relations the reference-workload family
+    *    reuses (view aggregate, grouped baskets) are built ONCE, timed as
+    *    their own "shared_cache_build" line, and included in the headline
+    *    total — previously their build cost silently landed on whichever
+    *    family member happened to run first;
+    *  - extension queries manage their own caches (ExtCaches); those are
+    *    released before each query's first rep, so rep 1 pays the
+    *    operator's honest cold cost and the median reflects the warm
+    *    steady state, with nothing leaking into later queries;
+    *  - all caches are released after each family, so no query is
+    *    measured while another family's cached relations occupy unified
+    *    memory. */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     spark.sparkContext.setLogLevel("ERROR")
     // Warm-up: initialize parquet reader, codegen compiler, shuffle system
     // once so the first timed query doesn't absorb one-time JVM setup.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    def run(names: Seq[String]): Seq[(String, Double)] = names.map { name =>
+    def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      body
+      (System.nanoTime() - t0) / 1e9
     }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def run(names: Seq[String], coldCaches: Boolean): Seq[(String, Double)] =
+      names.map { name =>
+        val times = (1 to reps).flatMap { rep =>
+          if (coldCaches && rep == 1) graft.ext.ExtCaches.clearCaches()
+          try Some(time(SparkEntry.queries(name)(spark, sfDir).count()))
+          catch {
+            case e: Throwable =>
+              errors += name
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              None
+          }
+        }
+        name -> (if (times.isEmpty) 0.0 else median(times))
+      }
+
     val all = SparkEntry.queries.keys.toSeq.sorted
-    val headline = run(all.filter(Headline))
-    val extended = run(all.filterNot(Headline))
+    // Family 1: the 26 reference-workload queries, shared caches prebuilt
+    // and charged as their own line.
+    val cacheBuild = time(graft.queries.Chinook.warmCaches(spark, sfDir))
+    val headline = ("shared_cache_build" -> cacheBuild) +:
+      run(all.filter(Headline), coldCaches = false)
+    // Family 2: engine extensions (s12+). The Chinook view cache is still
+    // warm for s13's set-ops consumers — released after the family.
+    val sExt = all.filterNot(Headline).filter(_.startsWith("s"))
+    val extendedS = run(sExt, coldCaches = false)
+    graft.queries.Chinook.clearCaches(spark)
+    graft.ext.ExtCaches.clearCaches()
+    // Family 3: LLM-pipeline extensions (x*), each self-contained: its
+    // first rep pays its own cache build cold.
+    val xExt = all.filterNot(Headline).filterNot(_.startsWith("s"))
+    val extendedX = run(xExt, coldCaches = true)
+    graft.ext.ExtCaches.clearCaches()
+
+    val extended = extendedS ++ extendedX
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${headline.map(_._2).sum},"unit":"sec",""" +
-      s""""queries":${obj(headline)},"extended":${obj(extended)},""" +
+      s""""reps":$reps,"queries":${obj(headline)},"extended":${obj(extended)},""" +
       s""""extended_total":${extended.map(_._2).sum},"sf":"$sfDir","errors":$errs}""")
     spark.stop()
   }

@@ -353,6 +353,16 @@ object Chinook {
     PairMining.ordered(
       PairMining.coOccurrenceFromBaskets(baskets(s, dir), "items", labelCol))
 
+  /** Materialize the two shared cached relations (the 6-row view
+    * aggregate and the grouped baskets) so their one-time build cost can
+    * be measured — and charged — separately from the queries that reuse
+    * them (the bench reports it as its own line instead of silently
+    * loading it onto whichever family member runs first). */
+  def warmCaches(s: SparkSession, dir: String): Unit = {
+    usaGenreSales(s, dir).count()
+    baskets(s, dir).count()
+  }
+
   /** Release the per-session materialized relations (view aggregate,
     * grouped baskets). Long-lived sessions running many scale-factor dirs
     * call this between corpora; Verify/Bench sessions just exit. */
