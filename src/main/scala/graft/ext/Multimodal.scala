@@ -34,13 +34,16 @@ object Multimodal {
   /** Synthesize a media relation from the documents table: the UTF-8
     * bytes of `text` stand in for an encoded image/audio payload, with a
     * deterministic fake format tag. Payload synthesis is built-ins only
-    * (`encode`), so it runs columnar until the decode stage. */
+    * (`encode`), so it runs columnar until the decode stage. `n_bytes` is
+    * the PAYLOAD byte count (octet_length) — `length(text)` counts
+    * characters and diverges from the binary payload on any non-ASCII
+    * document. */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").cast(LongType).as("doc_id"),
       element_at(array(lit("png"), lit("jpeg"), lit("wav")),
         (col("doc_id") % 3 + 1).cast("int")).as("format"),
-      length(col("text")).cast(LongType).as("n_bytes"),
+      octet_length(col("text")).cast(LongType).as("n_bytes"),
       encode(col("text"), "UTF-8").as("payload"))
 
   /** STUB decoder: a real implementation would decode the image/audio and

@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   * (left sorts before right at equal ts), `false` includes equal-ts
   * rights. Multiple right rows on the same (key, ts) carry the same
   * matched timestamp, so the output is deterministic either way.
+  *
+  * Null semantics (same as the native AsOfJoinExec and SQL ASOF JOIN):
+  * right rows with a null key or null ts can never match, so they are
+  * filtered before the union — without that filter, Window.partitionBy
+  * would group null keys into one partition and null-key left rows would
+  * silently receive null-key right timestamps. Left rows with a null key
+  * or ts come out with a null `asofCol`: the null-key partition then
+  * contains no right rows at all, and a null left ts sorts before every
+  * right ts (ASC NULLS FIRST), so the running carry is still null there.
   */
 object AsOf {
   /** Returns the left relation's columns plus `asofCol` = the matched
@@ -38,11 +47,13 @@ object AsOf {
       lit(leftSide).as("_side") :+
       struct(left.columns.map(col): _*).as("_lrow") :+
       lit(null).cast(left.schema(leftTs).dataType).as("_rts"): _*)
-    val r = right.select(keyCols :+
-      col(rightTs).as("_ts") :+
-      lit(rightSide).as("_side") :+
-      lit(null).cast(l.schema("_lrow").dataType).as("_lrow") :+
-      col(rightTs).as("_rts"): _*)
+    val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
+      .select(keyCols :+
+        col(rightTs).as("_ts") :+
+        lit(rightSide).as("_side") :+
+        lit(null).cast(l.schema("_lrow").dataType).as("_lrow") :+
+        col(rightTs).as("_rts"): _*)
     val w = Window.partitionBy(keyCols: _*)
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -592,6 +592,60 @@ object Chinook {
       .orderBy(col("region"))
   }
 
+  // ---- f01: CONCAT null-propagation parity (SURVEY §2.8 F1) ---------------
+
+  /** The reference concatenates name parts 8× (`CONCAT(first_name," ",
+    * last_name)`, SQL_file.sql:74,81,94,97,105,203,212,228); MySQL CONCAT
+    * returns NULL when ANY argument is NULL, and Spark's `concat` has the
+    * same propagation — but the testdata's single `c_name` column never
+    * exercised it. This query manufactures a NULL argument (one nation
+    * name nulled via when/NULLIF) and proves, through the oracle, that
+    * the engine's concat nulls the whole row's label exactly like the
+    * `||` operator (DuckDB's NULL-propagating concat; DuckDB's CONCAT()
+    * function itself *skips* NULLs — the dialect hazard F1 documents):
+    * COUNT over the concat drops the nulled rows, MIN ignores them. */
+  def f01_concat_null(s: SparkSession, dir: String): DataFrame = {
+    val full = concat(col("c_name"), lit(" "),
+      when(col("n_name") === USA, lit(null: String)).otherwise(col("n_name")))
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), full.as("full_name"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("full_name")).as("n_full"),
+        min(col("full_name")).as("first_full"))
+      .orderBy(col("n_name"))
+  }
+
+  // ---- f02: calendar-month interval arithmetic (SURVEY §2.8 F5/F7) --------
+
+  /** The reference's `DATE_SUB(..., INTERVAL 6 MONTH)` (SQL_file.sql:142)
+    * and `TIMESTAMPDIFF(MONTH, ...)` (SQL_file.sql:238,472) are elsewhere
+    * substituted with fixed day thresholds (documented, SURVEY §5.3); this
+    * query closes the gap by exercising the real calendar-month functions
+    * under the oracle: `add_months` (end-of-month clamping — Jan 31 + 1
+    * month = Feb 29) and `floor(months_between(anchor, d))`. The oracle
+    * reproduces Spark's months_between day-of-month rule exactly:
+    * whole-month difference plus (day(anchor) − day(d))/31.0 unless the
+    * days match (the anchor is day 1, never a month end, so Spark's
+    * both-last-day branch cannot fire). The fraction (1−d)/31 is an exact
+    * small-integer IEEE divide in both engines and never lands on an
+    * integer, so floor() cannot split across engines. */
+  def f02_month_arith(s: SparkSession, dir: String): DataFrame = {
+    val anchor = lit(java.sql.Date.valueOf("1998-12-01"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1998-01-01")))
+      .select(
+        floor(months_between(anchor, col("o_orderdate"))).as("months_ago"),
+        add_months(col("o_orderdate"), 6).as("shifted"))
+      .groupBy(col("months_ago"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("shifted")).as("first_shifted"),
+        max(col("shifted")).as("last_shifted"))
+      .orderBy(col("months_ago"))
+  }
+
   // ======================================================================
   // Registry + DuckDB oracle SQL (SURVEY §5.2 — the correctness gate)
   // ======================================================================
@@ -627,7 +681,9 @@ object Chinook {
     "s13_setops" -> (s13_setops _),
     "s14_dispersion" -> (s14_dispersion _),
     "s15_cube_geo_segment" -> (s15_cube_geo_segment _),
-    "s16_pivot_revenue" -> (s16_pivot_revenue _))
+    "s16_pivot_revenue" -> (s16_pivot_revenue _),
+    "f01_concat_null" -> (f01_concat_null _),
+    "f02_month_arith" -> (f02_month_arith _))
 
   private val recencySql: String =
     """recency AS (
@@ -1033,5 +1089,34 @@ object Chinook {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1
-        |ORDER BY country""".stripMargin)
+        |ORDER BY country""".stripMargin,
+
+    // F1: the || operator is DuckDB's NULL-propagating concatenation —
+    // matching MySQL CONCAT and Spark concat. (DuckDB's CONCAT() function
+    // would IGNORE the null — the exact dialect trap this query pins.)
+    "f01_concat_null" ->
+      s"""SELECT n_name,
+         |       count(*) AS n_rows,
+         |       count(c_name || ' ' || nullif(n_name, '$USA')) AS n_full,
+         |       min(c_name || ' ' || nullif(n_name, '$USA')) AS first_full
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin,
+
+    // F5/F7: DATE + INTERVAL n MONTH clamps to month end in DuckDB exactly
+    // like Spark add_months; months_ago re-implements Spark's
+    // months_between day-of-month rule (whole months + (1 − day)/31
+    // unless day = 1 — the anchor is day 1, so the both-last-day branch
+    // cannot fire).
+    "f02_month_arith" ->
+      """SELECT CAST(floor((1998 - year(o_orderdate)) * 12 + (12 - month(o_orderdate))
+        |         + CASE WHEN day(o_orderdate) = 1 THEN 0
+        |                ELSE (1 - day(o_orderdate)) / 31.0 END) AS BIGINT) AS months_ago,
+        |       count(*) AS n_orders,
+        |       min(CAST(o_orderdate + INTERVAL 6 MONTH AS DATE)) AS first_shifted,
+        |       max(CAST(o_orderdate + INTERVAL 6 MONTH AS DATE)) AS last_shifted
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin)
 }

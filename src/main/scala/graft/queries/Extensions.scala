@@ -595,16 +595,27 @@ object Extensions {
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin,
 
+    // Byte-exact twin of Multimodal.decodeStub: iterate the UTF-8 PAYLOAD
+    // bytes (not characters — ord(substr) histograms codepoints and breaks
+    // on any non-ASCII document). bucket = byte mod 16 = the byte's low
+    // hex nibble, read straight out of hex(encode(text)); n_bytes is the
+    // payload octet count on both sides.
     "x14_multimodal_histogram" ->
-      """WITH chars AS (
-        |  SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) % 16 AS bucket
-        |  FROM documents, unnest(range(1, len(text) + 1)) AS u(i)),
-        |h AS (SELECT doc_id, bucket, count(*) AS n_in_bucket FROM chars GROUP BY 1, 2)
-        |SELECT d.doc_id,
-        |       CASE d.doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
-        |       CAST(len(d.text) AS BIGINT) AS n_bytes,
-        |       CAST(h.bucket AS BIGINT) AS bucket,
-        |       h.n_in_bucket
-        |FROM h JOIN documents d ON h.doc_id = d.doc_id
-        |ORDER BY d.doc_id, h.bucket""".stripMargin)
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS hs,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, nb,
+        |         strpos('0123456789ABCDEF', substr(hs, CAST(2*i AS INT), 1)) - 1 AS bucket
+        |  FROM hx, unnest(range(1, nb + 1)) AS u(i)),
+        |h AS (SELECT doc_id, nb, bucket, count(*) AS n_in_bucket
+        |      FROM bytes GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        |       nb AS n_bytes,
+        |       CAST(bucket AS BIGINT) AS bucket,
+        |       n_in_bucket
+        |FROM h
+        |ORDER BY doc_id, bucket""".stripMargin)
 }

@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -37,8 +37,15 @@ case class HeavyHitters(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]] {
+  extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]]
+  with ExpectsInputTypes {
   require(k >= 1, "heavy_hitters needs k >= 1")
+
+  // The update path reads the child as UTF8String; declaring the input
+  // type makes heavy_hitters(non_string, k) an ANALYSIS error (with an
+  // implicit cast where one exists) instead of a mid-job
+  // ClassCastException.
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

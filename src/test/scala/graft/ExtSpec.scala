@@ -193,6 +193,17 @@ class MultimodalSpec extends SparkSpec {
     assert(r.toSeq == Seq(("png", 2L), ("jpeg", 1L), ("wav", 1L)))
   }
 
+  test("non-ASCII text: n_bytes counts UTF-8 payload bytes, not characters") {
+    // "é" is 2 UTF-8 bytes (0xC3 0xA9), "€" is 3 (0xE2 0x82 0xAC)
+    val docs = Seq((0L, "é€")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs).collect()(0)
+    assert(media.getAs[Long]("n_bytes") == 5L)
+    val hist = Multimodal.documentByteHistogram(spark, docs)
+      .collect().map(x => x.getAs[Int]("bucket") -> x.getAs[Long]("count")).toMap
+    // low nibbles of C3 A9 E2 82 AC → 3, 9, 2, 2, C(12)
+    assert(hist == Map(3 -> 1L, 9 -> 1L, 2 -> 2L, 12 -> 1L))
+  }
+
   test("sampleFrames slices payloads on stride boundaries") {
     val docs = Seq((7L, "abcdefgh")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromDocuments(docs).as[Multimodal.MediaRow]

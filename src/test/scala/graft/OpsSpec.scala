@@ -127,6 +127,24 @@ class AsOfSpec extends SparkSpec {
       strict = false).collect()
     assert(r(0).getAs[Timestamp]("asof_ts") == ts(10))
   }
+
+  test("null keys never match: null-key left gets null, null-key right is ignored") {
+    val left = Seq(
+      (Option(1L), Option(ts(10)), "valid"),
+      (None: Option[Long], Option(ts(10)), "null_key"),
+      (Option(1L), None: Option[Timestamp], "null_ts"))
+      .toDF("k", "t", "tag")
+    val right = Seq(
+      (Option(1L), Option(ts(5))),
+      (None: Option[Long], Option(ts(9))),   // must never be carried
+      (Option(1L), None: Option[Timestamp])) // must never be carried
+      .toDF("k", "t")
+    val r = graft.ops.AsOf.lastBefore(left, right, Seq("k"), "t", "t")
+      .collect().map(x =>
+        x.getAs[String]("tag") -> Option(x.getAs[Timestamp]("asof_ts"))).toMap
+    assert(r == Map(
+      "valid" -> Some(ts(5)), "null_key" -> None, "null_ts" -> None))
+  }
 }
 
 class RangeJoinSpec extends SparkSpec {
@@ -180,6 +198,53 @@ class AsOfNativeSpec extends SparkSpec {
       strict = false).first()
     assert(strict.isNullAt(strict.fieldIndex("asof_ts")))
     assert(incl.getAs[Timestamp]("asof_ts") == ts(10))
+  }
+
+  test("native and composed agree on null keys and null timestamps") {
+    val left = Seq(
+      (Option(1L), Option(ts(10)), 1L),
+      (None: Option[Long], Option(ts(10)), 2L),
+      (Option(1L), None: Option[Timestamp], 3L),
+      (Option(2L), Option(ts(20)), 4L))
+      .toDF("k", "t", "id")
+    val right = Seq(
+      (Option(1L), Option(ts(5))),
+      (None: Option[Long], Option(ts(9))),
+      (Option(1L), None: Option[Timestamp]))
+      .toDF("k", "t")
+    val native = AsOfJoinNative.lastBefore(left, right, Seq("k"), "t", "t")
+      .select("id", "asof_ts")
+    val composed = graft.ops.AsOf.lastBefore(left, right, Seq("k"), "t", "t")
+      .select("id", "asof_ts")
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+    // and the semantics are the ASOF ones: only the valid row matches
+    val byId = native.collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(byId(1L) == ts(5) && byId(2L) == null && byId(3L) == null && byId(4L) == null)
+  }
+
+  test("native exec orders integer and double ts columns correctly") {
+    val leftI = Seq((1L, 100, "a"), (1L, 5, "b")).toDF("k", "t", "tag")
+    val rightI = Seq((1L, 7), (1L, 99)).toDF("k", "t")
+    val ri = AsOfJoinNative.lastBefore(leftI, rightI, Seq("k"), "t", "t")
+      .collect().map(x => x.getAs[String]("tag") -> x.get(x.fieldIndex("asof_ts"))).toMap
+    // with a Long hard-cast this would either throw or compare garbage;
+    // interpreted Int ordering gives 99 (not 7) as the match for t=100
+    assert(ri == Map("a" -> 99, "b" -> null))
+
+    val leftD = Seq((1L, 2.5, "a")).toDF("k", "t", "tag")
+    val rightD = Seq((1L, 2.4), (1L, 2.6)).toDF("k", "t")
+    val rd = AsOfJoinNative.lastBefore(leftD, rightD, Seq("k"), "t", "t")
+      .collect().map(x => x.getAs[String]("tag") -> x.get(x.fieldIndex("asof_ts"))).toMap
+    assert(rd == Map("a" -> 2.4))
+  }
+
+  test("native exec rejects mismatched ts column types at plan time") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val right = Seq((1L, 1.5)).toDF("k", "t")
+    val e = intercept[Exception] {
+      AsOfJoinNative.lastBefore(left, right, Seq("k"), "t", "t").collect()
+    }
+    assert(e.getMessage.contains("as-of ts types differ"), e.getMessage)
   }
 
   test("native exec plans AsOfJoinExec with co-partitioned sorted children") {

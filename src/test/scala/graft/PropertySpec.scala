@@ -125,4 +125,21 @@ class PropertySpec extends SparkSpec {
     assert(r.length <= 3)
     assert(r.map(_.getString(0)).contains("x"))
   }
+
+  test("heavy_hitters rejects non-string inputs at analysis time") {
+    org.apache.spark.sql.graftfn.GraftFunctions.register(spark)
+    // ExpectsInputTypes(StringType): heavy_hitters(user_id, 10) on a
+    // non-string column is an ANALYSIS error (the old behavior passed
+    // analysis and threw ClassCastException mid-job); an explicit
+    // CAST(... AS STRING) keeps it usable on any column.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT heavy_hitters(c, 2) FROM VALUES (1),(1),(2) AS t(c)").collect()
+    }
+    val r = spark.sql(
+      """SELECT heavy_hitters(CAST(c AS STRING), 2) AS hh
+        |FROM VALUES (1),(1),(2) AS t(c)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(_.getString(0)).contains("1"))
+  }
 }
