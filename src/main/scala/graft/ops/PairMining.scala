@@ -53,23 +53,38 @@ object PairMining {
       .agg(count(lit(1)).as("pair_count"))
   }
 
-  /** Pair counts from a PRE-GROUPED basket relation — `itemsCol` is an
-    * array of structs each holding several label fields, so one grouped
-    * (and typically persisted) relation serves every label's affinity
-    * query without re-shuffling the line relation per label. Pair counts
-    * are invariant to array order (every unordered position pair is
-    * visited exactly once), so no per-basket sort is needed. */
-  def coOccurrenceFromBaskets(baskets: DataFrame, itemsCol: String,
-                              labelField: String): DataFrame =
+  /** ONE-PASS multi-label expansion from a PRE-GROUPED basket relation:
+    * each basket's C(n,2) position pairs are expanded exactly once,
+    * emitting the canonicalized (least, greatest) pair for EVERY label
+    * field simultaneously — one row per position pair carrying
+    * `<field>_a`/`<field>_b` columns per label. A family of affinity
+    * queries (genre/brand/part) then aggregates this one (typically
+    * persisted) relation three times instead of re-running the HOF
+    * expansion per label: the expansion, the dominant in-row cost, is
+    * paid once, and each aggregate is a tiny pair-count shuffle. Pair
+    * counts are invariant to array order (every unordered position pair
+    * is visited exactly once), so no per-basket sort is needed. */
+  def coOccurrencePairsMulti(baskets: DataFrame, itemsCol: String,
+                             labelFields: Seq[String]): DataFrame = {
+    val fields = labelFields.map(f =>
+      s"least(x.$f, y.$f) AS ${f}_a,\n                        greatest(x.$f, y.$f) AS ${f}_b")
+      .mkString(",\n                        ")
     baskets
       .select(explode(expr(
         s"""flatten(transform($itemsCol, (x, i) ->
            |  transform(slice($itemsCol, i + 2, size($itemsCol)),
-           |            y -> struct(least(x.$labelField, y.$labelField) AS label_a,
-           |                        greatest(x.$labelField, y.$labelField) AS label_b))))""".stripMargin))
+           |            y -> struct($fields))))""".stripMargin))
         .as("p"))
-      .filter(col("p.label_a") =!= col("p.label_b"))
-      .groupBy(col("p.label_a").as("label_a"), col("p.label_b").as("label_b"))
+      .select(col("p.*"))
+  }
+
+  /** Pair counts for one label over the multi-label exploded relation
+    * (same output contract as the reference's per-label affinity). */
+  def countPairs(pairs: DataFrame, labelField: String): DataFrame =
+    pairs
+      .filter(col(s"${labelField}_a") =!= col(s"${labelField}_b"))
+      .groupBy(col(s"${labelField}_a").as("label_a"),
+        col(s"${labelField}_b").as("label_b"))
       .agg(count(lit(1)).as("pair_count"))
 
   /** Canonical-pair ordering for presentation. */

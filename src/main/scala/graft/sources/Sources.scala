@@ -35,9 +35,9 @@ object Sources {
   /** JDBC source (the BASELINE "database dump or JDBC source" path).
     * `partitionColumn`/bounds split the read into `numPartitions` parallel
     * range queries — without them a JDBC read is a single-task scan, which
-    * is never acceptable at scale. No JDBC driver ships in this
-    * environment, so this wrapper is exercised only by its parquet/csv
-    * siblings' tests; the call shape is the stock spark.read.jdbc. */
+    * is never acceptable at scale. Exercised end-to-end in SourcesSpec
+    * against an embedded Derby database (the one JDBC driver that ships
+    * with the Spark distribution). */
   def jdbc(spark: SparkSession, url: String, table: String,
            partitionColumn: String, lowerBound: Long, upperBound: Long,
            numPartitions: Int,

@@ -83,6 +83,26 @@ class PairMiningSpec extends SparkSpec {
     val r = PairMining.coOccurrence(lines, "bk", "ln", "lab").collect()
     assert(r.map(_.getLong(2)).sum == 3L) // C(3,2) distinct-label pairs
   }
+
+  test("one-pass multi-label expansion matches per-label coOccurrence") {
+    val lines = Seq(
+      (1L, 1, "rock", "b1", "p1"), (1L, 2, "rock", "b2", "p2"),
+      (1L, 3, "metal", "b1", "p3"),
+      (2L, 1, "jazz", "b3", "p4"), (2L, 2, "rock", "b3", "p5"))
+      .toDF("bk", "ln", "genre", "brand", "pname")
+    val baskets = lines.groupBy(col("bk"))
+      .agg(collect_list(struct(col("genre"), col("brand"), col("pname"))).as("items"))
+    val multi = PairMining.coOccurrencePairsMulti(
+      baskets, "items", Seq("genre", "brand", "pname"))
+    for (lab <- Seq("genre", "brand", "pname")) {
+      val one = PairMining.coOccurrence(lines, "bk", "ln", lab)
+      val viaMulti = PairMining.countPairs(multi, lab)
+      assert(viaMulti.exceptAll(one).isEmpty && one.exceptAll(viaMulti).isEmpty,
+        s"label $lab diverges")
+    }
+    // every position pair appears exactly once in the exploded relation
+    assert(multi.count() == 3 + 1)
+  }
 }
 
 class ExactSpec extends SparkSpec {

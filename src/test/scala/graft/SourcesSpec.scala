@@ -68,6 +68,33 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("jdbc source: partitioned read against an embedded database") {
+    // Derby ships with the Spark distribution (/opt/spark/jars), so the
+    // JDBC path is testable offline: in-memory DB, 100 rows, read back as
+    // 4 parallel range queries over the partition column.
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE items") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE items (id BIGINT NOT NULL, name VARCHAR(20), v DOUBLE)")
+      val ps = conn.prepareStatement("INSERT INTO items VALUES (?, ?, ?)")
+      (1 to 100).foreach { i =>
+        ps.setLong(1, i.toLong); ps.setString(2, s"n$i"); ps.setDouble(3, i / 2.0)
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+
+    val df = Sources.jdbc(spark, url, "items",
+      partitionColumn = "id", lowerBound = 1L, upperBound = 101L,
+      numPartitions = 4)
+    assert(df.rdd.getNumPartitions == 4) // four parallel range scans
+    assert(df.count() == 100)
+    val r42 = df.filter(col("id") === 42L).collect()(0)
+    assert(r42.getAs[String]("NAME") == "n42" && r42.getAs[Double]("V") == 21.0)
+  }
+
   test("partitioned sink + pruned source") {
     val dir = tmp("graft_part")
     Sinks.writePartitioned(

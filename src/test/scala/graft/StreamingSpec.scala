@@ -128,6 +128,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, ts(20))))
   }
 
+  test("foreachBatch parquet sink: append-mode windows land exactly once") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val source = MemoryStream[Event]
+    // append mode + watermark: a window row is emitted exactly once, on
+    // the trigger after the watermark passes its end — the transactional
+    // sink shape (idempotent-by-batchId in production; parquet append
+    // here, each finalized window appearing in exactly one batch).
+    val q = EventStreams
+      .watermarkedTumblingStats(source.toDF(), "10 minutes", "5 minutes")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("append").parquet(s"$dir/batch_$batchId")
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    source.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(2), 2L, "click", 2.0))
+    q.processAllAvailable()
+    source.addData(Event(ts(40), 3L, "view", 1.0)) // advances watermark past 10:10
+    q.processAllAvailable()
+    source.addData(Event(ts(59), 4L, "view", 1.0)) // no newly-final window
+    q.processAllAvailable(); q.stop()
+    val written = spark.read.parquet(
+      new java.io.File(dir).listFiles().map(_.toString): _*)
+    val rows = written.collect()
+      .map(x => (x.getAs[Timestamp]("window_start"), x.getAs[String]("event_type"),
+        x.getAs[Long]("n_events"), x.getAs[Double]("total_value")))
+    // the [10:00,10:10) click window was finalized once, with both events,
+    // and appears exactly once across all written batches
+    assert(rows.count(r => r._1 == ts(0) && r._2 == "click") == 1, rows.toSeq)
+    assert(rows.contains((ts(0), "click", 2L, 3.0)), rows.toSeq)
+  }
+
   test("runningUserActivity maintains state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[Event]
