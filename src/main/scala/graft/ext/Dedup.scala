@@ -193,4 +193,67 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Connected components over an undirected pair graph by min-label
+    * propagation: every vertex starts labeled with itself; each round
+    * lowers a vertex's label to the minimum among itself and its
+    * neighbors (one equi-join + one min-aggregate per round — all
+    * hash-shuffle shapes); the unique fixpoint labels every component by
+    * its smallest member id. Rounds needed = graph diameter, which for
+    * near-dup clusters (dense, clique-like — every member collided with
+    * most others) is 1–2; `maxIters` bounds pathological chains, and
+    * each round's result is persisted and the previous round released,
+    * so lineage and storage stay O(1) per round. At extreme scale the
+    * same contract is served in O(log n) rounds by the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) — the swap changes
+    * this function only, not its callers.
+    *
+    * This is the operator a dedup pipeline runs AFTER pair generation:
+    * pairs say "these two are duplicates", components say "keep one
+    * canonical document per duplicate group". */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    val edges = ExtCaches.persistTracked(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = edges.select(col("src").as("v"))
+      .distinct()
+      .withColumn("label", col("v"))
+      .persist()
+    labels.count()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = edges.join(labels, col("dst") === col("v"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, col("v") === col("src"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), "v")
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    ExtCaches.persistTracked(labels) // hand ownership to the registry
+    labels
+  }
+
+  /** Duplicate-cluster summary from a near-dup pair relation: one row per
+    * component with ≥ 2 members — (canonical_id = smallest member id,
+    * n_members). The downstream dedup filter is then `doc_id !=
+    * canonical_id → drop`, which is a broadcast/semi-join at any scale. */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("label").as("canonical_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
 }

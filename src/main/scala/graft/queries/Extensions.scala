@@ -46,6 +46,20 @@ object Extensions {
         w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---- x20: duplicate-cluster resolution over the x03 pair graph ---------
+
+  /** What a dedup pipeline runs AFTER pairing: connected components over
+    * the near-dup pairs, one canonical doc per cluster. Iterative
+    * min-label propagation (see Dedup.connectedComponents for the scale
+    * story); the oracle computes the same fixpoint with a recursive CTE. */
+  def x20_dup_clusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+        Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b")
+      .orderBy(col("canonical_id"))
+
   // ---- x04: SimHash fingerprints + near-dup pairs ------------------------
 
   def x04_dedup_simhash(s: SparkSession, dir: String): DataFrame =
@@ -271,7 +285,8 @@ object Extensions {
     "x16_range_value_bands" -> (x16_range_value_bands _),
     "x17_json_props" -> (x17_json_props _),
     "x18_text_rarity" -> (x18_text_rarity _),
-    "x19_salted_agg" -> (x19_salted_agg _))
+    "x19_salted_agg" -> (x19_salted_agg _),
+    "x20_dup_clusters" -> (x20_dup_clusters _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -289,6 +304,33 @@ object Extensions {
       |                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
       |              ELSE CAST([] AS VARCHAR[]) END AS sh
       |  FROM toks)""".stripMargin
+
+  /** The full MinHash→LSH→verify CTE chain (mirrors Dedup.minhashLshPairs
+    * with w=3, 16 perms, 4 bands): `verified` holds candidate pairs with
+    * exact Jaccard. Shared by x03 (the pair query) and x20 (cluster
+    * resolution over the pair graph). */
+  private val minhashVerifiedCte: String =
+    s"""$shinglesCte,
+       |sigs AS (
+       |  SELECT doc_id, sh,
+       |         list_transform(range(0, 16), i ->
+       |           list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+       |  FROM sh),
+       |bandrows AS (
+       |  SELECT doc_id, j AS band,
+       |         md5(array_to_string(list_slice(sig, CAST(j*4+1 AS INT), CAST(j*4+4 AS INT)), ',')) AS bucket
+       |  FROM sigs, unnest(range(0, 4)) AS u(j)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bandrows x JOIN bandrows y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |           / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+       |  FROM cand
+       |  JOIN sh a ON id_a = a.doc_id
+       |  JOIN sh b ON id_b = b.doc_id)""".stripMargin
 
   /** Fixed-point quantization + exact integer dot product — mirrors
     * Similarity.quantize/dotQ bit-for-bit (×2^20 is a binary scale: the
@@ -348,30 +390,32 @@ object Extensions {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "x03_dedup_minhash_lsh" ->
-      s"""WITH $shinglesCte,
-         |sigs AS (
-         |  SELECT doc_id, sh,
-         |         list_transform(range(0, 16), i ->
-         |           list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
-         |  FROM sh),
-         |bandrows AS (
-         |  SELECT doc_id, j AS band,
-         |         md5(array_to_string(list_slice(sig, CAST(j*4+1 AS INT), CAST(j*4+4 AS INT)), ',')) AS bucket
-         |  FROM sigs, unnest(range(0, 4)) AS u(j)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bandrows x JOIN bandrows y
-         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-         |verified AS (
-         |  SELECT id_a, id_b,
-         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |           / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
-         |  FROM cand
-         |  JOIN sh a ON id_a = a.doc_id
-         |  JOIN sh b ON id_b = b.doc_id)
+      s"""WITH $minhashVerifiedCte
          |SELECT id_a, id_b, jaccard FROM verified
          |WHERE jaccard >= $JaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Duplicate-cluster resolution over the x03 pair graph: DuckDB's
+    // recursive CTE computes the transitive closure (reach = every label
+    // reachable from v), min per vertex = the component's smallest member
+    // — the same fixpoint Dedup.connectedComponents converges to by
+    // min-label propagation.
+    "x20_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashVerifiedCte,
+         |prs AS (
+         |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
+         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)
+         |SELECT label AS canonical_id, count(*) AS n_members
+         |FROM lab GROUP BY label
+         |ORDER BY canonical_id""".stripMargin,
 
     "x04_dedup_simhash" ->
       s"""WITH toks AS (

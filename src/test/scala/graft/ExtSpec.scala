@@ -91,6 +91,29 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("connectedComponents labels every component by its smallest member") {
+    // components: {1,2,3,4} (a 4-chain — needs >1 propagation round),
+    // {10,11} and {20,21,22} (triangle)
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (11L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("duplicateClusters summarizes components with canonical ids") {
+    val pairs = Seq((5L, 9L), (9L, 7L), (2L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.duplicateClusters(pairs, "id_a", "id_b")
+      .orderBy("canonical_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(r == Seq((2L, 2L), (5L, 3L)))
+  }
+
   test("simhash: identical docs hash equal; hamming 0 pair emitted") {
     val hashed = docs.select(col("doc_id"),
       Dedup.simhash(TextOps.tokens(col("text"))).as("simhash"))
