@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic sampling for dataset mixing (SURVEY.md §2.13 x21).
+  *
+  * Training-data pipelines sample by HASH, not by RNG: the selection is a
+  * pure function of the row id, so re-runs, backfills, and incremental
+  * appends all select the same rows, and the complement (the held-out
+  * set) is exactly the non-selected rows. Two variants with different
+  * exactness/cost trades:
+  *
+  *  - [[hashThresholdSample]]: keep rows whose md5(id) prefix falls below
+  *    a threshold — scan-only, zero shuffles, O(1) per row; per-stratum
+  *    counts are binomial around n·frac, not exact. This is THE 100 TB
+  *    shape (a filter pushed into the scan pipeline).
+  *  - [[stratifiedExactSample]]: rank rows inside each stratum by hash
+  *    and keep exactly ceil(n·frac) — exact per-stratum counts at the
+  *    cost of one per-stratum sort (a partitioned window; the stratum
+  *    cardinality is the scale knob, and the hash order makes the kept
+  *    set independent of any upstream ordering).
+  *
+  * Both are bit-portable to the DuckDB oracle: md5 hex is identical in
+  * both engines, and lexicographic comparison of fixed-width lowercase
+  * hex equals numeric comparison of the underlying value.
+  */
+object Sampling {
+  /** md5-hex of the id column's canonical string form — the shared sort /
+    * threshold key. CAST(long AS STRING) renders identically ("42") in
+    * Spark and DuckDB, so the hashes agree byte-for-byte. */
+  private def hashKey(idCol: Column): Column = md5(idCol.cast("string"))
+
+  /** Scan-only deterministic sample: keep rows with
+    * md5(id)[0,8) < hex(round(frac · 2³²)). `frac` should be exactly
+    * representable in binary (0.25, 0.5, 0.125…) so the threshold is the
+    * intended one on both engines. */
+  def hashThresholdSample(df: DataFrame, idCol: String, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac out of range: $frac")
+    val cut = f"${math.round(frac * 4294967296.0)}%08x"
+    df.filter(substring(hashKey(col(idCol)), 1, 8) < lit(cut))
+  }
+
+  /** Exact stratified sample: within each stratum, rank by (hash, id) and
+    * keep rank ≤ ceil(n_stratum · frac). Output keeps the rank as `rnk`
+    * (the kept set for a smaller fraction is always a prefix — nested
+    * samples for free). */
+  def stratifiedExactSample(df: DataFrame, stratumCol: String, idCol: String,
+                            frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac out of range: $frac")
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val w = byStratum.orderBy(hashKey(col(idCol)), col(idCol))
+    df.withColumn("rnk", row_number().over(w).cast(LongType))
+      .withColumn("_n", count(lit(1)).over(byStratum))
+      .filter(col("rnk") <= ceil(col("_n") * frac))
+      .drop("_n")
+  }
+}

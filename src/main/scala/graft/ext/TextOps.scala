@@ -136,4 +136,31 @@ object TextOps {
     * fingerprint. */
   def fingerprint(toks: Column, w: Int = 3): Column =
     array_min(transform(shingles(toks, w), s => md5(s)))
+
+  /** Vocabulary coverage / OOV rate — tokenizer-coverage analysis over a
+    * corpus, the two-pass corpus-statistics shape (like x18): pass 1
+    * builds the exact top-`vocabSize` vocabulary (count desc, token asc —
+    * a total order, so the vocabulary is deterministic); pass 2 joins it
+    * back to every token occurrence (broadcast — the vocabulary is tiny
+    * by construction) and aggregates per document. Documents whose
+    * tokenization is empty produce no occurrence rows and are absent from
+    * the output, on both engines. At 100 TB both passes are scan + one
+    * aggregation; the join-back never shuffles the corpus because the
+    * vocab side broadcasts. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    val occ = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = occ.groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    occ.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.streaming.EventStreams
 import graft.tables.Tables
 
@@ -150,6 +150,33 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---- x21: deterministic sampling (dataset mixing) -----------------------
+
+  val SampleFrac = 0.25 // binary-exact so both engines see the same cut
+
+  /** Scan-only hash-threshold sample: the 100 TB downsampling pass. */
+  def x21_sample_hash(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashThresholdSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", SampleFrac)
+      .orderBy(col("doc_id"))
+
+  /** Exact per-stratum sample: ceil(n·frac) docs per language. */
+  def x21_sample_stratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedExactSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", SampleFrac)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+
+  // ---- x22: vocabulary coverage / OOV rate --------------------------------
+
+  val VocabSize = 50
+
+  def x22_vocab_coverage(s: SparkSession, dir: String): DataFrame =
+    TextOps.vocabCoverage(Tables.documents(s, dir), "doc_id", "text", VocabSize)
+      .orderBy(col("doc_id"))
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -286,7 +313,10 @@ object Extensions {
     "x17_json_props" -> (x17_json_props _),
     "x18_text_rarity" -> (x18_text_rarity _),
     "x19_salted_agg" -> (x19_salted_agg _),
-    "x20_dup_clusters" -> (x20_dup_clusters _))
+    "x20_dup_clusters" -> (x20_dup_clusters _),
+    "x21_sample_hash" -> (x21_sample_hash _),
+    "x21_sample_stratified" -> (x21_sample_stratified _),
+    "x22_vocab_coverage" -> (x22_vocab_coverage _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -600,6 +630,41 @@ object Extensions {
         |       epoch_us(c.ts) AS click_ts_us
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts < p.ts
         |ORDER BY purchase_id""".stripMargin,
+
+    // Hash-threshold sampling: md5 hex is lowercase in both engines, and
+    // lexicographic comparison of fixed-width hex == numeric comparison;
+    // 0.25 · 2^32 = 0x40000000.
+    "x21_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+        |ORDER BY doc_id""".stripMargin,
+
+    "x21_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, rnk FROM r
+        |WHERE rnk <= ceil(n * 0.25)
+        |ORDER BY lang, rnk""".stripMargin,
+
+    "x22_vocab_coverage" ->
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (SELECT tok, count(*) AS tf FROM occ GROUP BY 1)
+        |  ORDER BY tf DESC, tok LIMIT 50),
+        |j AS (
+        |  SELECT o.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM occ o LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |       CAST(SUM(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x19_salted_agg" ->
       """SELECT event_type,
