@@ -65,8 +65,17 @@ object Bench {
 
     val all = SparkEntry.queries.keys.toSeq.sorted
     // Family 1: the 26 reference-workload queries, shared caches prebuilt
-    // and charged as their own line.
-    val cacheBuild = time(graft.queries.Chinook.warmCaches(spark, sfDir))
+    // and charged as their own line. Same try/catch-and-record contract as
+    // every per-query rep: a failed cache build must still emit the JSON
+    // line (the queries then pay their own cache cost, which the per-query
+    // medians absorb).
+    val cacheBuild = time(
+      try graft.queries.Chinook.warmCaches(spark, sfDir)
+      catch {
+        case e: Throwable =>
+          errors += "shared_cache_build"
+          System.err.println(s"[bench] shared_cache_build failed: ${e.getMessage}")
+      })
     val headline = ("shared_cache_build" -> cacheBuild) +:
       run(all.filter(Headline), coldCaches = false)
     // Family 2: engine extensions (s12+). The Chinook view cache is still
@@ -82,12 +91,26 @@ object Bench {
     graft.ext.ExtCaches.clearCaches()
 
     val extended = extendedS ++ extendedX
-    def obj(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The driver keeps only the LAST ~2000 chars of stdout and parses the
+    // JSON line it finds there (BENCH_r03: a 2600-char line with 9-digit
+    // seconds fell out of the window → "parsed": null). Keep the stdout
+    // line compact — millisecond precision, no whitespace — and write the
+    // full-precision timings to bench_detail.json for human readers.
+    def fmt(v: Double): String = f"$v%.3f"
+    def obj(rs: Seq[(String, Double)], f: Double => String): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val errs = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${headline.map(_._2).sum},"unit":"sec",""" +
-      s""""reps":$reps,"queries":${obj(headline)},"extended":${obj(extended)},""" +
-      s""""extended_total":${extended.map(_._2).sum},"sf":"$sfDir","errors":$errs}""")
+    def line(f: Double => String, withExtended: Boolean): String =
+      s"""{"metric":"total","value":${f(headline.map(_._2).sum)},"unit":"sec",""" +
+        s""""reps":$reps,"queries":${obj(headline, f)},""" +
+        (if (withExtended) s""""extended":${obj(extended, f)},""" else "") +
+        s""""extended_total":${f(extended.map(_._2).sum)},"sf":"$sfDir","errors":$errs}"""
+    val out = new java.io.PrintWriter("bench_detail.json")
+    try out.println(line(_.toString, withExtended = true)) finally out.close()
+    val compact = line(fmt, withExtended = true)
+    // Belt and braces: if the line ever outgrows the tail window, drop the
+    // per-query extended map (its total survives) rather than the parse.
+    println(if (compact.length <= 1800) compact else line(fmt, withExtended = false))
     spark.stop()
   }
 }

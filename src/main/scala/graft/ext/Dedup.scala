@@ -209,6 +209,12 @@ object Dedup {
     * Components in MapReduce and Beyond", SoCC'14) — the swap changes
     * this function only, not its callers.
     *
+    * NOTE — unlike every other operator here, this one executes EAGERLY
+    * at DataFrame-construction time (the fixpoint loop must run to know
+    * the result): merely *building* a plan on top of it (x20 in the
+    * query registry) runs the iterative job. Callers that only want the
+    * plan shape should not construct it.
+    *
     * This is the operator a dedup pipeline runs AFTER pair generation:
     * pairs say "these two are duplicates", components say "keep one
     * canonical document per duplicate group". */
@@ -218,32 +224,35 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
-    var labels = edges.select(col("src").as("v"))
+    var step = edges.select(col("src").as("v"))
       .distinct()
-      .withColumn("label", col("v"))
+      .select(col("v"), col("v").as("label"))
       .persist()
-    labels.count()
+    step.count()
+    var labels = step.select(col("v"), col("label"))
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
       val nbrMin = edges.join(labels, col("dst") === col("v"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, col("v") === col("src"), "left")
-        .select(col("v"),
+      // Convergence detection rides ON the label-update row (old label
+      // kept alongside new): one count() both materializes the round's
+      // persisted result and tallies changed vertices — no second
+      // old-vs-new join job per round.
+      val prev = step
+      step = labels.join(nbrMin, col("v") === col("src"), "left")
+        .select(col("v"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .persist()
-      val changed = next.as("n")
-        .join(labels.as("o"), "v")
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      labels.unpersist()
-      labels = next
+      val changed = step.filter(col("label") =!= col("prev_label")).count()
+      prev.unpersist()
+      labels = step.select(col("v"), col("label"))
       converged = changed == 0L
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
-    ExtCaches.persistTracked(labels) // hand ownership to the registry
+    ExtCaches.persistTracked(step) // hand ownership to the registry
     labels
   }
 

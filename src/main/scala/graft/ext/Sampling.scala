@@ -39,8 +39,23 @@ object Sampling {
     * intended one on both engines. */
   def hashThresholdSample(df: DataFrame, idCol: String, frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac out of range: $frac")
-    val cut = f"${math.round(frac * 4294967296.0)}%08x"
-    df.filter(substring(hashKey(col(idCol)), 1, 8) < lit(cut))
+    // frac == 1.0 must short-circuit: round(1.0·2³²) = 0x100000000 formats
+    // as the NINE-char "100000000", and comparing an 8-char hex prefix
+    // against it lexicographically keeps only hashes < 0x10000001 (~1/16
+    // of rows) instead of all of them.
+    if (frac == 1.0) df
+    else {
+      val cut = f"${math.round(frac * 4294967296.0)}%08x"
+      df.filter(substring(hashKey(col(idCol)), 1, 8) < lit(cut))
+    }
+  }
+
+  /** The 8-hex-char threshold [[hashThresholdSample]] compares against —
+    * exposed so oracle SQL can interpolate the SAME computed cut instead
+    * of hardcoding a copy that silently diverges when `frac` changes. */
+  def hashCut(frac: Double): String = {
+    require(frac > 0.0 && frac < 1.0, s"no finite 8-char cut for frac=$frac")
+    f"${math.round(frac * 4294967296.0)}%08x"
   }
 
   /** Exact stratified sample: within each stratum, rank by (hash, id) and

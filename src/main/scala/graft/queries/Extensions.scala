@@ -445,6 +445,7 @@ object Extensions {
          |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)
          |SELECT label AS canonical_id, count(*) AS n_members
          |FROM lab GROUP BY label
+         |HAVING count(*) > 1
          |ORDER BY canonical_id""".stripMargin,
 
     "x04_dedup_simhash" ->
@@ -632,24 +633,26 @@ object Extensions {
         |ORDER BY purchase_id""".stripMargin,
 
     // Hash-threshold sampling: md5 hex is lowercase in both engines, and
-    // lexicographic comparison of fixed-width hex == numeric comparison;
-    // 0.25 · 2^32 = 0x40000000.
+    // lexicographic comparison of fixed-width hex == numeric comparison.
+    // Both the fraction and the 8-hex-char cut are INTERPOLATED from
+    // SampleFrac (via Sampling.hashCut) so changing the constant cannot
+    // silently break Spark/oracle parity.
     "x21_sample_hash" ->
-      """SELECT doc_id, lang FROM documents
-        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.hashCut(SampleFrac)}'
+         |ORDER BY doc_id""".stripMargin,
 
     "x21_sample_stratified" ->
-      """WITH r AS (
-        |  SELECT doc_id, lang,
-        |         CAST(row_number() OVER (
-        |           PARTITION BY lang
-        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk,
-        |         count(*) OVER (PARTITION BY lang) AS n
-        |  FROM documents)
-        |SELECT doc_id, lang, rnk FROM r
-        |WHERE rnk <= ceil(n * 0.25)
-        |ORDER BY lang, rnk""".stripMargin,
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |         CAST(row_number() OVER (
+         |           PARTITION BY lang
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents)
+         |SELECT doc_id, lang, rnk FROM r
+         |WHERE rnk <= ceil(n * $SampleFrac)
+         |ORDER BY lang, rnk""".stripMargin,
 
     "x22_vocab_coverage" ->
       """WITH occ AS (
