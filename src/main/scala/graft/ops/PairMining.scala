@@ -53,39 +53,28 @@ object PairMining {
       .agg(count(lit(1)).as("pair_count"))
   }
 
-  /** ONE-PASS multi-label expansion from a PRE-GROUPED basket relation:
-    * each basket's C(n,2) position pairs are expanded exactly once,
-    * emitting the canonicalized (least, greatest) pair for EVERY label
-    * field simultaneously — one row per position pair carrying
-    * `<field>_a`/`<field>_b` columns per label. A family of affinity
-    * queries (genre/brand/part) then aggregates this one (typically
-    * persisted) relation three times instead of re-running the HOF
-    * expansion per label: the expansion, the dominant in-row cost, is
-    * paid once, and each aggregate is a tiny pair-count shuffle. Pair
-    * counts are invariant to array order (every unordered position pair
-    * is visited exactly once), so no per-basket sort is needed. */
-  def coOccurrencePairsMulti(baskets: DataFrame, itemsCol: String,
-                             labelFields: Seq[String]): DataFrame = {
-    val fields = labelFields.map(f =>
-      s"least(x.$f, y.$f) AS ${f}_a,\n                        greatest(x.$f, y.$f) AS ${f}_b")
-      .mkString(",\n                        ")
-    baskets
+  /** C(n,2) KEY-pair expansion straight from the line relation: group by
+    * basket, collect the (integer) item keys, expand unordered position
+    * pairs in-row. The narrowest possible cached form of the basket pair
+    * graph — two longs per pair — from which any label's affinity is two
+    * dimension equi-joins + an aggregate (see Chinook.affinity). Compared
+    * to expanding label strings in-row, the HOF moves 16 bytes instead
+    * of ~120 per pair and the persisted relation is an integer edge
+    * list. Key pairs are kept in position
+    * order (not canonicalized): keys are unique per line, not per value,
+    * so canonical ordering is the LABEL aggregation's job. */
+  def coOccurrenceKeyPairs(lines: DataFrame, basketCol: String,
+                           keyCol: String): DataFrame =
+    lines
+      .select(col(basketCol).as("bk"), col(keyCol).as("k"))
+      .groupBy(col("bk"))
+      .agg(collect_list(col("k")).as("ks"))
       .select(explode(expr(
-        s"""flatten(transform($itemsCol, (x, i) ->
-           |  transform(slice($itemsCol, i + 2, size($itemsCol)),
-           |            y -> struct($fields))))""".stripMargin))
+        """flatten(transform(ks, (x, i) ->
+          |  transform(slice(ks, i + 2, size(ks)),
+          |            y -> struct(x AS k_a, y AS k_b))))""".stripMargin))
         .as("p"))
-      .select(col("p.*"))
-  }
-
-  /** Pair counts for one label over the multi-label exploded relation
-    * (same output contract as the reference's per-label affinity). */
-  def countPairs(pairs: DataFrame, labelField: String): DataFrame =
-    pairs
-      .filter(col(s"${labelField}_a") =!= col(s"${labelField}_b"))
-      .groupBy(col(s"${labelField}_a").as("label_a"),
-        col(s"${labelField}_b").as("label_b"))
-      .agg(count(lit(1)).as("pair_count"))
+      .select(col("p.k_a"), col("p.k_b"))
 
   /** Canonical-pair ordering for presentation. */
   def ordered(pairs: DataFrame): DataFrame =

