@@ -67,6 +67,21 @@ object Similarity {
       df.withColumn(vecCol, quantize(col(vecCol)))
         .withColumn(normCol, dotQ(col(vecCol), col(vecCol))))
 
+  /** Exact per-group centroids of an embedding column — the reduce step
+    * of k-means / the class-prototype pass of a curation pipeline.
+    * posexplode flattens to (label, dim, quantized value) and ONE hash
+    * aggregate produces every (label, dim) cell: integer sums are
+    * shuffle-order-proof, so the centroid (two IEEE divides at the end)
+    * is bit-stable at any partitioning. Scale: input scanned once, no
+    * joins, |labels|·|dims| output cells. */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).cast(LongType).as("label"),
+        posexplode(quantize(col(vecCol))).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim").cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("q")).as("sum_q"))
+      .withColumn("centroid",
+        col("sum_q").cast(DoubleType) / col("n_vectors") / lit(Scale))
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (self-matches excluded). Query set must be broadcast-
     * small; corpus is streamed. Deterministic tiebreak on corpus id. */

@@ -137,6 +137,53 @@ object TextOps {
   def fingerprint(toks: Column, w: Int = 3): Column =
     array_min(transform(shingles(toks, w), s => md5(s)))
 
+  /** Repetition / boilerplate metrics — the Gopher-style quality filters
+    * (Rae et al. 2021 §A1.1) a pretraining pipeline thresholds on:
+    *
+    *  - `top_token_frac`: share of the document occupied by its single
+    *    most frequent token (degenerate/keyword-stuffed docs score high);
+    *  - `dup_bigram_frac`: fraction of consecutive-token bigrams that are
+    *    repeats of an earlier bigram in the same document (template /
+    *    boilerplate text scores high).
+    *
+    * Bigrams are built IN-ROW with a codegen'd HOF over the token array
+    * (no self-join); the per-token mode is a (doc, token) aggregate —
+    * shuffle-on-key, scan-shaped at corpus scale. The in-row alternative
+    * for the mode (filter-count per distinct token) is O(n²) per document
+    * and loses to the aggregate as soon as documents are long — the
+    * aggregate's cost is bounded by corpus token count regardless of
+    * per-document length. All counts are integers; each output ratio is
+    * one IEEE divide — deterministic and engine-portable. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val inRow = toks
+      .withColumn("n_tokens", size(col("t")).cast(LongType))
+      .withColumn("bg", expr(
+        """transform(slice(t, 1, greatest(size(t) - 1, 0)),
+          |          (x, i) -> concat(x, ' ', element_at(t, i + 2)))""".stripMargin))
+      .withColumn("n_bigrams", size(col("bg")).cast(LongType))
+      .withColumn("n_distinct_bigrams", size(array_distinct(col("bg"))).cast(LongType))
+      .drop("bg", "t")
+    val mode = toks.select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_token_n"))
+    inRow.join(mode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("top_token_n"), lit(0L)).as("top_token_n"),
+        col("n_bigrams"), col("n_distinct_bigrams"))
+      .withColumn("top_token_frac",
+        when(col("n_tokens") > 0,
+          col("top_token_n").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .otherwise(0.0))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") > 0,
+          (col("n_bigrams") - col("n_distinct_bigrams")).cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType))
+          .otherwise(0.0))
+  }
+
   /** Vocabulary coverage / OOV rate — tokenizer-coverage analysis over a
     * corpus, the two-pass corpus-statistics shape (like x18): pass 1
     * builds the exact top-`vocabSize` vocabulary (count desc, token asc —

@@ -177,6 +177,43 @@ object Extensions {
     TextOps.vocabCoverage(Tables.documents(s, dir), "doc_id", "text", VocabSize)
       .orderBy(col("doc_id"))
 
+  // ---- x23: end-to-end dedup — the surviving corpus ----------------------
+
+  /** The pipeline a training-data build actually runs: near-dup pair
+    * generation (x03's MinHash+LSH) → connected components (x20) → drop
+    * every non-canonical cluster member with one LEFT ANTI join against
+    * the corpus. Exact duplicates need no separate pass — identical texts
+    * have identical signatures, so they always share every band bucket.
+    * The anti-join is the scale shape: the dropped-id side is |non-
+    * canonical members| (tiny next to the corpus) and broadcasts; the
+    * corpus is never shuffled. Eager like x20 (the component fixpoint
+    * must run to build the plan). */
+  def x23_dedup_survivors(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val dropped = labels.filter(col("label") =!= col("v"))
+      .select(col("v").as("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- x24: repetition / boilerplate quality metrics ---------------------
+
+  def x24_repetition(s: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  // ---- x25: per-label embedding centroids --------------------------------
+
+  /** Exact per-cluster centroids over the quantized embedding table (see
+    * Similarity.centroids for the scale shape). */
+  def x25_embedding_centroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroids(Tables.embeddings(s, dir), "label", "embedding")
+      .orderBy(col("label"), col("dim"))
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -316,7 +353,10 @@ object Extensions {
     "x20_dup_clusters" -> (x20_dup_clusters _),
     "x21_sample_hash" -> (x21_sample_hash _),
     "x21_sample_stratified" -> (x21_sample_stratified _),
-    "x22_vocab_coverage" -> (x22_vocab_coverage _))
+    "x22_vocab_coverage" -> (x22_vocab_coverage _),
+    "x23_dedup_survivors" -> (x23_dedup_survivors _),
+    "x24_repetition" -> (x24_repetition _),
+    "x25_embedding_centroids" -> (x25_embedding_centroids _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -367,7 +407,7 @@ object Extensions {
     * double multiply never rounds; round() is half-away-from-zero in both
     * engines and exact ties are impossible on dyadic inputs). */
   private def quantSql(v: String): String =
-    s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))"
+    s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.Scale}) AS BIGINT))"
 
   private def dotSql(a: String, b: String): String =
     s"""CAST(list_sum(list_transform(list_zip($a, $b),
@@ -653,6 +693,78 @@ object Extensions {
          |SELECT doc_id, lang, rnk FROM r
          |WHERE rnk <= ceil(n * $SampleFrac)
          |ORDER BY lang, rnk""".stripMargin,
+
+    // End-to-end dedup survivors: the x20 component fixpoint, then an
+    // anti-join keeping canonical members and untouched docs.
+    "x23_dedup_survivors" ->
+      s"""WITH RECURSIVE $minhashVerifiedCte,
+         |prs AS (
+         |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
+         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT v FROM lab WHERE label <> v)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Repetition metrics: bigrams via zip of the token list with its own
+    // tail (same strings Spark's in-row HOF builds), token mode via
+    // (doc, tok) aggregate.
+    "x24_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |inrow AS (
+        |  SELECT doc_id,
+        |         CAST(len(t) AS BIGINT) AS n_tokens,
+        |         list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+        |                        s -> s[1] || ' ' || s[2]) AS bg
+        |  FROM toks),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |         CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams
+        |  FROM inrow),
+        |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM occ GROUP BY 1, 2),
+        |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_token_n
+        |        FROM cnt GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens,
+        |       coalesce(top.top_token_n, 0) AS top_token_n,
+        |       b.n_bigrams, b.n_distinct_bigrams,
+        |       CASE WHEN b.n_tokens > 0
+        |            THEN CAST(coalesce(top.top_token_n, 0) AS DOUBLE)
+        |                   / CAST(b.n_tokens AS DOUBLE)
+        |            ELSE 0.0 END AS top_token_frac,
+        |       CASE WHEN b.n_bigrams > 0
+        |            THEN CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE)
+        |                   / CAST(b.n_bigrams AS DOUBLE)
+        |            ELSE 0.0 END AS dup_bigram_frac
+        |FROM b LEFT JOIN top ON b.doc_id = top.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // Per-label centroids: zip-unnest (dim, quantized value), integer
+    // sums, two IEEE divides — same quantization CTE family as x05–x07.
+    "x25_embedding_centroids" ->
+      s"""WITH q AS (
+         |  SELECT CAST(label AS BIGINT) AS label,
+         |         unnest(range(0, len(embedding))) AS dim,
+         |         unnest(${quantSql("embedding")}) AS q
+         |  FROM embeddings)
+         |SELECT label, CAST(dim AS BIGINT) AS dim,
+         |       count(*) AS n_vectors,
+         |       CAST(sum(q) AS BIGINT) AS sum_q,
+         |       CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)
+         |         / ${Similarity.Scale} AS centroid
+         |FROM q GROUP BY 1, 2
+         |ORDER BY label, dim""".stripMargin,
 
     "x22_vocab_coverage" ->
       """WITH occ AS (

@@ -32,6 +32,12 @@ object Sources {
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC — the other columnar format a lakehouse migration meets. Same
+    * scan properties as parquet (vectorized reader, predicate pushdown,
+    * column pruning via ReadSchema). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JDBC source (the BASELINE "database dump or JDBC source" path).
     * `partitionColumn`/bounds split the read into `numPartitions` parallel
     * range queries — without them a JDBC read is a single-task scan, which
@@ -69,6 +75,9 @@ object Sinks {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    base(df, mode).orc(path)
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
                mode: String = "overwrite"): Unit =

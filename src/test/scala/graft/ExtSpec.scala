@@ -43,6 +43,28 @@ class TextOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq("de", "en"))
   }
 
+  test("repetitionStats: mode fraction and duplicate-bigram fraction by hand") {
+    // "a b a b a": tokens=5, mode a×3 → 0.6;
+    // bigrams = [a b, b a, a b, b a] → 4 total, 2 distinct → dup 0.5.
+    val df = Seq((1L, "a b a b a"), (2L, "x y z"), (3L, "")).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_tokens") == 5L)
+    assert(r(0).getAs[Long]("top_token_n") == 3L)
+    assert(r(0).getAs[Double]("top_token_frac") == 0.6)
+    assert(r(0).getAs[Long]("n_bigrams") == 4L)
+    assert(r(0).getAs[Long]("n_distinct_bigrams") == 2L)
+    assert(r(0).getAs[Double]("dup_bigram_frac") == 0.5)
+    // no repeats: both fractions at their floor
+    assert(r(1).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(math.abs(r(1).getAs[Double]("top_token_frac") - 1.0 / 3.0) < 1e-12)
+    // empty doc: zero counts, zero ratios (no division blow-up)
+    assert(r(2).getAs[Long]("n_tokens") == 0L)
+    assert(r(2).getAs[Long]("top_token_n") == 0L)
+    assert(r(2).getAs[Double]("top_token_frac") == 0.0)
+    assert(r(2).getAs[Double]("dup_bigram_frac") == 0.0)
+  }
+
   test("fingerprint equals min shingle md5 and is null for short docs") {
     val r = Seq("x y z w", "tiny").toDF("text")
       .select(TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
@@ -173,6 +195,33 @@ class SimilaritySpec extends SparkSpec {
     val r = Similarity.cosineNearDupPairs(dup, "vec_id", "embedding", 0.0,
       bands = 2, bitsPerBand = 4, hotBucketCap = Some(1))
     assert(r.count() == 0L)
+  }
+
+  test("centroids are exact element-wise means, invariant to partitioning") {
+    val df = Seq(
+      (0, Seq(1.0f, -1.0f)), (0, Seq(3.0f, 1.0f)), // label 0 → (2.0, 0.0)
+      (1, Seq(0.5f, 0.25f))).toDF("label", "vec")  // label 1 → itself
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.centroids(d, "label", "vec")
+        .orderBy("label", "dim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    val r = run(df)
+    assert(r.map(t => (t._1, t._2, t._4)).toSeq ==
+      Seq((0L, 0L, 2.0), (0L, 1L, 0.0), (1L, 0L, 0.5), (1L, 1L, 0.25)))
+    // integer sums make the result identical under any repartitioning
+    assert(run(df.repartition(7)).toSeq == r.toSeq)
+  }
+
+  test("survivor anti-join keeps exactly one canonical doc per cluster") {
+    // the x23 shape: components over the pair graph, drop non-canonical
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val dropped = labels.filter(col("label") =!= col("v"))
+      .select(col("v").as("doc_id"))
+    val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L, 4L, 5L)) // {1,2,3} collapse to 1
   }
 
   test("bruteForceTopK ranks by cosine with id tiebreak, excluding self") {

@@ -38,6 +38,19 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema == schema)
   }
 
+  test("orc round-trip preserves schema and pushes filters to the scan") {
+    val dir = tmp("graft_orc")
+    Sinks.writeOrc(data.toDF("id", "name", "v"), dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == data)
+    val p = back.filter(col("id") > 1L).select("id", "v")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // same scan contract as parquet: pushdown + column pruning visible
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"), p)
+    assert(p.contains("ReadSchema: struct<id:bigint,v:double>"), p)
+  }
+
   test("bucketed table: equi-join on bucket key plans without an exchange on the bucketed sides") {
     spark.sql("DROP TABLE IF EXISTS bkt_a")
     spark.sql("DROP TABLE IF EXISTS bkt_b")
