@@ -94,9 +94,10 @@ object Bench {
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // JSON line it finds there (BENCH_r03: a 2600-char line with 9-digit
     // seconds fell out of the window → "parsed": null). Keep the stdout
-    // line compact — millisecond precision, no whitespace — and write the
+    // line compact — centisecond precision (run-to-run variance is ±30%,
+    // so 10 ms resolution loses nothing), no whitespace — and write the
     // full-precision timings to bench_detail.json for human readers.
-    def fmt(v: Double): String = f"$v%.3f"
+    def fmt(v: Double): String = f"$v%.2f"
     def obj(rs: Seq[(String, Double)], f: Double => String): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val errs = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")

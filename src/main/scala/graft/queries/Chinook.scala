@@ -614,6 +614,93 @@ object Chinook {
       .orderBy(col("region"))
   }
 
+  // ---- s17: explicit window frames — ROWS vs RANGE moving aggregates -----
+
+  /** Seven-day revenue smoothing per country with the frame spec EXPLICIT,
+    * in both flavors (SURVEY §2.5 W5 — previously only default frames):
+    * a ROWS frame (6 preceding physical rows — missing trading days
+    * silently widen the covered span) and a RANGE frame over a day index
+    * (6 preceding VALUES — calendar-correct across gaps). The two columns
+    * diverge exactly where days are missing, which is the point: frame
+    * choice is a semantic decision, not syntax. Decimal partials keep
+    * both sums exact; windows are partitioned by country (scale-safe),
+    * and the day is unique within a country after the pre-aggregate, so
+    * the ROWS frame is deterministic. */
+  def s17_moving_frames(s: SparkSession, dir: String): DataFrame = {
+    val daily = ordersCountry(s, dir)
+      .groupBy(col("country"), to_date(col("o_orderdate")).as("d"))
+      .agg(sumMoney(col("o_totalprice")).as("rev_dec"))
+      .withColumn("day_num",
+        datediff(col("d"), lit("1992-01-01").cast("date")).cast(LongType))
+    val wRows = Window.partitionBy(col("country")).orderBy(col("day_num"))
+      .rowsBetween(-6, Window.currentRow)
+    val wRange = Window.partitionBy(col("country")).orderBy(col("day_num"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .select(col("country"), col("day_num"),
+        col("rev_dec").cast(DoubleType).as("rev"),
+        sum(col("rev_dec")).over(wRows).cast(DoubleType).as("mov7_rows"),
+        sum(col("rev_dec")).over(wRange).cast(DoubleType).as("mov7_range"))
+      .orderBy(col("country"), col("day_num"))
+  }
+
+  // ---- s18: distribution functions — per-segment spend deciles -----------
+
+  /** Customer-spend distribution within each market segment: NTILE(10)
+    * decile, PERCENT_RANK, CUME_DIST (SURVEY §2.5 — functions absent from
+    * the reference, completing the window surface). Partitioned by
+    * segment — the global-distribution variant is the same plan with a
+    * coarser partition key; ties on spend are broken by customer key so
+    * every rank function is total-order deterministic. */
+  def s18_spend_deciles(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sumMoney(col("o_totalprice")).as("monetary_dec"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), coalesce(col("c_mktsegment"), lit("N/A")).as("segment"),
+        col("monetary_dec"))
+    val w = Window.partitionBy(col("segment"))
+      .orderBy(desc("monetary_dec"), col("c_custkey"))
+    m.select(col("segment"), col("c_custkey"),
+        col("monetary_dec").cast(DoubleType).as("monetary"),
+        ntile(10).over(w).cast(LongType).as("decile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("segment"), col("c_custkey"))
+  }
+
+  // ---- s19: full outer join — nation trade flows (customer vs supplier) --
+
+  /** Revenue attributed to each nation from two independent sides — money
+    * spent by the nation's customers (ASIA only, so unmatched rows
+    * genuinely occur) vs revenue fulfilled by the nation's suppliers —
+    * stitched with a FULL OUTER equi-join (SURVEY §2.3 — the one join
+    * type the reference never uses) and COALESCE'd to zero. First use of
+    * the supplier dimension. Both sides pre-aggregate to ≤|nations| rows
+    * before the join — full-outer on aggregated relations is broadcast-
+    * cheap at any corpus scale. */
+  def s19_nation_flows(s: SparkSession, dir: String): DataFrame = {
+    val custSide = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_orders"), sumMoney(col("o_totalprice")).as("cust_rev_dec"))
+    val suppSide = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_lines"), sumRevenue.as("supp_rev_dec"))
+    custSide.join(suppSide, Seq("nation"), "full_outer")
+      .select(col("nation"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("cust_rev_dec").cast(DoubleType), lit(0.0)).as("cust_side_rev"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("supp_rev_dec").cast(DoubleType), lit(0.0)).as("supp_side_rev"))
+      .orderBy(col("nation"))
+  }
+
   // ---- f01: CONCAT null-propagation parity (SURVEY §2.8 F1) ---------------
 
   /** The reference concatenates name parts 8× (`CONCAT(first_name," ",
@@ -704,6 +791,9 @@ object Chinook {
     "s14_dispersion" -> (s14_dispersion _),
     "s15_cube_geo_segment" -> (s15_cube_geo_segment _),
     "s16_pivot_revenue" -> (s16_pivot_revenue _),
+    "s17_moving_frames" -> (s17_moving_frames _),
+    "s18_spend_deciles" -> (s18_spend_deciles _),
+    "s19_nation_flows" -> (s19_nation_flows _),
     "f01_concat_null" -> (f01_concat_null _),
     "f02_month_arith" -> (f02_month_arith _))
 
@@ -1050,6 +1140,67 @@ object Chinook {
           s"       COALESCE(CAST(SUM(price) FILTER (yr = $y) AS DOUBLE), 0.0) AS rev_$y")
           .mkString(",\n") +
         "\nFROM base GROUP BY region ORDER BY region"),
+
+    "s17_moving_frames" ->
+      """WITH daily AS (
+        |  SELECT n_name AS country, CAST(o_orderdate AS DATE) AS d,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT country, CAST(d - DATE '1992-01-01' AS BIGINT) AS day_num, rev_dec
+        |  FROM daily)
+        |SELECT country, day_num,
+        |       CAST(rev_dec AS DOUBLE) AS rev,
+        |       CAST(SUM(rev_dec) OVER (PARTITION BY country ORDER BY day_num
+        |            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov7_rows,
+        |       CAST(SUM(rev_dec) OVER (PARTITION BY country ORDER BY day_num
+        |            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov7_range
+        |FROM dd
+        |ORDER BY country, day_num""".stripMargin,
+
+    "s18_spend_deciles" ->
+      """WITH m AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary_dec
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT c_custkey, COALESCE(c_mktsegment, 'N/A') AS segment, monetary_dec
+        |  FROM m JOIN customer ON o_custkey = c_custkey)
+        |SELECT segment, c_custkey,
+        |       CAST(monetary_dec AS DOUBLE) AS monetary,
+        |       CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM j
+        |WINDOW w AS (PARTITION BY segment ORDER BY monetary_dec DESC, c_custkey)
+        |ORDER BY segment, c_custkey""".stripMargin,
+
+    "s19_nation_flows" ->
+      """WITH cust AS (
+        |  SELECT n_name AS nation, count(*) AS n_orders,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY 1),
+        |supp AS (
+        |  SELECT n_name AS nation, count(*) AS n_lines,
+        |         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS supp_rev
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1)
+        |SELECT COALESCE(c.nation, s.nation) AS nation,
+        |       CAST(COALESCE(c.n_orders, 0) AS BIGINT) AS n_orders,
+        |       COALESCE(CAST(c.cust_rev AS DOUBLE), 0.0) AS cust_side_rev,
+        |       CAST(COALESCE(s.n_lines, 0) AS BIGINT) AS n_lines,
+        |       COALESCE(CAST(s.supp_rev AS DOUBLE), 0.0) AS supp_side_rev
+        |FROM cust c FULL OUTER JOIN supp s ON c.nation = s.nation
+        |ORDER BY nation""".stripMargin,
 
     "s14_dispersion" ->
       """SELECT p_type AS genre, count(*) AS n_lines,
