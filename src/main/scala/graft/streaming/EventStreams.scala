@@ -99,6 +99,24 @@ object EventStreams {
         col("p_ts"), col("c_ts"))
   }
 
+  /** Stream-STATIC join: enrich an unbounded event stream with a bounded
+    * dimension (event_type → attributes) before aggregating. The static
+    * side is stateless — Spark broadcasts (or re-scans) it per micro-
+    * batch, no join state, no watermark needed on the dimension. This is
+    * the dimension-enrichment shape every streaming pipeline starts with;
+    * at cluster scale the dimension broadcasts once per batch and the
+    * stream never shuffles for the join. Aggregation after the join is
+    * the usual watermarked tumbling window. */
+  def enrichedTypeStats(stream: DataFrame, typeDim: DataFrame,
+                        width: String, lateness: String): DataFrame =
+    stream.withWatermark("ts", lateness)
+      .join(broadcast(typeDim), Seq("event_type"))
+      .groupBy(window(col("ts"), width).as("w"), col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        decSum("value").cast(DoubleType).as("total_value"))
+      .select(col("w.start").as("window_start"), col("category"),
+        col("n_events"), col("total_value"))
+
   // --- custom stateful processing (flatMapGroupsWithState) ---------------
 
   case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String,

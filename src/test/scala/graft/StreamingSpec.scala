@@ -36,6 +36,28 @@ class StreamingSpec extends SparkSpec {
       (ts(10), "view", 1L, 5.0)))
   }
 
+  test("stream-static join enriches the stream with a broadcast dimension") {
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[Event]
+    val dim = Seq(("click", "engagement"), ("view", "engagement"),
+      ("purchase", "revenue")).toDF("event_type", "category")
+    source.addData(
+      Event(ts(1), 1L, "click", 1.0),
+      Event(ts(2), 2L, "view", 2.0),
+      Event(ts(3), 1L, "purchase", 10.0))
+    val q = EventStreams
+      .enrichedTypeStats(source.toDF(), dim, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("enriched")
+      .orderBy("window_start", "category").collect()
+      .map(x => (x.getTimestamp(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq(
+      (ts(0), "engagement", 2L, 3.0),
+      (ts(0), "revenue", 1L, 10.0)))
+  }
+
   test("watermark drops events later than the allowed lateness") {
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[Event]
