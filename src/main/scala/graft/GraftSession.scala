@@ -31,6 +31,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     GraftFunctions.register(spark)
+    // Live-session analog of GraftExtensions.injectOptimizerRule
+    // (idempotent — build() may be called repeatedly on the same JVM).
+    val rule = org.apache.spark.sql.graftfn.CountMatchesRule
+    if (!spark.experimental.extraOptimizations.contains(rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
     spark
   }
 
