@@ -82,6 +82,33 @@ object Multimodal {
     extractFeatures(mediaFromDocuments(docs).as[MediaRow]).toDF()
   }
 
+  /** Resize stub: a real image resize decodes, scales, and re-encodes;
+    * the stub downsamples the payload by averaging fixed `factor`-byte
+    * blocks (deterministic; output length = ceil(n/factor), the 1-D
+    * analog of area-average scaling). As with [[decodeStub]], the
+    * partition-iterator batching and the payload-in/payload-out row
+    * contract are the real interface a codec would slot into. */
+  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor > 0, s"factor must be positive: $factor")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val n = r.payload.length
+        val out = new Array[Byte]((n + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) {
+          var s = 0
+          var j = i * factor
+          val end = math.min(j + factor, n)
+          while (j < end) { s += r.payload(j) & 0xff; j += 1 }
+          out(i) = (s / (end - i * factor)).toByte
+          i += 1
+        }
+        r.copy(n_bytes = out.length.toLong, payload = out)
+      }
+    }
+  }
+
   /** Frame sampling stub for "video" payloads: every `stride`-th byte
     * starts a frame of `frameLen` bytes. Real frame extraction swaps the
     * slicing for a container parser; the partition-iterator shape stays. */

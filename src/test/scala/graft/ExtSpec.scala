@@ -276,6 +276,18 @@ class MultimodalSpec extends SparkSpec {
     assert(hist == Map(3 -> 1L, 9 -> 1L, 2 -> 2L, 12 -> 1L))
   }
 
+  test("resizeStub area-averages fixed blocks; tail block averages its remainder") {
+    import spark.implicits._
+    val media = Seq(Multimodal.MediaRow(1L, "png", 5L,
+      Array[Byte](0, 2, 4, 6, 10))).toDS()
+    val r = Multimodal.resizeStub(media, 2).collect()(0)
+    assert(r.n_bytes == 3L)
+    assert(r.payload.toSeq == Seq[Byte](1, 5, 10)) // (0+2)/2, (4+6)/2, 10/1
+    // empty payload resizes to empty, no division by zero
+    val empty = Seq(Multimodal.MediaRow(2L, "wav", 0L, Array.empty[Byte])).toDS()
+    assert(Multimodal.resizeStub(empty, 4).collect()(0).payload.isEmpty)
+  }
+
   test("sampleFrames slices payloads on stride boundaries") {
     val docs = Seq((7L, "abcdefgh")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromDocuments(docs).as[Multimodal.MediaRow]
