@@ -256,13 +256,21 @@ object Dedup {
     labels
   }
 
-  /** Duplicate-cluster summary from a near-dup pair relation: one row per
-    * component with ≥ 2 members — (canonical_id = smallest member id,
-    * n_members). The downstream dedup filter is then `doc_id !=
-    * canonical_id → drop`, which is a broadcast/semi-join at any scale. */
-  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    connectedComponents(pairs, aCol, bCol)
+  /** Cluster summary from a component-label relation (the
+    * [[connectedComponents]] output): one row per component with ≥ 2
+    * members — (canonical_id = smallest member id, n_members). */
+  def clusterSummary(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("label").as("canonical_id"))
       .agg(count(lit(1)).as("n_members"))
       .filter(col("n_members") > 1)
+
+  /** Duplicate-cluster summary from a near-dup pair relation. The
+    * downstream dedup filter is then `doc_id != canonical_id → drop`,
+    * which is a broadcast/semi-join at any scale. Callers that need both
+    * the summary and the member labels should run [[connectedComponents]]
+    * once and derive both (the fixpoint is eager and iterative — see
+    * graft.queries.Extensions.minhashDupLabels). */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    clusterSummary(connectedComponents(pairs, aCol, bCol))
 }

@@ -11,6 +11,7 @@ import org.apache.spark.sql.DataFrame
   */
 object ExtCaches {
   private val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val clearHooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   /** Persist `df` and remember it for a later [[clearCaches]]. */
   def persistTracked(df: DataFrame): DataFrame = synchronized {
@@ -19,11 +20,22 @@ object ExtCaches {
     p
   }
 
+  /** Register a callback run by every [[clearCaches]] — for KEYED caches
+    * holding references to tracked relations (e.g. the component-label
+    * registry), which must drop their entries when the persists beneath
+    * them are released: a kept reference would silently re-evaluate the
+    * un-persisted lineage on next use. */
+  def registerClearHook(h: () => Unit): Unit = synchronized {
+    clearHooks += h
+  }
+
   /** Unpersist every tracked relation (blocking, so storage memory is
-    * actually free when this returns — the bench harness relies on that). */
+    * actually free when this returns — the bench harness relies on that),
+    * then run the registered keyed-cache hooks. */
   def clearCaches(): Unit = synchronized {
     cached.foreach(_.unpersist(blocking = true))
     cached.clear()
+    clearHooks.foreach(_.apply())
   }
 
   /** Number of currently tracked cached relations (for tests). */

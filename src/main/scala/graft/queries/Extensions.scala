@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ext.{Dedup, ExtCaches, Multimodal, Sampling, Similarity, TextOps}
 import graft.streaming.EventStreams
 import graft.tables.Tables
 
@@ -48,16 +48,34 @@ object Extensions {
 
   // ---- x20: duplicate-cluster resolution over the x03 pair graph ---------
 
+  /** Component labels over the x03 MinHash-LSH pair graph, shared by x20
+    * (cluster summary) and x23 (survivor anti-join) — the fixpoint is
+    * EAGER and iterative (see Dedup.connectedComponents), so running it
+    * once per (session, dir) matters: a real pipeline computes components
+    * once and derives every downstream view from them. The keyed entry is
+    * dropped by ExtCaches.clearCaches via a registered hook TOGETHER with
+    * the persisted frames underneath — holding the DataFrame past its
+    * persist would silently re-evaluate the unrolled iteration lineage
+    * (each round references the previous twice → exponential without the
+    * cache). */
+  private val ccLabelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  ExtCaches.registerClearHook(() => ccLabelsCache.clear())
+
+  private def minhashDupLabels(s: SparkSession, dir: String): DataFrame =
+    ccLabelsCache.getOrElseUpdate((s, dir),
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b"))
+
   /** What a dedup pipeline runs AFTER pairing: connected components over
     * the near-dup pairs, one canonical doc per cluster. Iterative
     * min-label propagation (see Dedup.connectedComponents for the scale
     * story); the oracle computes the same fixpoint with a recursive CTE. */
   def x20_dup_clusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateClusters(
-        Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-          w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
-          .select(col("id_a"), col("id_b")),
-        "id_a", "id_b")
+    Dedup.clusterSummary(minhashDupLabels(s, dir))
       .orderBy(col("canonical_id"))
 
   // ---- x04: SimHash fingerprints + near-dup pairs ------------------------
@@ -189,11 +207,8 @@ object Extensions {
     * corpus is never shuffled. Eager like x20 (the component fixpoint
     * must run to build the plan). */
   def x23_dedup_survivors(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
-      .select(col("id_a"), col("id_b"))
-    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
-    val dropped = labels.filter(col("label") =!= col("v"))
+    val dropped = minhashDupLabels(s, dir)
+      .filter(col("label") =!= col("v"))
       .select(col("v").as("doc_id"))
     Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
       .join(dropped, Seq("doc_id"), "left_anti")
