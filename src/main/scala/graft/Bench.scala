@@ -97,7 +97,10 @@ object Bench {
     // line compact — centisecond precision (run-to-run variance is ±30%,
     // so 10 ms resolution loses nothing), no whitespace — and write the
     // full-precision timings to bench_detail.json for human readers.
-    def fmt(v: Double): String = f"$v%.2f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would render "12,34" — invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def obj(rs: Seq[(String, Double)], f: Double => String): String =
       rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val errs = errors.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -251,7 +251,13 @@ object Dedup {
       converged = changed == 0L
       it += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    if (!converged) {
+      // release the final round's persist BEFORE throwing — the reference
+      // would otherwise be unreachable and the storage leak permanent
+      step.unpersist(blocking = true)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds")
+    }
     ExtCaches.persistTracked(step) // hand ownership to the registry
     labels
   }

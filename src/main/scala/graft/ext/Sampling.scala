@@ -39,23 +39,25 @@ object Sampling {
     * intended one on both engines. */
   def hashThresholdSample(df: DataFrame, idCol: String, frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac out of range: $frac")
-    // frac == 1.0 must short-circuit: round(1.0·2³²) = 0x100000000 formats
-    // as the NINE-char "100000000", and comparing an 8-char hex prefix
+    // Any frac whose rounded threshold reaches 2³² must short-circuit —
+    // not just exactly 1.0: round((1−2⁻³⁴)·2³²) = 0x100000000 formats as
+    // the NINE-char "100000000", and comparing an 8-char hex prefix
     // against it lexicographically keeps only hashes < 0x10000001 (~1/16
-    // of rows) instead of all of them.
-    if (frac == 1.0) df
-    else {
-      val cut = f"${math.round(frac * 4294967296.0)}%08x"
-      df.filter(substring(hashKey(col(idCol)), 1, 8) < lit(cut))
-    }
+    // of rows) instead of ~all of them. Keeping everything is the correct
+    // semantic for a fraction within 2⁻³³ of 1.
+    if (math.round(frac * 4294967296.0) >= 4294967296L) df
+    else df.filter(substring(hashKey(col(idCol)), 1, 8) < lit(hashCut(frac)))
   }
 
   /** The 8-hex-char threshold [[hashThresholdSample]] compares against —
-    * exposed so oracle SQL can interpolate the SAME computed cut instead
-    * of hardcoding a copy that silently diverges when `frac` changes. */
+    * the SINGLE source of the cut formula, used by the Spark filter above
+    * and interpolated into oracle SQL, so the two sides cannot silently
+    * diverge when `frac` changes. Throws for fractions so close to 1
+    * that no 8-char cut exists (callers short-circuit those). */
   def hashCut(frac: Double): String = {
-    require(frac > 0.0 && frac < 1.0, s"no finite 8-char cut for frac=$frac")
-    f"${math.round(frac * 4294967296.0)}%08x"
+    val cut = math.round(frac * 4294967296.0)
+    require(cut < 4294967296L, s"no 8-char cut for frac=$frac (threshold rounds to 2^32)")
+    f"$cut%08x"
   }
 
   /** Exact stratified sample: within each stratum, rank by (hash, id) and

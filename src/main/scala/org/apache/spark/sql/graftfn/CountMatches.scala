@@ -13,9 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * without materializing the match array.
   *
   * Why (SURVEY.md §7.4): the engine's text featurization counts pattern
-  * occurrences constantly (token counts in x08/x24, CJK-codepoint scoring
-  * in langId) and the built-in spelling allocates an ArrayData of every
-  * match string per row only to take its length. This expression runs the
+  * occurrences in projections that use the matches for nothing else
+  * (langId's CJK-codepoint score, standalone token counting) and the
+  * built-in spelling allocates an ArrayData of every match string per row
+  * only to take its length. This expression runs the
   * same java.util.regex matcher loop and returns the count directly — no
   * per-match UTF8String slices, no array allocation — and stays inside
   * whole-stage codegen (the generated code is one virtual call into
@@ -69,16 +70,37 @@ case class CountMatches(left: Expression, right: Expression)
 
 /** Optimizer rule: `size(regexp_extract_all(s, re, 0))` → `count_matches`.
   *
-  * Fires only for group 0 (full-match extraction, the counting idiom) and
-  * only under the default sizeOfNull semantics (`legacySizeOfNull = true`
-  * makes `size(null)` return -1, which the null-propagating replacement
-  * would not honor). Registered both through
-  * `SparkSessionExtensions.injectOptimizerRule` (the spark.sql.extensions
-  * deployment path) and idempotently on live sessions by GraftSession.
+  * Fires only when the rewrite is a pure win:
+  *  - group 0 (full-match extraction, the counting idiom);
+  *  - default sizeOfNull semantics (`legacySizeOfNull = true` makes
+  *    `size(null)` return -1, which the null-propagating replacement
+  *    would not honor);
+  *  - the match array is used NOWHERE ELSE in the same plan node. When a
+  *    sibling column also consumes `regexp_extract_all` (x08's
+  *    `array_distinct(t)`, say), codegen subexpression elimination
+  *    already evaluates the regex once per row and `size` just reads the
+  *    array length — rewriting there would ADD a second matcher pass on
+  *    top of the array that still gets built. Occurrences are counted per
+  *    node on canonicalized subtrees, matching the per-operator scope of
+  *    codegen CSE.
+  *
+  * Registered both through `SparkSessionExtensions.injectOptimizerRule`
+  * (the spark.sql.extensions deployment path) and idempotently on live
+  * sessions by GraftSession.
   */
 object CountMatchesRule extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case Size(RegExpExtractAll(subject, regexp, Literal(0, IntegerType)), false) =>
-      CountMatches(subject, regexp)
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case node =>
+      val uses = scala.collection.mutable.HashMap.empty[Expression, Int]
+      node.expressions.foreach(_.foreach {
+        case r: RegExpExtractAll =>
+          uses.updateWith(r.canonicalized)(c => Some(c.getOrElse(0) + 1))
+        case _ => ()
+      })
+      node.transformExpressions {
+        case Size(r @ RegExpExtractAll(subject, regexp, Literal(0, IntegerType)), false)
+            if uses.getOrElse(r.canonicalized, 0) == 1 =>
+          CountMatches(subject, regexp)
+      }
   }
 }

@@ -10,6 +10,11 @@ import org.apache.spark.sql.graftfn.{CountMatches, CountMatchesRule}
 class CountMatchesSpec extends SparkSpec {
   import spark.implicits._
 
+  private def countMatchesIn(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+    plan.collect { case n =>
+      n.expressions.flatMap(_.collect { case c: CountMatches => c })
+    }.flatten
+
   private def withRule[T](body: => T): T = {
     val prev = spark.experimental.extraOptimizations
     if (!prev.contains(CountMatchesRule))
@@ -33,8 +38,7 @@ class CountMatchesSpec extends SparkSpec {
       val df = Seq[String]("a1 b2 c3", "", "xyz", null).toDF("text")
         .select(size(regexp_extract_all(col("text"), lit("[a-z][0-9]"), lit(0))).as("n"))
       val opt = df.queryExecution.optimizedPlan
-      assert(opt.expressions.flatMap(_.collect { case c: CountMatches => c }).nonEmpty,
-        s"rewrite did not fire:\n$opt")
+      assert(countMatchesIn(opt).nonEmpty, s"rewrite did not fire:\n$opt")
       assert(!opt.toString.contains("regexp_extract_all"), opt.toString)
       val r = df.collect().map(x => if (x.isNullAt(0)) null else x.getInt(0))
       assert(r.toSeq == Seq(3, 0, 0, null))
@@ -58,14 +62,28 @@ class CountMatchesSpec extends SparkSpec {
     }
   }
 
-  test("engine text ops hit the rewrite through the standard spelling") {
+  test("rule bails when sibling expressions still materialize the match array") {
     withRule {
+      // tokenStats' siblings (array_distinct, aggregate) consume the same
+      // regexp_extract_all — codegen CSE already evaluates it once, so a
+      // rewrite would ADD a matcher pass; the rule must not fire.
       val df = graft.ext.TextOps.tokenStats(Seq("the cat sat").toDF("text"))
-        .select("n_tokens")
+        .select("n_tokens", "n_distinct_tokens")
       val opt = df.queryExecution.optimizedPlan
-      assert(opt.expressions.flatMap(_.collect { case c: CountMatches => c }).nonEmpty,
-        s"tokenStats n_tokens did not rewrite:\n$opt")
-      assert(df.first().getLong(0) == 3L)
+      assert(countMatchesIn(opt).isEmpty,
+        s"rewrite fired despite sibling array use:\n$opt")
+      val r = df.first()
+      assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    }
+  }
+
+  test("langId rewrites exactly the CJK score — the one count with no other array use") {
+    withRule {
+      val df = graft.ext.TextOps.langId(Seq("你好 the cat").toDF("text"))
+      val opt = df.queryExecution.optimizedPlan
+      val cms = countMatchesIn(opt)
+      assert(cms.size == 1, s"expected exactly the CJK-score rewrite:\n$opt")
+      assert(df.select("score_zh").first().getLong(0) == 2L)
     }
   }
 }
