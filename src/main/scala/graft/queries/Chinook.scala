@@ -614,6 +614,28 @@ object Chinook {
       .orderBy(col("region"))
   }
 
+  // ---- s20: explicit GROUPING SETS (non-hierarchical subtotals) ----------
+
+  /** Subtotals by region AND by segment — two independent grouping sets,
+    * deliberately NOT expressible as ROLLUP (hierarchical, s12) or CUBE
+    * (all combinations, s15): GROUPING SETS is the primitive both
+    * desugar to, and this exercises it directly. One Expand pass, one
+    * aggregate; grouping_id() disambiguates which set a row belongs to. */
+  def s20_grouping_sets(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"),
+        coalesce(col("c_mktsegment"), lit("N/A")).as("segment"))
+      .groupingSets(Seq(Seq(col("region")), Seq(col("segment"))),
+        col("region"), col("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        grouping_id().cast(LongType).as("gid"))
+      .select(coalesce(col("region"), lit("ALL")).as("region"),
+        coalesce(col("segment"), lit("ALL")).as("segment"),
+        col("gid"), col("n_customers"))
+      .orderBy(col("gid"), col("region"), col("segment"))
+
   // ---- s17: explicit window frames — ROWS vs RANGE moving aggregates -----
 
   /** Seven-day revenue smoothing per country with the frame spec EXPLICIT,
@@ -792,6 +814,7 @@ object Chinook {
     "s15_cube_geo_segment" -> (s15_cube_geo_segment _),
     "s16_pivot_revenue" -> (s16_pivot_revenue _),
     "s17_moving_frames" -> (s17_moving_frames _),
+    "s20_grouping_sets" -> (s20_grouping_sets _),
     "s18_spend_deciles" -> (s18_spend_deciles _),
     "s19_nation_flows" -> (s19_nation_flows _),
     "f01_concat_null" -> (f01_concat_null _),
@@ -1140,6 +1163,20 @@ object Chinook {
           s"       COALESCE(CAST(SUM(price) FILTER (yr = $y) AS DOUBLE), 0.0) AS rev_$y")
           .mkString(",\n") +
         "\nFROM base GROUP BY region ORDER BY region"),
+
+    "s20_grouping_sets" ->
+      """WITH base AS (
+        |  SELECT r_name AS region, COALESCE(c_mktsegment, 'N/A') AS segment
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT COALESCE(region, 'ALL') AS region,
+        |       COALESCE(segment, 'ALL') AS segment,
+        |       CAST(GROUPING(region, segment) AS BIGINT) AS gid,
+        |       count(*) AS n_customers
+        |FROM base
+        |GROUP BY GROUPING SETS ((region), (segment))
+        |ORDER BY gid, region, segment""".stripMargin,
 
     "s17_moving_frames" ->
       """WITH daily AS (

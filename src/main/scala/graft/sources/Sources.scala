@@ -79,6 +79,28 @@ object Sinks {
   def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     base(df, mode).orc(path)
 
+  /** Range-partitioned, sorted-within-file parquet layout — the flat-file
+    * analog of a clustering key: rows are globally range-distributed by
+    * `sortCols`, then sorted inside each output file, so every file (and
+    * row group) covers a narrow, non-overlapping key range and parquet
+    * min/max statistics become an effective coarse index. Readers
+    * filtering on the leading sort column skip whole files — the data-
+    * skipping layout a 100 TB table wants for its dominant access key.
+    * SourcesSpec asserts the non-overlap property on the written files. */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  numFiles: Option[Int] = None,
+                  mode: String = "overwrite"): Unit = {
+    import org.apache.spark.sql.functions.col
+    // explicit file count pins the layout; without it AQE sizes the range
+    // shuffle (and may coalesce small data into fewer files)
+    val ranged = numFiles match {
+      case Some(n) => df.repartitionByRange(n, sortCols.map(col): _*)
+      case None => df.repartitionByRange(sortCols.map(col): _*)
+    }
+    ranged.sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(mode).parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
                mode: String = "overwrite"): Unit =
     base(df, mode).option("header", header.toString).csv(path)

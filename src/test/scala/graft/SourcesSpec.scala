@@ -108,6 +108,28 @@ class SourcesSpec extends SparkSpec {
     assert(r42.getAs[String]("NAME") == "n42" && r42.getAs[Double]("V") == 21.0)
   }
 
+  test("writeSorted produces non-overlapping per-file key ranges (data skipping)") {
+    val dir = tmp("graft_sorted")
+    val df = spark.range(1000).toDF("id")
+      .withColumn("v", col("id") % 7)
+      .repartition(5) // scramble first so the range layout does real work
+    Sinks.writeSorted(df, dir, Seq("id"), numFiles = Some(4))
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length > 1, s"expected a multi-file layout, got ${files.length}")
+    // every file covers a disjoint id range → min/max stats skip files
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("id")), max(col("id"))).first()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlap: $hi >= $lo")
+      case _ => ()
+    }
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
   test("partitioned sink + pruned source") {
     val dir = tmp("graft_part")
     Sinks.writePartitioned(
