@@ -114,7 +114,9 @@ object Bench {
     val compact = line(fmt, withExtended = true)
     // Belt and braces: if the line ever outgrows the tail window, drop the
     // per-query extended map (its total survives) rather than the parse.
-    println(if (compact.length <= 1800) compact else line(fmt, withExtended = false))
+    // Budget: the driver's 2000-char tail minus sbt's ~80-char
+    // "[success] Total time: …" trailer and the newline → 1880 is safe.
+    println(if (compact.length <= 1880) compact else line(fmt, withExtended = false))
     spark.stop()
   }
 }

@@ -200,4 +200,30 @@ class StreamingSpec extends SparkSpec {
     assert(updates.contains((1L, 2L, 1L)))
     assert(updates.contains((1L, 3L, 2L)))
   }
+
+  test("transformWithState processor matches the flatMapGroupsWithState semantics") {
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = MemoryStream[Event]
+      val q = EventStreams.runningUserActivityTws(source.toDS())
+        .writeStream.format("memory").queryName("activity_tws")
+        .outputMode("update").start()
+      source.addData(Event(ts(1), 1L, "purchase", 10.0), Event(ts(2), 1L, "click", 0.0))
+      q.processAllAvailable()
+      source.addData(Event(ts(3), 1L, "purchase", 20.0))
+      q.processAllAvailable(); q.stop()
+      val updates = spark.table("activity_tws").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      assert(updates.contains((1L, 2L, 1L)))
+      assert(updates.contains((1L, 3L, 2L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
