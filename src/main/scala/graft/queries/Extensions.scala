@@ -229,6 +229,70 @@ object Extensions {
     Similarity.centroids(Tables.embeddings(s, dir), "label", "embedding")
       .orderBy(col("label"), col("dim"))
 
+  // ---- x26: the end-to-end training-data build ---------------------------
+
+  /** Quality gate for x26: keeps ~75% of the corpus at every SF (the score
+    * distribution's p25 sits at 0.5). Interpolated into BOTH the Spark
+    * filter and the oracle SQL so the two sides can never drift. */
+  val QualityGate = 0.5
+
+  /** x26's target corpus language — the C4-style "keep documents the
+    * language-ID model says are X" selection. (The metadata `lang` label
+    * is NOT used as the gate: the synthetic corpus is English-shaped text
+    * under every label, so the classifier predicts en throughout, and the
+    * report below groups by the metadata label precisely to expose that
+    * label/content disagreement per stratum.) Interpolated into both
+    * engine and oracle. */
+  val TargetLang = "en"
+
+  /** The whole pipeline in one query — what a C4/Gopher-style corpus
+    * build runs end to end, each stage an operator proven on its own
+    * elsewhere in this file:
+    *
+    *   1. per-row scoring at scan speed: language ID (x10) + quality
+    *      metrics (x09), one pass, no shuffle;
+    *   2. gates: predicted language = [[TargetLang]] (target-language
+    *      selection), quality_score ≥ [[QualityGate]];
+    *   3. exact dedup (x01's digest): keep the min doc_id per sha256 —
+    *      a groupBy on the digest plus a semi-join back, never a sort;
+    *   4. near-dup dedup (x03→x20→x23): anti-join against the dropped
+    *      side of the SHARED component-label fixpoint (one CC run serves
+    *      x20, x23 and x26 via ccLabelsCache);
+    *   5. the deliverable: per-language corpus report — doc counts and
+    *      exact integer token/char totals (what a tokenizer-budget plan
+    *      consumes), min/max quality as the gate audit.
+    *
+    * The gated corpus is materialized once (persistTracked): it feeds
+    * both the digest aggregate and the semi-join probe, and at 100 TB a
+    * pipeline would checkpoint exactly this relation before the dedup
+    * joins. Aggregate outputs are integers (exact in any order) — never
+    * order-dependent double sums (oracle-parity rule). */
+  def x26_pipeline_gate(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.langId(TextOps.qualityScore(Tables.documents(s, dir)))
+    val gated = ExtCaches.persistTracked(scored
+      .filter(col("predicted_lang") === TargetLang &&
+        col("quality_score") >= QualityGate)
+      .select(col("doc_id"), col("lang"), col("text"),
+        col("n_chars"), col("n_tokens"), col("quality_score")))
+    val keepIds = gated
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val dropped = minhashDupLabels(s, dir)
+      .filter(col("label") =!= col("v"))
+      .select(col("v").as("doc_id"))
+    gated
+      .join(keepIds, Seq("doc_id"), "left_semi")
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+      .orderBy(col("lang"))
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -371,7 +435,8 @@ object Extensions {
     "x22_vocab_coverage" -> (x22_vocab_coverage _),
     "x23_dedup_survivors" -> (x23_dedup_survivors _),
     "x24_repetition" -> (x24_repetition _),
-    "x25_embedding_centroids" -> (x25_embedding_centroids _))
+    "x25_embedding_centroids" -> (x25_embedding_centroids _),
+    "x26_pipeline_gate" -> (x26_pipeline_gate _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -767,6 +832,71 @@ object Extensions {
 
     // Per-label centroids: zip-unnest (dim, quantized value), integer
     // sums, two IEEE divides — same quantization CTE family as x05–x07.
+    // x26: the CTE chain composes the proven x09/x10 per-row fragments
+    // with the x20/x23 recursive component fixpoint; `qtoks` (not `toks`)
+    // avoids colliding with the minhashVerifiedCte's own token CTE.
+    "x26_pipeline_gate" ->
+      s"""WITH RECURSIVE $minhashVerifiedCte,
+         |prs AS (
+         |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
+         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v),
+         |dropped AS (SELECT v FROM lab WHERE label <> v),
+         |qtoks AS (
+         |  SELECT doc_id, lang, text,
+         |         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |qm AS (
+         |  SELECT doc_id, lang, text,
+         |         CAST(len(text) AS BIGINT) AS n_chars,
+         |         CAST(len(t) AS BIGINT) AS n_tokens,
+         |         CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
+         |         CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','in','is','it','for'))) AS BIGINT) AS stopword_count,
+         |         CAST(len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS BIGINT) AS s_en,
+         |         CAST(len(list_filter(t, x -> x IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de,
+         |         CAST(len(list_filter(t, x -> x IN ('el','los','que','y','las'))) AS BIGINT) AS s_es,
+         |         CAST(len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS s_fr,
+         |         CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS s_zh
+         |  FROM qtoks),
+         |qr AS (
+         |  SELECT *,
+         |         CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         |         CASE WHEN n_tokens > 0 THEN CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+         |  FROM qm),
+         |qq AS (
+         |  SELECT *,
+         |         ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+         |               * (1.0 - punct_ratio)
+         |               * least(stopword_ratio * 5.0 + 0.5, 1.0), 6) AS quality_score,
+         |         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |              WHEN s_fr >= s_zh THEN 'fr'
+         |              ELSE 'zh' END AS predicted_lang
+         |  FROM qr),
+         |gated AS (
+         |  SELECT doc_id, lang, text, n_chars, n_tokens, quality_score
+         |  FROM qq
+         |  WHERE predicted_lang = '$TargetLang' AND quality_score >= $QualityGate),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text))
+         |SELECT g.lang, count(*) AS n_docs,
+         |       CAST(SUM(g.n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(g.n_chars) AS BIGINT) AS total_chars,
+         |       MIN(g.quality_score) AS min_quality,
+         |       MAX(g.quality_score) AS max_quality
+         |FROM gated g
+         |WHERE g.doc_id IN (SELECT doc_id FROM keep)
+         |  AND g.doc_id NOT IN (SELECT v FROM dropped)
+         |GROUP BY g.lang
+         |ORDER BY g.lang""".stripMargin,
+
     "x25_embedding_centroids" ->
       s"""WITH q AS (
          |  SELECT CAST(label AS BIGINT) AS label,

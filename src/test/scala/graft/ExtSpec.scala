@@ -224,6 +224,24 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L)) // {1,2,3} collapse to 1
   }
 
+  test("x26 pipeline gate: audit columns prove every stage fired") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.tables.Tables.documents(spark, dir)
+    val total = docs.count()
+    val report = graft.queries.Extensions.x26_pipeline_gate(spark, dir)
+      .collect()
+    // one row per metadata language present in the corpus, none invented
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(report.map(_.getAs[String]("lang")).toSet.subsetOf(langs))
+    // the gates actually dropped something, but not everything
+    val kept = report.map(_.getAs[Long]("n_docs")).sum
+    assert(kept > 0 && kept < total)
+    // the quality gate is a real lower bound on the surviving corpus
+    assert(report.forall(_.getAs[Double]("min_quality") >=
+      graft.queries.Extensions.QualityGate))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("bruteForceTopK ranks by cosine with id tiebreak, excluding self") {
     val r = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L),
         "vec_id", "embedding", k = 3)
