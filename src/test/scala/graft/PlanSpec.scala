@@ -67,6 +67,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  // Runtime bloom-filter join pruning (InjectRuntimeFilter) is ON by
+  // default in Spark 4 — at cluster scale a selective dim filter
+  // automatically plants a bloom filter on the fact-scan side of a
+  // shuffle join, pruning shuffle input before the exchange. The size
+  // thresholds that gate it (creation side ≤ 10 MB, application side
+  // ≥ 10 GB scan) are tuned for real tables, so at testdata scale the
+  // rule never fires on its own; this test widens the thresholds to
+  // prove the engine's plans are shaped so the rule CAN fire — an
+  // equi-join with a selective creation side and no broadcast.
+  test("selective dim filter injects a runtime bloom filter on the fact side") {
+    import org.apache.spark.sql.functions.col
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.tables.Tables.lineitem(spark, dir)
+      val brand = graft.tables.Tables.part(spark, dir)
+        .filter(col("p_brand") === "Brand#12")
+      val plan = li.join(brand, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type")).count()
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg"), plan)
+      assert(plan.contains("might_contain"), plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   // ---- fleet-wide gate ------------------------------------------------
   //
   // Every claim of "this is the plan you'd want at 100×" becomes a test:
