@@ -101,6 +101,76 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  /** Morton (z-order) interleave of pre-gridded coordinates: bit `b` of
+    * grid column `i` lands at output bit `b·k + i` (k = number of
+    * columns). A single static expression tree of shift/and/or terms —
+    * fully codegen'd, no UDF. Exposed for the spec's exactness test. */
+  def zValue(gridCols: Seq[org.apache.spark.sql.Column], bits: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    val k = gridCols.size
+    (0 until bits).flatMap { b =>
+      gridCols.zipWithIndex.map { case (g, i) =>
+        shiftleft(shiftright(g, b).bitwiseAND(lit(1L)), b * k + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-ordered parquet layout — multi-dimensional clustering for tables
+    * with MORE THAN ONE dominant access key. [[writeSorted]] gives
+    * perfect skipping on its leading column and none on the others; the
+    * Morton curve trades a little per-dim locality so that EVERY z column
+    * gets a narrow per-file min/max envelope, and point/range filters on
+    * any of them skip most files (and row groups) via parquet statistics.
+    *
+    * Shape: one tiny min/max aggregate over the input (at 100 TB this is
+    * a metadata-cheap stats scan, or comes straight from catalog stats),
+    * each column normalized onto a 2^bits equi-width grid, bits
+    * interleaved per-row at scan speed, then the [[writeSorted]] range-
+    * distribute + sort-within-file machinery over the z value. Equi-width
+    * gridding keeps the pass single-action; a heavily skewed dim would
+    * want equi-depth boundaries (approxQuantile) instead — same curve,
+    * different gridding, noted here rather than implemented until a
+    * workload needs it. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    bits: Int = 16, numFiles: Option[Int] = None,
+                    mode: String = "overwrite"): Unit = {
+    import org.apache.spark.sql.functions.{col, floor, least, lit}
+    require(zCols.size >= 2, "z-ordering needs at least two columns")
+    require(zCols.size * bits <= 62, "z value must fit in a signed long")
+    val aggs = zCols.flatMap(c => Seq(
+      org.apache.spark.sql.functions.min(col(c)),
+      org.apache.spark.sql.functions.max(col(c))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val cells = (1L << bits) - 1
+    val grids = zCols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (stats.getAs[Any](2 * i), stats.getAs[Any](2 * i + 1))
+      val (loD, hiD) = (toDouble(lo), toDouble(hi))
+      if (hiD == loD) lit(0L)
+      else least(
+        floor((col(c).cast("double") - lit(loD)) *
+          (cells.toDouble / (hiD - loD))).cast("long"),
+        lit(cells))
+    }
+    val zc = "__graft_z"
+    val ranged = numFiles match {
+      case Some(n) => df.withColumn(zc, zValue(grids, bits))
+        .repartitionByRange(n, col(zc))
+      case None => df.withColumn(zc, zValue(grids, bits))
+        .repartitionByRange(col(zc))
+    }
+    ranged.sortWithinPartitions(col(zc)).drop(zc)
+      .write.mode(mode).parquet(path)
+  }
+
+  private def toDouble(v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue()
+    case d: java.sql.Date => d.getTime.toDouble
+    case t: java.sql.Timestamp => t.getTime.toDouble
+    case other => throw new IllegalArgumentException(
+      s"z-order column must be numeric/date, got ${other.getClass}")
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
                mode: String = "overwrite"): Unit =
     base(df, mode).option("header", header.toString).csv(path)

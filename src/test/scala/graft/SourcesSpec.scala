@@ -130,6 +130,42 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1000)
   }
 
+  test("zValue interleaves bits exactly (Morton order)") {
+    import spark.implicits._
+    // x=2 (10₂), y=1 (01₂), bits=2: bit b of col i → position b·2+i
+    //   b0: x→pos0 (0), y→pos1 (1); b1: x→pos2 (1), y→pos3 (0) → 0110₂ = 6
+    val r = Seq((2L, 1L)).toDF("x", "y")
+      .select(Sinks.zValue(Seq(col("x"), col("y")), 2)).first().getLong(0)
+    assert(r == 6L)
+  }
+
+  test("writeZOrdered bounds per-file envelopes on BOTH dims (multi-key skipping)") {
+    val dir = tmp("graft_zorder")
+    // two independent uniform dims: a single-column sort layout leaves the
+    // second dim spanning ~the full domain in every file; the z layout
+    // must bound both
+    val df = spark.range(4096).toDF("id")
+      .withColumn("a", col("id") % 64)
+      .withColumn("b", (col("id") / lit(64)).cast("long"))
+      .repartition(7) // scramble so the curve layout does real work
+    Sinks.writeZOrdered(df, dir, Seq("a", "b"), bits = 6, numFiles = Some(16))
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length > 4, s"expected a multi-file layout, got ${files.length}")
+    val spreads = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b"))).first()
+      (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+    }
+    // 16 files over a 64×64 grid: each file's bounding box must cover well
+    // under the full 63-wide domain on each dim (a sorted-by-a layout
+    // would leave b's spread at ~63 in every file)
+    val (avgA, avgB) = (spreads.map(_._1).sum.toDouble / spreads.length,
+      spreads.map(_._2).sum.toDouble / spreads.length)
+    assert(avgA < 32 && avgB < 32, s"avg spreads a=$avgA b=$avgB of 63")
+    assert(spark.read.parquet(dir).count() == 4096)
+  }
+
   test("partitioned sink + pruned source") {
     val dir = tmp("graft_part")
     Sinks.writePartitioned(
