@@ -36,6 +36,25 @@ class StreamingSpec extends SparkSpec {
       (ts(10), "view", 1L, 5.0)))
   }
 
+  test("per-row featurization ops run unchanged on a stream (ingest-time scoring)") {
+    // The x08–x10 text operators are pure per-row expressions, so the SAME
+    // functions serve batch featurization and stream-ingest scoring — the
+    // property that lets a 100 TB pipeline score documents as they land
+    // instead of re-scanning the corpus. Stateless → append mode, no
+    // watermark, no state store.
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[String]
+    source.addData("the quick brown fox and the lazy dog", "!!!")
+    val q = graft.ext.TextOps.langId(
+        graft.ext.TextOps.qualityScore(source.toDF().withColumnRenamed("value", "text")))
+      .select("text", "quality_score", "predicted_lang")
+      .writeStream.format("memory").queryName("scored").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("scored").orderBy(org.apache.spark.sql.functions.desc("quality_score"))
+      .collect().map(x => (x.getDouble(1), x.getString(2)))
+    assert(r.length == 2 && r(0)._1 > r(1)._1 && r(0)._2 == "en")
+  }
+
   test("stream-static join enriches the stream with a broadcast dimension") {
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[Event]
