@@ -38,6 +38,34 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Quarantine-column readers: at ingest scale some fraction of a text
+    * feed is always malformed, and a FAILFAST job that dies terabytes in
+    * — or a silent DROPMALFORMED that loses rows — is operationally
+    * wrong. PERMISSIVE mode with an explicit corrupt-record column turns
+    * bad records into data: valid rows parse normally, broken ones land
+    * whole in `corruptCol` (typed fields null), and the pipeline routes
+    * them to a quarantine sink with one filter instead of failing.
+    * (Spark caveat: a query pruned down to ONLY the corrupt column on the
+    * raw scan is disallowed — materialize or select real columns
+    * alongside it when routing.) */
+  def jsonWithQuarantine(spark: SparkSession, path: String, schema: StructType,
+                         corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
+  def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType,
+                        corruptCol: String = "_corrupt_record",
+                        header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
+
   /** JDBC source (the BASELINE "database dump or JDBC source" path).
     * `partitionColumn`/bounds split the read into `numPartitions` parallel
     * range queries — without them a JDBC read is a single-task scan, which
@@ -146,9 +174,10 @@ object Sinks {
     val grids = zCols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (stats.getAs[Any](2 * i), stats.getAs[Any](2 * i + 1))
       val (loD, hiD) = (toDouble(lo), toDouble(hi))
+      val field = df.schema(c)
       if (hiD == loD) lit(0L)
       else least(
-        floor((col(c).cast("double") - lit(loD)) *
+        floor((asDouble(col(c), field.dataType) - lit(loD)) *
           (cells.toDouble / (hiD - loD))).cast("long"),
         lit(cells))
     }
@@ -163,12 +192,30 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  // The column-side and driver-side conversions MUST agree on units
+  // (dates → epoch days, timestamps → epoch micros): the grid scale is
+  // computed from the driver-side min/max and applied to the column.
+  private def asDouble(c: org.apache.spark.sql.Column,
+                       dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{unix_date, unix_micros}
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    dt match {
+      case DateType      => unix_date(c).cast("double")
+      case TimestampType => unix_micros(c).cast("double")
+      case _: NumericType => c.cast("double")
+      case other => throw new IllegalArgumentException(
+        s"z-order column must be numeric/date/timestamp, got $other")
+    }
+  }
+
   private def toDouble(v: Any): Double = v match {
     case n: java.lang.Number => n.doubleValue()
-    case d: java.sql.Date => d.getTime.toDouble
-    case t: java.sql.Timestamp => t.getTime.toDouble
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toDouble
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000.0 + (t.getNanos % 1000000) / 1000.0
     case other => throw new IllegalArgumentException(
-      s"z-order column must be numeric/date, got ${other.getClass}")
+      s"z-order column must be numeric/date/timestamp, got ${other.getClass}")
   }
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,

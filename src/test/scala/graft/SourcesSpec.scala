@@ -130,6 +130,27 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1000)
   }
 
+  test("quarantine reader parses good rows and captures malformed ones whole") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = tmp("graft_quarantine")
+    new java.io.File(dir).mkdirs()
+    val pw = new java.io.PrintWriter(s"$dir/feed.json")
+    pw.println("""{"id": 1, "name": "ok"}""")
+    pw.println("""{"id": broken!!""")
+    pw.println("""{"id": 3, "name": "also ok"}""")
+    pw.close()
+    val schema = new StructType().add("id", LongType).add("name", StringType)
+    // Spark disallows pruning a raw scan down to ONLY the corrupt column
+    // (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — collect
+    // the full parsed rows, as a quarantine-routing sink would.
+    val rows = Sources.jsonWithQuarantine(spark, s"$dir/feed.json", schema).collect()
+    val (bad, good) = rows.partition(r =>
+      r.getAs[String]("_corrupt_record") != null)
+    assert(good.length == 2 && bad.length == 1)
+    assert(bad.head.getAs[String]("_corrupt_record").contains("broken"))
+    assert(good.map(_.getAs[String]("name")).toSet == Set("ok", "also ok"))
+  }
+
   test("zValue interleaves bits exactly (Morton order)") {
     import spark.implicits._
     // x=2 (10₂), y=1 (01₂), bits=2: bit b of col i → position b·2+i
@@ -164,6 +185,18 @@ class SourcesSpec extends SparkSpec {
       spreads.map(_._2).sum.toDouble / spreads.length)
     assert(avgA < 32 && avgB < 32, s"avg spreads a=$avgA b=$avgB of 63")
     assert(spark.read.parquet(dir).count() == 4096)
+  }
+
+  test("writeZOrdered accepts date z-columns (unit-consistent gridding)") {
+    val dir = tmp("graft_zorder_date")
+    val df = spark.range(256).toDF("id")
+      .withColumn("d", date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+        (col("id") % 16).cast("int")))
+      .withColumn("v", (col("id") / lit(16)).cast("long"))
+    Sinks.writeZOrdered(df, dir, Seq("d", "v"), bits = 4, numFiles = Some(4))
+    // round-trips completely and no row was nulled out of the curve
+    assert(spark.read.parquet(dir).filter(col("d").isNull).count() == 0)
+    assert(spark.read.parquet(dir).count() == 256)
   }
 
   test("partitioned sink + pruned source") {
