@@ -60,6 +60,35 @@ object Sampling {
     f"$cut%08x"
   }
 
+  /** The keep-everything threshold for per-stratum fractions of 1.0: 'g'
+    * sorts after every lowercase hex digit, so `md5prefix < "g"` is
+    * always true — the CASE ladder stays a pure string comparison with
+    * no special-cased branch shape. */
+  val KeepAllCut = "g"
+
+  /** Dataset mixing: per-stratum deterministic hash sampling with a
+    * weights map — "web 50 %, books 25 %, code 100 %" as one scan-only
+    * filter. Each row computes md5(id) once and compares it against its
+    * stratum's cut (a CASE over the small weights map, codegen'd);
+    * strata absent from the map are dropped entirely. Zero shuffles,
+    * re-run/backfill-stable, and nested: lowering a stratum's weight
+    * keeps a strict subset of its rows — the properties a 100 TB
+    * mixture re-balance needs. Cuts come from [[hashCut]] / [[KeepAllCut]],
+    * the same constants callers interpolate into oracle SQL. */
+  def weightedMixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+                            weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "empty weights map")
+    weights.foreach { case (k, f) =>
+      require(f > 0.0 && f <= 1.0, s"weight out of range for $k: $f") }
+    val cut = weights.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
+      case (acc, (stratum, f)) =>
+        val c = if (math.round(f * 4294967296.0) >= 4294967296L) KeepAllCut
+                else hashCut(f)
+        when(col(stratumCol) === stratum, lit(c)).otherwise(acc)
+    }
+    df.filter(substring(hashKey(col(idCol)), 1, 8) < cut)
+  }
+
   /** Exact stratified sample: within each stratum, rank by (hash, id) and
     * keep rank ≤ ceil(n_stratum · frac). Output keeps the rank as `rnk`
     * (the kept set for a smaller fraction is always a prefix — nested

@@ -293,6 +293,37 @@ object Extensions {
       .orderBy(col("lang"))
   }
 
+  // ---- x27: dataset mixing — per-source mixture weights -------------------
+
+  /** The mixture recipe: named sources with their keep fractions (all
+    * binary-exact so both engines compute the identical cut); the other
+    * 16 sources in the corpus are dropped — exactly how a training mix
+    * names its corpora and weights them. Interpolated into both the
+    * Spark filter and the oracle SQL via [[mixtureCaseSql]]. */
+  val MixtureWeights: Map[String, Double] =
+    Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 1.0, "src3" -> 0.125)
+
+  /** The oracle-side twin of Sampling.weightedMixtureSample's CASE ladder,
+    * generated from the SAME weights map so the two sides cannot drift. */
+  private def mixtureCaseSql: String =
+    MixtureWeights.toSeq.sortBy(_._1).map { case (k, f) =>
+      val cut = if (math.round(f * 4294967296.0) >= 4294967296L)
+        Sampling.KeepAllCut else Sampling.hashCut(f)
+      s"WHEN '$k' THEN '$cut'"
+    }.mkString("CASE source ", " ", " ELSE NULL END")
+
+  /** Deterministic mixture sampling + the achieved-mix audit: sample each
+    * named source at its weight in one scan-only pass, then report kept
+    * doc counts and exact token totals per (source, lang) — the numbers a
+    * mixture re-balance loop actually monitors. */
+  def x27_source_mixture(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedMixtureSample(
+        TextOps.tokenStats(Tables.documents(s, dir)), "doc_id", "source",
+        MixtureWeights)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("source"), col("lang"))
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -436,7 +467,8 @@ object Extensions {
     "x23_dedup_survivors" -> (x23_dedup_survivors _),
     "x24_repetition" -> (x24_repetition _),
     "x25_embedding_centroids" -> (x25_embedding_centroids _),
-    "x26_pipeline_gate" -> (x26_pipeline_gate _))
+    "x26_pipeline_gate" -> (x26_pipeline_gate _),
+    "x27_source_mixture" -> (x27_source_mixture _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -896,6 +928,17 @@ object Extensions {
          |  AND g.doc_id NOT IN (SELECT v FROM dropped)
          |GROUP BY g.lang
          |ORDER BY g.lang""".stripMargin,
+
+    "x27_source_mixture" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, lang,
+         |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < $mixtureCaseSql)
+         |SELECT source, lang, count(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM toks GROUP BY 1, 2
+         |ORDER BY source, lang""".stripMargin,
 
     "x25_embedding_centroids" ->
       s"""WITH q AS (

@@ -224,6 +224,23 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L)) // {1,2,3} collapse to 1
   }
 
+  test("weightedMixtureSample: keep-all, drop-unlisted, and nested-subset properties") {
+    import graft.ext.Sampling
+    val df = spark.range(2000).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 4).cast("string")))
+    def kept(w: Map[String, Double]): Set[Long] =
+      Sampling.weightedMixtureSample(df, "id", "src", w)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val full = kept(Map("s0" -> 1.0, "s1" -> 0.5))
+    // weight 1.0 keeps the whole stratum; unlisted strata vanish
+    assert(full.count(_ % 4 == 0) == 500)
+    assert(full.forall(id => id % 4 == 0 || id % 4 == 1))
+    // halving a stratum's weight keeps a strict subset of its rows
+    val half = kept(Map("s0" -> 1.0, "s1" -> 0.25))
+    val (s1full, s1half) = (full.filter(_ % 4 == 1), half.filter(_ % 4 == 1))
+    assert(s1half.subsetOf(s1full) && s1half.size < s1full.size && s1half.nonEmpty)
+  }
+
   test("x26 pipeline gate: audit columns prove every stage fired") {
     val dir = "/root/testdata/sf0.001"
     val docs = graft.tables.Tables.documents(spark, dir)
