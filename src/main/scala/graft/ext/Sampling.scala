@@ -44,9 +44,11 @@ object Sampling {
     // the NINE-char "100000000", and comparing an 8-char hex prefix
     // against it lexicographically keeps only hashes < 0x10000001 (~1/16
     // of rows) instead of ~all of them. Keeping everything is the correct
-    // semantic for a fraction within 2⁻³³ of 1.
-    if (math.round(frac * 4294967296.0) >= 4294967296L) df
-    else df.filter(substring(hashKey(col(idCol)), 1, 8) < lit(hashCut(frac)))
+    // semantic for a fraction within 2⁻³³ of 1 (cutFor encodes the same
+    // rule as KeepAllCut; here we also skip the per-row md5 entirely).
+    val c = cutFor(frac)
+    if (c == KeepAllCut) df
+    else df.filter(substring(hashKey(col(idCol)), 1, 8) < lit(c))
   }
 
   /** The 8-hex-char threshold [[hashThresholdSample]] compares against —
@@ -66,6 +68,18 @@ object Sampling {
     * no special-cased branch shape. */
   val KeepAllCut = "g"
 
+  /** THE cut-selection rule, in one place: the 8-hex-char threshold for
+    * `frac`, or [[KeepAllCut]] when the rounded threshold reaches 2³²
+    * (any fraction within 2⁻³³ of 1 — a 9-char cut would compare wrong,
+    * see hashThresholdSample). Every consumer — the Spark filters here
+    * and the oracle-SQL CASE ladders in the query registry — goes
+    * through this helper, so the engine and the oracle cannot drift. */
+  def cutFor(frac: Double): String = {
+    require(frac > 0.0 && frac <= 1.0, s"frac out of range: $frac")
+    if (math.round(frac * 4294967296.0) >= 4294967296L) KeepAllCut
+    else hashCut(frac)
+  }
+
   /** Dataset mixing: per-stratum deterministic hash sampling with a
     * weights map — "web 50 %, books 25 %, code 100 %" as one scan-only
     * filter. Each row computes md5(id) once and compares it against its
@@ -82,9 +96,7 @@ object Sampling {
       require(f > 0.0 && f <= 1.0, s"weight out of range for $k: $f") }
     val cut = weights.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
       case (acc, (stratum, f)) =>
-        val c = if (math.round(f * 4294967296.0) >= 4294967296L) KeepAllCut
-                else hashCut(f)
-        when(col(stratumCol) === stratum, lit(c)).otherwise(acc)
+        when(col(stratumCol) === stratum, lit(cutFor(f))).otherwise(acc)
     }
     df.filter(substring(hashKey(col(idCol)), 1, 8) < cut)
   }

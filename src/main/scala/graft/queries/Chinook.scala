@@ -417,9 +417,13 @@ object Chinook {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Seq(Future(usaGenreSales(s, dir).count()),
+    // Settle BOTH jobs before surfacing any failure: throwing on the
+    // first Await while the second job still runs would hand the caller
+    // a session with a detached in-flight job (and swallow its error).
+    val settled = Seq(Future(usaGenreSales(s, dir).count()),
         Future(basketPairs(s, dir).count()))
-      .foreach(Await.result(_, Duration.Inf))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    settled.collectFirst { case scala.util.Failure(e) => throw e }
   }
 
   /** Release the per-session materialized relations (view aggregate,

@@ -307,9 +307,7 @@ object Extensions {
     * generated from the SAME weights map so the two sides cannot drift. */
   private def mixtureCaseSql: String =
     MixtureWeights.toSeq.sortBy(_._1).map { case (k, f) =>
-      val cut = if (math.round(f * 4294967296.0) >= 4294967296L)
-        Sampling.KeepAllCut else Sampling.hashCut(f)
-      s"WHEN '$k' THEN '$cut'"
+      s"WHEN '$k' THEN '${Sampling.cutFor(f)}'"
     }.mkString("CASE source ", " ", " ELSE NULL END")
 
   /** Deterministic mixture sampling + the achieved-mix audit: sample each

@@ -48,10 +48,17 @@ object Sources {
     * (Spark caveat: a query pruned down to ONLY the corrupt column on the
     * raw scan is disallowed — materialize or select real columns
     * alongside it when routing.) */
+  // Idempotent corrupt-column add: callers naturally reuse the schema of
+  // a previous quarantine read (which already carries the column), and
+  // schema.add would then create a duplicate field.
+  private def withCorrupt(schema: StructType, corruptCol: String): StructType =
+    if (schema.fieldNames.contains(corruptCol)) schema
+    else schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+
   def jsonWithQuarantine(spark: SparkSession, path: String, schema: StructType,
                          corruptCol: String = "_corrupt_record"): DataFrame =
     spark.read
-      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .schema(withCorrupt(schema, corruptCol))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
@@ -60,7 +67,7 @@ object Sources {
                         corruptCol: String = "_corrupt_record",
                         header: Boolean = true): DataFrame =
     spark.read
-      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .schema(withCorrupt(schema, corruptCol))
       .option("header", header.toString)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
@@ -170,6 +177,13 @@ object Sinks {
       org.apache.spark.sql.functions.min(col(c)),
       org.apache.spark.sql.functions.max(col(c))))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    // Empty input or an all-null z column has no min/max — no curve can
+    // be computed, and there is nothing to cluster: write the rows (if
+    // any) as-is rather than NPE-ing inside the grid construction.
+    if ((0 until 2 * zCols.size).exists(stats.isNullAt)) {
+      df.write.mode(mode).parquet(path)
+      return
+    }
     val cells = (1L << bits) - 1
     val grids = zCols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (stats.getAs[Any](2 * i), stats.getAs[Any](2 * i + 1))

@@ -24,10 +24,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Planned scan parallelism per (session, path) — one physical-planning
-    * pass the first time a fact table is loaded, no job. */
+  /** Planned scan parallelism per path — one physical-planning pass the
+    * first time a corpus table is loaded, no job. Keyed by path alone
+    * (the split count is a property of the file layout, not the session)
+    * so entries never pin stopped SparkSessions in memory; a path whose
+    * files are REWRITTEN with a different layout mid-process would read a
+    * stale count, which can only mis-skip the optional fan-out, never
+    * affect results. */
   private val partCountCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+    scala.collection.concurrent.TrieMap.empty[String, Int]
 
   /** Starved-scan fan-out for the CPU-heavy per-row corpora (documents,
     * embeddings): a pathologically-compacted input (one parquet row group
@@ -55,7 +60,7 @@ object Tables {
   private def fanOut(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = load(spark, dir, name)
     val cores = spark.sparkContext.defaultParallelism
-    val parts = partCountCache.getOrElseUpdate((spark, s"$dir/$name"),
+    val parts = partCountCache.getOrElseUpdate(s"$dir/$name",
       df.rdd.getNumPartitions)
     if (parts * 4 < cores) df.repartition(cores) else df
   }

@@ -187,6 +187,26 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4096)
   }
 
+  test("writeZOrdered degrades gracefully on empty input (no curve to compute)") {
+    val dir = tmp("graft_zorder_empty")
+    val df = spark.range(10).toDF("a").withColumn("b", col("a"))
+      .filter(lit(false))
+    Sinks.writeZOrdered(df, dir, Seq("a", "b"), bits = 4)
+    assert(spark.read.parquet(dir).count() == 0)
+  }
+
+  test("quarantine reader accepts a schema that already carries the corrupt column") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = tmp("graft_quarantine2")
+    new java.io.File(dir).mkdirs()
+    val pw = new java.io.PrintWriter(s"$dir/feed.json")
+    pw.println("""{"id": 1, "name": "ok"}"""); pw.close()
+    val withCol = new StructType().add("id", LongType).add("name", StringType)
+      .add("_corrupt_record", StringType) // e.g. reused from a prior read
+    val rows = Sources.jsonWithQuarantine(spark, s"$dir/feed.json", withCol).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("id") == 1L)
+  }
+
   test("writeZOrdered accepts date z-columns (unit-consistent gridding)") {
     val dir = tmp("graft_zorder_date")
     val df = spark.range(256).toDF("id")
