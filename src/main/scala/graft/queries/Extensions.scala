@@ -322,6 +322,45 @@ object Extensions {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy(col("source"), col("lang"))
 
+  // ---- x28: eval-set decontamination --------------------------------------
+
+  /** The held-out "benchmark" slice for x28: a deterministic hash sample
+    * of the corpus (the x21 cut machinery), standing in for an eval set.
+    * Small by construction — exactly the real-world shape, where the
+    * benchmark suite is kilobytes against a 100 TB corpus. */
+  val EvalFrac = 0.0625
+
+  /** Decontamination — NOT symmetric dedup: for every TRAINING document,
+    * the fraction of its 3-token shingles that also appear anywhere in
+    * the EVAL set. Train docs above [[ContaminationThreshold]] would be
+    * dropped before training (they leak benchmark content). Scale shape:
+    * the eval shingle vocabulary is tiny and broadcasts; the corpus side
+    * is one explode + one broadcast LEFT SEMI-style join + one per-doc
+    * aggregate — never corpus×corpus. Output: every contaminated doc
+    * with its overlap counts (all-integer; one final divide). */
+  val ContaminationThreshold = 0.25
+
+  def x28_decontamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 8) <
+      lit(Sampling.cutFor(EvalFrac))
+    val shingled = docs
+      .select(col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text"))).as("sh"), isEval.as("is_eval"))
+    val evalShingles = shingled.filter(col("is_eval"))
+      .select(explode(col("sh")).as("shingle")).distinct()
+    shingled.filter(!col("is_eval"))
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("overlap_frac",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+      .filter(col("overlap_frac") >= ContaminationThreshold)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -466,7 +505,8 @@ object Extensions {
     "x24_repetition" -> (x24_repetition _),
     "x25_embedding_centroids" -> (x25_embedding_centroids _),
     "x26_pipeline_gate" -> (x26_pipeline_gate _),
-    "x27_source_mixture" -> (x27_source_mixture _))
+    "x27_source_mixture" -> (x27_source_mixture _),
+    "x28_decontamination" -> (x28_decontamination _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -926,6 +966,29 @@ object Extensions {
          |  AND g.doc_id NOT IN (SELECT v FROM dropped)
          |GROUP BY g.lang
          |ORDER BY g.lang""".stripMargin,
+
+    // x28: per-doc shingle lists are DISTINCT (shinglesCte mirrors
+    // ShingleArray), and `ev` is DISTINCT, so the inner join counts each
+    // train shingle at most once — exactly Spark's LEFT SEMI count.
+    "x28_decontamination" ->
+      s"""WITH $shinglesCte,
+         |ev AS (
+         |  SELECT DISTINCT unnest(sh) AS shingle FROM sh
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(EvalFrac)}'),
+         |tr AS (
+         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |         unnest(sh) AS shingle
+         |  FROM sh
+         |  WHERE NOT (substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(EvalFrac)}')),
+         |hit AS (
+         |  SELECT tr.doc_id, tr.n_shingles, count(*) AS n_shared
+         |  FROM tr JOIN ev ON tr.shingle = ev.shingle
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, n_shingles, n_shared,
+         |       CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap_frac
+         |FROM hit
+         |WHERE CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= $ContaminationThreshold
+         |ORDER BY doc_id""".stripMargin,
 
     "x27_source_mixture" ->
       s"""WITH toks AS (
