@@ -67,6 +67,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("x28: decontamination joins the corpus to a BROADCAST eval vocabulary (semi), never corpus×corpus") {
+    val p = formatted(Extensions.x28_decontamination(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   // Runtime bloom-filter join pruning (InjectRuntimeFilter) is ON by
   // default in Spark 4 — at cluster scale a selective dim filter
   // automatically plants a bloom filter on the fact-scan side of a
