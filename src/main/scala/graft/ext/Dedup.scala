@@ -224,11 +224,19 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
+    // Each round references the previous labels relation twice (the
+    // neighbor-min join and the update join), so raw lineage doubles per
+    // round — harmless for clique-like dedup clusters (2–3 rounds) but a
+    // 2^k logical plan on chain-shaped graphs, where the plan-description
+    // capture at action time OOMs long before the data does. Every round
+    // therefore ends in an EAGER localCheckpoint: the round materializes
+    // (what the persist+count pair did before) AND the lineage truncates
+    // to the stored RDD, keeping the plan O(1) per round. Superseded
+    // rounds are reclaimed by the ContextCleaner once unreferenced.
     var step = edges.select(col("src").as("v"))
       .distinct()
       .select(col("v"), col("v").as("label"))
-      .persist()
-    step.count()
+      .localCheckpoint(true)
     var labels = step.select(col("v"), col("label"))
     var it = 0
     var converged = false
@@ -237,29 +245,99 @@ object Dedup {
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_min"))
       // Convergence detection rides ON the label-update row (old label
-      // kept alongside new): one count() both materializes the round's
-      // persisted result and tallies changed vertices — no second
-      // old-vs-new join job per round.
-      val prev = step
+      // kept alongside new): one pass both materializes the round and
+      // tallies changed vertices — no second old-vs-new join job.
       step = labels.join(nbrMin, col("v") === col("src"), "left")
         .select(col("v"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       val changed = step.filter(col("label") =!= col("prev_label")).count()
-      prev.unpersist()
       labels = step.select(col("v"), col("label"))
       converged = changed == 0L
       it += 1
     }
-    if (!converged) {
-      // release the final round's persist BEFORE throwing — the reference
-      // would otherwise be unreachable and the storage leak permanent
-      step.unpersist(blocking = true)
+    if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds")
-    }
-    ExtCaches.persistTracked(step) // hand ownership to the registry
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round form [[connectedComponents]]'
+    * scaladoc names as the extreme-scale swap-in, implemented here as a
+    * drop-in alternative (same contract: (v, label) with label = the
+    * component's smallest vertex). Label propagation needs
+    * diameter-many rounds — fine for clique-like dedup clusters, ruinous
+    * for chain-shaped graphs (a 10⁶-vertex path needs 10⁶ rounds); the
+    * star operations square away long paths in O(log n) rounds:
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ {u}) — one groupBy(min) + one equi-join, emitted
+    *    as (v, m);
+    *  - small-star(u): every neighbor v ≤ u (plus u itself) re-attaches
+    *    to the same m over the ≤-neighborhood.
+    *
+    * Both phases are hash-shuffle shapes (no sorts, no windows).
+    * Each round's edge set references the previous one ~12× (unions +
+    * joins on both star phases), so building rounds on raw lineage grows
+    * the logical plan 12^k — plan canonicalization OOMs within a handful
+    * of rounds. Every round therefore ends in an EAGER localCheckpoint:
+    * lineage truncates to the materialized RDD and the plan stays O(1)
+    * per round (same device GraphFrames uses for its iterative
+    * algorithms; on a cluster a reliable checkpoint dir is the
+    * fault-tolerant variant). Superseded rounds' checkpoint RDDs are
+    * reclaimed by the ContextCleaner once unreferenced. Convergence is
+    * detected with two anti-join counts (edge set unchanged). The
+    * fixpoint is a forest of stars: every non-minimum vertex points
+    * directly at its component minimum. Eager like
+    * [[connectedComponents]], and equivalence to it is property-tested
+    * on adversarial graphs (PropertySpec). */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIters: Int = 40): DataFrame = {
+    var e = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      // ---- large-star: neighbors strictly above u hook onto the min ----
+      val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = und.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // ---- small-star: the ≤-neighborhood (plus u) hooks onto its min --
+      // After large-star every edge (u, v) has v < u, so the directed
+      // relation IS the ≤-neighborhood: group by u directly.
+      val sMins = ls.groupBy(col("u"))
+        .agg(min(col("v")).as("m"))
+      val ss = ls.join(sMins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(sMins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val changed = ss.join(e, Seq("u", "v"), "left_anti").count() +
+        e.join(ss, Seq("u", "v"), "left_anti").count()
+      e = ss
+      converged = changed == 0L
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+    // Stars point non-min vertices at the component min; the min vertices
+    // themselves appear only on the label side — add their self-labels.
+    // The checkpointed edge set is already materialized; no extra persist.
+    e.select(col("u").as("v"), col("v").as("label"))
+      .union(e.select(col("v"), col("v").as("label")).distinct())
+      .distinct()
   }
 
   /** Cluster summary from a component-label relation (the

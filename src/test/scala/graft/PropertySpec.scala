@@ -37,6 +37,32 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("large-star/small-star components == label-propagation components (adversarial graphs)") {
+    // Two independent implementations of the same contract — the
+    // O(diameter) propagation (oracle-proven via x20) and the O(log n)
+    // star algorithm — must produce identical (v, label) relations.
+    // Deterministic adversarial set rather than a ScalaCheck sweep: each
+    // case costs two iterative Spark fixpoints, and these four shapes
+    // cover the failure modes (a chain is the propagation worst case and
+    // exercises the most star rounds; the clique the densest; reversed
+    // ids break any ordering assumption; the mixed graph has singleton
+    // pairs, a triangle, and shared-min collisions).
+    val cases: Seq[Seq[(Long, Long)]] = Seq(
+      (1L to 11L).map(i => (i - 1, i)),                    // 12-vertex chain, ascending
+      (1L to 11L).map(i => (i, i - 1)),                    // same chain, reversed ids
+      (for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)), // 5-clique
+      Seq((10L, 3L), (3L, 7L), (7L, 10L), (20L, 21L), (30L, 25L), (2L, 9L)))
+    def toMap(labels: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { pairs =>
+      val df = pairs.toDF("id_a", "id_b")
+      val prop = toMap(graft.ext.Dedup.connectedComponents(df, "id_a", "id_b"))
+      val star = toMap(graft.ext.Dedup.connectedComponentsStar(df, "id_a", "id_b"))
+      graft.ext.ExtCaches.clearCaches()
+      assert(prop == star, s"pairs=$pairs\nprop=$prop\nstar=$star")
+    }
+  }
+
   test("pair mining: canonical order, exact cross-label pair count per basket") {
     val gen = Gen.listOfN(30,
       Gen.zip(Gen.choose(1L, 5L), Gen.choose(1, 3), Gen.oneOf("a", "b", "c")))
