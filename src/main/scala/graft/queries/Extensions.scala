@@ -52,12 +52,11 @@ object Extensions {
     * (cluster summary) and x23 (survivor anti-join) — the fixpoint is
     * EAGER and iterative (see Dedup.connectedComponents), so running it
     * once per (session, dir) matters: a real pipeline computes components
-    * once and derives every downstream view from them. The keyed entry is
-    * dropped by ExtCaches.clearCaches via a registered hook TOGETHER with
-    * the persisted frames underneath — holding the DataFrame past its
-    * persist would silently re-evaluate the unrolled iteration lineage
-    * (each round references the previous twice → exponential without the
-    * cache). */
+    * once and derives every downstream view from them. The labels sit on
+    * a lineage-truncated (localCheckpoint) final round, so holding the
+    * DataFrame is cheap; the keyed entry is dropped by
+    * ExtCaches.clearCaches via a registered hook, after which the
+    * checkpoint RDDs are reclaimed by the ContextCleaner. */
   private val ccLabelsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   ExtCaches.registerClearHook(() => ccLabelsCache.clear())
