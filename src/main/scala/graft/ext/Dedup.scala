@@ -202,12 +202,14 @@ object Dedup {
     * its smallest member id. Rounds needed = graph diameter, which for
     * near-dup clusters (dense, clique-like — every member collided with
     * most others) is 1–2; `maxIters` bounds pathological chains, and
-    * each round's result is persisted and the previous round released,
-    * so lineage and storage stay O(1) per round. At extreme scale the
-    * same contract is served in O(log n) rounds by the alternating
-    * large-star/small-star algorithm (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC'14) — the swap changes
-    * this function only, not its callers.
+    * each round ends in an eager localCheckpoint with the superseded
+    * round's checkpoint blocks released explicitly, so lineage AND
+    * storage stay O(1) per round (the final round's blocks are handed to
+    * ExtCaches for release at clearCaches). At extreme scale the same
+    * contract is served in O(log n) rounds by the alternating
+    * large-star/small-star algorithm ([[connectedComponentsStar]]) —
+    * equivalence-property-tested, and the swap changes this function
+    * only, not its callers.
     *
     * NOTE — unlike every other operator here, this one executes EAGERLY
     * at DataFrame-construction time (the fixpoint loop must run to know
@@ -231,8 +233,13 @@ object Dedup {
     // capture at action time OOMs long before the data does. Every round
     // therefore ends in an EAGER localCheckpoint: the round materializes
     // (what the persist+count pair did before) AND the lineage truncates
-    // to the stored RDD, keeping the plan O(1) per round. Superseded
-    // rounds are reclaimed by the ContextCleaner once unreferenced.
+    // to the stored RDD, keeping the plan O(1) per round. A local
+    // checkpoint's blocks ARE the data, so the superseded round is
+    // released explicitly only AFTER the new round is materialized, and
+    // the final round is handed to ExtCaches for a deterministic release
+    // at clearCaches (the bench's "storage is free between families"
+    // contract).
+    import org.apache.spark.sql.graftfn.Lineage
     var step = edges.select(col("src").as("v"))
       .distinct()
       .select(col("v"), col("v").as("label"))
@@ -247,18 +254,24 @@ object Dedup {
       // Convergence detection rides ON the label-update row (old label
       // kept alongside new): one pass both materializes the round and
       // tallies changed vertices — no second old-vs-new join job.
+      val prev = step
       step = labels.join(nbrMin, col("v") === col("src"), "left")
         .select(col("v"), col("label").as("prev_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint(true)
       val changed = step.filter(col("label") =!= col("prev_label")).count()
+      Lineage.release(prev)
       labels = step.select(col("v"), col("label"))
       converged = changed == 0L
       it += 1
     }
-    if (!converged)
+    if (!converged) {
+      Lineage.release(step)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds")
+    }
+    val last = step
+    ExtCaches.trackReleasable(() => Lineage.release(last))
     labels
   }
 
@@ -286,20 +299,33 @@ object Dedup {
     * lineage truncates to the materialized RDD and the plan stays O(1)
     * per round (same device GraphFrames uses for its iterative
     * algorithms; on a cluster a reliable checkpoint dir is the
-    * fault-tolerant variant). Superseded rounds' checkpoint RDDs are
-    * reclaimed by the ContextCleaner once unreferenced. Convergence is
-    * detected with two anti-join counts (edge set unchanged). The
-    * fixpoint is a forest of stars: every non-minimum vertex points
-    * directly at its component minimum. Eager like
-    * [[connectedComponents]], and equivalence to it is property-tested
-    * on adversarial graphs (PropertySpec). */
+    * fault-tolerant variant). Superseded rounds' checkpoint blocks are
+    * released explicitly once the next round is materialized (same
+    * storage discipline as [[connectedComponents]]), the final round via
+    * ExtCaches. Both relations being distinct and materialized,
+    * convergence is a count comparison plus ONE anti-join
+    * (|ss| == |e| ∧ ss∖e = ∅ ⇒ set equality). The fixpoint is a forest
+    * of stars: every non-minimum vertex points directly at its component
+    * minimum; vertices appearing only in self-pairs keep their
+    * self-label (same vertex universe as [[connectedComponents]]).
+    * Eager like [[connectedComponents]], and equivalence to it is
+    * property-tested on adversarial graphs (PropertySpec). */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
                               maxIters: Int = 40): DataFrame = {
+    import org.apache.spark.sql.graftfn.Lineage
+    // The vertex universe comes from the RAW pair relation (both sides),
+    // so self-pair-only vertices — excluded from the edge rewrites below,
+    // which operate on proper edges — still receive their self-label.
+    val verts = ExtCaches.persistTracked(
+      pairs.select(col(aCol).as("v"))
+        .union(pairs.select(col(bCol).as("v")))
+        .distinct())
     var e = pairs
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    var eCount = e.count()
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -323,21 +349,28 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      val changed = ss.join(e, Seq("u", "v"), "left_anti").count() +
-        e.join(ss, Seq("u", "v"), "left_anti").count()
+      val ssCount = ss.count()
+      converged = ssCount == eCount &&
+        ss.join(e, Seq("u", "v"), "left_anti").count() == 0L
+      Lineage.release(e)
       e = ss
-      converged = changed == 0L
+      eCount = ssCount
       it += 1
     }
-    if (!converged)
+    if (!converged) {
+      Lineage.release(e)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIters rounds")
-    // Stars point non-min vertices at the component min; the min vertices
-    // themselves appear only on the label side — add their self-labels.
-    // The checkpointed edge set is already materialized; no extra persist.
-    e.select(col("u").as("v"), col("v").as("label"))
-      .union(e.select(col("v"), col("v").as("label")).distinct())
-      .distinct()
+    }
+    val last = e
+    ExtCaches.trackReleasable(() => Lineage.release(last))
+    // Stars point non-min vertices at the component min; every vertex
+    // not on the pointing side (component minima AND self-pair-only
+    // singletons) labels itself.
+    val nonMin = e.select(col("u").as("v"), col("v").as("label"))
+    nonMin.union(
+      verts.join(nonMin, Seq("v"), "left_anti")
+        .select(col("v"), col("v").as("label")))
   }
 
   /** Cluster summary from a component-label relation (the

@@ -20,6 +20,16 @@ object ExtCaches {
     p
   }
 
+  private val releasables = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  /** Track a release action for storage that is NOT a persisted DataFrame
+    * (localCheckpoint block sets, etc.). Run and dropped by every
+    * [[clearCaches]] — keeps the "storage is actually free when
+    * clearCaches returns" contract for the checkpoint-based operators. */
+  def trackReleasable(release: () => Unit): Unit = synchronized {
+    releasables += release
+  }
+
   /** Register a callback run by every [[clearCaches]] — for KEYED caches
     * holding references to tracked relations (e.g. the component-label
     * registry), which must drop their entries when the persists beneath
@@ -35,6 +45,8 @@ object ExtCaches {
   def clearCaches(): Unit = synchronized {
     cached.foreach(_.unpersist(blocking = true))
     cached.clear()
+    releasables.foreach(_.apply())
+    releasables.clear()
     clearHooks.foreach(_.apply())
   }
 

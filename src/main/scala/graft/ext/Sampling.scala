@@ -46,10 +46,16 @@ object Sampling {
     // of rows) instead of ~all of them. Keeping everything is the correct
     // semantic for a fraction within 2⁻³³ of 1 (cutFor encodes the same
     // rule as KeepAllCut; here we also skip the per-row md5 entirely).
-    val c = cutFor(frac)
-    if (c == KeepAllCut) df
-    else df.filter(substring(hashKey(col(idCol)), 1, 8) < lit(c))
+    if (cutFor(frac) == KeepAllCut) df
+    else df.filter(hashThresholdPredicate(col(idCol), frac))
   }
+
+  /** The keep-this-row predicate of [[hashThresholdSample]], exposed so
+    * composite operators (x28's eval-set split uses it AND its negation)
+    * share the one spelling of the md5-prefix comparison — the oracle
+    * twin is interpolated from [[cutFor]] on the same constants. */
+  def hashThresholdPredicate(idCol: Column, frac: Double): Column =
+    substring(hashKey(idCol), 1, 8) < lit(cutFor(frac))
 
   /** The 8-hex-char threshold [[hashThresholdSample]] compares against —
     * the SINGLE source of the cut formula, used by the Spark filter above

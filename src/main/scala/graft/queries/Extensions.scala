@@ -341,8 +341,7 @@ object Extensions {
 
   def x28_decontamination(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val isEval = substring(md5(col("doc_id").cast("string")), 1, 8) <
-      lit(Sampling.cutFor(EvalFrac))
+    val isEval = Sampling.hashThresholdPredicate(col("doc_id"), EvalFrac)
     val shingled = docs
       .select(col("doc_id"),
         TextOps.shingles(TextOps.tokens(col("text"))).as("sh"), isEval.as("is_eval"))

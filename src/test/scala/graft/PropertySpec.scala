@@ -51,7 +51,8 @@ class PropertySpec extends SparkSpec {
       (1L to 11L).map(i => (i - 1, i)),                    // 12-vertex chain, ascending
       (1L to 11L).map(i => (i, i - 1)),                    // same chain, reversed ids
       (for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)), // 5-clique
-      Seq((10L, 3L), (3L, 7L), (7L, 10L), (20L, 21L), (30L, 25L), (2L, 9L)))
+      Seq((10L, 3L), (3L, 7L), (7L, 10L), (20L, 21L), (30L, 25L), (2L, 9L)),
+      Seq((42L, 42L), (1L, 2L), (5L, 5L))) // self-pair-only vertices keep self-labels
     def toMap(labels: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     cases.foreach { pairs =>
