@@ -55,8 +55,11 @@ object Bench {
         graft.queries.Chinook.s04_affinity_genre(spark, tiny).count()
       } catch { case _: Throwable => () }
       finally {
-        graft.queries.Chinook.clearCaches(spark)
-        graft.ext.ExtCaches.clearCaches()
+        // each clear individually guarded: a throwing clear (e.g. stopped
+        // context) must neither abort the bench before any JSON line is
+        // emitted nor skip the other registry's release
+        try graft.queries.Chinook.clearCaches(spark) catch { case _: Throwable => () }
+        try graft.ext.ExtCaches.clearCaches() catch { case _: Throwable => () }
       }
     } else System.err.println(
       s"[bench] $tiny missing — codegen pre-warm skipped")

@@ -271,7 +271,7 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds")
     }
     val last = step
-    ExtCaches.trackReleasable(() => Lineage.release(last))
+    ExtCaches.trackReleasable(() => Lineage.release(last, blocking = true))
     labels
   }
 
@@ -363,7 +363,7 @@ object Dedup {
         s"connectedComponentsStar did not converge in $maxIters rounds")
     }
     val last = e
-    ExtCaches.trackReleasable(() => Lineage.release(last))
+    ExtCaches.trackReleasable(() => Lineage.release(last, blocking = true))
     // Stars point non-min vertices at the component min; every vertex
     // not on the pointing side (component minima AND self-pair-only
     // singletons) labels itself.

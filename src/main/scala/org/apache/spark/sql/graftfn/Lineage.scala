@@ -18,11 +18,22 @@ import org.apache.spark.sql.execution.LogicalRDD
   * derived plan will execute again.
   */
 object Lineage {
+  /** The checkpoint RDD — ONLY when `df` IS the checkpoint Dataset (its
+    * analyzed plan is the LogicalRDD root). A derived plan (projection,
+    * join) over a checkpoint deliberately returns None: releasing blocks
+    * through a derived reference would silently destroy data still
+    * shared with sibling DataFrames (truncated lineage cannot
+    * recompute). */
   def checkpointRdd(df: DataFrame): Option[RDD[_]] =
-    df.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
+    df.queryExecution.analyzed match {
+      case l: LogicalRDD => Some(l.rdd)
+      case _             => None
+    }
 
-  /** Free the checkpoint blocks behind `df` (no-op for non-checkpoint
-    * plans). Non-blocking: the driver does not wait for block removal. */
-  def release(df: DataFrame): Unit =
-    checkpointRdd(df).foreach(_.unpersist(blocking = false))
+  /** Free the checkpoint blocks behind `df` (no-op for anything but a
+    * checkpoint Dataset itself). `blocking = true` is for release paths
+    * with a storage-is-free-on-return contract (ExtCaches.clearCaches);
+    * mid-iteration releases stay async. */
+  def release(df: DataFrame, blocking: Boolean = false): Unit =
+    checkpointRdd(df).foreach(_.unpersist(blocking))
 }
