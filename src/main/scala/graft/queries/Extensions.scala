@@ -77,6 +77,46 @@ object Extensions {
     Dedup.clusterSummary(minhashDupLabels(s, dir))
       .orderBy(col("canonical_id"))
 
+  /** Same labels as [[minhashDupLabels]] but computed by the O(log n)-round
+    * large-star/small-star rewrite (Dedup.connectedComponentsStar) — the
+    * form that survives high-diameter pair graphs at extreme scale. Cached
+    * separately so x20 and x20_star each exercise their own algorithm
+    * end-to-end; eager like the propagation form. */
+  private val starLabelsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  ExtCaches.registerClearHook(() => starLabelsCache.clear())
+
+  private def minhashDupLabelsStar(s: SparkSession, dir: String): DataFrame =
+    starLabelsCache.getOrElseUpdate((s, dir),
+      Dedup.connectedComponentsStar(
+        Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+          w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
+          .select(col("id_a"), col("id_b")),
+        "id_a", "id_b"))
+
+  /** x20 through the alternating large-star/small-star component algorithm
+    * (Kiveris et al., SoCC'14) instead of min-label propagation — the same
+    * cluster summary, proven against the SAME recursive-CTE oracle. This is
+    * the O(log n) path the 100 TB dedup story rests on: propagation needs
+    * diameter-many rounds (ruinous on chain-shaped near-dup graphs), the
+    * star form converges in O(log n) regardless of shape. Oracle-gating it
+    * here proves the scale path end-to-end, not just property-equivalent. */
+  def x20_dup_clusters_star(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterSummary(minhashDupLabelsStar(s, dir))
+      .orderBy(col("canonical_id"))
+
+  /** Bench hooks: materialize the shared component-label fixpoints so the
+    * harness can charge them as their own timed lines (the fixpoints are
+    * eager — construction runs the full iterative job — and shared across
+    * x20/x23/x26, so letting whichever consumer runs first absorb the cost
+    * in a median-hidden first rep misreports both). */
+  def warmCcLabels(s: SparkSession, dir: String): Unit = {
+    minhashDupLabels(s, dir); ()
+  }
+  def warmStarLabels(s: SparkSession, dir: String): Unit = {
+    minhashDupLabelsStar(s, dir); ()
+  }
+
   // ---- x04: SimHash fingerprints + near-dup pairs ------------------------
 
   def x04_dedup_simhash(s: SparkSession, dir: String): DataFrame =
@@ -461,6 +501,58 @@ object Extensions {
       .orderBy(col("event_type"))
   }
 
+  // ---- x29: skewed-key large×large join under AQE skew splitting ---------
+
+  /** Cohort-relative engagement over a HOT-KEY join: every event joins its
+    * cohort's aggregate (per-user cohorts, except the 'view' firehose which
+    * collapses onto one sentinel key — the bot-traffic/default-value shape
+    * that pins a single reducer at scale), then counts events above their
+    * cohort average. The x19 twin covered aggregation skew (salting); this
+    * is the JOIN-side skew tool: both sides shuffle on k (the cohort side
+    * carries a SHUFFLE_MERGE hint — at 100 TB the cohort relation is
+    * |users|-sized and stats would forbid a broadcast anyway), and AQE's
+    * OptimizeSkewedJoin splits the hot partition into advisory-size chunks,
+    * replicating the matching build rows (PlanSpec pins `skew=true` in
+    * the executed plan). The cohort profile is MATERIALIZED (persisted,
+    * tracked) before the join — the shape a real pipeline has anyway
+    * (profile/feature tables are stored assets, not inline aggregates),
+    * and the shape OptimizeSkewedJoin requires: both join children must be
+    * bare requirement-introduced shuffles (`SMJ(Sort(Shuffle),
+    * Sort(Shuffle))`) — an aggregate between sort and shuffle on the build
+    * side defeats the pattern, because splitting a partition under a final
+    * aggregate would recompute it. The profile is persisted in STORED-ASSET
+    * shape (round-robin repartitioned first): the inline aggregate's cache
+    * would otherwise remember its hashpartitioning(k) and EnsureRequirements
+    * would skip the build-side shuffle entirely — a TableCacheQueryStage
+    * child that the skew rule cannot match (and could not re-range anyway,
+    * cached blocks have no map outputs). A profile table read back from
+    * parquet arrives with unknown partitioning and always shuffles; the
+    * repartition reproduces exactly that, for one extra exchange of a
+    * |cohorts|-sized relation at build time. Above-average is decided by
+    * the exact decimal cross-multiply v·n > Σv — no order-dependent float
+    * average, so the oracle hash-matches. */
+  def x29_skew_join(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    // eventsFanned, not events: skew splitting works at map-output
+    // granularity, and the one-row-group testdata layout gives the join
+    // shuffle a single mapper — an unsplittable hot bucket (no-op on real
+    // many-file layouts).
+    val e = Tables.eventsFanned(s, dir).select(
+      col("event_type"),
+      col("value").cast(dec).as("v"),
+      when(col("event_type") === "view", lit(-1L))
+        .otherwise(col("user_id")).as("k"))
+    val cohorts = ExtCaches.persistTracked(e.groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .repartition(s.sparkContext.defaultParallelism))
+    e.join(cohorts.hint("merge"), Seq("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("v") * col("n") > col("s"), 1L).otherwise(0L))
+          .as("n_above_avg"))
+      .orderBy(col("event_type"))
+  }
+
   // ---- x14: multimodal byte-histogram features ---------------------------
 
   def x14_multimodal_histogram(s: SparkSession, dir: String): DataFrame =
@@ -496,6 +588,7 @@ object Extensions {
     "x18_text_rarity" -> (x18_text_rarity _),
     "x19_salted_agg" -> (x19_salted_agg _),
     "x20_dup_clusters" -> (x20_dup_clusters _),
+    "x20_dup_clusters_star" -> (x20_dup_clusters_star _),
     "x21_sample_hash" -> (x21_sample_hash _),
     "x21_sample_stratified" -> (x21_sample_stratified _),
     "x22_vocab_coverage" -> (x22_vocab_coverage _),
@@ -504,7 +597,8 @@ object Extensions {
     "x25_embedding_centroids" -> (x25_embedding_centroids _),
     "x26_pipeline_gate" -> (x26_pipeline_gate _),
     "x27_source_mixture" -> (x27_source_mixture _),
-    "x28_decontamination" -> (x28_decontamination _))
+    "x28_decontamination" -> (x28_decontamination _),
+    "x29_skew_join" -> (x29_skew_join _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -584,6 +678,27 @@ object Extensions {
       |              THEN 1 ELSE -1 END)) > 0
       |       THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)) AS BIGINT)""".stripMargin
 
+  /** Transitive-closure cluster summary over the x03 pair graph — shared
+    * verbatim by x20 (propagation) and x20_star (large-star/small-star):
+    * both Spark algorithms must converge to this single fixpoint. */
+  private val dupClustersSql: String =
+    s"""WITH RECURSIVE $minhashVerifiedCte,
+       |prs AS (
+       |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM prs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM prs),
+       |reach(v, l) AS (
+       |  SELECT DISTINCT src AS v, src AS l FROM edges
+       |  UNION
+       |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
+       |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)
+       |SELECT label AS canonical_id, count(*) AS n_members
+       |FROM lab GROUP BY label
+       |HAVING count(*) > 1
+       |ORDER BY canonical_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "x01_dedup_exact" ->
       """SELECT count(*) AS total_docs,
@@ -618,23 +733,12 @@ object Extensions {
     // reachable from v), min per vertex = the component's smallest member
     // — the same fixpoint Dedup.connectedComponents converges to by
     // min-label propagation.
-    "x20_dup_clusters" ->
-      s"""WITH RECURSIVE $minhashVerifiedCte,
-         |prs AS (
-         |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM prs
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM prs),
-         |reach(v, l) AS (
-         |  SELECT DISTINCT src AS v, src AS l FROM edges
-         |  UNION
-         |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
-         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)
-         |SELECT label AS canonical_id, count(*) AS n_members
-         |FROM lab GROUP BY label
-         |HAVING count(*) > 1
-         |ORDER BY canonical_id""".stripMargin,
+    "x20_dup_clusters" -> dupClustersSql,
+
+    // Same oracle, different Spark algorithm: x20_star runs the
+    // large-star/small-star O(log n) component form against the identical
+    // recursive-CTE closure, proving the scale path bit-equal end-to-end.
+    "x20_dup_clusters_star" -> dupClustersSql,
 
     "x04_dedup_simhash" ->
       s"""WITH toks AS (
@@ -1033,6 +1137,21 @@ object Extensions {
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
         |       count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Hot-key join: every event joins its cohort aggregate (the 'view'
+    // firehose pooled on sentinel key -1, others per-user); above-average
+    // decided by the exact decimal cross-multiply v*n > s so the doubles
+    // never enter a comparison.
+    "x29_skew_join" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+        |         CASE WHEN event_type = 'view' THEN -1 ELSE user_id END AS k
+        |  FROM events),
+        |c AS (SELECT k, SUM(v) AS s, count(*) AS n FROM e GROUP BY k)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       CAST(SUM(CASE WHEN e.v * c.n > c.s THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+        |FROM e JOIN c ON e.k = c.k
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "x18_text_rarity" ->
       """WITH toks AS (

@@ -87,6 +87,24 @@ object Tables {
       case _ => raw
     }
   }
+  /** [[events]] with a starved-scan fan-out like the corpora get — but for
+    * consumers whose SHUFFLE granularity is bounded by the scan's mapper
+    * count, not just its CPU. AQE's skew-join splitting (x29) partitions a
+    * hot reduce bucket at map-output granularity: a one-row-group layout
+    * yields one mapper and an unsplittable bucket, so the fan-out is what
+    * makes the skew remedy possible at all on compacted inputs. The guard
+    * is accordingly `parts < cores` (any mapper deficit caps split
+    * granularity) rather than the corpora's `parts*4 < cores` CPU-starvation
+    * bar; on a real multi-file events feed mappers ≫ cores and this is the
+    * same exact no-op. */
+  def eventsFanned(spark: SparkSession, dir: String): DataFrame = {
+    val df = events(spark, dir)
+    val cores = spark.sparkContext.defaultParallelism
+    val parts = partCountCache.getOrElseUpdate(s"$dir/events",
+      load(spark, dir, "events").rdd.getNumPartitions)
+    if (parts < cores) df.repartition(cores) else df
+  }
+
   def documents(spark: SparkSession, dir: String): DataFrame = fanOut(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = fanOut(spark, dir, "embeddings")
 

@@ -105,6 +105,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  // AQE skew-join splitting (OptimizeSkewedJoin) is the join-side twin of
+  // x19's salted aggregation: when one shuffle partition of a sort-merge
+  // join dwarfs the median (hot key), AQE splits it into advisory-size
+  // chunks and replicates the matching build rows. The byte thresholds
+  // that gate it (256 MB partition, 64 MB advisory) are tuned for real
+  // clusters, so at testdata scale the rule never fires on its own; this
+  // test tightens them to prove x29's plan is shaped so the rule CAN fire
+  // — a shuffled SMJ (merge hint, no broadcast) with a hot key — and that
+  // the split is semantically invisible (same rows as the default run).
+  test("x29: hot-key join splits under AQE skew handling (skew=true) with identical results") {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      // Coalescing first would merge the tiny test partitions back below
+      // the threshold; a real cluster sets these by data volume.
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // The suite default of 2 shuffle partitions makes skew detection
+      // vacuous: Spark's median of a 2-element size list is the LARGER
+      // one, so no partition can ever exceed it. 16 gives a real median.
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val baseline = Extensions.x29_skew_join(spark, "/root/testdata/sf0.01").collect()
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val df = Extensions.x29_skew_join(spark, "/root/testdata/sf0.01")
+      val rows = df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan)
+      assert(rows.toSeq == baseline.toSeq,
+        s"skew-split run diverged:\n${rows.toSeq}\nvs\n${baseline.toSeq}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   // ---- fleet-wide gate ------------------------------------------------
   //
   // Every claim of "this is the plan you'd want at 100×" becomes a test:
