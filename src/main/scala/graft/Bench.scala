@@ -39,11 +39,17 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // Warm-up: initialize parquet reader, codegen compiler, shuffle system
     // once so the first timed query doesn't absorb one-time JVM setup.
-    // Running the shared-cache consumers against the TINY sf dir also
-    // compiles the exact whole-stage-codegen classes the timed sf0.1
-    // cache build needs (the generated source is identical — literals and
-    // operators, not paths, appear in it — so the Janino cache hits);
-    // the tiny-dir cache entries are dropped before any timing starts.
+    // Running the HEADLINE family (plus the shared-cache consumers) against
+    // the TINY sf dir compiles and JIT-profiles the exact whole-stage-
+    // codegen classes the timed sf0.1 runs need — the generated source is
+    // identical (literals and operators, not paths, appear in it), so the
+    // Janino cache hits and the same loaded classes run hot. Measured
+    // round 5: without this, whichever heavy star query ran FIRST absorbed
+    // the fleet's one-time JIT (q02 reps at sf0.1: 5.4 s, 3.0 s, 1.3 s —
+    // a median of 3.0 s for a query whose steady state is 1.3 s; round 3
+    // hid the same cost inside its then-34 s cache build). Only the tiny
+    // dir is touched — every data cache is dropped before timing starts,
+    // so this warms the JVM, never the measured data path.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val tiny = "/root/testdata/sf0.001"
     if (new java.io.File(tiny).isDirectory) {
@@ -51,8 +57,11 @@ object Bench {
       // cache entries — leaving them persisted through the timed run
       // would violate the measurement protocol above.
       try {
-        graft.queries.Chinook.q09_genre_sales(spark, tiny).count()
-        graft.queries.Chinook.s04_affinity_genre(spark, tiny).count()
+        graft.queries.Chinook.warmCaches(spark, tiny)
+        SparkEntry.queries.keys.toSeq.sorted.filter(Headline).foreach { name =>
+          try SparkEntry.queries(name)(spark, tiny).count()
+          catch { case _: Throwable => () }
+        }
       } catch { case _: Throwable => () }
       finally {
         // each clear individually guarded: a throwing clear (e.g. stopped
