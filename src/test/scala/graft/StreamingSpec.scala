@@ -203,6 +203,71 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((ts(0), "click", 2L, 3.0)), rows.toSeq)
   }
 
+  test("exactly-once across a crash: checkpoint restart replays the failed batch, idempotent sink absorbs it") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_eo_sink_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_eo_ckpt_").toString
+    val source = MemoryStream[Event]
+    // The production sink contract this spec proves end-to-end: foreachBatch
+    // may run a batchId TWICE (once before a crash that prevents the offset
+    // commit, once on replay after restart), so the write must be
+    // idempotent BY BATCH ID — overwrite of a batch-addressed location (or
+    // a transactional MERGE keyed on batchId), never blind append. The
+    // sinkLog records every invocation so the test can prove the replay
+    // actually happened, not just that nothing duplicated.
+    val sinkLog = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    @volatile var crashArmed = false
+    val sink = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+        batchId: Long) => {
+      val n = batch.count()
+      sinkLog.synchronized { sinkLog += ((batchId, n)) }
+      if (n > 0) batch.write.mode("overwrite").parquet(s"$dir/batch_$batchId")
+      if (crashArmed && n > 0) {
+        crashArmed = false
+        // Output is on disk but the micro-batch will NOT commit its
+        // offsets — exactly the torn state a real executor/driver crash
+        // between sink write and commit leaves behind.
+        throw new RuntimeException("injected crash after sink write")
+      }
+    }
+    def start() = EventStreams
+      .watermarkedTumblingStats(source.toDF(), "10 minutes", "5 minutes")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    source.addData(Event(ts(1), 1L, "click", 1.0), Event(ts(2), 2L, "click", 2.0))
+    q1.processAllAvailable()
+    crashArmed = true
+    source.addData(Event(ts(40), 3L, "view", 1.0)) // watermark past 10:10 → finalizes the click window
+    val crashed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    assert(crashed.getMessage.contains("injected crash"), crashed.getMessage)
+
+    val q2 = start() // same checkpoint, same source: resumes from last COMMITTED offset
+    q2.processAllAvailable()
+    source.addData(Event(ts(59), 4L, "view", 1.0)) // extra batch after recovery
+    q2.processAllAvailable(); q2.stop()
+
+    // The failed batch id ran twice (crash then replay) with the same rows…
+    val emitting = sinkLog.synchronized(sinkLog.filter(_._2 > 0).toList)
+    val replayed = emitting.groupBy(_._1).filter(_._2.size >= 2)
+    assert(replayed.nonEmpty, s"no batch was replayed: $sinkLog")
+    assert(replayed.values.forall(_.map(_._2).distinct.size == 1),
+      s"replay produced different row counts: $sinkLog")
+    // …yet every finalized window landed exactly once.
+    val written = spark.read.parquet(
+      new java.io.File(dir).listFiles().map(_.toString): _*)
+    val rows = written.collect()
+      .map(x => (x.getAs[Timestamp]("window_start"), x.getAs[String]("event_type"),
+        x.getAs[Long]("n_events"), x.getAs[Double]("total_value")))
+    assert(rows.count(r => r._1 == ts(0) && r._2 == "click") == 1, rows.toSeq)
+    assert(rows.contains((ts(0), "click", 2L, 3.0)), rows.toSeq)
+  }
+
   test("runningUserActivity maintains state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[Event]
