@@ -350,6 +350,13 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       val ssCount = ss.count()
+      // Job accounting per round: the eager checkpoint materializes, the
+      // count() reads already-materialized blocks (~free), and the
+      // set-equality anti-join is GATED by the short-circuiting && — it
+      // runs only on candidate-converged rounds (counts equal), i.e.
+      // normally just the final round. Fusing count+anti-join into one
+      // left-join aggregate would charge every non-converging round a
+      // shuffle join to save the final round a cheap count — a net loss.
       converged = ssCount == eCount &&
         ss.join(e, Seq("u", "v"), "left_anti").count() == 0L
       Lineage.release(e)

@@ -159,6 +159,36 @@ object Similarity {
       }.reduce(_ + _) + lit(j.toLong << bitsPerBand)
     }: _*)
 
+  /** The dims-wide sign signature of a quantized vector, packed into one
+    * long (dims ≤ 64). Computed ONCE per row and materialized as a column
+    * so the per-band bit-gathers below reference a single long, not
+    * dims-term re-expansions. */
+  def signSignature(vec: Column, dims: Int): Column =
+    (0 until dims).map { d =>
+      when(element_at(vec, d + 1) >= 0L, lit(1L << d)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Band keys for [[sampledBandKeys]] given a precomputed signature. */
+  private def sampledKeysFromSig(sig: Column, bands: Int, bitsPerBand: Int,
+                                 dims: Int, seed: Long): Column = {
+    // splitmix64: deterministic per-(band,slot) coordinate choice —
+    // re-run-stable and seed-addressable.
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    array((0 until bands).map { j =>
+      val key = (0 until bitsPerBand).map { i =>
+        val src = java.lang.Math.floorMod(mix(seed + j * 131L + i), dims)
+        when(sig.bitwiseAND(lit(1L << src)) =!= 0L, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      key + lit(j.toLong << bitsPerBand)
+    }: _*)
+  }
+
   /** Embedding-cosine near-duplicate pairs, banded-LSH form — the corpus-
     * scale shape (same machinery as MinHash LSH / SimHash pigeonhole in
     * [[Dedup]]):
@@ -191,6 +221,44 @@ object Similarity {
     val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
     val e0 = v.select(col("id"),
       explode(bandKeys(col("vec"), bands, bitsPerBand)).as("bk"))
+    bandVerify(v, e0, threshold, hotBucketCap)
+  }
+
+  /** [[cosineNearDupPairs]] with band keys SAMPLED from the full sign
+    * signature — the corpus-size scale knob the round-5 soak forced.
+    * [[bandKeys]]' disjoint-slice geometry caps the per-band key space at
+    * 2^bitsPerBand with bands·bits ≤ dims: at 8×8 that is 256 keys, so
+    * past ~10k vectors the buckets — and the candidate set, which is
+    * Σ bucket² — grow quadratically no matter how the join executes
+    * (SCALING.md: 70 s at 60k vectors for work the 2k-vector corpus does
+    * in 0.6 s). Here each band instead draws `bitsPerBand` pseudo-random
+    * coordinates from the FULL dims-wide signature, so bands·bitsPerBand
+    * can exceed dims: 16 bands × 16 bits gives a 65k-key space (buckets
+    * of ~1 at 60k vectors, candidates ~linear in n) while keeping 16
+    * chances to collide. Recall for true near-dups stays high precisely
+    * because their signatures agree on almost every coordinate —
+    * sign-identical vectors agree on ALL, so exact-signature dups collide
+    * in EVERY band (100 % recall on them, spec-asserted); bands sharing
+    * sampled coordinates are mildly correlated, the standard trade of
+    * combinatorial banding. Per row: dims sign tests once + bands·bits
+    * bit-gathers off one long — all inside whole-stage codegen, no HOF
+    * lambdas, no extra hyperplanes. */
+  def cosineNearDupPairsSampled(df: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, bands: Int = 16,
+                                bitsPerBand: Int = 16, dims: Int = 64,
+                                seed: Long = 0x5EEDL,
+                                hotBucketCap: Option[Int] = None): DataFrame = {
+    val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
+    val e0 = v.withColumn("sig", signSignature(col("vec"), dims))
+      .select(col("id"),
+        explode(sampledKeysFromSig(col("sig"), bands, bitsPerBand, dims, seed)).as("bk"))
+    bandVerify(v, e0, threshold, hotBucketCap)
+  }
+
+  /** Shared tail of the banded near-dup shapes: optional hot-bucket cap,
+    * candidate generation by band-key self-EQUI-join, exact cosine verify. */
+  private def bandVerify(v: DataFrame, e0: DataFrame, threshold: Double,
+                         hotBucketCap: Option[Int]): DataFrame = {
     val e = hotBucketCap.fold(e0) { cap =>
       val keep = e0.groupBy(col("bk"))
         .agg(count(lit(1)).as("bucket_n"))

@@ -187,6 +187,33 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty && lsh.subsetOf(exact), s"lsh=$lsh")
   }
 
+  test("sampled-band LSH: sound (subset of exact), 100% recall on sign-identical vectors") {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // Soundness: candidates are verified exactly, so any geometry's output
+    // is a subset of the all-pairs set.
+    val exact = Similarity.cosineAllPairsExact(e, "vec_id", "embedding", 0.4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // (No nonEmpty assertion on this corpus: its pairs sit at moderate
+    // cosines, where 16-bit bands are deliberately selective — recall is
+    // asserted below on sign-identical vectors, which cannot be missed.)
+    val sampled = Similarity.cosineNearDupPairsSampled(
+        e, "vec_id", "embedding", 0.4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(sampled.subsetOf(exact), s"sampled=$sampled")
+    // Completeness on the pairs that matter most: sign-identical vectors
+    // share every sampled coordinate, hence every band key — they can
+    // never be missed, at any corpus size or seed.
+    val dup = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.5f)),                     // exact duplicate of 0
+      (2L, Array.tabulate(64)(i => 0.5f + i * 1e-4f)), // sign-identical near-dup
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f))) // unrelated
+      .toDF("vec_id", "embedding")
+    val r = Similarity.cosineNearDupPairsSampled(dup, "vec_id", "embedding", 0.99)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((0L, 1L), (0L, 2L), (1L, 2L)), r)
+  }
+
   test("LSH near-dup hotBucketCap drops degenerate buckets") {
     // All-positive vectors: every row lands in the same band keys, so a
     // cap of 1 removes every bucket and no candidates survive.
