@@ -96,19 +96,20 @@ object Bench {
       }
 
     val all = SparkEntry.queries.keys.toSeq.sorted
-    // Family 1: the 26 reference-workload queries, shared caches prebuilt
-    // and charged as their own line. Same try/catch-and-record contract as
-    // every per-query rep: a failed cache build must still emit the JSON
-    // line (the queries then pay their own cache cost, which the per-query
-    // medians absorb).
-    val cacheBuild = time(
-      try graft.queries.Chinook.warmCaches(spark, sfDir)
-      catch {
+    // Shared-cache builds are timed as their own lines, with the same
+    // try/catch-and-record contract as every per-query rep: a failed build
+    // must still emit the JSON line (the queries then pay their own cache
+    // cost, which the per-query medians absorb).
+    def timedBuild(name: String)(body: => Unit): (String, Double) =
+      name -> time(try body catch {
         case e: Throwable =>
-          errors += "shared_cache_build"
-          System.err.println(s"[bench] shared_cache_build failed: ${e.getMessage}")
+          errors += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
       })
-    val headline = ("shared_cache_build" -> cacheBuild) +:
+    // Family 1: the 26 reference-workload queries, shared caches prebuilt
+    // and charged as their own line.
+    val headline = timedBuild("shared_cache_build")(
+      graft.queries.Chinook.warmCaches(spark, sfDir)) +:
       run(all.filter(Headline), coldCaches = false)
     // Family 2: engine extensions (s12+). The Chinook view cache is still
     // warm for s13's set-ops consumers — released after the family.
@@ -129,17 +130,16 @@ object Bench {
     // shared (one CC run serves x20/x23/x26 — see ccLabelsCache), so like
     // family 1 they are built ONCE, timed as their own lines, and the
     // consumers run warm; previously the build cost hid in median-discarded
-    // first reps and x20 read as free (round-4 verdict). Same
-    // try/catch-and-record contract as shared_cache_build.
-    def timedBuild(name: String)(body: => Unit): (String, Double) =
-      name -> time(try body catch {
-        case e: Throwable =>
-          errors += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      })
+    // first reps and x20 read as free (round-4 verdict).
     val ccBuild = timedBuild("cc_fixpoint_build")(
       graft.queries.Extensions.warmCcLabels(spark, sfDir))
     val ccRuns = run(all.filter(ccShared), coldCaches = false)
+    // Clear before the star sub-family: both fixpoints derive from the
+    // SAME minhash pair graph, and the propagation build's persisted
+    // shingle/signature/band relations would otherwise serve the star
+    // build's pair generation from cache — cc_star_build must pay pair
+    // generation cold to be comparable to cc_fixpoint_build.
+    graft.ext.ExtCaches.clearCaches()
     val starBuild = timedBuild("cc_star_build")(
       graft.queries.Extensions.warmStarLabels(spark, sfDir))
     val starRuns = run(all.filter(starShared), coldCaches = false)

@@ -163,10 +163,14 @@ object Similarity {
     * long (dims ≤ 64). Computed ONCE per row and materialized as a column
     * so the per-band bit-gathers below reference a single long, not
     * dims-term re-expansions. */
-  def signSignature(vec: Column, dims: Int): Column =
+  def signSignature(vec: Column, dims: Int): Column = {
+    // 1L << d wraps modulo 64: dims > 64 would silently alias coordinates
+    // (carry-corrupting the reduce) instead of failing.
+    require(dims >= 1 && dims <= 64, s"signSignature supports 1..64 dims, got $dims")
     (0 until dims).map { d =>
       when(element_at(vec, d + 1) >= 0L, lit(1L << d)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Band keys for [[sampledBandKeys]] given a precomputed signature. */
   private def sampledKeysFromSig(sig: Column, bands: Int, bitsPerBand: Int,

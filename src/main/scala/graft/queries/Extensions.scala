@@ -61,13 +61,18 @@ object Extensions {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   ExtCaches.registerClearHook(() => ccLabelsCache.clear())
 
+  /** The x03 near-dup pair graph — THE one spelling of its tuning, shared
+    * by both component forms: x20 and x20_star must stay oracle-equal
+    * against the same dupClustersSql, so a parameter change must reach
+    * both (and the oracle CTE) or neither. */
+  private def minhashPairGraph(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+
   private def minhashDupLabels(s: SparkSession, dir: String): DataFrame =
     ccLabelsCache.getOrElseUpdate((s, dir),
-      Dedup.connectedComponents(
-        Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-          w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
-          .select(col("id_a"), col("id_b")),
-        "id_a", "id_b"))
+      Dedup.connectedComponents(minhashPairGraph(s, dir), "id_a", "id_b"))
 
   /** What a dedup pipeline runs AFTER pairing: connected components over
     * the near-dup pairs, one canonical doc per cluster. Iterative
@@ -88,11 +93,7 @@ object Extensions {
 
   private def minhashDupLabelsStar(s: SparkSession, dir: String): DataFrame =
     starLabelsCache.getOrElseUpdate((s, dir),
-      Dedup.connectedComponentsStar(
-        Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-          w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
-          .select(col("id_a"), col("id_b")),
-        "id_a", "id_b"))
+      Dedup.connectedComponentsStar(minhashPairGraph(s, dir), "id_a", "id_b"))
 
   /** x20 through the alternating large-star/small-star component algorithm
     * (Kiveris et al., SoCC'14) instead of min-label propagation — the same

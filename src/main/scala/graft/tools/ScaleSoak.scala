@@ -69,7 +69,11 @@ object ScaleSoak {
   private val IdStride = 10000000L
 
   private def buildDir(spark: SparkSession, dir: String, reps: Int): Unit = {
-    if (Files.isDirectory(Paths.get(s"$dir/documents.parquet"))) return
+    // Resume on the completion MARKER, not the first artifact: a build
+    // interrupted mid-way (OOM, ^C, disk full) must be rebuilt, not
+    // silently reused with missing tables.
+    val done = Paths.get(s"$dir/_SOAK_COMPLETE")
+    if (Files.exists(done)) return
     Files.createDirectories(Paths.get(dir))
 
     val docs = spark.read.parquet(s"$Base/documents.parquet")
@@ -101,6 +105,7 @@ object ScaleSoak {
       if (!Files.exists(link))
         Files.createSymbolicLink(link, Paths.get(s"$Base/$t.parquet"))
     }
+    Files.createFile(done)
   }
 
   def main(args: Array[String]): Unit = {
@@ -131,13 +136,18 @@ object ScaleSoak {
         graft.ext.ExtCaches.clearCaches()
         def rep(): Double =
           time(queryFn(q)(spark, dir).count())
+        // The cold number is the one the slope analysis depends on —
+        // record it as soon as it exists, so a warm-rep failure cannot
+        // clobber a successfully measured cold run.
         try {
-          val cold = rep(); val warm = rep()
+          val cold = rep()
+          results((q, label)) = (cold, -1.0)
+          val warm = rep()
           results((q, label)) = (cold, warm)
           println(f"[soak] $label%-7s $q%-26s cold=$cold%7.2f s  warm=$warm%6.2f s")
         } catch {
           case e: Throwable =>
-            results((q, label)) = (-1.0, -1.0)
+            if (!results.contains((q, label))) results((q, label)) = (-1.0, -1.0)
             println(s"[soak] $label $q FAILED: ${e.getMessage}")
         }
       }
