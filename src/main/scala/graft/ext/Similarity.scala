@@ -172,21 +172,34 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** Band keys for [[sampledBandKeys]] given a precomputed signature. */
-  private def sampledKeysFromSig(sig: Column, bands: Int, bitsPerBand: Int,
-                                 dims: Int, seed: Long): Column = {
-    // splitmix64: deterministic per-(band,slot) coordinate choice —
-    // re-run-stable and seed-addressable.
+  /** Deterministic per-(band, slot) sampled-coordinate table:
+    * `sampledCoords(...)(j)(i)` is the 0-based vector coordinate band `j`
+    * reads for its bit `i`. splitmix64 over (seed, band, slot) —
+    * re-run-stable and seed-addressable. Public and SHARED with the
+    * DuckDB oracle generator (graft.queries.Extensions), so the Spark
+    * expression and the oracle SQL sample identical coordinates by
+    * construction, not by parallel reimplementation. */
+  def sampledCoords(bands: Int, bitsPerBand: Int, dims: Int,
+                    seed: Long): IndexedSeq[IndexedSeq[Int]] = {
     def mix(z0: Long): Long = {
       var z = z0 + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^ (z >>> 31)
     }
+    IndexedSeq.tabulate(bands, bitsPerBand) { (j, i) =>
+      java.lang.Math.floorMod(mix(seed + j * 131L + i), dims)
+    }
+  }
+
+  /** Band keys for [[cosineNearDupPairsSampled]] given a precomputed
+    * signature; coordinate choice comes from [[sampledCoords]]. */
+  private def sampledKeysFromSig(sig: Column, bands: Int, bitsPerBand: Int,
+                                 dims: Int, seed: Long): Column = {
+    val coords = sampledCoords(bands, bitsPerBand, dims, seed)
     array((0 until bands).map { j =>
       val key = (0 until bitsPerBand).map { i =>
-        val src = java.lang.Math.floorMod(mix(seed + j * 131L + i), dims)
-        when(sig.bitwiseAND(lit(1L << src)) =!= 0L, lit(1L << i))
+        when(sig.bitwiseAND(lit(1L << coords(j)(i))) =!= 0L, lit(1L << i))
           .otherwise(lit(0L))
       }.reduce(_ + _)
       key + lit(j.toLong << bitsPerBand)

@@ -184,6 +184,75 @@ object TextOps {
           .otherwise(0.0))
   }
 
+  /** Fixed-stride token-window chunking — the tokenize-and-pack step a
+    * pretraining pipeline runs between curation and batching: each
+    * document becomes ⌈n/stride⌉ windows of up to `chunkSize` tokens,
+    * consecutive windows overlapping by `chunkSize − stride` tokens
+    * (chunk k covers token positions [k·stride+1, k·stride+chunkSize]).
+    * Documents with zero tokens produce no chunks.
+    *
+    * Scale shape: pure per-row — tokenize once, build the window starts
+    * with `sequence`, slice each window with a codegen'd HOF, ONE
+    * posexplode. No shuffles, no joins; output volume ∝ corpus token
+    * count × (chunkSize/stride) and the operator runs at scan speed, so
+    * it composes with a partitioned writer as the final packing pass.
+    * The chunk hash (md5 of the space-joined window) is the downstream
+    * join/dedup key — md5-hex is bit-identical in Spark and DuckDB. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .withColumn("n_tokens", size(col("t")).cast(LongType))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        posexplode(transform(
+          // integer floor-div: Column./ is DOUBLE division, and the
+          // operands stay < 2^53, so the Long cast truncates exactly
+          sequence(lit(0L), ((col("n_tokens") - 1L) / stride).cast(LongType)),
+          k => slice(col("t"), (k * stride + 1L).cast("int"), lit(chunkSize))))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("chunk_id").cast(LongType).as("chunk_id"),
+        size(col("chunk")).cast(LongType).as("chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
+  /** Per-document top-`k` salient terms — keyword extraction by
+    * tf-over-df ranking: pass 1 computes corpus document frequency per
+    * token, pass 2 joins it back to per-document term frequencies and
+    * keeps each document's `k` highest-salience terms
+    * (salience = tf/df: frequent in THIS document, rare in the corpus —
+    * the tf·idf ordering with the idf monotonicity but NO libm log,
+    * which is not bit-portable across engines; the one IEEE divide of
+    * two integers is). Ties break on token asc — a total order, so the
+    * kept set is deterministic.
+    *
+    * Scale shape: two corpus-scan aggregations (both map-side
+    * combinable), a broadcast join-back (df relation ≤ |vocab|, tiny
+    * relative to the corpus), and a per-doc window whose rank-filter
+    * plans as WindowGroupLimit — no partition materializes more than k
+    * rows per document. */
+  def tfSalienceTopTerms(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    val occ = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = occ.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = occ.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("salience"), col("tok"))
+    tf.join(broadcast(dfreq), Seq("tok"))
+      .withColumn("salience",
+        col("tf").cast(DoubleType) / col("df").cast(DoubleType))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("df"),
+        col("salience"))
+  }
+
   /** Vocabulary coverage / OOV rate — tokenizer-coverage analysis over a
     * corpus, the two-pass corpus-statistics shape (like x18): pass 1
     * builds the exact top-`vocabSize` vocabulary (count desc, token asc —

@@ -25,6 +25,14 @@ object Extensions {
   /** x05 LSH geometry: 8 bands × 8 sign bits cover all 64 embedding dims. */
   val CosineBands = 8
   val CosineBandBits = 8
+  /** x05_sampled geometry (the corpus-scale knob — SCALING.md): 16 bands ×
+    * 16 coordinates SAMPLED from the 64-dim sign signature → 65k-key band
+    * space, candidates ~linear in n where the disjoint 8×8 slicing
+    * saturates its 256-key space past ~10k vectors. */
+  val SampledBands = 16
+  val SampledBandBits = 16
+  val SampledSeed = 0x5EEDL
+  val EmbeddingDims = 64
   val QuerySetSize = 10
 
   // ---- x01: exact dedup ---------------------------------------------------
@@ -136,6 +144,21 @@ object Extensions {
   def x05_dedup_embedding(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id",
         "embedding", CosineDupThreshold, CosineBands, CosineBandBits)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The sampled-band variant of x05 — the corpus-size scale path the
+    * round-5 soak forced (SCALING.md: fixed 8×8 banding saturates its
+    * 256-key space past ~10k vectors and goes quadratic; 16×16 sampled
+    * from the full sign signature keeps candidates ~linear). Oracle-gated
+    * here for the same reason x20_star is: the scale path must be proven
+    * end-to-end against an oracle computing the identical banded
+    * semantics, not just property-tested. The sampled coordinate table is
+    * generated ONCE ([[Similarity.sampledCoords]]) and interpolated into
+    * both the Spark expression and the oracle SQL. */
+  def x05_dedup_embedding_sampled(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsSampled(Tables.embeddings(s, dir), "vec_id",
+        "embedding", CosineDupThreshold, SampledBands, SampledBandBits,
+        EmbeddingDims, SampledSeed)
       .orderBy(col("id_a"), col("id_b"))
 
   // ---- x06/x07: similarity search ----------------------------------------
@@ -260,6 +283,54 @@ object Extensions {
   def x24_repetition(s: SparkSession, dir: String): DataFrame =
     TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
+
+  // ---- x30: per-source contribution caps ---------------------------------
+
+  /** "Keep at most `SourceCap` documents per source, best first" — the
+    * absolute-budget curation pass (one flooding crawl domain must not
+    * swamp the corpus; x27's mixture weights bound sources
+    * PROPORTIONALLY, this bounds them absolutely). Quality-ranked with a
+    * doc_id tiebreak — a total order, so the kept set is deterministic
+    * and oracle-reproducible; the rank-filter plans as WindowGroupLimit
+    * (PlanSpec fleet gate), so no partition materializes more than
+    * `SourceCap` rows per source. 15 < the 25 docs/source of the
+    * smallest oracle-gated corpus (sf0.01), so the cap BINDS at every
+    * tested scale — a cap the correctness gate never sees bind is not
+    * tested. */
+  val SourceCap = 15
+
+  def x30_source_caps(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(
+        TextOps.qualityScore(Tables.documents(s, dir)),
+        col("source"), Seq(desc("quality_score"), col("doc_id")), SourceCap)
+      .select(col("source"), col("rnk"), col("doc_id"), col("quality_score"))
+      .orderBy(col("source"), col("rnk"))
+
+  // ---- x31: token-window chunking ----------------------------------------
+
+  /** Chunk geometry: 64-token windows, stride 48 (16-token overlap). */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** The tokenize-and-pack step (TextOps.chunkTokens): per-row windowing
+    * at scan speed, output keyed by chunk hash for downstream dedup. */
+  def x31_chunks(s: SparkSession, dir: String): DataFrame =
+    TextOps.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+        ChunkSize, ChunkStride)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  // ---- x32: per-document salient terms (keyword extraction) --------------
+
+  val KeywordsPerDoc = 3
+
+  /** Top-3 terms per document by tf/df salience (TextOps
+    * .tfSalienceTopTerms): two map-side-combinable corpus aggregates, a
+    * broadcast df join-back, WindowGroupLimit per-doc top-k. Integer
+    * arithmetic until the one IEEE divide — no libm log (x18's rule). */
+  def x32_doc_keywords(s: SparkSession, dir: String): DataFrame =
+    TextOps.tfSalienceTopTerms(Tables.documents(s, dir), "doc_id", "text",
+        KeywordsPerDoc)
+      .orderBy(col("doc_id"), col("rnk"))
 
   // ---- x25: per-label embedding centroids --------------------------------
 
@@ -574,6 +645,7 @@ object Extensions {
     "x04_dedup_simhash" -> (x04_dedup_simhash _),
     "x04_dedup_simhash_pairs" -> (x04_dedup_simhash_pairs _),
     "x05_dedup_embedding" -> (x05_dedup_embedding _),
+    "x05_dedup_embedding_sampled" -> (x05_dedup_embedding_sampled _),
     "x06_sim_topk_brute" -> (x06_sim_topk_brute _),
     "x07_sim_topk_ivf" -> (x07_sim_topk_ivf _),
     "x08_text_stats" -> (x08_text_stats _),
@@ -595,6 +667,9 @@ object Extensions {
     "x22_vocab_coverage" -> (x22_vocab_coverage _),
     "x23_dedup_survivors" -> (x23_dedup_survivors _),
     "x24_repetition" -> (x24_repetition _),
+    "x30_source_caps" -> (x30_source_caps _),
+    "x31_chunks" -> (x31_chunks _),
+    "x32_doc_keywords" -> (x32_doc_keywords _),
     "x25_embedding_centroids" -> (x25_embedding_centroids _),
     "x26_pipeline_gate" -> (x26_pipeline_gate _),
     "x27_source_mixture" -> (x27_source_mixture _),
@@ -669,6 +744,27 @@ object Extensions {
     (0 until bands).map(j =>
         s"  SELECT vec_id, ${bandKeySql(j, r)} AS bk FROM n")
       .mkString("\n  UNION ALL\n")
+
+  /** Sampled-band key for band `j` — mirrors
+    * Similarity.cosineNearDupPairsSampled: bit `i` of the key is the sign
+    * of vector coordinate `coords(i)` (0-based; the SAME splitmix64 table
+    * the Spark expression uses, via Similarity.sampledCoords), band index
+    * in the high bits. The signature test `sig & (1<<src) != 0` is by
+    * construction `v[src+1] >= 0`, which is what we emit — no bit ops
+    * needed oracle-side. */
+  private def sampledBandKeySql(j: Int, coords: Seq[Int], bits: Int): String =
+    coords.zipWithIndex.map { case (src, i) =>
+        s"(CASE WHEN v[${src + 1}] >= 0 THEN ${1L << i} ELSE 0 END)" }
+      .mkString(s"(${j.toLong << bits} + ", " + ", ")")
+
+  /** UNION ALL of one (vec_id, bk) SELECT per sampled band, from CTE `n`. */
+  private def sampledBandRowsSql(bands: Int, bits: Int, dims: Int,
+                                 seed: Long): String = {
+    val coords = Similarity.sampledCoords(bands, bits, dims, seed)
+    (0 until bands).map(j =>
+        s"  SELECT vec_id, ${sampledBandKeySql(j, coords(j), bits)} AS bk FROM n")
+      .mkString("\n  UNION ALL\n")
+  }
 
   // tf-weighted: the inner sum runs over every token occurrence (dt is
   // the raw token list, not list_distinct) — mirrors Dedup.simhash.
@@ -768,6 +864,25 @@ object Extensions {
          |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
          |e AS (
          |${bandRowsSql(CosineBands, CosineBandBits)}),
+         |c AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |         CAST(${dotSql("na.v", "nb.v")} AS DOUBLE)
+         |           / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE))) AS cosine
+         |  FROM c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b)
+         |SELECT id_a, id_b, cosine FROM pairs
+         |WHERE cosine >= $CosineDupThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "x05_dedup_embedding_sampled" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+         |e AS (
+         |${sampledBandRowsSql(SampledBands, SampledBandBits, EmbeddingDims, SampledSeed)}),
          |c AS (
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id < b.vec_id),
@@ -1002,6 +1117,93 @@ object Extensions {
         |            ELSE 0.0 END AS dup_bigram_frac
         |FROM b LEFT JOIN top ON b.doc_id = top.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // Per-source caps: the x09 quality formula (same CTE chain, same
+    // ROUND(…,6)) carried alongside `source`, then a per-source
+    // row_number capped at SourceCap. Stopwords interpolated from the
+    // one TextOps lexicon.
+    "x30_source_caps" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, text,
+         |         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(text) AS BIGINT) AS n_chars,
+         |         CAST(len(t) AS BIGINT) AS n_tokens,
+         |         CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
+         |         CAST(len(list_filter(t, x -> x IN (${TextOps.EnglishStopwords.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS stopword_count
+         |  FROM toks),
+         |r AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         |         CASE WHEN n_tokens > 0 THEN CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+         |         n_tokens
+         |  FROM m),
+         |q AS (
+         |  SELECT doc_id, source,
+         |         ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+         |               * (1.0 - punct_ratio)
+         |               * least(stopword_ratio * 5.0 + 0.5, 1.0), 6) AS quality_score
+         |  FROM r),
+         |k AS (
+         |  SELECT source, doc_id, quality_score,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |                ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM q)
+         |SELECT source, rnk, doc_id, quality_score FROM k
+         |WHERE rnk <= $SourceCap
+         |ORDER BY source, rnk""".stripMargin,
+
+    // Token-window chunking: window starts via range(), inclusive
+    // list_slice bounds mirror Spark's (start, length) slice exactly.
+    "x31_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t
+         |  FROM toks WHERE len(t) > 0),
+         |ks AS (
+         |  SELECT doc_id, n_tokens, t,
+         |         unnest(range(0, ((n_tokens - 1) // $ChunkStride) + 1)) AS k
+         |  FROM d),
+         |ch AS (
+         |  SELECT doc_id, n_tokens, CAST(k AS BIGINT) AS chunk_id,
+         |         list_slice(t, k * $ChunkStride + 1,
+         |                    k * $ChunkStride + $ChunkSize) AS chunk
+         |  FROM ks)
+         |SELECT doc_id, n_tokens, chunk_id,
+         |       CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+         |       md5(array_to_string(chunk, ' ')) AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Salient terms: tf and df from the one occurrence relation, salience
+    // = the single IEEE divide of two BIGINTs, per-doc row_number ≤ k
+    // with the (salience DESC, tok) total order.
+    "x32_doc_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |tf AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM occ GROUP BY doc_id, tok),
+         |dfq AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |  FROM (SELECT DISTINCT doc_id, tok FROM occ) GROUP BY tok),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+         |         CAST(tf.tf AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS salience
+         |  FROM tf JOIN dfq USING (tok)),
+         |r AS (
+         |  SELECT doc_id, tok, tf, df, salience,
+         |         CAST(row_number() OVER (PARTITION BY doc_id
+         |                ORDER BY salience DESC, tok) AS BIGINT) AS rnk
+         |  FROM sc)
+         |SELECT doc_id, rnk, tok, tf, df, salience FROM r
+         |WHERE rnk <= $KeywordsPerDoc
+         |ORDER BY doc_id, rnk""".stripMargin,
 
     // Per-label centroids: zip-unnest (dim, quantized value), integer
     // sums, two IEEE divides — same quantization CTE family as x05–x07.

@@ -71,6 +71,47 @@ class TextOpsSpec extends SparkSpec {
       .collect()
     assert(r(0).getString(0).matches("[0-9a-f]{32}") && r(1).isNullAt(0))
   }
+
+  test("chunkTokens: stride geometry, full coverage, empty docs dropped") {
+    // 11 tokens, size 5, stride 3 → starts 1,4,7,10 → 4 chunks, last len 2.
+    val text = (1 to 11).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, text), (2L, ""), (3L, "only")).toDF("doc_id", "text")
+    val r = TextOps.chunkTokens(df, "doc_id", "text", chunkSize = 5, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val doc1 = r.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(doc1.map(_.getAs[Long]("chunk_id")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(doc1.map(_.getAs[Long]("chunk_tokens")).toSeq == Seq(5L, 5L, 5L, 2L))
+    // every chunk's hash is a real md5; the empty doc contributes nothing,
+    // the 1-token doc exactly one chunk of itself
+    assert(r.forall(_.getAs[String]("chunk_hash").matches("[0-9a-f]{32}")))
+    assert(!r.exists(_.getAs[Long]("doc_id") == 2L))
+    val doc3 = r.filter(_.getAs[Long]("doc_id") == 3L)
+    assert(doc3.length == 1 && doc3.head.getAs[Long]("chunk_tokens") == 1L)
+    // coverage: non-overlap prefixes (stride tokens of each chunk, all of
+    // the last) concatenate back to the token stream — nothing lost
+    val n = 11; val starts = Seq(0, 3, 6, 9)
+    assert(starts.last + doc1.last.getAs[Long]("chunk_tokens") == n)
+  }
+
+  test("tfSalienceTopTerms ranks frequent-here-rare-elsewhere terms first") {
+    // "zebra" appears 3× in doc 1 only (tf=3, df=1 → salience 3.0);
+    // "the" appears in all docs (df=3 → salience ≤ 2/3).
+    val df = Seq(
+      (1L, "zebra zebra zebra the cat"),
+      (2L, "the dog runs"),
+      (3L, "the bird sings")).toDF("doc_id", "text")
+    val r = TextOps.tfSalienceTopTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rnk").collect()
+    val d1 = r.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.head.getAs[String]("tok") == "zebra")
+    assert(d1.head.getAs[Long]("tf") == 3L && d1.head.getAs[Long]("df") == 1L)
+    assert(d1.head.getAs[Double]("salience") == 3.0)
+    // every doc gets at most k rows, ranks are 1..k
+    assert(r.groupBy(_.getAs[Long]("doc_id")).forall { case (_, rows) =>
+      rows.length <= 2 && rows.map(_.getAs[Long]("rnk")).sorted.sameElements(
+        (1L to rows.length.toLong))
+    })
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -266,6 +307,24 @@ class SimilaritySpec extends SparkSpec {
     val half = kept(Map("s0" -> 1.0, "s1" -> 0.25))
     val (s1full, s1half) = (full.filter(_ % 4 == 1), half.filter(_ % 4 == 1))
     assert(s1half.subsetOf(s1full) && s1half.size < s1full.size && s1half.nonEmpty)
+  }
+
+  test("capPerGroup keeps exactly the cap best rows per group, all of small groups") {
+    import graft.ext.Sampling
+    // group g0: scores 100,99,…; group g1: 2 rows only
+    val df = (0 until 10).map(i => ("g0", i.toLong, (100 - i).toDouble)) ++
+      Seq(("g1", 100L, 5.0), ("g1", 101L, 9.0))
+    val d = df.toDF("src", "id", "score")
+    val r = Sampling.capPerGroup(d, col("src"),
+        Seq(desc("score"), col("id")), cap = 3)
+      .orderBy("src", "rnk").collect()
+    val g0 = r.filter(_.getAs[String]("src") == "g0")
+    val g1 = r.filter(_.getAs[String]("src") == "g1")
+    // cap binds on the big group and keeps the TOP scores; small groups
+    // pass through whole; ranks are 1..n
+    assert(g0.map(_.getAs[Long]("id")).toSeq == Seq(0L, 1L, 2L))
+    assert(g1.map(_.getAs[Long]("id")).toSeq == Seq(101L, 100L))
+    assert(r.map(_.getAs[Long]("rnk")).forall(_ <= 3))
   }
 
   test("x26 pipeline gate: audit columns prove every stage fired") {
