@@ -273,9 +273,18 @@ object Similarity {
   }
 
   /** Shared tail of the banded near-dup shapes: optional hot-bucket cap,
-    * candidate generation by band-key self-EQUI-join, exact cosine verify. */
-  private def bandVerify(v: DataFrame, e0: DataFrame, threshold: Double,
+    * candidate generation by band-key self-EQUI-join, exact cosine verify.
+    * The (id, band-key) relation is materialized (persist, tracked in
+    * [[ExtCaches]]) because it feeds BOTH sides of the candidate self-join
+    * — same barrier as the shingle inverted index in
+    * [[Dedup.ngramJaccardPairs]]: without it Catalyst inlines the band-key
+    * expression into each side and every row pays the sign-gather twice
+    * (for the sampled 16×16 geometry that is a 256-term projection — the
+    * double evaluation measurably dominated the sf0.1 bench). At scale
+    * this relation IS the stored LSH index. */
+  private def bandVerify(v: DataFrame, e0raw: DataFrame, threshold: Double,
                          hotBucketCap: Option[Int]): DataFrame = {
+    val e0 = ExtCaches.persistTracked(e0raw)
     val e = hotBucketCap.fold(e0) { cap =>
       val keep = e0.groupBy(col("bk"))
         .agg(count(lit(1)).as("bucket_n"))
