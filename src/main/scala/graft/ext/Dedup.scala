@@ -380,6 +380,36 @@ object Dedup {
         .select(col("v"), col("v").as("label")))
   }
 
+  /** Incremental ingest dedup — the nightly-crawl shape: an incoming
+    * batch is deduplicated against an already-ingested base corpus AND
+    * within itself, keyed on any per-row digest column (content md5 for
+    * exact dedup, [[TextOps.fingerprint]] for 1-perm-MinHash near-dup).
+    * Survivors = one incoming doc per new digest (smallest id wins —
+    * deterministic) whose digest is absent from the base, plus every
+    * incoming doc with a null digest (un-fingerprintable rows are passed
+    * through, never silently dropped — and never collapsed into one
+    * spurious null group).
+    *
+    * Scale shape: the base corpus contributes ONLY its distinct digest
+    * projection (at 100 TB that relation is the stored dedup index — a
+    * fraction of corpus width); the within-batch first-wins is one hash
+    * aggregate on the digest (map-side combinable, no window/sort); the
+    * base check is a left-anti equi-join that shuffles just
+    * (digest, id) pairs. The incoming batch is typically ≪ base, so the
+    * anti-join's runtime bloom/broadcast optimizations apply on the
+    * small side. */
+  def incrementalDedup(base: DataFrame, incoming: DataFrame, idCol: String,
+                       digest: Column): DataFrame = {
+    val inc = incoming.select(col(idCol).as("doc_id"), digest.as("digest"))
+    val baseKeys = base.select(digest.as("digest"))
+      .filter(col("digest").isNotNull).distinct()
+    inc.filter(col("digest").isNotNull)
+      .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
+      .join(baseKeys, Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("digest"))
+      .unionByName(inc.filter(col("digest").isNull))
+  }
+
   /** Cluster summary from a component-label relation (the
     * [[connectedComponents]] output): one row per component with ≥ 2
     * members — (canonical_id = smallest member id, n_members). */

@@ -471,6 +471,27 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---- x33: incremental ingest dedup --------------------------------------
+
+  /** The already-ingested share of the corpus in the x33 split (hash of
+    * doc_id, the same deterministic splitter x28 uses for eval/train). */
+  val BaseFrac = 0.75
+
+  /** Incremental near-dup dedup of an incoming batch against the ingested
+    * base (Dedup.incrementalDedup keyed on the min-shingle fingerprint —
+    * the x11 1-perm MinHash, which actually fires on this corpus where
+    * exact text collisions don't exist): base ships only its distinct
+    * fingerprint index, first-wins within the batch is one hash
+    * aggregate, the base check one anti-join. */
+  def x33_incremental_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
+    Dedup.incrementalDedup(
+        docs.filter(inBase), docs.filter(!inBase), "doc_id",
+        TextOps.fingerprint(TextOps.tokens(col("text"))))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -674,7 +695,8 @@ object Extensions {
     "x26_pipeline_gate" -> (x26_pipeline_gate _),
     "x27_source_mixture" -> (x27_source_mixture _),
     "x28_decontamination" -> (x28_decontamination _),
-    "x29_skew_join" -> (x29_skew_join _))
+    "x29_skew_join" -> (x29_skew_join _),
+    "x33_incremental_dedup" -> (x33_incremental_dedup _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1000,6 +1022,27 @@ object Extensions {
       s"""WITH $shinglesCte
          |SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS fingerprint
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    // Incremental dedup: x11's fingerprint carried through the x28-style
+    // hash split; first-wins per digest, NOT-IN against the base index,
+    // null-fingerprint rows passed through.
+    "x33_incremental_dedup" ->
+      s"""WITH $shinglesCte,
+         |fp AS (
+         |  SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS digest,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base
+         |  FROM sh),
+         |k AS (
+         |  SELECT digest, CAST(min(doc_id) AS BIGINT) AS doc_id
+         |  FROM fp WHERE NOT in_base AND digest IS NOT NULL
+         |  GROUP BY digest),
+         |surv AS (
+         |  SELECT doc_id, digest FROM k
+         |  WHERE digest NOT IN (SELECT digest FROM fp WHERE in_base AND digest IS NOT NULL)
+         |  UNION ALL
+         |  SELECT doc_id, CAST(NULL AS VARCHAR) AS digest
+         |  FROM fp WHERE NOT in_base AND digest IS NULL)
+         |SELECT doc_id, digest FROM surv ORDER BY doc_id""".stripMargin,
 
     "x12_events_tumbling" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS window_start_us,

@@ -292,6 +292,22 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L)) // {1,2,3} collapse to 1
   }
 
+  test("incrementalDedup: base hits dropped, first-wins within batch, nulls pass through") {
+    val base = Seq((1L, "aa"), (2L, "bb")).toDF("id", "d")
+    val incoming = Seq(
+      (10L, "bb"),   // dup of base → dropped
+      (11L, "cc"),   // new digest, smallest id → survives
+      (12L, "cc"),   // within-batch dup of 11 → dropped
+      (13L, null.asInstanceOf[String]),  // unfingerprintable → passes
+      (14L, null.asInstanceOf[String]))  // …and does NOT collapse with 13
+      .toDF("id", "d")
+    val r = Dedup.incrementalDedup(base, incoming, "id", col("d"))
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(11L, 13L, 14L))
+    assert(r.head.getAs[String]("digest") == "cc")
+    assert(r(1).isNullAt(1) && r(2).isNullAt(1))
+  }
+
   test("weightedMixtureSample: keep-all, drop-unlisted, and nested-subset properties") {
     import graft.ext.Sampling
     val df = spark.range(2000).toDF("id")
