@@ -178,11 +178,16 @@ object ScaleSoak {
     sb.append("  runs for work sf0.1 does in ~1 s, warm reps included (it is\n")
     sb.append("  compute, not build cost). No join strategy fixes this; the\n")
     sb.append("  geometry is the semantics. The scale path is `x05_sampled_16x16`\n")
-    sb.append("  (`Similarity.cosineNearDupPairsSampled`): 16 bands x 16 bits\n")
+    sb.append("  (`Similarity.cosineNearDupPairsSampled`, oracle-gated as registry\n")
+    sb.append("  query `x05_dedup_embedding_sampled`): 16 bands x 16 bits\n")
     sb.append("  SAMPLED from the full 64-bit sign signature — a 65k-key space\n")
     sb.append("  (buckets of ~1 at 60k vectors), exact-signature dups collide in\n")
     sb.append("  every band (100% recall on them, spec-asserted), candidates\n")
     sb.append("  back to ~linear. At 100 TB the same knob keys off corpus size.\n")
+    sb.append("  Round-5 follow-up: the (id, band-key) relation is now persisted\n")
+    sb.append("  inside bandVerify — it feeds BOTH candidate-join sides, and for\n")
+    sb.append("  the 256-term sampled projection the double evaluation dominated\n")
+    sb.append("  (sf0.1 bench median 4.0 s -> 0.87 s).\n")
     sb.append("- **Star-form vs propagation CC**: on THIS corpus the cold\n")
     sb.append("  builds track each other (both within noise at x30) — near-dup\n")
     sb.append("  clusters are shallow (diameter 1-2), both forms converge in a\n")

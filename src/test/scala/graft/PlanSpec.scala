@@ -67,6 +67,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("x30/x32: per-group rank-filters plan as WindowGroupLimit (flooding group never materialized)") {
+    val caps = formatted(Extensions.x30_source_caps(spark, dir))
+    assert(caps.contains("WindowGroupLimit"), caps)
+    val kw = formatted(Extensions.x32_doc_keywords(spark, dir))
+    assert(kw.contains("WindowGroupLimit"), kw)
+    // the df relation joins back BROADCAST — the corpus never shuffles
+    // for the vocabulary lookup
+    assert(kw.contains("BroadcastHashJoin"), kw)
+  }
+
+  test("x33: base-index check is a LeftAnti equi-join; no sort anywhere (first-wins is a hash agg)") {
+    val p = formatted(Extensions.x33_incremental_dedup(spark, dir))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // first-wins per digest must be an aggregate, not a window sort: the
+    // only Sort allowed is the final presentation orderBy (top-level),
+    // which AQE plans AFTER the anti-join. Assert no Window at all.
+    assert(!p.contains("Window"), p)
+  }
+
   test("x28: decontamination joins the corpus to a BROADCAST eval vocabulary (semi), never corpus×corpus") {
     val p = formatted(Extensions.x28_decontamination(spark, dir))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
