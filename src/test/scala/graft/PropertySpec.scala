@@ -153,6 +153,85 @@ class PropertySpec extends SparkSpec {
     assert(r.map(_.getString(0)).contains("x"))
   }
 
+  test("chunkTokens: lossless stride coverage at any (size, stride) geometry") {
+    // Reconstructing the token stream from the chunks — the first
+    // `stride` tokens of every chunk plus the tail of the last — must
+    // give back EXACTLY the document's tokens, for random documents and
+    // random legal geometries. This is the property that makes chunking
+    // safe as a packing pass: no token lost, none duplicated outside the
+    // declared overlap.
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")),
+      Gen.choose(1, 8), Gen.choose(0, 7))
+    holds(Prop.forAll(gen) { case (text, stride, extra) =>
+      val size = stride + extra
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = graft.ext.TextOps
+        .chunkTokens(df, "doc_id", "text", size, stride)
+        .orderBy("chunk_id").collect()
+      val toks = text.split(" ").toSeq
+      val starts = chunks.map(_.getAs[Long]("chunk_id") * stride)
+      val lens = chunks.map(_.getAs[Long]("chunk_tokens"))
+      // chunk k starts at k·stride; sizes are full except possibly the
+      // last; the last chunk ends exactly at the token count
+      starts.zip(lens).forall { case (s, l) => l == math.min(size, toks.size - s) } &&
+        (chunks.isEmpty == toks.isEmpty) &&
+        (chunks.isEmpty || starts.last + lens.last == toks.size) &&
+        // every token position is inside some chunk
+        toks.indices.forall(i => starts.zip(lens).exists { case (s, l) => i >= s && i < s + l })
+    })
+  }
+
+  test("capPerGroup keeps exactly min(cap, group size) rows, the top-ranked ones") {
+    val gen = Gen.zip(
+      Gen.listOfN(30, Gen.zip(Gen.oneOf("s1", "s2", "s3"), Gen.choose(0, 9))),
+      Gen.choose(1, 5))
+    holds(Prop.forAll(gen) { case (rows, cap) =>
+      rows.isEmpty || {
+        val df = rows.zipWithIndex
+          .map { case ((g, v), id) => (g, v.toDouble, id.toLong) }
+          .toDF("grp", "v", "id")
+        val kept = graft.ext.Sampling
+          .capPerGroup(df, col("grp"), Seq(desc("v"), col("id")), cap)
+          .collect()
+        val byGroup = rows.zipWithIndex.groupBy(_._1._1)
+        byGroup.forall { case (g, members) =>
+          val keptG = kept.filter(_.getAs[String]("grp") == g)
+          val expected = members
+            .map { case ((_, v), id) => (-v.toDouble, id.toLong) }.sorted
+            .take(cap).map(_._2).toSet
+          keptG.length == math.min(cap, members.size) &&
+            keptG.map(_.getAs[Long]("id")).toSet == expected
+        }
+      }
+    })
+  }
+
+  test("incrementalDedup: survivors' digests are unique, new to the base, and idempotent") {
+    val digestGen = Gen.oneOf("d1", "d2", "d3", "d4", "d5")
+    val gen = Gen.zip(
+      Gen.listOfN(8, digestGen),   // base digests
+      Gen.listOfN(12, digestGen))  // incoming digests
+    holds(Prop.forAll(gen) { case (baseD, incD) =>
+      val base = baseD.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "d")
+      val incoming = incD.zipWithIndex.map { case (d, i) => ((100 + i).toLong, d) }.toDF("id", "d")
+      val surv = graft.ext.Dedup
+        .incrementalDedup(base, incoming, "id", col("d")).collect()
+      val survD = surv.map(_.getAs[String]("digest"))
+      // one survivor per new digest, none already in the base
+      survD.distinct.length == survD.length &&
+        survD.forall(!baseD.contains(_)) &&
+        survD.toSet == incD.toSet.diff(baseD.toSet) && {
+          // idempotence: ingesting the same batch against base ∪ survivors
+          // yields nothing
+          val base2 = base.select(col("id"), col("d"))
+            .union(surv.toSeq.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("digest")))
+              .toDF("id", "d"))
+          graft.ext.Dedup.incrementalDedup(base2, incoming, "id", col("d")).isEmpty
+        }
+    })
+  }
+
   test("heavy_hitters rejects non-string inputs at analysis time") {
     org.apache.spark.sql.graftfn.GraftFunctions.register(spark)
     // ExpectsInputTypes(StringType): heavy_hitters(user_id, 10) on a
