@@ -122,6 +122,37 @@ object Sampling {
       .drop("_n")
   }
 
+  /** Best-first budget selection over a scored corpus — the scale-safe
+    * form of "take documents in quality order until the token budget is
+    * met". The naive form (global sort by score + running sum over every
+    * document) is an unpartitioned window over un-reduced input — the
+    * exact shape the PlanSpec fleet gate forbids at corpus scale.
+    * Instead: the corpus reduces to ≤ `buckets`+1 score bins with ONE
+    * map-side-combinable aggregate, the tiny bin table takes a
+    * cumulative sum best-bin-first (a window over REDUCED input, the
+    * same post-aggregation idiom as q09's genre ranks), and selection
+    * keeps bins while the budget is not yet met — the bin that crosses
+    * the budget is included, so the kept weight reaches the budget
+    * whenever the corpus can supply it. The budget is honored to bin
+    * resolution; a production build tightens `buckets`, not the
+    * algorithm. Returns the per-bin table (bucket desc = best first)
+    * with integer cumulative weights; the kept corpus is a scan filter
+    * against the selected bin list (broadcast-small by construction). */
+  def budgetBuckets(df: DataFrame, scoreCol: Column, weightCol: Column,
+                    budget: Long, buckets: Int = 100): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val b = df.select(
+        least(floor(scoreCol * buckets), lit(buckets)).cast(LongType).as("bucket"),
+        weightCol.cast(LongType).as("w"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("bucket_tokens"))
+    val w = Window.orderBy(desc("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+      .filter(col("cum_tokens") - col("bucket_tokens") < budget)
+  }
+
   /** Per-group contribution cap — "keep at most `cap` documents per
     * source/domain, best first": rank each group by `order` (which must
     * end in a unique tiebreak column — total order, deterministic kept

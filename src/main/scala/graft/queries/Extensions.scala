@@ -492,6 +492,24 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---- x34: token-budget corpus selection ---------------------------------
+
+  /** ~44 % of the sf0.01 corpus's tokens, ~4.4 % of sf0.1's — the
+    * budget binds (cuts off mid-histogram) at every tested scale. */
+  val TokenBudget = 12000L
+  val QualityBuckets = 100
+
+  /** "Build the best `TokenBudget`-token corpus": quality-histogram
+    * threshold selection (Sampling.budgetBuckets over the x09 quality
+    * score, weighted by token count) — the scale-safe replacement for a
+    * global quality sort + running sum, which would be an unpartitioned
+    * window over the whole corpus. */
+  def x34_token_budget(s: SparkSession, dir: String): DataFrame =
+    Sampling.budgetBuckets(
+        TextOps.qualityScore(Tables.documents(s, dir)),
+        col("quality_score"), col("n_tokens"), TokenBudget, QualityBuckets)
+      .orderBy(desc("bucket"))
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -696,7 +714,8 @@ object Extensions {
     "x27_source_mixture" -> (x27_source_mixture _),
     "x28_decontamination" -> (x28_decontamination _),
     "x29_skew_join" -> (x29_skew_join _),
-    "x33_incremental_dedup" -> (x33_incremental_dedup _))
+    "x33_incremental_dedup" -> (x33_incremental_dedup _),
+    "x34_token_budget" -> (x34_token_budget _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1197,6 +1216,45 @@ object Extensions {
          |SELECT source, rnk, doc_id, quality_score FROM k
          |WHERE rnk <= $SourceCap
          |ORDER BY source, rnk""".stripMargin,
+
+    // Token-budget selection: the x09/x30 quality formula, bucketed to
+    // QualityBuckets bins, best-bin-first cumulative token sums, bins
+    // kept while the budget is unmet (the crossing bin included).
+    "x34_token_budget" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(text) AS BIGINT) AS n_chars,
+         |         CAST(len(t) AS BIGINT) AS n_tokens,
+         |         CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
+         |         CAST(len(list_filter(t, x -> x IN (${TextOps.EnglishStopwords.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS stopword_count
+         |  FROM toks),
+         |r AS (
+         |  SELECT doc_id, n_tokens,
+         |         CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         |         CASE WHEN n_tokens > 0 THEN CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+         |  FROM m),
+         |q AS (
+         |  SELECT doc_id, n_tokens,
+         |         ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+         |               * (1.0 - punct_ratio)
+         |               * least(stopword_ratio * 5.0 + 0.5, 1.0), 6) AS quality_score
+         |  FROM r),
+         |b AS (
+         |  SELECT least(CAST(floor(quality_score * $QualityBuckets) AS BIGINT), $QualityBuckets) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+         |  FROM q GROUP BY 1),
+         |c AS (
+         |  SELECT bucket, n_docs, bucket_tokens,
+         |         CAST(sum(bucket_tokens) OVER (ORDER BY bucket DESC
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM b)
+         |SELECT bucket, n_docs, bucket_tokens, cum_tokens FROM c
+         |WHERE cum_tokens - bucket_tokens < $TokenBudget
+         |ORDER BY bucket DESC""".stripMargin,
 
     // Token-window chunking: window starts via range(), inclusive
     // list_slice bounds mirror Spark's (start, length) slice exactly.

@@ -325,6 +325,22 @@ class SimilaritySpec extends SparkSpec {
     assert(s1half.subsetOf(s1full) && s1half.size < s1full.size && s1half.nonEmpty)
   }
 
+  test("budgetBuckets keeps best bins first and includes the budget-crossing bin") {
+    import graft.ext.Sampling
+    // buckets (score·10): 9→30 tokens, 8→40, 5→50, 2→100.
+    // budget 80: bin 9 (cum 30) kept, bin 8 (cum 70) kept, bin 5 (cum
+    // 120, crosses) kept, bin 2 (cum before = 120 ≥ 80) dropped.
+    val df = Seq(
+      (0.95, 30L), (0.85, 25L), (0.85, 15L), (0.55, 50L), (0.25, 100L))
+      .toDF("score", "w")
+    val r = Sampling.budgetBuckets(df, col("score"), col("w"),
+        budget = 80L, buckets = 10)
+      .orderBy(desc("bucket")).collect()
+    assert(r.map(_.getAs[Long]("bucket")).toSeq == Seq(9L, 8L, 5L))
+    assert(r.map(_.getAs[Long]("cum_tokens")).toSeq == Seq(30L, 70L, 120L))
+    assert(r.map(_.getAs[Long]("n_docs")).toSeq == Seq(1L, 2L, 1L))
+  }
+
   test("capPerGroup keeps exactly the cap best rows per group, all of small groups") {
     import graft.ext.Sampling
     // group g0: scores 100,99,…; group g1: 2 rows only
