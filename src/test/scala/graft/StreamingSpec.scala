@@ -55,6 +55,25 @@ class StreamingSpec extends SparkSpec {
     assert(r.length == 2 && r(0)._1 > r(1)._1 && r(0)._2 == "en")
   }
 
+  test("token-window chunking runs unchanged on a stream (ingest-time packing)") {
+    // chunkTokens is a stateless 1:N generator (sequence + slice +
+    // posexplode) — the pack-as-documents-land counterpart of the
+    // scoring test above. Append mode, no state store.
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    source.addData((1L, (1 to 11).map("t" + _).mkString(" ")), (2L, ""))
+    val q = graft.ext.TextOps.chunkTokens(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        chunkSize = 5, stride = 3)
+      .writeStream.format("memory").queryName("chunked").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("chunked").orderBy("doc_id", "chunk_id").collect()
+    // 11 tokens, size 5, stride 3 → 4 chunks; the empty doc emits nothing
+    assert(r.map(_.getAs[Long]("doc_id")).forall(_ == 1L))
+    assert(r.map(_.getAs[Long]("chunk_id")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(r.map(_.getAs[Long]("chunk_tokens")).toSeq == Seq(5L, 5L, 5L, 2L))
+  }
+
   test("stream-static join enriches the stream with a broadcast dimension") {
     implicit val ctx = spark.sqlContext
     val source = MemoryStream[Event]
