@@ -18,12 +18,16 @@ import graft.{GraftSession, SparkEntry}
   *
   *  - documents: every whitespace token gets the replica index appended.
   *    Within a replica the shingle structure (and thus the near-dup pair
-  *    graph and cluster shape) is exactly sf0.1's; across replicas no
-  *    shingle collides, so pairs and clusters grow LINEARLY in the
-  *    replica count — the same slope real corpus growth would give a
-  *    constant-duplication-rate pipeline. Naive replication (no salt)
-  *    would instead make every document an exact dup of R-1 others and
-  *    measure a quadratic workload no real corpus has.
+  *    graph and cluster shape) closely tracks sf0.1's — not exactly:
+  *    the salt lands after punctuation, so a token like "beta," becomes
+  *    "beta,0" and re-tokenizes as unsalted "beta" plus a digit token,
+  *    perturbing shingles of punctuation-adjacent text. Across replicas
+  *    salted shingles do not collide, so pairs and clusters still grow
+  *    ~LINEARLY in the replica count — the slope real corpus growth
+  *    would give a constant-duplication-rate pipeline. Naive
+  *    replication (no salt) would instead make every document an exact
+  *    dup of R-1 others and measure a quadratic workload no real corpus
+  *    has.
   *  - embeddings: component signs are flipped by a deterministic
   *    per-(replica, index) pattern. Sign-flipping is an isometry —
   *    within-replica cosines (and the near-dup structure x05 mines) are
