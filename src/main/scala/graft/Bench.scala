@@ -120,14 +120,15 @@ object Bench {
     // Family 3: LLM-pipeline extensions (x*), each self-contained: its
     // first rep pays its own cache build cold. The component-fixpoint
     // consumers are carved out into family 4.
-    val ccShared = Set("x20_dup_clusters", "x23_dedup_survivors", "x26_pipeline_gate")
+    val ccShared = Set("x20_dup_clusters", "x23_dedup_survivors",
+      "x26_pipeline_gate", "x36_cluster_reps")
     val starShared = Set("x20_dup_clusters_star")
     val xExt = all.filterNot(Headline).filterNot(_.startsWith("s"))
       .filterNot(ccShared).filterNot(starShared)
     val extendedX = run(xExt, coldCaches = true)
     graft.ext.ExtCaches.clearCaches()
     // Family 4: the connected-component consumers. The eager fixpoints are
-    // shared (one CC run serves x20/x23/x26 — see ccLabelsCache), so like
+    // shared (one CC run serves x20/x23/x26/x36 — see ccLabelsCache), so like
     // family 1 they are built ONCE, timed as their own lines, and the
     // consumers run warm; previously the build cost hid in median-discarded
     // first reps and x20 read as free (round-4 verdict).

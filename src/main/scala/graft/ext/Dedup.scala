@@ -427,4 +427,33 @@ object Dedup {
     * graft.queries.Extensions.minhashDupLabels). */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     clusterSummary(connectedComponents(pairs, aCol, bCol))
+
+  /** Quality-policy survivor selection: one REPRESENTATIVE per duplicate
+    * cluster, chosen by a score instead of x23's smallest-id canonical —
+    * the policy real pipelines run (keep the best-quality copy of a
+    * near-dup family, not the one with the luckiest id). `scored` maps
+    * every document id to its score; the representative is the member
+    * maximizing (score, then smallest id) — a total order, so selection
+    * is deterministic and oracle-reproducible.
+    *
+    * Shape: one equi-join of the label relation (|dup-cluster members|,
+    * a fraction of the corpus) against the scored corpus on id, then one
+    * hash aggregate per label using the q06 idiom — `max_by` over a
+    * totally-ordered struct, sort-free and map-side combinable. No
+    * window, no per-cluster sort; at 100 TB both sides shuffle once on
+    * the id and the aggregate reduces to |clusters| rows. */
+  def clusterRepresentatives(labels: DataFrame, scored: DataFrame,
+                             idCol: String, scoreCol: String): DataFrame = {
+    val members = labels.join(
+      scored.select(col(idCol).as("v"), col(scoreCol).as("score")), Seq("v"))
+    members
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score").as("score"),
+          (-col("v").cast(LongType)).as("neg_id"))).as("best"))
+      .filter(col("n_members") > 1)
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.neg_id")).as("rep_doc_id"),
+        col("best.score").as("rep_score"))
+  }
 }

@@ -57,6 +57,15 @@ object Sampling {
   def hashThresholdPredicate(idCol: Column, frac: Double): Column =
     substring(hashKey(idCol), 1, 8) < lit(cutFor(frac))
 
+  /** Salted variant: hash of `id || salt` — gives INDEPENDENT
+    * deterministic membership draws from one id column (x37's snapshot
+    * splits need three: old-membership, new-membership, touched-rows).
+    * Oracle twin: `substr(md5(CAST(id AS VARCHAR) || '<salt>'), 1, 8) <
+    * '<cutFor(frac)>'`. */
+  def saltedHashPredicate(idCol: Column, salt: String, frac: Double): Column =
+    substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8) <
+      lit(cutFor(frac))
+
   /** The 8-hex-char threshold [[hashThresholdSample]] compares against —
     * the SINGLE source of the cut formula, used by the Spark filter above
     * and interpolated into oracle SQL, so the two sides cannot silently

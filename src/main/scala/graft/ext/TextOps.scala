@@ -279,4 +279,37 @@ object TextOps {
       .withColumn("oov_rate",
         col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
   }
+
+  /** Word-boundary alternation over a term blocklist — THE one spelling
+    * of the scrub pattern, shared by the Spark expressions below and
+    * interpolated into the oracle SQL. `\b` and plain alternation sit in
+    * the Java-regex ∩ RE2 subset, so both engines match identically;
+    * terms are taken verbatim (callers pass lowercase token-shaped terms,
+    * matching the corpus convention — no quoting needed). */
+  def scrubPattern(terms: Seq[String]): String =
+    terms.sorted.mkString("\\b(", "|", ")\\b")
+
+  /** Compliance scrub — the PII-redaction plumbing every training-data
+    * pipeline runs before release, exercised here with a term blocklist
+    * (the synthetic corpus carries no emails/SSNs, and a redaction gate
+    * the correctness gate never sees fire is not tested; swapping the
+    * alternation for PII patterns changes ONE string). Per document:
+    * the hit count (`size(regexp_extract_all)` — rewritten by
+    * CountMatchesRule into the allocation-free counting matcher), the
+    * scrubbed text's length, and its sha256 — the audit triple a
+    * redaction pass must emit (how much was redacted, proof of what the
+    * released bytes are) without shipping the full text twice.
+    *
+    * Scale shape: pure per-row scan-speed projection — no shuffle, no
+    * UDF, fully codegen'd; linear in executors like every TextOps op. */
+  def scrubTerms(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], mask: String): DataFrame = {
+    val pat = scrubPattern(terms)
+    val scrubbed = regexp_replace(col(textCol), lit(pat), lit(mask))
+    df.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast(LongType).as("n_hits"),
+      length(scrubbed).cast(LongType).as("n_chars_scrubbed"),
+      sha2(scrubbed, 256).as("scrubbed_digest"))
+  }
 }

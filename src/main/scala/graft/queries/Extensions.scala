@@ -510,6 +510,95 @@ object Extensions {
         col("quality_score"), col("n_tokens"), TokenBudget, QualityBuckets)
       .orderBy(desc("bucket"))
 
+  // ---- x35: compliance scrub (PII-redaction plumbing) ---------------------
+
+  /** Blocklist for x35: frequent corpus terms, so the scrub FIRES on most
+    * documents at every tested scale — a redaction gate the correctness
+    * gate never sees fire is not tested. A production deployment swaps
+    * the alternation for PII patterns (emails/phones/SSNs); the synthetic
+    * corpus carries none, and the operator is the plumbing, not the
+    * pattern. Sorted inside scrubPattern so term order can't change the
+    * regex. */
+  val ScrubTerms: Seq[String] = Seq("customer", "table", "stream")
+  val ScrubMask = "<MASK>"
+
+  /** Redact every blocklisted term and emit the audit triple per doc:
+    * hit count, scrubbed length, sha256 of the released bytes (see
+    * TextOps.scrubTerms for the scale shape — pure scan-speed
+    * projection, CountMatchesRule keeps the hit count allocation-free). */
+  def x35_blocklist_scrub(s: SparkSession, dir: String): DataFrame =
+    TextOps.scrubTerms(Tables.documents(s, dir), "doc_id", "text",
+        ScrubTerms, ScrubMask)
+      .orderBy(col("doc_id"))
+
+  // ---- x36: quality-policy cluster representatives ------------------------
+
+  /** The survivor policy production dedup actually ships: keep each
+    * near-dup cluster's BEST-QUALITY member (x09 score, smallest-id
+    * tiebreak), not x23's smallest-id canonical. Rides the SHARED x20
+    * component fixpoint (ccLabelsCache — one CC run serves x20/x23/x26
+    * and this) plus the x09 scoring pass; the selection itself is the
+    * q06 sort-free max_by idiom (see Dedup.clusterRepresentatives). */
+  def x36_cluster_reps(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterRepresentatives(
+        minhashDupLabels(s, dir),
+        TextOps.qualityScore(Tables.documents(s, dir)),
+        "doc_id", "quality_score")
+      .orderBy(col("cluster_id"))
+
+  // ---- x37: snapshot CDC — the MERGE-feed diff ----------------------------
+
+  /** Membership draw for each snapshot (~87.5 % of keys each, ~76 %
+    * overlap) and the touched-row draw within the overlap — all three
+    * independent salted hashes of the order key, so every change class
+    * (insert / delete / update) fires at every tested scale. */
+  val CdcSnapFrac = 0.875
+  val CdcTouchFrac = 0.25
+
+  /** Price perturbation for touched rows: an exact-in-binary additive
+    * delta — one IEEE add both engines compute bit-identically (no
+    * rounding-mode trap, unlike a `* 1.1` + ROUND). */
+  val CdcPriceDelta = 16.0
+
+  /** Changed-data capture between two snapshots of `orders` — the diff a
+    * MERGE INTO / SCD pipeline consumes: full-outer join the snapshots on
+    * the key, classify each key as insert (new only), delete (old only),
+    * update (both, value changed), and emit ONLY the changed rows. The
+    * two snapshots are deterministic salted-hash slices of the base table
+    * (Sampling.saltedHashPredicate — the x28 split machinery with
+    * independent draws), with touched overlap rows shifted by
+    * [[CdcPriceDelta]]; presence is decided by explicit marker columns,
+    * not value nullability, so the classifier is schema-agnostic.
+    *
+    * Scale shape: both sides partition on the join key — ONE
+    * co-partitioned sort-merge full-outer join, no broadcast needed and
+    * none possible (both sides are table-sized); with key-bucketed
+    * snapshot layouts (Sources.writeBucketed) the shuffle disappears
+    * entirely. Output is |changed keys| — the deliverable a downstream
+    * MERGE applies, a fraction of either snapshot. */
+  def x37_snapshot_cdc(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val k = col("o_orderkey")
+    val oldSnap = o.filter(Sampling.saltedHashPredicate(k, "a", CdcSnapFrac))
+      .select(k, col("o_totalprice").as("old_price"), lit(true).as("in_old"))
+    val newSnap = o.filter(Sampling.saltedHashPredicate(k, "b", CdcSnapFrac))
+      .select(k,
+        when(Sampling.saltedHashPredicate(k, "u", CdcTouchFrac),
+          col("o_totalprice") + CdcPriceDelta)
+          .otherwise(col("o_totalprice")).as("new_price"),
+        lit(true).as("in_new"))
+    oldSnap.join(newSnap, Seq("o_orderkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("in_old").isNull, lit("insert"))
+          .when(col("in_new").isNull, lit("delete"))
+          .when(col("old_price") =!= col("new_price"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("o_orderkey"), col("change_type"),
+        col("old_price"), col("new_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -715,7 +804,10 @@ object Extensions {
     "x28_decontamination" -> (x28_decontamination _),
     "x29_skew_join" -> (x29_skew_join _),
     "x33_incremental_dedup" -> (x33_incremental_dedup _),
-    "x34_token_budget" -> (x34_token_budget _))
+    "x34_token_budget" -> (x34_token_budget _),
+    "x35_blocklist_scrub" -> (x35_blocklist_scrub _),
+    "x36_cluster_reps" -> (x36_cluster_reps _),
+    "x37_snapshot_cdc" -> (x37_snapshot_cdc _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1255,6 +1347,103 @@ object Extensions {
          |SELECT bucket, n_docs, bucket_tokens, cum_tokens FROM c
          |WHERE cum_tokens - bucket_tokens < $TokenBudget
          |ORDER BY bucket DESC""".stripMargin,
+
+    // Compliance scrub: the pattern and mask are interpolated from the
+    // SAME constants as the Spark side (TextOps.scrubPattern sorts the
+    // terms, so the alternation is one spelling). '\b' is literal in a
+    // standard single-quoted DuckDB string; RE2 and Java regex agree on
+    // this word-boundary-plus-alternation subset. 'g' = replace all,
+    // matching Spark's regexp_replace default.
+    "x35_blocklist_scrub" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         regexp_extract_all(text, '${TextOps.scrubPattern(ScrubTerms)}') AS hits,
+         |         regexp_replace(text, '${TextOps.scrubPattern(ScrubTerms)}', '$ScrubMask', 'g') AS scrubbed
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(hits) AS BIGINT) AS n_hits,
+         |       CAST(len(scrubbed) AS BIGINT) AS n_chars_scrubbed,
+         |       sha256(scrubbed) AS scrubbed_digest
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // Quality-policy cluster representatives: the x20 recursive component
+    // fixpoint joined to the x09 quality chain (qtoks naming per x26),
+    // argmax per label via row_number over (score DESC, id) — the total
+    // order Dedup.clusterRepresentatives' max_by struct encodes.
+    "x36_cluster_reps" ->
+      s"""WITH RECURSIVE $minhashVerifiedCte,
+         |prs AS (
+         |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
+         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v),
+         |qtoks AS (
+         |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |qm AS (
+         |  SELECT doc_id,
+         |         CAST(len(text) AS BIGINT) AS n_chars,
+         |         CAST(len(t) AS BIGINT) AS n_tokens,
+         |         CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
+         |         CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','in','is','it','for'))) AS BIGINT) AS stopword_count
+         |  FROM qtoks),
+         |qr AS (
+         |  SELECT doc_id,
+         |         CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         |         CASE WHEN n_tokens > 0 THEN CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+         |         n_tokens
+         |  FROM qm),
+         |qq AS (
+         |  SELECT doc_id,
+         |         ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+         |               * (1.0 - punct_ratio)
+         |               * least(stopword_ratio * 5.0 + 0.5, 1.0), 6) AS quality_score
+         |  FROM qr),
+         |mem AS (
+         |  SELECT lab.label, lab.v, qq.quality_score
+         |  FROM lab JOIN qq ON lab.v = qq.doc_id),
+         |rk AS (
+         |  SELECT label, v, quality_score,
+         |         CAST(row_number() OVER (PARTITION BY label
+         |                ORDER BY quality_score DESC, v) AS BIGINT) AS rn,
+         |         CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n
+         |  FROM mem)
+         |SELECT label AS cluster_id, n AS n_members, v AS rep_doc_id,
+         |       quality_score AS rep_score
+         |FROM rk WHERE rn = 1 AND n > 1
+         |ORDER BY cluster_id""".stripMargin,
+
+    // Snapshot CDC: both membership draws and the touched-row draw are
+    // interpolated from the SAME (salt, frac) constants as the Spark
+    // side (Sampling.saltedHashPredicate / cutFor); presence via the
+    // outer join's key nullability mirrors the marker columns.
+    "x37_snapshot_cdc" ->
+      s"""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+         |olds AS (
+         |  SELECT k, p AS old_price FROM o
+         |  WHERE substr(md5(CAST(k AS VARCHAR) || 'a'), 1, 8) < '${Sampling.cutFor(CdcSnapFrac)}'),
+         |news AS (
+         |  SELECT k,
+         |         CASE WHEN substr(md5(CAST(k AS VARCHAR) || 'u'), 1, 8) < '${Sampling.cutFor(CdcTouchFrac)}'
+         |              THEN p + $CdcPriceDelta ELSE p END AS new_price
+         |  FROM o
+         |  WHERE substr(md5(CAST(k AS VARCHAR) || 'b'), 1, 8) < '${Sampling.cutFor(CdcSnapFrac)}'),
+         |j AS (
+         |  SELECT COALESCE(olds.k, news.k) AS o_orderkey, old_price, new_price,
+         |         CASE WHEN olds.k IS NULL THEN 'insert'
+         |              WHEN news.k IS NULL THEN 'delete'
+         |              WHEN old_price <> new_price THEN 'update'
+         |              ELSE 'unchanged' END AS change_type
+         |  FROM olds FULL OUTER JOIN news ON olds.k = news.k)
+         |SELECT o_orderkey, change_type, old_price, new_price
+         |FROM j WHERE change_type <> 'unchanged'
+         |ORDER BY o_orderkey""".stripMargin,
 
     // Token-window chunking: window starts via range(), inclusive
     // list_slice bounds mirror Spark's (start, length) slice exactly.

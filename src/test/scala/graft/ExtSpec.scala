@@ -112,6 +112,26 @@ class TextOpsSpec extends SparkSpec {
         (1L to rows.length.toLong))
     })
   }
+
+  test("scrubTerms masks whole words only and reports the audit triple") {
+    val df = Seq(
+      (1L, "the customer sat at the table"),
+      (2L, "no blocked words here"),
+      (3L, "tables are not a table")).toDF("doc_id", "text")
+    val r = TextOps.scrubTerms(df, "doc_id", "text",
+        Seq("customer", "table"), "<MASK>")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("n_hits")).toSeq == Seq(2L, 0L, 1L))
+    val expected1 = "the <MASK> sat at the <MASK>"
+    assert(r(0).getAs[Long]("n_chars_scrubbed") == expected1.length.toLong)
+    assert(r(0).getAs[String]("scrubbed_digest") ==
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(expected1.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    // untouched doc: digest is of the original text
+    val expected3 = "tables are not a <MASK>" // "tables" ≠ \btable\b
+    assert(r(2).getAs[Long]("n_chars_scrubbed") == expected3.length.toLong)
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -292,6 +312,20 @@ class SimilaritySpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L)) // {1,2,3} collapse to 1
   }
 
+  test("clusterRepresentatives keeps the best-scored member, smallest id on ties") {
+    // cluster {1,2,3}: scores 0.5, 0.9, 0.9 → rep 2 (tie broken by id);
+    // cluster {10,11}: scores 0.1, 0.7 → rep 11; singleton 5 excluded.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.1),
+      (11L, 0.7), (5L, 1.0)).toDF("doc_id", "quality_score")
+    val r = Dedup.clusterRepresentatives(labels, scored, "doc_id", "quality_score")
+      .orderBy("cluster_id").collect()
+    assert(r.map(x => (x.getAs[Long]("cluster_id"), x.getAs[Long]("n_members"),
+      x.getAs[Long]("rep_doc_id"), x.getAs[Double]("rep_score"))).toSeq ==
+      Seq((1L, 3L, 2L, 0.9), (10L, 2L, 11L, 0.7)))
+  }
+
   test("incrementalDedup: base hits dropped, first-wins within batch, nulls pass through") {
     val base = Seq((1L, "aa"), (2L, "bb")).toDF("id", "d")
     val incoming = Seq(
@@ -449,5 +483,27 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 2)
     assert(new String(frames(0)._3, "UTF-8") == "ab")
     assert(new String(frames(1)._3, "UTF-8") == "ef")
+  }
+}
+
+/** Query-level checks for the snapshot-CDC diff (x37): the change
+  * classifier's invariants, independent of the oracle hash gate. */
+class CdcSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("x37 classes are consistent: inserts new-only, deletes old-only, updates shifted by the delta") {
+    import graft.queries.Extensions
+    val r = Extensions.x37_snapshot_cdc(spark, dir).collect()
+    val byType = r.groupBy(_.getAs[String]("change_type"))
+    // every class fires at the smallest tested scale
+    assert(Set("insert", "delete", "update").subsetOf(byType.keySet))
+    assert(byType("insert").forall(x =>
+      x.isNullAt(x.fieldIndex("old_price")) && !x.isNullAt(x.fieldIndex("new_price"))))
+    assert(byType("delete").forall(x =>
+      !x.isNullAt(x.fieldIndex("old_price")) && x.isNullAt(x.fieldIndex("new_price"))))
+    assert(byType("update").forall(x =>
+      x.getAs[Double]("new_price") == x.getAs[Double]("old_price") + Extensions.CdcPriceDelta))
+    // the diff never emits an unchanged key
+    assert(!byType.contains("unchanged"))
   }
 }
