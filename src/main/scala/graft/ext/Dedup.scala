@@ -428,6 +428,34 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     clusterSummary(connectedComponents(pairs, aCol, bCol))
 
+  /** Passage-level near-dup candidates over winnowing fingerprints
+    * (TextOps.winnowFingerprints): inverted-index self-equi-join on the
+    * fingerprint, count DISTINCT shared fingerprints per pair (each doc's
+    * set is already deduped), keep pairs sharing ≥ `minShared`. The
+    * winnowing guarantee makes this the shared-PASSAGE detector — docs
+    * that embed the same ≥ k+win−1-token run collide even when their
+    * whole-document similarity is far below any MinHash threshold.
+    *
+    * Scale shape: same sub-quadratic inverted-index discipline as
+    * [[ngramJaccardPairs]] — work is Σ df(fp)², bounded because winnowing
+    * emits ~2/win of the k-gram positions and a production run caps
+    * ubiquitous fingerprints (boilerplate) by document frequency before
+    * the join, exactly like the shingle df-cap hook. All-integer output
+    * (no float similarity), so the oracle hashes match in any order. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int, win: Int, minShared: Long): DataFrame = {
+    val idx = ExtCaches.persistTracked(df
+      .select(col(idCol).as("id"),
+        explode(TextOps.winnowFingerprints(
+          TextOps.tokens(col(textCol)), k, win)).as("fp")))
+    idx.as("a")
+      .join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Quality-policy survivor selection: one REPRESENTATIVE per duplicate
     * cluster, chosen by a score instead of x23's smallest-id canonical —
     * the policy real pipelines run (keep the best-quality copy of a

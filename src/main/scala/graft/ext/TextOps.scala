@@ -280,6 +280,32 @@ object TextOps {
         col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al., SIGMOD'03 — the
+    * MOSS local fingerprinting scheme): hash every POSITIONAL k-token
+    * gram (ordered, unlike [[shingles]]' distinct set), slide a
+    * `win`-hash window over the sequence, keep each window's minimum,
+    * dedupe. Guarantee: two documents sharing any run of ≥ k+win−1
+    * tokens share at least one fingerprint — the passage-level dedup
+    * key family that whole-document MinHash (x03) cannot provide.
+    * Shorter-than-window hash sequences select their global min (the
+    * single-window degenerate case); documents with < k tokens yield an
+    * empty set.
+    *
+    * Pure per-row nested HOFs (sequence/transform/slice/array_min) —
+    * no explode, no shuffle, scan-speed like every selector here; md5
+    * strings compare lexicographically identically in both engines, so
+    * the selected mins are bit-identical cross-engine. */
+  def winnowFingerprints(toks: Column, k: Int, win: Int): Column = {
+    val m = size(toks) - lit(k - 1) // number of positional k-gram hashes
+    val hashes = transform(sequence(lit(1), m), i =>
+      md5(concat_ws(" ", slice(toks, i, lit(k)))))
+    val starts = sequence(lit(1), greatest(m - lit(win - 1), lit(1)))
+    when(m >= 1,
+      array_distinct(transform(starts, j =>
+        array_min(slice(hashes, j, lit(win))))))
+      .otherwise(typedLit(Seq.empty[String]))
+  }
+
   /** Word-boundary alternation over a term blocklist — THE one spelling
     * of the scrub pattern, shared by the Spark expressions below and
     * interpolated into the oracle SQL. `\b` and plain alternation sit in

@@ -599,6 +599,35 @@ object Extensions {
       .orderBy(col("o_orderkey"))
   }
 
+  // ---- x38: winnowing fingerprints + passage-level near-dup pairs ---------
+
+  /** Winnowing geometry: 4-token grams, window of 4 hashes — any shared
+    * run of ≥ 7 tokens guarantees a shared fingerprint. [[WinnowMinShared]]
+    * keeps pairs sharing at least that many DISTINCT fingerprints (an
+    * integer gate — no float similarity anywhere in the pipeline). */
+  val WinnowK = 4
+  val WinnowWin = 4
+  val WinnowMinShared = 2L
+
+  /** Per-document winnowing fingerprint sets, exploded to (doc, fp) rows
+    * — the passage-level dedup index a plagiarism/boilerplate detector
+    * stores (see TextOps.winnowFingerprints for the selection scheme and
+    * the per-row scale story). */
+  def x38_winnow_fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(TextOps.winnowFingerprints(
+          TextOps.tokens(col("text")), WinnowK, WinnowWin)).as("fingerprint"))
+      .orderBy(col("doc_id"), col("fingerprint"))
+
+  /** Passage-overlap candidate pairs over the winnowing index — the
+    * detector whole-document MinHash (x03) cannot express: docs sharing
+    * a ≥ 7-token run collide here even at low whole-doc similarity. */
+  def x38_winnow_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
+        WinnowK, WinnowWin, WinnowMinShared)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -807,7 +836,9 @@ object Extensions {
     "x34_token_budget" -> (x34_token_budget _),
     "x35_blocklist_scrub" -> (x35_blocklist_scrub _),
     "x36_cluster_reps" -> (x36_cluster_reps _),
-    "x37_snapshot_cdc" -> (x37_snapshot_cdc _))
+    "x37_snapshot_cdc" -> (x37_snapshot_cdc _),
+    "x38_winnow_fingerprints" -> (x38_winnow_fingerprints _),
+    "x38_winnow_pairs" -> (x38_winnow_pairs _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -907,6 +938,30 @@ object Extensions {
       |         CASE WHEN substr(md5(j::VARCHAR || '|' || t), 1, 1) >= '8'
       |              THEN 1 ELSE -1 END)) > 0
       |       THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** Winnowing selection, oracle side — mirrors TextOps.winnowFingerprints
+    * exactly: POSITIONAL k-gram md5s (DuckDB list_slice bounds are
+    * INCLUSIVE, hence the +k−1 ends), full windows when the hash sequence
+    * covers the window, one global-min window otherwise, list_distinct
+    * last. Geometry interpolated from the same WinnowK/WinnowWin
+    * constants as the Spark expression. */
+  private def winnowCte: String =
+    s"""wtoks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |wh AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, len(t) - ${WinnowK - 1} + 1), i ->
+       |           md5(array_to_string(list_slice(t, i, i + ${WinnowK - 1}), ' '))) AS hs
+       |  FROM wtoks),
+       |wf AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(hs) >= 1 THEN
+       |           list_distinct(list_transform(
+       |             range(1, greatest(len(hs) - ${WinnowWin - 1}, 1) + 1), j ->
+       |               list_min(list_slice(hs, j, j + ${WinnowWin - 1}))))
+       |         ELSE CAST([] AS VARCHAR[]) END AS fps
+       |  FROM wh)""".stripMargin
 
   /** Transitive-closure cluster summary over the x03 pair graph — shared
     * verbatim by x20 (propagation) and x20_star (large-star/small-star):
@@ -1444,6 +1499,25 @@ object Extensions {
          |SELECT o_orderkey, change_type, old_price, new_price
          |FROM j WHERE change_type <> 'unchanged'
          |ORDER BY o_orderkey""".stripMargin,
+
+    "x38_winnow_fingerprints" ->
+      s"""WITH $winnowCte
+         |SELECT doc_id, unnest(fps) AS fingerprint
+         |FROM wf ORDER BY doc_id, fingerprint""".stripMargin,
+
+    // Passage-overlap pairs: per-doc fps are already distinct, so the
+    // inverted-index join counts distinct shared fingerprints — exactly
+    // Spark's post-explode count. All-integer, order-proof.
+    "x38_winnow_pairs" ->
+      s"""WITH $winnowCte,
+         |widx AS (SELECT doc_id AS id, unnest(fps) AS fp FROM wf),
+         |wc AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+         |  FROM widx a JOIN widx b ON a.fp = b.fp AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared FROM wc
+         |WHERE n_shared >= $WinnowMinShared
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // Token-window chunking: window starts via range(), inclusive
     // list_slice bounds mirror Spark's (start, length) slice exactly.

@@ -113,6 +113,28 @@ class TextOpsSpec extends SparkSpec {
     })
   }
 
+  test("winnowFingerprints: shared-run guarantee, degenerate windows, short docs empty") {
+    // k=3, win=3: any shared run of >= 5 tokens must share a fingerprint
+    val shared = "alpha beta gamma delta epsilon" // 5-token run
+    val df = Seq(
+      (1L, s"one two $shared three"),
+      (2L, s"$shared nine ten eleven twelve"),
+      (3L, "alpha beta"),            // < k tokens -> empty set
+      (4L, "alpha beta gamma"),      // m=1 < win -> single global-min window
+      (5L, "unrelated words entirely disjoint from anything else")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        TextOps.winnowFingerprints(TextOps.tokens(col("text")), 3, 3).as("fps"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty) // the guarantee
+    assert(fps(3L).isEmpty)
+    assert(fps(4L).size == 1)
+    assert((fps(5L) intersect fps(1L)).isEmpty)  // no spurious collisions
+    // selection is a subset of the doc's own k-gram hashes (soundness):
+    // every fingerprint of doc 4 is the md5 of its single 3-gram
+    assert(fps(4L).head.matches("[0-9a-f]{32}"))
+  }
+
   test("scrubTerms masks whole words only and reports the audit triple") {
     val df = Seq(
       (1L, "the customer sat at the table"),
@@ -310,6 +332,20 @@ class SimilaritySpec extends SparkSpec {
     val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
       .orderBy("doc_id").collect().map(_.getLong(0))
     assert(kept.toSeq == Seq(1L, 4L, 5L)) // {1,2,3} collapse to 1
+  }
+
+  test("winnowPairs finds the shared-passage pair and only it") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, s"one two $shared"),
+      (2L, s"$shared nine ten"),
+      (3L, "totally different content with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.winnowPairs(df, "doc_id", "text", k = 3, win = 3,
+        minShared = 1L).collect()
+    assert(r.map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSeq ==
+      Seq((1L, 2L)))
+    assert(r.head.getAs[Long]("n_shared") >= 1L)
   }
 
   test("clusterRepresentatives keeps the best-scored member, smallest id on ties") {
