@@ -79,6 +79,28 @@ object Sources {
     * is never acceptable at scale. Exercised end-to-end in SourcesSpec
     * against an embedded Derby database (the one JDBC driver that ships
     * with the Spark distribution). */
+  /** Raw-media ingest for the multimodal path: Spark's `binaryFile`
+    * source reads whole files as (path, modificationTime, length,
+    * content) — `content` is exactly the opaque binary column the
+    * Multimodal operators consume, so image/audio payloads enter the
+    * engine without a decode step. `glob` keeps the listing to the
+    * intended media extension BEFORE any file is opened. Scale shape:
+    * listing is metadata work, payloads stream straight to executors,
+    * and `spark.sql.files.maxPartitionBytes` bounds how many media
+    * files co-reside in one task (binary files never split). */
+  def binaryFiles(spark: SparkSession, path: String,
+                  glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(path)
+
+  /** Line-oriented text ingest with file lineage: one row per line plus
+    * the source file path — the raw-crawl entry point (WET/plain-text
+    * dumps) before any schema exists. Splittable, so a single huge dump
+    * still parallelizes by byte range. */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .withColumn("src_file", org.apache.spark.sql.functions.input_file_name())
+
   def jdbc(spark: SparkSession, url: String, table: String,
            partitionColumn: String, lowerBound: Long, upperBound: Long,
            numPartitions: Int,

@@ -81,6 +81,36 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("binaryFile source feeds the multimodal decode path; glob filters before open") {
+    val dir = tmp("graft_bin")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.img"),
+      Array[Byte](0, 1, 2, 3, 4))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.img"),
+      Array[Byte](5, 6))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "skip.txt"),
+      "not media".getBytes("UTF-8"))
+    val media = Sources.binaryFiles(spark, dir, glob = "*.img")
+    assert(media.count() == 2) // the .txt never enters the scan
+    val r = media.select(col("path"), col("length"), col("content"))
+      .orderBy(col("length").desc).collect()
+    assert(r(0).getAs[Long]("length") == 5L)
+    assert(r(0).getAs[Array[Byte]]("content").toSeq == Seq[Byte](0, 1, 2, 3, 4))
+    // the content column is exactly what the multimodal stub decodes
+    val hist = graft.ext.Multimodal.decodeStub(
+      r(0).getAs[Array[Byte]]("content"))
+    assert(hist.sum > 0)
+  }
+
+  test("textLines reads one row per line with file lineage") {
+    val dir = tmp("graft_txt")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "d1.txt"),
+      "line one\nline two\n".getBytes("UTF-8"))
+    val r = Sources.textLines(spark, dir).collect()
+    assert(r.map(_.getAs[String]("value")).sorted.toSeq ==
+      Seq("line one", "line two"))
+    assert(r.forall(_.getAs[String]("src_file").endsWith("d1.txt")))
+  }
+
   test("jdbc source: partitioned read against an embedded database") {
     // Derby ships with the Spark distribution (/opt/spark/jars), so the
     // JDBC path is testable offline: in-memory DB, 100 rows, read back as
