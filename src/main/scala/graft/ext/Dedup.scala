@@ -444,10 +444,9 @@ object Dedup {
     * (no float similarity), so the oracle hashes match in any order. */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int, win: Int, minShared: Long): DataFrame = {
-    val idx = ExtCaches.persistTracked(df
-      .select(col(idCol).as("id"),
-        explode(TextOps.winnowFingerprints(
-          TextOps.tokens(col(textCol)), k, win)).as("fp")))
+    val idx = ExtCaches.persistTracked(
+      TextOps.winnowFingerprints(df, idCol, textCol, k, win)
+        .select(col("doc_id").as("id"), explode(col("fps")).as("fp")))
     idx.as("a")
       .join(idx.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))

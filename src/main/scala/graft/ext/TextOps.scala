@@ -289,22 +289,21 @@ object TextOps {
     * key family that whole-document MinHash (x03) cannot provide.
     * Shorter-than-window hash sequences select their global min (the
     * single-window degenerate case); documents with < k tokens yield an
-    * empty set.
+    * empty set. Output: (idCol as doc_id, fps array<string>).
     *
-    * Pure per-row nested HOFs (sequence/transform/slice/array_min) —
-    * no explode, no shuffle, scan-speed like every selector here; md5
-    * strings compare lexicographically identically in both engines, so
-    * the selected mins are bit-identical cross-engine. */
-  def winnowFingerprints(toks: Column, k: Int, win: Int): Column = {
-    val m = size(toks) - lit(k - 1) // number of positional k-gram hashes
-    val hashes = transform(sequence(lit(1), m), i =>
-      md5(concat_ws(" ", slice(toks, i, lit(k)))))
-    val starts = sequence(lit(1), greatest(m - lit(win - 1), lit(1)))
-    when(m >= 1,
-      array_distinct(transform(starts, j =>
-        array_min(slice(hashes, j, lit(win))))))
-      .otherwise(typedLit(Seq.empty[String]))
-  }
+    * Backed by the graftfn.WinnowArray JVM-loop expression — the built-in
+    * nested-HOF formulation is semantically identical (it remains the
+    * DuckDB oracle's spelling) but re-derives the whole k-gram hash array
+    * once per window on the interpreted HOF path, O(m²) md5s per
+    * document (335 s cold on the 30× scale soak; staging the subtrees
+    * into projections does not survive CollapseProject). The expression
+    * hashes each gram once and selects window minima on raw digests —
+    * O(m) md5s, no shuffle, scan-speed like every selector here. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, win: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.graftfn.WinnowArray
+        .winnow(tokens(col(textCol)), k, win).as("fps"))
 
   /** Word-boundary alternation over a term blocklist — THE one spelling
     * of the scrub pattern, shared by the Spark expressions below and

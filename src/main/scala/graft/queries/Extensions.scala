@@ -614,10 +614,9 @@ object Extensions {
     * stores (see TextOps.winnowFingerprints for the selection scheme and
     * the per-row scale story). */
   def x38_winnow_fingerprints(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(TextOps.winnowFingerprints(
-          TextOps.tokens(col("text")), WinnowK, WinnowWin)).as("fingerprint"))
+    TextOps.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
+        WinnowK, WinnowWin)
+      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
       .orderBy(col("doc_id"), col("fingerprint"))
 
   /** Passage-overlap candidate pairs over the winnowing index — the

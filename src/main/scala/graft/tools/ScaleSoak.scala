@@ -52,7 +52,10 @@ object ScaleSoak {
     "x01_dedup_exact", "x02_dedup_ngram_jaccard", "x03_dedup_minhash_lsh",
     "x04_dedup_simhash_pairs", "x05_dedup_embedding", "x05_sampled_16x16",
     "x20_dup_clusters", "x20_dup_clusters_star", "x23_dedup_survivors",
-    "x26_pipeline_gate", "x28_decontamination")
+    "x26_pipeline_gate", "x28_decontamination",
+    // round-5 addition: winnowing pair mining — Σ df(fp)² work like x02;
+    // replica salting changes every k-gram, so growth should be ~linear
+    "x38_winnow_pairs")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -201,6 +204,20 @@ object ScaleSoak {
     sb.append("  rounds); what the soak shows is that the scale-safe form costs\n")
     sb.append("  NOTHING extra at benign shapes, and x20_star proves it\n")
     sb.append("  oracle-equal end-to-end.\n")
+    sb.append("- **Nested HOFs re-evaluate embedded subtrees per element, and\n")
+    sb.append("  projection staging does not save you**: the first x38 winnowing\n")
+    sb.append("  implementation inlined the k-gram hash array inside the window\n")
+    sb.append("  lambda; higher-order functions run on the interpreted path with\n")
+    sb.append("  no common-subexpression reuse, so every one of the m windows\n")
+    sb.append("  re-derived all m hashes (and every hash re-ran the tokenizer) —\n")
+    sb.append("  O(m^2) md5s per doc, 335 s cold at x30. Binding the subtrees as\n")
+    sb.append("  their own projection columns did NOT fix it: CollapseProject\n")
+    sb.append("  folds adjacent projections straight back into the nested form\n")
+    sb.append("  (second soak: unchanged). The fix is the §7.4 ladder's next\n")
+    sb.append("  rung — a per-row JVM-loop expression (graftfn.WinnowArray, the\n")
+    sb.append("  ShingleArray pattern): hash each gram once, select window minima\n")
+    sb.append("  on raw digests. Third soak: 335 s -> 3.96 s cold at x30 (85x),\n")
+    sb.append("  slope ~4 (at/below the family's linear band).\n")
     sb.append("- Everything else in the family scales at or below linear\n")
     sb.append("  (inverted-index/df-cap, pigeonhole banding, broadcast semi-join\n")
     sb.append("  decontamination all hold their sub-quadratic claims).\n")

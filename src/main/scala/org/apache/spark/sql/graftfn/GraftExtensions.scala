@@ -52,7 +52,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "perm count"))),
     (FunctionIdentifier("heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHitters].getName, "heavy_hitters"),
-      (es: Seq[Expression]) => HeavyHitters(es(0), intArg(es(1), "k"))))
+      (es: Seq[Expression]) => HeavyHitters(es(0), intArg(es(1), "k"))),
+    (FunctionIdentifier("winnow_array"),
+      new ExpressionInfo(classOf[WinnowArray].getName, "winnow_array"),
+      (es: Seq[Expression]) => WinnowArray(es(0),
+        intArg(es(1), "k-gram width"), intArg(es(2), "winnow window"))))
 
   /** Register on a live session (temp functions in its registry). */
   def register(spark: SparkSession): Unit = {

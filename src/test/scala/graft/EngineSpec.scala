@@ -15,12 +15,15 @@ class EngineSpec extends SparkSpec {
       """SELECT dot_product_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS dot,
         |       simhash(array('spark', 'spark', 'flink'), 32) AS sh,
         |       shingle_array(array('a', 'b', 'c', 'b', 'c'), 2) AS sg,
-        |       minhash_signature(array('x', 'y'), 4) AS mh""".stripMargin).first()
+        |       minhash_signature(array('x', 'y'), 4) AS mh,
+        |       winnow_array(array('a', 'b', 'c', 'd', 'e'), 2, 2) AS wn""".stripMargin).first()
     assert(r.getAs[Long]("dot") == 32L)
     assert(r.getAs[Long]("sh") != 0L)
     assert(r.getSeq[String](2) == Seq("a b", "b c", "c b"))
     assert(r.getSeq[String](3).length == 4)
     assert(r.getSeq[String](3).forall(_.matches("[0-9a-f]{32}")))
+    assert(r.getSeq[String](4).nonEmpty &&
+      r.getSeq[String](4).forall(_.matches("[0-9a-f]{32}")))
   }
 
   test("SQL functions match their Column-API twins") {
@@ -39,7 +42,7 @@ class EngineSpec extends SparkSpec {
     // which local test JVMs share
     assert(GraftFunctions.descriptions.map(_._1.funcName).sorted ==
       Seq("dot_product_long", "heavy_hitters", "minhash_signature",
-        "shingle_array", "simhash"))
+        "shingle_array", "simhash", "winnow_array"))
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw
   }

@@ -123,8 +123,7 @@ class TextOpsSpec extends SparkSpec {
       (4L, "alpha beta gamma"),      // m=1 < win -> single global-min window
       (5L, "unrelated words entirely disjoint from anything else")
     ).toDF("doc_id", "text")
-    val fps = df.select(col("doc_id"),
-        TextOps.winnowFingerprints(TextOps.tokens(col("text")), 3, 3).as("fps"))
+    val fps = TextOps.winnowFingerprints(df, "doc_id", "text", 3, 3)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1).toSet).toMap
     assert((fps(1L) intersect fps(2L)).nonEmpty) // the guarantee
     assert(fps(3L).isEmpty)
