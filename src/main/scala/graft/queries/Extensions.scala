@@ -627,6 +627,36 @@ object Extensions {
         WinnowK, WinnowWin, WinnowMinShared)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---- x39: per-source token frequencies via the Misra–Gries UDAF ---------
+
+  /** Counter budget for x39 — chosen ABOVE the corpus's per-source
+    * distinct-token count (31 at every SF, fixed by the generator's
+    * vocabulary), which puts Misra–Gries in its exactness regime: no
+    * counter ever evicts, so every (item, count) is the true frequency
+    * and the DuckDB GROUP BY oracle matches bit-for-bit. This
+    * oracle-gates the TypedImperativeAggregate rung of the Catalyst
+    * ladder end-to-end (the k < distinct sketch regime — lower bounds,
+    * n/(k+1) coverage — is property-tested in PropertySpec, where an
+    * oracle cannot express the guarantee). */
+  val HeavyK = 32
+
+  /** Per-source token frequency tables computed through the custom
+    * bounded-memory aggregate (graftfn.HeavyHitters): one explode + one
+    * hash aggregate whose per-group state is ≤ k counters regardless of
+    * stream length — the shape that survives 100 TB token streams where
+    * an exact (source, token) COUNT pivot would. Output exploded back to
+    * rows and totally ordered, so the array's internal order (map
+    * iteration — nondeterministic) never reaches the gate. */
+  def x39_heavy_hitters(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(org.apache.spark.sql.graftfn.HeavyHitters.of(col("tok"), HeavyK).as("hh"))
+      .select(col("source"), explode(col("hh")).as("e"))
+      .select(col("source"), col("e.item").as("token"),
+        col("e.count_lower").as("n"))
+      .orderBy(col("source"), col("token"))
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -837,7 +867,8 @@ object Extensions {
     "x36_cluster_reps" -> (x36_cluster_reps _),
     "x37_snapshot_cdc" -> (x37_snapshot_cdc _),
     "x38_winnow_fingerprints" -> (x38_winnow_fingerprints _),
-    "x38_winnow_pairs" -> (x38_winnow_pairs _))
+    "x38_winnow_pairs" -> (x38_winnow_pairs _),
+    "x39_heavy_hitters" -> (x39_heavy_hitters _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1498,6 +1529,16 @@ object Extensions {
          |SELECT o_orderkey, change_type, old_price, new_price
          |FROM j WHERE change_type <> 'unchanged'
          |ORDER BY o_orderkey""".stripMargin,
+
+    // Misra-Gries in the exactness regime (k > per-source distinct): the
+    // UDAF's counters never evict, so the plain GROUP BY IS the oracle.
+    "x39_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents)
+        |SELECT source, tok AS token, count(*) AS n
+        |FROM t GROUP BY 1, 2
+        |ORDER BY source, token""".stripMargin,
 
     "x38_winnow_fingerprints" ->
       s"""WITH $winnowCte

@@ -153,6 +153,33 @@ class PropertySpec extends SparkSpec {
     assert(r.map(_.getString(0)).contains("x"))
   }
 
+  test("winnow_array equals the built-in HOF formulation (random tokens and geometries)") {
+    // The JVM-loop expression exists purely for performance (the HOF
+    // spelling is O(m²) on the interpreted path — SCALING.md); this is
+    // the proof they select the SAME fingerprint sets. Small arrays keep
+    // the quadratic reference affordable in-test.
+    val gen = Gen.zip(
+      Gen.listOfN(18, Gen.oneOf("a", "b", "c", "d", "tok")),
+      Gen.choose(1, 4), Gen.choose(1, 4), Gen.choose(0, 17))
+    holds(Prop.forAll(gen) { case (toks0, k, win, dropN) =>
+      val toks = toks0.drop(dropN) // vary length down to possibly < k
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val viaExpr = df.select(
+        org.apache.spark.sql.graftfn.WinnowArray.winnow(col("t"), k, win))
+        .head().getSeq[String](0).toSet
+      val m = size(col("t")) - lit(k - 1)
+      val hashes = transform(sequence(lit(1), m), i =>
+        md5(concat_ws(" ", slice(col("t"), i, lit(k)))))
+      val starts = sequence(lit(1), greatest(m - lit(win - 1), lit(1)))
+      val viaHof = df.select(
+        when(m >= 1, array_distinct(transform(starts, j =>
+          array_min(slice(hashes, j, lit(win))))))
+          .otherwise(typedLit(Seq.empty[String])))
+        .head().getSeq[String](0).toSet
+      viaExpr == viaHof
+    })
+  }
+
   test("chunkTokens: lossless stride coverage at any (size, stride) geometry") {
     // Reconstructing the token stream from the chunks — the first
     // `stride` tokens of every chunk plus the tail of the last — must
