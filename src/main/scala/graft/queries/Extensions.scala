@@ -657,6 +657,39 @@ object Extensions {
         col("e.count_lower").as("n"))
       .orderBy(col("source"), col("token"))
 
+  // ---- x40: conversion-funnel journeys ------------------------------------
+
+  /** Per-user funnel table — the event-analytics staple x12/x13/x15 do
+    * not cover: for every user with a view, their first view, their
+    * first STRICTLY-LATER click, and their first strictly-later-still
+    * purchase (absent stages stay NULL — the funnel report is one
+    * aggregation over this). Each stage is one keyed min-aggregate and
+    * one equi-join on user_id; every shuffle in the chain is on the SAME
+    * key, so after the first exchange the whole funnel is key-local
+    * (Catalyst reuses the hashpartitioning — at 100 TB the funnel costs
+    * one shuffle of each event slice, never a re-partition). Timestamps
+    * exported as epoch_us (the x12/x15 parity convention). */
+  def x40_funnel_journeys(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def slice(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"))
+    val v = slice("view").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("fv"))
+    val c = slice("click").join(v, Seq("user_id"))
+      .filter(col("ts") > col("fv"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fc"))
+    val p = slice("purchase").join(c, Seq("user_id"))
+      .filter(col("ts") > col("fc"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        unix_micros(col("fv")).as("first_view_us"),
+        unix_micros(col("fc")).as("first_click_us"),
+        unix_micros(col("fp")).as("first_purchase_us"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -868,7 +901,8 @@ object Extensions {
     "x37_snapshot_cdc" -> (x37_snapshot_cdc _),
     "x38_winnow_fingerprints" -> (x38_winnow_fingerprints _),
     "x38_winnow_pairs" -> (x38_winnow_pairs _),
-    "x39_heavy_hitters" -> (x39_heavy_hitters _))
+    "x39_heavy_hitters" -> (x39_heavy_hitters _),
+    "x40_funnel_journeys" -> (x40_funnel_journeys _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1529,6 +1563,28 @@ object Extensions {
          |SELECT o_orderkey, change_type, old_price, new_price
          |FROM j WHERE change_type <> 'unchanged'
          |ORDER BY o_orderkey""".stripMargin,
+
+    // Funnel: stage minima via progressively-filtered keyed aggregates;
+    // strict > at every stage, NULLs ride the left joins.
+    "x40_funnel_journeys" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS fv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS fc
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.fv GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS fp
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.fc GROUP BY 1)
+        |SELECT v.user_id,
+        |       epoch_us(fv) AS first_view_us,
+        |       epoch_us(fc) AS first_click_us,
+        |       epoch_us(fp) AS first_purchase_us
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
 
     // Misra-Gries in the exactness regime (k > per-source distinct): the
     // UDAF's counters never evict, so the plain GROUP BY IS the oracle.
