@@ -690,6 +690,42 @@ object Extensions {
       .orderBy(col("user_id"))
   }
 
+  // ---- x41: weekly cohort retention ---------------------------------------
+
+  /** Cohort-retention matrix — with x40's funnel, the other half of the
+    * product-analytics pair: users are cohorted by the Monday of their
+    * FIRST PURCHASE's week (the conversion anchor — cohorting on first
+    * activity is degenerate on this corpus, every user is active from
+    * week one, and a cohort split the gate never sees split is not
+    * tested), and each (cohort, week-offset) cell counts distinct
+    * cohort members active — any event — that many weeks later; offset
+    * 0 includes pre-purchase same-week activity by construction. Both
+    * week anchors are `date_trunc('week')` Mondays, so day deltas are
+    * exact multiples of 7 and the offset divide is exact on both
+    * engines. Shape: one keyed min-agg for the cohort anchor, one
+    * equi-join back on user_id (non-purchasers drop out — inner), one
+    * distinct-count — the standard two-level distinct that
+    * partial-aggregates on (cohort, offset, user) before the final
+    * count, so no cell ever materializes its full user list on one
+    * reducer. */
+  def x41_cohort_retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("ts"), col("event_type"))
+    val cohorts = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    ev.join(cohorts, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
+          .cast(LongType).as("week_offset"))
+      .filter(col("week_offset") >= 0) // pre-cohort-week activity is not retention
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .select(unix_micros(col("cohort_week")).as("cohort_week_us"),
+        col("week_offset"), col("n_active"))
+      .orderBy(col("cohort_week_us"), col("week_offset"))
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -902,7 +938,8 @@ object Extensions {
     "x38_winnow_fingerprints" -> (x38_winnow_fingerprints _),
     "x38_winnow_pairs" -> (x38_winnow_pairs _),
     "x39_heavy_hitters" -> (x39_heavy_hitters _),
-    "x40_funnel_journeys" -> (x40_funnel_journeys _))
+    "x40_funnel_journeys" -> (x40_funnel_journeys _),
+    "x41_cohort_retention" -> (x41_cohort_retention _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1563,6 +1600,22 @@ object Extensions {
          |SELECT o_orderkey, change_type, old_price, new_price
          |FROM j WHERE change_type <> 'unchanged'
          |ORDER BY o_orderkey""".stripMargin,
+
+    // Cohort retention: both week anchors are date_trunc Mondays, so the
+    // day delta is an exact multiple of 7 and CAST(x/7) truncates nothing.
+    "x41_cohort_retention" ->
+      """WITH fw AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |act AS (
+        |  SELECT e.user_id, fw.cohort_week,
+        |         CAST(date_diff('day', fw.cohort_week,
+        |                        date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset
+        |  FROM events e JOIN fw ON e.user_id = fw.user_id)
+        |SELECT epoch_us(cohort_week) AS cohort_week_us, week_offset,
+        |       count(DISTINCT user_id) AS n_active
+        |FROM act WHERE week_offset >= 0 GROUP BY 1, 2
+        |ORDER BY cohort_week_us, week_offset""".stripMargin,
 
     // Funnel: stage minima via progressively-filtered keyed aggregates;
     // strict > at every stage, NULLs ride the left joins.

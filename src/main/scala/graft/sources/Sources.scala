@@ -122,6 +122,41 @@ object Sinks {
                        mode: String = "overwrite"): Unit =
     base(df, mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Dynamic partition overwrite — the incremental-backfill sink: with
+    * `partitionOverwriteMode=dynamic`, an overwrite replaces ONLY the
+    * partitions present in `df` and leaves every other partition's files
+    * untouched (static mode would truncate the whole table first). This
+    * is how a daily pipeline re-lands one day of a years-deep table; the
+    * option is set per-write so the session default stays untouched. */
+  def overwritePartitionsDynamic(df: DataFrame, path: String,
+                                 partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** Small-files compaction — the table-maintenance job every
+    * append-heavy sink eventually needs (a streaming `foreachBatch`
+    * lands one file per partition per batch; a year of 1-minute batches
+    * is half a million tiny files whose listing and open costs dominate
+    * scans). Sizes the target file count from the CURRENT layout
+    * (Σ file bytes / `targetBytes`, min 1), rewrites round-robin into
+    * `dest`, and returns the file count written. Rewriting to a fresh
+    * directory keeps the swap atomic at the metastore/path level —
+    * in-place rewrites lose data on failure. */
+  def compact(spark: SparkSession, src: String, dest: String,
+              targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.parquet(src).repartition(nFiles)
+      .write.mode("overwrite").parquet(dest)
+    nFiles
+  }
+
   /** Bucketed + sorted managed table: rows are hash-distributed into
     * `buckets` files per partition by `bucketCols`; subsequent joins or
     * aggregations keyed on them read co-located data with NO exchange. */

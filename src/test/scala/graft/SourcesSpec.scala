@@ -111,6 +111,42 @@ class SourcesSpec extends SparkSpec {
     assert(r.forall(_.getAs[String]("src_file").endsWith("d1.txt")))
   }
 
+  test("dynamic partition overwrite replaces only the landed partitions") {
+    val dir = tmp("graft_dynpart")
+    val full = Seq((1L, "p1", 1.0), (2L, "p2", 2.0), (3L, "p3", 3.0))
+      .toDF("id", "part", "v")
+    Sinks.writePartitioned(full, dir, Seq("part"))
+    // re-land ONLY p2 with a corrected value
+    Sinks.overwritePartitionsDynamic(
+      Seq((20L, "p2", 99.0)).toDF("id", "part", "v"), dir, Seq("part"))
+    val back = Sources.parquet(spark, dir)
+      .select("id", "part", "v").orderBy("part", "id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // p1 and p3 untouched; p2 fully replaced (old id=2 gone)
+    assert(back.toSeq == Seq((1L, "p1", 1.0), (20L, "p2", 99.0), (3L, "p3", 3.0)))
+  }
+
+  test("compact rewrites a many-small-files layout into the computed file count") {
+    val dir = tmp("graft_smallfiles")
+    val dest = tmp("graft_compacted")
+    (1 to 8).foreach { i => // 8 appends -> at least 8 tiny files
+      Seq((i.toLong, s"row$i")).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    assert(parquetFiles(dir) >= 8)
+    // generous target -> everything fits in one file
+    val n = Sinks.compact(spark, dir, dest, targetBytes = 1L << 30)
+    assert(n == 1 && parquetFiles(dest) == 1)
+    // nothing lost
+    assert(Sources.parquet(spark, dest).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == (1L to 8L))
+  }
+
   test("jdbc source: partitioned read against an embedded database") {
     // Derby ships with the Spark distribution (/opt/spark/jars), so the
     // JDBC path is testable offline: in-memory DB, 100 rows, read back as
