@@ -726,6 +726,60 @@ object Extensions {
       .orderBy(col("cohort_week_us"), col("week_offset"))
   }
 
+  // ---- x42: data-quality expectations audit -------------------------------
+
+  /** The dbt-test / expectations audit a pipeline runs before promoting a
+    * load: one (rule, n_violations, n_checked) row per declared rule.
+    * Scale shape: all rules on one table FUSE into a single conditional
+    * aggregation over one scan (`stack` unpivots the counters to rows) —
+    * at 100 TB you pay one pass per table, not one per rule; the FK rule
+    * is the one join (LEFT ANTI against the parent's key projection, the
+    * broadcastable side). Two rules are chosen to FIRE on this corpus
+    * (date horizon, quantity cap) and five to pass — both report paths
+    * are proven, not just the all-green one. All-integer output. */
+  def x42_expectations(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderdate") > lit("2000-12-31").cast("timestamp"), 1L)
+          .otherwise(0L)).as("v_date"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_price"))
+      .selectExpr(
+        "stack(2, 'orders_date_horizon_2000', v_date, 'orders_price_positive', v_price) AS (rule, n_violations)",
+        "n AS n_checked")
+    val li = Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(!col("l_quantity").between(1, 40), 1L).otherwise(0L)).as("v_qty"))
+      .selectExpr(
+        "stack(1, 'lineitem_quantity_cap_40', v_qty) AS (rule, n_violations)",
+        "n AS n_checked")
+    val liN = Tables.lineitem(s, dir).agg(count(lit(1)).as("n_checked"))
+    val fk = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(liN)
+      .select(lit("lineitem_orders_fk").as("rule"),
+        col("n_violations"), col("n_checked"))
+    val pk = Tables.part(s, dir)
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("p_partkey"))).as("v"))
+      .select(lit("part_pk_unique").as("rule"),
+        col("v").as("n_violations"), col("n").as("n_checked"))
+    val cu = Tables.customer(s, dir)
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("c_name"))).as("v"))
+      .select(lit("customer_name_not_null").as("rule"),
+        col("v").as("n_violations"), col("n").as("n_checked"))
+    val ev = Tables.events(s, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("v"))
+      .select(lit("events_value_nonnegative").as("rule"),
+        col("v").as("n_violations"), col("n").as("n_checked"))
+    o.unionByName(li).unionByName(fk).unionByName(pk)
+      .unionByName(cu).unionByName(ev)
+      .orderBy(col("rule"))
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -939,7 +993,8 @@ object Extensions {
     "x38_winnow_pairs" -> (x38_winnow_pairs _),
     "x39_heavy_hitters" -> (x39_heavy_hitters _),
     "x40_funnel_journeys" -> (x40_funnel_journeys _),
-    "x41_cohort_retention" -> (x41_cohort_retention _))
+    "x41_cohort_retention" -> (x41_cohort_retention _),
+    "x42_expectations" -> (x42_expectations _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1600,6 +1655,42 @@ object Extensions {
          |SELECT o_orderkey, change_type, old_price, new_price
          |FROM j WHERE change_type <> 'unchanged'
          |ORDER BY o_orderkey""".stripMargin,
+
+    // Expectations audit: one scalar aggregate per rule, UNION ALL; the
+    // two binding rules (date horizon, quantity cap) prove the firing
+    // path, the rest the all-green path.
+    "x42_expectations" ->
+      """SELECT 'orders_date_horizon_2000' AS rule,
+        |       CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |       count(*) AS n_checked
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_price_positive',
+        |       CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT), count(*)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_quantity_cap_40',
+        |       CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 40 THEN 1 ELSE 0 END) AS BIGINT), count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_orders_fk',
+        |       CAST((SELECT count(*) FROM lineitem
+        |             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
+        |       count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'part_pk_unique',
+        |       CAST(count(*) - count(DISTINCT p_partkey) AS BIGINT), count(*)
+        |FROM part
+        |UNION ALL
+        |SELECT 'customer_name_not_null',
+        |       CAST(count(*) - count(c_name) AS BIGINT), count(*)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'events_value_nonnegative',
+        |       CAST(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT), count(*)
+        |FROM events
+        |ORDER BY rule""".stripMargin,
 
     // Cohort retention: both week anchors are date_trunc Mondays, so the
     // day delta is an exact multiple of 7 and CAST(x/7) truncates nothing.
