@@ -780,6 +780,60 @@ object Extensions {
       .orderBy(col("rule"))
   }
 
+  // ---- x43: SCD type-2 history assembly -----------------------------------
+
+  /** How many synthetic snapshot versions x43 assembles, and the
+    * per-version touch fraction (independent salted draws per version,
+    * cumulative: version v applies every delta with draw < v's salt —
+    * so some keys change at v2 only, some at v3 only, some at both,
+    * some never; every segment shape the assembler must handle occurs
+    * at every tested scale). */
+  val ScdVersions = 3
+  val ScdTouchFrac = 0.25
+
+  /** Slowly-changing-dimension type-2 assembly — the companion to x37's
+    * CDC diff: given V point-in-time snapshots of `orders`, emit the
+    * versioned history (key, price, valid_from, valid_to) with one row
+    * per UNBROKEN run of equal values (valid_to = V for the open
+    * segment). The snapshots here are synthesized from one base table
+    * with deterministic salted deltas; a real pipeline reads stored
+    * snapshots — the assembly is identical. Gaps-and-islands per key:
+    * LAG over a (key)-partitioned, version-ordered window marks change
+    * points, a running SUM of the marks labels segments, one aggregate
+    * per (key, segment) emits the interval. The window partitions by
+    * key over exactly V rows — bounded state, shuffle on the key the
+    * snapshots are already stored by (bucketed layouts make it
+    * shuffle-free). */
+  def x43_scd2_history(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey").as("k"), col("o_totalprice").as("p0"))
+    // version v's value: base price + delta for every version draw <= v
+    // that hits — cumulative, so changes persist into later versions
+    val versions = (1 to ScdVersions).map { v =>
+      val bumps = (2 to v).map { u =>
+        when(Sampling.saltedHashPredicate(col("k"), s"v$u", ScdTouchFrac),
+          lit(CdcPriceDelta)).otherwise(lit(0.0))
+      }
+      base.select(col("k"), lit(v.toLong).as("version"),
+        bumps.foldLeft(col("p0"))(_ + _).as("price"))
+    }.reduce(_ unionByName _)
+    val byKey = Window.partitionBy(col("k")).orderBy(col("version"))
+    versions
+      .withColumn("chg",
+        when(lag(col("price"), 1).over(byKey).isNull ||
+          lag(col("price"), 1).over(byKey) =!= col("price"), 1L)
+          .otherwise(0L))
+      .withColumn("seg", sum(col("chg")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("seg"), col("price"))
+      .agg(min(col("version")).as("valid_from"),
+        max(col("version")).as("valid_to"))
+      .select(col("k").as("o_orderkey"), col("price"),
+        col("valid_from"), col("valid_to"))
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -994,7 +1048,8 @@ object Extensions {
     "x39_heavy_hitters" -> (x39_heavy_hitters _),
     "x40_funnel_journeys" -> (x40_funnel_journeys _),
     "x41_cohort_retention" -> (x41_cohort_retention _),
-    "x42_expectations" -> (x42_expectations _))
+    "x42_expectations" -> (x42_expectations _),
+    "x43_scd2_history" -> (x43_scd2_history _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1094,6 +1149,17 @@ object Extensions {
       |         CASE WHEN substr(md5(j::VARCHAR || '|' || t), 1, 1) >= '8'
       |              THEN 1 ELSE -1 END)) > 0
       |       THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** x43's snapshot synthesis, oracle side — one SELECT per version from
+    * the SAME (salt, frac, delta) constants as the Spark generator;
+    * version v applies every delta u <= v (cumulative). */
+  private def scdVersionRowsSql: String =
+    (1 to ScdVersions).map { v =>
+      val bumps = (2 to v).map(u =>
+        s"(CASE WHEN substr(md5(CAST(k AS VARCHAR) || 'v$u'), 1, 8) < '${Sampling.cutFor(ScdTouchFrac)}' THEN $CdcPriceDelta ELSE 0.0 END)")
+      val expr = ("p0" +: bumps).mkString(" + ")
+      s"  SELECT k, CAST($v AS BIGINT) AS version, $expr AS price FROM base"
+    }.mkString("\n  UNION ALL\n")
 
   /** Winnowing selection, oracle side — mirrors TextOps.winnowFingerprints
     * exactly: POSITIONAL k-gram md5s (DuckDB list_slice bounds are
@@ -1655,6 +1721,31 @@ object Extensions {
          |SELECT o_orderkey, change_type, old_price, new_price
          |FROM j WHERE change_type <> 'unchanged'
          |ORDER BY o_orderkey""".stripMargin,
+
+    // SCD2 assembly: version rows generated from the SAME (salt, frac,
+    // delta) constants as the Spark side; gaps-islands via lag + running
+    // sum. Prices are base + exact multiples of the binary-exact delta,
+    // so the <> change test is reliable on doubles in both engines.
+    "x43_scd2_history" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p0 FROM orders),
+         |vers AS (
+         |$scdVersionRowsSql),
+         |m AS (
+         |  SELECT k, version, price,
+         |         CASE WHEN lag(price) OVER (PARTITION BY k ORDER BY version) IS NULL
+         |                OR lag(price) OVER (PARTITION BY k ORDER BY version) <> price
+         |              THEN 1 ELSE 0 END AS chg
+         |  FROM vers),
+         |sg AS (
+         |  SELECT k, version, price,
+         |         SUM(chg) OVER (PARTITION BY k ORDER BY version
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+         |  FROM m)
+         |SELECT k AS o_orderkey, price,
+         |       CAST(min(version) AS BIGINT) AS valid_from,
+         |       CAST(max(version) AS BIGINT) AS valid_to
+         |FROM sg GROUP BY k, seg, price
+         |ORDER BY o_orderkey, valid_from""".stripMargin,
 
     // Expectations audit: one scalar aggregate per rule, UNION ALL; the
     // two binding rules (date horizon, quantity cap) prove the firing
