@@ -438,15 +438,26 @@ object Dedup {
     *
     * Scale shape: same sub-quadratic inverted-index discipline as
     * [[ngramJaccardPairs]] — work is Σ df(fp)², bounded because winnowing
-    * emits ~2/win of the k-gram positions and a production run caps
-    * ubiquitous fingerprints (boilerplate) by document frequency before
-    * the join, exactly like the shingle df-cap hook. All-integer output
-    * (no float similarity), so the oracle hashes match in any order. */
+    * emits ~2/win of the k-gram positions and `dfCap` drops fingerprints
+    * occurring in more than that many documents (boilerplate headers/
+    * footers shared corpus-wide) before the join, exactly like
+    * [[shingleIndex]]'s hook. All-integer output (no float similarity),
+    * so the oracle hashes match in any order. */
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
-                  k: Int, win: Int, minShared: Long): DataFrame = {
-    val idx = ExtCaches.persistTracked(
-      TextOps.winnowFingerprints(df, idCol, textCol, k, win)
-        .select(col("doc_id").as("id"), explode(col("fps")).as("fp")))
+                  k: Int, win: Int, minShared: Long,
+                  dfCap: Option[Int] = None): DataFrame = {
+    val base = TextOps.winnowFingerprints(df, idCol, textCol, k, win)
+      .select(col("doc_id").as("id"), explode(col("fps")).as("fp"))
+    val capped = dfCap match {
+      case None => base
+      case Some(cap) =>
+        val keep = base.groupBy(col("fp"))
+          .agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") <= cap)
+          .select(col("fp"))
+        base.join(keep, Seq("fp"), "left_semi")
+    }
+    val idx = ExtCaches.persistTracked(capped)
     idx.as("a")
       .join(idx.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))

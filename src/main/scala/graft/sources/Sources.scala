@@ -79,6 +79,13 @@ object Sources {
     * is never acceptable at scale. Exercised end-to-end in SourcesSpec
     * against an embedded Derby database (the one JDBC driver that ships
     * with the Spark distribution). */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: String, lowerBound: Long, upperBound: Long,
+           numPartitions: Int,
+           props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, props)
+
   /** Raw-media ingest for the multimodal path: Spark's `binaryFile`
     * source reads whole files as (path, modificationTime, length,
     * content) — `content` is exactly the opaque binary column the
@@ -100,13 +107,6 @@ object Sources {
   def textLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
       .withColumn("src_file", org.apache.spark.sql.functions.input_file_name())
-
-  def jdbc(spark: SparkSession, url: String, table: String,
-           partitionColumn: String, lowerBound: Long, upperBound: Long,
-           numPartitions: Int,
-           props: java.util.Properties = new java.util.Properties): DataFrame =
-    spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
-      numPartitions, props)
 }
 
 object Sinks {
@@ -139,18 +139,30 @@ object Sinks {
     * lands one file per partition per batch; a year of 1-minute batches
     * is half a million tiny files whose listing and open costs dominate
     * scans). Sizes the target file count from the CURRENT layout
-    * (Σ file bytes / `targetBytes`, min 1), rewrites round-robin into
-    * `dest`, and returns the file count written. Rewriting to a fresh
-    * directory keeps the swap atomic at the metastore/path level —
-    * in-place rewrites lose data on failure. */
+    * (RECURSIVE Σ file bytes / `targetBytes`, min 1 — a non-recursive
+    * listing reads 0 bytes on any nested layout and would collapse the
+    * table to one file), rewrites round-robin into `dest`, and returns
+    * the file count written. Rewriting to a fresh directory keeps the
+    * swap atomic at the metastore/path level — in-place rewrites lose
+    * data on failure, so `dest == src` is refused. The rewrite is FLAT:
+    * a Hive-partitioned table must be compacted per partition directory
+    * (`compact(spark, s"$table/day=2024-01-07", ...)`), which preserves
+    * the layout and is how a maintenance job scopes work anyway —
+    * compacting only the partitions whose file counts drifted. */
   def compact(spark: SparkSession, src: String, dest: String,
               targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val fs = new org.apache.hadoop.fs.Path(src)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val total = fs.listStatus(new org.apache.hadoop.fs.Path(src))
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(srcPath) != fs.makeQualified(destPath),
+      "compact must rewrite into a fresh directory (dest == src loses data on failure)")
+    var total = 0L
+    val it = fs.listFiles(srcPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) total += st.getLen
+    }
     val nFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     spark.read.parquet(src).repartition(nFiles)
       .write.mode("overwrite").parquet(dest)

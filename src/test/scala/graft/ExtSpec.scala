@@ -345,6 +345,10 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSeq ==
       Seq((1L, 2L)))
     assert(r.head.getAs[Long]("n_shared") >= 1L)
+    // dfCap = 1 drops every fingerprint shared across documents
+    // (boilerplate suppression), so no pair survives
+    assert(Dedup.winnowPairs(df, "doc_id", "text", k = 3, win = 3,
+      minShared = 1L, dfCap = Some(1)).collect().isEmpty)
   }
 
   test("clusterRepresentatives keeps the best-scored member, smallest id on ties") {

@@ -145,6 +145,23 @@ class SourcesSpec extends SparkSpec {
     // nothing lost
     assert(Sources.parquet(spark, dest).orderBy("id").collect()
       .map(_.getLong(0)).toSeq == (1L to 8L))
+    // in-place rewrite refused (it would lose data on failure)
+    intercept[IllegalArgumentException] {
+      Sinks.compact(spark, dir, dir, targetBytes = 1L << 30)
+    }
+  }
+
+  test("compact sizes from a RECURSIVE listing (partitioned layouts are not read as 0 bytes)") {
+    val dir = tmp("graft_partfiles")
+    val dest = tmp("graft_partcompacted")
+    Sinks.writePartitioned(
+      (1 to 200).map(i => (i.toLong, s"p${i % 4}", s"payload$i"))
+        .toDF("id", "part", "s"), dir, Seq("part"))
+    // all bytes live in part=*/ subdirectories; a tight target must see
+    // them (the non-recursive listing computed total=0 -> nFiles=1)
+    val n = Sinks.compact(spark, dir, dest, targetBytes = 2000)
+    assert(n >= 2)
+    assert(Sources.parquet(spark, dest).count() == 200)
   }
 
   test("jdbc source: partitioned read against an embedded database") {
