@@ -444,6 +444,29 @@ object Chinook {
   def s04_affinity_part(s: SparkSession, dir: String): DataFrame =
     affinity(s, dir, "p_name")
 
+  /** s21 (engine extension over the reference's s04 idiom): the
+    * "customers who bought X also bought Y" serving feed — each part's
+    * top-3 co-purchased partners by basket-pair count. Symmetrizes the
+    * canonical pairs (a lookup needs both directions), then the
+    * rank-filter idiom under a total order (count desc, partner asc),
+    * which plans as WindowGroupLimit — no partition materializes more
+    * than 3 rows per part at any scale. Rides the SHARED basket-pair
+    * cache, so the expensive C(n,2) expansion is paid once per session
+    * with the three s04 queries. */
+  def s21_also_bought(s: SparkSession, dir: String): DataFrame = {
+    val p = affinity(s, dir, "p_name")
+      .select(col("label_a"), col("label_b"), col("pair_count"))
+    val sym = p.select(col("label_a").as("part_name"),
+        col("label_b").as("also_bought"), col("pair_count"))
+      .unionByName(p.select(col("label_b").as("part_name"),
+        col("label_a").as("also_bought"), col("pair_count")))
+    graft.ops.TopK.perGroupDense(sym, Seq(col("part_name")),
+        Seq(desc("pair_count"), col("also_bought")), 3)
+      .select(col("part_name"), col("rnk"), col("also_bought"),
+        col("pair_count"))
+      .orderBy(col("part_name"), col("rnk"))
+  }
+
   // ---- s05: regional churn + behavior (:458–497) -------------------------
 
   def s05_regional_churn(s: SparkSession, dir: String): DataFrame =
@@ -856,6 +879,7 @@ object Chinook {
     "s04_affinity_genre" -> (s04_affinity_genre _),
     "s04_affinity_brand" -> (s04_affinity_brand _),
     "s04_affinity_part" -> (s04_affinity_part _),
+    "s21_also_bought" -> (s21_also_bought _),
     "s05_regional_churn" -> (s05_regional_churn _),
     "s05_regional_behavior" -> (s05_regional_behavior _),
     "s06_risk_profile" -> (s06_risk_profile _),
@@ -1108,6 +1132,34 @@ object Chinook {
     "s04_affinity_genre" -> affinitySql("p_type"),
     "s04_affinity_brand" -> affinitySql("p_brand"),
     "s04_affinity_part" -> affinitySql("p_name"),
+
+    // s21: the s04 pair CTE symmetrized, then dense_rank over the total
+    // (count DESC, partner) order — identical to row_number here, and
+    // the same spelling TopK.perGroupDense computes.
+    "s21_also_bought" ->
+      """WITH lines AS (
+        |  SELECT l_orderkey AS bk, p_name AS lab,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_linenumber, p_name) AS rn
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |pairs AS (
+        |  SELECT least(a.lab, b.lab) AS label_a, greatest(a.lab, b.lab) AS label_b,
+        |         count(*) AS pair_count
+        |  FROM lines a JOIN lines b ON a.bk = b.bk AND a.rn < b.rn
+        |  WHERE a.lab <> b.lab
+        |  GROUP BY 1, 2),
+        |sym AS (
+        |  SELECT label_a AS part_name, label_b AS also_bought, pair_count FROM pairs
+        |  UNION ALL
+        |  SELECT label_b, label_a, pair_count FROM pairs),
+        |r AS (
+        |  SELECT part_name, also_bought, pair_count,
+        |         CAST(dense_rank() OVER (PARTITION BY part_name
+        |                ORDER BY pair_count DESC, also_bought) AS BIGINT) AS rnk
+        |  FROM sym)
+        |SELECT part_name, rnk, also_bought, pair_count FROM r
+        |WHERE rnk <= 3
+        |ORDER BY part_name, rnk""".stripMargin,
 
     "s05_regional_churn" ->
       s"""WITH $recencySql
