@@ -77,6 +77,41 @@ class PlanSpec extends SparkSpec {
     assert(kw.contains("BroadcastHashJoin"), kw)
   }
 
+  test("x35: scrub is a pure scan projection (2-column read, count_matches rewrite, no shuffle before the output sort)") {
+    // the shared test session has no GraftSession bootstrap — register the
+    // optimizer rule the way GraftSession/GraftExtensions do (and restore)
+    val prev = spark.experimental.extraOptimizations
+    if (!prev.contains(org.apache.spark.sql.graftfn.CountMatchesRule))
+      spark.experimental.extraOptimizations =
+        prev :+ org.apache.spark.sql.graftfn.CountMatchesRule
+    try {
+      val p = formatted(Extensions.x35_blocklist_scrub(spark, dir))
+      assert(p.contains("count_matches"), p) // CountMatchesRule fired
+      assert(p.contains("struct<doc_id:bigint,text:string>"), p) // pruned scan
+      // the only exchange is the output ordering's range partitioning —
+      // no hash shuffle anywhere (pure scan-speed projection)
+      assert(!p.contains("hashpartitioning"), p)
+      assert(p.contains("rangepartitioning"), p)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("x37: snapshot CDC is one co-partitioned full-outer SMJ on the key") {
+    val p = formatted(Extensions.x37_snapshot_cdc(spark, dir))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s21: per-part recommendation top-3 plans as WindowGroupLimit") {
+    val p = formatted(graft.queries.Chinook.s21_also_bought(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("x38: winnow pair mining is an equi-join over the fingerprint index (no product)") {
+    val p = formatted(Extensions.x38_winnow_pairs(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("winnow_array"), p) // the JVM-loop expression, not the HOF chain
+  }
+
   test("x33: base-index check is a LeftAnti equi-join; no sort anywhere (first-wins is a hash agg)") {
     val p = formatted(Extensions.x33_incremental_dedup(spark, dir))
     assert(p.contains("LeftAnti"), p)
