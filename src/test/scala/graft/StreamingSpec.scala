@@ -55,6 +55,24 @@ class StreamingSpec extends SparkSpec {
     assert(r.length == 2 && r(0)._1 > r(1)._1 && r(0)._2 == "en")
   }
 
+  test("blocklist scrub runs unchanged on a stream (ingest-time redaction)") {
+    // scrubTerms is a stateless per-row projection, so the SAME function
+    // redacts documents as they land — the compliance property that
+    // released bytes never touch storage unscrubbed. Append mode, no
+    // state store.
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    source.addData((1L, "the customer sat"), (2L, "nothing to redact"))
+    val q = graft.ext.TextOps.scrubTerms(
+        source.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        Seq("customer"), "<MASK>")
+      .writeStream.format("memory").queryName("scrubbed").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val r = spark.table("scrubbed").orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Long]("n_hits")).toSeq == Seq(1L, 0L))
+    assert(r(0).getAs[Long]("n_chars_scrubbed") == "the <MASK> sat".length.toLong)
+  }
+
   test("token-window chunking runs unchanged on a stream (ingest-time packing)") {
     // chunkTokens is a stateless 1:N generator (sequence + slice +
     // posexplode) — the pack-as-documents-land counterpart of the
