@@ -446,16 +446,21 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int, win: Int, minShared: Long,
                   dfCap: Option[Int] = None): DataFrame = {
-    val base = TextOps.winnowFingerprints(df, idCol, textCol, k, win)
+    val raw = TextOps.winnowFingerprints(df, idCol, textCol, k, win)
       .select(col("doc_id").as("id"), explode(col("fps")).as("fp"))
     val capped = dfCap match {
-      case None => base
+      case None => raw
       case Some(cap) =>
-        val keep = base.groupBy(col("fp"))
+        // Persist before deriving keep/probe: the fingerprint scan feeds
+        // BOTH the df aggregate and the semi-join probe, and without a
+        // barrier Catalyst inlines it into each — every document would be
+        // tokenized and fingerprinted twice (the ngramJaccardPairs trap).
+        val cached = ExtCaches.persistTracked(raw)
+        val keep = cached.groupBy(col("fp"))
           .agg(count(lit(1)).as("df_count"))
           .filter(col("df_count") <= cap)
           .select(col("fp"))
-        base.join(keep, Seq("fp"), "left_semi")
+        cached.join(keep, Seq("fp"), "left_semi")
     }
     val idx = ExtCaches.persistTracked(capped)
     idx.as("a")

@@ -155,8 +155,14 @@ object Sinks {
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.makeQualified(srcPath) != fs.makeQualified(destPath),
-      "compact must rewrite into a fresh directory (dest == src loses data on failure)")
+    // Reject equal AND nested paths: overwrite-mode on an ancestor dest
+    // deletes the source tree before the read job runs, and a dest inside
+    // src lands the copy in the table it came from.
+    val srcQ = fs.makeQualified(srcPath).toUri.getPath.stripSuffix("/") + "/"
+    val destQ = fs.makeQualified(destPath).toUri.getPath.stripSuffix("/") + "/"
+    require(!srcQ.startsWith(destQ) && !destQ.startsWith(srcQ),
+      "compact must rewrite into a fresh directory outside the source " +
+        s"(src=$srcQ dest=$destQ would lose data on failure)")
     var total = 0L
     val it = fs.listFiles(srcPath, true)
     while (it.hasNext) {

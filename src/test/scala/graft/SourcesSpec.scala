@@ -145,9 +145,17 @@ class SourcesSpec extends SparkSpec {
     // nothing lost
     assert(Sources.parquet(spark, dest).orderBy("id").collect()
       .map(_.getLong(0)).toSeq == (1L to 8L))
-    // in-place rewrite refused (it would lose data on failure)
+    // in-place rewrite refused (it would lose data on failure), and so
+    // are nested paths in either direction: an ancestor dest's overwrite
+    // would delete the source tree before the read job runs
     intercept[IllegalArgumentException] {
       Sinks.compact(spark, dir, dir, targetBytes = 1L << 30)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.compact(spark, s"$dir/part=p1", dir, targetBytes = 1L << 30)
+    }
+    intercept[IllegalArgumentException] {
+      Sinks.compact(spark, dir, s"$dir/compacted", targetBytes = 1L << 30)
     }
   }
 
