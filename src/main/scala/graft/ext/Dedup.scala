@@ -113,10 +113,25 @@ object Dedup {
   /** Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
     * exact-Jaccard verification of candidates only. Semantically the
     * verified output is ⊆ ngramJaccardPairs (LSH may miss pairs — that is
-    * the recall/cost trade, tunable via bands × rows). */
+    * the recall/cost trade, tunable via bands × rows).
+    *
+    * Scale notes (round-6 soak diagnostics, SCALING.md): unlike the x05
+    * sign-slice geometry, the band-key space here is NOT bounded — the
+    * bucket is an md5 over r minhash values, so the key space grows with
+    * the corpus's shingle diversity and buckets stay small on honestly
+    * growing corpora (measured: max bucket 4 and candidates exactly ∝ n
+    * from 5k to 150k docs). The quadratic risk is DEGENERATE content —
+    * mass-identical boilerplate documents share all 16 minhashes and
+    * collapse into one bucket per band. `hotBucketCap` is the guard: band
+    * keys shared by more than `cap` docs are dropped before the candidate
+    * self-join (the [[shingleIndex]] df-cap / Similarity.hotBucketCap
+    * discipline), bounding worst-case Σ bucket² at the cost of missing
+    * pairs inside super-hot buckets — which exact dedup ([[exactDupSummary]]
+    * upstream) should have collapsed anyway. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       w: Int = 3, perms: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      hotBucketCap: Option[Int] = None): DataFrame = {
     val rows = perms / bands
     // Materialize shingle sets and signatures: this IS the production
     // shape at scale — a persisted signature table, small relative to the
@@ -126,7 +141,14 @@ object Dedup {
     val withSh = ExtCaches.persistTracked(df.select(col(idCol).as("id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh")))
     val sigs = withSh.withColumn("sig", minhashSignature(col("sh"), perms))
-    val bandRows = ExtCaches.persistTracked(lshBands(sigs, "id", "sig", bands, rows))
+    val bandRows0 = ExtCaches.persistTracked(lshBands(sigs, "id", "sig", bands, rows))
+    val bandRows = hotBucketCap.fold(bandRows0) { cap =>
+      val keep = bandRows0.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= cap)
+        .select(col("band"), col("bucket"))
+      bandRows0.join(keep, Seq("band", "bucket"), "left_semi")
+    }
     val candidates = bandRows.as("x")
       .join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
@@ -448,8 +470,8 @@ object Dedup {
                   dfCap: Option[Int] = None): DataFrame = {
     val raw = TextOps.winnowFingerprints(df, idCol, textCol, k, win)
       .select(col("doc_id").as("id"), explode(col("fps")).as("fp"))
-    val capped = dfCap match {
-      case None => raw
+    val idx = dfCap match {
+      case None => ExtCaches.persistTracked(raw)
       case Some(cap) =>
         // Persist before deriving keep/probe: the fingerprint scan feeds
         // BOTH the df aggregate and the semi-join probe, and without a
@@ -460,9 +482,15 @@ object Dedup {
           .agg(count(lit(1)).as("df_count"))
           .filter(col("df_count") <= cap)
           .select(col("fp"))
-        cached.join(keep, Seq("fp"), "left_semi")
+        // Materialize the capped index eagerly, then release the raw
+        // staging relation: its useful life ends here, and holding both
+        // would double the cached footprint of the pipeline's largest
+        // relation for the whole session segment.
+        val built = ExtCaches.persistTracked(cached.join(keep, Seq("fp"), "left_semi"))
+        built.count()
+        ExtCaches.releaseTracked(cached)
+        built
     }
-    val idx = ExtCaches.persistTracked(capped)
     idx.as("a")
       .join(idx.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))

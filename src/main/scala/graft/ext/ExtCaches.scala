@@ -20,6 +20,20 @@ object ExtCaches {
     p
   }
 
+  /** Unpersist ONE tracked relation early (blocking) and drop it from the
+    * registry — for staging relations whose useful life ends as soon as a
+    * derived persist materializes (e.g. winnowPairs' raw fingerprint
+    * relation once the df-capped index is built): holding both doubles
+    * the cached footprint of the pipeline's largest relation for the
+    * whole session segment. */
+  def releaseTracked(df: DataFrame): Unit = synchronized {
+    val i = cached.indexWhere(_ eq df)
+    if (i >= 0) {
+      cached.remove(i)
+      df.unpersist(blocking = true)
+    }
+  }
+
   private val releasables = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   /** Track a release action for storage that is NOT a persisted DataFrame

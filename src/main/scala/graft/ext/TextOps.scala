@@ -310,9 +310,18 @@ object TextOps {
     * interpolated into the oracle SQL. `\b` and plain alternation sit in
     * the Java-regex ∩ RE2 subset, so both engines match identically;
     * terms are taken verbatim (callers pass lowercase token-shaped terms,
-    * matching the corpus convention — no quoting needed). */
-  def scrubPattern(terms: Seq[String]): String =
+    * matching the corpus convention — no quoting needed). The token shape
+    * is ENFORCED, not just documented: a metacharacter ('.', '+', '(')
+    * would silently change the pattern — or diverge between the two
+    * engines where their syntaxes differ — so a bad term must fail loudly
+    * here, not mis-redact quietly downstream. */
+  def scrubPattern(terms: Seq[String]): String = {
+    require(terms.nonEmpty, "scrubPattern needs at least one term")
+    val bad = terms.filterNot(_.matches("[a-z0-9]+"))
+    require(bad.isEmpty,
+      s"scrub terms must be lowercase token-shaped ([a-z0-9]+); got: ${bad.mkString(", ")}")
     terms.sorted.mkString("\\b(", "|", ")\\b")
+  }
 
   /** Compliance scrub — the PII-redaction plumbing every training-data
     * pipeline runs before release, exercised here with a term blocklist

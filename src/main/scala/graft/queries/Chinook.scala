@@ -407,7 +407,16 @@ object Chinook {
     * cost can be measured — and charged — separately from the queries
     * that reuse them (the bench reports it as its own line instead of
     * silently loading it onto whichever family member runs first). */
-  def warmCaches(s: SparkSession, dir: String): Unit = {
+  def warmCaches(s: SparkSession, dir: String, concurrent: Boolean = true): Unit =
+    if (!concurrent) {
+      // Sequential form, kept for the measured A/B (PLANS.md round 6):
+      // the round-5 driver bench charged shared_cache_build 7.79 s where
+      // round 4's sequential build took 2.77 s, and concurrency was the
+      // prime suspect.
+      usaGenreSales(s, dir).count()
+      basketPairs(s, dir).count()
+      ()
+    } else {
     // The two materializations are independent jobs; submitting them as
     // concurrent actions lets the scheduler overlap the basket build's
     // shuffle with the star join's parquet scan — sequentially, each
@@ -424,6 +433,7 @@ object Chinook {
         Future(basketPairs(s, dir).count()))
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     settled.collectFirst { case scala.util.Failure(e) => throw e }
+    ()
   }
 
   /** Release the per-session materialized relations (view aggregate,

@@ -154,12 +154,19 @@ object Sinks {
     require(targetBytes > 0, "targetBytes must be positive")
     val srcPath = new org.apache.hadoop.fs.Path(src)
     val destPath = new org.apache.hadoop.fs.Path(dest)
-    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = srcPath.getFileSystem(conf)
     // Reject equal AND nested paths: overwrite-mode on an ancestor dest
     // deletes the source tree before the read job runs, and a dest inside
-    // src lands the copy in the table it came from.
-    val srcQ = fs.makeQualified(srcPath).toUri.getPath.stripSuffix("/") + "/"
-    val destQ = fs.makeQualified(destPath).toUri.getPath.stripSuffix("/") + "/"
+    // src lands the copy in the table it came from. Each path is qualified
+    // against ITS OWN filesystem and compared as a full URI
+    // (scheme + authority + path): dropping the scheme would spuriously
+    // refuse two equal paths on DIFFERENT filesystems, and qualifying dest
+    // against src's fs would mis-normalize a dest that lives elsewhere.
+    def qualified(p: org.apache.hadoop.fs.Path): String =
+      p.getFileSystem(conf).makeQualified(p).toUri.toString.stripSuffix("/") + "/"
+    val srcQ = qualified(srcPath)
+    val destQ = qualified(destPath)
     require(!srcQ.startsWith(destQ) && !destQ.startsWith(srcQ),
       "compact must rewrite into a fresh directory outside the source " +
         s"(src=$srcQ dest=$destQ would lose data on failure)")

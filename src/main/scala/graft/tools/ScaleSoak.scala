@@ -135,23 +135,35 @@ object ScaleSoak {
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    // cold, warm per (query, dir)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // Round-5's single cold runs carried ±30–50% noise and MANUFACTURED a
+    // super-linear finding: x03's "slope 14.5" came from an x3 cold
+    // undershoot (0.77 s — faster than its own warm rep) against an x30
+    // overshoot; re-measured at steady state the pipeline is sub-linear
+    // (round-6 diagnostics, SCALING.md findings). Every cold cell is now
+    // the MEDIAN of `coldReps` fully-cold runs (caches cleared before
+    // each), so a single scheduler hiccup can no longer set a slope.
+    val coldReps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "3").toInt
+    // cold median, warm per (query, dir)
     val results = scala.collection.mutable.LinkedHashMap
       .empty[(String, String), (Double, Double)]
     dirs.foreach { case (label, dir, _) =>
       Family.foreach { q =>
-        graft.ext.ExtCaches.clearCaches()
         def rep(): Double =
           time(queryFn(q)(spark, dir).count())
-        // The cold number is the one the slope analysis depends on —
-        // record it as soon as it exists, so a warm-rep failure cannot
-        // clobber a successfully measured cold run.
+        // The cold median is the number the slope analysis depends on —
+        // record progressively, so a later-rep failure cannot clobber a
+        // successfully measured run.
         try {
-          val cold = rep()
-          results((q, label)) = (cold, -1.0)
+          val colds = (1 to coldReps).map { _ =>
+            graft.ext.ExtCaches.clearCaches()
+            rep()
+          }
+          results((q, label)) = (median(colds), -1.0)
           val warm = rep()
-          results((q, label)) = (cold, warm)
-          println(f"[soak] $label%-7s $q%-26s cold=$cold%7.2f s  warm=$warm%6.2f s")
+          results((q, label)) = (median(colds), warm)
+          println(f"[soak] $label%-7s $q%-26s cold=${median(colds)}%7.2f s " +
+            f"(reps ${colds.map(c => f"$c%.2f").mkString("/")})  warm=$warm%6.2f s")
         } catch {
           case e: Throwable =>
             if (!results.contains((q, label))) results((q, label)) = (-1.0, -1.0)

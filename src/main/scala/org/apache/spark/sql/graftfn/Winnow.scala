@@ -60,7 +60,17 @@ case class WinnowArray(child: Expression, k: Int, win: Int)
         var j = 0
         while (j < k) {
           if (j > 0) md.update(' '.toByte)
-          md.update(arr.getUTF8String(i + j).getBytes)
+          // The SQL-registered winnow_array is user-callable with e.g.
+          // array('a', NULL, 'b'); a silent NPE deep in digest code is the
+          // wrong failure. Null tokens have no defined k-gram semantics
+          // (the oracle's list formulation would diverge too) — reject
+          // them loudly. Production callers feed tokens(), which never
+          // yields nulls.
+          val tok = arr.getUTF8String(i + j)
+          if (tok == null) throw new IllegalArgumentException(
+            s"winnow_array: null token at position ${i + j}; " +
+              "token arrays must not contain NULL elements")
+          md.update(tok.getBytes)
           j += 1
         }
         digests(i) = md.digest()

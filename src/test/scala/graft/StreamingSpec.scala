@@ -36,6 +36,22 @@ class StreamingSpec extends SparkSpec {
       (ts(10), "view", 1L, 5.0)))
   }
 
+  test("x12 file-stream run equals the batch twin end-to-end (oracle gate twin)") {
+    // The registry query x12_events_tumbling_stream executes the SAME
+    // tumblingStats transform through a real file readStream (landing-dir
+    // symlink → maxFilesPerTrigger micro-batches → foreachBatch parquet
+    // sink) and is oracle-gated by the driver against the identical DuckDB
+    // SQL as the batch twin. This spec pins the equality locally so a
+    // regression fails fast, not only at driver verify time.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val batch = graft.queries.Extensions.x12_events_tumbling(spark, dir)
+    val stream = graft.queries.Extensions.x12_events_tumbling_stream(spark, dir)
+    assert(batch.count() > 0)
+    assert(batch.exceptAll(stream).count() == 0L)
+    assert(stream.exceptAll(batch).count() == 0L)
+  }
+
   test("per-row featurization ops run unchanged on a stream (ingest-time scoring)") {
     // The x08–x10 text operators are pure per-row expressions, so the SAME
     // functions serve batch featurization and stream-ingest scoring — the
