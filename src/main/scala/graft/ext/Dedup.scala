@@ -66,19 +66,54 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs via the inverted index:
     * |A∩B| from the shingle equi-join, |A|,|B| from per-doc counts,
-    * J = c / (|A|+|B|−c). Output: id_a < id_b, jaccard ≥ threshold. */
+    * J = c / (|A|+|B|−c). Output: id_a < id_b, jaccard ≥ threshold.
+    *
+    * `dfCap` (the [[shingleIndex]] hook, now wired into the pair path):
+    * drop shingles occurring in more than `cap` documents BEFORE the
+    * self-join. The join's exact cost is Σ over shingles of C(df,2); on
+    * an honestly-growing corpus per-shingle df is bounded and that sum
+    * is linear in n (round-6 soak: max df 25 and join rows exactly ∝ n
+    * from 15k to 150k docs, so every cap ≥ 50 returned the identical
+    * 7,680 pairs — the knob is inert here). Its 100 TB role is the
+    * boilerplate tail this corpus lacks: headers/footers with corpus-
+    * wide df turn Σ C(df,2) quadratic, and the cap bounds them at a
+    * measurable recall trade (capped output ⊆ uncapped; dropped pairs
+    * are those whose overlap lives ONLY in boilerplate shingles, which
+    * a near-dup detector wants to ignore anyway — n_common counts only
+    * surviving shingles, so J is computed over the capped universe). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        w: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        w: Int = 3, threshold: Double = 0.5,
+                        dfCap: Option[Int] = None): DataFrame = {
     // Each index row carries its document's set size, so |A| and |B| ride
     // through the equi-join as grouping keys — no post-hoc size joins.
     // Materialized once (persist, tracked in ExtCaches): it feeds both
     // self-join sides; without a barrier Catalyst inlines the shingle
     // expression into each, re-tokenizing every document twice.
-    val idx = ExtCaches.persistTracked(df
+    // NOTE: |A|/|B| (the `n` column) stay the UNCAPPED set sizes — the
+    // denominator must not shrink when stop-shingles are dropped, or J
+    // would be inflated for boilerplate-heavy docs.
+    val raw = df
       .select(col(idCol).as("id"),
         TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh"))
       .select(col("id"), size(col("sh")).cast(LongType).as("n"),
-        explode(col("sh")).as("shingle")))
+        explode(col("sh")).as("shingle"))
+    val idx = dfCap match {
+      case None => ExtCaches.persistTracked(raw)
+      case Some(cap) =>
+        // Same staging discipline as winnowPairs: materialize the capped
+        // index eagerly, then release the raw relation — holding both
+        // doubles the cached footprint of the largest pipeline relation.
+        val cached = ExtCaches.persistTracked(raw)
+        val keep = cached.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") <= cap)
+          .select(col("shingle"))
+        val built = ExtCaches.persistTracked(
+          cached.join(keep, Seq("shingle"), "left_semi"))
+        built.count()
+        ExtCaches.releaseTracked(cached)
+        built
+    }
     idx.as("a")
       .join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

@@ -187,12 +187,42 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("ngramJaccardPairs dfCap: generous cap is a no-op, tight cap drops stop-shingle overlap") {
+    def run(cap: Option[Int]) =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5,
+          dfCap = cap)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+    val uncapped = run(None)
+    assert(uncapped.nonEmpty)
+    // No shingle's df exceeds the doc count, so a generous cap is inert.
+    assert(run(Some(1000)) == uncapped)
+    // cap=1 keeps only shingles unique to one doc — no joinable overlap
+    // survives, and the capped output is a subset of the uncapped one.
+    assert(run(Some(1)).isEmpty)
+  }
+
   test("minhashLshPairs candidates verify to the same near-dup set") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
       .orderBy("id_a", "id_b").collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
     assert(pairs.contains((0L, 1L))) // identical docs always collide
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashLshPairs hotBucketCap: generous cap is a no-op, tight cap drops hot buckets") {
+    def run(cap: Option[Int]) =
+      Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5,
+          hotBucketCap = cap)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+    val uncapped = run(None)
+    // No bucket on this corpus exceeds the doc count, so the cap is inert.
+    assert(run(Some(1000)) == uncapped)
+    // cap=1 refuses every bucket with >1 member — exactly the buckets that
+    // generate candidates — so the result must be empty, and the capped
+    // output is always a subset of the uncapped one.
+    assert(run(Some(1)).isEmpty)
   }
 
   test("connectedComponents labels every component by its smallest member") {
