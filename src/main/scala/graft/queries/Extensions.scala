@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-import graft.ext.{Dedup, ExtCaches, Multimodal, Sampling, Similarity, TextOps}
+import graft.ext.{Dedup, ExtCaches, Multimodal, Packing, Sampling, Similarity, TextOps}
 import graft.streaming.EventStreams
 import graft.tables.Tables
 
@@ -835,6 +835,76 @@ object Extensions {
       .orderBy(col("o_orderkey"), col("valid_from"))
   }
 
+  // ---- x44: sequence packing into training context windows ----------------
+
+  /** Pack length in tokens. Small enough that sf0.01's ~55-token median
+    * docs yield multi-doc packs AND boundary-straddling docs at every
+    * tested scale — both manifest shapes exercised; a production run
+    * sets the model's context length. */
+  val CtxLen = 256L
+
+  /** Context-window packing manifest (Packing.packManifest): documents
+    * hash-sharded into 16 independent token streams, concat-and-chunk
+    * placement per stream via one shard-partitioned cumulative-sum
+    * window. The manifest is what a pretraining loader consumes — for
+    * any pack index it can locate exactly the documents whose token
+    * ranges intersect it. One shuffle, bounded per-partition state; the
+    * shard count is the 100 TB parallelism knob. */
+  def x44_sequence_packing(s: SparkSession, dir: String): DataFrame =
+    Packing.packManifest(Tables.documents(s, dir), "doc_id",
+        size(TextOps.tokens(col("text"))), CtxLen)
+      .orderBy(col("doc_id"))
+
+  // ---- x45: bloom-prefiltered decontamination ------------------------------
+
+  /** Bloom sizing: ~1.2 MB per million expected distinct eval shingles
+    * at the default FPP; generous for every tested scale factor. */
+  val BloomExpectedItems = 1L << 20
+
+  /** x28's decontamination with the broadcast semi-join replaced by the
+    * at-scale shape: when the eval-shingle vocabulary outgrows the
+    * broadcast threshold (a benchmark SUITE at 100 TB — millions of
+    * documents, billions of shingles), the corpus side must meet it in a
+    * SHUFFLE semi-join, and the cost driver becomes how many corpus
+    * shingle occurrences reach that shuffle. A bloom filter over the
+    * eval vocabulary (Spark's own runtime-filter aggregate, built here
+    * explicitly because the optimizer only injects it for equi-joins it
+    * can prove selective — graftfn.BloomPrune) broadcasts at ~1 MB/M
+    * keys and prunes the non-contaminated bulk BEFORE the shuffle; the
+    * exact semi-join on the survivors keeps the output bit-identical to
+    * x28 (bloom false positives die in the join, never reach the
+    * result). Same oracle SQL as x28 — the bloom is invisible in the
+    * answer, by construction. */
+  def x45_decontamination_bloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isEval = Sampling.hashThresholdPredicate(col("doc_id"), EvalFrac)
+    val shingled = docs
+      .select(col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text"))).as("sh"), isEval.as("is_eval"))
+    // Two consumers (bloom build + exact confirm): persist, or the eval
+    // docs re-tokenize per consumer.
+    val evalShingles = ExtCaches.persistTracked(
+      shingled.filter(col("is_eval"))
+        .select(explode(col("sh")).as("shingle")).distinct())
+    val bloom = evalShingles.agg(
+      org.apache.spark.sql.graftfn.BloomPrune.bloomAgg(col("shingle"), BloomExpectedItems).as("bloom"))
+    shingled.filter(!col("is_eval"))
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+      // the bloom rides in as a scalar subquery (might_contain's required
+      // shape — see BloomPrune.mightContain), primed once per task
+      .filter(org.apache.spark.sql.graftfn.BloomPrune.mightContain(bloom, col("shingle")))
+      // deliberately NO broadcast hint: this is the shuffle semi-join the
+      // bloom exists to feed less (AQE may still broadcast at test scale)
+      .join(evalShingles, Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("overlap_frac",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+      .filter(col("overlap_frac") >= ContaminationThreshold)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -1119,7 +1189,9 @@ object Extensions {
     "x40_funnel_journeys" -> (x40_funnel_journeys _),
     "x41_cohort_retention" -> (x41_cohort_retention _),
     "x42_expectations" -> (x42_expectations _),
-    "x43_scd2_history" -> (x43_scd2_history _))
+    "x43_scd2_history" -> (x43_scd2_history _),
+    "x44_sequence_packing" -> (x44_sequence_packing _),
+    "x45_decontamination_bloom" -> (x45_decontamination_bloom _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1826,6 +1898,50 @@ object Extensions {
          |       CAST(max(version) AS BIGINT) AS valid_to
          |FROM sg GROUP BY k, seg, price
          |ORDER BY o_orderkey, valid_from""".stripMargin,
+
+    // x44: same md5-prefix shard key and doc_id stream order as
+    // Packing.packManifest; `//` is DuckDB's exact integer division
+    // (mirrors Spark's `div`).
+    "x44_sequence_packing" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+         |  FROM m WHERE n_tokens > 0)
+         |SELECT doc_id, shard, n_tokens,
+         |       cum_end - n_tokens AS start_offset,
+         |       (cum_end - n_tokens) // $CtxLen AS pack_first,
+         |       (cum_end - n_tokens) % $CtxLen AS offset_in_pack,
+         |       (cum_end - 1) // $CtxLen - (cum_end - n_tokens) // $CtxLen + 1 AS packs_spanned
+         |FROM p
+         |ORDER BY doc_id""".stripMargin,
+
+    // x45: the bloom prefilter is invisible in the exact output — the
+    // oracle is x28's SQL verbatim (same eval split, same threshold).
+    "x45_decontamination_bloom" ->
+      s"""WITH $shinglesCte,
+         |ev AS (
+         |  SELECT DISTINCT unnest(sh) AS shingle FROM sh
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(EvalFrac)}'),
+         |tr AS (
+         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |         unnest(sh) AS shingle
+         |  FROM sh
+         |  WHERE NOT (substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(EvalFrac)}')),
+         |hit AS (
+         |  SELECT tr.doc_id, tr.n_shingles, count(*) AS n_shared
+         |  FROM tr JOIN ev ON tr.shingle = ev.shingle
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, n_shingles, n_shared,
+         |       CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap_frac
+         |FROM hit
+         |WHERE CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= $ContaminationThreshold
+         |ORDER BY doc_id""".stripMargin,
 
     // Expectations audit: one scalar aggregate per rule, UNION ALL; the
     // two binding rules (date horizon, quantity cap) prove the firing

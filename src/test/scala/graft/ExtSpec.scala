@@ -576,3 +576,94 @@ class CdcSpec extends SparkSpec {
     assert(!byType.contains("unchanged"))
   }
 }
+
+/** x44 sequence packing: manifest invariants a loader depends on, checked
+  * structurally (the oracle hash gate proves value equality; these prove
+  * the manifest MEANS what it claims). */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Packing
+
+  private val ctx = 10L
+  // token counts chosen to force every shape within one shard: exact
+  // boundary landings, straddles, and multi-pack spans
+  private def manifest = Packing.packManifest(
+    Seq((1L, 4L), (2L, 6L), (3L, 25L), (4L, 3L), (5L, 0L))
+      .toDF("id", "toks"),
+    "id", col("toks"), ctx, shardHexChars = 1)
+
+  test("manifest conserves the token stream: each doc starts where the previous ends, zero-token docs dropped") {
+    val rows = manifest.collect()
+    assert(!rows.exists(_.getAs[Long]("id") == 5L)) // 0-token doc excluded
+    rows.groupBy(_.getAs[String]("shard")).foreach { case (_, docs) =>
+      val inOrder = docs.sortBy(_.getAs[Long]("id"))
+      val starts = inOrder.map(_.getAs[Long]("start_offset")).toSeq
+      val expected = inOrder.map(_.getAs[Long]("n_tokens")).toSeq
+        .scanLeft(0L)(_ + _).init
+      assert(starts == expected, s"stream has gaps/overlaps: $starts vs $expected")
+    }
+  }
+
+  test("pack geometry: pack_first/offset/span agree with ctxLen arithmetic") {
+    manifest.collect().foreach { r =>
+      val (start, n) = (r.getAs[Long]("start_offset"), r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("pack_first") == start / ctx)
+      assert(r.getAs[Long]("offset_in_pack") == start % ctx)
+      assert(r.getAs[Long]("offset_in_pack") < ctx)
+      assert(r.getAs[Long]("packs_spanned") == (start + n - 1) / ctx - start / ctx + 1)
+    }
+  }
+
+  test("packSummary: pack counts and tail remainders match the manifest streams") {
+    val m = manifest
+    val summary = Packing.packSummary(m, ctx).collect()
+      .map(r => r.getAs[String]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("stream_tokens"),
+         r.getAs[Long]("n_packs"), r.getAs[Long]("tail_tokens"))).toMap
+    m.collect().groupBy(_.getAs[String]("shard")).foreach { case (shard, docs) =>
+      val total = docs.map(_.getAs[Long]("n_tokens")).sum
+      val (nDocs, streamTokens, nPacks, tail) = summary(shard)
+      assert(nDocs == docs.length && streamTokens == total)
+      assert(nPacks == (total - 1) / ctx + 1)
+      assert(tail == total % ctx)
+    }
+  }
+
+  test("determinism: appending documents never moves already-packed ones") {
+    val base = Seq((1L, 4L), (2L, 6L), (3L, 25L)).toDF("id", "toks")
+    val appended = Seq((1L, 4L), (2L, 6L), (3L, 25L), (100L, 7L), (101L, 9L))
+      .toDF("id", "toks")
+    def place(df: org.apache.spark.sql.DataFrame) =
+      Packing.packManifest(df, "id", col("toks"), ctx)
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[String]("shard"), r.getAs[Long]("start_offset"))).toMap
+    val before = place(base)
+    val after = place(appended)
+    // append-only stability requires appended ids to sort after existing
+    // ones within their shard — doc ids are ingest-monotonic by contract
+    before.foreach { case (id, placement) => assert(after(id) == placement) }
+  }
+}
+
+/** x45 bloom-prefiltered decontamination: the bloom must be invisible in
+  * the exact output, and the probe must never produce false negatives. */
+class BloomPruneSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.graftfn.BloomPrune
+
+  test("mightContain has no false negatives over the aggregated key set") {
+    val keys = (0 until 2000).map(i => s"key_$i").toDF("k")
+    val bloom = keys.agg(BloomPrune.bloomAgg(col("k"), 4096L).as("bloom"))
+    val misses = keys.filter(!BloomPrune.mightContain(bloom, col("k"))).count()
+    assert(misses == 0L, s"bloom dropped $misses present keys")
+  }
+
+  test("x45 output is bit-identical to x28 (bloom prunes, never changes the answer)") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.queries.Extensions
+    val exact = Extensions.x28_decontamination(spark, dir).collect().toSeq
+    val bloomed = Extensions.x45_decontamination_bloom(spark, dir).collect().toSeq
+    assert(bloomed == exact)
+    graft.ext.ExtCaches.clearCaches()
+  }
+}

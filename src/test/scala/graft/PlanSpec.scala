@@ -128,6 +128,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x45: bloom probe rides in as a scalar subquery ABOVE the semi-join (prune precedes confirm)") {
+    val p = formatted(Extensions.x45_decontamination_bloom(spark, dir))
+    // the explicit BloomPrune probe (not optimizer-injected — that path
+    // is covered by the runtime-filter test below)
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one exact confirm join, and the bloom builds in its own
+    // subquery section (the probe filter hosts it on the corpus side,
+    // below the join — visible as "Hosting operator" in the main tree)
+    assert("Join type: LeftSemi".r.findAllIn(p).size == 1, p)
+    assert(p.contains("===== Subqueries ====="), p)
+    assert(p.contains("bloom_filter_agg"), p)
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("x44: packing window partitions by shard and the scan reads only (doc_id, text)") {
+    val p = formatted(Extensions.x44_sequence_packing(spark, dir))
+    // partitioned window — the fleet gate would reject an unpartitioned
+    // one; this pins the partition KEY so a refactor can't silently
+    // repartition by something non-shard
+    assert(p.contains("windowspecdefinition(shard#"), p)
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.contains("doc_id") && scanLine.contains("text"), scanLine)
+    assert(!scanLine.contains("lang") && !scanLine.contains("source"), scanLine)
+  }
+
   // Runtime bloom-filter join pruning (InjectRuntimeFilter) is ON by
   // default in Spark 4 — at cluster scale a selective dim filter
   // automatically plants a bloom filter on the fact-scan side of a
@@ -239,9 +265,30 @@ class PlanSpec extends SparkSpec {
       case _ => false
     }
 
+    // Every physical tree reachable from `p`, including subquery plans.
+    // At the sparkPlan stage (pre-preparation) a scalar subquery still
+    // holds a LOGICAL plan — PlanSubqueries only rewrites it during
+    // executedPlan preparation — so collectWithSubqueries' blind cast to
+    // SparkPlan blows up (x45's bloom subquery). Plan those through the
+    // session and gate the result like any other tree.
+    def physicalTrees(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.catalyst.expressions.PlanExpression
+      import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+      val subPlans = p.collect { case node =>
+        node.expressions.flatMap(_.collect { case e: PlanExpression[_] => e.plan })
+      }.flatten
+      p +: subPlans.flatMap {
+        case sp: org.apache.spark.sql.execution.SparkPlan => physicalTrees(sp)
+        case lp: LogicalPlan =>
+          physicalTrees(spark.sessionState.executePlan(lp).sparkPlan)
+        case _ => Nil
+      }
+    }
+
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.sparkPlan
-      plan.collectWithSubqueries {
+      physicalTrees(plan).flatMap(_.collect {
         case c: CartesianProductExec =>
           Some(s"$name: CartesianProduct\n${c.simpleStringWithNodeId()}")
         case b: BroadcastNestedLoopJoinExec
@@ -249,7 +296,7 @@ class PlanSpec extends SparkSpec {
           Some(s"$name: non-anchor BroadcastNestedLoopJoin\n${b.simpleStringWithNodeId()}")
         case w: WindowExec if w.partitionSpec.isEmpty && !isReduced(w.child) =>
           Some(s"$name: unpartitioned WindowExec over un-reduced input\n${w.simpleStringWithNodeId()}")
-      }.flatten
+      }.flatten)
     }
     graft.queries.Chinook.clearCaches(spark)
     graft.ext.ExtCaches.clearCaches()
