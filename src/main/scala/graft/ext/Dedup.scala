@@ -394,7 +394,14 @@ object Dedup {
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
+      // NO distinct on ls: small-star's min is duplicate-insensitive and
+      // ss carries its own distinct, so deduping here buys nothing the
+      // next stage doesn't already do — dropping it removes one full
+      // exchange+aggregate of the round's largest relation (|ls| ≤
+      // |und| = 2|e| with or without it). Perf-neutral at the x30 soak
+      // (DiagCC: star CC ~1.9 s steady either way — per-round job
+      // latency dominates at 150k docs), but at cluster scale an extra
+      // all-to-all of 2|e| rows per round is the thing to not do.
       // ---- small-star: the ≤-neighborhood (plus u) hooks onto its min --
       // After large-star every edge (u, v) has v < u, so the directed
       // relation IS the ≤-neighborhood: group by u directly.

@@ -137,6 +137,22 @@ object TextOps {
   def fingerprint(toks: Column, w: Int = 3): Column =
     array_min(transform(shingles(toks, w), s => md5(s)))
 
+  /** Every ADJACENT token pair, in document order, space-joined — the
+    * unit the BPE-trainer merge statistic counts (Extensions x46). A
+    * `zip_with` of the array against its own tail: no index arithmetic,
+    * no per-element subexpression re-evaluation (both slices evaluate
+    * once), and occurrences are kept (no dedup — counts are the point).
+    * < 2 tokens → empty array. */
+  def adjacentPairs(toks: Column): Column = {
+    // slice rejects negative lengths — clamp so <2-token docs (tail
+    // length −1/0) yield an empty pair list instead of erroring
+    val tailLen = greatest(size(toks) - 1, lit(0))
+    zip_with(
+      slice(toks, lit(1), tailLen),
+      slice(toks, lit(2), tailLen),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
   /** Repetition / boilerplate metrics — the Gopher-style quality filters
     * (Rae et al. 2021 §A1.1) a pretraining pipeline thresholds on:
     *

@@ -905,6 +905,31 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  // ---- x46: adjacent-pair counts (vocabulary merge mining) -----------------
+
+  /** Top-k cutoff for the merge-candidate table. */
+  val BpeTopPairs = 100
+
+  /** The BPE-training inner loop's statistic, at word granularity: count
+    * every ADJACENT token pair across the corpus and rank merge
+    * candidates. One `zip_with` of the token array against its own tail
+    * (no index arithmetic, no self-join), one explode, one hash
+    * aggregate — partial counts combine map-side, so the shuffle carries
+    * |vocab²∩corpus| pair keys, not token occurrences — and a global
+    * top-k that plans as TakeOrderedAndProject (no global sort). A real
+    * BPE trainer iterates this op over subword units with the previous
+    * round's merges applied; the per-round statistic is exactly this
+    * query, and the iteration discipline is x20's (checkpointed
+    * fixpoint). Deterministic tiebreak: count desc, then pair. */
+  def x46_bigram_counts(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(TextOps.adjacentPairs(col("t"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair")).limit(BpeTopPairs)
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -1191,7 +1216,8 @@ object Extensions {
     "x42_expectations" -> (x42_expectations _),
     "x43_scd2_history" -> (x43_scd2_history _),
     "x44_sequence_packing" -> (x44_sequence_packing _),
-    "x45_decontamination_bloom" -> (x45_decontamination_bloom _))
+    "x45_decontamination_bloom" -> (x45_decontamination_bloom _),
+    "x46_bigram_counts" -> (x46_bigram_counts _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1920,6 +1946,21 @@ object Extensions {
          |       (cum_end - 1) // $CtxLen - (cum_end - n_tokens) // $CtxLen + 1 AS packs_spanned
          |FROM p
          |ORDER BY doc_id""".stripMargin,
+
+    // x46: DuckDB's 1-based list indexing over range(1, len) pairs t[i]
+    // with t[i+1] — the same adjacency zip as Spark's slice/zip_with.
+    "x46_bigram_counts" ->
+      s"""WITH toks AS (
+         |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS pair
+         |  FROM toks, unnest(range(1, len(t))) AS u(i)
+         |  WHERE len(t) >= 2)
+         |SELECT pair, count(*) AS n
+         |FROM pairs GROUP BY pair
+         |ORDER BY n DESC, pair
+         |LIMIT $BpeTopPairs""".stripMargin,
 
     // x45: the bloom prefilter is invisible in the exact output — the
     // oracle is x28's SQL verbatim (same eval split, same threshold).

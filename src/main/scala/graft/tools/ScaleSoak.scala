@@ -222,20 +222,27 @@ object ScaleSoak {
     sb.append("  df-cap's 100 TB role is real but different: it bounds the\n")
     sb.append("  boilerplate tail (headers/footers with corpus-wide df) that\n")
     sb.append("  this synthetic corpus simply does not have.\n")
-    sb.append("- **Star-form CC costs a ~2x CONSTANT factor over propagation on\n")
-    sb.append("  shallow graphs — not a worse slope**: on the same cached pair\n")
-    sb.append("  graph at x30, the CC stage alone is ~4.1 s (star) vs ~1.9 s\n")
-    sb.append("  (propagation). The factor is structural: each star round runs\n")
-    sb.append("  TWO shuffle phases (large-star, small-star) each ending in a\n")
-    sb.append("  distinct() + eager localCheckpoint, plus a set-equality\n")
-    sb.append("  anti-join on the candidate-converged round, and convergence\n")
-    sb.append("  needs one extra verification round; propagation does one\n")
-    sb.append("  join+aggregate per round. Round 5's apparent 6.2-vs-1.9 cold\n")
+    sb.append("- **Star-form CC costs a ~1.6x CONSTANT factor over propagation on\n")
+    sb.append("  shallow graphs — not a worse slope**: over the same PERSISTED\n")
+    sb.append("  pair graph at x30 (DiagCC, 6 reps), steady-state CC stage is\n")
+    sb.append("  ~1.9 s (star) vs ~1.2 s (propagation); charging pair-graph\n")
+    sb.append("  derivation inside the timer inflates that to ~4.1-vs-1.9, which\n")
+    sb.append("  is what the first diagnostic reported. The factor is\n")
+    sb.append("  structural: each star round runs TWO shuffle phases\n")
+    sb.append("  (large-star, small-star) plus a set-equality anti-join on the\n")
+    sb.append("  candidate-converged round, and convergence needs one extra\n")
+    sb.append("  verification round; propagation does one join+aggregate per\n")
+    sb.append("  round. The intermediate large-star distinct() was removed in\n")
+    sb.append("  round 6 (small-star's min is duplicate-insensitive and the\n")
+    sb.append("  round output carries its own distinct) — perf-neutral at soak\n")
+    sb.append("  scale, where per-round job latency dominates, but one less\n")
+    sb.append("  all-to-all of the round's largest relation (2|e| rows) per\n")
+    sb.append("  round at cluster scale. Round 5's apparent 6.2-vs-1.9 cold\n")
     sb.append("  SLOPE gap was this constant factor multiplied by single-run\n")
     sb.append("  noise in the dominating pair-generation stage. 100 TB\n")
     sb.append("  recommendation, now measured: use propagation when the pair\n")
     sb.append("  graph is known-shallow (near-dup cliques), star when diameter\n")
-    sb.append("  is unknown — its insurance premium is ~2x of the CC stage,\n")
+    sb.append("  is unknown — its insurance premium is ~1.6x of the CC stage,\n")
     sb.append("  which pair generation dwarfs anyway.\n")
     sb.append("- **x05 fixed-geometry banding saturates (r4 finding, stands)**:\n")
     sb.append("  8 bands x 8 bits is a 256-key space, so past ~10k vectors the\n")

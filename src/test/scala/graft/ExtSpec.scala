@@ -28,6 +28,14 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("type_token_ratio") - 2.0 / 3.0) < 1e-12)
   }
 
+  test("adjacentPairs keeps occurrences in order; short docs yield empty") {
+    val r = Seq("a b a b", "solo", "").toDF("text")
+      .select(TextOps.adjacentPairs(TextOps.tokens(col("text"))).as("p"))
+      .collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("a b", "b a", "a b")) // repeats kept, document order
+    assert(r(1).isEmpty && r(2).isEmpty)
+  }
+
   test("qualityScore is in [0,1] and penalizes punctuation") {
     val r = TextOps.qualityScore(
       Seq("the quick brown fox and a dog", "!!!???###").toDF("text"))

@@ -143,6 +143,15 @@ class PlanSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("x46: bigram top-k plans as partial-agg + TakeOrderedAndProject (no global sort)") {
+    val p = formatted(Extensions.x46_bigram_counts(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // partial counts combine before the exchange: two HashAggregates
+    // around one shuffle — the shuffle carries pair keys, not occurrences
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x44: packing window partitions by shard and the scan reads only (doc_id, text)") {
     val p = formatted(Extensions.x44_sequence_packing(spark, dir))
     // partitioned window — the fleet gate would reject an unpartitioned
