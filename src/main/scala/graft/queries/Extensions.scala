@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.ext.{Dedup, ExtCaches, Multimodal, Packing, Sampling, Similarity, TextOps}
 import graft.streaming.EventStreams
@@ -930,6 +930,41 @@ object Extensions {
       .orderBy(desc("n"), col("pair")).limit(BpeTopPairs)
   }
 
+  // ---- x47: exact embedding Gram matrix (PCA / whitening prep) ------------
+
+  /** Fixed-point scale for the Gram accumulation: 2^10 (binary, so
+    * x·Scale never rounds in the double multiply). Deliberately coarser
+    * than Similarity.Scale (2^20): Gram cells sum PRODUCTS over the
+    * whole corpus, and 2^10 keeps |q_i·q_j| < 2^20 for unit-magnitude
+    * embeddings — long sums stay exact past 10^12 rows, which is the
+    * 100 TB overflow budget Similarity's pairwise scale doesn't need. */
+  val GramScale = 1024.0
+
+  /** X'X over the embedding corpus — the reduction every whitening /
+    * PCA / spectral-diagnostic step starts from. One scan, ONE custom
+    * TypedImperativeAggregate (graftfn.GramMatrix) carrying a fixed
+    * long[d(d+1)/2] triangle per partial: the shuffle moves one 16 KB
+    * buffer per map partition instead of the posexplode-pair form's
+    * d(d+1)/2 rows per input row (2080× write amplification at d=64 —
+    * fine for the DuckDB oracle at test scale, disqualifying for a
+    * corpus scan). Exact integer cells ⇒ bit-stable at any
+    * partitioning; the `gram` double is derived from them by two final
+    * IEEE divides. The post-aggregate explode emits 2080 rows total. */
+  def x47_embedding_gram(s: SparkSession, dir: String): DataFrame = {
+    val q = transform(col("embedding"),
+      x => round(x.cast(DoubleType) * GramScale).cast(LongType))
+    Tables.embeddings(s, dir)
+      .select(q.as("q"))
+      .agg(org.apache.spark.sql.graftfn.GramMatrix.of(col("q"), EmbeddingDims).as("g"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("n_vectors"), explode(col("g")).as("cell"))
+      .select(col("cell.i").as("i"), col("cell.j").as("j"),
+        col("cell.sum_q").as("sum_q"),
+        (col("cell.sum_q").cast(DoubleType) / col("n_vectors").cast(DoubleType)
+          / lit(GramScale * GramScale)).as("gram"))
+      .orderBy(col("i"), col("j"))
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -1217,7 +1252,8 @@ object Extensions {
     "x43_scd2_history" -> (x43_scd2_history _),
     "x44_sequence_packing" -> (x44_sequence_packing _),
     "x45_decontamination_bloom" -> (x45_decontamination_bloom _),
-    "x46_bigram_counts" -> (x46_bigram_counts _))
+    "x46_bigram_counts" -> (x46_bigram_counts _),
+    "x47_embedding_gram" -> (x47_embedding_gram _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1961,6 +1997,30 @@ object Extensions {
          |FROM pairs GROUP BY pair
          |ORDER BY n DESC, pair
          |LIMIT $BpeTopPairs""".stripMargin,
+
+    // x47: the oracle affords the 2080-per-row pair explosion the Spark
+    // side refuses; same binary-scale quantization (exact multiply,
+    // round half-away-from-zero in both engines), exact integer cells,
+    // 0-based indices surfaced from DuckDB's 1-based lists.
+    "x47_embedding_gram" ->
+      s"""WITH q AS (
+         |  SELECT list_transform(embedding,
+         |           x -> CAST(round(CAST(x AS DOUBLE) * $GramScale) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT count(*) AS n_vectors FROM q),
+         |cells AS (
+         |  SELECT i, j,
+         |         CAST(SUM(v[CAST(i AS INT)] * v[CAST(j AS INT)]) AS BIGINT) AS sum_q
+         |  FROM q,
+         |       unnest(range(1, ${EmbeddingDims + 1})) AS u(i),
+         |       unnest(range(1, ${EmbeddingDims + 1})) AS w(j)
+         |  WHERE j >= i
+         |  GROUP BY i, j)
+         |SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j, sum_q,
+         |       CAST(sum_q AS DOUBLE) / CAST(n.n_vectors AS DOUBLE)
+         |         / ${GramScale * GramScale} AS gram
+         |FROM cells, n
+         |ORDER BY i, j""".stripMargin,
 
     // x45: the bloom prefilter is invisible in the exact output — the
     // oracle is x28's SQL verbatim (same eval split, same threshold).

@@ -675,3 +675,41 @@ class BloomPruneSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 }
+
+/** x47 GramMatrix: the custom aggregate's contract, hand-checked small
+  * (the oracle hash gate proves corpus-level equality; these prove the
+  * buffer arithmetic, the merge path, and the failure modes). */
+class GramMatrixSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.graftfn.GramMatrix
+
+  private def cells(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+    df.agg(GramMatrix.of(col("q"), 2).as("g"))
+      .select(explode(col("g")).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.sum_q"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("gram cells match hand arithmetic on a 2-dim corpus") {
+    // rows (1,2), (3,-4): X'X = [[10,-10],[-10,20]]
+    val df = Seq(Seq(1L, 2L), Seq(3L, -4L)).toDF("q")
+    assert(cells(df) == Map((0L, 0L) -> 10L, (0L, 1L) -> -10L, (1L, 1L) -> 20L))
+  }
+
+  test("partial buffers merge exactly: many partitions, same cells") {
+    val rows = (1 to 100).map(i => Seq(i.toLong, (i % 7).toLong - 3L))
+    val one = cells(rows.toDF("q").coalesce(1))
+    val many = cells(rows.toDF("q").repartition(8))
+    assert(one == many)
+  }
+
+  test("null vectors are skipped; wrong dimension fails loudly") {
+    val withNull = Seq(Some(Seq(1L, 2L)), None).toDF("q")
+    assert(cells(withNull) == Map((0L, 0L) -> 1L, (0L, 1L) -> 2L, (1L, 1L) -> 4L))
+    val bad = Seq(Seq(1L, 2L, 3L)).toDF("q")
+    val e = intercept[org.apache.spark.SparkException] {
+      cells(bad)
+    }
+    assert(e.getMessage != null)
+  }
+}

@@ -152,6 +152,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x47: gram matrix plans as partial+final object aggregate; explode only AFTER the aggregate") {
+    val p = formatted(Extensions.x47_embedding_gram(spark, dir))
+    // TypedImperativeAggregate → ObjectHashAggregate, partial + final:
+    // the scan side ships one fixed-size triangle per partition, never
+    // exploded rows
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("gram_matrix"), p)
+    // the single Generate (explode of the 2080-cell result) must sit
+    // ABOVE the aggregate. Formatted-mode node ids number bottom-up
+    // (Scan is (1)), so "above" = a strictly larger id than every
+    // aggregate node's.
+    val genIds = """Generate \((\d+)\)""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val aggIds = """ObjectHashAggregate \((\d+)\)""".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(genIds.nonEmpty && aggIds.nonEmpty, p)
+    assert(genIds.min > aggIds.max,
+      s"explode below the aggregate: generate=$genIds agg=$aggIds\n$p")
+  }
+
   test("x44: packing window partitions by shard and the scan reads only (doc_id, text)") {
     val p = formatted(Extensions.x44_sequence_packing(spark, dir))
     // partitioned window — the fleet gate would reject an unpartitioned
