@@ -1049,6 +1049,103 @@ object Extensions {
       .orderBy(col("window_start_us"), col("event_type"))
   }
 
+  /** x13 executed in TRUE streaming mode — the harder streaming gate:
+    * session windows cannot run in complete mode (Spark requires
+    * watermarked append/update for session merges), so unlike x12's
+    * re-emit-everything form this proves the APPEND discipline end to
+    * end: a session row is emitted exactly once, only after the
+    * watermark passes its close, out of state that merged it across
+    * micro-batch boundaries.
+    *
+    * The tail problem append mode creates — the final sessions close
+    * only when the watermark passes them, and a finite replay's
+    * watermark stops at the last real event — is solved the way a
+    * production pipeline does it: a PUNCTUATION (heartbeat) event far
+    * past the data horizon arrives as its own final micro-batch,
+    * advancing the watermark so every real session finalizes. The
+    * sentinel's own session never closes (nothing arrives after it), so
+    * it never appears in the append output — no filtering, no
+    * reconciliation; the emitted rows must equal the batch twin's
+    * gaps-and-islands oracle EXACTLY, which is the gated claim.
+    *
+    * Staging mirrors x12: single-file tables are symlinked into a
+    * landing directory (dir tables: every file symlinked), the sentinel
+    * parquet is written AFTER so its newer mtime orders it last
+    * (FileStreamSource processes oldest-first), and
+    * `maxFilesPerTrigger=1` keeps real data and punctuation in separate
+    * micro-batches — the watermark only advances between batches. */
+  def x13_events_sessions_stream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x13_stream_")
+    tmp.toFile.deleteOnExit()
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val src = java.nio.file.Paths.get(dir, "events.parquet")
+    val landing = tmp.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    if (java.nio.file.Files.isDirectory(src)) {
+      val listing = java.nio.file.Files.list(src)
+      try {
+        val it = listing.iterator()
+        var i = 0
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            java.nio.file.Files.createSymbolicLink(
+              landing.resolve(f"events-$i%05d.parquet"), f)
+            i += 1
+          }
+        }
+      } finally listing.close()
+    } else {
+      java.nio.file.Files.createSymbolicLink(
+        landing.resolve("events-00000.parquet"), src)
+    }
+    // Punctuation event at 2100-01-01, in the file's own ts encoding
+    // (TIMESTAMP(NANOS) surfaces as long under nanosAsLong).
+    val farFutureUs = 4102444800000000L // 2100-01-01T00:00:00Z in micros
+    val tsValue: Any = batchSchema("ts").dataType match {
+      case LongType => farFutureUs * 1000L
+      case _ => java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(farFutureUs / 1000000L))
+    }
+    val sentinelRow = Row.fromSeq(batchSchema.fields.map {
+      case f if f.name == "ts" => tsValue
+      case f if f.name == "event_id" => -1L
+      case f if f.name == "user_id" => -1L
+      case f if f.name == "event_type" => "punctuation"
+      case f if f.name == "value" => 0.0
+      case _ => null
+    }.toSeq)
+    s.createDataFrame(java.util.List.of(sentinelRow), batchSchema)
+      .coalesce(1).write.mode("append").parquet(landing.toString)
+    val raw = s.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+    val ev = raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val q = EventStreams.watermarkedUserSessions(ev, "30 minutes", "0 seconds")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   // ---- x15: as-of join — click→purchase attribution ----------------------
 
   /** For every purchase event, the user's most recent strictly-earlier
@@ -1217,6 +1314,7 @@ object Extensions {
     "x12_events_tumbling" -> (x12_events_tumbling _),
     "x12_events_tumbling_stream" -> (x12_events_tumbling_stream _),
     "x13_events_sessions" -> (x13_events_sessions _),
+    "x13_events_sessions_stream" -> (x13_events_sessions_stream _),
     "x14_multimodal_histogram" -> (x14_multimodal_histogram _),
     "x15_asof_attribution" -> (x15_asof_attribution _),
     "x16_range_value_bands" -> (x16_range_value_bands _),
@@ -1651,6 +1749,29 @@ object Extensions {
         |       event_type, count(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+
+    // The append-mode streaming run must equal the batch sessionization
+    // exactly — SAME oracle text as x13_events_sessions: each session
+    // emitted once, after its watermark close, out of merged state.
+    "x13_events_sessions_stream" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |       epoch_us(min(ts)) AS session_start_us,
+        |       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "x13_events_sessions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -55,7 +55,13 @@ object ScaleSoak {
     "x26_pipeline_gate", "x28_decontamination",
     // round-5 addition: winnowing pair mining — Σ df(fp)² work like x02;
     // replica salting changes every k-gram, so growth should be ~linear
-    "x38_winnow_pairs")
+    "x38_winnow_pairs",
+    // round-6 additions: packing (one window over hash shards), bloom
+    // decontamination (prune + shuffle semi), bigram counting (map-side
+    // combinable agg), gram matrix (fixed-buffer aggregate) — every one
+    // claims a ~linear scan shape; the soak is what makes that a number
+    "x44_sequence_packing", "x45_decontamination_bloom",
+    "x46_bigram_counts", "x47_embedding_gram")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
