@@ -77,10 +77,15 @@ object Dedup {
     * 7,680 pairs — the knob is inert here). Its 100 TB role is the
     * boilerplate tail this corpus lacks: headers/footers with corpus-
     * wide df turn Σ C(df,2) quadratic, and the cap bounds them at a
-    * measurable recall trade (capped output ⊆ uncapped; dropped pairs
-    * are those whose overlap lives ONLY in boilerplate shingles, which
-    * a near-dup detector wants to ignore anyway — n_common counts only
-    * surviving shingles, so J is computed over the capped universe). */
+    * measurable recall trade. The trade's exact shape: the NUMERATOR
+    * counts only surviving shingles while the denominator keeps the
+    * uncapped set sizes (see NOTE below), so the cap can only DEFLATE a
+    * pair's J — capped output ⊆ uncapped, never a spurious pair — and
+    * any pair whose overlap is partly boilerplate loses proportionally,
+    * not just pairs whose overlap is boilerplate alone. Size the cap
+    * against that conservative bias (sweep + recall measurement, the
+    * SCALING.md x02 protocol), not against a lossless-below-threshold
+    * assumption. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         w: Int = 3, threshold: Double = 0.5,
                         dfCap: Option[Int] = None): DataFrame = {
@@ -182,7 +187,16 @@ object Dedup {
         .agg(count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n") <= cap)
         .select(col("band"), col("bucket"))
-      bandRows0.join(keep, Seq("band", "bucket"), "left_semi")
+      // Same staging discipline as ngramJaccardPairs/winnowPairs: the
+      // capped relation feeds BOTH candidate-join sides, so materialize
+      // it eagerly and release the raw band table — otherwise the
+      // keep-aggregate and semi-join recompute per side, and both
+      // copies of the pipeline's largest relation stay cached.
+      val built = ExtCaches.persistTracked(
+        bandRows0.join(keep, Seq("band", "bucket"), "left_semi"))
+      built.count()
+      ExtCaches.releaseTracked(bandRows0)
+      built
     }
     val candidates = bandRows.as("x")
       .join(bandRows.as("y"),

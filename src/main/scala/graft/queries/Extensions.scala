@@ -955,8 +955,10 @@ object Extensions {
       x => round(x.cast(DoubleType) * GramScale).cast(LongType))
     Tables.embeddings(s, dir)
       .select(q.as("q"))
+      // count(q), not count(*): GramMatrix skips null vectors, so the
+      // mean's denominator must count exactly the contributing rows
       .agg(org.apache.spark.sql.graftfn.GramMatrix.of(col("q"), EmbeddingDims).as("g"),
-        count(lit(1)).as("n_vectors"))
+        count(col("q")).as("n_vectors"))
       .select(col("n_vectors"), explode(col("g")).as("cell"))
       .select(col("cell.i").as("i"), col("cell.j").as("j"),
         col("cell.sum_q").as("sum_q"),
@@ -1002,37 +1004,69 @@ object Extensions {
     * state is bounded by the lateness horizon instead. The temp sink/
     * checkpoint dirs are per-invocation (streams cannot share checkpoints
     * with different run ids) and deleted on JVM exit. */
+  /** Per-invocation temp root for the streaming twins, recursively
+    * deleted by a JVM shutdown hook — `File.deleteOnExit` is per-path
+    * and non-recursive, so on a non-empty dir it silently no-ops and
+    * every invocation would leak its checkpoint + sink + landing data. */
+  private def streamTmpDir(prefix: String): java.nio.file.Path = {
+    import java.nio.file.{Files, LinkOption, Path}
+    val tmp = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def nuke(p: Path): Unit = {
+        if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) {
+          val l = Files.list(p)
+          try l.iterator().forEachRemaining(nuke) finally l.close()
+        }
+        Files.deleteIfExists(p)
+      }
+      try nuke(tmp) catch { case _: Throwable => () }
+    }))
+    tmp
+  }
+
+  /** Stage the events table into a fresh landing directory by symlink —
+    * FileStreamSource ingests a DIRECTORY (its basePath is forced to the
+    * source path, so a bare file errors), and the symlinks resolve to
+    * the ORIGINAL file mtimes, so staged data always sorts before
+    * anything written into the landing dir afterwards (the source
+    * processes oldest-first). Single-file tables stage as one link; dir
+    * tables link every contained parquet file. */
+  private def stageEventsLanding(dir: String,
+                                 landing: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(landing)
+    val src = Paths.get(dir, "events.parquet")
+    if (Files.isDirectory(src)) {
+      val listing = Files.list(src)
+      try {
+        val it = listing.iterator()
+        var i = 0
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet")) {
+            Files.createSymbolicLink(
+              landing.resolve(f"events-$i%05d.parquet"), f)
+            i += 1
+          }
+        }
+      } finally listing.close()
+    } else {
+      Files.createSymbolicLink(landing.resolve("events-00000.parquet"), src)
+    }
+  }
+
   def x12_events_tumbling_stream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_x12_stream_")
-    tmp.toFile.deleteOnExit()
+    val tmp = streamTmpDir("graft_x12_stream_")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
-    // FileStreamSource ingests a DIRECTORY (its basePath is forced to the
-    // source path, so a bare file errors). The testdata table is a single
-    // parquet file — stage it into a landing directory by symlink, the
-    // literal shape of a file-arrival ingest. A table that is already a
-    // directory of files streams as-is, one file per micro-batch.
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
-    val landing =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else {
-        val l = tmp.resolve("landing")
-        java.nio.file.Files.createDirectories(l)
-        java.nio.file.Files.createSymbolicLink(
-          l.resolve("events-00000.parquet"), src)
-        l.toString
-      }
+    val landing = tmp.resolve("landing")
+    stageEventsLanding(dir, landing)
     val raw = s.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(landing)
-    // Same nanos→micros surfacing as Tables.events (ts arrives as
-    // TIMESTAMP(NANOS) exposed long under nanosAsLong).
-    val ev = raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
+      .parquet(landing.toString)
+    val ev = Tables.surfaceEventTs(raw)
     val q = EventStreams.tumblingStats(ev, "1 hour")
       .writeStream
       .outputMode("complete")
@@ -1068,41 +1102,34 @@ object Extensions {
     * reconciliation; the emitted rows must equal the batch twin's
     * gaps-and-islands oracle EXACTLY, which is the gated claim.
     *
-    * Staging mirrors x12: single-file tables are symlinked into a
-    * landing directory (dir tables: every file symlinked), the sentinel
-    * parquet is written AFTER so its newer mtime orders it last
+    * Staging mirrors x12 ([[stageEventsLanding]]); the sentinel parquet
+    * is written AFTER so its newer mtime orders it last
     * (FileStreamSource processes oldest-first), and
     * `maxFilesPerTrigger=1` keeps real data and punctuation in separate
-    * micro-batches — the watermark only advances between batches. */
+    * micro-batches — the watermark only advances between batches.
+    *
+    * Two replay-vs-production knobs, both load-bearing:
+    *  - the watermark DELAY is the full replayed history
+    *    ([[ReplayLateness]]), not a production-tight horizon: a replay's
+    *    files carry no cross-file time order (Spark-written part files
+    *    interleave arbitrarily), so any event older than a previous
+    *    file's max would be dropped as late under a tight horizon — the
+    *    horizon must cover the replayed span, and state stays bounded
+    *    because the replay itself is. A live ingest with near-ordered
+    *    arrival tightens it back (StreamingSpec's watermark specs).
+    *  - the sink writes each micro-batch to its own `batch_id=N`
+    *    directory with overwrite — foreachBatch is at-least-once, and a
+    *    retried batch must overwrite ITS OWN output, not append a
+    *    duplicate (blind append would double sessions under retry). */
   def x13_events_sessions_stream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.streaming.Trigger
     val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val tmp = java.nio.file.Files.createTempDirectory("graft_x13_stream_")
-    tmp.toFile.deleteOnExit()
+    val tmp = streamTmpDir("graft_x13_stream_")
     val out = tmp.resolve("out").toString
     val ckpt = tmp.resolve("ckpt").toString
-    val src = java.nio.file.Paths.get(dir, "events.parquet")
     val landing = tmp.resolve("landing")
-    java.nio.file.Files.createDirectories(landing)
-    if (java.nio.file.Files.isDirectory(src)) {
-      val listing = java.nio.file.Files.list(src)
-      try {
-        val it = listing.iterator()
-        var i = 0
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getFileName.toString.endsWith(".parquet")) {
-            java.nio.file.Files.createSymbolicLink(
-              landing.resolve(f"events-$i%05d.parquet"), f)
-            i += 1
-          }
-        }
-      } finally listing.close()
-    } else {
-      java.nio.file.Files.createSymbolicLink(
-        landing.resolve("events-00000.parquet"), src)
-    }
+    stageEventsLanding(dir, landing)
     // Punctuation event at 2100-01-01, in the file's own ts encoding
     // (TIMESTAMP(NANOS) surfaces as long under nanosAsLong).
     val farFutureUs = 4102444800000000L // 2100-01-01T00:00:00Z in micros
@@ -1124,27 +1151,31 @@ object Extensions {
     val raw = s.readStream.schema(batchSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(landing.toString)
-    val ev = raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-    val q = EventStreams.watermarkedUserSessions(ev, "30 minutes", "0 seconds")
+    val ev = Tables.surfaceEventTs(raw)
+    val q = EventStreams.watermarkedUserSessions(ev, "30 minutes", ReplayLateness)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(out)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(out)
+    s.read.parquet(out).drop("batch_id")
       .select(col("user_id"),
         unix_micros(col("session_start")).as("session_start_us"),
         unix_micros(col("session_end")).as("session_end_us"),
         col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("session_start_us"))
   }
+
+  /** Watermark delay for the x13 replay: wide enough that NO event in
+    * the replayed history can be late relative to any other (files
+    * carry no cross-file order), while the 2100 punctuation still lands
+    * the final watermark decades past the data — every real session
+    * closes, the sentinel's never does. ~60 years in days. */
+  val ReplayLateness = "21900 days"
 
   // ---- x15: as-of join — click→purchase attribution ----------------------
 
@@ -2128,7 +2159,7 @@ object Extensions {
          |  SELECT list_transform(embedding,
          |           x -> CAST(round(CAST(x AS DOUBLE) * $GramScale) AS BIGINT)) AS v
          |  FROM embeddings),
-         |n AS (SELECT count(*) AS n_vectors FROM q),
+         |n AS (SELECT count(v) AS n_vectors FROM q),
          |cells AS (
          |  SELECT i, j,
          |         CAST(SUM(v[CAST(i AS INT)] * v[CAST(j AS INT)]) AS BIGINT) AS sum_q

@@ -78,15 +78,19 @@ object Tables {
     * integral division (`div` — a double division would lose precision:
     * nanos since 1970 exceed 2^53). Floor-division matches DuckDB's
     * CAST(ns AS TIMESTAMP) truncation, so oracle timestamps agree. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events")
+  def events(spark: SparkSession, dir: String): DataFrame =
+    surfaceEventTs(load(spark, dir, "events"))
+
+  /** The nanos→micros surfacing rule alone, for consumers that read the
+    * events file through another source (the streaming twins' file
+    * readStream) — ONE definition, so batch and stream cannot drift. */
+  def surfaceEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => raw
     }
-  }
   /** [[events]] with a starved-scan fan-out like the corpora get — but for
     * consumers whose SHUFFLE granularity is bounded by the scan's mapper
     * count, not just its CPU. AQE's skew-join splitting (x29) partitions a

@@ -158,22 +158,26 @@ object ScaleSoak {
         def rep(): Double =
           time(queryFn(q)(spark, dir).count())
         // The cold median is the number the slope analysis depends on —
-        // record progressively, so a later-rep failure cannot clobber a
-        // successfully measured run.
+        // record after EVERY successful rep (median of what completed),
+        // so a rep-2/3 failure keeps rep 1's measurement instead of
+        // discarding good data into a blanket "fail" cell.
+        val colds = scala.collection.mutable.ArrayBuffer.empty[Double]
         try {
-          val colds = (1 to coldReps).map { _ =>
+          (1 to coldReps).foreach { _ =>
             graft.ext.ExtCaches.clearCaches()
-            rep()
+            colds += rep()
+            results((q, label)) = (median(colds.toSeq), -1.0)
           }
-          results((q, label)) = (median(colds), -1.0)
           val warm = rep()
-          results((q, label)) = (median(colds), warm)
-          println(f"[soak] $label%-7s $q%-26s cold=${median(colds)}%7.2f s " +
+          results((q, label)) = (median(colds.toSeq), warm)
+          println(f"[soak] $label%-7s $q%-26s cold=${median(colds.toSeq)}%7.2f s " +
             f"(reps ${colds.map(c => f"$c%.2f").mkString("/")})  warm=$warm%6.2f s")
         } catch {
           case e: Throwable =>
-            if (!results.contains((q, label))) results((q, label)) = (-1.0, -1.0)
-            println(s"[soak] $label $q FAILED: ${e.getMessage}")
+            if (!results.contains((q, label)))
+              results((q, label)) = (-1.0, -1.0)
+            println(s"[soak] $label $q FAILED after ${colds.size} cold reps: " +
+              e.getMessage)
         }
       }
       graft.ext.ExtCaches.clearCaches()

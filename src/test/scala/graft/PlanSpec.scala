@@ -313,7 +313,18 @@ class PlanSpec extends SparkSpec {
       }
     }
 
-    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // The true-streaming twins execute a full streaming job at
+    // CONSTRUCTION time (symlink staging, micro-batches, foreachBatch
+    // sink) and return a trivial read-back plan — gating that plan
+    // asserts nothing about the streaming query while paying its whole
+    // execution. Their plan-shape guarantees live in the batch twins
+    // (same transform fn) and StreamingSpec.
+    val eagerStreamTwins =
+      Set("x12_events_tumbling_stream", "x13_events_sessions_stream")
+
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => eagerStreamTwins.contains(name) }
+      .flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.sparkPlan
       physicalTrees(plan).flatMap(_.collect {
         case c: CartesianProductExec =>

@@ -52,6 +52,31 @@ class StreamingSpec extends SparkSpec {
     assert(stream.exceptAll(batch).count() == 0L)
   }
 
+  test("x13 append-mode stream equals the batch twin, including on a MULTI-FILE table with no cross-file time order") {
+    // The session twin's hard cases: (a) append mode must emit every real
+    // session exactly once (the punctuation event closes the tail), and
+    // (b) a directory-layout events table replays its part files in mtime
+    // order with NO cross-file time order — under a tight watermark
+    // horizon, any event older than a previous file's max would be
+    // silently dropped as late and sessions would split or shrink. The
+    // replay-wide horizon (Extensions.ReplayLateness) is what makes (b)
+    // correct; this spec builds exactly that adversarial layout (sessions
+    // hash-scattered across 4 part files) and pins stream == batch on it.
+    val srcDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$srcDir/events.parquet").exists())
+    val tmp = java.nio.file.Files.createTempDirectory("graft_x13_multifile_")
+    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    events.repartition(4, org.apache.spark.sql.functions.col("event_id"))
+      .write.parquet(s"$tmp/events.parquet")
+    for (dir <- Seq(srcDir, tmp.toString)) {
+      val batch = graft.queries.Extensions.x13_events_sessions(spark, dir)
+      val stream = graft.queries.Extensions.x13_events_sessions_stream(spark, dir)
+      assert(batch.count() > 0)
+      assert(batch.exceptAll(stream).count() == 0L, s"missing sessions ($dir)")
+      assert(stream.exceptAll(batch).count() == 0L, s"extra sessions ($dir)")
+    }
+  }
+
   test("per-row featurization ops run unchanged on a stream (ingest-time scoring)") {
     // The x08–x10 text operators are pure per-row expressions, so the SAME
     // functions serve batch featurization and stream-ingest scoring — the
