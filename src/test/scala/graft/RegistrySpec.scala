@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry/oracle consistency gate. The driver's correctness sweep is
+  * only as strong as the registry it walks: a query that silently loses
+  * its oracle entry degrades to a weaker rows-only check with no signal
+  * anywhere. This spec makes that drift a test failure — every query
+  * oracle-gated, every oracle attached to a real query, every SQL string
+  * substantive. No SparkSession needed; this is pure map hygiene. */
+class RegistrySpec extends AnyFunSuite {
+
+  test("every registered query has a DuckDB oracle (full 100% gate, no silent rows-only fallbacks)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty,
+      s"queries without an oracle (driver would silently weaken their check): $missing")
+  }
+
+  test("every oracle key names a registered query (no orphans)") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries with no query: $orphans")
+  }
+
+  test("oracle SQL strings are substantive and carry the total-order contract") {
+    // single-row global aggregates: order is vacuous, ORDER BY waived
+    val oneRowAggregates = Set("x01_dedup_exact", "q01_null", "q08_churn_rate")
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.trim.nonEmpty, s"$name: empty oracle")
+      // the driver's compare is row-order-sensitive — every oracle must
+      // end in a deterministic ORDER BY (the Spark side mirrors it)
+      assert(oneRowAggregates.contains(name) ||
+        sql.toUpperCase.contains("ORDER BY"),
+        s"$name: oracle has no ORDER BY — hash compare would be order-lucky")
+    }
+  }
+
+  test("registry names are unique across the two query sources") {
+    val chinook = graft.queries.Chinook.queries.keySet
+    val ext = graft.queries.Extensions.queries.keySet
+    val clash = chinook intersect ext
+    assert(clash.isEmpty, s"duplicate query names (one silently shadows): $clash")
+  }
+}
