@@ -967,6 +967,43 @@ object Extensions {
       .orderBy(col("i"), col("j"))
   }
 
+  // ---- x48: per-source token-mass equalization (mixture APPLICATION) ------
+
+  /** The sampling step x27 only plans for: x27 reports per-source
+    * mixture weights; this op APPLIES a re-weighting by deterministic
+    * hash rejection — each source is downsampled to the token mass of
+    * the smallest source (the temperature→0 limit of mT5/XLM-R-style
+    * temperature sampling; a λ-blend of natural and uniform shares is
+    * the same machinery with rational target shares).
+    *
+    * Exactness discipline: the accept test is ALL-INTEGER —
+    * u16 · src_tokens < 2^16 · min_tokens, where u16 is the first 4 hex
+    * digits of md5(doc_id) (16-bit hash fraction, rate resolution
+    * 1/65536) — because a double `pow`/divide rate could differ by an
+    * ulp between engines and flip a boundary document out of the
+    * bit-exact oracle gate. Long products stay exact up to 2^47 tokens
+    * per source (~140 T), the 100 TB budget. Scale shape: one scan for
+    * token counts, a broadcast join of the |sources|-row weight table,
+    * a 1-row broadcast min anchor, one map-side-combinable summary
+    * aggregate; re-run-stable and append-stable like every hash-gated
+    * sampler here ([[Sampling]]). */
+  def x48_source_equalize(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val bySource = t.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val minTok = bySource.agg(min(col("src_tokens")).as("min_tokens"))
+    val u16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast(LongType)
+    t.join(broadcast(bySource), Seq("source"))
+      .crossJoin(broadcast(minTok)) // 1-row anchor, fleet-gate-bounded
+      .filter(u16 * col("src_tokens") < lit(65536L) * col("min_tokens"))
+      .groupBy(col("source"), col("src_tokens"), col("min_tokens"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -1382,7 +1419,8 @@ object Extensions {
     "x44_sequence_packing" -> (x44_sequence_packing _),
     "x45_decontamination_bloom" -> (x45_decontamination_bloom _),
     "x46_bigram_counts" -> (x46_bigram_counts _),
-    "x47_embedding_gram" -> (x47_embedding_gram _))
+    "x47_embedding_gram" -> (x47_embedding_gram _),
+    "x48_source_equalize" -> (x48_source_equalize _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2149,6 +2187,29 @@ object Extensions {
          |FROM pairs GROUP BY pair
          |ORDER BY n DESC, pair
          |LIMIT $BpeTopPairs""".stripMargin,
+
+    // x48: the accept test mirrors Spark's conv(hex,16,10) via DuckDB's
+    // '0x…' cast — both unsigned 16-bit, so the integer comparison is
+    // bit-identical; summary rows only (the manifest is the filter).
+    "x48_source_equalize" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        |      FROM t GROUP BY source),
+        |m AS (SELECT MIN(src_tokens) AS min_tokens FROM s),
+        |kept AS (
+        |  SELECT t.source, s.src_tokens, m.min_tokens, t.n_tokens
+        |  FROM t JOIN s USING (source), m
+        |  WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |          * s.src_tokens
+        |        < 65536 * m.min_tokens)
+        |SELECT source, src_tokens, min_tokens,
+        |       count(*) AS kept_docs, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+        |FROM kept
+        |GROUP BY source, src_tokens, min_tokens
+        |ORDER BY source""".stripMargin,
 
     // x47: the oracle affords the 2080-per-row pair explosion the Spark
     // side refuses; same binary-scale quantization (exact multiply,
