@@ -982,17 +982,22 @@ object Extensions {
     * 1/65536) — because a double `pow`/divide rate could differ by an
     * ulp between engines and flip a boundary document out of the
     * bit-exact oracle gate. Long products stay exact up to 2^47 tokens
-    * per source (~140 T), the 100 TB budget. Scale shape: one scan for
-    * token counts, a broadcast join of the |sources|-row weight table,
-    * a 1-row broadcast min anchor, one map-side-combinable summary
-    * aggregate; re-run-stable and append-stable like every hash-gated
-    * sampler here ([[Sampling]]). */
+    * per source (~140 T), the 100 TB budget. Scale shape: two pruned
+    * corpus scans — the weight build and the probe (the corpus itself
+    * is never cached; only the |sources|-row weight table persists, so
+    * the min anchor derives from it rather than re-scanning) — then a
+    * broadcast join, a 1-row broadcast min anchor, and one
+    * map-side-combinable summary aggregate; re-run-stable and
+    * append-stable like every hash-gated sampler here ([[Sampling]]). */
   def x48_source_equalize(s: SparkSession, dir: String): DataFrame = {
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
-    val bySource = t.groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("src_tokens"))
+    // persist the tiny weight table: the min anchor is an aggregate OVER
+    // it, and without the barrier its subplan re-runs the corpus scan
+    // (Spark reuses identical exchanges, not bare aggregate subtrees)
+    val bySource = ExtCaches.persistTracked(t.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens")))
     val minTok = bySource.agg(min(col("src_tokens")).as("min_tokens"))
     val u16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
       .cast(LongType)
@@ -1041,13 +1046,14 @@ object Extensions {
     * state is bounded by the lateness horizon instead. The temp sink/
     * checkpoint dirs are per-invocation (streams cannot share checkpoints
     * with different run ids) and deleted on JVM exit. */
-  /** Per-invocation temp root for the streaming twins, recursively
-    * deleted by a JVM shutdown hook — `File.deleteOnExit` is per-path
-    * and non-recursive, so on a non-empty dir it silently no-ops and
-    * every invocation would leak its checkpoint + sink + landing data. */
-  private def streamTmpDir(prefix: String): java.nio.file.Path = {
+  /** Temp roots awaiting deletion at JVM exit — ONE process-wide hook
+    * drains the queue (a hook per invocation would accumulate live
+    * Thread objects for the process lifetime under repeated bench/soak
+    * runs). */
+  private val streamTmpDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val streamTmpHook: Unit = {
     import java.nio.file.{Files, LinkOption, Path}
-    val tmp = Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def nuke(p: Path): Unit = {
         if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) {
@@ -1056,8 +1062,22 @@ object Extensions {
         }
         Files.deleteIfExists(p)
       }
-      try nuke(tmp) catch { case _: Throwable => () }
+      var p = streamTmpDirs.poll()
+      while (p != null) {
+        try nuke(p) catch { case _: Throwable => () }
+        p = streamTmpDirs.poll()
+      }
     }))
+  }
+
+  /** Per-invocation temp root for the streaming twins, recursively
+    * deleted at JVM exit — `File.deleteOnExit` is per-path and
+    * non-recursive, so on a non-empty dir it silently no-ops and every
+    * invocation would leak its checkpoint + sink + landing data. */
+  private def streamTmpDir(prefix: String): java.nio.file.Path = {
+    streamTmpHook
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    streamTmpDirs.add(tmp)
     tmp
   }
 
@@ -1072,7 +1092,10 @@ object Extensions {
                                  landing: java.nio.file.Path): Unit = {
     import java.nio.file.{Files, Paths}
     Files.createDirectories(landing)
-    val src = Paths.get(dir, "events.parquet")
+    // Absolute target, or a relative `dir` yields symlinks that resolve
+    // against the LANDING dir (dangling) — batch reads tolerate relative
+    // paths (resolved against cwd), the staged stream must too.
+    val src = Paths.get(dir, "events.parquet").toAbsolutePath.normalize()
     if (Files.isDirectory(src)) {
       val listing = Files.list(src)
       try {
@@ -1199,7 +1222,8 @@ object Extensions {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.read.parquet(out).drop("batch_id")
+    // the named projection excludes the inferred batch_id partition col
+    s.read.parquet(out)
       .select(col("user_id"),
         unix_micros(col("session_start")).as("session_start_us"),
         unix_micros(col("session_end")).as("session_end_us"),

@@ -61,7 +61,7 @@ object ScaleSoak {
     // combinable agg), gram matrix (fixed-buffer aggregate) — every one
     // claims a ~linear scan shape; the soak is what makes that a number
     "x44_sequence_packing", "x45_decontamination_bloom",
-    "x46_bigram_counts", "x47_embedding_gram")
+    "x46_bigram_counts", "x47_embedding_gram", "x48_source_equalize")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -153,6 +153,11 @@ object ScaleSoak {
     // cold median, warm per (query, dir)
     val results = scala.collection.mutable.LinkedHashMap
       .empty[(String, String), (Double, Double)]
+    // cells whose cold median survived from FEWER than coldReps reps (a
+    // mid-loop failure): printed with a '*' and excluded from the slope
+    // column — a 1-rep "median" is exactly the single-run noise the
+    // protocol exists to kill, and must not set a slope silently.
+    val partialCells = scala.collection.mutable.Set.empty[(String, String)]
     dirs.foreach { case (label, dir, _) =>
       Family.foreach { q =>
         def rep(): Double =
@@ -176,8 +181,13 @@ object ScaleSoak {
           case e: Throwable =>
             if (!results.contains((q, label)))
               results((q, label)) = (-1.0, -1.0)
-            println(s"[soak] $label $q FAILED after ${colds.size} cold reps: " +
-              e.getMessage)
+            else if (colds.size < coldReps)
+              partialCells += ((q, label))
+            val stage =
+              if (colds.size < coldReps) s"cold rep ${colds.size + 1}"
+              else "warm rep"
+            println(s"[soak] $label $q FAILED at $stage " +
+              s"(${colds.size} cold reps kept): ${e.getMessage}")
         }
       }
       graft.ext.ExtCaches.clearCaches()
@@ -280,15 +290,21 @@ object ScaleSoak {
     sb.append("|---|---|---|---|---|---|---|\n")
     Family.foreach { q =>
       val cells = dirs.map { case (label, _, _) =>
-        results.get((q, label)).map(r => fmt(r._1)).getOrElse("-")
+        val star = if (partialCells.contains((q, label))) "\\*" else ""
+        results.get((q, label)).map(r => fmt(r._1) + star).getOrElse("-")
       }
+      val complete = (label: String) => !partialCells.contains((q, label))
       val slope = (results.get((q, "x3")), results.get((q, "x30"))) match {
-        case (Some((c3, _)), Some((c30, _))) if c3 > 0 && c30 > 0 =>
+        case (Some((c3, _)), Some((c30, _)))
+            if c3 > 0 && c30 > 0 && complete("x3") && complete("x30") =>
           String.format(java.util.Locale.ROOT, "%.1f", Double.box(c30 / c3))
         case _ => "-"
       }
       sb.append(s"| $q | ${cells.mkString(" | ")} | $slope |\n")
     }
+    if (partialCells.nonEmpty)
+      sb.append("\n\\* = median of FEWER than the configured cold reps (a " +
+        "mid-loop failure); partial cells never feed the slope column.\n")
     sb.append("\nWarm-rep table (same protocol, second run):\n\n")
     sb.append("| query | sf0.01 | sf0.1 | x3 | x10 | x30 |\n")
     sb.append("|---|---|---|---|---|---|\n")
