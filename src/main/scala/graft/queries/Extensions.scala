@@ -1009,6 +1009,80 @@ object Extensions {
       .orderBy(col("source"))
   }
 
+  // ---- x49: cross-source duplication flow matrix --------------------------
+
+  /** WHERE the duplication comes from: the x02 exact near-dup pair graph
+    * aggregated to an undirected source×source flow matrix — per source
+    * pair, how many near-dup pairs cross it, their total shingle overlap,
+    * and the worst (max) Jaccard. The curation question this answers is
+    * the one x01–x05 don't: a corpus mixer needs to know WHICH feeds
+    * duplicate each other (a crawl that mirrors a curated dump, two
+    * crawls overlapping) before deciding which source's copies survive —
+    * the diagonal (source_a = source_b) is within-feed redundancy, the
+    * off-diagonal is cross-feed contamination.
+    *
+    * Exactness: counts and shingle-overlap sums are integers; the only
+    * double is `max_jaccard`, and max over per-pair values both engines
+    * compute identically from integers is order-insensitive and exact.
+    * Scale shape: the pair relation is SPARSE (near-dups, not all pairs),
+    * so the two source-attachment joins are equi-joins of a small
+    * relation against a 2-column pruned corpus scan, and the final
+    * aggregate is bounded by |sources|² — a broadcast-sized result no
+    * matter the corpus. */
+  def x49_source_dup_flow(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      w = 3, threshold = JaccardThreshold)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+        Seq("id_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_common")).as("overlap_shingles"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  // ---- x50: sketch recall audit (LSH vs exact pair set) -------------------
+
+  /** "Measure, don't guess" applied to the sketches themselves: the
+    * MinHash-LSH pair set (x03) audited against the exact inverted-index
+    * pair set (x02) it approximates. Both pipelines verify candidates
+    * with the same exact-Jaccard ≥ threshold test, so the LSH output is
+    * provably ⊆ the exact output (any pair with J ≥ 0.5 shares ≥ 1
+    * shingle and therefore appears in the index join); what this audit
+    * measures is BANDING recall — how many true near-dup pairs never
+    * collided in any of the 4 bands. At 100 TB the exact index join is
+    * run on a SAMPLE to estimate the same recall number; here the corpus
+    * is small enough to compute it exactly, and the all-integer one-row
+    * result (n_missed = n_exact − n_sketch by the subset property) is
+    * the regression gate a production pipeline pins its band geometry
+    * with. Shape: one shuffle on the canonical pair key over the union
+    * of two sparse pair relations, then a single-row total aggregate. */
+  def x50_sketch_recall(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        w = 3, threshold = JaccardThreshold)
+      .select(col("id_a"), col("id_b"),
+        lit(1L).as("f_exact"), lit(0L).as("f_sketch"))
+    val sketch = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
+      .select(col("id_a"), col("id_b"),
+        lit(0L).as("f_exact"), lit(1L).as("f_sketch"))
+    exact.unionByName(sketch)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("f_exact")).as("in_exact"),
+        max(col("f_sketch")).as("in_sketch"))
+      .agg(sum(col("in_exact")).as("n_exact_pairs"),
+        sum(col("in_sketch")).as("n_sketch_pairs"),
+        sum(when(col("in_exact") === 1L && col("in_sketch") === 0L, 1L)
+          .otherwise(0L)).as("n_missed"))
+  }
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -1444,7 +1518,9 @@ object Extensions {
     "x45_decontamination_bloom" -> (x45_decontamination_bloom _),
     "x46_bigram_counts" -> (x46_bigram_counts _),
     "x47_embedding_gram" -> (x47_embedding_gram _),
-    "x48_source_equalize" -> (x48_source_equalize _))
+    "x48_source_equalize" -> (x48_source_equalize _),
+    "x49_source_dup_flow" -> (x49_source_dup_flow _),
+    "x50_sketch_recall" -> (x50_sketch_recall _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2234,6 +2310,64 @@ object Extensions {
         |FROM kept
         |GROUP BY source, src_tokens, min_tokens
         |ORDER BY source""".stripMargin,
+
+    // x49: the x02 pair CTE re-aggregated to a source×source flow matrix;
+    // integer counts/sums, max over identically-computed doubles — exact.
+    "x49_source_dup_flow" ->
+      s"""WITH $shinglesCte,
+         |idx AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM sh),
+         |sizes AS (SELECT id, count(*) AS n FROM idx GROUP BY 1),
+         |common AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT id_a, id_b, n_common,
+         |         CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+         |  FROM common
+         |  JOIN sizes sa ON id_a = sa.id
+         |  JOIN sizes sb ON id_b = sb.id
+         |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JaccardThreshold)
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       count(*) AS n_pairs,
+         |       CAST(SUM(n_common) AS BIGINT) AS overlap_shingles,
+         |       MAX(jaccard) AS max_jaccard
+         |FROM pairs
+         |JOIN documents da ON id_a = da.doc_id
+         |JOIN documents db ON id_b = db.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    // x50: LSH (verified) vs exact pair sets merged on the canonical pair
+    // key; one all-integer summary row (LSH ⊆ exact by the shared verify
+    // filter, so n_missed = n_exact − n_sketch).
+    "x50_sketch_recall" ->
+      s"""WITH $minhashVerifiedCte,
+         |idx AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM sh),
+         |sizes AS (SELECT id, count(*) AS n FROM idx GROUP BY 1),
+         |common AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |exact_pairs AS (
+         |  SELECT id_a, id_b
+         |  FROM common
+         |  JOIN sizes sa ON id_a = sa.id
+         |  JOIN sizes sb ON id_b = sb.id
+         |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JaccardThreshold),
+         |sketch_pairs AS (
+         |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
+         |merged AS (
+         |  SELECT id_a, id_b, MAX(f_exact) AS in_exact, MAX(f_sketch) AS in_sketch
+         |  FROM (SELECT id_a, id_b, 1 AS f_exact, 0 AS f_sketch FROM exact_pairs
+         |        UNION ALL
+         |        SELECT id_a, id_b, 0 AS f_exact, 1 AS f_sketch FROM sketch_pairs) u
+         |  GROUP BY 1, 2)
+         |SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact_pairs,
+         |       CAST(SUM(in_sketch) AS BIGINT) AS n_sketch_pairs,
+         |       CAST(SUM(CASE WHEN in_exact = 1 AND in_sketch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+         |FROM merged""".stripMargin,
 
     // x47: the oracle affords the 2080-per-row pair explosion the Spark
     // side refuses; same binary-scale quantization (exact multiply,

@@ -713,3 +713,40 @@ class GramMatrixSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 }
+
+/** x49/x50: the pair-graph AUDIT views. The oracle hash gate proves value
+  * equality against DuckDB; these prove the cross-query invariants that
+  * make the views trustworthy as curation inputs — the flow matrix is a
+  * lossless re-aggregation of the x02 pair set, and the recall audit's
+  * subset arithmetic holds. */
+class PairAuditSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+  import graft.queries.Extensions
+
+  test("x49 flow matrix re-aggregates the x02 pair set losslessly") {
+    val pairs = Extensions.x02_dedup_ngram_jaccard(spark, dir).collect()
+    val flow = Extensions.x49_source_dup_flow(spark, dir).collect()
+    assert(flow.nonEmpty, "sf0.001 has near-dup pairs; the matrix must too")
+    assert(flow.map(_.getAs[Long]("n_pairs")).sum == pairs.length)
+    assert(flow.map(_.getAs[Long]("overlap_shingles")).sum ==
+      pairs.map(_.getAs[Long]("n_common")).sum)
+    // canonical undirected key: source_a <= source_b on every row
+    assert(flow.forall(r =>
+      r.getAs[String]("source_a") <= r.getAs[String]("source_b")))
+    // max_jaccard is a real pair's value
+    val js = pairs.map(_.getAs[Double]("jaccard")).toSet
+    assert(flow.forall(r => js.contains(r.getAs[Double]("max_jaccard"))))
+  }
+
+  test("x50 recall audit: sketch ⊆ exact and the subset arithmetic holds") {
+    val r = Extensions.x50_sketch_recall(spark, dir).collect()
+    assert(r.length == 1)
+    val (e, s, m) = (r(0).getAs[Long]("n_exact_pairs"),
+      r(0).getAs[Long]("n_sketch_pairs"), r(0).getAs[Long]("n_missed"))
+    assert(e > 0, "sf0.001 has near-dup pairs")
+    assert(s <= e, "verified LSH pairs must be a subset of the exact set")
+    assert(m == e - s, "n_missed must be the subset complement")
+    // cross-check the exact count against x02 itself
+    assert(e == Extensions.x02_dedup_ngram_jaccard(spark, dir).count())
+  }
+}
