@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -89,36 +90,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         w: Int = 3, threshold: Double = 0.5,
                         dfCap: Option[Int] = None): DataFrame = {
-    // Each index row carries its document's set size, so |A| and |B| ride
-    // through the equi-join as grouping keys — no post-hoc size joins.
-    // Materialized once (persist, tracked in ExtCaches): it feeds both
-    // self-join sides; without a barrier Catalyst inlines the shingle
-    // expression into each, re-tokenizing every document twice.
-    // NOTE: |A|/|B| (the `n` column) stay the UNCAPPED set sizes — the
-    // denominator must not shrink when stop-shingles are dropped, or J
-    // would be inflated for boilerplate-heavy docs.
-    val raw = df
-      .select(col(idCol).as("id"),
-        TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh"))
-      .select(col("id"), size(col("sh")).cast(LongType).as("n"),
-        explode(col("sh")).as("shingle"))
-    val idx = dfCap match {
-      case None => ExtCaches.persistTracked(raw)
-      case Some(cap) =>
-        // Same staging discipline as winnowPairs: materialize the capped
-        // index eagerly, then release the raw relation — holding both
-        // doubles the cached footprint of the largest pipeline relation.
-        val cached = ExtCaches.persistTracked(raw)
-        val keep = cached.groupBy(col("shingle"))
-          .agg(count(lit(1)).as("df_count"))
-          .filter(col("df_count") <= cap)
-          .select(col("shingle"))
-        val built = ExtCaches.persistTracked(
-          cached.join(keep, Seq("shingle"), "left_semi"))
-        built.count()
-        ExtCaches.releaseTracked(cached)
-        built
-    }
+    val idx = sizedShingleIndex(df, idCol, textCol, w, dfCap)
     idx.as("a")
       .join(idx.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -130,6 +102,140 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** The (id, |set|, shingle) inverted-index relation shared by
+    * [[ngramJaccardPairs]], [[containmentPairs]] and (as the df source)
+    * [[prefixJaccardPairs]]. Each index row carries its document's set
+    * size, so |A| and |B| ride through the equi-join as grouping keys —
+    * no post-hoc size joins. Materialized once (persist, tracked in
+    * ExtCaches): it feeds both self-join sides; without a barrier
+    * Catalyst inlines the shingle expression into each, re-tokenizing
+    * every document twice.
+    *
+    * NOTE: the `n` column stays the UNCAPPED set size — a similarity
+    * denominator must not shrink when stop-shingles are dropped, or the
+    * score would be inflated for boilerplate-heavy docs. With `dfCap` the
+    * staging follows the winnowPairs discipline: materialize the capped
+    * index eagerly, then release the raw relation — holding both doubles
+    * the cached footprint of the largest pipeline relation. */
+  private def sizedShingleIndex(df: DataFrame, idCol: String, textCol: String,
+                                w: Int, dfCap: Option[Int]): DataFrame = {
+    val raw = df
+      .select(col(idCol).as("id"),
+        TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh"))
+      .select(col("id"), size(col("sh")).cast(LongType).as("n"),
+        explode(col("sh")).as("shingle"))
+    dfCap match {
+      case None => ExtCaches.persistTracked(raw)
+      case Some(cap) =>
+        val cached = ExtCaches.persistTracked(raw)
+        val keep = cached.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") <= cap)
+          .select(col("shingle"))
+        val built = ExtCaches.persistTracked(
+          cached.join(keep, Seq("shingle"), "left_semi"))
+        built.count()
+        ExtCaches.releaseTracked(cached)
+        built
+    }
+  }
+
+  /** Exact n-gram Jaccard pairs through the AllPairs/PPJoin PREFIX filter
+    * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07;
+    * Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW'08): identical OUTPUT to [[ngramJaccardPairs]] — the
+    * filter is recall-exact, not approximate — at a fraction of the join
+    * cost. Only each document's prefix enters the candidate self-join:
+    * its (|d| − ⌈t·|d|⌉ + 1) rarest shingles under a global canonical
+    * order (ascending document frequency, shingle text as tie-break).
+    *
+    * Why that is lossless: J(A,B) ≥ t ⇒ |A∩B| ≥ t·(|A|+|B|−|A∩B|) ≥
+    * t·|A| (and symmetrically t·|B|, since the union is at least as
+    * large as either set). Two sets sharing ⌈t·|A|⌉ elements cannot have
+    * disjoint prefixes of length |A|−⌈t·|A|⌉+1 under ONE total order —
+    * so every qualifying pair surfaces as a prefix collision, and the
+    * exact-Jaccard verification on full shingle sets does the rest.
+    *
+    * Scale shape: the full inverted-index join costs Σ df(shingle)² over
+    * ALL shingles; the prefix join only over prefix occurrences — and
+    * because the canonical order is ascending df, prefixes concentrate in
+    * the RAREST shingles, exactly the ones with small df. High-df
+    * boilerplate shingles sit at the end of every document's ordering and
+    * never enter the join (the df-cap's job in [[ngramJaccardPairs]],
+    * obtained here for free and without the recall trade). The price is
+    * one extra pass to compute global dfs and a per-document top-p
+    * selection (a WindowGroupLimit shape — rank ≤ p under the per-doc
+    * window, no full sort materialization). */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         w: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Full sets persist once: they feed the df aggregate, the prefix
+    // selection, and both sides of the verification join.
+    val sets = ExtCaches.persistTracked(df.select(col(idCol).as("id"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh")))
+    val idx = sets.select(col("id"), size(col("sh")).cast(LongType).as("n"),
+      explode(col("sh")).as("shingle"))
+    val dfTab = idx.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df_count"))
+    // Canonical order: (df ascending, shingle) is total — shingle is the
+    // df table's key — so every document ranks its shingles identically.
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("df_count"), col("shingle"))
+    val prefix = ExtCaches.persistTracked(
+      idx.join(dfTab, Seq("shingle"))
+        .withColumn("rnk", row_number().over(byRarity))
+        .filter(col("rnk") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
+        .select(col("id"), col("shingle")))
+    val candidates = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Exact verification on full sets — same tail as minhashLshPairs, but
+    // here the candidate set provably contains every qualifying pair.
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) /
+          (size(col("sh_a")).cast(LongType) + size(col("sh_b")).cast(LongType)
+            - col("n_common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ threshold — the
+    * SMALLER shingle set is mostly inside the larger. This is the
+    * asymmetric complement of Jaccard: a short document pasted verbatim
+    * into a long one scores containment ≈ 1 while its Jaccard collapses
+    * toward |A|/|B| and slips under every symmetric threshold — exactly
+    * the quote/boilerplate/subset duplication a pretraining corpus needs
+    * flagged separately from whole-document near-dups. `minSmall` floors
+    * the smaller set's size: sets of one or two shingles hit containment
+    * 1.0 by accident, not by duplication.
+    *
+    * Same inverted-index shape (and df-cap hook, and Σ df² cost bound) as
+    * [[ngramJaccardPairs]]; only the score and the filter differ. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       w: Int = 3, threshold: Double = 0.8,
+                       minSmall: Long = 5L,
+                       dfCap: Option[Int] = None): DataFrame = {
+    val idx = sizedShingleIndex(df, idCol, textCol, w, dfCap)
+    idx.as("a")
+      .join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(least(col("n_a"), col("n_b")) >= minSmall)
+      .withColumn("containment",
+        col("n_common").cast(DoubleType) /
+          least(col("n_a"), col("n_b")).cast(DoubleType))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
   }
 
   /** MinHash signature column: for permutation i in [0, perms), the

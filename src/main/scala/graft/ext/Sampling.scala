@@ -66,6 +66,44 @@ object Sampling {
     substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 8) <
       lit(cutFor(frac))
 
+  /** Leakage-safe train/val/test assignment: the deterministic hash draw
+    * runs over each document's duplicate-CLUSTER key, not its own id, so
+    * every member of a near-dup family lands in the same split — the
+    * contamination guarantee a pretraining corpus split needs (a test
+    * document whose near-duplicate sits in train is a leaked test
+    * document; splitting by doc id produces exactly that whenever a
+    * cluster straddles the cut).
+    *
+    * `labels` is a (v, label) component relation from
+    * [[Dedup.connectedComponents]] (or the star form — same contract)
+    * over the near-dup pair graph; documents absent from it (never paired
+    * with anything) key off their own id, which IS their singleton
+    * cluster's canonical label. The split draw is the x21/x37 salted
+    * md5-prefix comparison, engine-portable and re-run/backfill-stable:
+    * appending documents never reassigns existing ones, because each
+    * key's draw is a pure function of the key.
+    *
+    * Scale shape: one equi-join against the label relation (sized by the
+    * pair-graph vertex count — the duplicate subset of the corpus, which
+    * AQE broadcasts when small) plus a scan-only projection. No shuffle
+    * of the corpus itself, no global sort, no RNG. */
+  def clusterSplit(docs: DataFrame, idCol: String, labels: DataFrame,
+                   trainFrac: Double, valFrac: Double,
+                   salt: String = "split"): DataFrame = {
+    require(trainFrac > 0.0 && valFrac > 0.0 && trainFrac + valFrac < 1.0,
+      s"need 0 < trainFrac, 0 < valFrac, trainFrac + valFrac < 1; " +
+        s"got $trainFrac / $valFrac")
+    val lab = labels.select(col("v").as(idCol), col("label"))
+    val key = coalesce(col("label"), col(idCol))
+    val draw = substring(md5(concat(key.cast("string"), lit(salt))), 1, 8)
+    docs.select(col(idCol))
+      .join(lab, Seq(idCol), "left")
+      .select(col(idCol), key.as("split_key"),
+        when(draw < lit(cutFor(trainFrac)), lit("train"))
+          .when(draw < lit(cutFor(trainFrac + valFrac)), lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   /** The 8-hex-char threshold [[hashThresholdSample]] compares against —
     * the SINGLE source of the cut formula, used by the Spark filter above
     * and interpolated into oracle SQL, so the two sides cannot silently

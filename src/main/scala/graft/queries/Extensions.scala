@@ -34,6 +34,16 @@ object Extensions {
   val SampledSeed = 0x5EEDL
   val EmbeddingDims = 64
   val QuerySetSize = 10
+  /** x52 containment geometry: the smaller set must be ≥ 80 % inside the
+    * larger, and carry at least 5 shingles (one- or two-shingle sets hit
+    * containment 1.0 by accident, not by duplication). */
+  val ContainmentThreshold = 0.8
+  val ContainmentMinSmall = 5L
+  /** x53 split fractions (binary-exact so the md5 cuts are the intended
+    * ones on both engines) and the draw's salt. */
+  val SplitTrainFrac = 0.75
+  val SplitValFrac = 0.125
+  val SplitSalt = "split"
 
   // ---- x01: exact dedup ---------------------------------------------------
 
@@ -1083,6 +1093,42 @@ object Extensions {
           .otherwise(0L)).as("n_missed"))
   }
 
+  // ---- x51: prefix-filtered exact Jaccard (AllPairs/PPJoin) ---------------
+
+  /** The published candidate-pruning upgrade for the flagship exact
+    * near-dup pass: identical output to x02 (the prefix filter is
+    * recall-exact — see Dedup.prefixJaccardPairs for the lemma), proven
+    * here against the SAME oracle SQL, the x20/x20_star precedent for
+    * "two algorithms, one fixpoint". The soak (SCALING.md) measures what
+    * the filter buys: only each document's rarest shingles enter the
+    * self-join, so the high-df boilerplate tail that turns Σ df² quadratic
+    * on real corpora never reaches the join at all. */
+  def x51_jaccard_prefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        w = 3, threshold = JaccardThreshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- x52: containment pairs (sub-document duplication) ------------------
+
+  def x52_containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        w = 3, threshold = ContainmentThreshold, minSmall = ContainmentMinSmall)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ---- x53: leakage-safe cluster-aware train/val/test split ---------------
+
+  /** Split assignment that respects the x20 duplicate clusters: every
+    * near-dup family shares one split (drawn from its cluster label), so
+    * no test document has a near-duplicate in train — the contamination
+    * guarantee an id-hash split silently violates. Reuses the session's
+    * shared CC fixpoint (minhashDupLabels), like x20/x23/x26/x36; the
+    * oracle recomputes the same closure with the recursive CTE and the
+    * same salted md5 draw. */
+  def x53_cluster_split(s: SparkSession, dir: String): DataFrame =
+    Sampling.clusterSplit(Tables.documents(s, dir), "doc_id",
+        minhashDupLabels(s, dir), SplitTrainFrac, SplitValFrac, SplitSalt)
+      .orderBy(col("doc_id"))
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -1520,7 +1566,10 @@ object Extensions {
     "x47_embedding_gram" -> (x47_embedding_gram _),
     "x48_source_equalize" -> (x48_source_equalize _),
     "x49_source_dup_flow" -> (x49_source_dup_flow _),
-    "x50_sketch_recall" -> (x50_sketch_recall _))
+    "x50_sketch_recall" -> (x50_sketch_recall _),
+    "x51_jaccard_prefix" -> (x51_jaccard_prefix _),
+    "x52_containment" -> (x52_containment _),
+    "x53_cluster_split" -> (x53_cluster_split _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1656,6 +1705,26 @@ object Extensions {
        |         ELSE CAST([] AS VARCHAR[]) END AS fps
        |  FROM wh)""".stripMargin
 
+  /** The exact n-gram Jaccard pair set — shared verbatim by x02 (the full
+    * inverted-index join) and x51 (the AllPairs prefix-filtered join):
+    * the prefix filter is recall-exact, so both algorithms must reproduce
+    * this single ground-truth pair set. */
+  private val ngramJaccardSql: String =
+    s"""WITH $shinglesCte,
+       |idx AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM sh),
+       |sizes AS (SELECT id, count(*) AS n FROM idx GROUP BY 1),
+       |common AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+       |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_common,
+       |       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN sizes sa ON id_a = sa.id
+       |JOIN sizes sb ON id_b = sb.id
+       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JaccardThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Transitive-closure cluster summary over the x03 pair graph — shared
     * verbatim by x20 (propagation) and x20_star (large-star/small-star):
     * both Spark algorithms must converge to this single fixpoint. */
@@ -1684,21 +1753,7 @@ object Extensions {
         |       count(*) - count(DISTINCT sha256(text)) AS duplicate_docs
         |FROM documents""".stripMargin,
 
-    "x02_dedup_ngram_jaccard" ->
-      s"""WITH $shinglesCte,
-         |idx AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM sh),
-         |sizes AS (SELECT id, count(*) AS n FROM idx GROUP BY 1),
-         |common AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-         |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, n_common,
-         |       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
-         |FROM common
-         |JOIN sizes sa ON id_a = sa.id
-         |JOIN sizes sb ON id_b = sb.id
-         |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JaccardThreshold
-         |ORDER BY id_a, id_b""".stripMargin,
+    "x02_dedup_ngram_jaccard" -> ngramJaccardSql,
 
     "x03_dedup_minhash_lsh" ->
       s"""WITH $minhashVerifiedCte
@@ -2368,6 +2423,61 @@ object Extensions {
          |       CAST(SUM(in_sketch) AS BIGINT) AS n_sketch_pairs,
          |       CAST(SUM(CASE WHEN in_exact = 1 AND in_sketch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
          |FROM merged""".stripMargin,
+
+    // x51: the prefix filter is recall-exact, so the oracle is x02's SQL
+    // verbatim — the x20/x20_star "two algorithms, one answer" precedent.
+    // The oracle does NOT model the prefix selection; it computes the
+    // ground-truth pair set the filter must reproduce exactly.
+    "x51_jaccard_prefix" -> ngramJaccardSql,
+
+    // x52: same inverted-index CTE as x02, containment score — the
+    // smaller set's coverage — instead of Jaccard, with the minSmall
+    // floor on the smaller set.
+    "x52_containment" ->
+      s"""WITH $shinglesCte,
+         |idx AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM sh),
+         |sizes AS (SELECT id, count(*) AS n FROM idx GROUP BY 1),
+         |common AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+         |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common,
+         |       CAST(n_common AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
+         |FROM common
+         |JOIN sizes sa ON id_a = sa.id
+         |JOIN sizes sb ON id_b = sb.id
+         |WHERE least(sa.n, sb.n) >= $ContainmentMinSmall
+         |  AND CAST(n_common AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= $ContainmentThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // x53: the x20 recursive-CTE closure supplies cluster labels; the
+    // split is the salted md5-prefix draw over coalesce(label, doc_id),
+    // cuts interpolated from the same Sampling.cutFor constants as the
+    // Spark side.
+    "x53_cluster_split" ->
+      s"""WITH RECURSIVE $minhashVerifiedCte,
+         |prs AS (
+         |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM prs),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
+         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v),
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS split_key
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.v)
+         |SELECT doc_id, split_key,
+         |       CASE WHEN substr(md5(CAST(split_key AS VARCHAR) || '$SplitSalt'), 1, 8)
+         |                 < '${Sampling.cutFor(SplitTrainFrac)}' THEN 'train'
+         |            WHEN substr(md5(CAST(split_key AS VARCHAR) || '$SplitSalt'), 1, 8)
+         |                 < '${Sampling.cutFor(SplitTrainFrac + SplitValFrac)}' THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM keyed
+         |ORDER BY doc_id""".stripMargin,
 
     // x47: the oracle affords the 2080-per-row pair explosion the Spark
     // side refuses; same binary-scale quantization (exact multiply,

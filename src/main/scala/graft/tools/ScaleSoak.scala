@@ -61,7 +61,11 @@ object ScaleSoak {
     // combinable agg), gram matrix (fixed-buffer aggregate) — every one
     // claims a ~linear scan shape; the soak is what makes that a number
     "x44_sequence_packing", "x45_decontamination_bloom",
-    "x46_bigram_counts", "x47_embedding_gram", "x48_source_equalize")
+    "x46_bigram_counts", "x47_embedding_gram", "x48_source_equalize",
+    // round-6 continuation: the AllPairs prefix filter (same output as
+    // x02, the soak measures what the candidate pruning buys) and the
+    // containment variant (same Σ df² join, asymmetric score)
+    "x51_jaccard_prefix", "x52_containment")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)

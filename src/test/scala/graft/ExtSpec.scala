@@ -750,3 +750,100 @@ class PairAuditSpec extends SparkSpec {
     assert(e == Extensions.x02_dedup_ngram_jaccard(spark, dir).count())
   }
 }
+
+/** x51/x52/x53: the prefix-filtered Jaccard join, containment pairs, and
+  * the leakage-safe cluster split. The oracle hash gate proves value
+  * equality against DuckDB; these prove the algorithmic claims — the
+  * prefix filter is recall-exact, containment catches subset duplication
+  * Jaccard structurally misses, and the split never separates a near-dup
+  * pair. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.{Dedup, Sampling}
+  import graft.queries.Extensions
+  private val dir = "/root/testdata/sf0.001"
+
+  test("x51 prefix-filtered pairs are identical to the full x02 join") {
+    val full = Extensions.x02_dedup_ngram_jaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toSeq
+    val pref = Extensions.x51_jaccard_prefix(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toSeq
+    assert(full.nonEmpty, "sf0.001 has near-dup pairs")
+    assert(pref == full)
+  }
+
+  test("prefix filter survives the threshold boundary (J exactly t)") {
+    // Two 4-shingle docs sharing exactly 2 shingles: J = 2/(4+4-2) = 1/3.
+    // At t = 1/3 the pair must appear; the prefix length is
+    // 4 − ⌈4/3⌉ + 1 = 3, so the filter has no slack to hide behind.
+    val docs = Seq(
+      (1L, "a b c d e f"), // shingles: abc bcd cde def
+      (2L, "c d e f g h")  // shingles: cde def efg fgh — shared: cde def
+    ).toDF("doc_id", "text")
+    val r = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+      threshold = 1.0 / 3.0).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n_common") == 2L)
+    assert(math.abs(r(0).getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-15)
+  }
+
+  test("containment catches subset duplication that Jaccard misses") {
+    // Short doc = a verbatim slice of the long one: containment 1.0,
+    // Jaccard 8/28 ≈ 0.29 — under every symmetric near-dup threshold.
+    val longText = (1 to 30).map(i => s"t$i").mkString(" ")
+    val shortText = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, longText), (2L, shortText)).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+    assert(jac.count() == 0L)
+    val con = Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.8, minSmall = 5L).collect()
+    assert(con.length == 1)
+    assert(con(0).getAs[Long]("id_a") == 1L && con(0).getAs[Long]("id_b") == 2L)
+    assert(con(0).getAs[Double]("containment") == 1.0)
+  }
+
+  test("containment minSmall floors out trivially-tiny sets") {
+    // The 3-token doc has ONE shingle, fully inside the long doc —
+    // containment 1.0 by accident; the floor must drop it.
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"t$i").mkString(" ")),
+      (2L, "t1 t2 t3")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.8, minSmall = 5L).count() == 0L)
+    assert(Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.8, minSmall = 1L).count() == 1L)
+  }
+
+  test("clusterSplit co-assigns cluster members; singletons key off their id") {
+    val labels = Seq((1L, 1L), (5L, 1L), (10L, 1L)).toDF("v", "label")
+    val docs = Seq(1L, 5L, 10L, 20L, 30L).toDF("doc_id")
+    val r = Sampling.clusterSplit(docs, "doc_id", labels, 0.75, 0.125)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("split_key"), x.getAs[String]("split"))).toMap
+    assert(r.size == 5)
+    assert(Set(r(1L), r(5L), r(10L)).size == 1, "cluster members share key+split")
+    assert(r(20L)._1 == 20L && r(30L)._1 == 30L, "singletons use their own id")
+    assert(r.values.forall(v => Set("train", "val", "test").contains(v._2)))
+  }
+
+  test("x53 never separates an x03 near-dup pair (the leakage guarantee)") {
+    val split = Extensions.x53_cluster_split(spark, dir)
+      .select(col("doc_id"), col("split"))
+    val pairs = Extensions.x03_dedup_minhash_lsh(spark, dir)
+      .select(col("id_a"), col("id_b"))
+    assert(pairs.count() > 0, "sf0.001 has near-dup pairs")
+    val separated = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sp_a")), Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sp_b")), Seq("id_b"))
+      .filter(col("sp_a") =!= col("sp_b"))
+    assert(separated.count() == 0L)
+    // every document is assigned exactly once, and all three splits are
+    // populated at 500 docs with a 75/12.5/12.5 draw
+    val counts = split.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 500L)
+    assert(Set("train", "val", "test").subsetOf(counts.keySet))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+}
