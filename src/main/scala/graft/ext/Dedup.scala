@@ -564,6 +564,117 @@ object Dedup {
         .select(col("v"), col("v").as("label")))
   }
 
+  /** Block-level exact span dedup — the C4 / "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al., ACL'22) substring-dedup
+    * pass discretized to aligned `w`-token blocks: every maximal run of
+    * tokens is split into consecutive non-overlapping blocks, a block
+    * whose text appears anywhere else in the corpus survives ONLY in its
+    * canonical first occurrence (smallest (doc_id, block_idx) — a total
+    * order, so the keep set is deterministic and oracle-reproducible),
+    * and each document is re-assembled from its kept blocks in order.
+    * This is the operator that removes a boilerplate paragraph from every
+    * document BUT ONE while whole-document dedup (x01) would keep every
+    * copy — the granularity gap between document dedup and true
+    * suffix-array substring dedup, at hash-join cost.
+    *
+    * Output per input document (≥ 1 token): total blocks, dropped blocks,
+    * kept-token count, and the sha256 of the cleaned text — the released
+    * artifact's audit digest (empty string when every block was dropped,
+    * i.e. the document is pure duplicate content).
+    *
+    * Scale shape: block extraction is a per-row projection (no shuffle);
+    * canonicalization is ONE groupBy on the 16-byte block hash (map-side
+    * combinable min); the flag-back is an equi-join of the exploded
+    * relation against the |distinct blocks|-sized canonical table; the
+    * re-assembly aggregate holds per-DOC state only (bounded by the
+    * longest document, like every shingle op). No windows, no sorts, no
+    * all-pairs anything — the full pass is two shuffles regardless of
+    * corpus size. A suffix-array variant finds unaligned overlaps too,
+    * but is a global-sort build; the aligned-block form is the hash-join
+    * approximation production corpus builds actually run first. */
+  def blockDedup(df: DataFrame, idCol: String, textCol: String,
+                 w: Int = 10): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")).cast(LongType))
+      .filter(col("n") > 0)
+    // Persisted barrier: the exploded block relation feeds BOTH the
+    // canonical-occurrence aggregate and the flag-back join; without it
+    // Catalyst inlines tokenization + block assembly into each side.
+    val blocks = ExtCaches.persistTracked(toks
+      .select(col("id"), col("n"),
+        posexplode(transform(
+          sequence(lit(0), ((col("n") - 1) / w).cast("int")),
+          j => array_join(slice(col("t"), j * w + 1, lit(w)), " "))))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "blk")
+      .withColumn("h", md5(col("blk")))
+      .withColumn("bt",
+        least(lit(w.toLong), col("n") - col("idx").cast(LongType) * w)))
+    val canon = blocks.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("idx"))).as("first"))
+    blocks.join(canon, Seq("h"))
+      .withColumn("kept",
+        col("id") === col("first.id") && col("idx") === col("first.idx"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        sum(when(col("kept"), col("bt")).otherwise(0L)).as("n_tokens_kept"),
+        sha2(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("idx"), col("blk"))))),
+            e => e("blk")),
+          " "), 256).as("clean_sha"))
+  }
+
+  /** Incremental near-dup dedup of an incoming batch against an ingested
+    * base corpus via MinHash+LSH — the nightly-crawl NEAR-dup shape
+    * ([[incrementalDedup]] covers the exact/1-perm case): every incoming
+    * document that collides with a base document in any LSH band is
+    * verified with exact Jaccard on full shingle sets, and the verified
+    * matches (doc_id, base_id, jaccard ≥ threshold) are the batch rows a
+    * pipeline drops (or routes to cluster-attach) before appending.
+    *
+    * Scale shape: the base side contributes ONLY its (band, bucket, id)
+    * index and its shingle sets — at 100 TB both are the STORED artifacts
+    * an ingest pipeline maintains (the signature index is a few hundred
+    * bytes/doc; new batches append their own rows after passing the
+    * gate). The candidate join is batch-bands × base-bands on
+    * (band, bucket) — cost tracks collisions, never |batch|·|base| — and
+    * the verify join touches candidates only. Within-batch near-dup is
+    * [[minhashLshPairs]] on the batch alone; this operator is the
+    * batch-vs-base half. */
+  def incrementalLshPairs(base: DataFrame, incoming: DataFrame,
+                          idCol: String, textCol: String,
+                          w: Int = 3, perms: Int = 16, bands: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val rows = perms / bands
+    def prep(df: DataFrame): DataFrame = ExtCaches.persistTracked(
+      df.select(col(idCol).as("id"),
+        TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh")))
+    val b = prep(base)
+    val i = prep(incoming)
+    def bandRowsOf(withSh: DataFrame): DataFrame =
+      lshBands(withSh.withColumn("sig", minhashSignature(col("sh"), perms)),
+        "id", "sig", bands, rows)
+    val cand = bandRowsOf(i).as("x")
+      .join(bandRowsOf(b).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.id").as("doc_id"), col("y.id").as("base_id"))
+      .distinct()
+    cand
+      .join(i.select(col("id").as("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
+      .join(b.select(col("id").as("base_id"), col("sh").as("sh_b")), Seq("base_id"))
+      .withColumn("n_common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("base_id"), col("jaccard"))
+  }
+
   /** Incremental ingest dedup — the nightly-crawl shape: an incoming
     * batch is deduplicated against an already-ingested base corpus AND
     * within itself, keyed on any per-row digest column (content md5 for

@@ -303,4 +303,59 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Nearest-centroid assignment + cluster-purity matrix — the partition
+    * step of SemDeDup-style semantic dedup (Abbas et al., 2023: cluster
+    * the embedding space, then prune near-dups WITHIN clusters instead of
+    * corpus-wide) and the audit a curation pipeline runs on its metadata
+    * labels: each vector is assigned to the nearest per-label centroid by
+    * squared Euclidean distance, and the output is the (label,
+    * assigned_label, n_vecs) confusion matrix — diagonal mass = label
+    * coherence in embedding space, off-diagonal = strata that overlap.
+    *
+    * Determinism across engines, the whole design problem here: with
+    * centroid c = s/n (s = exact integer per-dim sums of the quantized
+    * vectors, n = member count), argmin over labels of |v − c|² equals
+    * argmin of t = |s|²/n² − 2(v·s)/n (the |v|² term is label-constant).
+    * |s|² is summed in DECIMAL(38,0) (per-dim s can reach 2^32+ at corpus
+    * scale, so s² overflows int64; the oracle uses HUGEINT), v·s stays
+    * exact int64, and t is then TWO integer→double conversions + one
+    * divide each + one subtract — every step correctly-rounded IEEE with
+    * the same operand order in both engines, so the doubles are
+    * bit-identical and the (t, label) argmin struct-min is deterministic.
+    * The OUTPUT is all-integer; t never leaves the plan.
+    *
+    * Scale shape: centroid build = one posexplode + one hash aggregate
+    * (integer sums, map-side combinable, shuffle-order-proof) reduced to
+    * |labels|·d cells; the centroid table (|labels| rows) is BROADCAST,
+    * so assignment is a scan-speed per-row argmin over the corpus — no
+    * shuffle touches the vectors; the matrix aggregate reduces to at most
+    * |labels|² rows. The only shuffles are |labels|-sized. */
+  def nearestCentroidPurity(df: DataFrame, idCol: String, labelCol: String,
+                            vecCol: String): DataFrame = {
+    // Quantized vectors persist once: they feed the centroid-sum build and
+    // the assignment scan (same barrier discipline as withNorm).
+    val q = ExtCaches.persistTracked(
+      df.select(col(idCol).as("id"), col(labelCol).cast(LongType).as("label"),
+        quantize(col(vecCol)).as("v")))
+    val dec = DecimalType(38, 0)
+    val cent = q
+      .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("label").as("c_label"), col("dim"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("c_label"))
+      .agg(max(col("n")).as("n"),
+        sum(col("s").cast(dec) * col("s").cast(dec)).as("ss"),
+        transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+          e => e("s")).as("s"))
+    q.join(broadcast(cent))
+      .withColumn("vs", dotQ(col("v"), col("s")))
+      .withColumn("t",
+        col("ss").cast(DoubleType) / (col("n") * col("n")).cast(DoubleType)
+          - (lit(2.0) * col("vs").cast(DoubleType)) / col("n").cast(DoubleType))
+      .groupBy(col("id"), col("label"))
+      .agg(min(struct(col("t"), col("c_label"))).as("best"))
+      .groupBy(col("label"), col("best.c_label").as("assigned_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
 }

@@ -1129,6 +1129,41 @@ object Extensions {
         minhashDupLabels(s, dir), SplitTrainFrac, SplitValFrac, SplitSalt)
       .orderBy(col("doc_id"))
 
+  // ---- x54: block-level exact span dedup (C4/Lee et al. granularity) ------
+
+  /** Aligned block width for x54 — 10 tokens keeps block counts honest on
+    * the synthetic ~30–60-token documents while still firing corpus-wide
+    * (sf0.01: 151 duplicate blocks across 57 documents). */
+  val BlockW = 10
+
+  def x54_block_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockDedup(Tables.documents(s, dir), "doc_id", "text", BlockW)
+      .orderBy(col("doc_id"))
+
+  // ---- x55: incremental near-dup vs ingested base (LSH batch gate) --------
+
+  /** Near-dup complement of x33: the incoming batch (the [[BaseFrac]]
+    * hash-split's complement, same split as x33 so the two gates see the
+    * same nightly batch) is checked against the base corpus through the
+    * x03 MinHash-LSH geometry — base ships only its stored band index and
+    * shingle sets, candidates are band collisions, and each is verified
+    * with exact Jaccard before the batch row is dropped. */
+  def x55_incremental_lsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
+    Dedup.incrementalLshPairs(
+        docs.filter(inBase), docs.filter(!inBase), "doc_id", "text",
+        w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
+      .orderBy(col("doc_id"), col("base_id"))
+  }
+
+  // ---- x56: nearest-centroid assignment / semantic cluster purity ---------
+
+  def x56_cluster_purity(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearestCentroidPurity(Tables.embeddings(s, dir), "vec_id",
+        "label", "embedding")
+      .orderBy(col("label"), col("assigned_label"))
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -1569,7 +1604,10 @@ object Extensions {
     "x50_sketch_recall" -> (x50_sketch_recall _),
     "x51_jaccard_prefix" -> (x51_jaccard_prefix _),
     "x52_containment" -> (x52_containment _),
-    "x53_cluster_split" -> (x53_cluster_split _))
+    "x53_cluster_split" -> (x53_cluster_split _),
+    "x54_block_dedup" -> (x54_block_dedup _),
+    "x55_incremental_lsh" -> (x55_incremental_lsh _),
+    "x56_cluster_purity" -> (x56_cluster_purity _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2478,6 +2516,97 @@ object Extensions {
          |            ELSE 'test' END AS split
          |FROM keyed
          |ORDER BY doc_id""".stripMargin,
+
+    // x54: same canonical-first-occurrence rule, window-rank formulation
+    // (the oracle needn't be scale-shaped): rn = 1 under
+    // (PARTITION BY block hash ORDER BY doc_id, idx) IS min(struct(id,idx)).
+    "x54_block_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |b0 AS (
+         |  SELECT doc_id, len(t) AS n,
+         |         list_transform(range(0, CAST(ceil(len(t) / ${BlockW}.0) AS BIGINT)),
+         |           j -> array_to_string(list_slice(t, j*$BlockW+1, j*$BlockW+$BlockW), ' ')) AS bl
+         |  FROM toks WHERE len(t) > 0),
+         |blocks AS (
+         |  SELECT doc_id, n, unnest(range(0, len(bl))) AS idx, unnest(bl) AS blk
+         |  FROM b0),
+         |ranked AS (
+         |  SELECT doc_id, n, idx, blk,
+         |         row_number() OVER (PARTITION BY md5(blk) ORDER BY doc_id, idx) AS rn
+         |  FROM blocks)
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_blocks,
+         |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       CAST(SUM(CASE WHEN rn = 1 THEN least($BlockW, n - idx*$BlockW) ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+         |       sha256(coalesce(string_agg(blk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')) AS clean_sha
+         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x55: the x03 MinHash→LSH→verify chain with the x33 base/batch
+    // hash-split — candidates are batch×base band collisions only.
+    "x55_incremental_lsh" ->
+      s"""WITH $shinglesCte,
+         |flags AS (
+         |  SELECT doc_id, sh,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base
+         |  FROM sh),
+         |sigs AS (
+         |  SELECT doc_id, in_base,
+         |         list_transform(range(0, 16), i ->
+         |           list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+         |  FROM flags),
+         |bandrows AS (
+         |  SELECT doc_id, in_base, j AS band,
+         |         md5(array_to_string(list_slice(sig, CAST(j*4+1 AS INT), CAST(j*4+4 AS INT)), ',')) AS bucket
+         |  FROM sigs, unnest(range(0, 4)) AS u(j)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS base_id
+         |  FROM bandrows x JOIN bandrows y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |   AND NOT x.in_base AND y.in_base),
+         |ver AS (
+         |  SELECT c.doc_id, c.base_id,
+         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |           / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+         |  FROM cand c
+         |  JOIN sh a ON c.doc_id = a.doc_id
+         |  JOIN sh b ON c.base_id = b.doc_id)
+         |SELECT doc_id, base_id, jaccard FROM ver
+         |WHERE jaccard >= $JaccardThreshold
+         |ORDER BY doc_id, base_id""".stripMargin,
+
+    // x56: exact integer centroid sums (DuckDB SUM(BIGINT) is HUGEINT —
+    // the |s|² accumulation the Spark side does in DECIMAL(38,0)); the
+    // score t mirrors the Spark expression tree operand-for-operand so
+    // the doubles are bit-identical; output is all-integer.
+    "x56_cluster_purity" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label, ${quantSql("embedding")} AS v
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT label, unnest(range(0, len(v))) AS dim, unnest(v) AS x FROM qv),
+         |sums AS (
+         |  SELECT label AS c_label, dim, SUM(x) AS s, count(*) AS n
+         |  FROM ex GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT c_label, max(n) AS n,
+         |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+         |         list(s ORDER BY dim) AS sl
+         |  FROM sums GROUP BY 1),
+         |scored AS (
+         |  SELECT qv.vec_id, qv.label, cent.c_label,
+         |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+         |           - (2.0 * CAST(${dotSql("qv.v", "cent.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+         |  FROM qv CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, label, c_label,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
+         |  FROM scored)
+         |SELECT label, c_label AS assigned_label, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM assigned WHERE rn = 1
+         |GROUP BY 1, 2
+         |ORDER BY label, assigned_label""".stripMargin,
 
     // x47: the oracle affords the 2080-per-row pair explosion the Spark
     // side refuses; same binary-scale quantization (exact multiply,

@@ -128,6 +128,19 @@ object ScaleSoak {
   def main(args: Array[String]): Unit = {
     val workDir = args.headOption.getOrElse("/tmp/graft_soak")
     val outFile = args.lift(1).getOrElse("SCALING.md")
+    // Targeted re-soak: SPARK_GRAFT_SOAK_ONLY=q1,q2 restricts the family
+    // (e.g. to soak a newly-added operator plus a control query measured
+    // under identical conditions) — ALWAYS point outFile somewhere other
+    // than SCALING.md in this mode, since the emitted table only carries
+    // the filtered rows and would clobber the full-family record.
+    val family = sys.env.get("SPARK_GRAFT_SOAK_ONLY") match {
+      case Some(only) =>
+        val want = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- Family.toSet
+        require(unknown.isEmpty, s"unknown soak queries: $unknown")
+        Family.filter(want)
+      case None => Family
+    }
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -163,7 +176,7 @@ object ScaleSoak {
     // protocol exists to kill, and must not set a slope silently.
     val partialCells = scala.collection.mutable.Set.empty[(String, String)]
     dirs.foreach { case (label, dir, _) =>
-      Family.foreach { q =>
+      family.foreach { q =>
         def rep(): Double =
           time(queryFn(q)(spark, dir).count())
         // The cold median is the number the slope analysis depends on —
@@ -292,7 +305,7 @@ object ScaleSoak {
     sb.append("  row also absorbs first-query JVM setup.\n\n")
     sb.append("| query | sf0.01 | sf0.1 | x3 | x10 | x30 | slope (x30/x3, data 10x) |\n")
     sb.append("|---|---|---|---|---|---|---|\n")
-    Family.foreach { q =>
+    family.foreach { q =>
       val cells = dirs.map { case (label, _, _) =>
         val star = if (partialCells.contains((q, label))) "\\*" else ""
         results.get((q, label)).map(r => fmt(r._1) + star).getOrElse("-")
@@ -312,7 +325,7 @@ object ScaleSoak {
     sb.append("\nWarm-rep table (same protocol, second run):\n\n")
     sb.append("| query | sf0.01 | sf0.1 | x3 | x10 | x30 |\n")
     sb.append("|---|---|---|---|---|---|\n")
-    Family.foreach { q =>
+    family.foreach { q =>
       val cells = dirs.map { case (label, _, _) =>
         results.get((q, label)).map(r => fmt(r._2)).getOrElse("-")
       }
