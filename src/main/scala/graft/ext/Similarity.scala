@@ -327,9 +327,12 @@ object Similarity {
     *
     * Scale shape: centroid build = one posexplode + one hash aggregate
     * (integer sums, map-side combinable, shuffle-order-proof) reduced to
-    * |labels|·d cells; the centroid table (|labels| rows) is BROADCAST,
-    * so assignment is a scan-speed per-row argmin over the corpus — no
-    * shuffle touches the vectors; the matrix aggregate reduces to at most
+    * |labels|·d cells, then ONE ungrouped collect_list packs all |labels|
+    * centroids into a single row. Broadcasting that 1-row anchor (the same
+    * bounded-by-construction shape as the q08/q12 scalar anchors) keeps
+    * the assignment a scan-speed per-row argmin over the corpus — no row
+    * amplification (the old |labels|× join fan-out is gone), no shuffle
+    * touches the vectors, and the matrix aggregate reduces to at most
     * |labels|² rows. The only shuffles are |labels|-sized. */
   def nearestCentroidPurity(df: DataFrame, idCol: String, labelCol: String,
                             vecCol: String): DataFrame = {
@@ -339,6 +342,8 @@ object Similarity {
       df.select(col(idCol).as("id"), col(labelCol).cast(LongType).as("label"),
         quantize(col(vecCol)).as("v")))
     val dec = DecimalType(38, 0)
+    // One row: cents = array of (c_label, n, ss, s[]) — |labels|·(d+3)
+    // cells total, trivially broadcast-small for any real label count.
     val cent = q
       .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("label").as("c_label"), col("dim"))
@@ -348,13 +353,19 @@ object Similarity {
         sum(col("s").cast(dec) * col("s").cast(dec)).as("ss"),
         transform(array_sort(collect_list(struct(col("dim"), col("s")))),
           e => e("s")).as("s"))
+      .agg(collect_list(struct(col("c_label"), col("n"), col("ss"), col("s")))
+        .as("cents"))
+    // Per-row argmin over the centroid array: array_min on (t, c_label)
+    // structs is order-insensitive, so collect_list's nondeterministic
+    // element order cannot change the result; ties break to min c_label.
     q.join(broadcast(cent))
-      .withColumn("vs", dotQ(col("v"), col("s")))
-      .withColumn("t",
-        col("ss").cast(DoubleType) / (col("n") * col("n")).cast(DoubleType)
-          - (lit(2.0) * col("vs").cast(DoubleType)) / col("n").cast(DoubleType))
-      .groupBy(col("id"), col("label"))
-      .agg(min(struct(col("t"), col("c_label"))).as("best"))
+      .withColumn("best", array_min(transform(col("cents"), e =>
+        struct(
+          (e("ss").cast(DoubleType)
+              / (e("n") * e("n")).cast(DoubleType)
+            - (lit(2.0) * dotQ(col("v"), e("s")).cast(DoubleType))
+              / e("n").cast(DoubleType)).as("t"),
+          e("c_label").as("c_label")))))
       .groupBy(col("label"), col("best.c_label").as("assigned_label"))
       .agg(count(lit(1)).as("n_vecs"))
   }

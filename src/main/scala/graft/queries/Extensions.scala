@@ -1346,10 +1346,15 @@ object Extensions {
     val landing = tmp.resolve("landing")
     stageEventsLanding(dir, landing)
     // Punctuation event at 2100-01-01, in the file's own ts encoding
-    // (TIMESTAMP(NANOS) surfaces as long under nanosAsLong).
+    // (TIMESTAMP(NANOS) surfaces as long under nanosAsLong; NTZ-annotated
+    // micros surface as TIMESTAMP_NTZ, whose external type is
+    // LocalDateTime — a java.sql.Timestamp there fails encoding).
     val farFutureUs = 4102444800000000L // 2100-01-01T00:00:00Z in micros
     val tsValue: Any = batchSchema("ts").dataType match {
       case LongType => farFutureUs * 1000L
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        java.time.LocalDateTime.ofEpochSecond(
+          farFutureUs / 1000000L, 0, java.time.ZoneOffset.UTC)
       case _ => java.sql.Timestamp.from(
         java.time.Instant.ofEpochSecond(farFutureUs / 1000000L))
     }

@@ -72,16 +72,21 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * sessions set spark.sql.legacy.parquet.nanosAsLong so it surfaces as
+  /** events.ts has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's reader rejects, so
+    * sessions set spark.sql.legacy.parquet.nanosAsLong and it surfaces as
     * nanosecond longs, converted here to microsecond timestamps with
     * integral division (`div` — a double division would lose precision:
-    * nanos since 1970 exceed 2^53). Floor-division matches DuckDB's
-    * CAST(ns AS TIMESTAMP) truncation, so oracle timestamps agree. */
+    * nanos since 1970 exceed 2^53; floor-division matches DuckDB's
+    * CAST(ns AS TIMESTAMP) truncation) — and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark 4 infers as TIMESTAMP_NTZ.
+    * Both normalize to session-TZ TimestampType here; sessions pin
+    * spark.sql.session.timeZone=UTC, so the NTZ→TIMESTAMP cast is
+    * value-preserving and agrees with DuckDB's naive timestamps. */
   def events(spark: SparkSession, dir: String): DataFrame =
     surfaceEventTs(load(spark, dir, "events"))
 
-  /** The nanos→micros surfacing rule alone, for consumers that read the
+  /** The ts-surfacing rule alone, for consumers that read the
     * events file through another source (the streaming twins' file
     * readStream) — ONE definition, so batch and stream cannot drift. */
   def surfaceEventTs(raw: DataFrame): DataFrame =
@@ -89,6 +94,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   /** [[events]] with a starved-scan fan-out like the corpora get — but for
