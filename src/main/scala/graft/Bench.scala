@@ -153,7 +153,11 @@ object Bench {
     // seconds fell out of the window → "parsed": null). Keep the stdout
     // line compact — centisecond precision (run-to-run variance is ±30%,
     // so 10 ms resolution loses nothing), no whitespace — and write the
-    // full-precision timings to bench_detail.json for human readers.
+    // full-precision timings to bench_detail.json. That file is the
+    // durable per-query record: it is git-TRACKED (not ignored), so the
+    // round-close commit preserves the per-extension-query map that no
+    // longer fits the stdout window (75+ extension entries ≈ 1.4 kB on
+    // their own — every stdout candidate with the map overflows 1880).
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma-decimal locale would render "12,34" — invalid JSON.
     // Centisecond precision with trailing zeros stripped ("0.20" → "0.2",
