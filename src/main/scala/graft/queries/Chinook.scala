@@ -202,21 +202,28 @@ object Chinook {
     // |customer×part| rows. p_name is functionally dependent on p_partkey,
     // so grouping by the key alone is semantically identical to the
     // reference's 3-column group.
-    // Two deliberate exchanges around the join, both scale-consistent:
-    //  - repartition on l_orderkey: at 100 TB orders cannot broadcast, so
-    //    the join IS a shuffle on this key — materializing the
-    //    co-partitioning here costs nothing extra at scale, and locally it
-    //    un-starves the single-row-group lineitem scan (3 input splits on
-    //    32 cores otherwise leave the probe + aggregate single-threaded);
-    //  - repartition on the GROUP keys before the aggregate: (custkey,
-    //    partkey) pairs are near-unique per order line (~1 row per group
-    //    at every SF — a property of the key set, not the scale), so the
-    //    map-side combine would hash 600k rows into 550k groups for zero
-    //    reduction; shuffling raw pre-agg rows once and aggregating in
-    //    parallel replaces the most expensive serial stage of the query
-    //    (sf0.1: 2.1 s → 0.9 s for the aggregate).
+    // ONE deliberate exchange, on the GROUP keys before the aggregate:
+    // (custkey, partkey) pairs are near-unique per order line (~1 row per
+    // group at every SF — a property of the key set, not the scale), so
+    // the map-side combine would hash 600k rows into 550k groups for zero
+    // reduction; shuffling raw pre-agg rows once and aggregating in
+    // parallel replaces the most expensive serial stage of the query
+    // (sf0.1: 2.1 s → 0.9 s for the aggregate). It also restores
+    // parallelism after the (possibly broadcast) orders join, so the
+    // starved single-row-group lineitem scan never serializes the
+    // aggregate.
+    //
+    // An explicit l_orderkey repartition used to precede the join too.
+    // Round-7 idle A/B (tools/DiagQ06, sf0.1, median-of-5; PLANS.md):
+    // both exchanges 1.57 s vs group-key-only 1.64 s — equal within the
+    // run-to-run noise — while no-explicit-exchange is 2.44 s. The extra
+    // full-data shuffle bought nothing at idle and was the prime suspect
+    // for q06's 5.83 s line in the contended round-6 driver bench (the
+    // only headline query with two full-data exchanges; q05 got FASTER in
+    // the same run). Dropped: the join plans its own exchange when orders
+    // outgrows the broadcast threshold (the 100 TB case), and one less
+    // shuffle is strictly less exposure when the machine is busy.
     val agg = Tables.lineitem(s, dir)
-      .repartition(col("l_orderkey"))
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .repartition(col("o_custkey"), col("l_partkey"))
       .groupBy(col("o_custkey"), col("l_partkey"))
