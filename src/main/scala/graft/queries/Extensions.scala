@@ -414,6 +414,62 @@ object Extensions {
       .orderBy(col("lang"))
   }
 
+  /** [[x26_pipeline_gate]] widened into the FULL corpus build (round-7
+    * wiring of the round-6 closers into the composed pipeline):
+    *
+    *   1–3. gate + exact dedup, exactly x26's stages;
+    *   4. block-level span dedup (x54's operator, over the exact
+    *      survivors): per-doc post-dedup token counts, and documents
+    *      whose every block is duplicate content are dropped — the
+    *      C4/Lee-et-al granularity between whole-doc exact and near-dup;
+    *   5. near-dup anti-join against the dropped side of the SHARED
+    *      component fixpoint (one CC run still serves x20/x23/x26/x53
+    *      and this query via ccLabelsCache);
+    *   6. x53's leakage-safe split as the final stage: every near-dup
+    *      family draws ONE split from its cluster label, so no family
+    *      straddles train/val/test;
+    *   7. deliverable: per (lang, split) doc counts with BOTH token
+    *      totals — raw and post-block-dedup, the tokenizer-budget pair a
+    *      training-data plan consumes.
+    *
+    * Scale: every stage is an equi-join / hash-aggregate proven
+    * individually (x26, x54, x53); composing them adds no new shuffle
+    * class, and the block stage runs on the already-gated corpus — at
+    * 100 TB exactly where a pipeline wants its most token-heavy pass. */
+  def x26b_corpus_build(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.langId(TextOps.qualityScore(Tables.documents(s, dir)))
+    val gated = ExtCaches.persistTracked(scored
+      .filter(col("predicted_lang") === TargetLang &&
+        col("quality_score") >= QualityGate)
+      .select(col("doc_id"), col("lang"), col("text"),
+        col("n_chars"), col("n_tokens"), col("quality_score")))
+    val keepIds = gated
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exactKept = ExtCaches.persistTracked(
+      gated.join(keepIds, Seq("doc_id"), "left_semi"))
+    val blockStats = Dedup.blockDedup(exactKept, "doc_id", "text", BlockW)
+      .filter(col("n_tokens_kept") > 0)
+      .select(col("doc_id"), col("n_tokens_kept"))
+    val labels = minhashDupLabels(s, dir)
+    val dropped = labels
+      .filter(col("label") =!= col("v"))
+      .select(col("v").as("doc_id"))
+    val surv = exactKept
+      .join(blockStats, Seq("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+    val split = Sampling.clusterSplit(surv, "doc_id", labels,
+      SplitTrainFrac, SplitValFrac, SplitSalt)
+    surv
+      .join(split.select(col("doc_id"), col("split")), Seq("doc_id"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_tokens_kept")).as("kept_block_tokens"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   // ---- x27: dataset mixing — per-source mixture weights -------------------
 
   /** The mixture recipe: named sources with their keep fractions (all
@@ -1585,6 +1641,7 @@ object Extensions {
     "x32_doc_keywords" -> (x32_doc_keywords _),
     "x25_embedding_centroids" -> (x25_embedding_centroids _),
     "x26_pipeline_gate" -> (x26_pipeline_gate _),
+    "x26b_corpus_build" -> (x26b_corpus_build _),
     "x27_source_mixture" -> (x27_source_mixture _),
     "x28_decontamination" -> (x28_decontamination _),
     "x29_skew_join" -> (x29_skew_join _),
@@ -1657,6 +1714,67 @@ object Extensions {
        |  FROM cand
        |  JOIN sh a ON id_a = a.doc_id
        |  JOIN sh b ON id_b = b.doc_id)""".stripMargin
+
+  /** Connected-component labels over the verified near-dup pair graph
+    * (mirrors minhashDupLabels' fixpoint as a recursive closure) — the
+    * ONE spelling shared by x26/x26b/x53, so the three pipelines' notion
+    * of "near-dup family" cannot drift. Needs WITH RECURSIVE and
+    * [[minhashVerifiedCte]] upstream. `lab` = (v, label = min reachable
+    * vertex). */
+  private val ccLabelsCte: String =
+    s"""prs AS (
+       |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM prs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM prs),
+       |reach(v, l) AS (
+       |  SELECT DISTINCT src AS v, src AS l FROM edges
+       |  UNION
+       |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
+       |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)""".stripMargin
+
+  /** The per-row scoring + gate CTE chain (language ID + quality score +
+    * the TargetLang/QualityGate filter) — mirrors
+    * TextOps.langId∘qualityScore exactly; the ONE spelling shared by x26
+    * and x26b. `gated` = the corpus after stage 1+2 of the pipeline. */
+  private def qualityGateCte: String =
+    s"""qtoks AS (
+       |  SELECT doc_id, lang, text,
+       |         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |qm AS (
+       |  SELECT doc_id, lang, text,
+       |         CAST(len(text) AS BIGINT) AS n_chars,
+       |         CAST(len(t) AS BIGINT) AS n_tokens,
+       |         CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
+       |         CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','in','is','it','for'))) AS BIGINT) AS stopword_count,
+       |         CAST(len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS BIGINT) AS s_en,
+       |         CAST(len(list_filter(t, x -> x IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de,
+       |         CAST(len(list_filter(t, x -> x IN ('el','los','que','y','las'))) AS BIGINT) AS s_es,
+       |         CAST(len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS s_fr,
+       |         CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS s_zh
+       |  FROM qtoks),
+       |qr AS (
+       |  SELECT *,
+       |         CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+       |         CASE WHEN n_tokens > 0 THEN CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
+       |  FROM qm),
+       |qq AS (
+       |  SELECT *,
+       |         ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
+       |               * (1.0 - punct_ratio)
+       |               * least(stopword_ratio * 5.0 + 0.5, 1.0), 6) AS quality_score,
+       |         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |              WHEN s_fr >= s_zh THEN 'fr'
+       |              ELSE 'zh' END AS predicted_lang
+       |  FROM qr),
+       |gated AS (
+       |  SELECT doc_id, lang, text, n_chars, n_tokens, quality_score
+       |  FROM qq
+       |  WHERE predicted_lang = '$TargetLang' AND quality_score >= $QualityGate)""".stripMargin
 
   /** Fixed-point quantization + exact integer dot product — mirrors
     * Similarity.quantize/dotQ bit-for-bit (×2^20 is a binary scale: the
@@ -2499,17 +2617,7 @@ object Extensions {
     // Spark side.
     "x53_cluster_split" ->
       s"""WITH RECURSIVE $minhashVerifiedCte,
-         |prs AS (
-         |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM prs
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM prs),
-         |reach(v, l) AS (
-         |  SELECT DISTINCT src AS v, src AS l FROM edges
-         |  UNION
-         |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
-         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v),
+         |$ccLabelsCte,
          |keyed AS (
          |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS split_key
          |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.v)
@@ -2819,54 +2927,9 @@ object Extensions {
     // avoids colliding with the minhashVerifiedCte's own token CTE.
     "x26_pipeline_gate" ->
       s"""WITH RECURSIVE $minhashVerifiedCte,
-         |prs AS (
-         |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM prs
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM prs),
-         |reach(v, l) AS (
-         |  SELECT DISTINCT src AS v, src AS l FROM edges
-         |  UNION
-         |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
-         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v),
+         |$ccLabelsCte,
          |dropped AS (SELECT v FROM lab WHERE label <> v),
-         |qtoks AS (
-         |  SELECT doc_id, lang, text,
-         |         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |qm AS (
-         |  SELECT doc_id, lang, text,
-         |         CAST(len(text) AS BIGINT) AS n_chars,
-         |         CAST(len(t) AS BIGINT) AS n_tokens,
-         |         CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
-         |         CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','in','is','it','for'))) AS BIGINT) AS stopword_count,
-         |         CAST(len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS BIGINT) AS s_en,
-         |         CAST(len(list_filter(t, x -> x IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de,
-         |         CAST(len(list_filter(t, x -> x IN ('el','los','que','y','las'))) AS BIGINT) AS s_es,
-         |         CAST(len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS s_fr,
-         |         CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS s_zh
-         |  FROM qtoks),
-         |qr AS (
-         |  SELECT *,
-         |         CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
-         |         CASE WHEN n_tokens > 0 THEN CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
-         |  FROM qm),
-         |qq AS (
-         |  SELECT *,
-         |         ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-         |               * (1.0 - punct_ratio)
-         |               * least(stopword_ratio * 5.0 + 0.5, 1.0), 6) AS quality_score,
-         |         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-         |              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-         |              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-         |              WHEN s_fr >= s_zh THEN 'fr'
-         |              ELSE 'zh' END AS predicted_lang
-         |  FROM qr),
-         |gated AS (
-         |  SELECT doc_id, lang, text, n_chars, n_tokens, quality_score
-         |  FROM qq
-         |  WHERE predicted_lang = '$TargetLang' AND quality_score >= $QualityGate),
+         |$qualityGateCte,
          |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text))
          |SELECT g.lang, count(*) AS n_docs,
          |       CAST(SUM(g.n_tokens) AS BIGINT) AS total_tokens,
@@ -2878,6 +2941,61 @@ object Extensions {
          |  AND g.doc_id NOT IN (SELECT v FROM dropped)
          |GROUP BY g.lang
          |ORDER BY g.lang""".stripMargin,
+
+    // x26b: the x26 chain widened into the FULL corpus build — gate →
+    // exact dedup → block-level span dedup (x54's stage, over the exact
+    // survivors) → near-dup anti-join → x53's leakage-safe cluster split —
+    // reported per (lang, split) with BOTH token totals (raw and
+    // post-block-dedup, the tokenizer-budget number a data plan consumes).
+    "x26b_corpus_build" ->
+      s"""WITH RECURSIVE $minhashVerifiedCte,
+         |$ccLabelsCte,
+         |dropped AS (SELECT v FROM lab WHERE label <> v),
+         |$qualityGateCte,
+         |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text)),
+         |exact_kept AS (
+         |  SELECT * FROM gated WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |btoks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM exact_kept),
+         |b0 AS (
+         |  SELECT doc_id, len(t) AS n,
+         |         list_transform(range(0, CAST(ceil(len(t) / ${BlockW}.0) AS BIGINT)),
+         |           j -> array_to_string(list_slice(t, j*$BlockW+1, j*$BlockW+$BlockW), ' ')) AS bl
+         |  FROM btoks WHERE len(t) > 0),
+         |blocks AS (
+         |  SELECT doc_id, n, unnest(range(0, len(bl))) AS idx, unnest(bl) AS blk
+         |  FROM b0),
+         |ranked AS (
+         |  SELECT doc_id, n, idx, blk,
+         |         row_number() OVER (PARTITION BY md5(blk) ORDER BY doc_id, idx) AS rn
+         |  FROM blocks),
+         |bstats AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(CASE WHEN rn = 1 THEN least($BlockW, n - idx*$BlockW) ELSE 0 END) AS BIGINT) AS n_tokens_kept
+         |  FROM ranked GROUP BY doc_id),
+         |surv AS (
+         |  SELECT g.*, b.n_tokens_kept
+         |  FROM exact_kept g JOIN bstats b ON g.doc_id = b.doc_id
+         |  WHERE b.n_tokens_kept > 0
+         |    AND g.doc_id NOT IN (SELECT v FROM dropped)),
+         |keyed AS (
+         |  SELECT s.*, coalesce(l.label, s.doc_id) AS split_key
+         |  FROM surv s LEFT JOIN lab l ON s.doc_id = l.v),
+         |split AS (
+         |  SELECT *,
+         |         CASE WHEN substr(md5(CAST(split_key AS VARCHAR) || '$SplitSalt'), 1, 8)
+         |                   < '${Sampling.cutFor(SplitTrainFrac)}' THEN 'train'
+         |              WHEN substr(md5(CAST(split_key AS VARCHAR) || '$SplitSalt'), 1, 8)
+         |                   < '${Sampling.cutFor(SplitTrainFrac + SplitValFrac)}' THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM keyed)
+         |SELECT lang, split, count(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(n_tokens_kept) AS BIGINT) AS kept_block_tokens
+         |FROM split
+         |GROUP BY lang, split
+         |ORDER BY lang, split""".stripMargin,
 
     // x28: per-doc shingle lists are DISTINCT (shinglesCte mirrors
     // ShingleArray), and `ev` is DISTINCT, so the inner join counts each

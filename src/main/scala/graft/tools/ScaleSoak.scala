@@ -65,7 +65,13 @@ object ScaleSoak {
     // round-6 continuation: the AllPairs prefix filter (same output as
     // x02, the soak measures what the candidate pruning buys) and the
     // containment variant (same Σ df² join, asymmetric score)
-    "x51_jaccard_prefix", "x52_containment")
+    "x51_jaccard_prefix", "x52_containment",
+    // round-7 additions: incremental LSH (batch-vs-base banding — cost
+    // tracks collisions, so growth should stay ~linear) and the df-capped
+    // twins of the two uncapped Σ df² joins. On the plain salted corpus
+    // the caps are expected no-ops; on the boilerplate corpus (below)
+    // they are the operator's survival knob.
+    "x55_incremental_lsh", "x02_dfcap50", "x52_dfcap50")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -77,6 +83,23 @@ object ScaleSoak {
       graft.ext.Similarity.cosineNearDupPairsSampled(
         graft.tables.Tables.embeddings(s, dir), "vec_id", "embedding",
         graft.queries.Extensions.CosineDupThreshold)
+        .orderBy(col("id_a"), col("id_b"))),
+    // df-capped twins of the registry's uncapped x02/x52 — the knob that
+    // bounds the boilerplate tail. Cap 50: well above the plain corpus's
+    // max within-replica df (so the plain rows double as a no-op check)
+    // and far below the corpus-wide df of a shared header.
+    "x02_dfcap50" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Dedup.ngramJaccardPairs(
+        graft.tables.Tables.documents(s, dir), "doc_id", "text",
+        w = 3, threshold = graft.queries.Extensions.JaccardThreshold,
+        dfCap = Some(50))
+        .orderBy(col("id_a"), col("id_b"))),
+    "x52_dfcap50" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Dedup.containmentPairs(
+        graft.tables.Tables.documents(s, dir), "doc_id", "text",
+        w = 3, threshold = graft.queries.Extensions.ContainmentThreshold,
+        minSmall = graft.queries.Extensions.ContainmentMinSmall,
+        dfCap = Some(50))
         .orderBy(col("id_a"), col("id_b"))))
 
   private def queryFn(name: String): (SparkSession, String) => DataFrame =
@@ -85,7 +108,18 @@ object ScaleSoak {
   private val Base = "/root/testdata/sf0.1"
   private val IdStride = 10000000L
 
-  private def buildDir(spark: SparkSession, dir: String, reps: Int): Unit = {
+  /** Boilerplate header for the `SPARK_GRAFT_SOAK_BOILER=1` corpus
+    * variant: prepended UNSALTED to every document of every replica, so
+    * its shingles' document frequency equals the corpus size — the
+    * corpus-wide boilerplate tail (site headers, license banners) that
+    * plain salted replication structurally cannot produce, and the regime
+    * the x02 df-cap and the x51 prefix filter exist for. 13 lowercase
+    * tokens → 11 corpus-wide 3-shingles per document. */
+  private val BoilerHeader = "all rights reserved this document is " +
+    "provided under the standard archive license agreement"
+
+  private def buildDir(spark: SparkSession, dir: String, reps: Int,
+                       header: Option[String] = None): Unit = {
     // Resume on the completion MARKER, not the first artifact: a build
     // interrupted mid-way (OOM, ^C, disk full) must be rebuilt, not
     // silently reused with missing tables.
@@ -95,11 +129,18 @@ object ScaleSoak {
 
     val docs = spark.read.parquet(s"$Base/documents.parquet")
       .withColumn("r", explode(sequence(lit(0), lit(reps - 1))))
+    val salted = array_join(
+      transform(split(col("text"), " "),
+        t => concat(t, col("r").cast("string"))), " ")
+    // The header goes in AFTER salting: its tokens must collide across
+    // replicas (corpus-wide df) while the body stays replica-local.
+    val text = header match {
+      case Some(h) => concat(lit(h + " "), salted)
+      case None    => salted
+    }
     docs.select(
       (col("doc_id") + col("r") * IdStride).as("doc_id"),
-      array_join(
-        transform(split(col("text"), " "),
-          t => concat(t, col("r").cast("string"))), " ").as("text"),
+      text.as("text"),
       col("lang"), col("source"), col("n_chars"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -125,9 +166,26 @@ object ScaleSoak {
     Files.createFile(done)
   }
 
+  /** The boilerplate-mode family: the two df-capped Σ df² joins, the
+    * prefix filter whose entire reason to exist is this corpus shape, and
+    * incremental LSH (banding should shrug the header off). The UNCAPPED
+    * x02/x52 are deliberately absent: with 11 header shingles at
+    * df = corpus size, Σ C(df,2) is ~1.2e9 joined rows at b3 and ~1.2e11
+    * at b30 — the quadratic blow-up is computed analytically and printed
+    * (`[boiler-stats]`), not executed. */
+  val BoilerFamily: Seq[String] = Seq(
+    "x02_dfcap50", "x51_jaccard_prefix", "x52_dfcap50",
+    "x55_incremental_lsh")
+
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_SOAK_BOILER=1: soak the boilerplate-tail corpus variant
+    // (shared unsalted header in every replica — corpus-wide shingle df)
+    // instead of the plain salted corpus. Writes SCALING_BOILER.md.
+    val boiler = sys.env.get("SPARK_GRAFT_SOAK_BOILER").contains("1")
     val workDir = args.headOption.getOrElse("/tmp/graft_soak")
-    val outFile = args.lift(1).getOrElse("SCALING.md")
+    val outFile = args.lift(1).getOrElse(
+      if (boiler) "SCALING_BOILER.md" else "SCALING.md")
+    val baseFamily = if (boiler) BoilerFamily else Family
     // Targeted re-soak: SPARK_GRAFT_SOAK_ONLY=q1,q2 restricts the family
     // (e.g. to soak a newly-added operator plus a control query measured
     // under identical conditions) — ALWAYS point outFile somewhere other
@@ -136,23 +194,48 @@ object ScaleSoak {
     val family = sys.env.get("SPARK_GRAFT_SOAK_ONLY") match {
       case Some(only) =>
         val want = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        val unknown = want -- Family.toSet
+        val unknown = want -- baseFamily.toSet
         require(unknown.isEmpty, s"unknown soak queries: $unknown")
-        Family.filter(want)
-      case None => Family
+        baseFamily.filter(want)
+      case None => baseFamily
     }
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dirs: Seq[(String, String, Int)] = Seq(
-      ("sf0.01", "/root/testdata/sf0.01", 0),
-      ("sf0.1", Base, 0),
-      ("x3", s"$workDir/x3", 3),
-      ("x10", s"$workDir/x10", 10),
-      ("x30", s"$workDir/x30", 30))
+    val dirs: Seq[(String, String, Int)] =
+      if (boiler) Seq(
+        ("b1", s"$workDir/b1", 1),
+        ("b3", s"$workDir/b3", 3),
+        ("b10", s"$workDir/b10", 10),
+        ("b30", s"$workDir/b30", 30))
+      else Seq(
+        ("sf0.01", "/root/testdata/sf0.01", 0),
+        ("sf0.1", Base, 0),
+        ("x3", s"$workDir/x3", 3),
+        ("x10", s"$workDir/x10", 10),
+        ("x30", s"$workDir/x30", 30))
     dirs.filter(_._3 > 0).foreach { case (_, dir, reps) =>
-      println(s"[soak] building $dir (${reps}x sf0.1)")
-      buildDir(spark, dir, reps)
+      println(s"[soak] building $dir (${reps}x sf0.1" +
+        (if (boiler) ", boilerplate header" else "") + ")")
+      buildDir(spark, dir, reps,
+        header = if (boiler) Some(BoilerHeader) else None)
+    }
+    if (boiler) dirs.foreach { case (label, dir, _) =>
+      // Analytic join cost: Σ C(df,2) is the EXACT row count of the
+      // uncapped inverted-index self-join — the number that motivates
+      // running only the capped/prefix variants here.
+      val stats = graft.tables.Tables.documents(spark, dir)
+        .select(explode(graft.ext.TextOps.shingles(
+          graft.ext.TextOps.tokens(col("text")), 3)).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .agg(sum(col("df") * (col("df") - 1) / 2).as("uncapped_join_rows"),
+          sum(when(col("df") <= 50, col("df") * (col("df") - 1) / 2)
+            .otherwise(0L)).as("capped50_join_rows"),
+          max(col("df")).as("max_df"))
+        .collect()(0)
+      println(s"[boiler-stats] $label uncapped_join_rows=${stats.get(0)} " +
+        s"capped50_join_rows=${stats.get(1)} max_df=${stats.get(2)}")
+      graft.ext.ExtCaches.clearCaches()
     }
 
     def time(body: => Unit): Double = {
@@ -175,10 +258,15 @@ object ScaleSoak {
     // column — a 1-rep "median" is exactly the single-run noise the
     // protocol exists to kill, and must not set a slope silently.
     val partialCells = scala.collection.mutable.Set.empty[(String, String)]
+    // Output row count per (query, dir), from the last completed rep —
+    // the recall record for the capped-vs-exact comparisons (identical
+    // counts = the cap/prefix lost nothing AT THIS threshold).
+    val outRows = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), Long]
     dirs.foreach { case (label, dir, _) =>
       family.foreach { q =>
         def rep(): Double =
-          time(queryFn(q)(spark, dir).count())
+          time { outRows((q, label)) = queryFn(q)(spark, dir).count() }
         // The cold median is the number the slope analysis depends on —
         // record after EVERY successful rep (median of what completed),
         // so a rep-2/3 failure keeps rep 1's measurement instead of
@@ -193,7 +281,8 @@ object ScaleSoak {
           val warm = rep()
           results((q, label)) = (median(colds.toSeq), warm)
           println(f"[soak] $label%-7s $q%-26s cold=${median(colds.toSeq)}%7.2f s " +
-            f"(reps ${colds.map(c => f"$c%.2f").mkString("/")})  warm=$warm%6.2f s")
+            f"(reps ${colds.map(c => f"$c%.2f").mkString("/")})  warm=$warm%6.2f s " +
+            s"rows=${outRows.getOrElse((q, label), -1L)}")
         } catch {
           case e: Throwable =>
             if (!results.contains((q, label)))
@@ -212,7 +301,22 @@ object ScaleSoak {
 
     def fmt(v: Double): String =
       if (v < 0) "fail" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val (slopeLo, slopeHi) = if (boiler) ("b3", "b30") else ("x3", "x30")
     val sb = new StringBuilder
+    if (boiler) {
+      sb.append("# SCALING_BOILER — the boilerplate-tail corpus variant\n\n")
+      sb.append("Generated by `graft.tools.ScaleSoak` with\n")
+      sb.append("`SPARK_GRAFT_SOAK_BOILER=1` (same cold-median protocol as\n")
+      sb.append("SCALING.md). b1/b3/b10/b30 = sf0.1 replicated with per-replica\n")
+      sb.append("token salting PLUS a 13-token header prepended UNSALTED to every\n")
+      sb.append("document — 11 3-shingles whose df equals the corpus size, the\n")
+      sb.append("corpus-wide boilerplate tail (site headers, license banners)\n")
+      sb.append("that plain salted replication cannot produce. The uncapped\n")
+      sb.append("x02/x52 joins are not run here: their exact join size\n")
+      sb.append("(sum of C(df,2), printed as `[boiler-stats]` by the tool) is\n")
+      sb.append("quadratic in the corpus — the capped/prefix variants are the\n")
+      sb.append("operators under test. See SCALING.md for the analysis.\n\n")
+    } else {
     sb.append("# SCALING — dedup/CC/decontamination family soak\n\n")
     sb.append(s"Generated by `graft.tools.ScaleSoak` (local[32], cold = MEDIAN of\n")
     sb.append(s"$coldReps runs each taken fully cold — ExtCaches cleared before every\n")
@@ -303,17 +407,20 @@ object ScaleSoak {
     sb.append("  fixpoints) is exercised by a spec or a registry query.\n")
     sb.append("- Cold medians still carry ~±20% noise; the sf0.01 column's first\n")
     sb.append("  row also absorbs first-query JVM setup.\n\n")
-    sb.append("| query | sf0.01 | sf0.1 | x3 | x10 | x30 | slope (x30/x3, data 10x) |\n")
-    sb.append("|---|---|---|---|---|---|---|\n")
+    }
+    val labels = dirs.map(_._1)
+    sb.append(s"| query | ${labels.mkString(" | ")} | " +
+      s"slope ($slopeHi/$slopeLo, data 10x) |\n")
+    sb.append("|---" * (labels.size + 2) + "|\n")
     family.foreach { q =>
       val cells = dirs.map { case (label, _, _) =>
         val star = if (partialCells.contains((q, label))) "\\*" else ""
         results.get((q, label)).map(r => fmt(r._1) + star).getOrElse("-")
       }
       val complete = (label: String) => !partialCells.contains((q, label))
-      val slope = (results.get((q, "x3")), results.get((q, "x30"))) match {
+      val slope = (results.get((q, slopeLo)), results.get((q, slopeHi))) match {
         case (Some((c3, _)), Some((c30, _)))
-            if c3 > 0 && c30 > 0 && complete("x3") && complete("x30") =>
+            if c3 > 0 && c30 > 0 && complete(slopeLo) && complete(slopeHi) =>
           String.format(java.util.Locale.ROOT, "%.1f", Double.box(c30 / c3))
         case _ => "-"
       }
@@ -323,11 +430,22 @@ object ScaleSoak {
       sb.append("\n\\* = median of FEWER than the configured cold reps (a " +
         "mid-loop failure); partial cells never feed the slope column.\n")
     sb.append("\nWarm-rep table (same protocol, second run):\n\n")
-    sb.append("| query | sf0.01 | sf0.1 | x3 | x10 | x30 |\n")
-    sb.append("|---|---|---|---|---|---|\n")
+    sb.append(s"| query | ${labels.mkString(" | ")} |\n")
+    sb.append("|---" * (labels.size + 1) + "|\n")
     family.foreach { q =>
       val cells = dirs.map { case (label, _, _) =>
         results.get((q, label)).map(r => fmt(r._2)).getOrElse("-")
+      }
+      sb.append(s"| $q | ${cells.mkString(" | ")} |\n")
+    }
+    sb.append("\nOutput rows (last completed rep — the recall record: " +
+      "identical counts across\ncapped/prefix/exact variants of the same " +
+      "score mean the guard lost nothing at\nthis threshold):\n\n")
+    sb.append(s"| query | ${labels.mkString(" | ")} |\n")
+    sb.append("|---" * (labels.size + 1) + "|\n")
+    family.foreach { q =>
+      val cells = dirs.map { case (label, _, _) =>
+        outRows.get((q, label)).map(_.toString).getOrElse("-")
       }
       sb.append(s"| $q | ${cells.mkString(" | ")} |\n")
     }

@@ -41,4 +41,25 @@ class RegistrySpec extends AnyFunSuite {
     val clash = chinook intersect ext
     assert(clash.isEmpty, s"duplicate query names (one silently shadows): $clash")
   }
+
+  test("documented registry count matches the code (SURVEY.md, README.md)") {
+    // Round-6 lesson: three queries landed in a snapshot commit while
+    // SURVEY/README kept the old counts for a full round. Each doc now
+    // carries exactly one machine-checkable marker of the form
+    // "<N> oracle-gated quer..." that this gate pins to the registry.
+    val n = SparkEntry.queries.size
+    val marker = raw"(\d+) oracle-gated quer".r
+    Seq("SURVEY.md", "README.md").foreach { f =>
+      val text = {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.mkString finally src.close()
+      }
+      val counts = marker.findAllMatchIn(text).map(_.group(1).toInt).toSeq
+      assert(counts.nonEmpty,
+        s"$f: no '<N> oracle-gated quer...' marker — add one so the count is gated")
+      assert(counts.forall(_ == n),
+        s"$f documents ${counts.distinct.mkString("/")} oracle-gated queries; " +
+          s"the registry has $n — sync the doc")
+    }
+  }
 }
