@@ -220,6 +220,8 @@ object ScaleSoak {
       buildDir(spark, dir, reps,
         header = if (boiler) Some(BoilerHeader) else None)
     }
+    val boilerStats = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Long)]
     if (boiler) dirs.foreach { case (label, dir, _) =>
       // Analytic join cost: Σ C(df,2) is the EXACT row count of the
       // uncapped inverted-index self-join — the number that motivates
@@ -228,11 +230,14 @@ object ScaleSoak {
         .select(explode(graft.ext.TextOps.shingles(
           graft.ext.TextOps.tokens(col("text")), 3)).as("shingle"))
         .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .agg(sum(col("df") * (col("df") - 1) / 2).as("uncapped_join_rows"),
+        .agg(sum((col("df") * (col("df") - 1) / 2).cast("double"))
+            .as("uncapped_join_rows"),
           sum(when(col("df") <= 50, col("df") * (col("df") - 1) / 2)
-            .otherwise(0L)).as("capped50_join_rows"),
+            .otherwise(0L).cast("double")).as("capped50_join_rows"),
           max(col("df")).as("max_df"))
         .collect()(0)
+      boilerStats(label) =
+        (stats.getDouble(0), stats.getDouble(1), stats.getLong(2))
       println(s"[boiler-stats] $label uncapped_join_rows=${stats.get(0)} " +
         s"capped50_join_rows=${stats.get(1)} max_df=${stats.get(2)}")
       graft.ext.ExtCaches.clearCaches()
@@ -331,82 +336,80 @@ object ScaleSoak {
     sb.append("x30 = 150k/60k. Soak layouts are 32-file parquet (real mapper\n")
     sb.append("counts, no fan-out crutch). `slope` = cold(x30)/cold(x3) against a\n")
     sb.append("10x data ratio: ~10 is linear, ~100 quadratic.\n\n")
-    sb.append("## Findings (round 6)\n\n")
-    sb.append("- **Round 5's single-run cold protocol manufactured a finding.**\n")
-    sb.append("  The r5 table showed x03 (MinHash-LSH) at slope 14.5 and the\n")
-    sb.append("  verdict flagged band-geometry saturation — but the diagnosis\n")
-    sb.append("  dissolves under instrumentation (graft.tools.DiagX03): the\n")
-    sb.append("  LSH band key here is an md5 over r minhash values, so its key\n")
-    sb.append("  space is UNBOUNDED (not x05's 256-key sign-slice space), and the\n")
-    sb.append("  measured candidate set grows exactly linearly — 888 / 9,070 /\n")
-    sb.append("  27,258 candidate pairs at 5k / 50k / 150k docs, max bucket size\n")
-    sb.append("  4 at every scale. Stage-timed reps put the full pipeline at\n")
-    sb.append("  ~1.2 s (x3) / ~1.7 s (x10) / ~6.5 s (x30) steady-state — at or\n")
-    sb.append("  below linear. The r5 slope came from an x3 cold UNDERSHOOT\n")
-    sb.append("  (0.77 s — faster than its own warm rep, a scheduler fluke)\n")
-    sb.append("  dividing an x30 overshoot. Cold cells are now the median of\n")
-    sb.append("  fully-cold reps so a single fluke cannot set a slope again.\n")
-    sb.append("  Defense-in-depth regardless: minhashLshPairs gained a\n")
-    sb.append("  hotBucketCap (the x05/shingle-df-cap discipline) — on honest\n")
-    sb.append("  corpora it is a no-op, on degenerate ones (mass-identical\n")
-    sb.append("  boilerplate collapsing to one bucket per band) it bounds the\n")
-    sb.append("  worst-case sum of bucket^2.\n")
-    sb.append("- **x02's inverted-index join is measured linear, and the df-cap\n")
-    sb.append("  is a no-op on this corpus**: the join's exact output size\n")
-    sb.append("  (sum over shingles of C(df,2)) is 3.8M / 12.7M / 38M rows at\n")
-    sb.append("  x3/x10/x30 — exactly proportional to n, because max per-shingle\n")
-    sb.append("  df is 25 at EVERY scale (replica salting preserves per-replica\n")
-    sb.append("  df; a constant-duplication-rate corpus behaves the same). Zero\n")
-    sb.append("  join rows come from shingles with df > 50, so any cap >= 50\n")
-    sb.append("  changes nothing (measured: identical 7,680 output pairs with\n")
-    sb.append("  cap None/200/100/50, times within noise of each other). The\n")
-    sb.append("  df-cap's 100 TB role is real but different: it bounds the\n")
-    sb.append("  boilerplate tail (headers/footers with corpus-wide df) that\n")
-    sb.append("  this synthetic corpus simply does not have.\n")
-    sb.append("- **Star-form CC costs a ~1.6x CONSTANT factor over propagation on\n")
-    sb.append("  shallow graphs — not a worse slope**: over the same PERSISTED\n")
-    sb.append("  pair graph at x30 (DiagCC, 6 reps), steady-state CC stage is\n")
-    sb.append("  ~1.9 s (star) vs ~1.2 s (propagation); charging pair-graph\n")
-    sb.append("  derivation inside the timer inflates that to ~4.1-vs-1.9, which\n")
-    sb.append("  is what the first diagnostic reported. The factor is\n")
-    sb.append("  structural: each star round runs TWO shuffle phases\n")
-    sb.append("  (large-star, small-star) plus a set-equality anti-join on the\n")
-    sb.append("  candidate-converged round, and convergence needs one extra\n")
-    sb.append("  verification round; propagation does one join+aggregate per\n")
-    sb.append("  round. The intermediate large-star distinct() was removed in\n")
-    sb.append("  round 6 (small-star's min is duplicate-insensitive and the\n")
-    sb.append("  round output carries its own distinct) — perf-neutral at soak\n")
-    sb.append("  scale, where per-round job latency dominates, but one less\n")
-    sb.append("  all-to-all of the round's largest relation (2|e| rows) per\n")
-    sb.append("  round at cluster scale. Round 5's apparent 6.2-vs-1.9 cold\n")
-    sb.append("  SLOPE gap was this constant factor multiplied by single-run\n")
-    sb.append("  noise in the dominating pair-generation stage. 100 TB\n")
-    sb.append("  recommendation, now measured: use propagation when the pair\n")
-    sb.append("  graph is known-shallow (near-dup cliques), star when diameter\n")
-    sb.append("  is unknown — its insurance premium is ~1.6x of the CC stage,\n")
-    sb.append("  which pair generation dwarfs anyway.\n")
+    sb.append("## Findings (round 7 — testdata regenerated this round; all cells re-measured)\n\n")
+    sb.append("- **The round-7 corpus regeneration changed the workload, and every\n")
+    sb.append("  number here reflects the NEW corpus.** documents are now ~50-token\n")
+    sb.append("  rows over a shared vocabulary: shingle df reaches 25 at sf0.1\n")
+    sb.append("  (27k distinct shingles, 1.27M inverted-index join rows at sf0.1\n")
+    sb.append("  alone — several times the round-6 corpus). Absolute times are NOT\n")
+    sb.append("  comparable to round-6 tables; slopes are the durable record.\n")
+    sb.append("- **x02's inverted-index join stays ~linear** (slope 8.1 on 10x\n")
+    sb.append("  data; output pairs exactly proportional to n: 768/2,560/7,680 at\n")
+    sb.append("  x3/x10/x30) — replica salting bounds per-shingle df, so\n")
+    sb.append("  sum C(df,2) grows linearly. The df-cap drops nothing here\n")
+    sb.append("  (identical output at cap 50), matching max df 25.\n")
+    sb.append("- **x51's prefix filter does NOT pay on a boilerplate-free corpus**:\n")
+    sb.append("  recall-exactness is now confirmed EMPIRICALLY at every scale\n")
+    sb.append("  (row counts identical to x02: 768/2,560/7,680), but it costs\n")
+    sb.append("  2.2x x02's wall time at x30 (30.1 s vs 13.6 s) — the global-df\n")
+    sb.append("  aggregate, the per-doc rarity rank window, and the per-candidate\n")
+    sb.append("  array_intersect verification outweigh the pruned join rows when\n")
+    sb.append("  no high-df tail exists. Plain corpora: x02 is the default.\n")
+    sb.append("- **The boilerplate-tail variant (SCALING_BOILER.md) is where the\n")
+    sb.append("  guard knobs earn their keep — measured, not assumed.** With 11\n")
+    sb.append("  header shingles at df = corpus size: (a) the UNCAPPED join is\n")
+    sb.append("  1.24e11 rows at b30 (891x for 30x data — quadratic; computed\n")
+    sb.append("  analytically, not run); (b) x02+df-cap-50 stays linear (9.7 s at\n")
+    sb.append("  b30) but loses 20.7% of true pairs at t=0.5 (6,090 of 7,680 —\n")
+    sb.append("  the cap's conservative deflation bias, previously documented,\n")
+    sb.append("  now MEASURED); (c) x51 returns the COMPLETE exact answer (7,680)\n")
+    sb.append("  in 41 s at b30, slope 9.1 — linear, ~4x the capped cost.\n")
+    sb.append("  **100 TB default: x51 wherever a boilerplate tail exists or\n")
+    sb.append("  cannot be ruled out — it is the only exact option whose cost\n")
+    sb.append("  survives the tail; uncapped x02 only on corpora measured\n")
+    sb.append("  boilerplate-free (2x cheaper constant); the df-cap is the lossy\n")
+    sb.append("  accelerator whose recall trade must be measured per corpus\n")
+    sb.append("  (20.7% at t=0.5 here).**\n")
     sb.append("- **x05 fixed-geometry banding saturates (r4 finding, stands)**:\n")
-    sb.append("  8 bands x 8 bits is a 256-key space, so past ~10k vectors the\n")
-    sb.append("  candidate set (sum of bucket^2) grows quadratically — the\n")
-    sb.append("  geometry is the semantics, no join strategy fixes it. The scale\n")
-    sb.append("  path is `x05_sampled_16x16` (oracle-gated as\n")
-    sb.append("  `x05_dedup_embedding_sampled`): 16 bands x 16 bits sampled from\n")
-    sb.append("  the full 64-bit sign signature — a 65k-key space, candidates\n")
-    sb.append("  back to ~linear, exact-signature dups collide in every band\n")
-    sb.append("  (spec-asserted). At 100 TB the same knob keys off corpus size.\n")
-    sb.append("- **Nested HOFs re-evaluate embedded subtrees per element (r5\n")
-    sb.append("  finding, stands)**: the first x38 winnowing implementation paid\n")
-    sb.append("  O(m^2) md5s per doc on the interpreted HOF path (335 s cold at\n")
-    sb.append("  x30), and projection staging does not survive CollapseProject.\n")
-    sb.append("  The fix is the graftfn.WinnowArray JVM-loop expression — hash\n")
-    sb.append("  each gram once, select window minima on raw digests (85x).\n")
-    sb.append("- With x03's slope corrected by the median protocol, every query\n")
-    sb.append("  in the family except x05's deliberately-kept fixed-geometry\n")
-    sb.append("  baseline scales at or below linear, and each one's guard knob\n")
-    sb.append("  (df-cap, hot-bucket cap, sampled geometry, checkpointed\n")
-    sb.append("  fixpoints) is exercised by a spec or a registry query.\n")
-    sb.append("- Cold medians still carry ~±20% noise; the sf0.01 column's first\n")
-    sb.append("  row also absorbs first-query JVM setup.\n\n")
+    sb.append("  slope 43 on this corpus — 8 bands x 8 bits is a 256-key space and\n")
+    sb.append("  the geometry is the semantics; kept deliberately as the\n")
+    sb.append("  saturation demonstration. The scale path `x05_sampled_16x16`\n")
+    sb.append("  (oracle-gated) runs slope 3.6 — the 65k-key sampled geometry\n")
+    sb.append("  keeps candidates ~linear; at 100 TB the knob keys off corpus\n")
+    sb.append("  size.\n")
+    sb.append("- x04 SimHash emits 2.07M pairs at x30 on this corpus (short\n")
+    sb.append("  shared-vocabulary docs collide within Hamming radius 3); WALL\n")
+    sb.append("  time stays ~linear (slope 5.2) because pigeonhole banding bounds\n")
+    sb.append("  the candidate join — but the OUTPUT is the near-quadratic\n")
+    sb.append("  object, so downstream consumers must aggregate (x20-style), not\n")
+    sb.append("  materialize per-pair rows.\n")
+    sb.append("- CC over the pair graph: propagation and star both at slope 2.9\n")
+    sb.append("  (job-latency-dominated at this scale). The round-6 DiagCC\n")
+    sb.append("  finding stands: star's diameter insurance costs a ~1.6x CONSTANT\n")
+    sb.append("  factor on the CC stage (two shuffle phases per round + a\n")
+    sb.append("  convergence verification round), never a worse slope; use\n")
+    sb.append("  propagation on known-shallow near-dup cliques, star when\n")
+    sb.append("  diameter is unknown.\n")
+    sb.append("- x55 incremental LSH is linear-small at both corpus variants\n")
+    sb.append("  (4.3 s at x30, 4.0 s at b30): the header does NOT degrade\n")
+    sb.append("  banding — random-pair Jaccard stays ~0.1, so band collision\n")
+    sb.append("  probability (J^4 per band) is negligible and candidates track\n")
+    sb.append("  true near-dups only.\n")
+    sb.append("- Implementation observation, not an algorithmic claim: the capped\n")
+    sb.append("  x02/x52 twins ran FASTER than their uncapped forms even on the\n")
+    sb.append("  plain corpus where the cap drops nothing (9.6 vs 13.6 s at x30) —\n")
+    sb.append("  the capped path eagerly materializes the semi-joined index, so\n")
+    sb.append("  the self-join probes a cached shuffle-partitioned relation.\n")
+    sb.append("  Worth folding into the uncapped path if it reproduces.\n")
+    sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
+    sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
+    sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")
+    sb.append("  round when a concurrent compile inflated x3 cells of a discarded\n")
+    sb.append("  first sweep 3-5x — soaks run strictly alone now). The round-5\n")
+    sb.append("  nested-HOF lesson also stands: WinnowArray's JVM-loop expression\n")
+    sb.append("  keeps x38 at O(m) digests per doc (85x over the interpreted HOF\n")
+    sb.append("  path). Cold medians still carry ~±20% noise; the sf0.01 column's\n")
+    sb.append("  first row also absorbs first-query JVM setup.\n\n")
     }
     val labels = dirs.map(_._1)
     sb.append(s"| query | ${labels.mkString(" | ")} | " +
@@ -448,6 +451,16 @@ object ScaleSoak {
         outRows.get((q, label)).map(_.toString).getOrElse("-")
       }
       sb.append(s"| $q | ${cells.mkString(" | ")} |\n")
+    }
+    if (boilerStats.nonEmpty) {
+      sb.append("\nAnalytic inverted-index join size (sum of C(df,2) over " +
+        "shingles — the exact\nrow count the UNCAPPED self-join would " +
+        "produce, vs what survives cap 50):\n\n")
+      sb.append("| dir | uncapped join rows | capped-50 join rows | max df |\n")
+      sb.append("|---|---|---|---|\n")
+      boilerStats.foreach { case (label, (unc, cap, mx)) =>
+        sb.append(f"| $label | $unc%.3g | $cap%.3g | $mx |\n")
+      }
     }
     Files.writeString(Paths.get(outFile), sb.toString)
     println(s"[soak] wrote $outFile")
