@@ -127,7 +127,14 @@ object Dedup {
       .select(col("id"), size(col("sh")).cast(LongType).as("n"),
         explode(col("sh")).as("shingle"))
     dfCap match {
-      case None => ExtCaches.persistTracked(raw)
+      case None =>
+        // Eager, like the capped branch: the index feeds both self-join
+        // sides, and a lazy fill races (ExtCaches.persistEager's
+        // Scaladoc; round-7 soak measured the capped twin — whose only
+        // structural difference at cap ≥ max df is its eager fill —
+        // 1.4x faster than this path when it was lazy: 9.6 vs 13.6 s
+        // at x30).
+        ExtCaches.persistEager(raw)
       case Some(cap) =>
         val cached = ExtCaches.persistTracked(raw)
         val keep = cached.groupBy(col("shingle"))
@@ -170,9 +177,10 @@ object Dedup {
     * window, no full sort materialization). */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          w: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // Full sets persist once: they feed the df aggregate, the prefix
-    // selection, and both sides of the verification join.
-    val sets = ExtCaches.persistTracked(df.select(col(idCol).as("id"),
+    // Full sets persist once (eagerly — they feed the df aggregate, the
+    // prefix selection, AND both sides of the verification join; a lazy
+    // fill races on the self-join, see ExtCaches.persistEager).
+    val sets = ExtCaches.persistEager(df.select(col(idCol).as("id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh")))
     val idx = sets.select(col("id"), size(col("sh")).cast(LongType).as("n"),
       explode(col("sh")).as("shingle"))
@@ -182,14 +190,25 @@ object Dedup {
     // df table's key — so every document ranks its shingles identically.
     val byRarity = Window.partitionBy(col("id"))
       .orderBy(col("df_count"), col("shingle"))
-    val prefix = ExtCaches.persistTracked(
+    val prefix = ExtCaches.persistEager(
       idx.join(dfTab, Seq("shingle"))
         .withColumn("rnk", row_number().over(byRarity))
         .filter(col("rnk") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
-        .select(col("id"), col("shingle")))
+        .select(col("id"), col("n"), col("shingle")))
+    // PPJoin's LENGTH filter rides the prefix join: J(A,B) ≥ t forces
+    // t·|A| ≤ |B| ≤ |A|/t (|A∩B| ≤ min, |A∪B| ≥ max), so size-mismatched
+    // collisions are pruned before the distinct/verify tail ever sees
+    // them — recall-exact like the prefix lemma itself. The 1e-9 slack
+    // absorbs the double multiply's rounding for non-dyadic thresholds
+    // (a borderline TRUE pair must never be rejected by an ulp; the
+    // exact-Jaccard verify keeps false accepts harmless).
     val candidates = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id")
+          && col("b.n").cast(DoubleType) >=
+            col("a.n").cast(DoubleType) * threshold - lit(1e-9)
+          && col("a.n").cast(DoubleType) >=
+            col("b.n").cast(DoubleType) * threshold - lit(1e-9))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // Exact verification on full sets — same tail as minhashLshPairs, but
@@ -284,10 +303,12 @@ object Dedup {
     // corpus (16 hashes + the shingle set per doc). Without the barrier,
     // projection collapse would recompute the full 16-permutation minhash
     // inside every band row and on both sides of the candidate join.
-    val withSh = ExtCaches.persistTracked(df.select(col(idCol).as("id"),
+    val withSh = ExtCaches.persistEager(df.select(col(idCol).as("id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh")))
     val sigs = withSh.withColumn("sig", minhashSignature(col("sh"), perms))
-    val bandRows0 = ExtCaches.persistTracked(lshBands(sigs, "id", "sig", bands, rows))
+    // Band rows feed both candidate-join sides — eager for the same
+    // reason as the shingle index (persistEager Scaladoc).
+    val bandRows0 = ExtCaches.persistEager(lshBands(sigs, "id", "sig", bands, rows))
     val bandRows = hotBucketCap.fold(bandRows0) { cap =>
       val keep = bandRows0.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("bucket_n"))
@@ -650,7 +671,9 @@ object Dedup {
                           w: Int = 3, perms: Int = 16, bands: Int = 4,
                           threshold: Double = 0.5): DataFrame = {
     val rows = perms / bands
-    def prep(df: DataFrame): DataFrame = ExtCaches.persistTracked(
+    // Eager: each side's shingle relation feeds its band rows AND a
+    // verify-join side — two concurrent consumers race a lazy fill.
+    def prep(df: DataFrame): DataFrame = ExtCaches.persistEager(
       df.select(col(idCol).as("id"),
         TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh")))
     val b = prep(base)
@@ -744,7 +767,9 @@ object Dedup {
     val raw = TextOps.winnowFingerprints(df, idCol, textCol, k, win)
       .select(col("doc_id").as("id"), explode(col("fps")).as("fp"))
     val idx = dfCap match {
-      case None => ExtCaches.persistTracked(raw)
+      // Eager: the fingerprint index feeds both self-join sides
+      // (persistEager Scaladoc — a lazy fill races on the join).
+      case None => ExtCaches.persistEager(raw)
       case Some(cap) =>
         // Persist before deriving keep/probe: the fingerprint scan feeds
         // BOTH the df aggregate and the semi-join probe, and without a

@@ -20,6 +20,22 @@ object ExtCaches {
     p
   }
 
+  /** [[persistTracked]] + an EAGER fill. For persisted relations that
+    * feed BOTH sides of a self-join: a lazily-cached relation is filled
+    * during the join itself, and the join's two scans race — concurrent
+    * tasks computing the same un-filled cache partition each recompute
+    * it (the block store dedupes finished blocks, not in-flight work).
+    * Round-7 soak: the df-capped shingle index (whose only structural
+    * difference at cap ≥ max df is its eager fill) ran 1.4x faster than
+    * the lazy uncapped twin at x30. The count() is outside the
+    * `synchronized` — it runs a Spark job and must not hold the
+    * registry lock. */
+  def persistEager(df: DataFrame): DataFrame = {
+    val p = persistTracked(df)
+    p.count()
+    p
+  }
+
   /** Unpersist ONE tracked relation early (blocking) and drop it from the
     * registry — for staging relations whose useful life ends as soon as a
     * derived persist materializes (e.g. winnowPairs' raw fingerprint
