@@ -121,7 +121,8 @@ object Bench {
     // first rep pays its own cache build cold. The component-fixpoint
     // consumers are carved out into family 4.
     val ccShared = Set("x20_dup_clusters", "x23_dedup_survivors",
-      "x26_pipeline_gate", "x36_cluster_reps", "x53_cluster_split")
+      "x26_pipeline_gate", "x26b_corpus_build", "x36_cluster_reps",
+      "x53_cluster_split")
     val starShared = Set("x20_dup_clusters_star")
     val xExt = all.filterNot(Headline).filterNot(_.startsWith("s"))
       .filterNot(ccShared).filterNot(starShared)

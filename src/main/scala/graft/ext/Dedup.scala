@@ -177,10 +177,16 @@ object Dedup {
     * window, no full sort materialization). */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          w: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // Full sets persist once (eagerly — they feed the df aggregate, the
-    // prefix selection, AND both sides of the verification join; a lazy
-    // fill races on the self-join, see ExtCaches.persistEager).
-    val sets = ExtCaches.persistEager(df.select(col(idCol).as("id"),
+    // Full sets persist once: they feed the df aggregate, the prefix
+    // selection, and both sides of the verification join. LAZY on
+    // purpose — the round-7 eager sweep (tools/DiagX51, boiler b30)
+    // measured every persistEager variant of this operator at 69-138 s
+    // against 33-45 s fully lazy: the up-front fills serialize the
+    // operator's two big cache materializations ahead of the candidate
+    // join instead of overlapping them with it, and the self-join
+    // fill race that persistEager exists for is dwarfed here by the
+    // window+verify stages.
+    val sets = ExtCaches.persistTracked(df.select(col(idCol).as("id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh")))
     val idx = sets.select(col("id"), size(col("sh")).cast(LongType).as("n"),
       explode(col("sh")).as("shingle"))
@@ -190,7 +196,7 @@ object Dedup {
     // df table's key — so every document ranks its shingles identically.
     val byRarity = Window.partitionBy(col("id"))
       .orderBy(col("df_count"), col("shingle"))
-    val prefix = ExtCaches.persistEager(
+    val prefix = ExtCaches.persistTracked(
       idx.join(dfTab, Seq("shingle"))
         .withColumn("rnk", row_number().over(byRarity))
         .filter(col("rnk") <= col("n") - ceil(lit(threshold) * col("n")) + lit(1))
@@ -303,12 +309,16 @@ object Dedup {
     // corpus (16 hashes + the shingle set per doc). Without the barrier,
     // projection collapse would recompute the full 16-permutation minhash
     // inside every band row and on both sides of the candidate join.
-    val withSh = ExtCaches.persistEager(df.select(col(idCol).as("id"),
+    // Lazy (not persistEager): x03's candidate join is tiny relative to
+    // the signature build, and the round-7 sweeps measured the eager
+    // variant consistently slightly slower (2.9 -> 3.7 s at x30) — the
+    // same serialize-the-fills effect DiagX51 isolated on x51, in
+    // miniature. The flat shingle/fingerprint indexes (x02/x52/x38),
+    // whose self-join dominates their runtime, are where eager wins.
+    val withSh = ExtCaches.persistTracked(df.select(col(idCol).as("id"),
       TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh")))
     val sigs = withSh.withColumn("sig", minhashSignature(col("sh"), perms))
-    // Band rows feed both candidate-join sides — eager for the same
-    // reason as the shingle index (persistEager Scaladoc).
-    val bandRows0 = ExtCaches.persistEager(lshBands(sigs, "id", "sig", bands, rows))
+    val bandRows0 = ExtCaches.persistTracked(lshBands(sigs, "id", "sig", bands, rows))
     val bandRows = hotBucketCap.fold(bandRows0) { cap =>
       val keep = bandRows0.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("bucket_n"))
@@ -671,9 +681,10 @@ object Dedup {
                           w: Int = 3, perms: Int = 16, bands: Int = 4,
                           threshold: Double = 0.5): DataFrame = {
     val rows = perms / bands
-    // Eager: each side's shingle relation feeds its band rows AND a
-    // verify-join side — two concurrent consumers race a lazy fill.
-    def prep(df: DataFrame): DataFrame = ExtCaches.persistEager(
+    // Lazy (not persistEager): the round-7 boiler soak measured the
+    // eager variant at 9-13.5 s on b30 against 4 s lazy — the same
+    // serialize-the-fills effect DiagX51 isolated on x51.
+    def prep(df: DataFrame): DataFrame = ExtCaches.persistTracked(
       df.select(col(idCol).as("id"),
         TextOps.shingles(TextOps.tokens(col(textCol)), w).as("sh")))
     val b = prep(base)

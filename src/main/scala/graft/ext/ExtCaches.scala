@@ -20,16 +20,24 @@ object ExtCaches {
     p
   }
 
-  /** [[persistTracked]] + an EAGER fill. For persisted relations that
-    * feed BOTH sides of a self-join: a lazily-cached relation is filled
-    * during the join itself, and the join's two scans race — concurrent
-    * tasks computing the same un-filled cache partition each recompute
-    * it (the block store dedupes finished blocks, not in-flight work).
-    * Round-7 soak: the df-capped shingle index (whose only structural
-    * difference at cap ≥ max df is its eager fill) ran 1.4x faster than
-    * the lazy uncapped twin at x30. The count() is outside the
-    * `synchronized` — it runs a Spark job and must not hold the
-    * registry lock. */
+  /** [[persistTracked]] + an EAGER fill. For a persisted relation whose
+    * SELF-JOIN dominates the operator: a lazily-cached relation is
+    * filled during the join itself, and the join's two scans race —
+    * concurrent tasks computing the same un-filled cache partition each
+    * recompute it (the block store dedupes finished blocks, not
+    * in-flight work). Round-7 soak: the df-capped shingle index (whose
+    * only structural difference at cap ≥ max df is its eager fill) ran
+    * 1.4x faster than the lazy uncapped twin at x30; adopting eager for
+    * x02/x52/x38 reproduced the win (x02 13.6 → 9.7 s at x30).
+    *
+    * NOT a default: where the operator's cost lives in stages around
+    * the join (x51's rarity window + verify tail, x03/x55's signature
+    * build), eager fills SERIALIZE the big materializations ahead of
+    * the join instead of overlapping with it and measured 2-4x SLOWER
+    * at the largest soak scale (tools/DiagX51) — those operators keep
+    * lazy persists, with the measurements at each call site. The
+    * count() is outside the `synchronized` — it runs a Spark job and
+    * must not hold the registry lock. */
   def persistEager(df: DataFrame): DataFrame = {
     val p = persistTracked(df)
     p.count()

@@ -375,18 +375,43 @@ object ScaleSoak {
     sb.append("  (27k distinct shingles, 1.27M inverted-index join rows at sf0.1\n")
     sb.append("  alone — several times the round-6 corpus). Absolute times are NOT\n")
     sb.append("  comparable to round-6 tables; slopes are the durable record.\n")
-    sb.append("- **x02's inverted-index join stays ~linear** (slope 8.1 on 10x\n")
+    sb.append("- **x02's inverted-index join stays ~linear** (slope 6.5 on 10x\n")
     sb.append("  data; output pairs exactly proportional to n: 768/2,560/7,680 at\n")
     sb.append("  x3/x10/x30) — replica salting bounds per-shingle df, so\n")
     sb.append("  sum C(df,2) grows linearly. The df-cap drops nothing here\n")
-    sb.append("  (identical output at cap 50), matching max df 25.\n")
+    sb.append("  (identical output at cap 50), matching max df 25. The round-7\n")
+    sb.append("  eager-fill fix (next bullet) took x02's x30 cold from 13.6 s to\n")
+    sb.append("  9.7 s in this table.\n")
+    sb.append("- **A lazily-persisted relation feeding both sides of a self-join\n")
+    sb.append("  races its own cache fill — found by this soak, fixed in round 7.**\n")
+    sb.append("  The df-capped x02 twin, whose only structural difference at\n")
+    sb.append("  cap ≥ max df is that it materializes the index eagerly, ran 1.4x\n")
+    sb.append("  FASTER than the lazy uncapped path (9.6 vs 13.6 s at x30):\n")
+    sb.append("  concurrent tasks computing the same un-filled cache partition each\n")
+    sb.append("  re-tokenize it (the block store dedupes finished blocks, not\n")
+    sb.append("  in-flight work). ExtCaches.persistEager fills the relation before\n")
+    sb.append("  the join probes it — adopted where the SELF-JOIN dominates the\n")
+    sb.append("  operator (x02, x52, x38; measured at x30: x02 13.6 → 9.7 s,\n")
+    sb.append("  x52 14.3 → 8.0 s, x38 4.1 → 2.6 s, identical outputs). It is NOT a\n")
+    sb.append("  default: a first draft also applied it to x51/x03/x55, and the\n")
+    sb.append("  boiler soak caught x51's b30 cell regressing 41 → 138-184 s and\n")
+    sb.append("  x55's 4 → 9-13.5 s — tools/DiagX51 isolated that EVERY eager\n")
+    sb.append("  variant of x51 runs 69-138 s on b30 against 33-45 s fully lazy\n")
+    sb.append("  (the up-front fills serialize the operator's big materializations\n")
+    sb.append("  ahead of a join that was never its bottleneck). x51/x03/x55 keep\n")
+    sb.append("  lazy persists, with the measurements at each call site.\n")
     sb.append("- **x51's prefix filter does NOT pay on a boilerplate-free corpus**:\n")
     sb.append("  recall-exactness is now confirmed EMPIRICALLY at every scale\n")
     sb.append("  (row counts identical to x02: 768/2,560/7,680), but it costs\n")
-    sb.append("  2.2x x02's wall time at x30 (30.1 s vs 13.6 s) — the global-df\n")
-    sb.append("  aggregate, the per-doc rarity rank window, and the per-candidate\n")
-    sb.append("  array_intersect verification outweigh the pruned join rows when\n")
-    sb.append("  no high-df tail exists. Plain corpora: x02 is the default.\n")
+    sb.append("  ~2.5x x02's wall time at x30 (24.5 s vs 9.7 s in this sweep;\n")
+    sb.append("  25-40 s across repeat sweeps) — the global-df aggregate, the\n")
+    sb.append("  per-doc rarity rank window, and the per-candidate array_intersect\n")
+    sb.append("  verification outweigh the pruned join rows when no high-df tail\n")
+    sb.append("  exists. Round 7 also added PPJoin's length filter to the candidate\n")
+    sb.append("  join (J ≥ t forces t|A| ≤ |B| ≤ |A|/t — recall-exact); it is\n")
+    sb.append("  neutral on this corpus's uniform doc lengths and is the standard\n")
+    sb.append("  prune for heterogeneous real corpora. Plain corpora: x02 is the\n")
+    sb.append("  default.\n")
     sb.append("- **The boilerplate-tail variant (SCALING_BOILER.md) is where the\n")
     sb.append("  guard knobs earn their keep — measured, not assumed.** With 11\n")
     sb.append("  header shingles at df = corpus size: (a) the UNCAPPED join is\n")
@@ -403,12 +428,13 @@ object ScaleSoak {
     sb.append("  accelerator whose recall trade must be measured per corpus\n")
     sb.append("  (20.7% at t=0.5 here).**\n")
     sb.append("- **x05 fixed-geometry banding saturates (r4 finding, stands)**:\n")
-    sb.append("  slope 43 on this corpus — 8 bands x 8 bits is a 256-key space and\n")
-    sb.append("  the geometry is the semantics; kept deliberately as the\n")
-    sb.append("  saturation demonstration. The scale path `x05_sampled_16x16`\n")
-    sb.append("  (oracle-gated) runs slope 3.6 — the 65k-key sampled geometry\n")
-    sb.append("  keeps candidates ~linear; at 100 TB the knob keys off corpus\n")
-    sb.append("  size.\n")
+    sb.append("  95-160 s at x30 across sweeps (slope ~100+) — 8 bands x 8 bits is\n")
+    sb.append("  a 256-key space and the geometry is the semantics; kept\n")
+    sb.append("  deliberately as the saturation demonstration. The scale path\n")
+    sb.append("  `x05_sampled_16x16` (oracle-gated) runs 4-13 s at x30 across\n")
+    sb.append("  sweeps — an order of magnitude below the baseline at every\n")
+    sb.append("  measurement; the 65k-key sampled geometry keeps candidates\n")
+    sb.append("  ~linear, and at 100 TB the knob keys off corpus size.\n")
     sb.append("- x04 SimHash emits 2.07M pairs at x30 on this corpus (short\n")
     sb.append("  shared-vocabulary docs collide within Hamming radius 3); WALL\n")
     sb.append("  time stays ~linear (slope 5.2) because pigeonhole banding bounds\n")
@@ -427,12 +453,20 @@ object ScaleSoak {
     sb.append("  banding — random-pair Jaccard stays ~0.1, so band collision\n")
     sb.append("  probability (J^4 per band) is negligible and candidates track\n")
     sb.append("  true near-dups only.\n")
-    sb.append("- Implementation observation, not an algorithmic claim: the capped\n")
-    sb.append("  x02/x52 twins ran FASTER than their uncapped forms even on the\n")
-    sb.append("  plain corpus where the cap drops nothing (9.6 vs 13.6 s at x30) —\n")
-    sb.append("  the capped path eagerly materializes the semi-joined index, so\n")
-    sb.append("  the self-join probes a cached shuffle-partitioned relation.\n")
-    sb.append("  Worth folding into the uncapped path if it reproduces.\n")
+    sb.append("- **GC/run-order variance protocol note (the † cells).** The\n")
+    sb.append("  cache-heavy pair queries' large-dir cells carry up to 3-5x\n")
+    sb.append("  variance driven by accumulated JVM heap state, not the operator:\n")
+    sb.append("  in the recorded full-family sweep, x51's x10 cell caught a\n")
+    sb.append("  91 s GC-pressured rep (median 57.2 s — higher than its own x30!),\n")
+    sb.append("  while an immediate fresh-JVM re-measure of the same cell gave\n")
+    sb.append("  10.94 s cold / 9.12 s warm with tight reps; the table carries the\n")
+    sb.append("  fresh-JVM number, marked †. Across four independent sweeps this\n")
+    sb.append("  round: x51 x30 ranged 24.5-40 s, x02_dfcap50 x30 9.6-39 s\n")
+    sb.append("  (run-order-dependent), x05_sampled x30 3.8-13.7 s. Treat\n")
+    sb.append("  large-dir cells for this trio as ranges, not points; the\n")
+    sb.append("  cross-sweep LOW end is the operator's steady state (what a real\n")
+    sb.append("  executor with per-stage containers would see), the high end is\n")
+    sb.append("  what a 53 GiB single-JVM soak accumulates by late family order.\n")
     sb.append("- Round-7 optional rows (VERDICT r6 #8), both claims now numbers:\n")
     sb.append("  `x44_shards4096` (4,096 packing shards, 256x the registry's 16) is\n")
     sb.append("  cost-identical to x44 at every scale (~0.2 s flat) — the shard count\n")
