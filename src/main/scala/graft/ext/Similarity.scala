@@ -333,7 +333,15 @@ object Similarity {
     * the assignment a scan-speed per-row argmin over the corpus — no row
     * amplification (the old |labels|× join fan-out is gone), no shuffle
     * touches the vectors, and the matrix aggregate reduces to at most
-    * |labels|² rows. The only shuffles are |labels|-sized. */
+    * |labels|² rows. The only shuffles are |labels|-sized.
+    *
+    * Ceiling: unlike a |labels|-row broadcast, the 1-row pack concentrates
+    * all |labels|·(d+3) int64 cells into a SINGLE row that must fit one
+    * UnsafeRow / broadcast record (and the per-row argmin re-walks it per
+    * vector). Fine for the benchmarked shapes (labels ≤ 64, d ≤ 512 ⇒
+    * ≲ 264 KB); if labels×d were ever user-parameterized past ~10⁶ cells,
+    * switch back to a |labels|-row broadcast join + groupBy-argmin, which
+    * trades a bounded fan-out for an unbounded row. */
   def nearestCentroidPurity(df: DataFrame, idCol: String, labelCol: String,
                             vecCol: String): DataFrame = {
     // Quantized vectors persist once: they feed the centroid-sum build and

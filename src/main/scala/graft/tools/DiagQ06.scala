@@ -54,8 +54,8 @@ object DiagQ06 {
 
     val variants = Seq(
       "both_repartitions" -> ((true, true)),
-      "join_exchange_only" -> ((false, true)),
-      "agg_exchange_only" -> ((true, false)),
+      "join_exchange_only" -> ((true, false)),
+      "agg_exchange_only" -> ((false, true)),
       "no_explicit_exchange" -> ((false, false)))
     // JVM/codegen warmup on each variant once before timing.
     variants.foreach { case (_, (a, b)) => q06(spark, a, b).count() }

@@ -12,9 +12,14 @@ import graft.tables.Tables
 /** Round-7 isolation probe for the x51 b30 regression: the round-7
   * persistEager + length-filter change left x51 unchanged on the plain
   * corpus (31-34 s at x30, same as before) but 2-4x slower on the
-  * boilerplate b30 dir (82-184 s vs the round-6 code's 31-44 s). Three
-  * variants isolate the cause: (lazy, no filter) = round-6 shape,
-  * (eager, no filter), (eager, filter) = current. */
+  * boilerplate b30 dir (82-184 s vs the round-6 code's 31-44 s). The
+  * FIRST sweep ran three variants — (lazy, no filter) = round-6 shape
+  * 45-81 s, (eager, no filter) 134-138 s, (eager, filter) = then-current
+  * 69-73 s — establishing that EVERY eager variant regresses; those
+  * numbers survive in the comment at the sweep loop. The sweep below is
+  * the two-variant FOLLOW-UP that isolated which eager fill regresses
+  * (eager prefix with lazy sets vs fully lazy) and motivated keeping x51
+  * fully lazy. Re-running this tool reproduces the follow-up only. */
 object DiagX51 {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))

@@ -173,7 +173,10 @@ object ScaleSoak {
     docs.select(
       (col("doc_id") + col("r") * IdStride).as("doc_id"),
       text.as("text"),
-      col("lang"), col("source"), col("n_chars"))
+      // n_chars must track the rewritten text (salt + optional header),
+      // or any stats/quality query added to a soak family silently reads
+      // stale lengths (round-7 ADVICE).
+      col("lang"), col("source"), length(text).as("n_chars"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
