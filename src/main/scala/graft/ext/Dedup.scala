@@ -659,6 +659,87 @@ object Dedup {
           " "), 256).as("clean_sha"))
   }
 
+  /** Unaligned repeated-substring dedup — [[blockDedup]]'s (x54) documented
+    * granularity gap, closed. x54 discretizes to aligned w-token blocks, so
+    * a duplicate paragraph at token offset 3 produces NO equal block and
+    * escapes by construction (SubstrDedupSpec pins the counter-case). This
+    * operator slides the w-token window over EVERY offset — the published
+    * ExactSubstr granularity (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22; there via a suffix array, an
+    * equivalent-result global-sort build) — re-expressed as the same
+    * hash-join shape the rest of the family uses:
+    *
+    *   1. windows: one md5 per (doc, offset) — |tokens| rows, the SAME
+    *      explode scale every shingle operator already pays (x02's 3-gram
+    *      index is n−2 rows/doc; this is n−w+1);
+    *   2. canonical first occurrence per window hash (min struct — one
+    *      map-side-combinable groupBy), every LATER occurrence is a
+    *      duplicated window, exactly x54's keep-first rule made
+    *      offset-robust (within-doc repeats count: the second copy of a
+    *      phrase inside one document is dropped too);
+    *   3. per-doc coverage: dropped offsets sort into maximal disjoint
+    *      intervals via one array fold (offsets ascending ⇒ each either
+    *      extends the last interval or opens a new one — O(k) after the
+    *      in-row sort), giving duplicated-token count, maximal-span count,
+    *      and the kept text (tokens outside every interval) in one pass.
+    *
+    * Output per document: n_tokens, n_dup_tokens (positions covered by
+    * some non-canonical window), n_dup_spans (maximal covered runs), and
+    * sha256 of the kept text — the audit digest of the document with its
+    * repeated-elsewhere spans excised (first occurrences keep their text).
+    *
+    * Scale shape: two shuffles (window-hash groupBy + flag-back equi-join,
+    * identical to x54) and one per-doc aggregate whose state is the
+    * dropped-offset list — bounded by tokens-per-doc like every shingle
+    * op. The kept-text filter is O(n·spans) per doc with spans ≤ n/w; for
+    * book-length documents the interval list stays small because merged
+    * spans are ≥ w tokens each. No windows over unreduced input, no
+    * sorts, no all-pairs anything. */
+  def substrDedup(df: DataFrame, idCol: String, textCol: String,
+                  w: Int = 8): DataFrame = {
+    // Persisted barrier: docs feed the window explode AND the final
+    // re-assembly; wins feeds the canonical aggregate AND the flag-back.
+    val docs = ExtCaches.persistTracked(df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("t"))
+      .withColumn("n", size(col("t")).cast(LongType))
+      .filter(col("n") > 0))
+    val wins = ExtCaches.persistTracked(docs.filter(col("n") >= w)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), (col("n") - w).cast("int")),
+          o => md5(concat_ws(" ", slice(col("t"), o + 1, lit(w)))))))
+      .withColumnRenamed("pos", "o")
+      .withColumnRenamed("col", "h"))
+    val canon = wins.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("o"))).as("first"))
+    val dropped = wins.join(canon, Seq("h"))
+      .filter(!(col("id") === col("first.id") && col("o") === col("first.o")))
+      .select(col("id"), col("o").cast(LongType).as("o"))
+    val cov = dropped.groupBy(col("id"))
+      .agg(array_sort(collect_list(col("o"))).as("os"))
+    // Fold the ascending offsets into disjoint [s, e) intervals: an offset
+    // beyond the open interval's end starts a new span; otherwise it
+    // extends it (adjacent o == e is contiguous coverage — same span).
+    val ivType = "array<struct<s:bigint,e:bigint>>"
+    val iv = aggregate(
+      coalesce(col("os"), expr("cast(array() as array<bigint>)")),
+      expr(s"cast(array() as $ivType)"),
+      (acc, o) => when(size(acc) === 0 || o > element_at(acc, -1)("e"),
+          concat(acc, array(struct(o.as("s"), (o + w).as("e")))))
+        .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(element_at(acc, -1)("s").as("s"), (o + w).as("e"))))))
+    docs.join(cov, Seq("id"), "left")
+      .withColumn("iv", iv)
+      .select(col("id").as("doc_id"),
+        col("n").as("n_tokens"),
+        aggregate(col("iv"), lit(0L),
+          (a, i) => a + (i("e") - i("s"))).as("n_dup_tokens"),
+        size(col("iv")).cast(LongType).as("n_dup_spans"),
+        sha2(concat_ws(" ", filter(col("t"),
+          (tok, p) => !exists(col("iv"),
+            i => i("s") <= p.cast(LongType) && p.cast(LongType) < i("e")))),
+          256).as("clean_sha"))
+  }
+
   /** Incremental near-dup dedup of an incoming batch against an ingested
     * base corpus via MinHash+LSH — the nightly-crawl NEAR-dup shape
     * ([[incrementalDedup]] covers the exact/1-perm case): every incoming

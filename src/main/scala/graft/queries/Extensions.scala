@@ -1196,6 +1196,18 @@ object Extensions {
     Dedup.blockDedup(Tables.documents(s, dir), "doc_id", "text", BlockW)
       .orderBy(col("doc_id"))
 
+  // ---- x57: unaligned repeated-substring dedup (ExactSubstr granularity) --
+
+  /** Sliding-window width for x57 — 8 tokens, deliberately ≠ [[BlockW]]:
+    * the two operators are independent granularities (x54 = aligned
+    * blocks, x57 = every offset), and differing widths keep their oracle
+    * CTEs from sharing intermediate shapes by accident. */
+  val SubstrW = 8
+
+  def x57_substr_dedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substrDedup(Tables.documents(s, dir), "doc_id", "text", SubstrW)
+      .orderBy(col("doc_id"))
+
   // ---- x55: incremental near-dup vs ingested base (LSH batch gate) --------
 
   /** Near-dup complement of x33: the incoming batch (the [[BaseFrac]]
@@ -1669,7 +1681,8 @@ object Extensions {
     "x53_cluster_split" -> (x53_cluster_split _),
     "x54_block_dedup" -> (x54_block_dedup _),
     "x55_incremental_lsh" -> (x55_incremental_lsh _),
-    "x56_cluster_purity" -> (x56_cluster_purity _))
+    "x56_cluster_purity" -> (x56_cluster_purity _),
+    "x57_substr_dedup" -> (x57_substr_dedup _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2655,6 +2668,62 @@ object Extensions {
          |       CAST(SUM(CASE WHEN rn = 1 THEN least($BlockW, n - idx*$BlockW) ELSE 0 END) AS BIGINT) AS n_tokens_kept,
          |       sha256(coalesce(string_agg(blk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')) AS clean_sha
          |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x57: the x54 keep-first rule at EVERY offset (ExactSubstr
+    // granularity). rn = 1 under (PARTITION BY window hash ORDER BY
+    // doc_id, o) is the canonical occurrence; a position is duplicated iff
+    // some rn > 1 window covers it; spans = maximal covered runs (lag
+    // gap test ≡ the Spark side's interval fold).
+    "x57_substr_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         |w0 AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, n - $SubstrW + 1), j ->
+         |           md5(array_to_string(list_slice(t, j+1, j+$SubstrW), ' '))) AS hs
+         |  FROM d WHERE n >= $SubstrW),
+         |wins AS (
+         |  SELECT doc_id, unnest(range(0, len(hs))) AS o, unnest(hs) AS h
+         |  FROM w0),
+         |ranked AS (
+         |  SELECT doc_id, o,
+         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, o) AS rn
+         |  FROM wins),
+         |dropped AS (SELECT doc_id, o FROM ranked WHERE rn > 1),
+         |pos AS (
+         |  SELECT doc_id, unnest(range(0, n)) AS p, unnest(t) AS tok FROM d),
+         |cov AS (
+         |  SELECT DISTINCT ps.doc_id, ps.p
+         |  FROM pos ps JOIN dropped dr
+         |    ON ps.doc_id = dr.doc_id
+         |   AND dr.o <= ps.p AND ps.p < dr.o + $SubstrW),
+         |spans AS (
+         |  SELECT doc_id,
+         |         CAST(count(*) AS BIGINT) AS n_cov,
+         |         CAST(count(*) FILTER (WHERE prev IS NULL OR p - prev > 1)
+         |           AS BIGINT) AS n_spans
+         |  FROM (SELECT doc_id, p,
+         |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+         |        FROM cov)
+         |  GROUP BY doc_id),
+         |kept AS (
+         |  SELECT ps.doc_id,
+         |         sha256(coalesce(string_agg(ps.tok, ' ' ORDER BY ps.p)
+         |           FILTER (WHERE c.p IS NULL), '')) AS clean_sha
+         |  FROM pos ps LEFT JOIN cov c
+         |    ON ps.doc_id = c.doc_id AND ps.p = c.p
+         |  GROUP BY ps.doc_id)
+         |SELECT d.doc_id,
+         |       CAST(d.n AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(s.n_cov, 0) AS BIGINT) AS n_dup_tokens,
+         |       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_dup_spans,
+         |       k.clean_sha
+         |FROM d
+         |LEFT JOIN spans s ON d.doc_id = s.doc_id
+         |JOIN kept k ON d.doc_id = k.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // x55: the x03 MinHash→LSH→verify chain with the x33 base/batch
     // hash-split — candidates are batch×base band collisions only.
