@@ -583,6 +583,35 @@ class CdcSpec extends SparkSpec {
     // the diff never emits an unchanged key
     assert(!byType.contains("unchanged"))
   }
+
+  test("applyChanges: insert adds, delete drops, update replaces, absent passes through") {
+    import spark.implicits._
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val cdc = Seq(
+      (4L, "insert", null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(40.0)),
+      (2L, "delete", java.lang.Double.valueOf(20.0), null.asInstanceOf[java.lang.Double]),
+      (3L, "update", java.lang.Double.valueOf(30.0), java.lang.Double.valueOf(35.0)))
+      .toDF("k", "change_type", "old_v", "new_v")
+    val out = graft.ops.Cdc.applyChanges(base, cdc, "k", "v", "new_v")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    assert(out == Map(1L -> 10.0, 3L -> 35.0, 4L -> 40.0))
+  }
+
+  test("x58 round-trip in-engine: apply(v1, x37 diff) equals v2 built directly") {
+    import graft.queries.Extensions
+    import org.apache.spark.sql.functions._
+    val o = graft.tables.Tables.orders(spark, dir)
+    val k = col("o_orderkey")
+    // v2 built directly — the same derivation the DuckDB oracle uses.
+    val v2 = o.filter(graft.ext.Sampling.saltedHashPredicate(k, "b", Extensions.CdcSnapFrac))
+      .select(k, when(
+        graft.ext.Sampling.saltedHashPredicate(k, "u", Extensions.CdcTouchFrac),
+        col("o_totalprice") + Extensions.CdcPriceDelta)
+        .otherwise(col("o_totalprice")).as("price"))
+    val applied = Extensions.x58_cdc_apply(spark, dir)
+    assert(applied.count() == v2.count())
+    assert(applied.except(v2).isEmpty && v2.except(applied).isEmpty)
+  }
 }
 
 /** x44 sequence packing: manifest invariants a loader depends on, checked
