@@ -343,6 +343,19 @@ object Similarity {
     * switch back to a |labels|-row broadcast join + groupBy-argmin, which
     * trades a bounded fan-out for an unbounded row. */
   def nearestCentroidPurity(df: DataFrame, idCol: String, labelCol: String,
+                            vecCol: String): DataFrame =
+    nearestCentroidAssign(df, idCol, labelCol, vecCol)
+      .groupBy(col("label"), col("assigned_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+
+  /** Per-vector nearest-centroid assignment — the factored-out partition
+    * step of [[nearestCentroidPurity]] (see its Scaladoc for the exact
+    * integer-centroid / bit-identical-argmin design): returns one row per
+    * vector, (id, label, v = quantized vector, assigned_label). Shared by
+    * the x56 purity matrix (a |labels|²-bounded aggregate over this) and
+    * the x59 SemDeDup within-cluster prune (a cluster-keyed self-join
+    * over this) — one assignment scan, two consumers. */
+  def nearestCentroidAssign(df: DataFrame, idCol: String, labelCol: String,
                             vecCol: String): DataFrame = {
     // Quantized vectors persist once: they feed the centroid-sum build and
     // the assignment scan (same barrier discipline as withNorm).
@@ -374,7 +387,41 @@ object Similarity {
             - (lit(2.0) * dotQ(col("v"), e("s")).cast(DoubleType))
               / e("n").cast(DoubleType)).as("t"),
           e("c_label").as("c_label")))))
-      .groupBy(col("label"), col("best.c_label").as("assigned_label"))
-      .agg(count(lit(1)).as("n_vecs"))
+      .select(col("id"), col("label"), col("v"),
+        col("best.c_label").as("assigned_label"))
+  }
+
+  /** SemDeDup within-cluster pruning — the published step AFTER
+    * [[nearestCentroidAssign]] (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication":
+    * k-means-cluster the embedding space, then compare pairs ONLY inside
+    * each cluster): exhaustive exact-cosine pairs with the assigned
+    * cluster as the join bucket, cosine ≥ threshold reported. The
+    * complement of the banded x05 path — x05 trades recall for
+    * corpus-wide sub-quadratic cost; this is exact WITHIN the partition
+    * the clustering already paid for, and NEVER corpus×corpus.
+    *
+    * Scale shape: one assignment scan (shared with x56 via
+    * nearestCentroidAssign — same relation, two consumers), then a
+    * cluster-keyed equi self-join: cost ∝ Σ cluster² — at 100 TB the
+    * cluster COUNT is the knob (SemDeDup runs k ≈ 10⁵, holding cluster
+    * sizes to ~10³ regardless of corpus size, so Σ cluster² stays
+    * ~linear); the verify is one codegen'd integer dot per candidate on
+    * the quantized stored vectors. The persisted assignment is the
+    * barrier feeding both sides of the self-join (the x02/x52 lesson). */
+  def semDedupPairs(df: DataFrame, idCol: String, labelCol: String,
+                    vecCol: String, threshold: Double): DataFrame = {
+    val a = ExtCaches.persistTracked(
+      nearestCentroidAssign(df, idCol, labelCol, vecCol)
+        .withColumn("norm_sq", dotQ(col("v"), col("v")))
+        .select(col("id"), col("assigned_label"), col("v"), col("norm_sq")))
+    a.as("x").join(a.as("y"),
+        col("x.assigned_label") === col("y.assigned_label") &&
+          col("x.id") < col("y.id"))
+      .withColumn("cosine", cosineFromParts(dotQ(col("x.v"), col("y.v")),
+        col("x.norm_sq"), col("y.norm_sq")))
+      .filter(col("cosine") >= threshold)
+      .select(col("x.assigned_label").as("cluster"),
+        col("x.id").as("id_a"), col("y.id").as("id_b"), col("cosine"))
   }
 }

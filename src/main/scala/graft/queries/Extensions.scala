@@ -1256,6 +1256,19 @@ object Extensions {
         "label", "embedding")
       .orderBy(col("label"), col("assigned_label"))
 
+  // ---- x59: SemDeDup within-cluster embedding prune ------------------------
+
+  /** Cosine floor for the within-cluster prune — same value as the banded
+    * x05 threshold so the two operators' answer sets are directly
+    * comparable: x59 ⊇ (x05 pairs whose members share a cluster), plus
+    * every within-cluster pair the banding missed. */
+  val SemDedupThreshold = CosineDupThreshold
+
+  def x59_semdedup_prune(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupPairs(Tables.embeddings(s, dir), "vec_id",
+        "label", "embedding", SemDedupThreshold)
+      .orderBy(col("cluster"), col("id_a"), col("id_b"))
+
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 
   def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
@@ -1707,7 +1720,8 @@ object Extensions {
     "x55_incremental_lsh" -> (x55_incremental_lsh _),
     "x56_cluster_purity" -> (x56_cluster_purity _),
     "x57_substr_dedup" -> (x57_substr_dedup _),
-    "x58_cdc_apply" -> (x58_cdc_apply _))
+    "x58_cdc_apply" -> (x58_cdc_apply _),
+    "x59_semdedup_prune" -> (x59_semdedup_prune _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2828,6 +2842,46 @@ object Extensions {
          |FROM assigned WHERE rn = 1
          |GROUP BY 1, 2
          |ORDER BY label, assigned_label""".stripMargin,
+
+    // x59: the x56 assignment chain verbatim down to `assigned rn = 1`,
+    // then an exhaustive exact-cosine self-join keyed on the assigned
+    // cluster — the oracle computes the identical within-cluster
+    // semantics (never corpus-wide).
+    "x59_semdedup_prune" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, CAST(label AS BIGINT) AS label, ${quantSql("embedding")} AS v
+         |  FROM embeddings),
+         |ex AS (
+         |  SELECT label, unnest(range(0, len(v))) AS dim, unnest(v) AS x FROM qv),
+         |sums AS (
+         |  SELECT label AS c_label, dim, SUM(x) AS s, count(*) AS n
+         |  FROM ex GROUP BY 1, 2),
+         |cent AS (
+         |  SELECT c_label, max(n) AS n,
+         |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+         |         list(s ORDER BY dim) AS sl
+         |  FROM sums GROUP BY 1),
+         |scored AS (
+         |  SELECT qv.vec_id, qv.label, cent.c_label,
+         |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+         |           - (2.0 * CAST(${dotSql("qv.v", "cent.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+         |  FROM qv CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, c_label,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
+         |  FROM scored),
+         |a AS (SELECT vec_id, c_label FROM assigned WHERE rn = 1),
+         |n AS (SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+         |pairs AS (
+         |  SELECT x.c_label AS cluster, x.vec_id AS id_a, y.vec_id AS id_b,
+         |         CAST(${dotSql("na.v", "nb.v")} AS DOUBLE)
+         |           / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE))) AS cosine
+         |  FROM a x JOIN a y ON x.c_label = y.c_label AND x.vec_id < y.vec_id
+         |  JOIN n na ON na.vec_id = x.vec_id
+         |  JOIN n nb ON nb.vec_id = y.vec_id)
+         |SELECT cluster, id_a, id_b, cosine FROM pairs
+         |WHERE cosine >= $SemDedupThreshold
+         |ORDER BY cluster, id_a, id_b""".stripMargin,
 
     // x47: the oracle affords the 2080-per-row pair explosion the Spark
     // side refuses; same binary-scale quantization (exact multiply,

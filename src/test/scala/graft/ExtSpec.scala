@@ -307,6 +307,22 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty && lsh.subsetOf(exact), s"lsh=$lsh")
   }
 
+  test("x59 within-cluster prune is exact inside clusters: equals the same-cluster slice of exact all-pairs") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val assign = Similarity.nearestCentroidAssign(e, "vec_id", "label", "embedding")
+      .select("id", "assigned_label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Similarity.cosineAllPairsExact(e, "vec_id", "embedding", 0.4)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val sameCluster = exact.filter { case (a, b) => assign(a) == assign(b) }
+    val sem = Similarity.semDedupPairs(e, "vec_id", "label", "embedding", 0.4)
+      .collect().map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
+    // Exhaustive within the cluster: not just ⊆ exact, but EQUAL to the
+    // same-cluster slice — the recall the banded x05 path cannot promise.
+    assert(sem == sameCluster, s"sem=$sem sameCluster=$sameCluster")
+  }
+
   test("sampled-band LSH: sound (subset of exact), 100% recall on sign-identical vectors") {
     val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // Soundness: candidates are verified exactly, so any geometry's output
