@@ -362,4 +362,76 @@ object TextOps {
       length(scrubbed).cast(LongType).as("n_chars_scrubbed"),
       sha2(scrubbed, 256).as("scrubbed_digest"))
   }
+
+  /** Greedy left-to-right application of ONE BPE merge (a, b) → "a_b" to a
+    * token array: scan the array once, merging every non-overlapping
+    * occurrence of the adjacent pair, leftmost-first — the exact
+    * application step of the BPE training loop (Sennrich et al. ACL'16
+    * §3). A run of identical tokens merges at even offsets ([a,a,a] →
+    * [a_a, a]), which is what leftmost-greedy means; the DuckDB oracle
+    * reproduces the same selection as a gaps-and-islands odd-rank filter.
+    * One array fold per row (`aggregate` with an (out, prev) state): the
+    * appends copy O(n) per step, so the fold is O(n²) per document —
+    * fine for corpus-sized rows; a book-length corpus would promote this
+    * to a codegen Expression like WinnowArray. `a`/`b` are COLUMNS (the
+    * broadcast 1-row merge anchor), so the merge pair never round-trips
+    * through the driver. The "" sentinel is safe as an empty-prev marker
+    * because tokens are non-empty by construction ([a-z0-9]+). */
+  def applyMerge(toks: Column, a: Column, b: Column): Column = {
+    val merged = concat(a, lit("_"), b)
+    val empty = expr("cast(array() as array<string>)")
+    def out(acc: Column) = acc.getField("out")
+    def prev(acc: Column) = acc.getField("prev")
+    def flush(acc: Column) = when(prev(acc) === "", out(acc))
+      .otherwise(concat(out(acc), array(prev(acc))))
+    aggregate(
+      toks,
+      struct(empty.as("out"), lit("").as("prev")),
+      (acc, x) => when(prev(acc) === a && x === b,
+          struct(concat(out(acc), array(merged)).as("out"), lit("").as("prev")))
+        .otherwise(struct(flush(acc).as("out"), x.as("prev"))),
+      acc => flush(acc))
+  }
+
+  /** k rounds of the BPE-trainer outer loop over a document corpus
+    * (x60): each round counts every adjacent pair (x46's statistic),
+    * picks the most frequent (count desc, pair asc — as ONE ungrouped
+    * `min_by` aggregate, so the winner stays a broadcastable 1-row anchor
+    * and never visits the driver), applies it everywhere with
+    * [[applyMerge]], and re-enters. Returns the learned merge table:
+    * (round, pair, n = the pair's count when chosen, n_tokens_after =
+    * corpus tokens after applying it — the row that proves the merge was
+    * APPLIED, not just counted).
+    *
+    * Scale shape per round: one explode + one map-side-combinable pair
+    * count (shuffle carries |distinct pairs|, not occurrences), one
+    * ungrouped aggregate to 1 row, one broadcast crossJoin (the
+    * fleet-gate-sanctioned anchor form), one per-row fold. The re-entered
+    * relation is persisted per round — the same bounded-lineage
+    * discipline as the x20 fixpoint (at k in the thousands, swap the
+    * persist for the fixpoint's per-round localCheckpoint). */
+  def bpeMergeLoop(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    var cur = ExtCaches.persistTracked(docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2))
+    val rounds = (1 to k).map { r =>
+      val top = cur
+        .select(explode(adjacentPairs(col("t"))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .agg(min_by(struct(col("pair"), col("n")),
+          struct((-col("n")).as("nn"), col("pair"))).as("m"))
+        .select(col("m.pair").as("m_pair"), col("m.n").as("m_n"))
+      val a = split(col("m_pair"), " ")(0)
+      val b = split(col("m_pair"), " ")(1)
+      cur = ExtCaches.persistTracked(
+        cur.crossJoin(broadcast(top))
+          .select(col("id"), applyMerge(col("t"), a, b).as("t")))
+      cur.agg(sum(size(col("t"))).cast(LongType).as("n_tokens_after"))
+        .crossJoin(broadcast(top))
+        .select(lit(r.toLong).as("round"), col("m_pair").as("pair"),
+          col("m_n").as("n"), col("n_tokens_after"))
+    }
+    rounds.reduce(_.unionAll(_))
+  }
 }

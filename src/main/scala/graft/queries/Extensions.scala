@@ -1020,6 +1020,17 @@ object Extensions {
       .orderBy(desc("n"), col("pair")).limit(BpeTopPairs)
   }
 
+  // ---- x60: iterated BPE merge loop (k rounds of x46 + application) -------
+
+  /** Merge rounds for x60 — enough to prove the loop (count → pick →
+    * APPLY → re-count) composes: round 2's winner can only exist because
+    * round 1's merge rewrote the corpus. */
+  val BpeRounds = 3
+
+  def x60_bpe_merges(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeMergeLoop(Tables.documents(s, dir), "doc_id", "text", BpeRounds)
+      .orderBy(col("round"))
+
   // ---- x47: exact embedding Gram matrix (PCA / whitening prep) ------------
 
   /** Fixed-point scale for the Gram accumulation: 2^10 (binary, so
@@ -1721,7 +1732,8 @@ object Extensions {
     "x56_cluster_purity" -> (x56_cluster_purity _),
     "x57_substr_dedup" -> (x57_substr_dedup _),
     "x58_cdc_apply" -> (x58_cdc_apply _),
-    "x59_semdedup_prune" -> (x59_semdedup_prune _))
+    "x59_semdedup_prune" -> (x59_semdedup_prune _),
+    "x60_bpe_merges" -> (x60_bpe_merges _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1827,6 +1839,55 @@ object Extensions {
        |  SELECT doc_id, lang, text, n_chars, n_tokens, quality_score
        |  FROM qq
        |  WHERE predicted_lang = '$TargetLang' AND quality_score >= $QualityGate)""".stripMargin
+
+  /** One unrolled round of the x60 BPE loop: count adjacent pairs of
+    * `seqs${r-1}`, pick the winner (count desc, pair asc), apply it
+    * greedily leftmost-first. Greedy non-overlapping selection is the
+    * gaps-and-islands odd-rank filter: consecutive match positions can
+    * only chain when the pair is a token repeated against itself, and
+    * leftmost-greedy takes ranks 1, 3, 5… of each island — provably the
+    * same selection as the Spark side's left-to-right fold
+    * (TextOps.applyMerge). `sel` marks merge starts; a position is
+    * emitted unless it is the SECOND token of a selected merge, and a
+    * selected start emits the fused token. */
+  private def bpeRoundSql(r: Int): String = {
+    val prev = s"seqs${r - 1}"
+    s"""cnt$r AS (
+       |  SELECT t[p] || ' ' || t[p+1] AS pair, count(*) AS n
+       |  FROM $prev, unnest(range(1, len(t))) AS u(p)
+       |  GROUP BY 1),
+       |mt$r AS (
+       |  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
+       |         pair, n
+       |  FROM cnt$r ORDER BY n DESC, pair LIMIT 1),
+       |match$r AS (
+       |  SELECT s.doc_id, p
+       |  FROM $prev s, mt$r m, unnest(range(1, len(s.t))) AS u(p)
+       |  WHERE s.t[p] = m.a AND s.t[p+1] = m.b),
+       |sel$r AS (
+       |  SELECT doc_id, p FROM (
+       |    SELECT doc_id, p,
+       |           row_number() OVER (PARTITION BY doc_id, g ORDER BY p) AS rk
+       |    FROM (SELECT doc_id, p,
+       |                 p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |          FROM match$r))
+       |  WHERE rk % 2 = 1),
+       |seqs$r AS (
+       |  SELECT ps.doc_id,
+       |         list(CASE WHEN s1.p IS NOT NULL THEN m.a || '_' || m.b
+       |                   ELSE ps.tok END ORDER BY ps.p) AS t
+       |  FROM (SELECT doc_id, p, t[p] AS tok
+       |        FROM $prev, unnest(range(1, len(t) + 1)) AS u(p)) ps
+       |  CROSS JOIN mt$r m
+       |  LEFT JOIN sel$r s1 ON ps.doc_id = s1.doc_id AND ps.p = s1.p
+       |  LEFT JOIN sel$r s2 ON ps.doc_id = s2.doc_id AND ps.p = s2.p + 1
+       |  WHERE s2.p IS NULL
+       |  GROUP BY ps.doc_id),
+       |row$r AS (
+       |  SELECT CAST($r AS BIGINT) AS round, m.pair, CAST(m.n AS BIGINT) AS n,
+       |         (SELECT CAST(SUM(len(t)) AS BIGINT) FROM seqs$r) AS n_tokens_after
+       |  FROM mt$r m)""".stripMargin
+  }
 
   /** Fixed-point quantization + exact integer dot product — mirrors
     * Similarity.quantize/dotQ bit-for-bit (×2^20 is a binary scale: the
@@ -2882,6 +2943,20 @@ object Extensions {
          |SELECT cluster, id_a, id_b, cosine FROM pairs
          |WHERE cosine >= $SemDedupThreshold
          |ORDER BY cluster, id_a, id_b""".stripMargin,
+
+    // x60: the x46 statistic iterated with application — k unrolled
+    // rounds, each: count pairs of the PREVIOUS round's rewrite, pick
+    // (n desc, pair asc), apply greedily leftmost (islands odd-rank ≡ the
+    // Spark fold; see bpeRoundSql).
+    "x60_bpe_merges" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |seqs0 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+         |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")}
+         |SELECT round, pair, n, n_tokens_after
+         |FROM (${(1 to BpeRounds).map(r => s"SELECT * FROM row$r").mkString(" UNION ALL ")})
+         |ORDER BY round""".stripMargin,
 
     // x47: the oracle affords the 2080-per-row pair explosion the Spark
     // side refuses; same binary-scale quantization (exact multiply,

@@ -36,6 +36,27 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1).isEmpty && r(2).isEmpty)
   }
 
+  test("applyMerge is greedy leftmost: runs merge at even offsets, no overlap") {
+    val df = Seq("a a a", "x y x y", "a b a").toDF("text")
+      .select(TextOps.applyMerge(TextOps.tokens(col("text")),
+        lit("a"), lit("a")).as("m"))
+    val r = df.collect().map(_.getSeq[String](0))
+    assert(r(0) == Seq("a_a", "a"))     // [a,a,a]: merge (0,1), 2 left over
+    assert(r(1) == Seq("x", "y", "x", "y")) // pair absent → unchanged
+    assert(r(2) == Seq("a", "b", "a"))  // non-adjacent a's untouched
+  }
+
+  test("bpeMergeLoop: round 2's winner exists only because round 1 was APPLIED") {
+    val df = Seq((1L, "b c b c b c")).toDF("doc_id", "text")
+    val rows = TextOps.bpeMergeLoop(df, "doc_id", "text", 2)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("pair"),
+        r.getAs[Long]("n"), r.getAs[Long]("n_tokens_after")))
+    assert(rows(0) == ((1L, "b c", 3L, 3L)))       // [b c b c b c] → [b_c b_c b_c]
+    assert(rows(1) == ((2L, "b_c b_c", 2L, 2L)))   // → [b_c_b_c b_c]
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("qualityScore is in [0,1] and penalizes punctuation") {
     val r = TextOps.qualityScore(
       Seq("the quick brown fox and a dog", "!!!???###").toDF("text"))
