@@ -1110,6 +1110,47 @@ object Extensions {
       .orderBy(col("source"))
   }
 
+  // ---- x61: temperature-sampled mixture (rational-τ generalization of x48)
+
+  /** x48's Scaladoc claims a λ-blend / temperature mixture is "the same
+    * machinery with rational target shares" — x61 proves it with τ = 1/2
+    * (the mT5/XLM-R temperature-sampling family, Xue et al. NAACL'21 /
+    * Conneau et al. ACL'20): per-source keep rate r_i = (min/src)^(1−τ)
+    * = sqrt(min_tokens/src_tokens), so kept token mass ∝ src_tokens^τ —
+    * large sources are damped toward (not onto) the uniform share, the
+    * standard low-resource-upweighting curve. τ→0 recovers x48 exactly.
+    *
+    * Exactness discipline: the square root never gets evaluated — the
+    * accept test is SQUARED into all-integer form, u16²·src_tokens <
+    * 2³²·min_tokens (for general rational τ = a/b the same move gives
+    * u16^b·src^a < 2^(16b)·min^a). The products are DECIMAL(38,0) /
+    * HUGEINT (u16² alone is 2³²; ×src_tokens would overflow int64 past
+    * 2³¹ tokens per source — decimal keeps the 100 TB budget with exact
+    * integer compares, no ulp anywhere). Per-document containment is
+    * provable, not just statistical: u16·src < 2¹⁶·min implies
+    * u16²·src < 2³²·min (multiply by u16 < 2¹⁶), so x48's kept set ⊆
+    * x61's kept set document-by-document — spec-asserted. Scale shape:
+    * identical to x48 (two pruned scans, broadcast weight table, 1-row
+    * min anchor, one summary aggregate). */
+  def x61_source_temperature(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val bySource = ExtCaches.persistTracked(t.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens")))
+    val minTok = bySource.agg(min(col("src_tokens")).as("min_tokens"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val u16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast(LongType).cast(dec)
+    t.join(broadcast(bySource), Seq("source"))
+      .crossJoin(broadcast(minTok)) // 1-row anchor, fleet-gate-bounded
+      .filter(u16 * u16 * col("src_tokens").cast(dec) <
+        lit(4294967296L).cast(dec) * col("min_tokens").cast(dec))
+      .groupBy(col("source"), col("src_tokens"), col("min_tokens"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   // ---- x49: cross-source duplication flow matrix --------------------------
 
   /** WHERE the duplication comes from: the x02 exact near-dup pair graph
@@ -1733,7 +1774,8 @@ object Extensions {
     "x57_substr_dedup" -> (x57_substr_dedup _),
     "x58_cdc_apply" -> (x58_cdc_apply _),
     "x59_semdedup_prune" -> (x59_semdedup_prune _),
-    "x60_bpe_merges" -> (x60_bpe_merges _))
+    "x60_bpe_merges" -> (x60_bpe_merges _),
+    "x61_source_temperature" -> (x61_source_temperature _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2648,6 +2690,30 @@ object Extensions {
         |  WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
         |          * s.src_tokens
         |        < 65536 * m.min_tokens)
+        |SELECT source, src_tokens, min_tokens,
+        |       count(*) AS kept_docs, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+        |FROM kept
+        |GROUP BY source, src_tokens, min_tokens
+        |ORDER BY source""".stripMargin,
+
+    // x61: x48's accept test squared into rational-τ form (τ = 1/2):
+    // u16²·src < 2³²·min in HUGEINT (Spark: DECIMAL(38,0)) — exact
+    // integer compare, the sqrt never evaluated in either engine.
+    "x61_source_temperature" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        |      FROM t GROUP BY source),
+        |m AS (SELECT MIN(src_tokens) AS min_tokens FROM s),
+        |kept AS (
+        |  SELECT t.source, s.src_tokens, m.min_tokens, t.n_tokens
+        |  FROM t JOIN s USING (source), m
+        |  WHERE CAST(CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS HUGEINT)
+        |          * CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |          * s.src_tokens
+        |        < CAST(4294967296 AS HUGEINT) * m.min_tokens)
         |SELECT source, src_tokens, min_tokens,
         |       count(*) AS kept_docs, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
         |FROM kept

@@ -804,6 +804,30 @@ class PairAuditSpec extends SparkSpec {
     assert(flow.forall(r => js.contains(r.getAs[Double]("max_jaccard"))))
   }
 
+  test("x61 temperature mixture dominates x48's τ→0 limit source-by-source") {
+    // Provable containment, not statistics: u16·src < 2^16·min implies
+    // u16²·src < 2^32·min (multiply by u16 < 2^16), so every x48-kept
+    // document is x61-kept and the per-source summaries must dominate.
+    val eq = Extensions.x48_source_equalize(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_tokens")))).toMap
+    val tmp = Extensions.x61_source_temperature(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_tokens"),
+          r.getAs[Long]("src_tokens"), r.getAs[Long]("min_tokens")))).toMap
+    assert(tmp.keySet == eq.keySet)
+    tmp.foreach { case (src, (d1, t1, srcTok, minTok)) =>
+      val (d0, t0) = eq(src)
+      assert(d1 >= d0 && t1 >= t0, s"$src: x61 ($d1,$t1) < x48 ($d0,$t0)")
+      // the smallest source keeps everything under both policies
+      if (srcTok == minTok) assert(d1 == d0 && t1 == t0)
+    }
+    // τ=1/2 actually bites somewhere: at least one source keeps strictly
+    // more than the τ→0 limit and strictly less than everything.
+    assert(tmp.exists { case (src, (d1, _, srcTok, minTok)) =>
+      srcTok != minTok && d1 > eq(src)._1 })
+  }
+
   test("x50 recall audit: sketch ⊆ exact and the subset arithmetic holds") {
     val r = Extensions.x50_sketch_recall(spark, dir).collect()
     assert(r.length == 1)
