@@ -218,8 +218,14 @@ object ScaleSoak {
     // instead of the plain salted corpus. Writes SCALING_BOILER.md.
     val boiler = sys.env.get("SPARK_GRAFT_SOAK_BOILER").contains("1")
     val workDir = args.headOption.getOrElse("/tmp/graft_soak")
+    // A filtered run (SOAK_ONLY / SOAK_DIRS) emits a table carrying only
+    // the filtered cells — default its output AWAY from the full-family
+    // record so a targeted re-soak can never clobber SCALING.md.
+    val filteredRun = sys.env.contains("SPARK_GRAFT_SOAK_ONLY") ||
+      sys.env.contains("SPARK_GRAFT_SOAK_DIRS")
     val outFile = args.lift(1).getOrElse(
-      if (boiler) "SCALING_BOILER.md" else "SCALING.md")
+      if (filteredRun) "/tmp/soak_partial.md"
+      else if (boiler) "SCALING_BOILER.md" else "SCALING.md")
     val baseFamily = if (boiler) BoilerFamily else Family
     // Targeted re-soak: SPARK_GRAFT_SOAK_ONLY=q1,q2 restricts the family
     // (e.g. to soak a newly-added operator plus a control query measured
@@ -237,18 +243,33 @@ object ScaleSoak {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dirs: Seq[(String, String, Int)] =
+    // The x100/b100 decade (round-7 verdict #7: ~500k docs) is NOT part
+    // of the default sweep — the 30x cells are where single-JVM GC
+    // variance lives, so the 100x protocol is one fresh JVM per (query,
+    // dir): `SPARK_GRAFT_SOAK_DIRS=x100 SPARK_GRAFT_SOAK_ONLY=<q>` per
+    // invocation, results hand-merged into SCALING.md's x100 section.
+    val allDirs: Seq[(String, String, Int)] =
       if (boiler) Seq(
         ("b1", s"$workDir/b1", 1),
         ("b3", s"$workDir/b3", 3),
         ("b10", s"$workDir/b10", 10),
-        ("b30", s"$workDir/b30", 30))
+        ("b30", s"$workDir/b30", 30),
+        ("b100", s"$workDir/b100", 100))
       else Seq(
         ("sf0.01", "/root/testdata/sf0.01", 0),
         ("sf0.1", Base, 0),
         ("x3", s"$workDir/x3", 3),
         ("x10", s"$workDir/x10", 10),
-        ("x30", s"$workDir/x30", 30))
+        ("x30", s"$workDir/x30", 30),
+        ("x100", s"$workDir/x100", 100))
+    val dirs: Seq[(String, String, Int)] = sys.env.get("SPARK_GRAFT_SOAK_DIRS") match {
+      case Some(ds) =>
+        val want = ds.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- allDirs.map(_._1).toSet
+        require(unknown.isEmpty, s"unknown soak dirs: $unknown")
+        allDirs.filter(d => want(d._1))
+      case None => allDirs.filterNot(_._3 == 100)
+    }
     dirs.filter(_._3 > 0).foreach { case (_, dir, reps) =>
       println(s"[soak] building $dir (${reps}x sf0.1" +
         (if (boiler) ", boilerplate header" else "") + ")")
