@@ -917,4 +917,71 @@ object Dedup {
         (-col("best.neg_id")).as("rep_doc_id"),
         col("best.score").as("rep_score"))
   }
+
+  /** Edit-distance near-dup pairs: all unordered pairs with character
+    * Levenshtein distance ≤ `k` — the CHAR-granularity member of the
+    * dedup family, catching the typo/OCR/template-variable duplicates
+    * that token-shingle scores dilute (one char flip per line destroys
+    * every containing shingle, but costs only a few edits).
+    *
+    * Candidate generation is the Ed-Join q-gram prefix filter
+    * (Xiao/Wang/Lin VLDB'08, on Gravano et al. VLDB'01's count bound),
+    * re-expressed as the same df→rarity-rank→prefix→equi-join ladder as
+    * [[prefixJaccardPairs]]:
+    *
+    *  - Count bound: one edit rewrites at most `q` of a string's sliding
+    *    q-gram windows, so a gram every one of whose occurrences died
+    *    needs its own window casualty — at most k·q DISTINCT grams of A
+    *    can be absent from B when ED(A,B) ≤ k: |G_A \ G_B| ≤ k·q.
+    *  - Prefix lemma (asymmetric form): among A's (k·q+1) globally
+    *    rarest grams (total order: df asc, gram asc), at least one is in
+    *    G_B — else |G_A \ G_B| ≥ k·q+1. So joining each doc's PREFIX
+    *    grams against the partner's FULL gram set cannot miss a true
+    *    pair, with no prefix-vs-prefix coordination lemma needed.
+    *  - Length filter: ED ≥ abs(|A| − |B|), so the candidate join carries
+    *    abs-length ≤ k — recall-exact, like PPJoin's size filter.
+    *
+    * Verification is exact banded Levenshtein with early exit
+    * (`levenshtein(a, b, k)` returns −1 past the threshold — O(k·n) per
+    * pair, not O(n²)). Candidate cost is Σ_g df_prefix(g)·df_full(g):
+    * the prefix keeps only each doc's rarest grams, so the corpus-wide
+    * stop-gram tail (df ≈ n) never enters the join from the prefix side
+    * — the same survival property the x51 soak measures on the
+    * boilerplate corpus. At 100 TB both index sides are one shuffle on
+    * the gram; the verify join ships only candidate id pairs plus two
+    * text lookups. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, q: Int = 5): DataFrame = {
+    // Texts persist once: they feed the gram explode and both verify
+    // lookups. Docs shorter than q get their whole text as the single
+    // gram (degenerate but total — no doc escapes indexing).
+    val docs = ExtCaches.persistTracked(df.select(col(idCol).as("id"),
+      col(textCol).as("text"), length(col(textCol)).as("len")))
+    val idx = docs.select(col("id"), col("len"),
+      explode(array_distinct(when(col("len") >= q,
+        transform(sequence(lit(0), col("len") - q),
+          i => col("text").substr(i + lit(1), lit(q))))
+        .otherwise(array(col("text"))))).as("gram"))
+    val dfTab = idx.groupBy(col("gram")).agg(count(lit(1)).as("df_count"))
+    val ranked = idx.join(dfTab, Seq("gram"))
+    val byRarity = Window.partitionBy(col("id"))
+      .orderBy(col("df_count"), col("gram"))
+    val prefix = ranked
+      .withColumn("rnk", row_number().over(byRarity))
+      .filter(col("rnk") <= lit(k * q + 1))
+      .select(col("id"), col("len"), col("gram"))
+    val fullIdx = idx.select(col("id"), col("len"), col("gram"))
+    val candidates = prefix.as("a")
+      .join(fullIdx.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id")
+          && abs(col("a.len") - col("b.len")) <= lit(k))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(docs.select(col("id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
+      .withColumn("ed", levenshtein(col("t_a"), col("t_b"), k).cast(LongType))
+      .filter(col("ed") >= 0)
+      .select(col("id_a"), col("id_b"), col("ed"))
+  }
 }

@@ -40,6 +40,12 @@ object Extensions {
     * containment 1.0 by accident, not by duplication). */
   val ContainmentThreshold = 0.8
   val ContainmentMinSmall = 5L
+  // x62: char-Levenshtein near-dup threshold + Ed-Join q-gram width. The
+  // corpus's near-identical pairs sit at ED 4-8 with the next cohort past
+  // 20 (measured at sf0.01), so k=8 captures the true duplicate band
+  // while keeping the prefix (k·q+1 = 41 grams) a fraction of a document.
+  val EditDistK = 8
+  val EditDistQ = 5
   /** x53 split fractions (binary-exact so the md5 cuts are the intended
     * ones on both engines) and the draw's salt. */
   val SplitTrainFrac = 0.75
@@ -1151,6 +1157,25 @@ object Extensions {
       .orderBy(col("source"))
   }
 
+  // ---- x62: edit-distance near-dup pairs (Ed-Join prefix filter) ----------
+
+  /** Char-granularity near-dup join: all pairs at Levenshtein ≤ k — the
+    * typo/OCR/template-variable duplication that shingle scores dilute
+    * (a one-char flip per line destroys every containing shingle but
+    * costs one edit; EditDistSpec pins exactly that counter-case, found
+    * here, invisible to x02 at its threshold). Candidates come from the
+    * Ed-Join q-gram prefix filter (Xiao et al. VLDB'08 — the same
+    * df→rarity-rank→prefix ladder as x51, one column swapped: char
+    * q-grams for token shingles), verification is banded `levenshtein`
+    * with early exit. The ORACLE is the brute-force length-filtered
+    * self-join — it never models the prefix, so the hash match proves
+    * the filter recall-exact, the x51/x20 "two algorithms, one answer"
+    * discipline. */
+  def x62_editdist_pairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
+        k = EditDistK, q = EditDistQ)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ---- x49: cross-source duplication flow matrix --------------------------
 
   /** WHERE the duplication comes from: the x02 exact near-dup pair graph
@@ -1775,7 +1800,8 @@ object Extensions {
     "x58_cdc_apply" -> (x58_cdc_apply _),
     "x59_semdedup_prune" -> (x59_semdedup_prune _),
     "x60_bpe_merges" -> (x60_bpe_merges _),
-    "x61_source_temperature" -> (x61_source_temperature _))
+    "x61_source_temperature" -> (x61_source_temperature _),
+    "x62_editdist_pairs" -> (x62_editdist_pairs _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2719,6 +2745,20 @@ object Extensions {
         |FROM kept
         |GROUP BY source, src_tokens, min_tokens
         |ORDER BY source""".stripMargin,
+
+    // x62: the oracle is the BRUTE-FORCE length-filtered self-join — it
+    // never models the q-gram prefix, so the hash match proves the
+    // Ed-Join candidate filter recall-exact (the x51 oracle discipline).
+    // levenshtein() agrees between engines on ascii text; the length
+    // filter ED ≥ abs(|a|−|b|) is part of the operator's contract.
+    "x62_editdist_pairs" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS ed
+         |FROM d a
+         |JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= $EditDistK
+         |WHERE levenshtein(a.text, b.text) <= $EditDistK
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // x49: the x02 pair CTE re-aggregated to a source×source flow matrix;
     // integer counts/sums, max over identically-computed doubles — exact.

@@ -937,3 +937,49 @@ class CurationSpec extends SparkSpec {
     assert(counts("train") > counts("val") && counts("train") > counts("test"))
   }
 }
+
+/** x62 edit-distance near-dup join: the Ed-Join prefix filter's recall
+  * proof in-engine, plus the counter-case that motivates the operator —
+  * scattered single-char edits that shingle Jaccard cannot see. */
+class EditDistSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scattered char flips: found by x62, invisible to x02's Jaccard") {
+    // 30 tokens; flip ONE char in every 4th token (i = 4,8,…,28 → 7
+    // edits). Each edited token kills its 3 containing shingles — 21 of
+    // 28 destroyed, J = 7/49 ≈ 0.14, far under the 0.5 gate — while
+    // ED = 7 sits inside x62's threshold.
+    val base = (1 to 30).map(i => f"tok$i%02d").mkString(" ")
+    val edited = (1 to 30).map { i =>
+      val t = f"tok$i%02d"
+      if (i % 4 == 0) t.updated(0, 'x') else t
+    }.mkString(" ")
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ed = Dedup.editDistancePairs(docs, "doc_id", "text", k = 8, q = 5)
+      .collect()
+    assert(ed.length == 1)
+    assert(ed(0).getAs[Long]("id_a") == 1L && ed(0).getAs[Long]("id_b") == 2L)
+    assert(ed(0).getAs[Long]("ed") == 7L)
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      w = 3, threshold = 0.5)
+    assert(jac.count() == 0L, "shingle Jaccard misses the scattered-edit dup")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("prefix filter is recall-exact vs in-engine brute force (sf0.001)") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), length(col("text")).as("l"))
+    val brute = docs.as("a").join(docs.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.l") - col("b.l")) <= 8)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("ed"))
+      .filter(col("ed") <= 8)
+    val fast = Dedup.editDistancePairs(docs, "doc_id", "text", k = 8, q = 5)
+    assert(fast.exceptAll(brute).count() == 0L, "x62 emits a false pair")
+    assert(brute.exceptAll(fast).count() == 0L, "x62 missed a true pair")
+    // the early-exit threshold form still reports the TRUE distance
+    assert(fast.filter(col("ed") < 0 || col("ed") > 8).count() == 0L)
+    graft.ext.ExtCaches.clearCaches()
+  }
+}
