@@ -424,4 +424,103 @@ object Similarity {
       .select(col("x.assigned_label").as("cluster"),
         col("x.id").as("id_a"), col("y.id").as("id_b"), col("cosine"))
   }
+
+  // ---- SQ8 scalar quantization (FAISS-style compressed index) -----------
+
+  /** Per-dimension SQ8 scales: max |x_d| over the corpus, as ONE row
+    * holding the d-length scale array — learned statistics in the same
+    * 1-row collect_list anchor form as nearestCentroidAssign's centroid
+    * pack (gate-clean: the broadcast side is an ungrouped aggregate).
+    * One posexplode scan + a d-row (dim) aggregate; d is a constant. */
+  def sq8Scales(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(max(abs(col("x").cast(DoubleType))).as("m"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(transform(col("dm"), s => s.getField("m")).as("scales"))
+
+  /** SQ8 codes: c_d = floor(127·x_d / s_d) ∈ [−127, 127] — the FAISS
+    * SQuantizer8 shape (Johnson/Douze/Jégou, IEEE TBD'19): a
+    * data-dependent per-dimension affine map to int8, 4× smaller than
+    * the float it replaces and 8× smaller than the exact kernel's
+    * fixed-point longs — at 100 TB the stored ANN index shrinks by that
+    * factor and the scan becomes int8-SIMD-bound. Determinism: x is an
+    * exact float→double widening, s_d the max of such doubles, and
+    * (127·x)/s one IEEE multiply+divide both engines order identically;
+    * floor is exact — no round-half tie can differ. A dead dimension
+    * (s_d = 0) codes to 0. */
+  def sq8Codes(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scales = sq8Scales(df, vecCol)
+    df.crossJoin(broadcast(scales)) // 1-row anchor, fleet-gate-bounded
+      .select(col(idCol).as("id"),
+        zip_with(col(vecCol), col("scales"), (x, m) =>
+          when(m > lit(0.0),
+            floor(lit(127.0) * x.cast(DoubleType) / m).cast(LongType))
+            .otherwise(lit(0L))).as("code"))
+  }
+
+  /** IVF×SQ8 ANN: the production FAISS composition — a coarse sign
+    * bucket partitions the corpus (x07's IVF trade: recall loss at
+    * bucket borders for a |buckets|× cost cut), and ranking inside the
+    * probed bucket is the exact INTEGER dot product of SQ8 codes
+    * (order-proof, oracle-portable). vs x07, the scanned payload is 8-bit
+    * codes instead of 21-bit fixed-point — the memory/bandwidth trade
+    * sq8Recall (x64) prices in recall. Bucket key is computed FROM the
+    * codes so corpus and queries bucket identically and the join stays a
+    * broadcast equi-join on the bucket string. */
+  def ivfSq8TopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+                 vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+    val coded = ExtCaches.persistTracked(
+      sq8Codes(corpus, idCol, vecCol)
+        .withColumn("bucket", signBucket(col("code"), bits)))
+    val q = coded.join(broadcast(queryIds.select(col(idCol).as("id"))), Seq("id"))
+      .select(col("id").as("q_id"), col("code").as("q_code"), col("bucket"))
+    val scored = coded.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("dot_q8", dotQ(col("q_code"), col("code")))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("dot_q8"), col("id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("bucket"), col("id").as("c_id"),
+        col("dot_q8"), col("rnk"))
+  }
+
+  /** SQ8 ranking-fidelity audit: over IDENTICAL candidate sets (the same
+    * sign-bucket mates), rank once by the integer SQ8 dot and once by
+    * the exact fixed-point cosine, and count per query how many of the
+    * exact top-k the compressed ranking keeps. Holding the candidate set
+    * fixed isolates PURE quantization loss — bucket-boundary loss is
+    * already priced separately by x07-vs-x06. The x50 sketch-recall
+    * discipline applied to the vector index: compression is admissible
+    * only with its measured recall attached. One bucket equi-join, one
+    * shuffle on q_id for both rank windows, |queries| output rows. */
+  def sq8Recall(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+                vecCol: String, k: Int, bits: Int = 4): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val rel = ExtCaches.persistTracked(
+      base.join(sq8Codes(base, "id", "v"), Seq("id"))
+        .withColumn("vq", quantize(col("v")))
+        .withColumn("norm", dotQ(col("vq"), col("vq")))
+        .withColumn("bucket", signBucket(col("code"), bits))
+        .select(col("id"), col("code"), col("vq"), col("norm"), col("bucket")))
+    val q = rel.join(broadcast(queryIds.select(col(idCol).as("id"))), Seq("id"))
+      .select(col("id").as("q_id"), col("code").as("q_code"),
+        col("vq").as("q_vq"), col("norm").as("q_norm"), col("bucket"))
+    val scored = rel.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("dot_q8", dotQ(col("q_code"), col("code")))
+      .withColumn("cosine", cosineFromParts(dotQ(col("q_vq"), col("vq")),
+        col("q_norm"), col("norm")))
+    val w8 = Window.partitionBy(col("q_id")).orderBy(desc("dot_q8"), col("id"))
+    val wx = Window.partitionBy(col("q_id")).orderBy(desc("cosine"), col("id"))
+    scored
+      .withColumn("rnk8", row_number().over(w8))
+      .withColumn("rnkx", row_number().over(wx))
+      .groupBy(col("q_id"))
+      .agg(sum(when(col("rnk8") <= k && col("rnkx") <= k, lit(1L))
+        .otherwise(lit(0L))).as("n_hits"))
+      .withColumn("recall_at_k",
+        col("n_hits").cast(DoubleType) / lit(k.toDouble))
+      .select(col("q_id"), col("n_hits"), col("recall_at_k"))
+  }
 }

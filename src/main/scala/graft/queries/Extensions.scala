@@ -1176,6 +1176,35 @@ object Extensions {
         k = EditDistK, q = EditDistQ)
       .orderBy(col("id_a"), col("id_b"))
 
+  // ---- x63/x64: SQ8 compressed ANN + its recall price ---------------------
+
+  /** IVF×SQ8 top-k — the production FAISS composition (coarse bucket ×
+    * 8-bit scalar codes): the stored ANN payload drops from 21-bit
+    * fixed-point longs to int8, the scan goes bandwidth-bound, and
+    * ranking stays EXACT integer arithmetic (the SQ8 dot is
+    * order-proof, so the oracle reproduces it bit-for-bit). Same bucket
+    * equi-join shape as x07; the scales are learned corpus statistics
+    * carried as a 1-row broadcast anchor (x56's collect_list form). */
+  def x63_sim_topk_ivfsq8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < QuerySetSize),
+        "vec_id", "embedding", k = 3, bits = 4)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The x50 discipline applied to the compressed vector index:
+    * compression is admissible only with its measured recall attached.
+    * Over IDENTICAL bucket-mate candidate sets, rank by SQ8 integer dot
+    * and by exact fixed-point cosine; per query, count how many exact
+    * top-k survive in the compressed top-k (bucket-border loss is x07's
+    * number; this isolates pure quantization loss). */
+  def x64_sq8_recall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.sq8Recall(e, e.filter(col("vec_id") < QuerySetSize),
+        "vec_id", "embedding", k = 3, bits = 4)
+      .orderBy(col("q_id"))
+  }
+
   // ---- x49: cross-source duplication flow matrix --------------------------
 
   /** WHERE the duplication comes from: the x02 exact near-dup pair graph
@@ -1426,12 +1455,15 @@ object Extensions {
     * processes oldest-first). Single-file tables stage as one link; dir
     * tables link every contained parquet file. */
   private def stageEventsLanding(dir: String,
-                                 landing: java.nio.file.Path): Unit = {
+                                 landing: java.nio.file.Path,
+                                 tag: String = "events"): Unit = {
     import java.nio.file.{Files, Paths}
     Files.createDirectories(landing)
     // Absolute target, or a relative `dir` yields symlinks that resolve
     // against the LANDING dir (dangling) — batch reads tolerate relative
     // paths (resolved against cwd), the staged stream must too.
+    // `tag` names the link files — a second staging wave under a distinct
+    // tag re-delivers the same data without colliding (x65's replay).
     val src = Paths.get(dir, "events.parquet").toAbsolutePath.normalize()
     if (Files.isDirectory(src)) {
       val listing = Files.list(src)
@@ -1442,13 +1474,13 @@ object Extensions {
           val f = it.next()
           if (f.getFileName.toString.endsWith(".parquet")) {
             Files.createSymbolicLink(
-              landing.resolve(f"events-$i%05d.parquet"), f)
+              landing.resolve(f"$tag%s-$i%05d.parquet"), f)
             i += 1
           }
         }
       } finally listing.close()
     } else {
-      Files.createSymbolicLink(landing.resolve("events-00000.parquet"), src)
+      Files.createSymbolicLink(landing.resolve(s"$tag-00000.parquet"), src)
     }
   }
 
@@ -1579,6 +1611,60 @@ object Extensions {
     * the final watermark decades past the data — every real session
     * closes, the sentinel's never does. ~60 years in days. */
   val ReplayLateness = "21900 days"
+
+  // ---- x65: streaming exact dedup under at-least-once redelivery ----------
+
+  /** The ingest half of x01 run as a STREAM: the events table is staged
+    * into the landing directory TWICE (two symlink waves — a replayed
+    * ingest, the at-least-once redelivery failure mode every 100 TB
+    * pipeline must absorb), and
+    * `dropDuplicatesWithinWatermark("event_id")`
+    * ([[EventStreams.dedupedEvents]]) collapses the redelivery back to
+    * exactly-once out of keyed state, across micro-batch boundaries
+    * (`maxFilesPerTrigger=1` forces the two copies of every row into
+    * DIFFERENT batches). The oracle aggregates the PLAIN single-copy
+    * table: the stream saw every row twice, so a dedup that leaked even
+    * one key would double a count and hash-mismatch — the
+    * streaming-mode-oracle discipline of x12/x13 applied to the one
+    * stateful streaming API the family had only spec'd
+    * (StreamingSpec:213). Redelivered rows are byte-identical here, so
+    * "keep first arrival" is deterministic as a SET whatever the file
+    * interleaving. Watermark horizon = [[ReplayLateness]]: within a
+    * replay nothing may expire mid-run (state stays keyed on every id);
+    * production sets it to the redelivery SLA and state size becomes
+    * |keys within horizon| — that knob, not corpus size, bounds memory.
+    * Sink: per-batch overwrite dirs (x13's at-least-once discipline). */
+  def x65_stream_dedup_replay(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val tmp = streamTmpDir("graft_x65_stream_")
+    val out = tmp.resolve("out").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val landing = tmp.resolve("landing")
+    stageEventsLanding(dir, landing)
+    stageEventsLanding(dir, landing, tag = "events-redeliver")
+    val raw = s.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landing.toString)
+    val ev = Tables.surfaceEventTs(raw)
+    val q = EventStreams.dedupedEvents(ev, ReplayLateness)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(DoubleType).as("total_value"))
+      .orderBy(col("event_type"))
+  }
 
   // ---- x15: as-of join — click→purchase attribution ----------------------
 
@@ -1801,7 +1887,10 @@ object Extensions {
     "x59_semdedup_prune" -> (x59_semdedup_prune _),
     "x60_bpe_merges" -> (x60_bpe_merges _),
     "x61_source_temperature" -> (x61_source_temperature _),
-    "x62_editdist_pairs" -> (x62_editdist_pairs _))
+    "x62_editdist_pairs" -> (x62_editdist_pairs _),
+    "x63_sim_topk_ivfsq8" -> (x63_sim_topk_ivfsq8 _),
+    "x64_sq8_recall" -> (x64_sq8_recall _),
+    "x65_stream_dedup_replay" -> (x65_stream_dedup_replay _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -1967,6 +2056,33 @@ object Extensions {
   private def dotSql(a: String, b: String): String =
     s"""CAST(list_sum(list_transform(list_zip($a, $b),
        |  p -> p[1] * p[2])) AS BIGINT)""".stripMargin
+
+  /** SQ8 scales + codes + 4-bit sign bucket — mirrors
+    * Similarity.sq8Scales/sq8Codes/signBucket bit-for-bit: scales are
+    * maxima of exact float→double widenings, (127·x)/s is one multiply +
+    * one divide both engines associate identically, and floor is exact —
+    * no round-half tie exists to differ. Dead dims (s = 0) code to 0. */
+  private def sq8CodesCte: String =
+    s"""mx AS (
+       |  SELECT dim, MAX(ABS(x)) AS m FROM (
+       |    SELECT generate_subscripts(embedding, 1) AS dim,
+       |           CAST(unnest(embedding) AS DOUBLE) AS x
+       |    FROM embeddings) GROUP BY dim),
+       |ma AS (SELECT list(m ORDER BY dim) AS scales FROM mx),
+       |codes AS (
+       |  SELECT vec_id,
+       |         list_transform(range(1, ${EmbeddingDims + 1}), i ->
+       |           CASE WHEN scales[i] > 0
+       |                THEN CAST(floor(127 * CAST(embedding[i] AS DOUBLE) / scales[i]) AS BIGINT)
+       |                ELSE 0 END) AS code
+       |  FROM embeddings, ma),
+       |cb AS (
+       |  SELECT vec_id, code,
+       |         (CASE WHEN code[1] >= 0 THEN '1' ELSE '0' END ||
+       |          CASE WHEN code[2] >= 0 THEN '1' ELSE '0' END ||
+       |          CASE WHEN code[3] >= 0 THEN '1' ELSE '0' END ||
+       |          CASE WHEN code[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+       |  FROM codes)""".stripMargin
 
   /** LSH band key for band `j` over the quantized vector `v` — mirrors
     * Similarity.bandKeys: sign bits of components [j·r+1 .. j·r+r] packed
@@ -2759,6 +2875,60 @@ object Extensions {
          |JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= $EditDistK
          |WHERE levenshtein(a.text, b.text) <= $EditDistK
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // x63: the SQ8 code CTE is shared with x64 (one spelling, no drift);
+    // ranking is an all-integer dot of codes, so the compare is exact.
+    "x63_sim_topk_ivfsq8" ->
+      s"""WITH $sq8CodesCte,
+         |q AS (SELECT vec_id AS q_id, code AS q_code, bucket FROM cb
+         |      WHERE vec_id < $QuerySetSize),
+         |scored AS (
+         |  SELECT q_id, q.bucket AS bucket, c.vec_id AS c_id,
+         |         ${dotSql("q_code", "c.code")} AS dot_q8
+         |  FROM q JOIN cb c ON q.bucket = c.bucket AND c.vec_id <> q_id),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT q_id, bucket, c_id, dot_q8, rnk FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    // x64: both rankings over the SAME bucket-mate candidates — the
+    // doubles (cosine, recall) are computed from identical integers by
+    // identical single expressions, so they hash-match.
+    "x64_sq8_recall" ->
+      s"""WITH $sq8CodesCte,
+         |n AS (
+         |  SELECT vec_id, code, bucket, ${quantSql("embedding")} AS vq
+         |  FROM cb JOIN embeddings USING (vec_id)),
+         |n2 AS (SELECT vec_id, code, bucket, vq, ${dotSql("vq", "vq")} AS norm FROM n),
+         |q AS (SELECT vec_id AS q_id, code AS q_code, vq AS q_vq,
+         |             norm AS qn, bucket
+         |      FROM n2 WHERE vec_id < $QuerySetSize),
+         |scored AS (
+         |  SELECT q_id, c.vec_id AS c_id,
+         |         ${dotSql("q_code", "c.code")} AS dot_q8,
+         |         CAST(${dotSql("q_vq", "c.vq")} AS DOUBLE)
+         |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.norm AS DOUBLE))) AS cosine
+         |  FROM q JOIN n2 c ON q.bucket = c.bucket AND c.vec_id <> q_id),
+         |rr AS (
+         |  SELECT q_id,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS rnk8,
+         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnkx
+         |  FROM scored)
+         |SELECT q_id,
+         |       CAST(SUM(CASE WHEN rnk8 <= 3 AND rnkx <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |       CAST(SUM(CASE WHEN rnk8 <= 3 AND rnkx <= 3 THEN 1 ELSE 0 END) AS DOUBLE) / 3.0 AS recall_at_k
+         |FROM rr GROUP BY q_id
+         |ORDER BY q_id""".stripMargin,
+
+    // x65: the oracle aggregates the PLAIN single-copy events table —
+    // the stream ingested every row TWICE, so equality here is the
+    // exactly-once claim itself (a leaked key doubles a count).
+    "x65_stream_dedup_replay" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // x49: the x02 pair CTE re-aggregated to a source×source flow matrix;
     // integer counts/sums, max over identically-computed doubles — exact.

@@ -983,3 +983,57 @@ class EditDistSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 }
+
+/** x63/x64 SQ8 scalar quantization: code semantics pinned on constructed
+  * vectors, audit invariants at sf0.001. */
+class Sq8Spec extends SparkSpec {
+  import spark.implicits._
+  import graft.queries.Extensions
+
+  test("sq8Codes: full-scale hits ±127, floor truncates, dead dim codes 0") {
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.0f)),
+      (2L, Array(0.5f, 1.0f, 0.0f))).toDF("id", "vec")
+    // scales = max|x| per dim = [1.0, 2.0, 0.0]
+    val codes = Similarity.sq8Codes(df, "id", "vec")
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(codes(0) == Seq(127L, -127L, 0L))
+    // floor(127·0.5/1)=63, floor(127·1/2)=floor(63.5)=63, dead dim → 0
+    assert(codes(1) == Seq(63L, 63L, 0L))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("x64 audit: one row per query, n_hits ≤ k, recall = n_hits/k") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Extensions.x64_sq8_recall(spark, dir).collect()
+    assert(r.length == Extensions.QuerySetSize)
+    r.foreach { row =>
+      val hits = row.getAs[Long]("n_hits")
+      assert(hits >= 0L && hits <= 3L)
+      assert(row.getAs[Double]("recall_at_k") == hits / 3.0)
+    }
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("x63 top-k agrees with brute-force integer-dot ranking in-bucket") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val fast = Extensions.x63_sim_topk_ivfsq8(spark, dir)
+    // brute re-rank: same codes, same buckets, rank via exceptAll proof
+    val coded = Similarity.sq8Codes(e, "vec_id", "embedding")
+      .withColumn("bucket", Similarity.signBucket(col("code"), 4))
+    val q = coded.filter(col("id") < Extensions.QuerySetSize)
+      .select(col("id").as("q_id"), col("code").as("qc"), col("bucket"))
+    val brute = coded.join(q, Seq("bucket"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("bucket"), col("id").as("c_id"),
+        Similarity.dotQ(col("qc"), col("code")).as("dot_q8"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("dot_q8"), col("c_id"))
+    val top = brute.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+    assert(fast.exceptAll(top).count() == 0L)
+    assert(top.exceptAll(fast).count() == 0L)
+    graft.ext.ExtCaches.clearCaches()
+  }
+}

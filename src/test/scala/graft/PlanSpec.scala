@@ -320,7 +320,8 @@ class PlanSpec extends SparkSpec {
     // execution. Their plan-shape guarantees live in the batch twins
     // (same transform fn) and StreamingSpec.
     val eagerStreamTwins =
-      Set("x12_events_tumbling_stream", "x13_events_sessions_stream")
+      Set("x12_events_tumbling_stream", "x13_events_sessions_stream",
+        "x65_stream_dedup_replay")
 
     val violations = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eagerStreamTwins.contains(name) }

@@ -389,3 +389,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 }
+
+/** x65 end-to-end: the doubled-landing replay really converges to the
+  * single-copy batch aggregate (the oracle identity, proven in-engine at
+  * sf0.001 so the gate doesn't depend on DuckDB availability). */
+class StreamDedupReplaySpec extends SparkSpec {
+  test("x65 replayed-twice ingest equals the single-copy batch aggregate") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val streamed = graft.queries.Extensions.x65_stream_dedup_replay(spark, dir)
+    val batch = graft.tables.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+      .orderBy(col("event_type"))
+    assert(streamed.exceptAll(batch).count() == 0L)
+    assert(batch.exceptAll(streamed).count() == 0L)
+    assert(batch.count() > 0L)
+  }
+}
