@@ -74,7 +74,13 @@ object ScaleSoak {
     "x55_incremental_lsh", "x02_dfcap50", "x52_dfcap50",
     // round-7 optional rows (VERDICT r6 #8): the packing shard-count knob
     // and the Gram fixed-buffer claim at production dimensionality
-    "x44_shards4096", "x47_gram_d512")
+    "x44_shards4096", "x47_gram_d512",
+    // round-8 addition: edit-distance pairs — the Ed-Join prefix join is
+    // Σ df_prefix·df_full work over char q-grams; replica salting bounds
+    // gram df exactly as it bounds shingle df, so growth should be
+    // ~linear here (the REGISTRY corpus's shared vocabulary is the
+    // df-grows-with-corpus regime, like the boilerplate tail for x02)
+    "x62_editdist_pairs")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -376,7 +382,12 @@ object ScaleSoak {
       sb.append("x02/x52 joins are not run here: their exact join size\n")
       sb.append("(sum of C(df,2), printed as `[boiler-stats]` by the tool) is\n")
       sb.append("quadratic in the corpus — the capped/prefix variants are the\n")
-      sb.append("operators under test. See SCALING.md for the analysis.\n\n")
+      sb.append("operators under test. See SCALING.md for the analysis, including\n")
+      sb.append("the round-8 b100 fresh-JVM cells (one JVM per cell): analytic\n")
+      sb.append("uncapped join 1.375e12 rows (quadratic), x02+cap50 62.6 s /\n")
+      sb.append("20,300 rows (linear, -20.7% recall), x52+cap50 28.8 s / 14,300\n")
+      sb.append("(linear), x55 8.5 s, x51 444.4 s returning the COMPLETE 25,600 —\n")
+      sb.append("exactness costs 7.1x the capped run at b100.\n\n")
     } else {
     sb.append("# SCALING — dedup/CC/decontamination family soak\n\n")
     sb.append(s"Generated by `graft.tools.ScaleSoak` (local[32], cold = MEDIAN of\n")
@@ -501,6 +512,35 @@ object ScaleSoak {
     sb.append("  partition instead of 131k exploded rows PER VECTOR, and the aggregate\n")
     sb.append("  stays scan-bound — 0.43 s -> 1.18 s for 10x data (slope 2.7), output\n")
     sb.append("  constant-size at every scale.\n")
+    sb.append("- **x100 decade (round 8, fresh-JVM protocol — one JVM per CELL).**\n")
+    sb.append("  The round-7 verdict's ask: the 30x cells are where single-JVM GC\n")
+    sb.append("  variance lives, so the 100x sweep (500k docs / 200k embeddings)\n")
+    sb.append("  ran each cell in its own sbt/Spark JVM (SPARK_GRAFT_SOAK_DIRS=x100,\n")
+    sb.append("  one SOAK_ONLY batch per invocation), cold = median of 3 fully-cold\n")
+    sb.append("  reps inside that JVM. Plain corpus: x02 40.5 s (reps\n")
+    sb.append("  136.9/40.5/21.8; 25,600 pairs = exactly 100x the per-replica 256 —\n")
+    sb.append("  output still perfectly linear; slope x100/x10 = 11.0 on 10x data),\n")
+    sb.append("  x55 9.8 s (slope 3.9 — sub-linear, banding carries it), x03 49.2 s\n")
+    sb.append("  cold / 11.1 s warm (the cold median pays the 500k-row signature +\n")
+    sb.append("  index build; the probe itself stays near-linear — geometry and\n")
+    sb.append("  hotBucketCap are the knobs), x51 242.9 s (reps 409.9/242.9/170.0;\n")
+    sb.append("  rows IDENTICAL to x02 — recall-exact one decade harder — but the\n")
+    sb.append("  cost gap vs x02 widens from 2.5x at x30 to 6.0x at x100: on a\n")
+    sb.append("  measured boilerplate-FREE corpus, x02 is the default and x51's\n")
+    sb.append("  insurance premium GROWS with scale). First reps in every fresh JVM\n")
+    sb.append("  run 2-8x the third (JIT + page cache); the median absorbs it, and\n")
+    sb.append("  the rep-2/3 cross-JVM agreement is the stability the 30x dagger\n")
+    sb.append("  cells lacked. Boiler b100 (same protocol; analytic uncapped join =\n")
+    sb.append("  1.375e12 rows — 11.1x for 3.33x data, quadratic as computed):\n")
+    sb.append("  x02+cap50 62.6 s / 20,300 rows (exactly 3.33x b30 — linear, still\n")
+    sb.append("  -20.7% of true pairs), x52+cap50 28.8 s / 14,300 rows (linear),\n")
+    sb.append("  x55 8.5 s (the header still doesn't degrade banding), x51 444.4 s\n")
+    sb.append("  (reps 621.3/444.4/360.6) returning the COMPLETE 25,600 — at b100\n")
+    sb.append("  the only exact option costs 7.1x the capped run; slope b100/b10 =\n")
+    sb.append("  27.3 says x51's constant bends past linear at the decade, so the\n")
+    sb.append("  100 TB policy gains a rider: where the tail exists AND the recall\n")
+    sb.append("  trade is measured acceptable, cap; x51 is the exactness backstop,\n")
+    sb.append("  priced here.\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")
