@@ -416,22 +416,48 @@ object TextOps {
       .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2))
     val rounds = (1 to k).map { r =>
-      val top = cur
-        .select(explode(adjacentPairs(col("t"))).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-        .agg(min_by(struct(col("pair"), col("n")),
-          struct((-col("n")).as("nn"), col("pair"))).as("m"))
-        .select(col("m.pair").as("m_pair"), col("m.n").as("m_n"))
-      val a = split(col("m_pair"), " ")(0)
-      val b = split(col("m_pair"), " ")(1)
-      cur = ExtCaches.persistTracked(
-        cur.crossJoin(broadcast(top))
-          .select(col("id"), applyMerge(col("t"), a, b).as("t")))
+      val top = topPair(cur)
+      cur = ExtCaches.persistTracked(applyTopMerge(cur, top))
       cur.agg(sum(size(col("t"))).cast(LongType).as("n_tokens_after"))
         .crossJoin(broadcast(top))
         .select(lit(r.toLong).as("round"), col("m_pair").as("pair"),
           col("m_n").as("n"), col("n_tokens_after"))
     }
     rounds.reduce(_.unionAll(_))
+  }
+
+  /** This round's winning merge as a 1-row anchor: most frequent
+    * adjacent pair, count desc / pair asc, chosen by one ungrouped
+    * `min_by` — shared by [[bpeMergeLoop]] (the trainer) and
+    * [[bpeEncode]] (the tokenizer), ONE spelling of the tie-break. */
+  private def topPair(cur: DataFrame): DataFrame = cur
+    .select(explode(adjacentPairs(col("t"))).as("pair"))
+    .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    .agg(min_by(struct(col("pair"), col("n")),
+      struct((-col("n")).as("nn"), col("pair"))).as("m"))
+    .select(col("m.pair").as("m_pair"), col("m.n").as("m_n"))
+
+  private def applyTopMerge(cur: DataFrame, top: DataFrame): DataFrame = {
+    val a = split(col("m_pair"), " ")(0)
+    val b = split(col("m_pair"), " ")(1)
+    cur.crossJoin(broadcast(top))
+      .select(col("id"), applyMerge(col("t"), a, b).as("t"))
+  }
+
+  /** The corpus ENCODED by k BPE merge rounds — x60's loop returning the
+    * sequences instead of the merge table: the tokenizer-apply half of
+    * train→apply (a learned vocabulary is only useful if the engine can
+    * run it back over the corpus at scale). Same per-round shape as
+    * [[bpeMergeLoop]] (pair count → 1-row winner anchor → per-row fold,
+    * persisted per round); docs too short to ever merge (< 2 tokens)
+    * pass through unchanged rather than vanishing. */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    var cur = ExtCaches.persistTracked(base.filter(size(col("t")) >= 2))
+    (1 to k).foreach { _ =>
+      cur = ExtCaches.persistTracked(applyTopMerge(cur, topPair(cur)))
+    }
+    cur.unionAll(base.filter(size(col("t")) < 2))
   }
 }

@@ -1037,6 +1037,25 @@ object Extensions {
     TextOps.bpeMergeLoop(Tables.documents(s, dir), "doc_id", "text", BpeRounds)
       .orderBy(col("round"))
 
+  // ---- x66: BPE tokenizer-apply (the encode half of train→apply) ----------
+
+  /** x60 learns the merge table; x66 proves the engine can RUN it back
+    * over the corpus — the per-document encoded sequence after the same
+    * k rounds, delivered as (token count, sequence digest) so the hash
+    * gate pins every document's exact token-by-token encoding, not just
+    * corpus totals. Winner selection and the greedy-leftmost fold are
+    * the SAME private helpers x60 uses (one spelling of the tie-break);
+    * the oracle reuses x60's unrolled-round CTE chain and digests
+    * seqs_k, with <2-token docs passing through unchanged on both
+    * sides. Scale shape = x60's per round; the encode itself adds one
+    * per-row fold and never shuffles the corpus. */
+  def x66_bpe_encode(s: SparkSession, dir: String): DataFrame =
+    TextOps.bpeEncode(Tables.documents(s, dir), "doc_id", "text", BpeRounds)
+      .select(col("id").as("doc_id"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        md5(concat_ws(" ", col("t"))).as("seq_digest"))
+      .orderBy(col("doc_id"))
+
   // ---- x47: exact embedding Gram matrix (PCA / whitening prep) ------------
 
   /** Fixed-point scale for the Gram accumulation: 2^10 (binary, so
@@ -1890,7 +1909,8 @@ object Extensions {
     "x62_editdist_pairs" -> (x62_editdist_pairs _),
     "x63_sim_topk_ivfsq8" -> (x63_sim_topk_ivfsq8 _),
     "x64_sq8_recall" -> (x64_sq8_recall _),
-    "x65_stream_dedup_replay" -> (x65_stream_dedup_replay _))
+    "x65_stream_dedup_replay" -> (x65_stream_dedup_replay _),
+    "x66_bpe_encode" -> (x66_bpe_encode _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2861,6 +2881,22 @@ object Extensions {
         |FROM kept
         |GROUP BY source, src_tokens, min_tokens
         |ORDER BY source""".stripMargin,
+
+    // x66: x60's unrolled CTE chain, digesting the final sequences;
+    // <2-token docs (excluded from seqs0) pass through unchanged.
+    "x66_bpe_encode" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |seqs0 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+         |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")},
+         |enc AS (
+         |  SELECT doc_id, t FROM seqs$BpeRounds
+         |  UNION ALL
+         |  SELECT doc_id, t FROM toks WHERE len(t) < 2)
+         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(t, ' ')) AS seq_digest
+         |FROM enc ORDER BY doc_id""".stripMargin,
 
     // x62: the oracle is the BRUTE-FORCE length-filtered self-join — it
     // never models the q-gram prefix, so the hash match proves the

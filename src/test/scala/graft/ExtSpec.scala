@@ -57,6 +57,16 @@ class TextOpsSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("bpeEncode returns the encoded sequences; short docs pass through") {
+    val df = Seq((1L, "b c b c b c"), (2L, "solo")).toDF("doc_id", "text")
+    val r = TextOps.bpeEncode(df, "doc_id", "text", 2)
+      .orderBy("id").collect()
+      .map(x => (x.getAs[Long]("id"), x.getSeq[String](1)))
+    assert(r(0) == ((1L, Seq("b_c_b_c", "b_c")))) // the x60 spec's corpus, encoded
+    assert(r(1) == ((2L, Seq("solo"))))           // < 2 tokens: unchanged
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("qualityScore is in [0,1] and penalizes punctuation") {
     val r = TextOps.qualityScore(
       Seq("the quick brown fox and a dog", "!!!???###").toDF("text"))
