@@ -127,7 +127,7 @@ object Bench {
     // consumers are carved out into family 4.
     val ccShared = Set("x20_dup_clusters", "x23_dedup_survivors",
       "x26_pipeline_gate", "x26b_corpus_build", "x36_cluster_reps",
-      "x53_cluster_split")
+      "x53_cluster_split", "x68_cluster_size_hist")
     val starShared = Set("x20_dup_clusters_star")
     val xExt = all.filterNot(Headline).filterNot(_.startsWith("s"))
       .filterNot(ccShared).filterNot(starShared)

@@ -1056,6 +1056,82 @@ object Extensions {
         md5(concat_ws(" ", col("t"))).as("seq_digest"))
       .orderBy(col("doc_id"))
 
+  // ---- x67: per-source length-band gate (C4-style outlier pruning) --------
+
+  /** Length-outlier pruning the way curation pipelines actually spell it
+    * (C4 / Gopher rules): per SOURCE, drop the shortest 5% and longest 5%
+    * of documents by token count, with the cut defined by EXACT rank —
+    * row_number over the (n_tokens, doc_id) total order, keep
+    * lo < r ≤ hi with lo = floor(0.05·n), hi = ceil(0.95·n) — so the
+    * gate is integer-deterministic and the oracle replays it row for
+    * row (a percentile-of-doubles spelling would inherit interpolation
+    * semantics that differ across engines; rank doesn't). Output: per
+    * source, the kept count, the LEARNED token bounds (min/max kept —
+    * what a config snapshot would freeze), and kept token mass.
+    *
+    * Scale shape: one (source, n_tokens)-keyed sort shuffle for the rank
+    * window (partition count = |sources|, each internally sorted — same
+    * cost class as any keyed ORDER BY), a broadcast of the |sources|-row
+    * count table, one final aggregate. At 100 TB with few huge sources,
+    * swap exact rank for a two-pass approx-quantile bound + broadcast
+    * filter — the documented sketch trade; the exact form here is the
+    * oracle-checkable contract the sketch must approximate. */
+  def x67_length_gate(s: SparkSession, dir: String): DataFrame =
+    x67_length_gate0(Tables.documents(s, dir))
+
+  /** x67 over an explicit documents relation (test seam for the
+    * constructed-ladder spec). */
+  def x67_length_gate0(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val counts = t.groupBy(col("source")).agg(count(lit(1)).as("n_docs_src"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    t.withColumn("r", row_number().over(w).cast(LongType))
+      .join(broadcast(counts), Seq("source"))
+      .filter(col("r") >
+          floor(col("n_docs_src").cast(DoubleType) * lit(0.05)).cast(LongType)
+        && col("r") <=
+          ceil(col("n_docs_src").cast(DoubleType) * lit(0.95)).cast(LongType))
+      .groupBy(col("source"), col("n_docs_src"))
+      .agg(count(lit(1)).as("kept_docs"),
+        min(col("n_tokens")).as("min_kept_tokens"),
+        max(col("n_tokens")).as("max_kept_tokens"),
+        sum(col("n_tokens")).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  // ---- x68: dup-cluster size histogram (the dup-mass profile) -------------
+
+  /** The curator's first question about a corpus's duplication: how big
+    * are the clusters? One histogram row per cluster SIZE (n_clusters of
+    * that size, n_docs they hold), plus the size-1 row for documents
+    * outside the pair graph — together a partition of the corpus, so the
+    * histogram doubles as a mass audit (Σ n_docs = |corpus|). Reuses the
+    * SHARED x20 component fixpoint (ccLabelsCache — the same labels
+    * x20/x23/x26/x36/x53 consume; bench family 4); the two aggregates
+    * after it are |clusters|- then |distinct sizes|-row, and the
+    * singleton row is a 1-row×1-row anchor join. Output bounded by
+    * |distinct cluster sizes| — broadcast-sized at any corpus scale. */
+  def x68_cluster_size_hist(s: SparkSession, dir: String): DataFrame = {
+    val labels = minhashDupLabels(s, dir)
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("total_docs"))
+    val labeled = labels.agg(count(lit(1)).as("labeled_docs"))
+    val hist = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val singletons = total.crossJoin(labeled) // 1-row × 1-row anchors
+      .select(lit(1L).as("cluster_size"),
+        (col("total_docs") - col("labeled_docs")).as("n_clusters"),
+        (col("total_docs") - col("labeled_docs")).as("n_docs"))
+    hist.unionAll(singletons)
+      .filter(col("n_clusters") > 0)
+      .orderBy(col("cluster_size"))
+  }
+
   // ---- x47: exact embedding Gram matrix (PCA / whitening prep) ------------
 
   /** Fixed-point scale for the Gram accumulation: 2^10 (binary, so
@@ -1910,7 +1986,9 @@ object Extensions {
     "x63_sim_topk_ivfsq8" -> (x63_sim_topk_ivfsq8 _),
     "x64_sq8_recall" -> (x64_sq8_recall _),
     "x65_stream_dedup_replay" -> (x65_stream_dedup_replay _),
-    "x66_bpe_encode" -> (x66_bpe_encode _))
+    "x66_bpe_encode" -> (x66_bpe_encode _),
+    "x67_length_gate" -> (x67_length_gate _),
+    "x68_cluster_size_hist" -> (x68_cluster_size_hist _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2897,6 +2975,49 @@ object Extensions {
          |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
          |       md5(array_to_string(t, ' ')) AS seq_digest
          |FROM enc ORDER BY doc_id""".stripMargin,
+
+    // x67: the same exact-rank gate, replayed row for row; floor/ceil on
+    // identically-computed doubles of integer products — engine-identical.
+    "x67_length_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs_src FROM t GROUP BY source),
+        |r AS (
+        |  SELECT t.doc_id, t.source, t.n_tokens, c.n_docs_src,
+        |         CAST(row_number() OVER (PARTITION BY t.source ORDER BY t.n_tokens, t.doc_id) AS BIGINT) AS rnk,
+        |         CAST(floor(CAST(c.n_docs_src AS DOUBLE) * 0.05) AS BIGINT) AS lo,
+        |         CAST(ceil(CAST(c.n_docs_src AS DOUBLE) * 0.95) AS BIGINT) AS hi
+        |  FROM t JOIN c USING (source))
+        |SELECT source, n_docs_src, count(*) AS kept_docs,
+        |       MIN(n_tokens) AS min_kept_tokens, MAX(n_tokens) AS max_kept_tokens,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+        |FROM r WHERE rnk > lo AND rnk <= hi
+        |GROUP BY source, n_docs_src
+        |ORDER BY source""".stripMargin,
+
+    // x68: histogram over the SAME recursive-CTE component labels as
+    // x20/x23/x26, plus the singleton row — a partition of the corpus.
+    "x68_cluster_size_hist" ->
+      s"""WITH RECURSIVE $minhashVerifiedCte,
+         |$ccLabelsCte,
+         |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+         |          FROM lab GROUP BY label),
+         |hist AS (
+         |  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |         CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         |  FROM sizes GROUP BY cluster_size),
+         |singles AS (
+         |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+         |         CAST((SELECT count(*) FROM documents)
+         |              - (SELECT count(*) FROM lab) AS BIGINT) AS n_clusters,
+         |         CAST((SELECT count(*) FROM documents)
+         |              - (SELECT count(*) FROM lab) AS BIGINT) AS n_docs)
+         |SELECT cluster_size, n_clusters, n_docs
+         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+         |WHERE n_clusters > 0
+         |ORDER BY cluster_size""".stripMargin,
 
     // x62: the oracle is the BRUTE-FORCE length-filtered self-join — it
     // never models the q-gram prefix, so the hash match proves the

@@ -1047,3 +1047,37 @@ class Sq8Spec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 }
+
+/** x67/x68 curation audits: the rank gate on a constructed ladder, the
+  * histogram's partition-of-the-corpus invariant on real data. */
+class CurationAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("x67 rank gate: floor/ceil cuts drop exactly the tails") {
+    // one source, token counts 1..20: lo = floor(1.0) = 1, hi = ceil(19.0)
+    // = 19 → ranks 2..19 kept; bounds are the 2nd and 19th lengths.
+    val docs = (1 to 20).map(i =>
+      (i.toLong, "s0", (1 to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val r = graft.queries.Extensions.x67_length_gate0(docs).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_docs_src") == 20L)
+    assert(r(0).getAs[Long]("kept_docs") == 18L)
+    assert(r(0).getAs[Long]("min_kept_tokens") == 2L)
+    assert(r(0).getAs[Long]("max_kept_tokens") == 19L)
+    assert(r(0).getAs[Long]("kept_tokens") == (2 to 19).sum.toLong)
+  }
+
+  test("x68 histogram partitions the corpus (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val h = graft.queries.Extensions.x68_cluster_size_hist(spark, dir).collect()
+    val total = graft.tables.Tables.documents(spark, dir).count()
+    assert(h.map(r => r.getAs[Long]("n_docs")).sum == total)
+    assert(h.forall(r => r.getAs[Long]("cluster_size") >= 1L))
+    // rows of size ≥ 2 must account for exactly x20's clusters
+    val clusters = graft.queries.Extensions.x20_dup_clusters(spark, dir).count()
+    assert(h.filter(_.getAs[Long]("cluster_size") >= 2L)
+      .map(_.getAs[Long]("n_clusters")).sum == clusters)
+    graft.ext.ExtCaches.clearCaches()
+  }
+}
