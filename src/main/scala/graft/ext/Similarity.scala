@@ -485,6 +485,42 @@ object Similarity {
         col("dot_q8"), col("rnk"))
   }
 
+  /** Multi-probe IVF×SQ8 (the FAISS nprobe analog): each query probes
+    * its own sign bucket PLUS every bucket at Hamming distance 1 —
+    * bits+1 probes — recovering the bucket-border near-neighbors
+    * single-probe IVF loses, for a measured (bits+1)× candidate-cost
+    * ceiling. The probe list is a per-query literal expansion (explode
+    * of bits+1 strings), so the search stays a broadcast EQUI-join on
+    * the bucket key — same plan family as x07/x63, no new join class;
+    * nprobe is a pure recall/cost knob a 100 TB deployment tunes per
+    * collection. Probed buckets are disjoint, so no candidate dedupe is
+    * needed before the rank window. */
+  def ivfSq8TopKMultiProbe(corpus: DataFrame, queryIds: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           bits: Int = 4): DataFrame = {
+    val coded = ExtCaches.persistTracked(
+      sq8Codes(corpus, idCol, vecCol)
+        .withColumn("bucket", signBucket(col("code"), bits)))
+    val probes = array((0 to bits).map { i =>
+      if (i == 0) col("bucket")
+      else concat(
+        substring(col("bucket"), 1, i - 1),
+        when(substring(col("bucket"), i, 1) === "1", lit("0"))
+          .otherwise(lit("1")),
+        substring(col("bucket"), i + 1, bits - i))
+    }: _*)
+    val q = coded.join(broadcast(queryIds.select(col(idCol).as("id"))), Seq("id"))
+      .select(col("id").as("q_id"), col("code").as("q_code"),
+        explode(probes).as("bucket"))
+    val scored = coded.join(broadcast(q), Seq("bucket"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("dot_q8", dotQ(col("q_code"), col("code")))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("dot_q8"), col("id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("id").as("c_id"), col("dot_q8"), col("rnk"))
+  }
+
   /** SQ8 ranking-fidelity audit: over IDENTICAL candidate sets (the same
     * sign-bucket mates), rank once by the integer SQ8 dot and once by
     * the exact fixed-point cosine, and count per query how many of the

@@ -1287,6 +1287,18 @@ object Extensions {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** x63 with the FAISS nprobe knob turned to bits+1: each query also
+    * probes every Hamming-distance-1 bucket, recovering bucket-border
+    * neighbors for a bounded candidate-cost increase. Same broadcast
+    * equi-join plan family; Sq8Spec asserts the containment this buys
+    * (every query's multi-probe top-1 dot ≥ its single-probe top-1). */
+  def x69_sim_topk_multiprobe(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfSq8TopKMultiProbe(e, e.filter(col("vec_id") < QuerySetSize),
+        "vec_id", "embedding", k = 3, bits = 4)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** The x50 discipline applied to the compressed vector index:
     * compression is admissible only with its measured recall attached.
     * Over IDENTICAL bucket-mate candidate sets, rank by SQ8 integer dot
@@ -1988,6 +2000,7 @@ object Extensions {
     "x65_stream_dedup_replay" -> (x65_stream_dedup_replay _),
     "x66_bpe_encode" -> (x66_bpe_encode _),
     "x67_length_gate" -> (x67_length_gate _),
+    "x69_sim_topk_multiprobe" -> (x69_sim_topk_multiprobe _),
     "x68_cluster_size_hist" -> (x68_cluster_size_hist _))
 
   // ======================================================================
@@ -3047,6 +3060,32 @@ object Extensions {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS BIGINT) AS rnk
          |  FROM scored)
          |SELECT q_id, bucket, c_id, dot_q8, rnk FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    // x69: the probe expansion is a string-literal flip per position —
+    // identical in both engines; buckets are disjoint so no dedupe.
+    "x69_sim_topk_multiprobe" ->
+      s"""WITH $sq8CodesCte,
+         |q0 AS (SELECT vec_id AS q_id, code AS q_code, bucket FROM cb
+         |       WHERE vec_id < $QuerySetSize),
+         |q AS (
+         |  SELECT q_id, q_code,
+         |         unnest(list_transform(range(0, 5), i ->
+         |           CASE WHEN i = 0 THEN bucket
+         |                ELSE substr(bucket, 1, CAST(i - 1 AS INT)) ||
+         |                     (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1'
+         |                           THEN '0' ELSE '1' END) ||
+         |                     substr(bucket, CAST(i + 1 AS INT), 4)
+         |           END)) AS bucket
+         |  FROM q0),
+         |scored AS (
+         |  SELECT q_id, c.vec_id AS c_id,
+         |         ${dotSql("q_code", "c.code")} AS dot_q8
+         |  FROM q JOIN cb c ON q.bucket = c.bucket AND c.vec_id <> q_id),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT q_id, c_id, dot_q8, rnk FROM r WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
 
     // x64: both rankings over the SAME bucket-mate candidates — the

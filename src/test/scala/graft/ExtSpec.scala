@@ -1025,6 +1025,23 @@ class Sq8Spec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("x69 multi-probe dominates single-probe: top-1 dot never worse") {
+    val dir = "/root/testdata/sf0.001"
+    val single = Extensions.x63_sim_topk_ivfsq8(spark, dir)
+      .filter(col("rnk") === 1L)
+      .select(col("q_id"), col("dot_q8").as("d1"))
+    val multi = Extensions.x69_sim_topk_multiprobe(spark, dir)
+      .filter(col("rnk") === 1L)
+      .select(col("q_id"), col("dot_q8").as("dm"))
+    val joined = single.join(multi, Seq("q_id")).collect()
+    assert(joined.length == Extensions.QuerySetSize)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("dm") >= r.getAs[Long]("d1"),
+        s"q ${r.getAs[Long]("q_id")}: multi-probe lost its own bucket")
+    }
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("x63 top-k agrees with brute-force integer-dot ranking in-bucket") {
     val dir = "/root/testdata/sf0.001"
     val e = graft.tables.Tables.embeddings(spark, dir)
