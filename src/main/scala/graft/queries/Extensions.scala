@@ -1561,6 +1561,18 @@ object Extensions {
     * anything written into the landing dir afterwards (the source
     * processes oldest-first). Single-file tables stage as one link; dir
     * tables link every contained parquet file. */
+  /** Micro-batch granularity for the streaming twins. Default 1 file per
+    * trigger — the strictest incremental-state exercise (state must
+    * survive a batch boundary between any two rows of different files).
+    * `SPARK_GRAFT_STREAM_MAX_FILES` widens it for the batch-size
+    * sensitivity measurement (PLANS.md): the OUTPUT is invariant to this
+    * knob by construction — state convergence cannot depend on batch
+    * slicing — so only wall time moves. */
+  private[graft] def streamMaxFiles: Int =
+    sys.props.get("graft.stream.maxFiles")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_MAX_FILES"))
+      .map(_.toInt).getOrElse(1)
+
   private def stageEventsLanding(dir: String,
                                  landing: java.nio.file.Path,
                                  tag: String = "events"): Unit = {
@@ -1600,7 +1612,7 @@ object Extensions {
     val landing = tmp.resolve("landing")
     stageEventsLanding(dir, landing)
     val raw = s.readStream.schema(batchSchema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", streamMaxFiles)
       .parquet(landing.toString)
     val ev = Tables.surfaceEventTs(raw)
     val q = EventStreams.tumblingStats(ev, "1 hour")
@@ -1690,7 +1702,7 @@ object Extensions {
     s.createDataFrame(java.util.List.of(sentinelRow), batchSchema)
       .coalesce(1).write.mode("append").parquet(landing.toString)
     val raw = s.readStream.schema(batchSchema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", streamMaxFiles)
       .parquet(landing.toString)
     val ev = Tables.surfaceEventTs(raw)
     val q = EventStreams.watermarkedUserSessions(ev, "30 minutes", ReplayLateness)
@@ -1751,7 +1763,7 @@ object Extensions {
     stageEventsLanding(dir, landing)
     stageEventsLanding(dir, landing, tag = "events-redeliver")
     val raw = s.readStream.schema(batchSchema)
-      .option("maxFilesPerTrigger", 1)
+      .option("maxFilesPerTrigger", streamMaxFiles)
       .parquet(landing.toString)
     val ev = Tables.surfaceEventTs(raw)
     val q = EventStreams.dedupedEvents(ev, ReplayLateness)
