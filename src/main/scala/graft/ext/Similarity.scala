@@ -441,10 +441,14 @@ object Similarity {
 
   /** SQ8 codes: c_d = floor(127·x_d / s_d) ∈ [−127, 127] — the FAISS
     * SQuantizer8 shape (Johnson/Douze/Jégou, IEEE TBD'19): a
-    * data-dependent per-dimension affine map to int8, 4× smaller than
-    * the float it replaces and 8× smaller than the exact kernel's
-    * fixed-point longs — at 100 TB the stored ANN index shrinks by that
-    * factor and the scan becomes int8-SIMD-bound. Determinism: x is an
+    * data-dependent per-dimension affine map to int8 RANGE. The
+    * compression is an AT-REST property (the stored/shipped index):
+    * parquet bit-packing realizes it — MEASURED by tools/DiagSq8 at
+    * sf0.1 as 2.83× under the raw float column and 3.41× under the
+    * exact kernel's fixed-point longs (parquet already encodes both,
+    * so the naive 4×/8× width ratios overstate it). In-flight Spark
+    * arrays stay widened longs — the integer-dot kernel's input type;
+    * a production sink stores the byte codes. Determinism: x is an
     * exact float→double widening, s_d the max of such doubles, and
     * (127·x)/s one IEEE multiply+divide both engines order identically;
     * floor is exact — no round-half tie can differ. A dead dimension
@@ -463,9 +467,10 @@ object Similarity {
     * bucket partitions the corpus (x07's IVF trade: recall loss at
     * bucket borders for a |buckets|× cost cut), and ranking inside the
     * probed bucket is the exact INTEGER dot product of SQ8 codes
-    * (order-proof, oracle-portable). vs x07, the scanned payload is 8-bit
-    * codes instead of 21-bit fixed-point — the memory/bandwidth trade
-    * sq8Recall (x64) prices in recall. Bucket key is computed FROM the
+    * (order-proof, oracle-portable). vs x07, the stored payload is
+    * int8-range codes instead of 21-bit fixed-point (measured at-rest
+    * ratios in sq8Codes' doc) — the memory trade sq8Recall (x64)
+    * prices in recall. Bucket key is computed FROM the
     * codes so corpus and queries bucket identically and the join stays a
     * broadcast equi-join on the bucket string. */
   def ivfSq8TopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
