@@ -122,6 +122,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("x62: Ed-Join prefix rank plans as WindowGroupLimit; candidate + verify joins are equi (no product)") {
+    val p = formatted(Extensions.x62_editdist_pairs(spark, dir))
+    // the rnk <= k·q+1 filter over the rarity window must group-limit —
+    // the full gram relation never sorts beyond the prefix
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x63/x69: SQ8 search is a bucket equi-join; the only BNLJ is the 1-row scales anchor") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    for (q <- Seq(Extensions.x63_sim_topk_ivfsq8 _,
+        Extensions.x69_sim_topk_multiprobe _)) {
+      val plan = q(spark, dir).queryExecution.sparkPlan
+      val bnljs = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+      bnljs.foreach { b =>
+        val build = b.buildSide match {
+          case BuildLeft => b.left
+          case _         => b.right
+        }
+        assert(build.exists {
+          case agg: BaseAggregateExec => agg.groupingExpressions.isEmpty
+          case _                      => false
+        }, s"non-anchor BNLJ in SQ8 plan: $b")
+      }
+      val p = plan.toString
+      assert(p.contains("BroadcastHashJoin"), p) // the bucket probe join
+      assert(!p.contains("CartesianProduct"), p)
+      graft.ext.ExtCaches.clearCaches()
+    }
+  }
+
+  test("x67: the length gate's only sort is the source-keyed rank window + presentation orderBy") {
+    val p = formatted(Extensions.x67_length_gate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p) // |sources|-row count table broadcast
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x28: decontamination joins the corpus to a BROADCAST eval vocabulary (semi), never corpus×corpus") {
     val p = formatted(Extensions.x28_decontamination(spark, dir))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
