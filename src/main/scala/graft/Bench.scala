@@ -85,16 +85,68 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+    // ---- self-attribution telemetry (round-8 verdict: the official
+    // record's x51/x52/x54/x55/x56 tail ran 3-18x the committed same-code
+    // values with NOTHING in the record explaining why). Each query line in
+    // bench_detail.json now carries enough evidence to attribute its own
+    // anomalies without a re-run:
+    //   r  — RAW per-rep seconds (a median hides which rep was slow; a
+    //        cold first rep vs uniformly-slow reps separate one-time cost
+    //        from sustained contention),
+    //   t  — seconds since bench start at the query's first rep (correlate
+    //        with external events, e.g. a driver process sharing the box),
+    //   la — 1-min system load average sampled just before the first rep;
+    //        values well above SPARK_GRAFT_CPUS mean co-tenant CPU load,
+    //   h0/h1 — driver heap used (MB) before/after; gc — GC ms across the
+    //        query's reps (heap pressure shows up here, not in medians),
+    //   cf — ExtCaches relations BUILT during the reps (cache-fill work
+    //        the query paid), sm — block-manager storage KB after (KB, not
+    //        MB: sf0.001 smoke relations are sub-MB and would read 0).
+    val detail = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val benchT0 = System.nanoTime()
+    val startedMs = System.currentTimeMillis()
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def heapMb: Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory - rt.freeMemory) >> 20
+    }
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    def storageKb: Long =
+      try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 10
+      catch { case _: Throwable => -1L }
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def measured(name: String)(reps: => Seq[Double]): Seq[Double] = {
+      val (h0, gc0, la, cf0) =
+        (heapMb, gcMs, loadAvg, graft.ext.ExtCaches.fillCount)
+      val t = (System.nanoTime() - benchT0) / 1e9
+      val times = reps
+      detail(name) =
+        s"""{"r":[${times.map(fmt3).mkString(",")}],"t":${fmt3(t)},""" +
+          s""""la":${fmt3(la)},"h0":$h0,"h1":$heapMb,"gc":${gcMs - gc0},""" +
+          s""""cf":${graft.ext.ExtCaches.fillCount - cf0},"sm":$storageKb}"""
+      times
+    }
+
     def run(names: Seq[String], coldCaches: Boolean): Seq[(String, Double)] =
       names.map { name =>
-        val times = (1 to reps).flatMap { rep =>
-          if (coldCaches && rep == 1) graft.ext.ExtCaches.clearCaches()
-          try Some(time(SparkEntry.queries(name)(spark, sfDir).count()))
-          catch {
-            case e: Throwable =>
-              errors += name
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              None
+        val times = measured(name) {
+          (1 to reps).flatMap { rep =>
+            if (coldCaches && rep == 1) graft.ext.ExtCaches.clearCaches()
+            try Some(time(SparkEntry.queries(name)(spark, sfDir).count()))
+            catch {
+              case e: Throwable =>
+                errors += name
+                System.err.println(s"[bench] $name failed: ${e.getMessage}")
+                None
+            }
           }
         }
         name -> (if (times.isEmpty) 0.0 else median(times))
@@ -106,11 +158,13 @@ object Bench {
     // must still emit the JSON line (the queries then pay their own cache
     // cost, which the per-query medians absorb).
     def timedBuild(name: String)(body: => Unit): (String, Double) =
-      name -> time(try body catch {
-        case e: Throwable =>
-          errors += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      })
+      name -> measured(name) {
+        Seq(time(try body catch {
+          case e: Throwable =>
+            errors += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }))
+      }.head
     // Family 1: the 26 reference-workload queries, shared caches prebuilt
     // and charged as their own line.
     val headline = timedBuild("shared_cache_build")(
@@ -185,8 +239,28 @@ object Bench {
         s""""reps":$reps,"queries":${obj(headline, f)},""" +
         (if (extMap) s""""extended":${obj(extended, extF)},""" else "") +
         s""""extended_total":${f(extended.map(_._2).sum)},"sf":"$sfLabel","errors":$errs}"""
+    // bench_detail.json is JSONL: line 1 the full-precision summary (same
+    // shape as the stdout line — historical diffs keep working), line 2 the
+    // per-query attribution record (keys documented at `measured` above).
+    // The second line is what makes an anomalous official record
+    // self-explanatory: a tail query whose committed-record time was 1 s
+    // but official time 6 s will show either a high `la` (co-tenant load),
+    // a large `gc` (heap pressure), a `cf` delta (unexpected cache
+    // rebuild), or a cold first element in `r` (one-time cost) — the
+    // round-8 verdict's "nothing in the record says so" gap.
+    val detailLine =
+      s"""{"record":"attribution","started_epoch_ms":$startedMs,""" +
+        s""""heap_max_mb":${Runtime.getRuntime.maxMemory >> 20},""" +
+        s""""host_cpus":${Runtime.getRuntime.availableProcessors},""" +
+        s""""load_avg_end":${fmt3(loadAvg)},"gc_total_ms":$gcMs,""" +
+        s""""wall_s":${fmt3((System.nanoTime() - benchT0) / 1e9)},""" +
+        s""""queries":${detail.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString("{", ",", "}")}}"""
     val out = new java.io.PrintWriter("bench_detail.json")
-    try out.println(line(_.toString, extMap = true, sfDir, _.toString)) finally out.close()
+    try {
+      out.println(line(_.toString, extMap = true, sfDir, _.toString))
+      out.println(detailLine)
+    } finally out.close()
     // Belt and braces: the driver parses the JSON line out of the LAST
     // ~2000 chars of stdout; minus sbt's ~80-char "[success] Total time: …"
     // trailer → 1880 is safe. Tiered fallback if the line ever outgrows the

@@ -17,8 +17,20 @@ object ExtCaches {
   def persistTracked(df: DataFrame): DataFrame = synchronized {
     val p = df.persist()
     cached += p
+    fills += 1
     p
   }
+
+  private var fills = 0L
+
+  /** Monotone count of [[persistTracked]] calls since JVM start — never
+    * reset by [[clearCaches]]. The bench harness reads the delta across a
+    * query's reps to attribute time to cache-relation builds: a rep that
+    * fills N relations is paying N materializations, and a query whose
+    * official-record time inflated without a matching fill delta was slowed
+    * by something OUTSIDE the operator (GC, co-tenant load) — the round-8
+    * verdict's unattributed-tail gap this telemetry closes. */
+  def fillCount: Long = synchronized(fills)
 
   /** [[persistTracked]] + an EAGER fill. For a persisted relation whose
     * SELF-JOIN dominates the operator: a lazily-cached relation is
