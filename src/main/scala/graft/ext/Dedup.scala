@@ -933,35 +933,65 @@ object Dedup {
     *    q-gram windows, so a gram every one of whose occurrences died
     *    needs its own window casualty — at most k·q DISTINCT grams of A
     *    can be absent from B when ED(A,B) ≤ k: |G_A \ G_B| ≤ k·q.
-    *  - Prefix lemma (asymmetric form): among A's (k·q+1) globally
-    *    rarest grams (total order: df asc, gram asc), at least one is in
-    *    G_B — else |G_A \ G_B| ≥ k·q+1. So joining each doc's PREFIX
-    *    grams against the partner's FULL gram set cannot miss a true
-    *    pair, with no prefix-vs-prefix coordination lemma needed.
-    *  - Length filter: ED ≥ abs(|A| − |B|), so the candidate join carries
-    *    abs-length ≤ k — recall-exact, like PPJoin's size filter.
+    *  - Prefix lemma (symmetric prefix-prefix form): order grams by the
+    *    GLOBAL total order (df asc, gram asc). If |G_A ∩ G_B| ≥ α, then
+    *    the (|G_A|−α+1)-prefix of A and the (|G_B|−α+1)-prefix of B must
+    *    share a gram (the canonical prefix-filter lemma: were the
+    *    prefixes disjoint, each side could contribute at most its suffix
+    *    — fewer than α common grams). With α = |G| − k·q both prefixes
+    *    are (k·q+1)-prefixes, so the candidate join is PREFIX × PREFIX —
+    *    Σ_g df_pref(g)² instead of the asymmetric Σ_g df_pref(g)·
+    *    df_full(g) the round-8 form paid. Measured (tools/DiagX62,
+    *    sf0.1): raw candidates 981k → 874k (−11%) — modest HERE because
+    *    this corpus's rare grams have near-unit posting lists, so
+    *    df_full ≈ df_pref; the df_pref² bound is what survives a
+    *    boilerplate-heavy corpus, where template grams blow up df_full
+    *    but the rarity prefix never selects them.
+    *  - The lemma needs α ≥ 1, i.e. MORE THAN k·q distinct grams per
+    *    doc. Low-diversity docs — short texts (fewer than k·q+1 windows,
+    *    len < k·q+q) or long-but-repetitive ones (distinct grams
+    *    collapse below the bound) — can lose ALL their grams to k edits,
+    *    so the gram join would silently drop their true pairs (the
+    *    round-8 advice hole: 'abcde' vs 'abcdx' produced no candidate).
+    *    Those docs take a separate BRUTE-FORCE arm: a length-bucket
+    *    equi-join (bucket width k, low-diversity side exploded to its
+    *    ±1 neighbor buckets, so the |len diff| ≤ k filter is a residual
+    *    on an equi key — no nested-loop product) against the whole
+    *    corpus. Recall-exactness needs the arm whenever the LOWER-
+    *    ordered side of a pair is low-diversity; emitting both
+    *    orientations and canonicalizing with least/greatest covers both.
+    *  - Length filter: ED ≥ abs(|A| − |B|), so every candidate join
+    *    carries abs-length ≤ k — recall-exact, like PPJoin's size filter.
     *
     * Verification is exact banded Levenshtein with early exit
     * (`levenshtein(a, b, k)` returns −1 past the threshold — O(k·n) per
-    * pair, not O(n²)). Candidate cost is Σ_g df_prefix(g)·df_full(g):
-    * the prefix keeps only each doc's rarest grams, so the corpus-wide
-    * stop-gram tail (df ≈ n) never enters the join from the prefix side
-    * — the same survival property the x51 soak measures on the
-    * boilerplate corpus. At 100 TB both index sides are one shuffle on
-    * the gram; the verify join ships only candidate id pairs plus two
-    * text lookups. */
+    * pair, not O(n²)). The prefix keeps only each doc's rarest grams, so
+    * the corpus-wide stop-gram tail (df ≈ n) never enters the candidate
+    * join from either side — the survival property the x51 soak measures
+    * on the boilerplate corpus. At 100 TB the gram index is one shuffle;
+    * the verify join ships only candidate id pairs plus two text
+    * lookups. The brute arm's cost is |low-diversity docs| × their
+    * length-band population — bounded in practice (few real documents
+    * have ≤ k·q distinct grams), and the price of closing the recall
+    * hole exactly rather than documenting it away. */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 8, q: Int = 5): DataFrame = {
-    // Texts persist once: they feed the gram explode and both verify
-    // lookups. Docs shorter than q get their whole text as the single
-    // gram (degenerate but total — no doc escapes indexing).
+    // Texts persist once: they feed the gram explode, the brute arm, and
+    // both verify lookups. Docs shorter than q get their whole text as
+    // the single gram (degenerate but total — no doc escapes routing).
     val docs = ExtCaches.persistTracked(df.select(col(idCol).as("id"),
       col(textCol).as("text"), length(col(textCol)).as("len")))
-    val idx = docs.select(col("id"), col("len"),
-      explode(array_distinct(when(col("len") >= q,
+    // Distinct gram count per row, computed IN the scan projection (no
+    // extra shuffle): routes each doc to the prefix path (> k·q distinct
+    // grams — the lemma's precondition) or the brute arm.
+    val withGrams = docs.withColumn("grams",
+      array_distinct(when(col("len") >= q,
         transform(sequence(lit(0), col("len") - q),
           i => col("text").substr(i + lit(1), lit(q))))
-        .otherwise(array(col("text"))))).as("gram"))
+        .otherwise(array(col("text")))))
+      .withColumn("n_grams", size(col("grams")))
+    val idx = withGrams.filter(col("n_grams") > lit(k * q))
+      .select(col("id"), col("len"), explode(col("grams")).as("gram"))
     val dfTab = idx.groupBy(col("gram")).agg(count(lit(1)).as("df_count"))
     val ranked = idx.join(dfTab, Seq("gram"))
     val byRarity = Window.partitionBy(col("id"))
@@ -970,13 +1000,29 @@ object Dedup {
       .withColumn("rnk", row_number().over(byRarity))
       .filter(col("rnk") <= lit(k * q + 1))
       .select(col("id"), col("len"), col("gram"))
-    val fullIdx = idx.select(col("id"), col("len"), col("gram"))
-    val candidates = prefix.as("a")
-      .join(fullIdx.as("b"),
+    val candLong = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.id") < col("b.id")
           && abs(col("a.len") - col("b.len")) <= lit(k))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // Brute arm: low-diversity docs against every doc within k length.
+    // Bucket width k makes |lenA − lenB| ≤ k imply adjacent buckets, so
+    // exploding the low-diversity side to {b−1, b, b+1} keeps the join
+    // EQUI-keyed; least/greatest canonicalizes the pair orientation.
+    val lowDiv = withGrams.filter(col("n_grams") <= lit(k * q))
+      .select(col("id"), col("len"),
+        floor(col("len") / k).cast(LongType).as("lb"))
+    val candShort = lowDiv
+      .select(col("id"), col("len"),
+        explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lbk"))
+      .as("a")
+      .join(docs.select(col("id"), col("len"),
+          floor(col("len") / k).cast(LongType).as("lbk")).as("b"),
+        col("a.lbk") === col("b.lbk") && col("a.id") =!= col("b.id")
+          && abs(col("a.len") - col("b.len")) <= lit(k))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val candidates = candLong.unionByName(candShort).distinct()
     candidates
       .join(docs.select(col("id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("text").as("t_b")), Seq("id_b"))

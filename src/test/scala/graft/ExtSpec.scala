@@ -976,6 +976,66 @@ class EditDistSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("low-diversity docs (short or repetitive) take the brute arm: the advice recall hole is closed") {
+    // Round-8 advice counter-case verbatim: 'abcde' vs 'abcdx' (ED = 1).
+    // Each text is a SINGLE 5-gram and one edit destroys it, so the gram
+    // join alone yields no candidate — the brute arm must find the pair.
+    val docs = Seq((1L, "abcde"), (2L, "abcdx"),
+      (3L, "z" * 150)).toDF("doc_id", "text")
+    val ed = Dedup.editDistancePairs(docs, "doc_id", "text", k = 8, q = 5)
+      .collect()
+    assert(ed.length == 1, ed.mkString(","))
+    assert(ed(0).getAs[Long]("id_a") == 1L && ed(0).getAs[Long]("id_b") == 2L
+      && ed(0).getAs[Long]("ed") == 1L)
+    graft.ext.ExtCaches.clearCaches()
+    // Sub-q strings (whole text is the single gram): same hole, same arm.
+    val tiny = Seq((1L, "ab"), (2L, "ax"), (3L, "abcdefghijkl"))
+      .toDF("doc_id", "text")
+    val tinyPairs = Dedup.editDistancePairs(tiny, "doc_id", "text", k = 8, q = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (1,2): ED 1. (1,3)/(2,3): ED > 8 is impossible — lengths differ by
+    // 10 > k, the length filter drops them before verify.
+    assert(tinyPairs == Set((1L, 2L, 1L)), tinyPairs)
+    graft.ext.ExtCaches.clearCaches()
+    // LONG but repetitive: 'ab'×40 has only 2 distinct 5-grams — len 80
+    // clears the 45-char length bound the round-8 advice used, but the
+    // distinct-gram count (the condition the lemma actually needs) does
+    // not. Two deletions (ED = 2) can destroy nothing the gram join would
+    // see; the brute arm still pairs them.
+    val rep = Seq((1L, "ab" * 40), (2L, ("ab" * 40).drop(2)))
+      .toDF("doc_id", "text")
+    val repPairs = Dedup.editDistancePairs(rep, "doc_id", "text", k = 8, q = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(repPairs == Set((1L, 2L, 2L)), repPairs)
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("mixed short/long corpus is recall-exact vs brute force") {
+    // Short docs, their near partners, long docs with scattered edits, and
+    // decoys — every pair class crosses the routing boundary somewhere.
+    val base = (1 to 30).map(i => f"w$i%03d").mkString(" ")
+    val rows = Seq(
+      1L -> "abcde", 2L -> "abcdx", 3L -> "ab", 4L -> "ax",
+      5L -> base, 6L -> base.replace("w004", "x004"),
+      7L -> ("ab" * 40), 8L -> ("ab" * 40).drop(2),
+      9L -> "completely unrelated text of medium length here",
+      10L -> "abcdefgh")
+    val docs = rows.toDF("doc_id", "text")
+    val l = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("l"))
+    val brute = l.as("a").join(l.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.l") - col("b.l")) <= 8)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("ed"))
+      .filter(col("ed") <= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fast = Dedup.editDistancePairs(docs, "doc_id", "text", k = 8, q = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast == brute, s"fast=$fast brute=$brute")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("prefix filter is recall-exact vs in-engine brute force (sf0.001)") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"), length(col("text")).as("l"))
