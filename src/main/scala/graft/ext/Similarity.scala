@@ -534,7 +534,14 @@ object Similarity {
     * already priced separately by x07-vs-x06. The x50 sketch-recall
     * discipline applied to the vector index: compression is admissible
     * only with its measured recall attached. One bucket equi-join, one
-    * shuffle on q_id for both rank windows, |queries| output rows. */
+    * shuffle on q_id for both rank windows, |queries| output rows.
+    *
+    * Denominator: min(k, |candidates|), not k — a query whose sign
+    * bucket holds fewer than k mates keeps ALL of them under both
+    * rankings, and dividing by a constant k would report recall < 1 for
+    * perfect quantization fidelity, conflating bucket sparsity (x07's
+    * number) with the quantization loss this metric isolates (the
+    * round-8 advice fix). */
   def sq8Recall(corpus: DataFrame, queryIds: DataFrame, idCol: String,
                 vecCol: String, k: Int, bits: Int = 4): DataFrame = {
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -559,9 +566,11 @@ object Similarity {
       .withColumn("rnkx", row_number().over(wx))
       .groupBy(col("q_id"))
       .agg(sum(when(col("rnk8") <= k && col("rnkx") <= k, lit(1L))
-        .otherwise(lit(0L))).as("n_hits"))
+        .otherwise(lit(0L))).as("n_hits"),
+        count(lit(1)).as("n_cand"))
       .withColumn("recall_at_k",
-        col("n_hits").cast(DoubleType) / lit(k.toDouble))
+        col("n_hits").cast(DoubleType) /
+          least(lit(k.toLong), col("n_cand")).cast(DoubleType))
       .select(col("q_id"), col("n_hits"), col("recall_at_k"))
   }
 }

@@ -35,6 +35,13 @@ object Extensions {
   val SampledSeed = 0x5EEDL
   val EmbeddingDims = 64
   val QuerySetSize = 10
+  /** x07/x63/x64/x69 coarse-quantizer width: sign bits of the leading
+    * SimBucketBits components = 2^SimBucketBits IVF buckets. ONE constant
+    * interpolated into BOTH the Scala calls and the oracle SQL (probe
+    * count, substr lengths, bucket concat) — the round-8 advice fix: a
+    * hardcoded `4`/`range(0,5)` pair in the SQL would silently
+    * desynchronize the engines if the call-site bits ever changed. */
+  val SimBucketBits = 4
   /** x52 containment geometry: the smaller set must be ≥ 80 % inside the
     * larger, and carry at least 5 shingles (one- or two-shingle sets hit
     * containment 1.0 by accident, not by duplication). */
@@ -190,7 +197,7 @@ object Extensions {
   def x07_sim_topk_ivf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.ivfTopK(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 3, bits = 4)
+        "vec_id", "embedding", k = 3, bits = SimBucketBits)
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -1283,7 +1290,7 @@ object Extensions {
   def x63_sim_topk_ivfsq8(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 3, bits = 4)
+        "vec_id", "embedding", k = 3, bits = SimBucketBits)
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -1295,7 +1302,7 @@ object Extensions {
   def x69_sim_topk_multiprobe(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.ivfSq8TopKMultiProbe(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 3, bits = 4)
+        "vec_id", "embedding", k = 3, bits = SimBucketBits)
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -1308,7 +1315,7 @@ object Extensions {
   def x64_sq8_recall(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.sq8Recall(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 3, bits = 4)
+        "vec_id", "embedding", k = 3, bits = SimBucketBits)
       .orderBy(col("q_id"))
   }
 
@@ -2180,7 +2187,16 @@ object Extensions {
     s"""CAST(list_sum(list_transform(list_zip($a, $b),
        |  p -> p[1] * p[2])) AS BIGINT)""".stripMargin
 
-  /** SQ8 scales + codes + 4-bit sign bucket — mirrors
+  /** Sign-bucket key over the leading [[SimBucketBits]] components of an
+    * integer array column — mirrors Similarity.signBucket, generated from
+    * the SAME constant as the Scala call sites (round-8 advice: hardcoded
+    * widths in the SQL would silently desync the engines). */
+  private def bucketSql(arr: String): String =
+    (1 to SimBucketBits)
+      .map(i => s"CASE WHEN $arr[$i] >= 0 THEN '1' ELSE '0' END")
+      .mkString("(", " ||\n          ", ")")
+
+  /** SQ8 scales + codes + sign bucket — mirrors
     * Similarity.sq8Scales/sq8Codes/signBucket bit-for-bit: scales are
     * maxima of exact float→double widenings, (127·x)/s is one multiply +
     * one divide both engines associate identically, and floor is exact —
@@ -2201,10 +2217,7 @@ object Extensions {
        |  FROM embeddings, ma),
        |cb AS (
        |  SELECT vec_id, code,
-       |         (CASE WHEN code[1] >= 0 THEN '1' ELSE '0' END ||
-       |          CASE WHEN code[2] >= 0 THEN '1' ELSE '0' END ||
-       |          CASE WHEN code[3] >= 0 THEN '1' ELSE '0' END ||
-       |          CASE WHEN code[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+       |         ${bucketSql("code")} AS bucket
        |  FROM codes)""".stripMargin
 
   /** LSH band key for band `j` over the quantized vector `v` — mirrors
@@ -2434,10 +2447,7 @@ object Extensions {
          |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
          |n AS (
          |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq,
-         |         (CASE WHEN v[1] >= 0 THEN '1' ELSE '0' END ||
-         |          CASE WHEN v[2] >= 0 THEN '1' ELSE '0' END ||
-         |          CASE WHEN v[3] >= 0 THEN '1' ELSE '0' END ||
-         |          CASE WHEN v[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+         |         ${bucketSql("v")} AS bucket
          |  FROM qv),
          |q AS (SELECT vec_id AS q_id, v AS qvec, norm_sq AS qn, bucket FROM n WHERE vec_id < $QuerySetSize),
          |scored AS (
@@ -3075,19 +3085,21 @@ object Extensions {
          |ORDER BY q_id, rnk""".stripMargin,
 
     // x69: the probe expansion is a string-literal flip per position —
-    // identical in both engines; buckets are disjoint so no dedupe.
+    // identical in both engines; buckets are disjoint so no dedupe. The
+    // probe count and substr width interpolate from SimBucketBits, the
+    // same constant the Scala call passes (round-8 advice fix).
     "x69_sim_topk_multiprobe" ->
       s"""WITH $sq8CodesCte,
          |q0 AS (SELECT vec_id AS q_id, code AS q_code, bucket FROM cb
          |       WHERE vec_id < $QuerySetSize),
          |q AS (
          |  SELECT q_id, q_code,
-         |         unnest(list_transform(range(0, 5), i ->
+         |         unnest(list_transform(range(0, ${SimBucketBits + 1}), i ->
          |           CASE WHEN i = 0 THEN bucket
          |                ELSE substr(bucket, 1, CAST(i - 1 AS INT)) ||
          |                     (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1'
          |                           THEN '0' ELSE '1' END) ||
-         |                     substr(bucket, CAST(i + 1 AS INT), 4)
+         |                     substr(bucket, CAST(i + 1 AS INT), $SimBucketBits)
          |           END)) AS bucket
          |  FROM q0),
          |scored AS (
@@ -3102,7 +3114,10 @@ object Extensions {
 
     // x64: both rankings over the SAME bucket-mate candidates — the
     // doubles (cosine, recall) are computed from identical integers by
-    // identical single expressions, so they hash-match.
+    // identical single expressions, so they hash-match. Recall divides
+    // by LEAST(k, candidate count): a sparse bucket keeps all its mates
+    // under both rankings and must read 1.0, not |mates|/k (round-8
+    // advice fix, mirrored in Similarity.sq8Recall).
     "x64_sq8_recall" ->
       s"""WITH $sq8CodesCte,
          |n AS (
@@ -3125,7 +3140,8 @@ object Extensions {
          |  FROM scored)
          |SELECT q_id,
          |       CAST(SUM(CASE WHEN rnk8 <= 3 AND rnkx <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         |       CAST(SUM(CASE WHEN rnk8 <= 3 AND rnkx <= 3 THEN 1 ELSE 0 END) AS DOUBLE) / 3.0 AS recall_at_k
+         |       CAST(SUM(CASE WHEN rnk8 <= 3 AND rnkx <= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(LEAST(3, COUNT(*)) AS DOUBLE) AS recall_at_k
          |FROM rr GROUP BY q_id
          |ORDER BY q_id""".stripMargin,
 
