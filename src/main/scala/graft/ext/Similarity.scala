@@ -404,25 +404,88 @@ object Similarity {
     * Scale shape: one assignment scan (shared with x56 via
     * nearestCentroidAssign — same relation, two consumers), then a
     * cluster-keyed equi self-join: cost ∝ Σ cluster² — at 100 TB the
-    * cluster COUNT is the knob (SemDeDup runs k ≈ 10⁵, holding cluster
-    * sizes to ~10³ regardless of corpus size, so Σ cluster² stays
-    * ~linear); the verify is one codegen'd integer dot per candidate on
-    * the quantized stored vectors. The persisted assignment is the
-    * barrier feeding both sides of the self-join (the x02/x52 lesson). */
+    * cluster COUNT is the first knob (SemDeDup runs k ≈ 10⁵, holding
+    * cluster sizes to ~10³ regardless of corpus size, so Σ cluster²
+    * stays ~linear); the verify is one codegen'd integer dot per
+    * candidate on the quantized stored vectors. The persisted assignment
+    * is the barrier feeding both sides of the self-join (the x02/x52
+    * lesson).
+    *
+    * `maxClusterSize` is the second knob — the guard every sibling
+    * banded op already carries (x02's df-cap, x03/x05's hotBucketCap)
+    * and the round-8 verdict flagged as missing here: clustering does
+    * NOT bound cluster sizes by construction, and a degenerate corpus
+    * (one cluster capturing a large corpus fraction — exactly what a
+    * boilerplate-heavy crawl produces) makes the exhaustive self-join
+    * quadratic. Clusters at or under the cap keep the exact exhaustive
+    * semantics; clusters PAST it fall back to banded LSH **within the
+    * cluster** (the [[cosineNearDupPairsSampled]] geometry, join key =
+    * (cluster, band key)), bounding their cost at Σ bucket² per cluster
+    * while keeping near-total recall on true near-dups — sign-identical
+    * vectors still collide in every band, so exact duplicates are never
+    * lost (spec-asserted). Semantics under the cap are unchanged;
+    * capped-cluster pairs are `band-candidates ∩ {cosine ≥ t}` — the
+    * same deliberate recall/cost trade, and the same honest statement
+    * of it, as the x05 family. */
   def semDedupPairs(df: DataFrame, idCol: String, labelCol: String,
-                    vecCol: String, threshold: Double): DataFrame = {
+                    vecCol: String, threshold: Double,
+                    maxClusterSize: Option[Int] = None,
+                    fallbackBands: Int = 16, fallbackBitsPerBand: Int = 16,
+                    dims: Int = 64, seed: Long = 0x5EEDL): DataFrame = {
     val a = ExtCaches.persistTracked(
       nearestCentroidAssign(df, idCol, labelCol, vecCol)
         .withColumn("norm_sq", dotQ(col("v"), col("v")))
         .select(col("id"), col("assigned_label"), col("v"), col("norm_sq")))
-    a.as("x").join(a.as("y"),
-        col("x.assigned_label") === col("y.assigned_label") &&
-          col("x.id") < col("y.id"))
-      .withColumn("cosine", cosineFromParts(dotQ(col("x.v"), col("y.v")),
-        col("x.norm_sq"), col("y.norm_sq")))
-      .filter(col("cosine") >= threshold)
-      .select(col("x.assigned_label").as("cluster"),
-        col("x.id").as("id_a"), col("y.id").as("id_b"), col("cosine"))
+    def exhaustive(rel: DataFrame): DataFrame =
+      rel.as("x").join(rel.as("y"),
+          col("x.assigned_label") === col("y.assigned_label") &&
+            col("x.id") < col("y.id"))
+        .withColumn("cosine", cosineFromParts(dotQ(col("x.v"), col("y.v")),
+          col("x.norm_sq"), col("y.norm_sq")))
+        .filter(col("cosine") >= threshold)
+        .select(col("x.assigned_label").as("cluster"),
+          col("x.id").as("id_a"), col("y.id").as("id_b"), col("cosine"))
+    maxClusterSize match {
+      case None => exhaustive(a)
+      case Some(cap) =>
+        // |clusters|-row size relation, broadcast onto the assignment.
+        val sizes = a.groupBy(col("assigned_label"))
+          .agg(count(lit(1)).as("cl_n"))
+        val sized = a.join(broadcast(sizes), Seq("assigned_label"))
+        val small = sized.filter(col("cl_n") <= cap)
+          .select(col("id"), col("assigned_label"), col("v"), col("norm_sq"))
+        val big = ExtCaches.persistTracked(
+          sized.filter(col("cl_n") > cap)
+            .select(col("id"), col("assigned_label"), col("v"),
+              col("norm_sq")))
+        // Banded candidates WITHIN each oversized cluster: same sampled
+        // sign-signature geometry as cosineNearDupPairsSampled, with the
+        // cluster id prepended to the equi key. The signature materializes
+        // as a column FIRST (same discipline as that operator): inlining
+        // it would re-expand the 64-term sign sum inside each of the
+        // bands×bits gather terms — a ~16k-node expression tree.
+        val e = ExtCaches.persistTracked(big
+          .withColumn("sig", signSignature(col("v"), dims))
+          .select(col("assigned_label"), col("id"),
+            explode(sampledKeysFromSig(col("sig"),
+              fallbackBands, fallbackBitsPerBand, dims, seed)).as("bk")))
+        val cand = e.as("x").join(e.as("y"),
+            col("x.assigned_label") === col("y.assigned_label") &&
+              col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+          .select(col("x.assigned_label").as("cluster"),
+            col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .distinct()
+        val bigPairs = cand
+          .join(big.select(col("id").as("id_a"), col("v").as("va"),
+            col("norm_sq").as("na")), Seq("id_a"))
+          .join(big.select(col("id").as("id_b"), col("v").as("vb"),
+            col("norm_sq").as("nb")), Seq("id_b"))
+          .withColumn("cosine", cosineFromParts(dotQ(col("va"), col("vb")),
+            col("na"), col("nb")))
+          .filter(col("cosine") >= threshold)
+          .select(col("cluster"), col("id_a"), col("id_b"), col("cosine"))
+        exhaustive(small).unionByName(bigPairs)
+    }
   }
 
   // ---- SQ8 scalar quantization (FAISS-style compressed index) -----------

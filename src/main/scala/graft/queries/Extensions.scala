@@ -1484,9 +1484,19 @@ object Extensions {
     * every within-cluster pair the banding missed. */
   val SemDedupThreshold = CosineDupThreshold
 
+  /** x59 cluster-size guard (round-8 verdict #3): clusters past this fall
+    * back to within-cluster banded LSH instead of the exhaustive
+    * self-join. The benchmarked corpora sit far under it (sf0.1: ~200
+    * vectors/cluster), so the oracle's exhaustive semantics hold exactly
+    * while the quadratic failure mode is fenced — the degenerate
+    * one-giant-cluster case is spec-pinned (SemDedupGuardSpec) and soak-
+    * measured rather than left to production discovery. */
+  val SemDedupClusterCap = 1000
+
   def x59_semdedup_prune(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedupPairs(Tables.embeddings(s, dir), "vec_id",
-        "label", "embedding", SemDedupThreshold)
+        "label", "embedding", SemDedupThreshold,
+        maxClusterSize = Some(SemDedupClusterCap))
       .orderBy(col("cluster"), col("id_a"), col("id_b"))
 
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --

@@ -80,7 +80,17 @@ object ScaleSoak {
     // gram df exactly as it bounds shingle df, so growth should be
     // ~linear here (the REGISTRY corpus's shared vocabulary is the
     // df-grows-with-corpus regime, like the boilerplate tail for x02)
-    "x62_editdist_pairs")
+    "x62_editdist_pairs",
+    // round-9 additions: the x59 cluster-size guard under the exact skew
+    // it exists for. `x59_cap1000` is the registry shape (real labels,
+    // cap 1000): clusters cross the cap between x3 (~600/cluster) and
+    // x10 (~2,000), so the sweep shows the exhaustive→banded handoff in
+    // one table. `x59_onegiant_cap1000` coerces every label to one value
+    // — the degenerate one-giant-cluster corpus whose UNCAPPED self-join
+    // is all-pairs quadratic (n²/2 = 1.8e9 verify pairs at x30, computed,
+    // not run at the larger dirs). `x59_uncapped` prices what the guard
+    // saves on the real-label corpus.
+    "x59_uncapped", "x59_cap1000", "x59_onegiant_cap1000")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -119,6 +129,28 @@ object ScaleSoak {
         size(graft.ext.TextOps.tokens(col("text"))),
         graft.queries.Extensions.CtxLen, shardHexChars = 3)
         .orderBy(col("doc_id"))),
+    // x59 guard rows (round 9): registry labels with the registry cap,
+    // the same with every vector forced into ONE cluster (the
+    // boilerplate-crawl degenerate the cap fences), and the uncapped
+    // exhaustive for the price comparison.
+    "x59_uncapped" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Similarity.semDedupPairs(
+        graft.tables.Tables.embeddings(s, dir), "vec_id", "label",
+        "embedding", graft.queries.Extensions.SemDedupThreshold)
+        .orderBy(col("cluster"), col("id_a"), col("id_b"))),
+    "x59_cap1000" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Similarity.semDedupPairs(
+        graft.tables.Tables.embeddings(s, dir), "vec_id", "label",
+        "embedding", graft.queries.Extensions.SemDedupThreshold,
+        maxClusterSize = Some(graft.queries.Extensions.SemDedupClusterCap))
+        .orderBy(col("cluster"), col("id_a"), col("id_b"))),
+    "x59_onegiant_cap1000" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Similarity.semDedupPairs(
+        graft.tables.Tables.embeddings(s, dir).withColumn("label", lit(0)),
+        "vec_id", "label", "embedding",
+        graft.queries.Extensions.SemDedupThreshold,
+        maxClusterSize = Some(graft.queries.Extensions.SemDedupClusterCap))
+        .orderBy(col("cluster"), col("id_a"), col("id_b"))),
     // x47 at d=512 (embedding tiled 8x): the fixed-buffer UDAF claim is
     // strongest at large d — the buffer is d(d+1)/2 = 131,328 cells vs
     // 2,080 at d=64, while the row-amplification alternative would emit
@@ -216,7 +248,11 @@ object ScaleSoak {
     * (`[boiler-stats]`), not executed. */
   val BoilerFamily: Seq[String] = Seq(
     "x02_dfcap50", "x51_jaccard_prefix", "x52_dfcap50",
-    "x55_incremental_lsh")
+    "x55_incremental_lsh",
+    // round-9: the header's char q-grams are corpus-wide df — exactly
+    // what the df-rarity prefix must refuse to select; the b-dirs make
+    // that claim a measurement (round-8 asserted it by analogy to x02)
+    "x62_editdist_pairs")
 
   def main(args: Array[String]): Unit = {
     // SPARK_GRAFT_SOAK_BOILER=1: soak the boilerplate-tail corpus variant

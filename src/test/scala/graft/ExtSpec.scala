@@ -354,6 +354,46 @@ class SimilaritySpec extends SparkSpec {
     assert(sem == sameCluster, s"sem=$sem sameCluster=$sameCluster")
   }
 
+  test("x59 cluster cap: degenerate one-giant-cluster corpus stays banded, keeps duplicates, loses no under-cap semantics") {
+    import spark.implicits._
+    // One label ⇒ one centroid ⇒ EVERY vector lands in one cluster — the
+    // boilerplate-crawl degenerate the round-8 verdict flagged: uncapped,
+    // the within-cluster self-join is all-pairs quadratic.
+    val n = 120
+    val rows = (0 until n).map { i =>
+      val base = Array.tabulate(64)(d =>
+        math.sin(d * 1.7 + (i % 12)).toFloat)
+      (i.toLong, 0L, base)
+    } :+ ((n.toLong, 0L, Array.tabulate(64)(d =>
+      math.sin(d * 1.7).toFloat)))  // sign-identical dup of i % 12 == 0
+    val e = rows.toDF("vec_id", "label", "embedding")
+    val uncapped = Similarity.semDedupPairs(e, "vec_id", "label",
+        "embedding", 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    graft.ext.ExtCaches.clearCaches()
+    val capped = Similarity.semDedupPairs(e, "vec_id", "label",
+        "embedding", 0.99, maxClusterSize = Some(10))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    graft.ext.ExtCaches.clearCaches()
+    // Soundness: the banded fallback verifies exactly, so it can only be
+    // a subset of the exhaustive answer.
+    assert(capped.subsetOf(uncapped), s"capped=$capped uncapped=$uncapped")
+    // Recall where it matters: identical vectors agree on every sampled
+    // sign coordinate, so they collide in every band — the cap can never
+    // lose an exact duplicate. Vector n is identical to every i≡0 (mod
+    // 12) vector; all its pairs must survive.
+    val dupPairs = uncapped.filter { case (a, b) => b == n.toLong }
+    assert(dupPairs.nonEmpty && dupPairs.subsetOf(capped),
+      s"lost duplicate pairs: ${dupPairs -- capped}")
+    // Under-cap clusters keep EXACT semantics: with the cap above the
+    // cluster size the output is identical to uncapped.
+    val cappedHigh = Similarity.semDedupPairs(e, "vec_id", "label",
+        "embedding", 0.99, maxClusterSize = Some(n + 1))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(cappedHigh == uncapped)
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("sampled-band LSH: sound (subset of exact), 100% recall on sign-identical vectors") {
     val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // Soundness: candidates are verified exactly, so any geometry's output
