@@ -1163,6 +1163,72 @@ class Sq8Spec extends SparkSpec {
     assert(top.exceptAll(fast).count() == 0L)
     graft.ext.ExtCaches.clearCaches()
   }
+
+  test("x70 probe ranking: probe_rank 1 IS the argmin assignment; nprobe widens monotonically") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val assign = Similarity.nearestCentroidAssign(e, "vec_id", "label", "embedding")
+      .select(col("id"), col("assigned_label"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probes = Similarity.nearestCentroidProbes(e, "vec_id", "label",
+        "embedding", 3)
+      .select(col("id"), col("probe_rank"), col("c_label")).collect()
+    // rank-1 probe = the assignment, for every row (same tScore, same
+    // tie-break — the two entry points cannot drift)
+    probes.filter(_.getLong(1) == 1L).foreach { r =>
+      assert(r.getLong(2) == assign(r.getLong(0)),
+        s"id ${r.getLong(0)}: probe1 ${r.getLong(2)} != assign ${assign(r.getLong(0))}")
+    }
+    // exactly nprobe distinct cells per row
+    val perRow = probes.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+    assert(perRow.values.forall(_.size == 3))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("x70 search: widening nprobe never lowers any query's top-1 dot (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+    def top1(nprobe: Int): Map[Long, Long] = {
+      val m = Similarity.ivfSq8TopKLearned(e, q, "vec_id", "label",
+          "embedding", k = 1, nprobe = nprobe)
+        .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("dot_q8")).toMap
+      graft.ext.ExtCaches.clearCaches()
+      m
+    }
+    val (n1, n3) = (top1(1), top1(3))
+    n1.foreach { case (qid, d1) =>
+      assert(n3(qid) >= d1, s"q $qid: nprobe=3 top-1 ${n3(qid)} < nprobe=1 $d1")
+    }
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("x71 recall table: hits bounded by n_exact, and learned IVF dominates single-probe sign overall (sf0.001)") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val r = Similarity.ivfRecallCompare(e, e.filter(col("vec_id") < 10),
+        "vec_id", "label", "embedding", k = 3,
+        bits = graft.queries.Extensions.SimBucketBits,
+        nprobe = graft.queries.Extensions.IvfNprobe)
+      .collect()
+    assert(r.length == 10)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_exact")
+      assert(n == 3L)
+      Seq("hits_sign", "hits_multiprobe", "hits_ivfkm").foreach { c =>
+        val h = row.getAs[Long](c)
+        assert(h >= 0L && h <= n, s"$c out of range: $h")
+      }
+    }
+    // The design claim, at the aggregate level (per-query it can tie or
+    // flip on a lucky bucket): nprobe learned cells probe ~the same
+    // corpus fraction as ~bits+1 sign probes but follow the data — the
+    // learned total must at least match the single-probe sign total.
+    val tot = (c: String) => r.map(_.getAs[Long](c)).sum
+    assert(tot("hits_ivfkm") >= tot("hits_sign"),
+      s"learned ${tot("hits_ivfkm")} < sign ${tot("hits_sign")}")
+    graft.ext.ExtCaches.clearCaches()
+  }
 }
 
 /** x67/x68 curation audits: the rank gate on a constructed ladder, the

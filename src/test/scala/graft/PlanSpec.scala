@@ -130,12 +130,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("x63/x69: SQ8 search is a bucket equi-join; the only BNLJ is the 1-row scales anchor") {
+  test("x63/x69/x70: SQ8 search is a bucket/cell equi-join; the only BNLJs are the 1-row scales/centroid anchors") {
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     for (q <- Seq(Extensions.x63_sim_topk_ivfsq8 _,
-        Extensions.x69_sim_topk_multiprobe _)) {
+        Extensions.x69_sim_topk_multiprobe _,
+        Extensions.x70_sim_topk_ivfkm _)) {
       val plan = q(spark, dir).queryExecution.sparkPlan
       val bnljs = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
       bnljs.foreach { b =>
@@ -312,7 +313,10 @@ class PlanSpec extends SparkSpec {
 
     // x06 brute-force top-k is the documented non-equi baseline: the
     // corpus-scan join against the broadcast query set is its semantics.
-    val bnljWhitelist = Set("x06_sim_topk_brute")
+    // x71's ground-truth arm IS that baseline (the exact full-corpus
+    // top-k every coarse quantizer is audited against); its three ANN
+    // arms stay equi-joins, pinned by the x63/x69/x70 plan test.
+    val bnljWhitelist = Set("x06_sim_topk_brute", "x71_ivf_recall")
 
     def isOneRowAnchor(b: BroadcastNestedLoopJoinExec): Boolean = {
       val build = b.buildSide match {
