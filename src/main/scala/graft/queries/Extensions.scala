@@ -1503,6 +1503,71 @@ object Extensions {
       .orderBy(col("doc_id"), col("base_id"))
   }
 
+  /** x55 executed in TRUE streaming mode (round-9 stretch; the x12/x13/
+    * x65 discipline applied to the dedup index): the incoming half of
+    * the corpus arrives as a file stream, and the LSH band index is
+    * STREAMING STATE — `transformWithState` ListState keyed by band
+    * bucket, seeded from the base corpus via the initial-state API
+    * ([[graft.streaming.DedupStreams]]) — the production nightly-crawl
+    * form where the dedup gate runs at ingest, not behind a batch job.
+    * The ORACLE is x55's, verbatim: the streamed matches must equal the
+    * batch batch-vs-base answer row for row, which makes "the in-state
+    * index is the stored batch index" an oracle-gated fact instead of a
+    * spec claim. Multi-band collisions are canonicalized by a streaming
+    * dropDuplicates (the batch side's candidate `.distinct()`);
+    * per-batch `batch_id=N` overwrite keeps the at-least-once
+    * foreachBatch sink idempotent (the x13 discipline). transformWithState
+    * requires the RocksDB state-store provider — set for the query's
+    * lifetime and restored after. */
+  def x55_incremental_lsh_stream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docsSchema = s.read.parquet(s"$dir/documents.parquet").schema
+      val tmp = streamTmpDir("graft_x55_stream_")
+      val out = tmp.resolve("out").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val landing = tmp.resolve("landing")
+      stageTableLanding(dir, "documents", landing, "docs")
+      val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
+      val base = Tables.documents(s, dir).filter(inBase)
+      val incoming = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", streamMaxFiles)
+        .parquet(landing.toString)
+        .filter(!inBase)
+      // Multi-band dedup happens PER BATCH in the sink, not as a second
+      // stateful operator: all of an incoming doc's band rows ride in its
+      // own micro-batch, so a pair's duplicate emissions (identical
+      // values, one per colliding band) can never span batches —
+      // batch-local dropDuplicates is exact and keeps the query
+      // single-stateful-operator.
+      val q = graft.streaming.DedupStreams.lshDedupStream(
+          incoming, base, "doc_id", "text",
+          w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.streaming.DedupStreams.LshMatch],
+           id: Long) =>
+            batch.dropDuplicates("doc_id", "base_id")
+              .write.mode("overwrite").parquet(s"$out/batch_id=$id")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.option("basePath", out).parquet(out)
+        .select(col("doc_id"), col("base_id"), col("jaccard"))
+        .orderBy(col("doc_id"), col("base_id"))
+    } finally prevProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   // ---- x56: nearest-centroid assignment / semantic cluster purity ---------
 
   def x56_cluster_purity(s: SparkSession, dir: String): DataFrame =
@@ -1626,7 +1691,12 @@ object Extensions {
 
   private def stageEventsLanding(dir: String,
                                  landing: java.nio.file.Path,
-                                 tag: String = "events"): Unit = {
+                                 tag: String = "events"): Unit =
+    stageTableLanding(dir, "events", landing, tag)
+
+  private def stageTableLanding(dir: String, table: String,
+                                landing: java.nio.file.Path,
+                                tag: String): Unit = {
     import java.nio.file.{Files, Paths}
     Files.createDirectories(landing)
     // Absolute target, or a relative `dir` yields symlinks that resolve
@@ -1634,7 +1704,7 @@ object Extensions {
     // paths (resolved against cwd), the staged stream must too.
     // `tag` names the link files — a second staging wave under a distinct
     // tag re-delivers the same data without colliding (x65's replay).
-    val src = Paths.get(dir, "events.parquet").toAbsolutePath.normalize()
+    val src = Paths.get(dir, s"$table.parquet").toAbsolutePath.normalize()
     if (Files.isDirectory(src)) {
       val listing = Files.list(src)
       try {
@@ -2051,6 +2121,7 @@ object Extensions {
     "x53_cluster_split" -> (x53_cluster_split _),
     "x54_block_dedup" -> (x54_block_dedup _),
     "x55_incremental_lsh" -> (x55_incremental_lsh _),
+    "x55_incremental_lsh_stream" -> (x55_incremental_lsh_stream _),
     "x56_cluster_purity" -> (x56_cluster_purity _),
     "x57_substr_dedup" -> (x57_substr_dedup _),
     "x58_cdc_apply" -> (x58_cdc_apply _),
@@ -2265,6 +2336,42 @@ object Extensions {
        |  SELECT vec_id, code,
        |         ${bucketSql("code")} AS bucket
        |  FROM codes)""".stripMargin
+
+  /** The x55 incremental-LSH oracle — ONE spelling registered for BOTH
+    * the batch query and its streaming twin (stream-equals-batch is the
+    * gated claim): the x03 MinHash→LSH→verify chain with the x33
+    * base/batch hash-split; candidates are batch×base band collisions
+    * only. */
+  private def x55OracleSql: String =
+    s"""WITH $shinglesCte,
+       |flags AS (
+       |  SELECT doc_id, sh,
+       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, in_base,
+       |         list_transform(range(0, 16), i ->
+       |           list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
+       |  FROM flags),
+       |bandrows AS (
+       |  SELECT doc_id, in_base, j AS band,
+       |         md5(array_to_string(list_slice(sig, CAST(j*4+1 AS INT), CAST(j*4+4 AS INT)), ',')) AS bucket
+       |  FROM sigs, unnest(range(0, 4)) AS u(j)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS base_id
+       |  FROM bandrows x JOIN bandrows y
+       |    ON x.band = y.band AND x.bucket = y.bucket
+       |   AND NOT x.in_base AND y.in_base),
+       |ver AS (
+       |  SELECT c.doc_id, c.base_id,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |           / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+       |  FROM cand c
+       |  JOIN sh a ON c.doc_id = a.doc_id
+       |  JOIN sh b ON c.base_id = b.doc_id)
+       |SELECT doc_id, base_id, jaccard FROM ver
+       |WHERE jaccard >= $JaccardThreshold
+       |ORDER BY doc_id, base_id""".stripMargin
 
   /** Exact-integer centroid chain — ONE spelling shared by every oracle
     * that ranks vectors against per-label centroids (x56 purity, x59
@@ -3528,37 +3635,12 @@ object Extensions {
          |ORDER BY d.doc_id""".stripMargin,
 
     // x55: the x03 MinHash→LSH→verify chain with the x33 base/batch
-    // hash-split — candidates are batch×base band collisions only.
-    "x55_incremental_lsh" ->
-      s"""WITH $shinglesCte,
-         |flags AS (
-         |  SELECT doc_id, sh,
-         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base
-         |  FROM sh),
-         |sigs AS (
-         |  SELECT doc_id, in_base,
-         |         list_transform(range(0, 16), i ->
-         |           list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
-         |  FROM flags),
-         |bandrows AS (
-         |  SELECT doc_id, in_base, j AS band,
-         |         md5(array_to_string(list_slice(sig, CAST(j*4+1 AS INT), CAST(j*4+4 AS INT)), ',')) AS bucket
-         |  FROM sigs, unnest(range(0, 4)) AS u(j)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS base_id
-         |  FROM bandrows x JOIN bandrows y
-         |    ON x.band = y.band AND x.bucket = y.bucket
-         |   AND NOT x.in_base AND y.in_base),
-         |ver AS (
-         |  SELECT c.doc_id, c.base_id,
-         |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-         |           / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
-         |  FROM cand c
-         |  JOIN sh a ON c.doc_id = a.doc_id
-         |  JOIN sh b ON c.base_id = b.doc_id)
-         |SELECT doc_id, base_id, jaccard FROM ver
-         |WHERE jaccard >= $JaccardThreshold
-         |ORDER BY doc_id, base_id""".stripMargin,
+    // hash-split — candidates are batch×base band collisions only. The
+    // streaming twin registers the SAME oracle text below: the streamed
+    // state-index answer must equal the batch answer exactly — that
+    // identity IS the gated claim.
+    "x55_incremental_lsh" -> x55OracleSql,
+    "x55_incremental_lsh_stream" -> x55OracleSql,
 
     // x56: exact integer centroid sums (DuckDB SUM(BIGINT) is HUGEINT —
     // the |s|² accumulation the Spark side does in DECIMAL(38,0)); the

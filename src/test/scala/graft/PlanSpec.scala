@@ -364,7 +364,7 @@ class PlanSpec extends SparkSpec {
     // (same transform fn) and StreamingSpec.
     val eagerStreamTwins =
       Set("x12_events_tumbling_stream", "x13_events_sessions_stream",
-        "x65_stream_dedup_replay")
+        "x65_stream_dedup_replay", "x55_incremental_lsh_stream")
 
     val violations = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eagerStreamTwins.contains(name) }

@@ -410,3 +410,92 @@ class StreamDedupReplaySpec extends SparkSpec {
     assert(batch.count() > 0L)
   }
 }
+
+/** Streaming incremental LSH (round-9 stretch): the x55 batch answer
+  * reproduced by a transformWithState pipeline whose band index is
+  * STREAMING STATE seeded from the base corpus — and the within-stream
+  * half (an incoming doc deduped against an EARLIER incoming doc across
+  * a micro-batch boundary) that the batch-vs-base form cannot express. */
+class StreamIncLshSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions._
+  import graft.streaming.DedupStreams
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("stream output equals the batch x55 answer on the same base/incoming split (sf0.001)") {
+    withRocksDb {
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+      val inBase = graft.ext.Sampling.hashThresholdPredicate(
+        col("doc_id"), graft.queries.Extensions.BaseFrac)
+      val base = docs.filter(inBase)
+      val incoming = docs.filter(!inBase)
+      val batch = graft.ext.Dedup.incrementalLshPairs(
+          base, incoming, "doc_id", "text",
+          w = 3, perms = 16, bands = 4,
+          threshold = graft.queries.Extensions.JaccardThreshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      graft.ext.ExtCaches.clearCaches()
+
+      val source = MemoryStream[(Long, String)]
+      val stream = DedupStreams.lshDedupStream(
+          source.toDF().toDF("doc_id", "text"), base, "doc_id", "text",
+          w = 3, perms = 16, bands = 4,
+          threshold = graft.queries.Extensions.JaccardThreshold)
+      val q = stream.writeStream.format("memory").queryName("inc_lsh")
+        .outputMode("append").start()
+      // two micro-batches: state must carry the seeded index across them.
+      // (No stream-side dedup: a pair's multi-band emissions carry
+      // identical values and collapse in the result Set below — the
+      // registry twin dedupes per batch in its sink.)
+      val rows = incoming.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      source.addData(h1.toSeq: _*); q.processAllAvailable()
+      source.addData(h2.toSeq: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("inc_lsh").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch.nonEmpty, "degenerate spec: batch answer is empty")
+      assert(got == batch, s"stream=$got batch=$batch")
+      graft.ext.ExtCaches.clearCaches()
+    }
+  }
+
+  test("appendIncoming: a dup arriving in a later micro-batch is caught against an earlier STREAM doc") {
+    withRocksDb {
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val base = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+        .toDF("doc_id", "text")
+      val d1 = "one two three four five six seven eight nine ten"
+      val source = MemoryStream[(Long, String)]
+      val stream = DedupStreams.lshDedupStream(
+          source.toDF().toDF("doc_id", "text"), base, "doc_id", "text",
+          w = 3, perms = 16, bands = 4, threshold = 0.5,
+          appendIncoming = true)
+      val q = stream.writeStream.format("memory").queryName("inc_lsh_append")
+        .outputMode("append").start()
+      source.addData((1L, d1)); q.processAllAvailable()          // batch 1
+      source.addData((2L, d1)); q.processAllAvailable()          // batch 2: exact dup of 1
+      q.stop()
+      val got = spark.table("inc_lsh_append").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // doc 2 must match STREAM doc 1 (jaccard 1.0) — state carried the
+      // batch-1 doc across the boundary; nothing matches the unrelated base
+      assert(got == Set((2L, 1L, 1.0)), got)
+      graft.ext.ExtCaches.clearCaches()
+    }
+  }
+}
