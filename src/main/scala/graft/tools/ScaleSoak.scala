@@ -423,7 +423,13 @@ object ScaleSoak {
       sb.append("uncapped join 1.375e12 rows (quadratic), x02+cap50 62.6 s /\n")
       sb.append("20,300 rows (linear, -20.7% recall), x52+cap50 28.8 s / 14,300\n")
       sb.append("(linear), x55 8.5 s, x51 444.4 s returning the COMPLETE 25,600 —\n")
-      sb.append("exactness costs 7.1x the capped run at b100.\n\n")
+      sb.append("exactness costs 7.1x the capped run at b100. Round 9 added x62's\n")
+      sb.append("b-cells (° rows below + the b100 decade cell in SCALING.md):\n")
+      sb.append("rows identical to the plain corpus at every scale (the header\n")
+      sb.append("shifts no pairwise edit distance), slope b30/b3 = 3.1 and\n")
+      sb.append("b100/b10 = 10.0 — the char-q-gram rarity prefix refuses the\n")
+      sb.append("corpus-wide header grams, so boilerplate costs x62 a constant\n")
+      sb.append("~2x, never a slope.\n\n")
     } else {
     sb.append("# SCALING — dedup/CC/decontamination family soak\n\n")
     sb.append(s"Generated by `graft.tools.ScaleSoak` (local[32], cold = MEDIAN of\n")
@@ -577,6 +583,23 @@ object ScaleSoak {
     sb.append("  100 TB policy gains a rider: where the tail exists AND the recall\n")
     sb.append("  trade is measured acceptable, cap; x51 is the exactness backstop,\n")
     sb.append("  priced here.\n")
+    sb.append("- **Round-9 cells (hand-merged; dedicated fresh-JVM filtered sweeps).**\n")
+    sb.append("  x62 re-measured after the prefix-prefix candidate switch: x30 HALVED\n")
+    sb.append("  (74.15 -> 37.38 s, slope 2.8 -> 2.4) with pair counts identical at\n")
+    sb.append("  every scale — the asymmetric form's Σ df_pref·df_full candidate cost\n")
+    sb.append("  carried full posting lists that grow with the shared-vocabulary\n")
+    sb.append("  corpus; df_pref² does not. Decade cells: x100 174.27 s cold (rows\n")
+    sb.append("  25,100 = exactly 251/replica — output perfectly linear; slope\n")
+    sb.append("  x100/x10 = 7.1), b100 334.40 s (rows IDENTICAL to plain — the\n")
+    sb.append("  header shifts no pairwise edit distance; slope b100/b10 = 10.0,\n")
+    sb.append("  linear where the analytic uncapped shingle join is 1.375e12 rows).\n")
+    sb.append("  x59 cluster-size guard measured where the uncapped form is\n")
+    sb.append("  analytically quadratic: uncapped x30 = 20.05 s / 232k pair rows\n")
+    sb.append("  (output itself grows ~105x for 10x data — the quadratic object);\n")
+    sb.append("  cap1000 = 4.69 s flat (slope 1.8; output identical to uncapped\n")
+    sb.append("  wherever clusters sit under the cap); the one-giant-cluster\n")
+    sb.append("  degenerate (n²/2 = 1.8e9 verify pairs uncapped at x30, computed\n")
+    sb.append("  not run) completes at 5.83 s through the banded fallback.\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")
