@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** Similarity search over embedding columns (SURVEY.md §7.6).
   *
@@ -377,24 +377,35 @@ object Similarity {
       df.select(col(idCol).as("id"), col(labelCol).cast(LongType).as("label"),
         quantize(col(vecCol)).as("v")))
 
-  /** 1-row centroid anchor over a [[quantizedWithLabel]] relation: cents =
-    * array of (c_label, n, ss, s[]) — |labels|·(d+3) cells total,
-    * trivially broadcast-small for any real label count. See
-    * [[nearestCentroidPurity]]'s Scaladoc for the exact-integer design
-    * and the single-row ceiling. */
-  private def centroidAnchor(q: DataFrame): DataFrame = {
+  /** Exact-integer centroid statistics of a (c_label, v) relation: one
+    * row per cell — (c_label, n members, ss = Σ s_d² in DECIMAL(38,0),
+    * s = the d-length per-dim integer sum vector). The reduce step both
+    * the seed build (c_label = the metadata label) and every Lloyd
+    * iteration (c_label = the previous round's assignment) share. */
+  private def centroidStats(rel: DataFrame): DataFrame = {
     val dec = DecimalType(38, 0)
-    q.select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("label").as("c_label"), col("dim"))
+    rel.select(col("c_label"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("c_label"), col("dim"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
       .groupBy(col("c_label"))
       .agg(max(col("n")).as("n"),
         sum(col("s").cast(dec) * col("s").cast(dec)).as("ss"),
         transform(array_sort(collect_list(struct(col("dim"), col("s")))),
           e => e("s")).as("s"))
-      .agg(collect_list(struct(col("c_label"), col("n"), col("ss"), col("s")))
-        .as("cents"))
   }
+
+  /** Pack a [[centroidStats]] relation into the 1-row broadcast anchor
+    * (cents = array of (c_label, n, ss, s[]) — |cells|·(d+3) cells,
+    * trivially broadcast-small; see [[nearestCentroidPurity]] for the
+    * exact-integer design and the single-row ceiling). */
+  private def packCents(stats: DataFrame): DataFrame =
+    stats.agg(
+      collect_list(struct(col("c_label"), col("n"), col("ss"), col("s")))
+        .as("cents"))
+
+  /** 1-row centroid anchor over a [[quantizedWithLabel]] relation. */
+  private def centroidAnchor(q: DataFrame): DataFrame =
+    packCents(centroidStats(q.select(col("label").as("c_label"), col("v"))))
 
   /** The deterministic centroid-distance score t = |s|²/n² − 2(v·s)/n for
     * one centroid entry `e` of the anchor — the expression BOTH engines
@@ -423,6 +434,52 @@ object Similarity {
       .select(col("id"), col("label"), col("v"),
         (col("pi") + 1).cast(LongType).as("probe_rank"),
         col("p.c_label").as("c_label"))
+  }
+
+  /** Iterated Lloyd k-means over the quantized embedding space — the
+    * training loop [[ivfSq8TopKLearned]]'s Scaladoc promises ("a
+    * production deployment iterates the centroid build"): round r
+    * assigns every vector to its nearest round-(r−1) centroid (the same
+    * broadcast-anchor argmin as [[nearestCentroidAssign]], same tScore,
+    * same (t, c_label) tie-break) and recomputes exact-integer centroid
+    * statistics from the assignment; seeds are the per-label centroids
+    * (k-means|| in production — the seeding changes only round 0).
+    * Output: one row per (round, surviving cell) — member count and an
+    * md5 digest of the cell's per-dim integer sum vector, so the oracle
+    * hash-gates every round's ENTIRE centroid state, not a summary
+    * statistic. A cell that captures no members simply disappears from
+    * later rounds (both engines drop empty groups identically).
+    *
+    * Determinism: the assignment argmin compares bit-identical doubles
+    * (see nearestCentroidPurity); centroid recomputation is pure integer
+    * arithmetic; the digest renders int64 values identically in both
+    * engines. Scale shape per round: ONE broadcast of the |cells|·(d+3)
+    * anchor + one corpus scan for the assignment + one posexplode hash
+    * aggregate for the new sums — K scans total, map-side combinable,
+    * the vectors never shuffle (the same shape as Spark MLlib's k-means
+    * aggregateByKey step, with exact integers instead of floats). Each
+    * round's statistics persist (tracked) so round r+1's anchor does not
+    * re-run rounds 1..r. */
+  def kmeansIterate(df: DataFrame, idCol: String, labelCol: String,
+                    vecCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val q = quantizedWithLabel(df, idCol, labelCol, vecCol)
+    var stats = ExtCaches.persistTracked(
+      centroidStats(q.select(col("label").as("c_label"), col("v"))))
+    val perRound = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val assigned = q.join(broadcast(packCents(stats)))
+        .withColumn("best", array_min(transform(col("cents"), e =>
+          struct(tScore(e, col("v")).as("t"), e("c_label").as("c_label")))))
+        .select(col("best.c_label").as("c_label"), col("v"))
+      stats = ExtCaches.persistTracked(centroidStats(assigned))
+      perRound += stats.select(
+        lit(r.toLong).as("round"), col("c_label"),
+        col("n").as("n_vecs"),
+        md5(concat_ws(",",
+          transform(col("s"), x => x.cast(StringType)))).as("centroid_digest"))
+    }
+    perRound.result().reduce(_ unionByName _)
   }
 
   /** SemDeDup within-cluster pruning — the published step AFTER

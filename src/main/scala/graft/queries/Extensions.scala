@@ -1338,6 +1338,23 @@ object Extensions {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** x72 Lloyd rounds: 3 is enough to show movement AND stabilization on
+    * the benchmarked corpora while keeping the oracle's unrolled CTE
+    * chain readable; production runs to a drift tolerance. */
+  val KmeansRounds = 3
+
+  /** Iterated k-means (x72) — the Lloyd loop x70's coarse quantizer
+    * trains with: each round re-assigns the corpus to the nearest
+    * previous-round centroid (broadcast-anchor argmin, the x56
+    * machinery) and recomputes exact-integer centroid statistics; the
+    * oracle replays every round unrolled (the x60 BPE discipline) and
+    * hash-gates each round's complete centroid state via per-cell
+    * digests of the integer sum vectors. */
+  def x72_kmeans_iterate(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansIterate(Tables.embeddings(s, dir), "vec_id",
+        "label", "embedding", KmeansRounds)
+      .orderBy(col("round"), col("c_label"))
+
   /** Three-way coarse-quantizer recall table (x71): per query, the exact
     * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
     * Hamming-1 multi-probe sign SQ8 (x69), and learned-centroid IVF at
@@ -2137,7 +2154,8 @@ object Extensions {
     "x69_sim_topk_multiprobe" -> (x69_sim_topk_multiprobe _),
     "x68_cluster_size_hist" -> (x68_cluster_size_hist _),
     "x70_sim_topk_ivfkm" -> (x70_sim_topk_ivfkm _),
-    "x71_ivf_recall" -> (x71_ivf_recall _))
+    "x71_ivf_recall" -> (x71_ivf_recall _),
+    "x72_kmeans_iterate" -> (x72_kmeans_iterate _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2401,6 +2419,42 @@ object Extensions {
        |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
        |           - (2.0 * CAST(${dotSql("qv.v", "cent.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
        |  FROM qv CROSS JOIN cent)""".stripMargin
+
+  /** One unrolled Lloyd round for the x72 oracle (the x60 bpeRoundSql
+    * discipline): score the corpus against round r−1's centroids (round
+    * 0 = the shared chain's per-label `cent`), take the (t, c_label)
+    * argmin assignment, and recompute exact-integer centroid stats. The
+    * t spelling matches centroidScoreCtes / Similarity.tScore
+    * operand-for-operand. */
+  private def kmeansRoundSql(r: Int): String = {
+    val prev = if (r == 1) "cent" else s"cent_${r - 1}"
+    s"""scored_$r AS (
+       |  SELECT qv.vec_id, c.c_label,
+       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+       |           - (2.0 * CAST(${dotSql("qv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+       |  FROM qv CROSS JOIN $prev c),
+       |assigned_$r AS (
+       |  SELECT vec_id, c_label FROM (
+       |    SELECT vec_id, c_label,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
+       |    FROM scored_$r) WHERE rn = 1),
+       |aex_$r AS (
+       |  SELECT a.c_label, unnest(range(0, len(v))) AS dim, unnest(v) AS x
+       |  FROM assigned_$r a JOIN qv USING (vec_id)),
+       |sums_$r AS (
+       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
+       |  FROM aex_$r GROUP BY 1, 2),
+       |cent_$r AS (
+       |  SELECT c_label, max(n) AS n,
+       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+       |         list(s ORDER BY dim) AS sl
+       |  FROM sums_$r GROUP BY 1),
+       |row_$r AS (
+       |  SELECT CAST($r AS BIGINT) AS round, c_label,
+       |         CAST(n AS BIGINT) AS n_vecs,
+       |         md5(array_to_string(sl, ',')) AS centroid_digest
+       |  FROM cent_$r)""".stripMargin
+  }
 
   /** LSH band key for band `j` over the quantized vector `v` — mirrors
     * Similarity.bandKeys: sign bits of components [j·r+1 .. j·r+r] packed
@@ -3439,6 +3493,17 @@ object Extensions {
          |LEFT JOIN hs USING (q_id) LEFT JOIN hm USING (q_id)
          |LEFT JOIN hl USING (q_id)
          |ORDER BY q_id""".stripMargin,
+
+    // x72: the Lloyd loop unrolled round by round (the x60 discipline);
+    // each round's ENTIRE centroid state hash-gates via per-cell digests
+    // of the exact integer sum vectors — a one-vector assignment flip in
+    // any round changes that cell's digest and fails the compare.
+    "x72_kmeans_iterate" ->
+      s"""WITH $centroidScoreCtes,
+         |${(1 to KmeansRounds).map(kmeansRoundSql).mkString(",\n")}
+         |SELECT round, c_label, n_vecs, centroid_digest
+         |FROM (${(1 to KmeansRounds).map(r => s"SELECT * FROM row_$r").mkString(" UNION ALL ")})
+         |ORDER BY round, c_label""".stripMargin,
 
     // x65: the oracle aggregates the PLAIN single-copy events table —
     // the stream ingested every row TWICE, so equality here is the

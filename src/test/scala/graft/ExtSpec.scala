@@ -394,6 +394,38 @@ class SimilaritySpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("x72 Lloyd rounds: every round partitions the corpus; reruns are bit-deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val n = e.count()
+    def run() = {
+      val r = Similarity.kmeansIterate(e, "vec_id", "label", "embedding", 3)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getString(3)))
+      graft.ext.ExtCaches.clearCaches()
+      r
+    }
+    val r1 = run()
+    // mass conservation: each round's cells partition the corpus exactly
+    (1 to 3).foreach { round =>
+      val mass = r1.filter(_._1 == round).map(_._3).sum
+      assert(mass == n, s"round $round: sum n_vecs $mass != corpus $n")
+    }
+    // round 1's assignment is nearestCentroidAssign's (same seed anchor,
+    // same tScore): cell populations must match the x56 assignment
+    val assignCounts = Similarity.nearestCentroidAssign(
+        e, "vec_id", "label", "embedding")
+      .groupBy(col("assigned_label")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ext.ExtCaches.clearCaches()
+    r1.filter(_._1 == 1L).foreach { case (_, cell, nv, _) =>
+      assert(assignCounts(cell) == nv,
+        s"cell $cell: round-1 $nv != assignment ${assignCounts(cell)}")
+    }
+    // determinism: the full (round, cell, n, digest) state reproduces
+    assert(r1.toSet == run().toSet)
+  }
+
   test("sampled-band LSH: sound (subset of exact), 100% recall on sign-identical vectors") {
     val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // Soundness: candidates are verified exactly, so any geometry's output
