@@ -468,11 +468,7 @@ object Similarity {
       centroidStats(q.select(col("label").as("c_label"), col("v"))))
     val perRound = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
-      val assigned = q.join(broadcast(packCents(stats)))
-        .withColumn("best", array_min(transform(col("cents"), e =>
-          struct(tScore(e, col("v")).as("t"), e("c_label").as("c_label")))))
-        .select(col("best.c_label").as("c_label"), col("v"))
-      stats = ExtCaches.persistTracked(centroidStats(assigned))
+      stats = ExtCaches.persistTracked(centroidStats(lloydAssign(q, stats)))
       perRound += stats.select(
         lit(r.toLong).as("round"), col("c_label"),
         col("n").as("n_vecs"),
@@ -480,6 +476,74 @@ object Similarity {
           transform(col("s"), x => x.cast(StringType)))).as("centroid_digest"))
     }
     perRound.result().reduce(_ unionByName _)
+  }
+
+  /** One Lloyd assignment against a [[centroidStats]] relation: every
+    * row of `q` ((…, v)) re-labeled with its argmin cell — (c_label, v).
+    * The same broadcast-anchor argmin / tScore / (t, c_label) tie-break
+    * as [[nearestCentroidAssign]], factored so the per-label seed loop
+    * (x72) and the hash-seeded arbitrary-k loop (x73) cannot drift. */
+  private def lloydAssign(q: DataFrame, stats: DataFrame): DataFrame =
+    q.join(broadcast(packCents(stats)))
+      .withColumn("best", array_min(transform(col("cents"), e =>
+        struct(tScore(e, col("v")).as("t"), e("c_label").as("c_label")))))
+      .select(col("best.c_label").as("c_label"), col("v"))
+
+  /** The SQ8 search tail shared by every cell-structured ANN variant:
+    * `probes` = (id, probe_rank, cell) — probe_rank 1 is the corpus
+    * row's own cell, ranks 1..nprobe a query's probe list. Broadcast
+    * equi-join on the cell id, exact integer SQ8 dot ranking, top-k per
+    * query. */
+  private def sq8CellSearch(probes: DataFrame, corpus: DataFrame,
+                            queryIds: DataFrame, idCol: String,
+                            vecCol: String, k: Int): DataFrame = {
+    val p = ExtCaches.persistTracked(probes)
+    val coded = ExtCaches.persistTracked(sq8Codes(corpus, idCol, vecCol))
+    val cells = p.filter(col("probe_rank") === 1)
+      .select(col("id"), col("cell"))
+      .join(coded, Seq("id"))
+    val q = p
+      .join(broadcast(queryIds.select(col(idCol).as("id"))), Seq("id"))
+      .join(coded, Seq("id"))
+      .select(col("id").as("q_id"), col("code").as("q_code"), col("cell"))
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .withColumn("dot_q8", dotQ(col("q_code"), col("code")))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("dot_q8"), col("id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("cell"), col("id").as("c_id"),
+        col("dot_q8"), col("rnk"))
+  }
+
+  /** Learned IVF with the CELL COUNT as a free parameter — the
+    * production answer to the x71 finding that 10 metadata-label cells
+    * stop being competitive as the corpus grows: cells are seeded by a
+    * deterministic hash split (id mod `cells` — seeds are arbitrary,
+    * Lloyd refinement does the work; k-means|| in production) and
+    * trained with `lloydRounds` iterations of the exact-integer Lloyd
+    * step, decoupling |cells| from any metadata. Search is the same
+    * broadcast cell equi-join + exact SQ8 integer ranking as x70
+    * ([[sq8CellSearch]], one tail for both). At 100 TB |cells| scales
+    * with the corpus (SemDeDup's k ≈ 10⁵ holds cells ~10³) and nprobe
+    * holds the probed fraction — both pure config, no plan change. */
+  def ivfSq8TopKScaled(corpus: DataFrame, queryIds: DataFrame,
+                       idCol: String, vecCol: String, k: Int, cells: Int,
+                       lloydRounds: Int, nprobe: Int): DataFrame = {
+    val q = ExtCaches.persistTracked(
+      corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
+    var stats = ExtCaches.persistTracked(centroidStats(
+      q.select(pmod(col("id"), lit(cells.toLong)).as("c_label"), col("v"))))
+    for (_ <- 1 to lloydRounds)
+      stats = ExtCaches.persistTracked(centroidStats(lloydAssign(q, stats)))
+    val probes = q.join(broadcast(packCents(stats)))
+      .withColumn("scored", array_sort(transform(col("cents"), e =>
+        struct(tScore(e, col("v")).as("t"), e("c_label").as("c_label")))))
+      .select(col("id"), posexplode(slice(col("scored"), 1, nprobe))
+        .as(Seq("pi", "p")))
+      .select(col("id"), (col("pi") + 1).cast(LongType).as("probe_rank"),
+        col("p.c_label").as("cell"))
+    sq8CellSearch(probes, corpus, queryIds, idCol, vecCol, k)
   }
 
   /** SemDeDup within-cluster pruning — the published step AFTER
@@ -706,27 +770,11 @@ object Similarity {
     * |cells|; both change only the anchor build, not the search plan. */
   def ivfSq8TopKLearned(corpus: DataFrame, queryIds: DataFrame,
                         idCol: String, labelCol: String, vecCol: String,
-                        k: Int, nprobe: Int): DataFrame = {
-    val probes = ExtCaches.persistTracked(
+                        k: Int, nprobe: Int): DataFrame =
+    sq8CellSearch(
       nearestCentroidProbes(corpus, idCol, labelCol, vecCol, nprobe)
-        .select(col("id"), col("probe_rank"), col("c_label").as("cell")))
-    val coded = ExtCaches.persistTracked(sq8Codes(corpus, idCol, vecCol))
-    val cells = probes.filter(col("probe_rank") === 1)
-      .select(col("id"), col("cell"))
-      .join(coded, Seq("id"))
-    val q = probes
-      .join(broadcast(queryIds.select(col(idCol).as("id"))), Seq("id"))
-      .join(coded, Seq("id"))
-      .select(col("id").as("q_id"), col("code").as("q_code"), col("cell"))
-    val scored = cells.join(broadcast(q), Seq("cell"))
-      .filter(col("id") =!= col("q_id"))
-      .withColumn("dot_q8", dotQ(col("q_code"), col("code")))
-    val w = Window.partitionBy(col("q_id")).orderBy(desc("dot_q8"), col("id"))
-    scored.withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("cell"), col("id").as("c_id"),
-        col("dot_q8"), col("rnk"))
-  }
+        .select(col("id"), col("probe_rank"), col("c_label").as("cell")),
+      corpus, queryIds, idCol, vecCol, k)
 
   /** Three-way ANN recall table at ~equal probe cost — the x64 discipline
     * one level up: x64 froze the candidate set to isolate quantization

@@ -1355,6 +1355,31 @@ object Extensions {
         "label", "embedding", KmeansRounds)
       .orderBy(col("round"), col("c_label"))
 
+  /** x73 geometry: 32 hash-seeded Lloyd-trained cells (|cells| decoupled
+    * from the 10 metadata labels — the knob the x71 scale finding says
+    * production turns), 2 Lloyd rounds, nprobe 10 ⇒ probed fraction
+    * 10/32 ≈ 31%, matching x69's (bits+1)/2^bits and x70's 3/10 so the
+    * recall comparison stays equal-cost. */
+  val ScaledCells = 32
+  val ScaledLloydRounds = 2
+  val ScaledNprobe = 10
+
+  /** Scaled-cells trained IVF×SQ8 (x73): x70 with the cell count as a
+    * free parameter — cells seeded by a deterministic hash split
+    * (vec_id mod cells) and refined with x72's exact-integer Lloyd
+    * rounds, then the same broadcast cell equi-join + integer SQ8
+    * ranking (one shared search tail). The oracle unrolls the seed +
+    * Lloyd rounds (kmeansRoundSql with the k-prefix) and replays the
+    * search — every trained centroid, every assignment, and the final
+    * ranking hash-match across engines. */
+  def x73_sim_topk_ivf_scaled(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfSq8TopKScaled(e, e.filter(col("vec_id") < QuerySetSize),
+        "vec_id", "embedding", k = 3, cells = ScaledCells,
+        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Three-way coarse-quantizer recall table (x71): per query, the exact
     * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
     * Hamming-1 multi-probe sign SQ8 (x69), and learned-centroid IVF at
@@ -2155,7 +2180,8 @@ object Extensions {
     "x68_cluster_size_hist" -> (x68_cluster_size_hist _),
     "x70_sim_topk_ivfkm" -> (x70_sim_topk_ivfkm _),
     "x71_ivf_recall" -> (x71_ivf_recall _),
-    "x72_kmeans_iterate" -> (x72_kmeans_iterate _))
+    "x72_kmeans_iterate" -> (x72_kmeans_iterate _),
+    "x73_sim_topk_ivf_scaled" -> (x73_sim_topk_ivf_scaled _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2426,34 +2452,34 @@ object Extensions {
     * argmin assignment, and recompute exact-integer centroid stats. The
     * t spelling matches centroidScoreCtes / Similarity.tScore
     * operand-for-operand. */
-  private def kmeansRoundSql(r: Int): String = {
-    val prev = if (r == 1) "cent" else s"cent_${r - 1}"
-    s"""scored_$r AS (
+  private def kmeansRoundSql(r: Int, p: String = "", seed: String = "cent"): String = {
+    val prev = if (r == 1) seed else s"${p}cent_${r - 1}"
+    s"""${p}scored_$r AS (
        |  SELECT qv.vec_id, c.c_label,
        |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
        |           - (2.0 * CAST(${dotSql("qv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
        |  FROM qv CROSS JOIN $prev c),
-       |assigned_$r AS (
+       |${p}assigned_$r AS (
        |  SELECT vec_id, c_label FROM (
        |    SELECT vec_id, c_label,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
-       |    FROM scored_$r) WHERE rn = 1),
-       |aex_$r AS (
+       |    FROM ${p}scored_$r) WHERE rn = 1),
+       |${p}aex_$r AS (
        |  SELECT a.c_label, unnest(range(0, len(v))) AS dim, unnest(v) AS x
-       |  FROM assigned_$r a JOIN qv USING (vec_id)),
-       |sums_$r AS (
+       |  FROM ${p}assigned_$r a JOIN qv USING (vec_id)),
+       |${p}sums_$r AS (
        |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
-       |  FROM aex_$r GROUP BY 1, 2),
-       |cent_$r AS (
+       |  FROM ${p}aex_$r GROUP BY 1, 2),
+       |${p}cent_$r AS (
        |  SELECT c_label, max(n) AS n,
        |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
        |         list(s ORDER BY dim) AS sl
-       |  FROM sums_$r GROUP BY 1),
-       |row_$r AS (
+       |  FROM ${p}sums_$r GROUP BY 1),
+       |${p}row_$r AS (
        |  SELECT CAST($r AS BIGINT) AS round, c_label,
        |         CAST(n AS BIGINT) AS n_vecs,
        |         md5(array_to_string(sl, ',')) AS centroid_digest
-       |  FROM cent_$r)""".stripMargin
+       |  FROM ${p}cent_$r)""".stripMargin
   }
 
   /** LSH band key for band `j` over the quantized vector `v` — mirrors
@@ -3500,10 +3526,55 @@ object Extensions {
     // any round changes that cell's digest and fails the compare.
     "x72_kmeans_iterate" ->
       s"""WITH $centroidScoreCtes,
-         |${(1 to KmeansRounds).map(kmeansRoundSql).mkString(",\n")}
+         |${(1 to KmeansRounds).map(r => kmeansRoundSql(r)).mkString(",\n")}
          |SELECT round, c_label, n_vecs, centroid_digest
          |FROM (${(1 to KmeansRounds).map(r => s"SELECT * FROM row_$r").mkString(" UNION ALL ")})
          |ORDER BY round, c_label""".stripMargin,
+
+    // x73: hash-split seed centroids (vec_id mod cells), the Lloyd
+    // rounds unrolled under the k-prefix, then the x70 search chain
+    // against the TRAINED final centroids — cells decoupled from labels.
+    "x73_sim_topk_ivf_scaled" ->
+      s"""WITH $centroidScoreCtes,
+         |kaex_0 AS (
+         |  SELECT CAST(vec_id % $ScaledCells AS BIGINT) AS c_label,
+         |         unnest(range(0, len(v))) AS dim, unnest(v) AS x
+         |  FROM qv),
+         |ksums_0 AS (
+         |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
+         |  FROM kaex_0 GROUP BY 1, 2),
+         |kcent_0 AS (
+         |  SELECT c_label, max(n) AS n,
+         |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+         |         list(s ORDER BY dim) AS sl
+         |  FROM ksums_0 GROUP BY 1),
+         |${(1 to ScaledLloydRounds).map(r => kmeansRoundSql(r, "k", "kcent_0")).mkString(",\n")},
+         |$sq8CodesCte,
+         |kscoredq AS (
+         |  SELECT qv.vec_id, c.c_label,
+         |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+         |           - (2.0 * CAST(${dotSql("qv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+         |  FROM qv CROSS JOIN kcent_$ScaledLloydRounds c),
+         |krank AS (
+         |  SELECT vec_id, c_label,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
+         |  FROM kscoredq),
+         |kcells AS (
+         |  SELECT r.vec_id, r.c_label AS cell, cb.code
+         |  FROM krank r JOIN cb USING (vec_id) WHERE rn = 1),
+         |kq AS (
+         |  SELECT r.vec_id AS q_id, r.c_label AS cell, cb.code AS q_code
+         |  FROM krank r JOIN cb USING (vec_id)
+         |  WHERE rn <= $ScaledNprobe AND r.vec_id < $QuerySetSize),
+         |ks AS (
+         |  SELECT q_id, kq.cell AS cell, c.vec_id AS c_id,
+         |         ${dotSql("q_code", "c.code")} AS dot_q8
+         |  FROM kq JOIN kcells c ON kq.cell = c.cell AND c.vec_id <> q_id),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS BIGINT) AS rnk
+         |  FROM ks)
+         |SELECT q_id, cell, c_id, dot_q8, rnk FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
 
     // x65: the oracle aggregates the PLAIN single-copy events table —
     // the stream ingested every row TWICE, so equality here is the

@@ -136,7 +136,8 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     for (q <- Seq(Extensions.x63_sim_topk_ivfsq8 _,
         Extensions.x69_sim_topk_multiprobe _,
-        Extensions.x70_sim_topk_ivfkm _)) {
+        Extensions.x70_sim_topk_ivfkm _,
+        Extensions.x73_sim_topk_ivf_scaled _)) {
       val plan = q(spark, dir).queryExecution.sparkPlan
       val bnljs = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
       bnljs.foreach { b =>
