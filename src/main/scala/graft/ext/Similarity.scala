@@ -546,6 +546,105 @@ object Similarity {
     sq8CellSearch(probes, corpus, queryIds, idCol, vecCol, k)
   }
 
+  /** Product-quantization ADC top-k — the third FAISS compression pillar
+    * (Jégou/Douze/Schmid PAMI'11: split d dims into `m` subspaces, train
+    * a `codes`-entry codebook per subspace, store each vector as m code
+    * ids, and rank by Asymmetric Distance Computation — the query stays
+    * exact, candidates are looked up in a per-query table of
+    * query×codeword scores). Storage per vector drops to m code ids
+    * (m·log2(codes) bits = 4 bytes/vector at 8×16) vs d floats.
+    *
+    * Training: ONE joint Lloyd chain over (subspace, code) cells — the
+    * subspace id rides inside the cell key (cell = sub·codes + code), so
+    * the x72/x73 exact-integer machinery trains all m codebooks in the
+    * same K scans (the per-row argmin just restricts to the row's own
+    * subspace's cells); seeds = id mod codes per subspace. Codebook
+    * centroids stay exact integer sums.
+    *
+    * ADC determinism, the design problem: each table term is
+    * dot(q_sub, s)/n — one bigint→double cast and ONE divide (exact
+    * IEEE); the candidate score is the m-term sum folded LEFT-TO-RIGHT
+    * in subspace order, spelled as an explicit 8-term addition in BOTH
+    * engines — no aggregate sums doubles in shuffle order, so the
+    * ranking is bit-identical and the oracle hash-gates it.
+    *
+    * Plan shape: training = K posexplode scans (no vector shuffle); the
+    * 10-query LUT set packs into ONE row (the x56 collect_list anchor —
+    * gate-clean broadcast), each corpus code row explodes it to
+    * |queries| scoring rows with ROW-LOCAL struct-list lookups (the
+    * classic ADC table scan: O(m) lookups per candidate, no dot
+    * products), and the rank window takes top-k. Exhaustive by design —
+    * PQ's point is the cheap per-candidate cost; the IVF composition
+    * (probe cells first, ADC inside) reuses x70/x73's cell join in
+    * front of this tail. */
+  def pqTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, codes: Int = 16,
+             lloydRounds: Int = 2, dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val sub = dims / m
+    val q0 = ExtCaches.persistTracked(
+      corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
+    // (id, sub, sv): the m subvectors of every row.
+    val svRel = ExtCaches.persistTracked(q0.select(col("id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("v"), s * sub + 1, sub)): _*)).as(Seq("sub", "sv"))))
+    def subCells(cents: Column): Column =
+      filter(cents, e => e("c_label") >= col("sub").cast(LongType) * codes &&
+        e("c_label") < (col("sub").cast(LongType) + 1) * codes)
+    def argmin(cents: Column): Column =
+      array_min(transform(subCells(cents), e =>
+        struct(tScore(e, col("sv")).as("t"), e("c_label").as("c_label"))))
+    var stats = ExtCaches.persistTracked(centroidStats(svRel.select(
+      (col("sub").cast(LongType) * codes +
+        pmod(col("id"), lit(codes.toLong))).as("c_label"),
+      col("sv").as("v"))))
+    for (_ <- 1 to lloydRounds)
+      stats = ExtCaches.persistTracked(centroidStats(
+        svRel.join(broadcast(packCents(stats)))
+          .select(argmin(col("cents")).getField("c_label").as("c_label"),
+            col("sv").as("v"))))
+    val anchor = packCents(stats)
+    // Stored PQ codes: per row, the m code ids ordered by subspace.
+    val coded = ExtCaches.persistTracked(
+      svRel.join(broadcast(anchor))
+        .select(col("id"), col("sub"),
+          pmod(argmin(col("cents")).getField("c_label"),
+            lit(codes.toLong)).as("code"))
+        .groupBy(col("id"))
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          e => e("code")).as("code")))
+    // Per-query ADC tables: per (q, sub), the (code, term) struct list
+    // sorted by code (looked up BY KEY, so codebook cells that emptied
+    // out during training cannot misalign positions); per q, the m
+    // tables sorted by subspace — then ALL queries packed into one row.
+    val lut = svRel
+      .join(broadcast(queryIds.select(col(idCol).as("id"))), Seq("id"))
+      .join(broadcast(anchor))
+      .select(col("id").as("q_id"), col("sub"),
+        array_sort(transform(subCells(col("cents")), e =>
+          struct(pmod(e("c_label"), lit(codes.toLong)).as("code"),
+            (dotQ(col("sv"), e("s")).cast(DoubleType) /
+              e("n").cast(DoubleType)).as("term")))).as("terms"))
+      .groupBy(col("q_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("terms")))),
+        e => e("terms")).as("lut"))
+      .agg(collect_list(struct(col("q_id"), col("lut"))).as("qs"))
+    // Explicit left-assoc m-term sum: term s = the q's sub-s table entry
+    // whose code matches the candidate's stored code for sub s.
+    def term(s: Int): Column =
+      element_at(filter(element_at(col("q.lut"), s + 1),
+        t => t("code") === element_at(col("code"), s + 1)), 1)("term")
+    val scored = coded.crossJoin(broadcast(lut)) // 1-row anchor, gate-clean
+      .select(col("id"), col("code"), explode(col("qs")).as("q"))
+      .filter(col("id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("id").as("c_id"),
+        (0 until m).map(term).reduce(_ + _).as("score_pq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("score_pq"), col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("score_pq"), col("rnk"))
+  }
+
   /** SemDeDup within-cluster pruning — the published step AFTER
     * [[nearestCentroidAssign]] (Abbas et al. 2023, "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication":

@@ -1380,6 +1380,33 @@ object Extensions {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** x74 PQ geometry: 8 subspaces × 8 dims, 64 codewords per subspace
+    * (6-bit codes ⇒ 6 bytes stored per vector vs 256 for raw floats), 2
+    * Lloyd training rounds. The codeword count is the fidelity knob and
+    * was CHOSEN BY MEASUREMENT (PLANS.md): at 16 codewords sf0.1
+    * recall@3 is 3/30 and exact-top-3-in-PQ-top-50 coverage 16/30; at
+    * 64 they rise to 9/30 and 22/30 — 3× recall for 1.5× storage.
+    * Production PQ runs 256 (8-bit) and uses the ADC ranking as a
+    * SHORTLIST for exact re-ranking (FAISS refine), which the coverage
+    * row prices. */
+  val PqM = 8
+  val PqCodes = 64
+  val PqLloydRounds = 2
+
+  /** Product-quantization ADC top-k (x74) — the third FAISS compression
+    * pillar beside SQ8 (x63) and IVF (x07/x70/x73): per-subspace
+    * codebooks trained by the joint exact-integer Lloyd chain, vectors
+    * stored as m code ids, ranking via per-query lookup tables with an
+    * explicit left-associated m-term sum so the double scores
+    * hash-match across engines. */
+  def x74_sim_topk_pq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.pqTopK(e, e.filter(col("vec_id") < QuerySetSize),
+        "vec_id", "embedding", k = 3, m = PqM, codes = PqCodes,
+        lloydRounds = PqLloydRounds, dims = EmbeddingDims)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Three-way coarse-quantizer recall table (x71): per query, the exact
     * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
     * Hamming-1 multi-probe sign SQ8 (x69), and learned-centroid IVF at
@@ -2181,7 +2208,8 @@ object Extensions {
     "x70_sim_topk_ivfkm" -> (x70_sim_topk_ivfkm _),
     "x71_ivf_recall" -> (x71_ivf_recall _),
     "x72_kmeans_iterate" -> (x72_kmeans_iterate _),
-    "x73_sim_topk_ivf_scaled" -> (x73_sim_topk_ivf_scaled _))
+    "x73_sim_topk_ivf_scaled" -> (x73_sim_topk_ivf_scaled _),
+    "x74_sim_topk_pq" -> (x74_sim_topk_pq _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2480,6 +2508,37 @@ object Extensions {
        |         CAST(n AS BIGINT) AS n_vecs,
        |         md5(array_to_string(sl, ',')) AS centroid_digest
        |  FROM ${p}cent_$r)""".stripMargin
+  }
+
+  /** One unrolled PQ Lloyd round (x74): like [[kmeansRoundSql]] but over
+    * the (vec_id, sub) subvector relation with the argmin restricted to
+    * the row's own subspace's cells (cell = sub·codes + code). Round
+    * R+1's `pqassigned` doubles as the final code assignment (its
+    * unreferenced `pqcent` CTE is never executed). */
+  private def pqRoundSql(r: Int): String = {
+    val prev = s"pqcent_${r - 1}"
+    s"""pqscored_$r AS (
+       |  SELECT sv.vec_id, sv.sub, c.c_label,
+       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+       |           - (2.0 * CAST(${dotSql("sv.sv", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+       |  FROM sv JOIN $prev c
+       |    ON c.c_label >= sv.sub * $PqCodes AND c.c_label < (sv.sub + 1) * $PqCodes),
+       |pqassigned_$r AS (
+       |  SELECT vec_id, sub, c_label FROM (
+       |    SELECT vec_id, sub, c_label,
+       |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY t, c_label) AS rn
+       |    FROM pqscored_$r) WHERE rn = 1),
+       |pqaex_$r AS (
+       |  SELECT a.c_label, unnest(range(0, len(sv.sv))) AS dim, unnest(sv.sv) AS x
+       |  FROM pqassigned_$r a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub),
+       |pqsums_$r AS (
+       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
+       |  FROM pqaex_$r GROUP BY 1, 2),
+       |pqcent_$r AS (
+       |  SELECT c_label, max(n) AS n,
+       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+       |         list(s ORDER BY dim) AS sl
+       |  FROM pqsums_$r GROUP BY 1)""".stripMargin
   }
 
   /** LSH band key for band `j` over the quantized vector `v` — mirrors
@@ -3575,6 +3634,61 @@ object Extensions {
          |  FROM ks)
          |SELECT q_id, cell, c_id, dot_q8, rnk FROM r WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
+
+    // x74: the PQ chain unrolled — subvector split, hash-seeded per-
+    // subspace codebooks, Lloyd rounds, round R+1's assignment as the
+    // stored codes, per-query ADC tables looked up BY CODE KEY, and the
+    // m-term score spelled as an explicit left-associated addition so
+    // the doubles are bit-identical.
+    "x74_sim_topk_pq" -> {
+      val subW = EmbeddingDims / PqM
+      val termSql = (0 until PqM).map(s =>
+        s"list_filter(l.lut[${s + 1}], t -> t.code = c.code[${s + 1}])[1].term")
+        .mkString("\n         + ")
+      s"""WITH $centroidScoreCtes,
+         |sv AS (
+         |  SELECT vec_id, CAST(u.sub AS BIGINT) AS sub,
+         |         list_slice(v, CAST(u.sub * $subW + 1 AS INT), CAST(u.sub * $subW + $subW AS INT)) AS sv
+         |  FROM qv, unnest(range(0, $PqM)) AS u(sub)),
+         |pqaex_0 AS (
+         |  SELECT CAST(sub * $PqCodes + vec_id % $PqCodes AS BIGINT) AS c_label,
+         |         unnest(range(0, len(sv))) AS dim, unnest(sv) AS x
+         |  FROM sv),
+         |pqsums_0 AS (
+         |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
+         |  FROM pqaex_0 GROUP BY 1, 2),
+         |pqcent_0 AS (
+         |  SELECT c_label, max(n) AS n,
+         |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+         |         list(s ORDER BY dim) AS sl
+         |  FROM pqsums_0 GROUP BY 1),
+         |${(1 to PqLloydRounds + 1).map(pqRoundSql).mkString(",\n")},
+         |codesrel AS (
+         |  SELECT vec_id, list(c_label % $PqCodes ORDER BY sub) AS code
+         |  FROM pqassigned_${PqLloydRounds + 1} GROUP BY vec_id),
+         |lutterms AS (
+         |  SELECT q.vec_id AS q_id, q.sub, c.c_label % $PqCodes AS code,
+         |         CAST(${dotSql("q.sv", "c.sl")} AS DOUBLE) / CAST(c.n AS DOUBLE) AS term
+         |  FROM sv q JOIN pqcent_$PqLloydRounds c
+         |    ON c.c_label >= q.sub * $PqCodes AND c.c_label < (q.sub + 1) * $PqCodes
+         |  WHERE q.vec_id < $QuerySetSize),
+         |lutsub AS (
+         |  SELECT q_id, sub,
+         |         list(struct_pack(code := code, term := term) ORDER BY code) AS terms
+         |  FROM lutterms GROUP BY 1, 2),
+         |lut AS (SELECT q_id, list(terms ORDER BY sub) AS lut
+         |        FROM lutsub GROUP BY 1),
+         |scoredq AS (
+         |  SELECT l.q_id, c.vec_id AS c_id,
+         |         $termSql AS score_pq
+         |  FROM codesrel c CROSS JOIN lut l
+         |  WHERE c.vec_id <> l.q_id),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_pq DESC, c_id) AS BIGINT) AS rnk
+         |  FROM scoredq)
+         |SELECT q_id, c_id, score_pq, rnk FROM r WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin
+    },
 
     // x65: the oracle aggregates the PLAIN single-copy events table —
     // the stream ingested every row TWICE, so equality here is the

@@ -137,7 +137,8 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq(Extensions.x63_sim_topk_ivfsq8 _,
         Extensions.x69_sim_topk_multiprobe _,
         Extensions.x70_sim_topk_ivfkm _,
-        Extensions.x73_sim_topk_ivf_scaled _)) {
+        Extensions.x73_sim_topk_ivf_scaled _,
+        Extensions.x74_sim_topk_pq _)) {
       val plan = q(spark, dir).queryExecution.sparkPlan
       val bnljs = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
       bnljs.foreach { b =>
