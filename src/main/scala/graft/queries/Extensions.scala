@@ -1407,6 +1407,24 @@ object Extensions {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** x75 refine depth: the ADC shortlist the exact re-rank touches —
+    * 50 of 2,000 at sf0.1 = 2.5% of the corpus pays exact math. */
+  val PqShortlist = 50
+
+  /** PQ shortlist + exact re-rank (x75) — the FAISS refine composition:
+    * x74's cheap ADC ranking generates a `PqShortlist`-deep candidate
+    * list per query, the exact fixed-point cosine re-ranks only those.
+    * The oracle replays the whole chain (codebooks, codes, ADC
+    * shortlist, exact re-rank), so the hash gate pins the composition
+    * end to end. */
+  def x75_sim_topk_pq_refined(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.pqTopKRefined(e, e.filter(col("vec_id") < QuerySetSize),
+        "vec_id", "embedding", k = 3, shortlist = PqShortlist, m = PqM,
+        codes = PqCodes, lloydRounds = PqLloydRounds, dims = EmbeddingDims)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Three-way coarse-quantizer recall table (x71): per query, the exact
     * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
     * Hamming-1 multi-probe sign SQ8 (x69), and learned-centroid IVF at
@@ -2209,7 +2227,8 @@ object Extensions {
     "x71_ivf_recall" -> (x71_ivf_recall _),
     "x72_kmeans_iterate" -> (x72_kmeans_iterate _),
     "x73_sim_topk_ivf_scaled" -> (x73_sim_topk_ivf_scaled _),
-    "x74_sim_topk_pq" -> (x74_sim_topk_pq _))
+    "x74_sim_topk_pq" -> (x74_sim_topk_pq _),
+    "x75_sim_topk_pq_refined" -> (x75_sim_topk_pq_refined _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2508,6 +2527,56 @@ object Extensions {
        |         CAST(n AS BIGINT) AS n_vecs,
        |         md5(array_to_string(sl, ',')) AS centroid_digest
        |  FROM ${p}cent_$r)""".stripMargin
+  }
+
+  /** The full PQ chain (x74/x75 shared spelling): subvector split,
+    * hash-seeded codebooks, Lloyd rounds, stored codes, per-query ADC
+    * tables, and the row-local explicit-sum scoring — ends at `scoredq`
+    * (q_id, c_id, score_pq). */
+  private def pqChainCtes: String = {
+    val subW = EmbeddingDims / PqM
+    val termSql = (0 until PqM).map(s =>
+      s"list_filter(l.lut[${s + 1}], t -> t.code = c.code[${s + 1}])[1].term")
+      .mkString("\n         + ")
+    s"""$centroidScoreCtes,
+
+         |sv AS (
+         |  SELECT vec_id, CAST(u.sub AS BIGINT) AS sub,
+         |         list_slice(v, CAST(u.sub * $subW + 1 AS INT), CAST(u.sub * $subW + $subW AS INT)) AS sv
+         |  FROM qv, unnest(range(0, $PqM)) AS u(sub)),
+         |pqaex_0 AS (
+         |  SELECT CAST(sub * $PqCodes + vec_id % $PqCodes AS BIGINT) AS c_label,
+         |         unnest(range(0, len(sv))) AS dim, unnest(sv) AS x
+         |  FROM sv),
+         |pqsums_0 AS (
+         |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
+         |  FROM pqaex_0 GROUP BY 1, 2),
+         |pqcent_0 AS (
+         |  SELECT c_label, max(n) AS n,
+         |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+         |         list(s ORDER BY dim) AS sl
+         |  FROM pqsums_0 GROUP BY 1),
+         |${(1 to PqLloydRounds + 1).map(pqRoundSql).mkString(",\n")},
+         |codesrel AS (
+         |  SELECT vec_id, list(c_label % $PqCodes ORDER BY sub) AS code
+         |  FROM pqassigned_${PqLloydRounds + 1} GROUP BY vec_id),
+         |lutterms AS (
+         |  SELECT q.vec_id AS q_id, q.sub, c.c_label % $PqCodes AS code,
+         |         CAST(${dotSql("q.sv", "c.sl")} AS DOUBLE) / CAST(c.n AS DOUBLE) AS term
+         |  FROM sv q JOIN pqcent_$PqLloydRounds c
+         |    ON c.c_label >= q.sub * $PqCodes AND c.c_label < (q.sub + 1) * $PqCodes
+         |  WHERE q.vec_id < $QuerySetSize),
+         |lutsub AS (
+         |  SELECT q_id, sub,
+         |         list(struct_pack(code := code, term := term) ORDER BY code) AS terms
+         |  FROM lutterms GROUP BY 1, 2),
+         |lut AS (SELECT q_id, list(terms ORDER BY sub) AS lut
+         |        FROM lutsub GROUP BY 1),
+         |scoredq AS (
+         |  SELECT l.q_id, c.vec_id AS c_id,
+         |         $termSql AS score_pq
+         |  FROM codesrel c CROSS JOIN lut l
+         |  WHERE c.vec_id <> l.q_id)""".stripMargin
   }
 
   /** One unrolled PQ Lloyd round (x74): like [[kmeansRoundSql]] but over
@@ -3640,55 +3709,36 @@ object Extensions {
     // stored codes, per-query ADC tables looked up BY CODE KEY, and the
     // m-term score spelled as an explicit left-associated addition so
     // the doubles are bit-identical.
-    "x74_sim_topk_pq" -> {
-      val subW = EmbeddingDims / PqM
-      val termSql = (0 until PqM).map(s =>
-        s"list_filter(l.lut[${s + 1}], t -> t.code = c.code[${s + 1}])[1].term")
-        .mkString("\n         + ")
-      s"""WITH $centroidScoreCtes,
-         |sv AS (
-         |  SELECT vec_id, CAST(u.sub AS BIGINT) AS sub,
-         |         list_slice(v, CAST(u.sub * $subW + 1 AS INT), CAST(u.sub * $subW + $subW AS INT)) AS sv
-         |  FROM qv, unnest(range(0, $PqM)) AS u(sub)),
-         |pqaex_0 AS (
-         |  SELECT CAST(sub * $PqCodes + vec_id % $PqCodes AS BIGINT) AS c_label,
-         |         unnest(range(0, len(sv))) AS dim, unnest(sv) AS x
-         |  FROM sv),
-         |pqsums_0 AS (
-         |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
-         |  FROM pqaex_0 GROUP BY 1, 2),
-         |pqcent_0 AS (
-         |  SELECT c_label, max(n) AS n,
-         |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
-         |         list(s ORDER BY dim) AS sl
-         |  FROM pqsums_0 GROUP BY 1),
-         |${(1 to PqLloydRounds + 1).map(pqRoundSql).mkString(",\n")},
-         |codesrel AS (
-         |  SELECT vec_id, list(c_label % $PqCodes ORDER BY sub) AS code
-         |  FROM pqassigned_${PqLloydRounds + 1} GROUP BY vec_id),
-         |lutterms AS (
-         |  SELECT q.vec_id AS q_id, q.sub, c.c_label % $PqCodes AS code,
-         |         CAST(${dotSql("q.sv", "c.sl")} AS DOUBLE) / CAST(c.n AS DOUBLE) AS term
-         |  FROM sv q JOIN pqcent_$PqLloydRounds c
-         |    ON c.c_label >= q.sub * $PqCodes AND c.c_label < (q.sub + 1) * $PqCodes
-         |  WHERE q.vec_id < $QuerySetSize),
-         |lutsub AS (
-         |  SELECT q_id, sub,
-         |         list(struct_pack(code := code, term := term) ORDER BY code) AS terms
-         |  FROM lutterms GROUP BY 1, 2),
-         |lut AS (SELECT q_id, list(terms ORDER BY sub) AS lut
-         |        FROM lutsub GROUP BY 1),
-         |scoredq AS (
-         |  SELECT l.q_id, c.vec_id AS c_id,
-         |         $termSql AS score_pq
-         |  FROM codesrel c CROSS JOIN lut l
-         |  WHERE c.vec_id <> l.q_id),
+    "x74_sim_topk_pq" ->
+      s"""WITH $pqChainCtes,
          |r AS (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_pq DESC, c_id) AS BIGINT) AS rnk
          |  FROM scoredq)
          |SELECT q_id, c_id, score_pq, rnk FROM r WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin
-    },
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    // x75: the x74 chain verbatim (one factored spelling), the ADC rank
+    // cut at the shortlist depth, and the exact fixed-point cosine
+    // re-ranking ONLY the shortlist — the refine composition end to end.
+    "x75_sim_topk_pq_refined" ->
+      s"""WITH $pqChainCtes,
+         |pqr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_pq DESC, c_id) AS rnk
+         |  FROM scoredq),
+         |short AS (SELECT q_id, c_id FROM pqr WHERE rnk <= $PqShortlist),
+         |nrm AS (SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+         |rer AS (
+         |  SELECT s.q_id, s.c_id,
+         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
+         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
+         |  FROM short s
+         |  JOIN nrm a ON a.vec_id = s.q_id
+         |  JOIN nrm b ON b.vec_id = s.c_id),
+         |rr AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
+         |  FROM rer)
+         |SELECT q_id, c_id, cosine, rnk FROM rr WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
 
     // x65: the oracle aggregates the PLAIN single-copy events table —
     // the stream ingested every row TWICE, so equality here is the

@@ -138,7 +138,8 @@ class PlanSpec extends SparkSpec {
         Extensions.x69_sim_topk_multiprobe _,
         Extensions.x70_sim_topk_ivfkm _,
         Extensions.x73_sim_topk_ivf_scaled _,
-        Extensions.x74_sim_topk_pq _)) {
+        Extensions.x74_sim_topk_pq _,
+        Extensions.x75_sim_topk_pq_refined _)) {
       val plan = q(spark, dir).queryExecution.sparkPlan
       val bnljs = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
       bnljs.foreach { b =>
