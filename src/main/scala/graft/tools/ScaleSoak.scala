@@ -90,7 +90,13 @@ object ScaleSoak {
     // is all-pairs quadratic (n²/2 = 1.8e9 verify pairs at x30, computed,
     // not run at the larger dirs). `x59_uncapped` prices what the guard
     // saves on the real-label corpus.
-    "x59_uncapped", "x59_cap1000", "x59_onegiant_cap1000")
+    "x59_uncapped", "x59_cap1000", "x59_onegiant_cap1000",
+    // round-9 ANN family: Lloyd training is K corpus scans + anchor
+    // broadcasts, searches are anchor-explode or cell equi-joins — every
+    // line should scale ~linearly in the corpus with NO pairwise object
+    // anywhere; the soak converts that from plan-shape argument to slope
+    "x70_sim_topk_ivfkm", "x72_kmeans_iterate", "x73_sim_topk_ivf_scaled",
+    "x74_sim_topk_pq", "x75_sim_topk_pq_refined")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -600,6 +606,10 @@ object ScaleSoak {
     sb.append("  wherever clusters sit under the cap); the one-giant-cluster\n")
     sb.append("  degenerate (n²/2 = 1.8e9 verify pairs uncapped at x30, computed\n")
     sb.append("  not run) completes at 5.83 s through the banded fallback.\n")
+    sb.append("  The round-9 ANN family (x70/x72/x73 flat at 1.3-3.7 s across the\n")
+    sb.append("  sweep — job-latency-dominated anchors and scans; x74/x75 at slope\n")
+    sb.append("  2.9/2.7 on 10x data — the ADC scoring rows) confirms the\n")
+    sb.append("  no-pairwise-object claim as slopes (SCALING.md round-9 section).\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")
