@@ -532,18 +532,27 @@ object Similarity {
                        lloydRounds: Int, nprobe: Int): DataFrame = {
     val q = ExtCaches.persistTracked(
       corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
+    sq8CellSearch(trainedCellProbes(q, cells, lloydRounds, nprobe),
+      corpus, queryIds, idCol, vecCol, k)
+  }
+
+  /** Hash-seeded, Lloyd-trained cell probes over a quantized (id, v)
+    * relation: (id, probe_rank ∈ 1..nprobe, cell) — the coarse-quantizer
+    * front end shared by the scaled IVF×SQ8 (x73) and IVF×PQ (x76)
+    * searches. */
+  private def trainedCellProbes(q: DataFrame, cells: Int, lloydRounds: Int,
+                                nprobe: Int): DataFrame = {
     var stats = ExtCaches.persistTracked(centroidStats(
       q.select(pmod(col("id"), lit(cells.toLong)).as("c_label"), col("v"))))
     for (_ <- 1 to lloydRounds)
       stats = ExtCaches.persistTracked(centroidStats(lloydAssign(q, stats)))
-    val probes = q.join(broadcast(packCents(stats)))
+    q.join(broadcast(packCents(stats)))
       .withColumn("scored", array_sort(transform(col("cents"), e =>
         struct(tScore(e, col("v")).as("t"), e("c_label").as("c_label")))))
       .select(col("id"), posexplode(slice(col("scored"), 1, nprobe))
         .as(Seq("pi", "p")))
       .select(col("id"), (col("pi") + 1).cast(LongType).as("probe_rank"),
         col("p.c_label").as("cell"))
-    sq8CellSearch(probes, corpus, queryIds, idCol, vecCol, k)
   }
 
   /** Product-quantization ADC top-k — the third FAISS compression pillar
@@ -580,6 +589,32 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, codes: Int = 16,
              lloydRounds: Int = 2, dims: Int = 64): DataFrame = {
+    val (coded, lutRows) =
+      pqCodesAndLut(corpus, queryIds, idCol, vecCol, m, codes, lloydRounds, dims)
+    // ALL queries packed into one row: the gate-clean 1-row anchor the
+    // exhaustive ADC scan explodes per candidate row.
+    val lut = lutRows.agg(collect_list(struct(col("q_id"), col("lut"))).as("qs"))
+    val scored = coded.crossJoin(broadcast(lut))
+      .select(col("id"), col("code"), explode(col("qs")).as("q"))
+      .filter(col("id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("id").as("c_id"),
+        pqScore("q.lut", "code", m).as("score_pq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("score_pq"), col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("score_pq"), col("rnk"))
+  }
+
+  /** PQ training + encoding + per-query ADC tables — the stage x74's
+    * exhaustive scan and x76's IVF-scoped scan share: returns
+    * (coded = (id, code: m code ids ordered by subspace),
+    *  lutRows = (q_id, lut: per-subspace (code, term) struct lists)).
+    * See [[pqTopK]]'s Scaladoc for the joint-Lloyd training design and
+    * the determinism analysis. */
+  private def pqCodesAndLut(corpus: DataFrame, queryIds: DataFrame,
+                            idCol: String, vecCol: String, m: Int,
+                            codes: Int, lloydRounds: Int,
+                            dims: Int): (DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val sub = dims / m
     val q0 = ExtCaches.persistTracked(
@@ -616,8 +651,8 @@ object Similarity {
     // Per-query ADC tables: per (q, sub), the (code, term) struct list
     // sorted by code (looked up BY KEY, so codebook cells that emptied
     // out during training cannot misalign positions); per q, the m
-    // tables sorted by subspace — then ALL queries packed into one row.
-    val lut = svRel
+    // tables sorted by subspace.
+    val lutRows = svRel
       .join(broadcast(queryIds.select(col(idCol).as("id"))), Seq("id"))
       .join(broadcast(anchor))
       .select(col("id").as("q_id"), col("sub"),
@@ -628,21 +663,59 @@ object Similarity {
       .groupBy(col("q_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("terms")))),
         e => e("terms")).as("lut"))
-      .agg(collect_list(struct(col("q_id"), col("lut"))).as("qs"))
-    // Explicit left-assoc m-term sum: term s = the q's sub-s table entry
-    // whose code matches the candidate's stored code for sub s.
-    def term(s: Int): Column =
-      element_at(filter(element_at(col("q.lut"), s + 1),
-        t => t("code") === element_at(col("code"), s + 1)), 1)("term")
-    val scored = coded.crossJoin(broadcast(lut)) // 1-row anchor, gate-clean
-      .select(col("id"), col("code"), explode(col("qs")).as("q"))
-      .filter(col("id") =!= col("q.q_id"))
-      .select(col("q.q_id").as("q_id"), col("id").as("c_id"),
-        (0 until m).map(term).reduce(_ + _).as("score_pq"))
+    (coded, lutRows)
+  }
+
+  /** Explicit left-assoc m-term ADC score: term s = the query's sub-s
+    * table entry whose code matches the candidate's stored code for
+    * sub s. One spelling for the exhaustive (x74) and IVF-scoped (x76)
+    * scans — and the reason the double scores are bit-identical across
+    * engines (never an aggregate over shuffled doubles). */
+  private def pqScore(lutCol: String, codeCol: String, m: Int): Column =
+    (0 until m).map { s =>
+      element_at(filter(element_at(col(lutCol), s + 1),
+        t => t("code") === element_at(col(codeCol), s + 1)), 1)("term")
+    }.reduce(_ + _)
+
+  /** IVF×PQ — the full FAISS composition (coarse inverted lists × PQ
+    * codes, `by_residual=false`: codebooks trained on raw subvectors
+    * rather than cell residuals — the documented FAISS flag, and the
+    * variant whose oracle stays exactly replayable): each query probes
+    * its `nprobe` nearest TRAINED cells (x73's coarse quantizer) and
+    * ADC-scores ONLY their members (x74's table lookups) — the probed
+    * fraction bounds the scan and the 43×-compressed codes bound the
+    * per-candidate cost, which is precisely the composition a 100 TB
+    * vector store runs. The broadcast side is (query probe, cell, LUT)
+    * rows — |queries|·nprobe rows each carrying the m×codes table —
+    * joined EQUI on the cell id; scoring is row-local; a refine stage
+    * (x75's tail) composes behind it unchanged. */
+  def ivfPqTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
+                vecCol: String, k: Int, cells: Int, cellLloydRounds: Int,
+                nprobe: Int, m: Int = 8, codes: Int = 16,
+                pqLloydRounds: Int = 2, dims: Int = 64): DataFrame = {
+    val q = ExtCaches.persistTracked(
+      corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
+    val probes = ExtCaches.persistTracked(
+      trainedCellProbes(q, cells, cellLloydRounds, nprobe))
+    val (coded, lutRows) =
+      pqCodesAndLut(corpus, queryIds, idCol, vecCol, m, codes,
+        pqLloydRounds, dims)
+    val members = probes.filter(col("probe_rank") === 1)
+      .select(col("id"), col("cell"))
+      .join(coded, Seq("id"))
+    val qp = probes
+      .join(broadcast(queryIds.select(col(idCol).as("id"))), Seq("id"))
+      .select(col("id").as("q_id"), col("cell"))
+      .join(lutRows, Seq("q_id"))
+    val scored = members.join(broadcast(qp), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("id").as("c_id"),
+        pqScore("lut", "code", m).as("score_pq"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("score_pq"), col("c_id"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
-      .select(col("q_id"), col("c_id"), col("score_pq"), col("rnk"))
+      .select(col("q_id"), col("cell"), col("c_id"), col("score_pq"),
+        col("rnk"))
   }
 
   /** PQ shortlist + exact re-rank — the FAISS `refine` composition that
