@@ -589,8 +589,10 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, codes: Int = 16,
              lloydRounds: Int = 2, dims: Int = 64): DataFrame = {
+    val q = ExtCaches.persistTracked(
+      corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
     val (coded, lutRows) =
-      pqCodesAndLut(corpus, queryIds, idCol, vecCol, m, codes, lloydRounds, dims)
+      pqCodesAndLut(q, queryIds, idCol, m, codes, lloydRounds, dims)
     // ALL queries packed into one row: the gate-clean 1-row anchor the
     // exhaustive ADC scan explodes per candidate row.
     val lut = lutRows.agg(collect_list(struct(col("q_id"), col("lut"))).as("qs"))
@@ -606,21 +608,22 @@ object Similarity {
   }
 
   /** PQ training + encoding + per-query ADC tables — the stage x74's
-    * exhaustive scan and x76's IVF-scoped scan share: returns
+    * exhaustive scan and x76's IVF-scoped scan share: `q` is an
+    * ALREADY-QUANTIZED (id, v) relation (as [[trainedCellProbes]] takes —
+    * callers with their own quantized scan pass it once, so the IVF×PQ
+    * composition fills ONE corpus-wide cache, not two); returns
     * (coded = (id, code: m code ids ordered by subspace),
     *  lutRows = (q_id, lut: per-subspace (code, term) struct lists)).
     * See [[pqTopK]]'s Scaladoc for the joint-Lloyd training design and
     * the determinism analysis. */
-  private def pqCodesAndLut(corpus: DataFrame, queryIds: DataFrame,
-                            idCol: String, vecCol: String, m: Int,
+  private def pqCodesAndLut(q: DataFrame, queryIds: DataFrame,
+                            idCol: String, m: Int,
                             codes: Int, lloydRounds: Int,
                             dims: Int): (DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val sub = dims / m
-    val q0 = ExtCaches.persistTracked(
-      corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
     // (id, sub, sv): the m subvectors of every row.
-    val svRel = ExtCaches.persistTracked(q0.select(col("id"),
+    val svRel = ExtCaches.persistTracked(q.select(col("id"),
       posexplode(array((0 until m).map(s =>
         slice(col("v"), s * sub + 1, sub)): _*)).as(Seq("sub", "sv"))))
     def subCells(cents: Column): Column =
@@ -698,8 +701,7 @@ object Similarity {
     val probes = ExtCaches.persistTracked(
       trainedCellProbes(q, cells, cellLloydRounds, nprobe))
     val (coded, lutRows) =
-      pqCodesAndLut(corpus, queryIds, idCol, vecCol, m, codes,
-        pqLloydRounds, dims)
+      pqCodesAndLut(q, queryIds, idCol, m, codes, pqLloydRounds, dims)
     val members = probes.filter(col("probe_rank") === 1)
       .select(col("id"), col("cell"))
       .join(coded, Seq("id"))

@@ -1425,6 +1425,28 @@ object Extensions {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** IVF×PQ composed search (x76) — the production FAISS index shape
+    * (IVFPQ with `by_residual=false`), composing the pillars the family
+    * built separately: x73's TRAINED coarse quantizer prunes the scan to
+    * each query's nprobe nearest cells, and x74's ADC tables score ONLY
+    * those cells' members — the probed fraction bounds the candidate
+    * count (here 10/32 ≈ 31%, matching the family's equal-budget recall
+    * comparisons) and the PQ codes bound the per-candidate cost to m
+    * table lookups. This retires the exhaustive full-corpus ADC scan as
+    * the only PQ search path (x74/x75 stay as the documented unpruned
+    * baseline, like x06 beside the IVF variants). Geometry reuses x73's
+    * cell constants and x74's codebook constants VERBATIM so every
+    * recall number composes across the family tables. */
+  def x76_sim_topk_ivf_pq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < QuerySetSize),
+        "vec_id", "embedding", k = 3, cells = ScaledCells,
+        cellLloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
+        m = PqM, codes = PqCodes, pqLloydRounds = PqLloydRounds,
+        dims = EmbeddingDims)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Three-way coarse-quantizer recall table (x71): per query, the exact
     * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
     * Hamming-1 multi-probe sign SQ8 (x69), and learned-centroid IVF at
@@ -2228,7 +2250,8 @@ object Extensions {
     "x72_kmeans_iterate" -> (x72_kmeans_iterate _),
     "x73_sim_topk_ivf_scaled" -> (x73_sim_topk_ivf_scaled _),
     "x74_sim_topk_pq" -> (x74_sim_topk_pq _),
-    "x75_sim_topk_pq_refined" -> (x75_sim_topk_pq_refined _))
+    "x75_sim_topk_pq_refined" -> (x75_sim_topk_pq_refined _),
+    "x76_sim_topk_ivf_pq" -> (x76_sim_topk_ivf_pq _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2535,9 +2558,6 @@ object Extensions {
     * (q_id, c_id, score_pq). */
   private def pqChainCtes: String = {
     val subW = EmbeddingDims / PqM
-    val termSql = (0 until PqM).map(s =>
-      s"list_filter(l.lut[${s + 1}], t -> t.code = c.code[${s + 1}])[1].term")
-      .mkString("\n         + ")
     s"""$centroidScoreCtes,
 
          |sv AS (
@@ -2574,10 +2594,20 @@ object Extensions {
          |        FROM lutsub GROUP BY 1),
          |scoredq AS (
          |  SELECT l.q_id, c.vec_id AS c_id,
-         |         $termSql AS score_pq
+         |         $pqTermSql AS score_pq
          |  FROM codesrel c CROSS JOIN lut l
          |  WHERE c.vec_id <> l.q_id)""".stripMargin
   }
+
+  /** The explicit left-associated m-term ADC sum over aliases `l` (the
+    * LUT side, column `lut`) and `c` (the code side, column `code`) —
+    * mirrors Similarity.pqScore operand-for-operand; ONE spelling shared
+    * by the exhaustive (x74/x75) and IVF-scoped (x76) scoring CTEs so
+    * the double arithmetic cannot drift between them. */
+  private def pqTermSql: String =
+    (0 until PqM).map(s =>
+      s"list_filter(l.lut[${s + 1}], t -> t.code = c.code[${s + 1}])[1].term")
+      .mkString("\n         + ")
 
   /** One unrolled PQ Lloyd round (x74): like [[kmeansRoundSql]] but over
     * the (vec_id, sub) subvector relation with the argmin restricted to
@@ -3738,6 +3768,54 @@ object Extensions {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
          |  FROM rer)
          |SELECT q_id, c_id, cosine, rnk FROM rr WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    // x76: the IVF×PQ composition — the x74 PQ chain (stored codes +
+    // per-query ADC tables) with x73's trained-cell chain in front of
+    // it: every corpus row's cell is its rank-1 trained centroid, every
+    // query probes its nprobe nearest trained cells, and the explicit
+    // m-term ADC sum (pqTermSql — the x74 spelling verbatim) scores only
+    // the probed cells' members. The unreferenced exhaustive `scoredq`
+    // CTE from the shared chain is never executed.
+    "x76_sim_topk_ivf_pq" ->
+      s"""WITH $pqChainCtes,
+         |kaex_0 AS (
+         |  SELECT CAST(vec_id % $ScaledCells AS BIGINT) AS c_label,
+         |         unnest(range(0, len(v))) AS dim, unnest(v) AS x
+         |  FROM qv),
+         |ksums_0 AS (
+         |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
+         |  FROM kaex_0 GROUP BY 1, 2),
+         |kcent_0 AS (
+         |  SELECT c_label, max(n) AS n,
+         |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+         |         list(s ORDER BY dim) AS sl
+         |  FROM ksums_0 GROUP BY 1),
+         |${(1 to ScaledLloydRounds).map(r => kmeansRoundSql(r, "k", "kcent_0")).mkString(",\n")},
+         |kscoredq AS (
+         |  SELECT qv.vec_id, c.c_label,
+         |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+         |           - (2.0 * CAST(${dotSql("qv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+         |  FROM qv CROSS JOIN kcent_$ScaledLloydRounds c),
+         |krank AS (
+         |  SELECT vec_id, c_label,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
+         |  FROM kscoredq),
+         |kcells AS (
+         |  SELECT r.vec_id, r.c_label AS cell, cr.code
+         |  FROM krank r JOIN codesrel cr USING (vec_id) WHERE rn = 1),
+         |kq AS (
+         |  SELECT r.vec_id AS q_id, r.c_label AS cell, lt.lut AS lut
+         |  FROM krank r JOIN lut lt ON lt.q_id = r.vec_id
+         |  WHERE rn <= $ScaledNprobe),
+         |ks AS (
+         |  SELECT l.q_id, l.cell, c.vec_id AS c_id,
+         |         $pqTermSql AS score_pq
+         |  FROM kq l JOIN kcells c ON l.cell = c.cell AND c.vec_id <> l.q_id),
+         |r AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_pq DESC, c_id) AS BIGINT) AS rnk
+         |  FROM ks)
+         |SELECT q_id, cell, c_id, score_pq, rnk FROM r WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
 
     // x65: the oracle aggregates the PLAIN single-copy events table —
