@@ -1628,6 +1628,16 @@ object Extensions {
     * foreachBatch sink idempotent (the x13 discipline). transformWithState
     * requires the RocksDB state-store provider — set for the query's
     * lifetime and restored after. */
+  /** x55_stream hot-bucket cap (round-9 verdict #2): buckets past this
+    * saturate — state cleared, no further index/verify (the batch
+    * minhashLshPairs hot-bucket guard ported into the processor). The
+    * benchmarked corpora sit far under it (max seed bucket ≲ 10 docs at
+    * sf0.1), so the registry run's cap is a NO-OP and the x55 oracle's
+    * exhaustive semantics hold exactly — the x59/SemDedupClusterCap
+    * discipline: the degenerate mode is fenced (StreamIncLshSpec pins
+    * the saturation behavior) without perturbing the gated answer. */
+  val LshStreamBucketCap = 1000
+
   def x55_incremental_lsh_stream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val provKey = "spark.sql.streaming.stateStore.providerClass"
@@ -1655,7 +1665,8 @@ object Extensions {
       // single-stateful-operator.
       val q = graft.streaming.DedupStreams.lshDedupStream(
           incoming, base, "doc_id", "text",
-          w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
+          w = 3, perms = 16, bands = 4, threshold = JaccardThreshold,
+          hotBucketCap = Some(LshStreamBucketCap))
         .writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)

@@ -498,4 +498,101 @@ class StreamIncLshSpec extends SparkSpec {
       graft.ext.ExtCaches.clearCaches()
     }
   }
+
+  /** Run a tiny base + two-batch stream through lshDedupStream with the
+    * given knobs and return the emitted match set. */
+  private def runTiny(base: Seq[(Long, String)],
+                      batch1: Seq[(Long, String)], batch2: Seq[(Long, String)],
+                      name: String, appendIncoming: Boolean = false,
+                      cap: Option[Int] = None,
+                      ttl: Option[java.time.Duration] = None): Set[(Long, Long, Double)] =
+    withRocksDb {
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val source = MemoryStream[(Long, String)]
+      val stream = DedupStreams.lshDedupStream(
+          source.toDF().toDF("doc_id", "text"),
+          base.toDF("doc_id", "text"), "doc_id", "text",
+          w = 3, perms = 16, bands = 4, threshold = 0.5,
+          appendIncoming = appendIncoming, hotBucketCap = cap, stateTtl = ttl)
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      source.addData(batch1: _*); q.processAllAvailable()
+      source.addData(batch2: _*); q.processAllAvailable()
+      q.stop()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      graft.ext.ExtCaches.clearCaches()
+      got
+    }
+
+  private val dupText = "one two three four five six seven eight nine ten"
+  private val otherText = "alpha beta gamma delta epsilon zeta eta theta"
+
+  test("hotBucketCap: under-cap output is UNCHANGED (x59 discipline)") {
+    val base = Seq((100L, dupText), (200L, otherText))
+    val b1 = Seq((1L, dupText)); val b2 = Seq((2L, otherText))
+    val uncapped = runTiny(base, b1, b2, "lsh_uncapped")
+    assert(uncapped == Set((1L, 100L, 1.0), (2L, 200L, 1.0)), uncapped)
+    // exact dups share every band bucket, so each seed bucket holds ≤ 2
+    // members — cap 2 is a no-op and the output must be identical
+    assert(runTiny(base, b1, b2, "lsh_capped", cap = Some(2)) == uncapped)
+  }
+
+  test("stateTtl: processing-time mode + native member TTL produce the unchanged answer before expiry") {
+    // TTL queries run CONTINUOUS empty micro-batches (the engine must
+    // advance the eviction clock), so processAllAvailable never settles
+    // — poll the sink for the expected answer instead (the production
+    // form runs a real processing-time trigger; see lshDedupStream doc).
+    withRocksDb {
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val source = MemoryStream[(Long, String)]
+      val stream = DedupStreams.lshDedupStream(
+          source.toDF().toDF("doc_id", "text"),
+          Seq((100L, dupText)).toDF("doc_id", "text"), "doc_id", "text",
+          w = 3, perms = 16, bands = 4, threshold = 0.5,
+          stateTtl = Some(java.time.Duration.ofHours(1)))
+      val q = stream.writeStream.format("memory").queryName("lsh_ttl")
+        .outputMode("append").start()
+      try {
+        source.addData((1L, dupText))
+        val deadline = System.currentTimeMillis + 120000
+        def got(): Set[(Long, Long, Double)] = spark.table("lsh_ttl").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        while (got() != Set((1L, 100L, 1.0)) &&
+          System.currentTimeMillis < deadline) Thread.sleep(200)
+        assert(got() == Set((1L, 100L, 1.0)), got())
+      } finally q.stop()
+      graft.ext.ExtCaches.clearCaches()
+    }
+  }
+
+  test("hotBucketCap: a bucket past the cap SATURATES — state cleared, no pairs from it (batch drop semantics)") {
+    // three exact dups in the base share ALL four band buckets → every
+    // bucket seeds with 3 members > cap 2 → saturated at seed; the
+    // incoming exact dup must emit NOTHING (the batch guard drops hot
+    // buckets before the candidate join)
+    val base = Seq((100L, dupText), (101L, dupText), (102L, dupText))
+    val sat = runTiny(base, Seq((1L, dupText)), Seq((2L, otherText)),
+      "lsh_saturated", cap = Some(2))
+    assert(sat.isEmpty, s"saturated bucket leaked pairs: $sat")
+    // same data uncapped: the incoming dup matches all three base docs
+    val open = runTiny(base, Seq((1L, dupText)), Seq((2L, otherText)),
+      "lsh_open")
+    assert(open == Set((1L, 100L, 1.0), (1L, 101L, 1.0), (1L, 102L, 1.0)), open)
+  }
+
+  test("hotBucketCap + appendIncoming: saturation closes the bucket to LATER stream docs too") {
+    // base seeds one member; stream docs 1..2 append (count 2, 3 → the
+    // third append saturates: count > cap=2 clears the bucket), so doc 3
+    // finds an EMPTY saturated bucket and emits nothing
+    val base = Seq((100L, dupText))
+    val got = runTiny(base, Seq((1L, dupText), (2L, dupText)),
+      Seq((3L, dupText)), "lsh_append_sat",
+      appendIncoming = true, cap = Some(2))
+    assert(!got.exists(_._1 == 3L), s"doc 3 matched in a saturated bucket: $got")
+    // docs 1 and 2 matched against the pre-saturation index
+    assert(got.contains((1L, 100L, 1.0)) && got.contains((2L, 100L, 1.0)), got)
+  }
 }
