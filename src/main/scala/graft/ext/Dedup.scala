@@ -973,9 +973,24 @@ object Dedup {
     * lookups. The brute arm's cost is |low-diversity docs| × their
     * length-band population — bounded in practice (few real documents
     * have ≤ k·q distinct grams), and the price of closing the recall
-    * hole exactly rather than documenting it away. */
+    * hole exactly rather than documenting it away.
+    *
+    * `maxBruteBucket` is the brute arm's guard knob (the family's
+    * guarded-operator discipline — x02's df-cap, x03/x05's
+    * hotBucketCap, x59's cluster cap; round-9 advice): a corpus
+    * dominated by SHORT docs piles both arms of the brute join into a
+    * handful of length buckets and goes quadratic in the short-doc
+    * count. With the cap set, corpus-side length buckets holding more
+    * than `cap` docs are dropped from the brute arm (a broadcast
+    * semi-join on the |buckets|-row keep list), bounding its fan-out at
+    * |low-diversity docs| × 3·cap. Buckets at or under the cap keep the
+    * exact recall-closing semantics; pairs whose partners sit in a
+    * dropped hot bucket are lost — the same deliberate, documented
+    * trade as every sibling guard (and exact dedup upstream should have
+    * collapsed a hot bucket's mass-identical short docs anyway). */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 8, q: Int = 5): DataFrame = {
+                        k: Int = 8, q: Int = 5,
+                        maxBruteBucket: Option[Int] = None): DataFrame = {
     // Texts persist once: they feed the gram explode, the brute arm, and
     // both verify lookups. Docs shorter than q get their whole text as
     // the single gram (degenerate but total — no doc escapes routing).
@@ -1012,12 +1027,22 @@ object Dedup {
     val lowDiv = withGrams.filter(col("n_grams") <= lit(k * q))
       .select(col("id"), col("len"),
         floor(col("len") / k).cast(LongType).as("lb"))
+    val corpusBucketed = docs.select(col("id"), col("len"),
+      floor(col("len") / k).cast(LongType).as("lbk"))
+    // Guarded corpus side: hot length buckets leave the brute arm (the
+    // lowDiv explode probing a dropped key simply finds no partners).
+    val bruteCorpus = maxBruteBucket.fold(corpusBucketed) { cap =>
+      val keep = corpusBucketed.groupBy(col("lbk"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= cap)
+        .select(col("lbk"))
+      corpusBucketed.join(broadcast(keep), Seq("lbk"), "left_semi")
+    }
     val candShort = lowDiv
       .select(col("id"), col("len"),
         explode(array(col("lb") - 1, col("lb"), col("lb") + 1)).as("lbk"))
       .as("a")
-      .join(docs.select(col("id"), col("len"),
-          floor(col("len") / k).cast(LongType).as("lbk")).as("b"),
+      .join(bruteCorpus.as("b"),
         col("a.lbk") === col("b.lbk") && col("a.id") =!= col("b.id")
           && abs(col("a.len") - col("b.len")) <= lit(k))
       .select(least(col("a.id"), col("b.id")).as("id_a"),

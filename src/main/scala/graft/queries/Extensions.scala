@@ -1383,12 +1383,15 @@ object Extensions {
   /** x74 PQ geometry: 8 subspaces × 8 dims, 64 codewords per subspace
     * (6-bit codes ⇒ 6 bytes stored per vector vs 256 for raw floats), 2
     * Lloyd training rounds. The codeword count is the fidelity knob and
-    * was CHOSEN BY MEASUREMENT (PLANS.md): at 16 codewords sf0.1
-    * recall@3 is 3/30 and exact-top-3-in-PQ-top-50 coverage 16/30; at
-    * 64 they rise to 9/30 and 22/30 — 3× recall for 1.5× storage.
-    * Production PQ runs 256 (8-bit) and uses the ADC ranking as a
-    * SHORTLIST for exact re-ranking (FAISS refine), which the coverage
-    * row prices. */
+    * was CHOSEN BY MEASUREMENT at all three code rates (tools/DiagPq,
+    * PLANS.md): sf0.1 recall@3 / top-50 coverage run 3/30 & 16/30 at 16
+    * codewords, 9/30 & 22/30 at 64, and 8/30 & 25/30 at 256 (8-bit, the
+    * production FAISS rate). 64 stays the shipped default ON this
+    * table: at the gated corpus size 256 cells/subspace is data-starved
+    * (~8 vectors per codeword — the codebook can't even fill), raw
+    * recall@3 ties within noise, and the +3 shortlist coverage costs
+    * 1.33× storage; a production corpus (≥10⁶ vectors per subspace)
+    * flips that trade and runs 256 + refine — priced, not asserted. */
   val PqM = 8
   val PqCodes = 64
   val PqLloydRounds = 2
@@ -1712,11 +1715,32 @@ object Extensions {
     * measured rather than left to production discovery. */
   val SemDedupClusterCap = 1000
 
-  def x59_semdedup_prune(s: SparkSession, dir: String): DataFrame =
-    Similarity.semDedupPairs(Tables.embeddings(s, dir), "vec_id",
+  def x59_semdedup_prune(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    // Loud-failure guard (round-9 advice): the x59 ORACLE is
+    // unconditionally exhaustive, so the gate's validity rests on every
+    // cluster sitting at or under the cap — past it the engine switches
+    // to banded within-cluster semantics and the compare would fail as
+    // an opaque hash mismatch. Assert the precondition HERE so a future
+    // scale bump fails with this message instead. Cost: one assignment
+    // scan reduced to a 1-row max — the documented stats-scan exception
+    // (Sources z-order grid precedent); the assignment relation itself
+    // is the same one semDedupPairs persists.
+    val maxCluster = Similarity
+      .nearestCentroidAssign(e, "vec_id", "label", "embedding")
+      .groupBy(col("assigned_label")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    require(maxCluster <= SemDedupClusterCap,
+      s"x59 oracle precondition violated: largest embedding cluster has " +
+        s"$maxCluster members > cap $SemDedupClusterCap — the engine " +
+        "would fall back to banded semantics while the oracle stays " +
+        "exhaustive. Raise SemDedupClusterCap (and re-gate) or mirror " +
+        "the banded branch in the oracle SQL before scaling this gate.")
+    Similarity.semDedupPairs(e, "vec_id",
         "label", "embedding", SemDedupThreshold,
         maxClusterSize = Some(SemDedupClusterCap))
       .orderBy(col("cluster"), col("id_a"), col("id_b"))
+  }
 
   // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
 

@@ -1108,6 +1108,33 @@ class EditDistSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("maxBruteBucket guard: under-cap output unchanged; hot length buckets drop their brute pairs") {
+    // 4 short docs in one length bucket + one isolated near pair in a
+    // quiet bucket. Uncapped: the quiet pair AND the hot bucket's pairs.
+    val docs = Seq(1L -> "ab", 2L -> "ax", 3L -> "ba", 4L -> "xb",
+        5L -> "mnopqrstuvwxyzabc", 6L -> "mnopqrstuvwxyzabd")
+      .toDF("doc_id", "text")
+    def run(cap: Option[Int]) =
+      Dedup.editDistancePairs(docs, "doc_id", "text", k = 8, q = 5,
+          maxBruteBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run(None)
+    // cap 10: every bucket under it — output UNCHANGED (x59 discipline)
+    assert(run(Some(10)) == uncapped, "no-op cap changed the answer")
+    graft.ext.ExtCaches.clearCaches()
+    // cap 3: the 4-doc short bucket (len 2 → bucket 0) exceeds it and
+    // drops from the brute arm — its pairs vanish; the quiet pair (5,6)
+    // (len 17 → bucket 2, population 2, still low-diversity so still
+    // brute-arm) survives untouched
+    val capped = run(Some(3))
+    assert(capped.contains((5L, 6L)), capped)
+    assert(!capped.exists(p => p._1 <= 4L && p._2 <= 4L),
+      s"hot-bucket brute pairs leaked past the cap: $capped")
+    assert(uncapped.exists(p => p._1 <= 4L && p._2 <= 4L),
+      s"degenerate spec: uncapped had no hot-bucket pairs: $uncapped")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("prefix filter is recall-exact vs in-engine brute force (sf0.001)") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), col("text"), length(col("text")).as("l"))
