@@ -96,7 +96,11 @@ object ScaleSoak {
     // line should scale ~linearly in the corpus with NO pairwise object
     // anywhere; the soak converts that from plan-shape argument to slope
     "x70_sim_topk_ivfkm", "x72_kmeans_iterate", "x73_sim_topk_ivf_scaled",
-    "x74_sim_topk_pq", "x75_sim_topk_pq_refined")
+    "x74_sim_topk_pq", "x75_sim_topk_pq_refined",
+    // round-10 addition: the IVF×PQ composition — the scale path for PQ
+    // search (probed cells bound the ADC scan); soaked beside the
+    // exhaustive x74/x75 whose slope it exists to flatten
+    "x76_sim_topk_ivf_pq")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -260,183 +264,191 @@ object ScaleSoak {
     // that claim a measurement (round-8 asserted it by analogy to x02)
     "x62_editdist_pairs")
 
-  def main(args: Array[String]): Unit = {
-    // SPARK_GRAFT_SOAK_BOILER=1: soak the boilerplate-tail corpus variant
-    // (shared unsalted header in every replica — corpus-wide shingle df)
-    // instead of the plain salted corpus. Writes SCALING_BOILER.md.
-    val boiler = sys.env.get("SPARK_GRAFT_SOAK_BOILER").contains("1")
-    val workDir = args.headOption.getOrElse("/tmp/graft_soak")
-    // A filtered run (SOAK_ONLY / SOAK_DIRS) emits a table carrying only
-    // the filtered cells — default its output AWAY from the full-family
-    // record so a targeted re-soak can never clobber SCALING.md.
-    val filteredRun = sys.env.contains("SPARK_GRAFT_SOAK_ONLY") ||
-      sys.env.contains("SPARK_GRAFT_SOAK_DIRS")
-    val outFile = args.lift(1).getOrElse(
-      if (filteredRun) "/tmp/soak_partial.md"
-      else if (boiler) "SCALING_BOILER.md" else "SCALING.md")
-    val baseFamily = if (boiler) BoilerFamily else Family
-    // Targeted re-soak: SPARK_GRAFT_SOAK_ONLY=q1,q2 restricts the family
-    // (e.g. to soak a newly-added operator plus a control query measured
-    // under identical conditions) — ALWAYS point outFile somewhere other
-    // than SCALING.md in this mode, since the emitted table only carries
-    // the filtered rows and would clobber the full-family record.
-    val family = sys.env.get("SPARK_GRAFT_SOAK_ONLY") match {
-      case Some(only) =>
-        val want = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        val unknown = want -- baseFamily.toSet
-        require(unknown.isEmpty, s"unknown soak queries: $unknown")
-        baseFamily.filter(want)
-      case None => baseFamily
-    }
-    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    spark.sparkContext.setLogLevel("ERROR")
+  // ---- Cells ledger (round-10 verdict #3: one authoritative table) -------
+  //
+  // Every soak run APPENDS its measured cells to a tab-separated ledger
+  // (committed at the repo root), and `SPARK_GRAFT_SOAK_RENDER=1`
+  // regenerates SCALING.md / SCALING_BOILER.md master tables from it —
+  // so filtered fresh-JVM sweeps (the protocol the 30×/100× cells
+  // require) land in the SAME master table as full-family sweeps instead
+  // of hand-merged prose sections. Latest cell per (query, dir) wins;
+  // the ledger is reviewable text, so a cell poisoned by a concurrent
+  // compile is fixed by re-running (or deleting the line) — never by
+  // editing the rendered table, which the tool owns.
+  //
+  // Columns: query, dir, cold_median_s, cold_reps (comma-joined),
+  // warm_s (-1 = not recorded), rows (-1 = not recorded), mark
+  // (†/‡/° footnote marker or empty), note (protocol tag).
+  final case class Cell(q: String, dir: String, cold: Double,
+                        reps: Seq[Double], warm: Double, rows: Long,
+                        mark: String, note: String)
 
-    // The x100/b100 decade (round-7 verdict #7: ~500k docs) is NOT part
-    // of the default sweep — the 30x cells are where single-JVM GC
-    // variance lives, so the 100x protocol is one fresh JVM per (query,
-    // dir): `SPARK_GRAFT_SOAK_DIRS=x100 SPARK_GRAFT_SOAK_ONLY=<q>` per
-    // invocation, results hand-merged into SCALING.md's x100 section.
-    val allDirs: Seq[(String, String, Int)] =
-      if (boiler) Seq(
-        ("b1", s"$workDir/b1", 1),
-        ("b3", s"$workDir/b3", 3),
-        ("b10", s"$workDir/b10", 10),
-        ("b30", s"$workDir/b30", 30),
-        ("b100", s"$workDir/b100", 100))
-      else Seq(
-        ("sf0.01", "/root/testdata/sf0.01", 0),
-        ("sf0.1", Base, 0),
-        ("x3", s"$workDir/x3", 3),
-        ("x10", s"$workDir/x10", 10),
-        ("x30", s"$workDir/x30", 30),
-        ("x100", s"$workDir/x100", 100))
-    val dirs: Seq[(String, String, Int)] = sys.env.get("SPARK_GRAFT_SOAK_DIRS") match {
-      case Some(ds) =>
-        val want = ds.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        val unknown = want -- allDirs.map(_._1).toSet
-        require(unknown.isEmpty, s"unknown soak dirs: $unknown")
-        allDirs.filter(d => want(d._1))
-      case None => allDirs.filterNot(_._3 == 100)
-    }
-    dirs.filter(_._3 > 0).foreach { case (_, dir, reps) =>
-      println(s"[soak] building $dir (${reps}x sf0.1" +
-        (if (boiler) ", boilerplate header" else "") + ")")
-      buildDir(spark, dir, reps,
-        header = if (boiler) Some(BoilerHeader) else None)
-    }
-    val boilerStats = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Double, Double, Long)]
-    if (boiler) dirs.foreach { case (label, dir, _) =>
-      // Analytic join cost: Σ C(df,2) is the EXACT row count of the
-      // uncapped inverted-index self-join — the number that motivates
-      // running only the capped/prefix variants here.
-      val stats = graft.tables.Tables.documents(spark, dir)
-        .select(explode(graft.ext.TextOps.shingles(
-          graft.ext.TextOps.tokens(col("text")), 3)).as("shingle"))
-        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .agg(sum((col("df") * (col("df") - 1) / 2).cast("double"))
-            .as("uncapped_join_rows"),
-          sum(when(col("df") <= 50, col("df") * (col("df") - 1) / 2)
-            .otherwise(0L).cast("double")).as("capped50_join_rows"),
-          max(col("df")).as("max_df"))
-        .collect()(0)
-      boilerStats(label) =
-        (stats.getDouble(0), stats.getDouble(1), stats.getLong(2))
-      println(s"[boiler-stats] $label uncapped_join_rows=${stats.get(0)} " +
-        s"capped50_join_rows=${stats.get(1)} max_df=${stats.get(2)}")
-      graft.ext.ExtCaches.clearCaches()
+  private def ledgerPath: java.nio.file.Path = Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_SOAK_LEDGER", "soak_cells.tsv"))
+
+  private def appendLedger(c: Cell): Unit = {
+    val line = Seq(c.q, c.dir,
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(c.cold)),
+      c.reps.map(r => String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(r))).mkString(","),
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(c.warm)),
+      c.rows.toString, c.mark, c.note).mkString("\t") + "\n"
+    Files.writeString(ledgerPath, line,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  private def readLedger(): Seq[Cell] =
+    if (!Files.exists(ledgerPath)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(ledgerPath).asScala.toSeq
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map { l =>
+          val f = l.split("\t", -1)
+          require(f.length >= 8, s"malformed ledger line: $l")
+          Cell(f(0), f(1), f(2).toDouble,
+            f(3).split(",").toSeq.filter(_.nonEmpty).map(_.toDouble),
+            f(4).toDouble, f(5).toLong, f(6), f(7))
+        }
     }
 
-    def time(body: => Unit): Double = {
-      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
-    }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    // Round-5's single cold runs carried ±30–50% noise and MANUFACTURED a
-    // super-linear finding: x03's "slope 14.5" came from an x3 cold
-    // undershoot (0.77 s — faster than its own warm rep) against an x30
-    // overshoot; re-measured at steady state the pipeline is sub-linear
-    // (round-6 diagnostics, SCALING.md findings). Every cold cell is now
-    // the MEDIAN of `coldReps` fully-cold runs (caches cleared before
-    // each), so a single scheduler hiccup can no longer set a slope.
-    val coldReps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "3").toInt
-    // cold median, warm per (query, dir)
-    val results = scala.collection.mutable.LinkedHashMap
-      .empty[(String, String), (Double, Double)]
-    // cells whose cold median survived from FEWER than coldReps reps (a
-    // mid-loop failure): printed with a '*' and excluded from the slope
-    // column — a 1-rep "median" is exactly the single-run noise the
-    // protocol exists to kill, and must not set a slope silently.
-    val partialCells = scala.collection.mutable.Set.empty[(String, String)]
-    // Output row count per (query, dir), from the last completed rep —
-    // the recall record for the capped-vs-exact comparisons (identical
-    // counts = the cap/prefix lost nothing AT THIS threshold).
-    val outRows = scala.collection.mutable.LinkedHashMap
-      .empty[(String, String), Long]
-    dirs.foreach { case (label, dir, _) =>
-      family.foreach { q =>
-        def rep(): Double =
-          time { outRows((q, label)) = queryFn(q)(spark, dir).count() }
-        // The cold median is the number the slope analysis depends on —
-        // record after EVERY successful rep (median of what completed),
-        // so a rep-2/3 failure keeps rep 1's measurement instead of
-        // discarding good data into a blanket "fail" cell.
-        val colds = scala.collection.mutable.ArrayBuffer.empty[Double]
-        try {
-          (1 to coldReps).foreach { _ =>
-            graft.ext.ExtCaches.clearCaches()
-            colds += rep()
-            results((q, label)) = (median(colds.toSeq), -1.0)
-          }
-          val warm = rep()
-          results((q, label)) = (median(colds.toSeq), warm)
-          println(f"[soak] $label%-7s $q%-26s cold=${median(colds.toSeq)}%7.2f s " +
-            f"(reps ${colds.map(c => f"$c%.2f").mkString("/")})  warm=$warm%6.2f s " +
-            s"rows=${outRows.getOrElse((q, label), -1L)}")
-        } catch {
-          case e: Throwable =>
-            if (!results.contains((q, label)))
-              results((q, label)) = (-1.0, -1.0)
-            else if (colds.size < coldReps)
-              partialCells += ((q, label))
-            val stage =
-              if (colds.size < coldReps) s"cold rep ${colds.size + 1}"
-              else "warm rep"
-            println(s"[soak] $label $q FAILED at $stage " +
-              s"(${colds.size} cold reps kept): ${e.getMessage}")
+  private def fmtCell(v: Double): String =
+    if (v < 0) "fail"
+    else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  /** Render the master tables for one corpus variant from the ledger:
+    * cold (+ two slope columns), warm, output rows. `famOrder` fixes row
+    * order; ledger queries outside it append in first-seen order. */
+  private def renderTables(cells: Seq[Cell], famOrder: Seq[String],
+                           dirsOrder: Seq[String],
+                           slopes: Seq[(String, String, String)]): String = {
+    val latest = scala.collection.mutable.LinkedHashMap.empty[(String, String), Cell]
+    cells.foreach(c => latest((c.q, c.dir)) = c)
+    val qs = (famOrder ++ cells.map(_.q)).distinct
+      .filter(q => dirsOrder.exists(d => latest.contains((q, d))))
+    val sb = new StringBuilder
+    def get(q: String, d: String): Option[Cell] = latest.get((q, d))
+    val slopeHdr = slopes.map(_._1).mkString(" | ")
+    sb.append(s"| query | ${dirsOrder.mkString(" | ")} | $slopeHdr |\n")
+    sb.append("|---" * (dirsOrder.size + 1 + slopes.size) + "|\n")
+    qs.foreach { q =>
+      val cold = dirsOrder.map(d =>
+        get(q, d).map(c => fmtCell(c.cold) + c.mark).getOrElse("-"))
+      val sl = slopes.map { case (_, lo, hi) =>
+        (get(q, lo), get(q, hi)) match {
+          case (Some(a), Some(b)) if a.cold > 0 && b.cold > 0 =>
+            String.format(java.util.Locale.ROOT, "%.1f",
+              Double.box(b.cold / a.cold))
+          case _ => "-"
         }
       }
-      graft.ext.ExtCaches.clearCaches()
+      sb.append(s"| $q | ${cold.mkString(" | ")} | ${sl.mkString(" | ")} |\n")
     }
+    sb.append("\nWarm-rep table (same protocol, one immediate in-JVM re-run):\n\n")
+    sb.append(s"| query | ${dirsOrder.mkString(" | ")} |\n")
+    sb.append("|---" * (dirsOrder.size + 1) + "|\n")
+    qs.foreach { q =>
+      val warm = dirsOrder.map(d => get(q, d)
+        .map(c => if (c.warm < 0) "-" else fmtCell(c.warm)).getOrElse("-"))
+      sb.append(s"| $q | ${warm.mkString(" | ")} |\n")
+    }
+    sb.append("\nOutput rows (the recall record: identical counts across capped/prefix/\nexact variants of the same score mean the guard lost nothing at this\nthreshold):\n\n")
+    sb.append(s"| query | ${dirsOrder.mkString(" | ")} |\n")
+    sb.append("|---" * (dirsOrder.size + 1) + "|\n")
+    qs.foreach { q =>
+      val rows = dirsOrder.map(d => get(q, d)
+        .map(c => if (c.rows < 0) "-" else c.rows.toString).getOrElse("-"))
+      sb.append(s"| $q | ${rows.mkString(" | ")} |\n")
+    }
+    sb.toString
+  }
 
-    def fmt(v: Double): String =
-      if (v < 0) "fail" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val (slopeLo, slopeHi) = if (boiler) ("b3", "b30") else ("x3", "x30")
+  /** `SPARK_GRAFT_SOAK_RENDER=1`: regenerate both SCALING docs from the
+    * ledger — no Spark, no measurement. */
+  private def renderFromLedger(): Unit = {
+    val cells = readLedger()
+    require(cells.nonEmpty, s"empty soak ledger at $ledgerPath")
+    val (plainCells, boilerCells) = cells.partition(c => !c.dir.startsWith("b"))
     val sb = new StringBuilder
-    if (boiler) {
-      sb.append("# SCALING_BOILER — the boilerplate-tail corpus variant\n\n")
-      sb.append("Generated by `graft.tools.ScaleSoak` with\n")
-      sb.append("`SPARK_GRAFT_SOAK_BOILER=1` (same cold-median protocol as\n")
-      sb.append("SCALING.md). b1/b3/b10/b30 = sf0.1 replicated with per-replica\n")
-      sb.append("token salting PLUS a 13-token header prepended UNSALTED to every\n")
-      sb.append("document — 11 3-shingles whose df equals the corpus size, the\n")
-      sb.append("corpus-wide boilerplate tail (site headers, license banners)\n")
-      sb.append("that plain salted replication cannot produce. The uncapped\n")
-      sb.append("x02/x52 joins are not run here: their exact join size\n")
-      sb.append("(sum of C(df,2), printed as `[boiler-stats]` by the tool) is\n")
-      sb.append("quadratic in the corpus — the capped/prefix variants are the\n")
-      sb.append("operators under test. See SCALING.md for the analysis, including\n")
-      sb.append("the round-8 b100 fresh-JVM cells (one JVM per cell): analytic\n")
-      sb.append("uncapped join 1.375e12 rows (quadratic), x02+cap50 62.6 s /\n")
-      sb.append("20,300 rows (linear, -20.7% recall), x52+cap50 28.8 s / 14,300\n")
-      sb.append("(linear), x55 8.5 s, x51 444.4 s returning the COMPLETE 25,600 —\n")
-      sb.append("exactness costs 7.1x the capped run at b100. Round 9 added x62's\n")
-      sb.append("b-cells (° rows below + the b100 decade cell in SCALING.md):\n")
-      sb.append("rows identical to the plain corpus at every scale (the header\n")
-      sb.append("shifts no pairwise edit distance), slope b30/b3 = 3.1 and\n")
-      sb.append("b100/b10 = 10.0 — the char-q-gram rarity prefix refuses the\n")
-      sb.append("corpus-wide header grams, so boilerplate costs x62 a constant\n")
-      sb.append("~2x, never a slope.\n\n")
-    } else {
+    sb.append(plainPreamble(renderMode = true))
+    sb.append(plainFindings)
+    sb.append(renderTables(plainCells, Family,
+      Seq("sf0.01", "sf0.1", "x3", "x10", "x30", "x100"),
+      Seq(("slope x30/x3 (10x)", "x3", "x30"),
+        ("slope x100/x10 (10x)", "x10", "x100"))))
+    sb.append(ledgerFootnotes)
+    Files.writeString(Paths.get("SCALING.md"), sb.toString)
+    println("[soak] rendered SCALING.md from " + ledgerPath)
+    val bb = new StringBuilder
+    bb.append(boilerPreamble(renderMode = true))
+    bb.append(renderTables(boilerCells, BoilerFamily,
+      Seq("b1", "b3", "b10", "b30", "b100"),
+      Seq(("slope b30/b3 (10x)", "b3", "b30"),
+        ("slope b100/b10 (10x)", "b10", "b100"))))
+    bb.append(boilerAnalyticTable)
+    bb.append(ledgerFootnotes)
+    Files.writeString(Paths.get("SCALING_BOILER.md"), bb.toString)
+    println("[soak] rendered SCALING_BOILER.md from " + ledgerPath)
+  }
+
+  private def ledgerFootnotes: String =
+    "\n† / ‡ / ° = cell measured in a dedicated fresh-JVM filtered sweep\n" +
+      "(one JVM per cell, median of 3 fully-cold reps) rather than the\n" +
+      "full-family single-JVM sweep — the protocol for the cells where\n" +
+      "late-family JVM heap state once manufactured slopes (see findings).\n" +
+      "Cells regenerate from soak_cells.tsv (`SPARK_GRAFT_SOAK_RENDER=1`);\n" +
+      "every soak run appends there, latest cell per (query, dir) wins.\n"
+
+  /** The analytic boiler join-size table (computed from corpus stats at
+    * build time — stable per corpus generation; b100 from the round-8
+    * decade run). */
+  private def boilerAnalyticTable: String =
+    "\nAnalytic inverted-index join size (sum of C(df,2) over shingles — " +
+      "the exact\nrow count the UNCAPPED self-join would produce, vs what " +
+      "survives cap 50):\n\n" +
+      "| dir | uncapped join rows | capped-50 join rows | max df |\n" +
+      "|---|---|---|---|\n" +
+      "| b1 | 1.39e+08 | 1.28e+06 | 5000 |\n" +
+      "| b3 | 1.24e+09 | 3.84e+06 | 15000 |\n" +
+      "| b10 | 1.38e+10 | 1.28e+07 | 50000 |\n" +
+      "| b30 | 1.24e+11 | 3.84e+07 | 150000 |\n" +
+      "| b100 | 1.375e+12 | 1.28e+08 | 500000 |\n"
+
+  private def boilerPreamble(renderMode: Boolean): String = {
+    val sb = new StringBuilder
+    sb.append("# SCALING_BOILER — the boilerplate-tail corpus variant\n\n")
+    sb.append("Generated by `graft.tools.ScaleSoak` with\n")
+    sb.append("`SPARK_GRAFT_SOAK_BOILER=1` (same cold-median protocol as\n")
+    sb.append("SCALING.md). b1/b3/b10/b30 = sf0.1 replicated with per-replica\n")
+    sb.append("token salting PLUS a 13-token header prepended UNSALTED to every\n")
+    sb.append("document — 11 3-shingles whose df equals the corpus size, the\n")
+    sb.append("corpus-wide boilerplate tail (site headers, license banners)\n")
+    sb.append("that plain salted replication cannot produce. The uncapped\n")
+    sb.append("x02/x52 joins are not run here: their exact join size\n")
+    sb.append("(sum of C(df,2), printed as `[boiler-stats]` by the tool) is\n")
+    sb.append("quadratic in the corpus — the capped/prefix variants are the\n")
+    sb.append("operators under test. See SCALING.md for the analysis, including\n")
+    sb.append("the round-8 b100 fresh-JVM cells (one JVM per cell): analytic\n")
+    sb.append("uncapped join 1.375e12 rows (quadratic), x02+cap50 62.6 s /\n")
+    sb.append("20,300 rows (linear, -20.7% recall), x52+cap50 28.8 s / 14,300\n")
+    sb.append("(linear), x55 8.5 s, x51 444.4 s returning the COMPLETE 25,600 —\n")
+    sb.append("exactness costs 7.1x the capped run at b100. Round 9 added x62's\n")
+    sb.append("b-cells (° rows below + the b100 decade cell in SCALING.md):\n")
+    sb.append("rows identical to the plain corpus at every scale (the header\n")
+    sb.append("shifts no pairwise edit distance), slope b30/b3 = 3.1 and\n")
+    sb.append("b100/b10 = 10.0 — the char-q-gram rarity prefix refuses the\n")
+    sb.append("corpus-wide header grams, so boilerplate costs x62 a constant\n")
+    sb.append("~2x, never a slope.\n\n")
+    if (renderMode)
+      sb.append("THIS FILE IS RENDERED from `soak_cells.tsv` (see SCALING.md's\n" +
+        "ledger note); the b-prefixed dirs are the boilerplate variant's\n" +
+        "cells in the same ledger.\n\n")
+    sb.toString
+  }
+
+  private def plainPreamble(renderMode: Boolean, coldReps: Int = 3): String = {
+    val sb = new StringBuilder
     sb.append("# SCALING — dedup/CC/decontamination family soak\n\n")
     sb.append(s"Generated by `graft.tools.ScaleSoak` (local[32], cold = MEDIAN of\n")
     sb.append(s"$coldReps runs each taken fully cold — ExtCaches cleared before every\n")
@@ -451,6 +463,18 @@ object ScaleSoak {
     sb.append("x30 = 150k/60k. Soak layouts are 32-file parquet (real mapper\n")
     sb.append("counts, no fan-out crutch). `slope` = cold(x30)/cold(x3) against a\n")
     sb.append("10x data ratio: ~10 is linear, ~100 quadratic.\n\n")
+    if (renderMode)
+      sb.append("THIS FILE IS RENDERED from the cells ledger `soak_cells.tsv`\n" +
+        "(`SPARK_GRAFT_SOAK_RENDER=1`): every soak run — full-family or a\n" +
+        "filtered fresh-JVM sweep — appends its measured cells there, the\n" +
+        "latest cell per (query, dir) wins, and the master tables below\n" +
+        "hold EVERY operator's slopes in one place (the round-10 verdict's\n" +
+        "consolidation ask). Do not edit the tables by hand.\n\n")
+    sb.toString
+  }
+
+  private def plainFindings(): String = {
+    val sb = new StringBuilder
     sb.append("## Findings (round 7 — testdata regenerated this round; all cells re-measured)\n\n")
     sb.append("- **The round-7 corpus regeneration changed the workload, and every\n")
     sb.append("  number here reflects the NEW corpus.** documents are now ~50-token\n")
@@ -589,7 +613,9 @@ object ScaleSoak {
     sb.append("  100 TB policy gains a rider: where the tail exists AND the recall\n")
     sb.append("  trade is measured acceptable, cap; x51 is the exactness backstop,\n")
     sb.append("  priced here.\n")
-    sb.append("- **Round-9 cells (hand-merged; dedicated fresh-JVM filtered sweeps).**\n")
+    sb.append("- **Round-9 cells (dedicated fresh-JVM filtered sweeps — the ‡ rows\n")
+    sb.append("  of the master table; consolidated there via the cells ledger in\n")
+    sb.append("  round 10, no more hand-merged sections).**\n")
     sb.append("  x62 re-measured after the prefix-prefix candidate switch: x30 HALVED\n")
     sb.append("  (74.15 -> 37.38 s, slope 2.8 -> 2.4) with pair counts identical at\n")
     sb.append("  every scale — the asymmetric form's Σ df_pref·df_full candidate cost\n")
@@ -609,7 +635,27 @@ object ScaleSoak {
     sb.append("  The round-9 ANN family (x70/x72/x73 flat at 1.3-3.7 s across the\n")
     sb.append("  sweep — job-latency-dominated anchors and scans; x74/x75 at slope\n")
     sb.append("  2.9/2.7 on 10x data — the ADC scoring rows) confirms the\n")
-    sb.append("  no-pairwise-object claim as slopes (SCALING.md round-9 section).\n")
+    sb.append("  no-pairwise-object claim as slopes (master table ‡ rows). The x59\n")
+    sb.append("  OUTPUT is the other half of that record: uncapped pair mass grows\n")
+    sb.append("  ~105x for 10x data past x3 (rows table — the quadratic object, the\n")
+    sb.append("  same consumer hazard as x04), while cap1000 keeps rows identical\n")
+    sb.append("  through x3 (under-cap = exact, confirmed at scale) then switches\n")
+    sb.append("  to the banded fallback's bounded answer at flat cost.\n")
+    sb.append("- **Round-10 ANN decade cells (x100 = 200k embeddings, fresh-JVM):\n")
+    sb.append("  the growing PQ lines priced where they bend, and the x76\n")
+    sb.append("  composition measured against them.** COLD is training-bound for\n")
+    sb.append("  the whole family — the joint Lloyd chains are K linear corpus\n")
+    sb.append("  scans, and x76 pays BOTH trainings (coarse cells + codebooks), so\n")
+    sb.append("  its cold cell (30.3 s) sits slightly above x74's (26.9 s). The\n")
+    sb.append("  WARM reps isolate the search those trainings amortize over in\n")
+    sb.append("  production (train once, serve queries): exhaustive ADC x74 4.13 s\n")
+    sb.append("  and refine x75 5.50 s vs IVF-scoped x76 2.51 s — the nprobe-10-\n")
+    sb.append("  of-32 (~31% probed) composition cuts the scan 40-55% at the\n")
+    sb.append("  decade, and the probed fraction is config that HOLDS as |corpus|\n")
+    sb.append("  grows while the exhaustive lines track it (training-inclusive\n")
+    sb.append("  slopes x100/x10: x74 5.0, x75 6.0, x76 4.5). x76's sweep cold\n")
+    sb.append("  slope (x30/x3 = 2.9) reads the same way — training scans dominate\n")
+    sb.append("  cold; its warm search stays 0.9-2.5 s at EVERY dir.\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")
@@ -619,6 +665,177 @@ object ScaleSoak {
     sb.append("  keeps x38 at O(m) digests per doc (85x over the interpreted HOF\n")
     sb.append("  path). Cold medians still carry ~±20% noise; the sf0.01 column's\n")
     sb.append("  first row also absorbs first-query JVM setup.\n\n")
+    sb.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (sys.env.get("SPARK_GRAFT_SOAK_RENDER").contains("1")) {
+      renderFromLedger(); return
+    }
+    // SPARK_GRAFT_SOAK_BOILER=1: soak the boilerplate-tail corpus variant
+    // (shared unsalted header in every replica — corpus-wide shingle df)
+    // instead of the plain salted corpus. Writes SCALING_BOILER.md.
+    val boiler = sys.env.get("SPARK_GRAFT_SOAK_BOILER").contains("1")
+    val workDir = args.headOption.getOrElse("/tmp/graft_soak")
+    // A filtered run (SOAK_ONLY / SOAK_DIRS) emits a table carrying only
+    // the filtered cells — default its output AWAY from the full-family
+    // record so a targeted re-soak can never clobber SCALING.md.
+    val filteredRun = sys.env.contains("SPARK_GRAFT_SOAK_ONLY") ||
+      sys.env.contains("SPARK_GRAFT_SOAK_DIRS")
+    val outFile = args.lift(1).getOrElse(
+      if (filteredRun) "/tmp/soak_partial.md"
+      else if (boiler) "SCALING_BOILER.md" else "SCALING.md")
+    val baseFamily = if (boiler) BoilerFamily else Family
+    // Targeted re-soak: SPARK_GRAFT_SOAK_ONLY=q1,q2 restricts the family
+    // (e.g. to soak a newly-added operator plus a control query measured
+    // under identical conditions) — ALWAYS point outFile somewhere other
+    // than SCALING.md in this mode, since the emitted table only carries
+    // the filtered rows and would clobber the full-family record.
+    val family = sys.env.get("SPARK_GRAFT_SOAK_ONLY") match {
+      case Some(only) =>
+        val want = only.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- baseFamily.toSet
+        require(unknown.isEmpty, s"unknown soak queries: $unknown")
+        baseFamily.filter(want)
+      case None => baseFamily
+    }
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // The x100/b100 decade (round-7 verdict #7: ~500k docs) is NOT part
+    // of the default sweep — the 30x cells are where single-JVM GC
+    // variance lives, so the 100x protocol is one fresh JVM per (query,
+    // dir): `SPARK_GRAFT_SOAK_DIRS=x100 SPARK_GRAFT_SOAK_ONLY=<q>` per
+    // invocation; each cell lands in the ledger and renders into the
+    // master table via SPARK_GRAFT_SOAK_RENDER=1.
+    val allDirs: Seq[(String, String, Int)] =
+      if (boiler) Seq(
+        ("b1", s"$workDir/b1", 1),
+        ("b3", s"$workDir/b3", 3),
+        ("b10", s"$workDir/b10", 10),
+        ("b30", s"$workDir/b30", 30),
+        ("b100", s"$workDir/b100", 100))
+      else Seq(
+        ("sf0.01", "/root/testdata/sf0.01", 0),
+        ("sf0.1", Base, 0),
+        ("x3", s"$workDir/x3", 3),
+        ("x10", s"$workDir/x10", 10),
+        ("x30", s"$workDir/x30", 30),
+        ("x100", s"$workDir/x100", 100))
+    val dirs: Seq[(String, String, Int)] = sys.env.get("SPARK_GRAFT_SOAK_DIRS") match {
+      case Some(ds) =>
+        val want = ds.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- allDirs.map(_._1).toSet
+        require(unknown.isEmpty, s"unknown soak dirs: $unknown")
+        allDirs.filter(d => want(d._1))
+      case None => allDirs.filterNot(_._3 == 100)
+    }
+    dirs.filter(_._3 > 0).foreach { case (_, dir, reps) =>
+      println(s"[soak] building $dir (${reps}x sf0.1" +
+        (if (boiler) ", boilerplate header" else "") + ")")
+      buildDir(spark, dir, reps,
+        header = if (boiler) Some(BoilerHeader) else None)
+    }
+    val boilerStats = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Long)]
+    if (boiler) dirs.foreach { case (label, dir, _) =>
+      // Analytic join cost: Σ C(df,2) is the EXACT row count of the
+      // uncapped inverted-index self-join — the number that motivates
+      // running only the capped/prefix variants here.
+      val stats = graft.tables.Tables.documents(spark, dir)
+        .select(explode(graft.ext.TextOps.shingles(
+          graft.ext.TextOps.tokens(col("text")), 3)).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .agg(sum((col("df") * (col("df") - 1) / 2).cast("double"))
+            .as("uncapped_join_rows"),
+          sum(when(col("df") <= 50, col("df") * (col("df") - 1) / 2)
+            .otherwise(0L).cast("double")).as("capped50_join_rows"),
+          max(col("df")).as("max_df"))
+        .collect()(0)
+      boilerStats(label) =
+        (stats.getDouble(0), stats.getDouble(1), stats.getLong(2))
+      println(s"[boiler-stats] $label uncapped_join_rows=${stats.get(0)} " +
+        s"capped50_join_rows=${stats.get(1)} max_df=${stats.get(2)}")
+      graft.ext.ExtCaches.clearCaches()
+    }
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // Round-5's single cold runs carried ±30–50% noise and MANUFACTURED a
+    // super-linear finding: x03's "slope 14.5" came from an x3 cold
+    // undershoot (0.77 s — faster than its own warm rep) against an x30
+    // overshoot; re-measured at steady state the pipeline is sub-linear
+    // (round-6 diagnostics, SCALING.md findings). Every cold cell is now
+    // the MEDIAN of `coldReps` fully-cold runs (caches cleared before
+    // each), so a single scheduler hiccup can no longer set a slope.
+    val coldReps = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPS", "3").toInt
+    // cold median, warm per (query, dir)
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), (Double, Double)]
+    // cells whose cold median survived from FEWER than coldReps reps (a
+    // mid-loop failure): printed with a '*' and excluded from the slope
+    // column — a 1-rep "median" is exactly the single-run noise the
+    // protocol exists to kill, and must not set a slope silently.
+    val partialCells = scala.collection.mutable.Set.empty[(String, String)]
+    // Output row count per (query, dir), from the last completed rep —
+    // the recall record for the capped-vs-exact comparisons (identical
+    // counts = the cap/prefix lost nothing AT THIS threshold).
+    val outRows = scala.collection.mutable.LinkedHashMap
+      .empty[(String, String), Long]
+    dirs.foreach { case (label, dir, _) =>
+      family.foreach { q =>
+        def rep(): Double =
+          time { outRows((q, label)) = queryFn(q)(spark, dir).count() }
+        // The cold median is the number the slope analysis depends on —
+        // record after EVERY successful rep (median of what completed),
+        // so a rep-2/3 failure keeps rep 1's measurement instead of
+        // discarding good data into a blanket "fail" cell.
+        val colds = scala.collection.mutable.ArrayBuffer.empty[Double]
+        try {
+          (1 to coldReps).foreach { _ =>
+            graft.ext.ExtCaches.clearCaches()
+            colds += rep()
+            results((q, label)) = (median(colds.toSeq), -1.0)
+          }
+          val warm = rep()
+          results((q, label)) = (median(colds.toSeq), warm)
+          // One ledger line per completed cell (crash-safe append): the
+          // master-table record this run contributes, full or filtered.
+          // Filtered runs are the dedicated fresh-JVM protocol — their
+          // cells carry the ‡ footnote marker in the rendered table.
+          appendLedger(Cell(q, label, median(colds.toSeq), colds.toSeq,
+            warm, outRows.getOrElse((q, label), -1L),
+            mark = if (filteredRun) "‡" else "",
+            note = if (filteredRun) "filtered" else "full-sweep"))
+          println(f"[soak] $label%-7s $q%-26s cold=${median(colds.toSeq)}%7.2f s " +
+            f"(reps ${colds.map(c => f"$c%.2f").mkString("/")})  warm=$warm%6.2f s " +
+            s"rows=${outRows.getOrElse((q, label), -1L)}")
+        } catch {
+          case e: Throwable =>
+            if (!results.contains((q, label)))
+              results((q, label)) = (-1.0, -1.0)
+            else if (colds.size < coldReps)
+              partialCells += ((q, label))
+            val stage =
+              if (colds.size < coldReps) s"cold rep ${colds.size + 1}"
+              else "warm rep"
+            println(s"[soak] $label $q FAILED at $stage " +
+              s"(${colds.size} cold reps kept): ${e.getMessage}")
+        }
+      }
+      graft.ext.ExtCaches.clearCaches()
+    }
+
+    def fmt(v: Double): String =
+      if (v < 0) "fail" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val (slopeLo, slopeHi) = if (boiler) ("b3", "b30") else ("x3", "x30")
+    val sb = new StringBuilder
+    if (boiler) sb.append(boilerPreamble(renderMode = false))
+    else {
+      sb.append(plainPreamble(renderMode = false, coldReps))
+      sb.append(plainFindings)
     }
     val labels = dirs.map(_._1)
     sb.append(s"| query | ${labels.mkString(" | ")} | " +
