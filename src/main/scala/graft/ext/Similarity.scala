@@ -540,12 +540,30 @@ object Similarity {
     * relation: (id, probe_rank ∈ 1..nprobe, cell) — the coarse-quantizer
     * front end shared by the scaled IVF×SQ8 (x73) and IVF×PQ (x76)
     * searches. */
-  private def trainedCellProbes(q: DataFrame, cells: Int, lloydRounds: Int,
-                                nprobe: Int): DataFrame = {
+  private[graft] def trainedCellProbes(q: DataFrame, cells: Int,
+                                       lloydRounds: Int,
+                                       nprobe: Int): DataFrame =
+    probesFromStats(q, trainedCellStats(q, cells, lloydRounds), nprobe)
+
+  /** The trained coarse-quantizer state itself — hash-split seeds
+    * (id mod cells), `lloydRounds` exact-integer Lloyd iterations —
+    * exposed separately from the probe projection because the residual
+    * IVF×PQ form (x77) needs the final centroids a second time: corpus
+    * and query vectors are re-expressed RELATIVE to their cell before
+    * PQ coding, so the stats feed both the probe ranking and the
+    * [[roundedCentroids]] subtraction. */
+  private def trainedCellStats(q: DataFrame, cells: Int,
+                               lloydRounds: Int): DataFrame = {
     var stats = ExtCaches.persistTracked(centroidStats(
       q.select(pmod(col("id"), lit(cells.toLong)).as("c_label"), col("v"))))
     for (_ <- 1 to lloydRounds)
       stats = ExtCaches.persistTracked(centroidStats(lloydAssign(q, stats)))
+    stats
+  }
+
+  /** Probe projection of [[trainedCellStats]]: (id, probe_rank, cell). */
+  private def probesFromStats(q: DataFrame, stats: DataFrame,
+                              nprobe: Int): DataFrame = {
     q.join(broadcast(packCents(stats)))
       .withColumn("scored", array_sort(transform(col("cents"), e =>
         struct(tScore(e, col("v")).as("t"), e("c_label").as("c_label")))))
@@ -620,37 +638,7 @@ object Similarity {
                             idCol: String, m: Int,
                             codes: Int, lloydRounds: Int,
                             dims: Int): (DataFrame, DataFrame) = {
-    require(dims % m == 0, s"dims $dims not divisible by m $m")
-    val sub = dims / m
-    // (id, sub, sv): the m subvectors of every row.
-    val svRel = ExtCaches.persistTracked(q.select(col("id"),
-      posexplode(array((0 until m).map(s =>
-        slice(col("v"), s * sub + 1, sub)): _*)).as(Seq("sub", "sv"))))
-    def subCells(cents: Column): Column =
-      filter(cents, e => e("c_label") >= col("sub").cast(LongType) * codes &&
-        e("c_label") < (col("sub").cast(LongType) + 1) * codes)
-    def argmin(cents: Column): Column =
-      array_min(transform(subCells(cents), e =>
-        struct(tScore(e, col("sv")).as("t"), e("c_label").as("c_label"))))
-    var stats = ExtCaches.persistTracked(centroidStats(svRel.select(
-      (col("sub").cast(LongType) * codes +
-        pmod(col("id"), lit(codes.toLong))).as("c_label"),
-      col("sv").as("v"))))
-    for (_ <- 1 to lloydRounds)
-      stats = ExtCaches.persistTracked(centroidStats(
-        svRel.join(broadcast(packCents(stats)))
-          .select(argmin(col("cents")).getField("c_label").as("c_label"),
-            col("sv").as("v"))))
-    val anchor = packCents(stats)
-    // Stored PQ codes: per row, the m code ids ordered by subspace.
-    val coded = ExtCaches.persistTracked(
-      svRel.join(broadcast(anchor))
-        .select(col("id"), col("sub"),
-          pmod(argmin(col("cents")).getField("c_label"),
-            lit(codes.toLong)).as("code"))
-        .groupBy(col("id"))
-        .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-          e => e("code")).as("code")))
+    val (coded, anchor, svRel) = pqTrainEncode(q, m, codes, lloydRounds, dims)
     // Per-query ADC tables: per (q, sub), the (code, term) struct list
     // sorted by code (looked up BY KEY, so codebook cells that emptied
     // out during training cannot misalign positions); per q, the m
@@ -658,15 +646,72 @@ object Similarity {
     val lutRows = svRel
       .join(broadcast(queryIds.select(col(idCol).as("id"))), Seq("id"))
       .join(broadcast(anchor))
-      .select(col("id").as("q_id"), col("sub"),
-        array_sort(transform(subCells(col("cents")), e =>
-          struct(pmod(e("c_label"), lit(codes.toLong)).as("code"),
-            (dotQ(col("sv"), e("s")).cast(DoubleType) /
-              e("n").cast(DoubleType)).as("term")))).as("terms"))
+      .select(col("id").as("q_id"), col("sub"), pqTerms(codes).as("terms"))
       .groupBy(col("q_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("terms")))),
         e => e("terms")).as("lut"))
     (coded, lutRows)
+  }
+
+  /** The codebook cells belonging to the enclosing row's own subspace
+    * (`sub` column) — cell id = sub·codes + code. */
+  private def pqSubCells(codes: Int)(cents: Column): Column =
+    filter(cents, e => e("c_label") >= col("sub").cast(LongType) * codes &&
+      e("c_label") < (col("sub").cast(LongType) + 1) * codes)
+
+  /** Argmin codebook cell for the enclosing row's subvector (`sv`) —
+    * the same tScore / (t, c_label) tie-break as every Lloyd argmin. */
+  private def pqArgmin(codes: Int)(cents: Column): Column =
+    array_min(transform(pqSubCells(codes)(cents), e =>
+      struct(tScore(e, col("sv")).as("t"), e("c_label").as("c_label"))))
+
+  /** One subspace's ADC term table for the enclosing row's subvector:
+    * (code, term = dot(sv, centroid sum)/n — one bigint→double cast and
+    * ONE IEEE divide) sorted by code. The SINGLE spelling shared by the
+    * raw-vector LUT (x74/x75/x76) and the per-(query, cell) residual
+    * LUT (x77) so the double arithmetic cannot drift between them. */
+  private def pqTerms(codes: Int): Column =
+    array_sort(transform(pqSubCells(codes)(col("cents")), e =>
+      struct(pmod(e("c_label"), lit(codes.toLong)).as("code"),
+        (dotQ(col("sv"), e("s")).cast(DoubleType) /
+          e("n").cast(DoubleType)).as("term"))))
+
+  /** PQ training + corpus encoding over an (id, v) relation: the joint
+    * Lloyd chain (subspace id rides inside the cell key; seeds = id mod
+    * codes per subspace) and the stored per-row code arrays. Returns
+    * (coded = (id, code[m]), anchor = packed codebook centroids,
+    * svRel = the persisted (id, sub, sv) subvector relation). Factored
+    * from [[pqCodesAndLut]] so the residual form (x77) trains on cell
+    * residuals with the IDENTICAL spelling. */
+  private def pqTrainEncode(q: DataFrame, m: Int, codes: Int,
+                            lloydRounds: Int, dims: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val sub = dims / m
+    // (id, sub, sv): the m subvectors of every row.
+    val svRel = ExtCaches.persistTracked(q.select(col("id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("v"), s * sub + 1, sub)): _*)).as(Seq("sub", "sv"))))
+    var stats = ExtCaches.persistTracked(centroidStats(svRel.select(
+      (col("sub").cast(LongType) * codes +
+        pmod(col("id"), lit(codes.toLong))).as("c_label"),
+      col("sv").as("v"))))
+    for (_ <- 1 to lloydRounds)
+      stats = ExtCaches.persistTracked(centroidStats(
+        svRel.join(broadcast(packCents(stats)))
+          .select(pqArgmin(codes)(col("cents")).getField("c_label")
+            .as("c_label"), col("sv").as("v"))))
+    val anchor = packCents(stats)
+    // Stored PQ codes: per row, the m code ids ordered by subspace.
+    val coded = ExtCaches.persistTracked(
+      svRel.join(broadcast(anchor))
+        .select(col("id"), col("sub"),
+          pmod(pqArgmin(codes)(col("cents")).getField("c_label"),
+            lit(codes.toLong)).as("code"))
+        .groupBy(col("id"))
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          e => e("code")).as("code")))
+    (coded, anchor, svRel)
   }
 
   /** Explicit left-assoc m-term ADC score: term s = the query's sub-s
@@ -713,6 +758,101 @@ object Similarity {
       .filter(col("id") =!= col("q_id"))
       .select(col("q_id"), col("cell"), col("id").as("c_id"),
         pqScore("lut", "code", m).as("score_pq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("score_pq"), col("c_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("cell"), col("c_id"), col("score_pq"),
+        col("rnk"))
+  }
+
+  /** Integer-rounded cell centroids of a [[trainedCellStats]] relation:
+    * (cell, cbar[d]) with cbar_i = floor(s_i/n + 0.5) — the nearest
+    * integer to the true centroid coordinate, computed with ONE
+    * bigint→double cast, ONE IEEE divide, +0.5 (exact) and floor, so
+    * both engines produce the identical integer. Rounding the centroid
+    * to the quantized grid keeps residuals (v − cbar) in exact integer
+    * arithmetic end to end — the property every oracle gate in this
+    * family rests on. */
+  private def roundedCentroids(stats: DataFrame): DataFrame =
+    stats.select(col("c_label").as("cell"),
+      transform(col("s"), si =>
+        floor(si.cast(DoubleType) / col("n").cast(DoubleType) + lit(0.5))
+          .cast(LongType)).as("cbar"))
+
+  /** IVF×PQ with RESIDUAL encoding (x77) — FAISS's `by_residual=true`,
+    * the library's DEFAULT and the form production IVFPQ indexes run:
+    * PQ codebooks are trained on (vector − its cell's centroid) instead
+    * of raw vectors, because residuals concentrate around the origin
+    * once the coarse quantizer has explained the between-cell variance —
+    * the same code budget spends its codewords on a far smaller ball, so
+    * reconstruction error (and therefore ADC ranking error) drops at
+    * identical storage (Jégou/Douze/Schmid PAMI'11 §IV-B).
+    *
+    * Inner-product ADC with residuals decomposes exactly:
+    * dot(q, cbar + dequant(code)) = dot(q, cbar) + Σ_s dot(q_s, cw_s) —
+    * a per-(query, probed cell) integer BIAS (exact bigint dot against
+    * the rounded centroid) plus the same m-term LUT sum as x74/x76, with
+    * the LUT built from the FULL query subvectors against the residual
+    * codebook (the query is never quantized to codes — asymmetric ADC).
+    * Score = bias + m terms folded left-to-right, every operand spelled
+    * identically in the oracle, so the ranking hash-gates.
+    *
+    * Plan shape = x76's exactly: trained-cell probes (broadcast anchor),
+    * one residual subtraction against the broadcast |cells|-row cbar
+    * table, the joint-Lloyd PQ chain over residual subvectors, and the
+    * broadcast (q_id, cell, bias, lut) side equi-joined on cell — the
+    * probed fraction bounds the scan, codes bound per-candidate cost,
+    * no vector ever shuffles. */
+  def ivfPqResidualTopK(corpus: DataFrame, queryIds: DataFrame,
+                        idCol: String, vecCol: String, k: Int, cells: Int,
+                        cellLloydRounds: Int, nprobe: Int, m: Int = 8,
+                        codes: Int = 16, pqLloydRounds: Int = 2,
+                        dims: Int = 64): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val subW = dims / m
+    val q = ExtCaches.persistTracked(
+      corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
+    val stats = trainedCellStats(q, cells, cellLloydRounds)
+    val probes = ExtCaches.persistTracked(probesFromStats(q, stats, nprobe))
+    val cent = roundedCentroids(stats)
+    // Corpus residuals relative to each row's OWN (rank-1) cell.
+    val resRel = ExtCaches.persistTracked(
+      probes.filter(col("probe_rank") === 1).select(col("id"), col("cell"))
+        .join(q, Seq("id"))
+        .join(broadcast(cent), Seq("cell"))
+        .select(col("id"), col("cell"),
+          zip_with(col("v"), col("cbar"), (a, b) => a - b).as("v")))
+    val (coded, anchor, _) =
+      pqTrainEncode(resRel.select(col("id"), col("v")), m, codes,
+        pqLloydRounds, dims)
+    // LUT from the FULL query subvectors vs the residual codebook —
+    // cell-independent, so one table per query (the x74 shape).
+    val qsv = q
+      .join(broadcast(queryIds.select(col(idCol).as("id"))), Seq("id"))
+      .select(col("id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col("v"), s * subW + 1, subW)): _*)).as(Seq("sub", "sv")))
+    val lutRows = qsv.join(broadcast(anchor))
+      .select(col("id").as("q_id"), col("sub"), pqTerms(codes).as("terms"))
+      .groupBy(col("q_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("terms")))),
+        e => e("terms")).as("lut"))
+    // Per-(query, probed cell) coarse bias: exact integer dot(q, cbar).
+    val qp = probes
+      .join(broadcast(queryIds.select(col(idCol).as("id"))), Seq("id"))
+      .join(q, Seq("id"))
+      .join(broadcast(cent), Seq("cell"))
+      .select(col("id").as("q_id"), col("cell"),
+        dotQ(col("v"), col("cbar")).as("bias"))
+      .join(lutRows, Seq("q_id"))
+    val members = resRel.select(col("id"), col("cell")).join(coded, Seq("id"))
+    val scored = members.join(broadcast(qp), Seq("cell"))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("id").as("c_id"),
+        (Seq(col("bias").cast(DoubleType)) ++ (0 until m).map { s =>
+          element_at(filter(element_at(col("lut"), s + 1),
+            t => t("code") === element_at(col("code"), s + 1)), 1)("term")
+        }).reduce(_ + _).as("score_pq"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("score_pq"), col("c_id"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)

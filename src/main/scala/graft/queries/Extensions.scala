@@ -1108,6 +1108,45 @@ object Extensions {
       .orderBy(col("source"))
   }
 
+  /** The 100 TB form x67's Scaladoc promises — now implemented, not just
+    * documented (round-9 verdict stretch #8): ONE aggregation pass
+    * computes per-source approx-quantile token bounds
+    * (`percentile_approx`, a mergeable KLL-family sketch — map-side
+    * combinable, NO sort shuffle), the |sources|-row bounds table
+    * broadcasts, and a plain filter + aggregate replaces the rank
+    * window. Cost class drops from a per-source sort shuffle (the exact
+    * form's rank window — each source's rows sorted in one partition,
+    * the few-huge-sources hazard) to two linear scans.
+    *
+    * NOT a registry query: sketch quantiles are engine-specific by
+    * construction (DuckDB and Spark implement different sketches), so
+    * the exact-rank x67 stays the oracle-checkable contract and THIS
+    * form's claim is proximity to it — spec-gated (ApproxLengthGateSpec)
+    * at two scale factors and soaked beside x67's cost. Tolerance
+    * model: percentile_approx at `accuracy` a guarantees a rank error
+    * ≤ n/a per source; boundary TIES add the count of docs sharing the
+    * boundary token value (the exact form splits ties by rank, a
+    * value-space bound cannot), so kept_docs may differ by
+    * (n_docs_src/accuracy + ties at the two boundary values) — both
+    * measured in the spec. */
+  def x67_length_gate_approx0(docs: DataFrame,
+                              accuracy: Int = 10000): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
+    val bounds = t.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs_src"),
+      percentile_approx(col("n_tokens"), lit(0.05), lit(accuracy)).as("lo"),
+      percentile_approx(col("n_tokens"), lit(0.95), lit(accuracy)).as("hi"))
+    t.join(broadcast(bounds), Seq("source"))
+      .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .groupBy(col("source"), col("n_docs_src"))
+      .agg(count(lit(1)).as("kept_docs"),
+        min(col("n_tokens")).as("min_kept_tokens"),
+        max(col("n_tokens")).as("max_kept_tokens"),
+        sum(col("n_tokens")).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   // ---- x68: dup-cluster size histogram (the dup-mass profile) -------------
 
   /** The curator's first question about a corpus's duplication: how big
@@ -1443,6 +1482,26 @@ object Extensions {
   def x76_sim_topk_ivf_pq(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Similarity.ivfPqTopK(e, e.filter(col("vec_id") < QuerySetSize),
+        "vec_id", "embedding", k = 3, cells = ScaledCells,
+        cellLloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
+        m = PqM, codes = PqCodes, pqLloydRounds = PqLloydRounds,
+        dims = EmbeddingDims)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Residual IVF×PQ (x77) — FAISS `by_residual=true`, the library
+    * DEFAULT and the form production IVFPQ deployments run: identical
+    * geometry to x76 (same trained cells, same probe budget, same m ×
+    * codes budget), but the codebooks are trained on (vector − its
+    * cell's rounded centroid) and the ADC score carries the exact
+    * per-(query, cell) integer coarse bias dot(q, cbar) — residuals
+    * concentrate around the origin, so the same code budget quantizes a
+    * smaller ball and the ranking tracks the true dot product tighter.
+    * x76 vs x77 is therefore a measured statement about what residual
+    * encoding buys at fixed storage, with both variants oracle-gated. */
+  def x77_sim_topk_ivf_pq_residual(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < QuerySetSize),
         "vec_id", "embedding", k = 3, cells = ScaledCells,
         cellLloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
         m = PqM, codes = PqCodes, pqLloydRounds = PqLloydRounds,
@@ -2286,7 +2345,8 @@ object Extensions {
     "x73_sim_topk_ivf_scaled" -> (x73_sim_topk_ivf_scaled _),
     "x74_sim_topk_pq" -> (x74_sim_topk_pq _),
     "x75_sim_topk_pq_refined" -> (x75_sim_topk_pq_refined _),
-    "x76_sim_topk_ivf_pq" -> (x76_sim_topk_ivf_pq _))
+    "x76_sim_topk_ivf_pq" -> (x76_sim_topk_ivf_pq _),
+    "x77_sim_topk_ivf_pq_residual" -> (x77_sim_topk_ivf_pq_residual _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2611,7 +2671,7 @@ object Extensions {
          |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
          |         list(s ORDER BY dim) AS sl
          |  FROM pqsums_0 GROUP BY 1),
-         |${(1 to PqLloydRounds + 1).map(pqRoundSql).mkString(",\n")},
+         |${(1 to PqLloydRounds + 1).map(r => pqRoundSql(r)).mkString(",\n")},
          |codesrel AS (
          |  SELECT vec_id, list(c_label % $PqCodes ORDER BY sub) AS code
          |  FROM pqassigned_${PqLloydRounds + 1} GROUP BY vec_id),
@@ -2649,30 +2709,156 @@ object Extensions {
     * the row's own subspace's cells (cell = sub·codes + code). Round
     * R+1's `pqassigned` doubles as the final code assignment (its
     * unreferenced `pqcent` CTE is never executed). */
-  private def pqRoundSql(r: Int): String = {
-    val prev = s"pqcent_${r - 1}"
-    s"""pqscored_$r AS (
-       |  SELECT sv.vec_id, sv.sub, c.c_label,
+  private def pqRoundSql(r: Int, src: String = "sv",
+                         p: String = "pq"): String = {
+    val prev = s"${p}cent_${r - 1}"
+    s"""${p}scored_$r AS (
+       |  SELECT $src.vec_id, $src.sub, c.c_label,
        |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |           - (2.0 * CAST(${dotSql("sv.sv", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-       |  FROM sv JOIN $prev c
-       |    ON c.c_label >= sv.sub * $PqCodes AND c.c_label < (sv.sub + 1) * $PqCodes),
-       |pqassigned_$r AS (
+       |           - (2.0 * CAST(${dotSql(s"$src.sv", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+       |  FROM $src JOIN $prev c
+       |    ON c.c_label >= $src.sub * $PqCodes AND c.c_label < ($src.sub + 1) * $PqCodes),
+       |${p}assigned_$r AS (
        |  SELECT vec_id, sub, c_label FROM (
        |    SELECT vec_id, sub, c_label,
        |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY t, c_label) AS rn
-       |    FROM pqscored_$r) WHERE rn = 1),
-       |pqaex_$r AS (
-       |  SELECT a.c_label, unnest(range(0, len(sv.sv))) AS dim, unnest(sv.sv) AS x
-       |  FROM pqassigned_$r a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub),
-       |pqsums_$r AS (
+       |    FROM ${p}scored_$r) WHERE rn = 1),
+       |${p}aex_$r AS (
+       |  SELECT a.c_label, unnest(range(0, len($src.sv))) AS dim, unnest($src.sv) AS x
+       |  FROM ${p}assigned_$r a JOIN $src ON $src.vec_id = a.vec_id AND $src.sub = a.sub),
+       |${p}sums_$r AS (
        |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
-       |  FROM pqaex_$r GROUP BY 1, 2),
-       |pqcent_$r AS (
+       |  FROM ${p}aex_$r GROUP BY 1, 2),
+       |${p}cent_$r AS (
        |  SELECT c_label, max(n) AS n,
        |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
        |         list(s ORDER BY dim) AS sl
-       |  FROM pqsums_$r GROUP BY 1)""".stripMargin
+       |  FROM ${p}sums_$r GROUP BY 1)""".stripMargin
+  }
+
+  /** The tf/df/salience chain — ONE spelling shared by the keyword
+    * extraction oracle (x32) and the BM25 retrieval oracle's query-set
+    * derivation (x78): tokenize, per-(doc, term) tf, per-term df, the
+    * single-IEEE-divide salience, and the (salience DESC, tok) rank. */
+  private def tfSalienceCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM documents),
+       |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM occ GROUP BY doc_id, tok),
+       |dfq AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |  FROM (SELECT DISTINCT doc_id, tok FROM occ) GROUP BY tok),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+       |         CAST(tf.tf AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS salience
+       |  FROM tf JOIN dfq USING (tok)),
+       |r AS (
+       |  SELECT doc_id, tok, tf, df, salience,
+       |         CAST(row_number() OVER (PARTITION BY doc_id
+       |                ORDER BY salience DESC, tok) AS BIGINT) AS rnk
+       |  FROM sc)""".stripMargin
+
+  /** The trained-coarse-quantizer chain — ONE spelling shared by every
+    * oracle that searches trained cells (x73 scaled IVF, x76 IVF×PQ,
+    * x77 residual IVF×PQ): hash-split seeds (vec_id mod cells), the
+    * Lloyd rounds unrolled under the k-prefix, the all-pairs score of
+    * every vector against the FINAL centroids, and the (t, c_label)
+    * rank (`krank`: rn = 1 is a corpus row's own cell, rn ≤ nprobe a
+    * query's probe list). */
+  private def trainedCellCtes: String =
+    s"""kaex_0 AS (
+       |  SELECT CAST(vec_id % $ScaledCells AS BIGINT) AS c_label,
+       |         unnest(range(0, len(v))) AS dim, unnest(v) AS x
+       |  FROM qv),
+       |ksums_0 AS (
+       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
+       |  FROM kaex_0 GROUP BY 1, 2),
+       |kcent_0 AS (
+       |  SELECT c_label, max(n) AS n,
+       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+       |         list(s ORDER BY dim) AS sl
+       |  FROM ksums_0 GROUP BY 1),
+       |${(1 to ScaledLloydRounds).map(r => kmeansRoundSql(r, "k", "kcent_0")).mkString(",\n")},
+       |kscoredq AS (
+       |  SELECT qv.vec_id, c.c_label,
+       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+       |           - (2.0 * CAST(${dotSql("qv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+       |  FROM qv CROSS JOIN kcent_$ScaledLloydRounds c),
+       |krank AS (
+       |  SELECT vec_id, c_label,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
+       |  FROM kscoredq)""".stripMargin
+
+  /** The residual IVF×PQ chain (x77): integer-rounded final centroids
+    * (`cbar` — floor(s/n + 0.5), ONE bigint→double cast + ONE IEEE
+    * divide + floor, the Similarity.roundedCentroids spelling), corpus
+    * residuals vs the rank-1 cell, the PQ joint-Lloyd chain retargeted
+    * at the residual subvectors (same [[pqRoundSql]], `rpq` prefix),
+    * the per-query LUT built from FULL query subvectors against the
+    * residual codebook, and the per-(query, probed cell) exact-integer
+    * coarse bias dot(q, cbar). */
+  private def residualPqCtes: String = {
+    val subW = EmbeddingDims / PqM
+    s"""cbar AS (
+       |  SELECT c_label AS cell,
+       |         list_transform(sl, s ->
+       |           CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS cbar
+       |  FROM kcent_$ScaledLloydRounds),
+       |rv AS (
+       |  SELECT qv.vec_id, r.c_label AS cell,
+       |         list_transform(list_zip(qv.v, cb.cbar), p -> p[1] - p[2]) AS v
+       |  FROM krank r JOIN qv USING (vec_id) JOIN cbar cb ON cb.cell = r.c_label
+       |  WHERE r.rn = 1),
+       |rsv AS (
+       |  SELECT vec_id, CAST(u.sub AS BIGINT) AS sub,
+       |         list_slice(v, CAST(u.sub * $subW + 1 AS INT), CAST(u.sub * $subW + $subW AS INT)) AS sv
+       |  FROM rv, unnest(range(0, $PqM)) AS u(sub)),
+       |rpqaex_0 AS (
+       |  SELECT CAST(sub * $PqCodes + vec_id % $PqCodes AS BIGINT) AS c_label,
+       |         unnest(range(0, len(sv))) AS dim, unnest(sv) AS x
+       |  FROM rsv),
+       |rpqsums_0 AS (
+       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
+       |  FROM rpqaex_0 GROUP BY 1, 2),
+       |rpqcent_0 AS (
+       |  SELECT c_label, max(n) AS n,
+       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+       |         list(s ORDER BY dim) AS sl
+       |  FROM rpqsums_0 GROUP BY 1),
+       |${(1 to PqLloydRounds + 1).map(r => pqRoundSql(r, "rsv", "rpq")).mkString(",\n")},
+       |rcodesrel AS (
+       |  SELECT vec_id, list(c_label % $PqCodes ORDER BY sub) AS code
+       |  FROM rpqassigned_${PqLloydRounds + 1} GROUP BY vec_id),
+       |qsv AS (
+       |  SELECT vec_id, CAST(u.sub AS BIGINT) AS sub,
+       |         list_slice(v, CAST(u.sub * $subW + 1 AS INT), CAST(u.sub * $subW + $subW AS INT)) AS sv
+       |  FROM qv, unnest(range(0, $PqM)) AS u(sub)
+       |  WHERE vec_id < $QuerySetSize),
+       |rlutterms AS (
+       |  SELECT q.vec_id AS q_id, q.sub, c.c_label % $PqCodes AS code,
+       |         CAST(${dotSql("q.sv", "c.sl")} AS DOUBLE) / CAST(c.n AS DOUBLE) AS term
+       |  FROM qsv q JOIN rpqcent_$PqLloydRounds c
+       |    ON c.c_label >= q.sub * $PqCodes AND c.c_label < (q.sub + 1) * $PqCodes),
+       |rlutsub AS (
+       |  SELECT q_id, sub,
+       |         list(struct_pack(code := code, term := term) ORDER BY code) AS terms
+       |  FROM rlutterms GROUP BY 1, 2),
+       |rlut AS (SELECT q_id, list(terms ORDER BY sub) AS lut
+       |         FROM rlutsub GROUP BY 1),
+       |rkq AS (
+       |  SELECT r.vec_id AS q_id, r.c_label AS cell,
+       |         ${dotSql("qv.v", "cb.cbar")} AS bias, lt.lut AS lut
+       |  FROM krank r
+       |  JOIN qv USING (vec_id)
+       |  JOIN cbar cb ON cb.cell = r.c_label
+       |  JOIN rlut lt ON lt.q_id = r.vec_id
+       |  WHERE r.rn <= $ScaledNprobe),
+       |rkcells AS (
+       |  SELECT rv.vec_id, rv.cell, cr.code
+       |  FROM rv JOIN rcodesrel cr USING (vec_id))""".stripMargin
   }
 
   /** LSH band key for band `j` over the quantized vector `v` — mirrors
@@ -3729,29 +3915,8 @@ object Extensions {
     // against the TRAINED final centroids — cells decoupled from labels.
     "x73_sim_topk_ivf_scaled" ->
       s"""WITH $centroidScoreCtes,
-         |kaex_0 AS (
-         |  SELECT CAST(vec_id % $ScaledCells AS BIGINT) AS c_label,
-         |         unnest(range(0, len(v))) AS dim, unnest(v) AS x
-         |  FROM qv),
-         |ksums_0 AS (
-         |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
-         |  FROM kaex_0 GROUP BY 1, 2),
-         |kcent_0 AS (
-         |  SELECT c_label, max(n) AS n,
-         |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
-         |         list(s ORDER BY dim) AS sl
-         |  FROM ksums_0 GROUP BY 1),
-         |${(1 to ScaledLloydRounds).map(r => kmeansRoundSql(r, "k", "kcent_0")).mkString(",\n")},
+         |$trainedCellCtes,
          |$sq8CodesCte,
-         |kscoredq AS (
-         |  SELECT qv.vec_id, c.c_label,
-         |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-         |           - (2.0 * CAST(${dotSql("qv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-         |  FROM qv CROSS JOIN kcent_$ScaledLloydRounds c),
-         |krank AS (
-         |  SELECT vec_id, c_label,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
-         |  FROM kscoredq),
          |kcells AS (
          |  SELECT r.vec_id, r.c_label AS cell, cb.code
          |  FROM krank r JOIN cb USING (vec_id) WHERE rn = 1),
@@ -3814,28 +3979,7 @@ object Extensions {
     // CTE from the shared chain is never executed.
     "x76_sim_topk_ivf_pq" ->
       s"""WITH $pqChainCtes,
-         |kaex_0 AS (
-         |  SELECT CAST(vec_id % $ScaledCells AS BIGINT) AS c_label,
-         |         unnest(range(0, len(v))) AS dim, unnest(v) AS x
-         |  FROM qv),
-         |ksums_0 AS (
-         |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
-         |  FROM kaex_0 GROUP BY 1, 2),
-         |kcent_0 AS (
-         |  SELECT c_label, max(n) AS n,
-         |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
-         |         list(s ORDER BY dim) AS sl
-         |  FROM ksums_0 GROUP BY 1),
-         |${(1 to ScaledLloydRounds).map(r => kmeansRoundSql(r, "k", "kcent_0")).mkString(",\n")},
-         |kscoredq AS (
-         |  SELECT qv.vec_id, c.c_label,
-         |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-         |           - (2.0 * CAST(${dotSql("qv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-         |  FROM qv CROSS JOIN kcent_$ScaledLloydRounds c),
-         |krank AS (
-         |  SELECT vec_id, c_label,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
-         |  FROM kscoredq),
+         |$trainedCellCtes,
          |kcells AS (
          |  SELECT r.vec_id, r.c_label AS cell, cr.code
          |  FROM krank r JOIN codesrel cr USING (vec_id) WHERE rn = 1),
@@ -3852,6 +3996,28 @@ object Extensions {
          |  FROM ks)
          |SELECT q_id, cell, c_id, score_pq, rnk FROM r WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
+
+    // x77: the residual IVF×PQ composition — the x76 trained-cell chain,
+    // integer-rounded centroids (cbar), the PQ chain retargeted at the
+    // corpus RESIDUALS (rpq prefix, same pqRoundSql spelling), per-query
+    // LUTs from FULL query subvectors vs the residual codebook, and the
+    // score = exact-integer coarse bias + the m-term ADC sum, folded
+    // left-to-right so the doubles are bit-identical.
+    "x77_sim_topk_ivf_pq_residual" ->
+      s"""WITH $centroidScoreCtes,
+         |$trainedCellCtes,
+         |$residualPqCtes,
+         |rks AS (
+         |  SELECT l.q_id, l.cell, c.vec_id AS c_id,
+         |         CAST(l.bias AS DOUBLE)
+         |         + $pqTermSql AS score_pq
+         |  FROM rkq l JOIN rkcells c ON l.cell = c.cell AND c.vec_id <> l.q_id),
+         |rr AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_pq DESC, c_id) AS BIGINT) AS rnk
+         |  FROM rks)
+         |SELECT q_id, cell, c_id, score_pq, rnk FROM rr WHERE rnk <= 3
+         |ORDER BY q_id, rnk""".stripMargin,
+
 
     // x65: the oracle aggregates the PLAIN single-copy events table —
     // the stream ingested every row TWICE, so equality here is the
@@ -4283,25 +4449,7 @@ object Extensions {
     // = the single IEEE divide of two BIGINTs, per-doc row_number ≤ k
     // with the (salience DESC, tok) total order.
     "x32_doc_keywords" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-         |tf AS (
-         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-         |  FROM occ GROUP BY doc_id, tok),
-         |dfq AS (
-         |  SELECT tok, CAST(count(*) AS BIGINT) AS df
-         |  FROM (SELECT DISTINCT doc_id, tok FROM occ) GROUP BY tok),
-         |sc AS (
-         |  SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
-         |         CAST(tf.tf AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS salience
-         |  FROM tf JOIN dfq USING (tok)),
-         |r AS (
-         |  SELECT doc_id, tok, tf, df, salience,
-         |         CAST(row_number() OVER (PARTITION BY doc_id
-         |                ORDER BY salience DESC, tok) AS BIGINT) AS rnk
-         |  FROM sc)
+      s"""WITH $tfSalienceCtes
          |SELECT doc_id, rnk, tok, tf, df, salience FROM r
          |WHERE rnk <= $KeywordsPerDoc
          |ORDER BY doc_id, rnk""".stripMargin,

@@ -1323,3 +1323,54 @@ class CurationAuditSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 }
+
+/** x67's approx-quantile twin (round-9 verdict stretch #8): the sketch
+  * form must land within its DOCUMENTED tolerance of the exact-rank
+  * oracle — rank error ≤ n/accuracy per side, plus boundary-value ties
+  * (the exact form splits ties by rank; a value-space filter cannot).
+  * Both terms are computed from the data, not hand-tuned slack. */
+class ApproxLengthGateSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.queries.Extensions
+
+  test("approx gate within rank-error + boundary-tie tolerance of the exact gate (sf0.01 + sf0.1)") {
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = graft.tables.Tables.documents(spark, dir)
+      val accuracy = 10000
+      val exact = Extensions.x67_length_gate0(docs).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      val approx = Extensions.x67_length_gate_approx0(docs, accuracy).collect()
+        .map(r => r.getAs[String]("source") -> r).toMap
+      assert(exact.keySet == approx.keySet, s"$dir: source sets differ")
+      // per-(source, n_tokens) histogram for boundary-tie counting
+      val hist = docs.select(col("source"),
+          size(graft.ext.TextOps.tokens(col("text"))).cast("long").as("n"))
+        .groupBy(col("source"), col("n")).count().collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      exact.foreach { case (src, e) =>
+        val a = approx(src)
+        val n = e.getAs[Long]("n_docs_src")
+        val loV = e.getAs[Long]("min_kept_tokens")
+        val hiV = e.getAs[Long]("max_kept_tokens")
+        val ties = hist.getOrElse((src, loV), 0L) + hist.getOrElse((src, hiV), 0L)
+        val slackDocs = 2 * math.ceil(n.toDouble / accuracy).toLong + ties
+        val dDocs = math.abs(e.getAs[Long]("kept_docs") - a.getAs[Long]("kept_docs"))
+        assert(dDocs <= slackDocs,
+          s"$dir/$src: kept_docs off by $dDocs > tolerance $slackDocs")
+        val dTok = math.abs(e.getAs[Long]("kept_tokens") - a.getAs[Long]("kept_tokens"))
+        assert(dTok <= slackDocs * math.max(loV, hiV),
+          s"$dir/$src: kept_tokens off by $dTok > ${slackDocs * math.max(loV, hiV)}")
+        // the learned bounds must bracket consistently: every doc the
+        // approx gate keeps sits inside [approx lo, approx hi] by
+        // construction; assert those bounds are within the tie
+        // neighborhood of the exact kept range
+        assert(math.abs(a.getAs[Long]("min_kept_tokens") - loV) <= 2 &&
+          math.abs(a.getAs[Long]("max_kept_tokens") - hiV) <= 2,
+          s"$dir/$src: learned bounds drifted: " +
+            s"approx [${a.getAs[Long]("min_kept_tokens")}, ${a.getAs[Long]("max_kept_tokens")}] " +
+            s"exact [$loV, $hiV]")
+      }
+      graft.ext.ExtCaches.clearCaches()
+    }
+  }
+}

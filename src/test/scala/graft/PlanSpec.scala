@@ -140,7 +140,8 @@ class PlanSpec extends SparkSpec {
         Extensions.x73_sim_topk_ivf_scaled _,
         Extensions.x74_sim_topk_pq _,
         Extensions.x75_sim_topk_pq_refined _,
-        Extensions.x76_sim_topk_ivf_pq _)) {
+        Extensions.x76_sim_topk_ivf_pq _,
+        Extensions.x77_sim_topk_ivf_pq_residual _)) {
       val plan = q(spark, dir).queryExecution.sparkPlan
       val bnljs = plan.collect { case b: BroadcastNestedLoopJoinExec => b }
       bnljs.foreach { b =>
