@@ -35,6 +35,17 @@ object Extensions {
   val SampledSeed = 0x5EEDL
   val EmbeddingDims = 64
   val QuerySetSize = 10
+  /** x78 kNN-graph degree — small because consumers (mutual-kNN, NN-
+    * descent seeding, SemDeDup neighborhoods) want the closest handful,
+    * and n·k is the output size. */
+  val KnnGraphK = 3
+  /** x79 hybrid-retrieval geometry: each arm retrieves HybridArmK, RRF
+    * keeps HybridTopK. RrfC = 60 is the constant from Cormack et al.,
+    * SIGIR'09 — large enough that a few rank positions within an arm
+    * matter less than presence in both arms. */
+  val HybridArmK = 10
+  val HybridTopK = 5
+  val RrfC = 60
   /** x07/x63/x64/x69 coarse-quantizer width: sign bits of the leading
     * SimBucketBits components = 2^SimBucketBits IVF buckets. ONE constant
     * interpolated into BOTH the Scala calls and the oracle SQL (probe
@@ -1509,6 +1520,84 @@ object Extensions {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** LSH-bounded kNN graph (x78): every vector's top-[[KnnGraphK]]
+    * neighbors among its sampled-band candidates — the per-node
+    * neighborhood primitive (NN-descent seeding, mutual-kNN clustering,
+    * SemDeDup neighborhoods) that x05's threshold-pair form can't
+    * express: output is ~n·k directed edges, not a threshold-dependent
+    * pair set. Same 16×16 sampled geometry as x05_sampled so the two
+    * share the candidate-generation scale story; the oracle computes the
+    * identical banded candidates + window. */
+  def x78_knn_graph(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = KnnGraphK, bands = SampledBands, bitsPerBand = SampledBandBits,
+        dims = EmbeddingDims, seed = SampledSeed)
+      .orderBy(col("src_id"), col("rnk"))
+
+  /** Hybrid lexical+vector retrieval with RRF fusion (x79): the sparse
+    * arm ranks by shared-shingle count off the inverted index, the dense
+    * arm by exact cosine (the x06 baseline — pluggable for any IVF
+    * variant since fusion consumes only ranks), and reciprocal-rank
+    * fusion merges the shortlists. The ranked universe is documents ∩
+    * embeddings so the two arms rank the same corpus. Both arm depths
+    * and the fused depth come from shared constants interpolated into
+    * the oracle. */
+  def x79_hybrid_rrf(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Retrieval.hybridRrfTopK(
+        Tables.documents(s, dir), Tables.embeddings(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") < QuerySetSize),
+        "doc_id", "text", "vec_id", "embedding",
+        armK = HybridArmK, k = HybridTopK, rrfC = RrfC)
+      .orderBy(col("q_id"), col("rnk"))
+
+  /** Weak-label NB-vote quality classifier (x80): the train-on-heuristic
+    * / apply-corpus-wide loop of model-based curation. The weak label is
+    * the x09 quality score gated at [[QualityGate]] (the same signal the
+    * x26 pipeline consumes); training is one integer aggregate to a
+    * per-token vote, scoring one equi-join + per-doc sum — see
+    * [[graft.ext.Classify.nbVoteScores]] for why the vote form (not
+    * log-odds) is the oracle-gatable one. In-sample by construction
+    * here; a deployment trains on a labeled slice and applies to the
+    * rest with the identical plan. */
+  def x80_quality_classifier(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Classify.nbVoteScores(
+        TextOps.qualityScore(Tables.documents(s, dir))
+          .withColumn("label_pos", col("quality_score") >= QualityGate),
+        "doc_id", "label_pos", "text")
+      .orderBy(col("doc_id"))
+
+  /** Label-free semantic clustering (x81): connected components over the
+    * MUTUAL edges of the x78 kNN graph — the SemDeDup partition step
+    * derived from the embedding geometry alone, where x56/x59 require a
+    * metadata label to cluster on. Mutuality (b ∈ knn(a) AND a ∈ knn(b))
+    * is the standard asymmetry filter that keeps hub vectors from
+    * chaining unrelated neighborhoods into one component; the component
+    * fixpoint and summary are the same machinery as x20 (and the oracle
+    * is the same recursive closure over the mutual edge set).
+    *
+    * The fixpoint is the large-star/small-star form, NOT min-label
+    * propagation — measured, not stylistic: already at sf0.1 the mutual
+    * rank-1 edges chain duplicates into a component of diameter > 25
+    * (propagation's round cap; it failed to converge there), while the
+    * star rewrite closes the same graph in O(log n) rounds. A mutual-kNN
+    * graph is chain-shaped BY CONSTRUCTION (each node contributes ≤ k
+    * edges, so dup runs form paths, not cliques) — the high-diameter
+    * regime x20_star exists for is this operator's COMMON case. */
+  def x81_semantic_clusters(s: SparkSession, dir: String): DataFrame = {
+    val g = Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = KnnGraphK, bands = SampledBands,
+        bitsPerBand = SampledBandBits, dims = EmbeddingDims,
+        seed = SampledSeed)
+      .select(col("src_id"), col("nbr_id"))
+    val fwd = g.filter(col("src_id") < col("nbr_id"))
+      .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
+    val rev = g.filter(col("src_id") > col("nbr_id"))
+      .select(col("nbr_id").as("id_a"), col("src_id").as("id_b"))
+    val mutual = fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
+    Dedup.clusterSummary(Dedup.connectedComponentsStar(mutual, "id_a", "id_b"))
+      .orderBy(col("canonical_id"))
+  }
+
   /** Three-way coarse-quantizer recall table (x71): per query, the exact
     * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
     * Hamming-1 multi-probe sign SQ8 (x69), and learned-centroid IVF at
@@ -2346,7 +2435,11 @@ object Extensions {
     "x74_sim_topk_pq" -> (x74_sim_topk_pq _),
     "x75_sim_topk_pq_refined" -> (x75_sim_topk_pq_refined _),
     "x76_sim_topk_ivf_pq" -> (x76_sim_topk_ivf_pq _),
-    "x77_sim_topk_ivf_pq_residual" -> (x77_sim_topk_ivf_pq_residual _))
+    "x77_sim_topk_ivf_pq_residual" -> (x77_sim_topk_ivf_pq_residual _),
+    "x78_knn_graph" -> (x78_knn_graph _),
+    "x79_hybrid_rrf" -> (x79_hybrid_rrf _),
+    "x80_quality_classifier" -> (x80_quality_classifier _),
+    "x81_semantic_clusters" -> (x81_semantic_clusters _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2895,6 +2988,30 @@ object Extensions {
         s"  SELECT vec_id, ${sampledBandKeySql(j, coords(j), bits)} AS bk FROM n")
       .mkString("\n  UNION ALL\n")
   }
+
+  /** The x78 kNN-edge CTE chain — quantize, norm, sampled band rows,
+    * DIRECTED candidates, exact cosine, per-source rank window. `r`
+    * holds (src_id, nbr_id, cosine, rnk). ONE spelling shared by x78
+    * (the edge list) and x81 (mutual-edge components), mirroring
+    * Similarity.knnGraph. */
+  private def knnEdgeCtes: String =
+    s"""qv AS (
+       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+       |e AS (
+       |${sampledBandRowsSql(SampledBands, SampledBandBits, EmbeddingDims, SampledSeed)}),
+       |c AS (
+       |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
+       |  FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT src_id, nbr_id,
+       |         CAST(${dotSql("ns.v", "nn.v")} AS DOUBLE)
+       |           / (sqrt(CAST(ns.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE))) AS cosine
+       |  FROM c JOIN n ns ON ns.vec_id = c.src_id JOIN n nn ON nn.vec_id = c.nbr_id),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
+       |  FROM scored)""".stripMargin
 
   // tf-weighted: the inner sum runs over every token occurrence (dt is
   // the raw token list, not list_distinct) — mirrors Dedup.simhash.
@@ -4018,6 +4135,127 @@ object Extensions {
          |SELECT q_id, cell, c_id, score_pq, rnk FROM rr WHERE rnk <= 3
          |ORDER BY q_id, rnk""".stripMargin,
 
+    // x78: the x05_sampled band-candidate CTEs verbatim (same sampled
+    // coordinate table, interpolated from Similarity.sampledCoords), but
+    // DIRECTED candidates (<>, not <) and a per-source rank window in
+    // place of the threshold filter. CTE chain shared with x81.
+    "x78_knn_graph" ->
+      s"""WITH $knnEdgeCtes
+         |SELECT src_id, nbr_id, cosine, rnk FROM r WHERE rnk <= $KnnGraphK
+         |ORDER BY src_id, rnk""".stripMargin,
+
+    // x81: the x78 edge chain, restricted to MUTUAL edges, closed by the
+    // same recursive-CTE component fixpoint as x20's oracle.
+    "x81_semantic_clusters" ->
+      s"""WITH RECURSIVE $knnEdgeCtes,
+         |knn AS (SELECT src_id, nbr_id FROM r WHERE rnk <= $KnnGraphK),
+         |mut AS (
+         |  SELECT a.src_id AS id_a, a.nbr_id AS id_b
+         |  FROM knn a JOIN knn b
+         |    ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
+         |  WHERE a.src_id < a.nbr_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mut
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM mut),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e2.dst AS v, r2.l FROM reach r2 JOIN edges e2 ON r2.v = e2.src),
+         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)
+         |SELECT label AS canonical_id, count(*) AS n_members
+         |FROM lab GROUP BY label
+         |HAVING count(*) > 1
+         |ORDER BY canonical_id""".stripMargin,
+
+    // x79: both arms over the docs ∩ embeddings universe; the RRF score
+    // is two COALESCE'd single-divide terms summed once — two-term IEEE
+    // addition has no order hazard, so the doubles are bit-identical.
+    "x79_hybrid_rrf" ->
+      s"""WITH $shinglesCte,
+         |idx AS (
+         |  SELECT doc_id AS id, unnest(sh) AS shingle FROM sh
+         |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+         |q AS (
+         |  SELECT doc_id AS q_id FROM documents
+         |  WHERE doc_id < $QuerySetSize
+         |    AND doc_id IN (SELECT vec_id FROM embeddings)),
+         |qsh AS (SELECT q.q_id, i.shingle FROM idx i JOIN q ON i.id = q.q_id),
+         |lexs AS (
+         |  SELECT qsh.q_id, i.id, count(*) AS n_common
+         |  FROM qsh JOIN idx i USING (shingle)
+         |  WHERE i.id <> qsh.q_id GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT q_id, id,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY n_common DESC, id) AS BIGINT) AS lex_rnk
+         |  FROM lexs),
+         |lex AS (SELECT q_id, id, lex_rnk FROM lexr WHERE lex_rnk <= $HybridArmK),
+         |qv AS (
+         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings
+         |  WHERE vec_id IN (SELECT doc_id FROM documents)),
+         |nv AS (
+         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+         |vq AS (SELECT vec_id AS q_id, v AS qvec, norm_sq AS qn FROM nv WHERE vec_id < $QuerySetSize),
+         |vscored AS (
+         |  SELECT q_id, c.vec_id AS id,
+         |         CAST(${dotSql("qvec", "c.v")} AS DOUBLE)
+         |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.norm_sq AS DOUBLE))) AS cosine
+         |  FROM vq JOIN nv c ON c.vec_id <> q_id),
+         |vr AS (
+         |  SELECT q_id, id,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS BIGINT) AS vec_rnk
+         |  FROM vscored),
+         |vec AS (SELECT q_id, id, vec_rnk FROM vr WHERE vec_rnk <= $HybridArmK),
+         |fused AS (
+         |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         |         COALESCE(l.id, v.id) AS doc_id, l.lex_rnk, v.vec_rnk
+         |  FROM lex l FULL OUTER JOIN vec v ON l.q_id = v.q_id AND l.id = v.id),
+         |fr AS (
+         |  SELECT q_id, doc_id, lex_rnk, vec_rnk,
+         |         COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(lex_rnk AS DOUBLE)), CAST(0 AS DOUBLE))
+         |         + COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(vec_rnk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM fused),
+         |rr AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM fr)
+         |SELECT q_id, doc_id, lex_rnk, vec_rnk, rrf, rnk FROM rr WHERE rnk <= $HybridTopK
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    // x80: the x26 quality CTE chain provides the weak label; training
+    // and scoring are pure integer arithmetic (cross-multiplied df
+    // ratios, ±1 votes), so the gate is exact with no float tolerance.
+    "x80_quality_classifier" ->
+      s"""WITH $qualityGateCte,
+         |lab AS (
+         |  SELECT q.doc_id, qt.t, (q.quality_score >= $QualityGate) AS pos
+         |  FROM qq q JOIN qtoks qt USING (doc_id)),
+         |dt AS (
+         |  SELECT doc_id, pos, unnest(list_distinct(t)) AS token FROM lab),
+         |tot AS (
+         |  SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+         |  FROM lab),
+         |w AS (
+         |  SELECT token,
+         |         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_df,
+         |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS neg_df
+         |  FROM dt GROUP BY 1),
+         |v AS (
+         |  SELECT token,
+         |         CASE WHEN pos_df * n_neg > neg_df * n_pos THEN 1
+         |              WHEN pos_df * n_neg < neg_df * n_pos THEN -1
+         |              ELSE 0 END AS vote
+         |  FROM w, tot),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_vocab_tokens,
+         |         CAST(SUM(vote) AS BIGINT) AS vote_score
+         |  FROM dt JOIN v USING (token) GROUP BY 1)
+         |SELECT l.doc_id, l.pos AS label_pos,
+         |       COALESCE(sc.n_vocab_tokens, 0) AS n_vocab_tokens,
+         |       COALESCE(sc.vote_score, 0) AS vote_score,
+         |       COALESCE(sc.vote_score, 0) > 0 AS predicted_pos
+         |FROM lab l LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // x65: the oracle aggregates the PLAIN single-copy events table —
     // the stream ingested every row TWICE, so equality here is the

@@ -101,6 +101,13 @@ object ScaleSoak {
     // search (probed cells bound the ADC scan); soaked beside the
     // exhaustive x74/x75 whose slope it exists to flatten
     "x76_sim_topk_ivf_pq",
+    // round-10 additions: the kNN graph shares x05_sampled's banded
+    // candidate machinery (cost ∝ Σ bucket², rows ~n·k), the hybrid
+    // retrieval's arms are an inverted-index probe + the x06 scan over a
+    // FIXED query set (cost ~linear in the corpus), and the NB-vote
+    // classifier is two hash aggregates + one vocab equi-join (~linear);
+    // the soak turns each claim into a slope
+    "x78_knn_graph", "x79_hybrid_rrf", "x80_quality_classifier",
     // round-10 stretch: the exact-rank length gate vs its approx-
     // quantile twin (sketch bounds + broadcast filter — the 100 TB form
     // x67's Scaladoc promised; proximity spec-gated, cost soaked here)

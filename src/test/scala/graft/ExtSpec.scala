@@ -622,6 +622,79 @@ class SimilaritySpec extends SparkSpec {
     assert(!ids.contains(3L))
     assert(ids.contains(2L))
   }
+
+  test("knnGraph: directed per-node top-k, cosine-ordered, self-free") {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val k = 3
+    val g = Similarity.knnGraph(e, "vec_id", "embedding", k).collect()
+    assert(g.nonEmpty)
+    val byNode = g.groupBy(_.getAs[Long]("src_id"))
+    byNode.foreach { case (src, edges) =>
+      // no self-edges, at most k edges, ranks 1..|edges|
+      assert(edges.forall(_.getAs[Long]("nbr_id") != src))
+      assert(edges.length <= k)
+      val byRank = edges.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq == (1L to edges.length).toSeq)
+      // cosine non-increasing in rank (id tiebreak never reorders cosine)
+      val cos = byRank.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("knnGraph: sign-identical duplicates are each other's rank-1 neighbor") {
+    val dup = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.5f)),                      // exact duplicate of 0
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)),
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(dup, "vec_id", "embedding", k = 1).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("nbr_id"), r.getAs[Long]("rnk")))
+      .toSet
+    // each duplicate pair finds its twin at rank 1 (cosine 1.0 beats any
+    // cross-pair candidate that happens to share a band)
+    assert(g.contains((0L, 1L, 1L)) && g.contains((1L, 0L, 1L)))
+    assert(g.contains((2L, 3L, 1L)) && g.contains((3L, 2L, 1L)))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("x81 mutual-kNN clusters: duplicate groups cluster, mutuality prunes one-way edges") {
+    // two sign-identical duplicate pairs + two unrelated singletons: the
+    // duplicates are each other's rank-1 (mutual); the singletons' best
+    // candidates are not reciprocated at k=1, so no spurious cluster.
+    val dup = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)),
+      (3L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    // inline twin of the registry composition at k=1 over this corpus
+    val g = Similarity.knnGraph(dup, "vec_id", "embedding", k = 1)
+      .select(col("src_id"), col("nbr_id"))
+    val fwd = g.filter(col("src_id") < col("nbr_id"))
+      .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
+    val rev = g.filter(col("src_id") > col("nbr_id"))
+      .select(col("nbr_id").as("id_a"), col("src_id").as("id_b"))
+    val mutual = fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
+    val clusters = graft.ext.Dedup.clusterSummary(
+        graft.ext.Dedup.connectedComponents(mutual, "id_a", "id_b"))
+      .collect().map(r =>
+        r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_members")).toMap
+    assert(clusters == Map(0L -> 2L, 2L -> 2L))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("knnGraph: hotBucketCap drops degenerate buckets") {
+    val dup = Seq((0L, Array.fill(64)(1f)), (1L, Array.fill(64)(1f)),
+        (2L, Array.fill(64)(1f)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(dup, "vec_id", "embedding", k = 2,
+        hotBucketCap = Some(2))
+      .collect()
+    assert(g.isEmpty) // every band bucket holds 3 > cap rows
+    graft.ext.ExtCaches.clearCaches()
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
@@ -1372,5 +1445,116 @@ class ApproxLengthGateSpec extends SparkSpec {
       }
       graft.ext.ExtCaches.clearCaches()
     }
+  }
+}
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Retrieval
+
+  test("hybridRrfTopK: both-arm docs outrank single-arm docs; ranks deterministic") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val embs = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Retrieval.hybridRrfTopK(docs, embs,
+        docs.filter(col("doc_id") < 5), "doc_id", "text",
+        "vec_id", "embedding", armK = 10, k = 5)
+      .collect()
+    assert(r.nonEmpty)
+    val byQ = r.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      // rrf non-increasing in fused rank; ranks contiguous from 1
+      val rrfs = sorted.map(_.getAs[Double]("rrf"))
+      assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to sorted.length).toSeq)
+      // every fused row carries at least one arm rank, none beyond armK
+      sorted.foreach { row =>
+        val lex = Option(row.getAs[java.lang.Long]("lex_rnk"))
+        val vec = Option(row.getAs[java.lang.Long]("vec_rnk"))
+        assert(lex.nonEmpty || vec.nonEmpty)
+        assert(lex.forall(_ <= 10) && vec.forall(_ <= 10))
+      }
+      // a doc present in BOTH arms at the best ranks beats any
+      // single-arm doc: rrf(two arms, worst) = 1/70+1/70 > 1/61 =
+      // rrf(one arm, best)
+      val both = sorted.filter(row =>
+        row.getAs[java.lang.Long]("lex_rnk") != null &&
+          row.getAs[java.lang.Long]("vec_rnk") != null)
+      val single = sorted.filter(row =>
+        row.getAs[java.lang.Long]("lex_rnk") == null ||
+          row.getAs[java.lang.Long]("vec_rnk") == null)
+      if (both.nonEmpty && single.nonEmpty)
+        // worst both-arm rrf = 2/(60+armK) > best single-arm = 1/61
+        assert(both.map(_.getAs[Double]("rrf")).min >
+          single.map(_.getAs[Double]("rrf")).max)
+    }
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("hybridRrfTopK: universe is docs ∩ embeddings; no self-retrieval") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"), // lexical twin of 0
+      (2L, "one two three four five six seven"),
+      (9L, "has no embedding so never retrieved")).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f))). // vector twin of 0
+      toDF("vec_id", "embedding")
+    val r = Retrieval.hybridRrfTopK(docs, embs, docs.filter(col("doc_id") === 0L),
+        "doc_id", "text", "vec_id", "embedding", armK = 3, k = 3)
+      .collect()
+    val ids = r.map(_.getAs[Long]("doc_id")).toSet
+    assert(!ids.contains(0L)) // no self
+    assert(!ids.contains(9L)) // not in the embedded universe
+    // doc 1 is the lexical twin, doc 2 the vector twin — both retrieved
+    assert(ids == Set(1L, 2L))
+    graft.ext.ExtCaches.clearCaches()
+  }
+}
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Classify
+
+  test("nbVoteScores: class-pure tokens vote their class; scores separate the classes") {
+    val df = Seq(
+      (0L, true, "good clean prose with signal words"),
+      (1L, true, "good clean text with signal content"),
+      (2L, false, "spam junk noise garbage words"),
+      (3L, false, "spam junk noise garbage content"),
+      (4L, true, "")). // empty doc: zero vocabulary tokens
+      toDF("doc_id", "label_pos", "text")
+    val r = Classify.nbVoteScores(df, "doc_id", "label_pos", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.size == 5)
+    // pure-positive docs score strictly positive, pure-negative strictly
+    // negative ("words"/"content" straddle and vote 0)
+    assert(r(0L).getAs[Long]("vote_score") > 0 && r(0L).getAs[Boolean]("predicted_pos"))
+    assert(r(1L).getAs[Long]("vote_score") > 0)
+    assert(r(2L).getAs[Long]("vote_score") < 0 && !r(2L).getAs[Boolean]("predicted_pos"))
+    assert(r(3L).getAs[Long]("vote_score") < 0)
+    // the empty doc is present, scores 0, predicts negative
+    assert(r(4L).getAs[Long]("n_vocab_tokens") == 0L)
+    assert(r(4L).getAs[Long]("vote_score") == 0L && !r(4L).getAs[Boolean]("predicted_pos"))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("nbVoteScores: in-sample agreement with the weak label beats chance on the corpus") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val labeled = graft.ext.TextOps.qualityScore(docs)
+      .withColumn("label_pos",
+        col("quality_score") >= graft.queries.Extensions.QualityGate)
+    val r = Classify.nbVoteScores(labeled, "doc_id", "label_pos", "text").collect()
+    val n = r.length
+    val agree = r.count(x =>
+      x.getAs[Boolean]("label_pos") == x.getAs[Boolean]("predicted_pos"))
+    // both classes must be present for the statement to mean anything
+    val nPos = r.count(_.getAs[Boolean]("label_pos"))
+    assert(nPos > 0 && nPos < n, s"degenerate label split: $nPos/$n")
+    assert(agree.toDouble / n > 0.5, s"agreement $agree/$n not above chance")
+    graft.ext.ExtCaches.clearCaches()
   }
 }

@@ -321,7 +321,11 @@ class PlanSpec extends SparkSpec {
     // x71's ground-truth arm IS that baseline (the exact full-corpus
     // top-k every coarse quantizer is audited against); its three ANN
     // arms stay equi-joins, pinned by the x63/x69/x70 plan test.
-    val bnljWhitelist = Set("x06_sim_topk_brute", "x71_ivf_recall")
+    // x79's dense arm is that same baseline by reference (the fusion
+    // consumes only ranks, so a deployment swaps in an IVF arm without
+    // touching the fusion — Retrieval.hybridRrfTopK Scaladoc).
+    val bnljWhitelist =
+      Set("x06_sim_topk_brute", "x71_ivf_recall", "x79_hybrid_rrf")
 
     def isOneRowAnchor(b: BroadcastNestedLoopJoinExec): Boolean = {
       val build = b.buildSide match {
