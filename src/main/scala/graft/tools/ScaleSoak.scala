@@ -106,8 +106,10 @@ object ScaleSoak {
     // retrieval's arms are an inverted-index probe + the x06 scan over a
     // FIXED query set (cost ~linear in the corpus), and the NB-vote
     // classifier is two hash aggregates + one vocab equi-join (~linear);
-    // the soak turns each claim into a slope
+    // the soak turns each claim into a slope; x81 additionally exercises
+    // star-CC on the chain-shaped mutual-kNN graph (its common case)
     "x78_knn_graph", "x79_hybrid_rrf", "x80_quality_classifier",
+    "x81_semantic_clusters",
     // round-10 stretch: the exact-rank length gate vs its approx-
     // quantile twin (sketch bounds + broadcast filter — the 100 TB form
     // x67's Scaladoc promised; proximity spec-gated, cost soaked here)
@@ -701,6 +703,29 @@ object ScaleSoak {
     sb.append("  The sketch form therefore stays the documented ESCAPE HATCH for\n")
     sb.append("  that regime, not the default — the exact-rank gate is both the\n")
     sb.append("  oracle contract AND the faster operator at every measured size.\n")
+    sb.append("- **Round-10 graph/retrieval/classifier rows (x78-x81, fresh-JVM\n")
+    sb.append("  filtered sweep).** x78's kNN graph inherits x05_sampled's banded\n")
+    sb.append("  candidate cost and shows it: cold slope x30/x3 = 6.0 with OUTPUT\n")
+    sb.append("  exactly n*k (60000/180000 edges at x10/x30 — every node found its\n")
+    sb.append("  full k; the smaller dirs sit under n*k only because sparse nodes\n")
+    sb.append("  lack candidates). x79's hybrid RRF is CORPUS-flat by construction\n")
+    sb.append("  (1.2-2.2 s at every dir, 50 fused rows always): the query set is\n")
+    sb.append("  fixed, the lexical arm probes posting lists of 10 docs' shingles,\n")
+    sb.append("  and the dense arm is one corpus scan — the line prices the scan.\n")
+    sb.append("  x80's NB-vote classifier is the cheapest operator in the family\n")
+    sb.append("  (0.2-0.3 s FLAT through x30): two map-side-combinable integer\n")
+    sb.append("  aggregates + one vocab join; the vocabulary saturates (shared\n")
+    sb.append("  token pool), so the weight table stops growing at x3. x81 is the\n")
+    sb.append("  priced one: mutual-kNN components cost 39.8 s at x30 vs\n")
+    sb.append("  x20_star's 8.9 s on the SAME corpus scale — the extra 4.5x is\n")
+    sb.append("  (a) the kNN-graph build it contains (~7.6 s) and (b) star-CC\n")
+    sb.append("  rounds on a CHAIN-shaped graph: mutual rank-1 edges string\n")
+    sb.append("  duplicates into paths (diameter > 25 already at sf0.1 — min-label\n")
+    sb.append("  propagation failed to converge there, which is why the operator\n")
+    sb.append("  ships on star), and chains need more star rounds than the minhash\n")
+    sb.append("  cliques x20 closes in 2-3. Slope stays 5.9 on 10x data — the\n")
+    sb.append("  log-round insurance costs a constant, exactly the DiagCC finding,\n")
+    sb.append("  now measured on the graph shape where it is mandatory.\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")

@@ -130,6 +130,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x78: kNN-graph rank filter plans as WindowGroupLimit; candidate + fetch joins are equi (no product)") {
+    val p = formatted(Extensions.x78_knn_graph(spark, dir))
+    // per-node top-k must group-limit: no node's candidate list sorts
+    // beyond k rows past the scorer
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("x63/x69/x70: SQ8 search is a bucket/cell equi-join; the only BNLJs are the 1-row scales/centroid anchors") {
     import org.apache.spark.sql.catalyst.optimizer.BuildLeft
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
