@@ -363,6 +363,54 @@ object Similarity {
       .select(col("src_id"), col("nbr_id"), col("cosine"), col("rnk"))
   }
 
+  /** Incremental kNN: each INCOMING vector's top-k neighbors among the
+    * BASE corpus vectors that share at least one sampled LSH band with
+    * it — the online-ingest half of [[knnGraph]], and the ANN twin of
+    * [[Dedup.incrementalLshPairs]]: the base side's (id, band-key)
+    * relation is the STORED index a production ingest maintains (here
+    * materialized once per run), the incoming side probes it, and only
+    * collision candidates are scored exactly. Same quantize / signature
+    * / sampled-band spelling as [[knnGraph]]; `hotBucketCap` bounds the
+    * stored index's worst bucket exactly as there. Output:
+    * (vec_id, base_id, cosine, rnk), rnk ≤ k per incoming vector.
+    * The streaming twin ([[graft.streaming.AnnStreams]]) keeps the same
+    * index as transformWithState ListState and must reproduce this
+    * operator's answer row for row — the x55/x55_stream discipline. */
+  def incrementalKnn(base: DataFrame, incoming: DataFrame, idCol: String,
+                     vecCol: String, k: Int, bands: Int = 16,
+                     bitsPerBand: Int = 16, dims: Int = 64,
+                     seed: Long = 0x5EEDL,
+                     hotBucketCap: Option[Int] = None): DataFrame = {
+    val vb = withNorm(base.select(col(idCol).as("base_id"), col(vecCol).as("b_vec")), "b_vec", "b_norm")
+    val vi = withNorm(incoming.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec")), "i_vec", "i_norm")
+    val eb0 = ExtCaches.persistTracked(
+      vb.withColumn("sig", signSignature(col("b_vec"), dims))
+        .select(col("base_id"),
+          explode(sampledKeysFromSig(col("sig"), bands, bitsPerBand, dims, seed)).as("bk")))
+    val eb = hotBucketCap.fold(eb0) { cap =>
+      val keep = eb0.groupBy(col("bk"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= cap)
+        .select(col("bk"))
+      eb0.join(keep, Seq("bk"), "left_semi")
+    }
+    val ei = vi.withColumn("sig", signSignature(col("i_vec"), dims))
+      .select(col("vec_id"),
+        explode(sampledKeysFromSig(col("sig"), bands, bitsPerBand, dims, seed)).as("bk"))
+    val candidates = ei.join(eb, Seq("bk"))
+      .select(col("vec_id"), col("base_id"))
+      .distinct()
+    val scored = candidates
+      .join(vi.select(col("vec_id"), col("i_vec"), col("i_norm")), Seq("vec_id"))
+      .join(vb, Seq("base_id"))
+      .withColumn("cosine", cosineFromParts(dotQ(col("i_vec"), col("b_vec")), col("i_norm"), col("b_norm")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), col("base_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("base_id"), col("cosine"), col("rnk"))
+  }
+
+
   /** Nearest-centroid assignment + cluster-purity matrix — the partition
     * step of SemDeDup-style semantic dedup (Abbas et al., 2023: cluster
     * the embedding space, then prune near-dups WITHIN clusters instead of

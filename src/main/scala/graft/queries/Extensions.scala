@@ -1598,6 +1598,89 @@ object Extensions {
       .orderBy(col("canonical_id"))
   }
 
+  /** Incremental kNN (x82): each incoming vector's top-k neighbors among
+    * the base corpus's band-mates — the online-ingest half of x78 and
+    * the ANN twin of x55's incremental dedup; same [[BaseFrac]] hash
+    * split, same sampled geometry. See [[Similarity.incrementalKnn]]. */
+  def x82_incremental_knn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val inBase = Sampling.hashThresholdPredicate(col("vec_id"), BaseFrac)
+    Similarity.incrementalKnn(e.filter(inBase), e.filter(!inBase),
+        "vec_id", "embedding", k = KnnGraphK, bands = SampledBands,
+        bitsPerBand = SampledBandBits, dims = EmbeddingDims,
+        seed = SampledSeed)
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
+  /** x82_stream hot-bucket cap: the stored band index's saturation guard
+    * in the stream processor (the x55_stream/LshStreamBucketCap
+    * discipline — a no-op at registry scale, so the batch oracle's
+    * exhaustive semantics hold exactly; the saturation behavior itself
+    * is spec-pinned in StreamIncKnnSpec). */
+  val KnnStreamBucketCap = 1000
+
+  /** x82 executed in TRUE streaming mode: the incoming vectors arrive
+    * as a file stream and the sampled-band index is STREAMING STATE
+    * ([[graft.streaming.AnnStreams]] — transformWithState ListState
+    * keyed by band key, seeded from the base corpus). The ORACLE is
+    * x82's verbatim: the streamed neighbor lists must equal the batch
+    * answer row for row. The processor emits scored candidates; the
+    * per-vector top-k rank runs in the sink PER MICRO-BATCH, which is
+    * exact because all of an incoming vector's band rows ride in its
+    * own micro-batch (only the BASE side is indexed, so candidates for
+    * one vector cannot span batches — the x55 argument). Multi-band
+    * collisions canonicalized per batch (the batch `.distinct()`);
+    * `batch_id=N` overwrite keeps the sink idempotent. */
+  def x82_incremental_knn_stream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val embSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val tmp = streamTmpDir("graft_x82_stream_")
+      val out = tmp.resolve("out").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val landing = tmp.resolve("landing")
+      stageTableLanding(dir, "embeddings", landing, "vecs")
+      val inBase = Sampling.hashThresholdPredicate(col("vec_id"), BaseFrac)
+      val base = Tables.embeddings(s, dir).filter(inBase)
+      val incoming = s.readStream.schema(embSchema)
+        .option("maxFilesPerTrigger", streamMaxFiles)
+        .parquet(landing.toString)
+        .filter(!inBase)
+      val q = graft.streaming.AnnStreams.knnIngestStream(
+          incoming, base, "vec_id", "embedding",
+          bands = SampledBands, bitsPerBand = SampledBandBits,
+          dims = EmbeddingDims, seed = SampledSeed,
+          hotBucketCap = Some(KnnStreamBucketCap))
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.streaming.AnnStreams.KnnCand],
+           id: Long) =>
+            val w = Window.partitionBy(col("vec_id"))
+              .orderBy(desc("cosine"), col("base_id"))
+            batch.dropDuplicates("vec_id", "base_id")
+              .withColumn("rnk", row_number().over(w).cast(LongType))
+              .filter(col("rnk") <= KnnGraphK)
+              .write.mode("overwrite").parquet(s"$out/batch_id=$id")
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.option("basePath", out).parquet(out)
+        .select(col("vec_id"), col("base_id"), col("cosine"), col("rnk"))
+        .orderBy(col("vec_id"), col("rnk"))
+    } finally prevProv match {
+      case Some(v) => s.conf.set(provKey, v)
+      case None => s.conf.unset(provKey)
+    }
+  }
+
   /** Three-way coarse-quantizer recall table (x71): per query, the exact
     * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
     * Hamming-1 multi-probe sign SQ8 (x69), and learned-centroid IVF at
@@ -2439,7 +2522,9 @@ object Extensions {
     "x78_knn_graph" -> (x78_knn_graph _),
     "x79_hybrid_rrf" -> (x79_hybrid_rrf _),
     "x80_quality_classifier" -> (x80_quality_classifier _),
-    "x81_semantic_clusters" -> (x81_semantic_clusters _))
+    "x81_semantic_clusters" -> (x81_semantic_clusters _),
+    "x82_incremental_knn" -> (x82_incremental_knn _),
+    "x82_incremental_knn_stream" -> (x82_incremental_knn_stream _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -2988,6 +3073,39 @@ object Extensions {
         s"  SELECT vec_id, ${sampledBandKeySql(j, coords(j), bits)} AS bk FROM n")
       .mkString("\n  UNION ALL\n")
   }
+
+  /** x82's oracle — the x78 band CTEs + the x55-style md5 hash split:
+    * DIRECTED candidates from incoming (NOT in_base) to base (in_base),
+    * exact cosine, per-incoming-vector rank window. Shared verbatim by
+    * the batch form and the streaming twin (stream-equals-batch is the
+    * gated claim). */
+  private def x82OracleSql: String =
+    s"""WITH qv AS (
+       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+       |flags AS (
+       |  SELECT vec_id,
+       |         substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base
+       |  FROM embeddings),
+       |e AS (
+       |${sampledBandRowsSql(SampledBands, SampledBandBits, EmbeddingDims, SampledSeed)}),
+       |c AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS base_id
+       |  FROM e a JOIN e b ON a.bk = b.bk
+       |  JOIN flags fa ON fa.vec_id = a.vec_id
+       |  JOIN flags fb ON fb.vec_id = b.vec_id
+       |  WHERE NOT fa.in_base AND fb.in_base),
+       |scored AS (
+       |  SELECT c.vec_id, c.base_id,
+       |         CAST(${dotSql("ni.v", "nb.v")} AS DOUBLE)
+       |           / (sqrt(CAST(ni.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE))) AS cosine
+       |  FROM c JOIN n ni ON ni.vec_id = c.vec_id JOIN n nb ON nb.vec_id = c.base_id),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, base_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT vec_id, base_id, cosine, rnk FROM r WHERE rnk <= $KnnGraphK
+       |ORDER BY vec_id, rnk""".stripMargin
 
   /** The x78 kNN-edge CTE chain — quantize, norm, sampled band rows,
     * DIRECTED candidates, exact cosine, per-source rank window. `r`
@@ -4167,6 +4285,12 @@ object Extensions {
          |FROM lab GROUP BY label
          |HAVING count(*) > 1
          |ORDER BY canonical_id""".stripMargin,
+
+    // x82 (both forms — the stream twin's oracle is the batch one
+    // VERBATIM, so stream-equals-batch is the hash-gated claim): the
+    // x78 band CTEs with the x55-style hash split, incoming probing base.
+    "x82_incremental_knn" -> x82OracleSql,
+    "x82_incremental_knn_stream" -> x82OracleSql,
 
     // x79: both arms over the docs ∩ embeddings universe; the RRF score
     // is two COALESCE'd single-divide terms summed once — two-term IEEE

@@ -110,6 +110,9 @@ object ScaleSoak {
     // star-CC on the chain-shaped mutual-kNN graph (its common case)
     "x78_knn_graph", "x79_hybrid_rrf", "x80_quality_classifier",
     "x81_semantic_clusters",
+    // x82 batch form: the incoming->base band probe — cost tracks
+    // collisions like x55's, never |incoming|*|base|
+    "x82_incremental_knn",
     // round-10 stretch: the exact-rank length gate vs its approx-
     // quantile twin (sketch bounds + broadcast filter — the 100 TB form
     // x67's Scaladoc promised; proximity spec-gated, cost soaked here)

@@ -382,7 +382,8 @@ class PlanSpec extends SparkSpec {
     // (same transform fn) and StreamingSpec.
     val eagerStreamTwins =
       Set("x12_events_tumbling_stream", "x13_events_sessions_stream",
-        "x65_stream_dedup_replay", "x55_incremental_lsh_stream")
+        "x65_stream_dedup_replay", "x55_incremental_lsh_stream",
+        "x82_incremental_knn_stream")
 
     val violations = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eagerStreamTwins.contains(name) }

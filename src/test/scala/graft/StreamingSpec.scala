@@ -596,3 +596,117 @@ class StreamIncLshSpec extends SparkSpec {
     assert(got.contains((1L, 100L, 1.0)) && got.contains((2L, 100L, 1.0)), got)
   }
 }
+
+class StreamIncKnnSpec extends SparkSpec {
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+  import org.apache.spark.sql.functions._
+  import graft.streaming.AnnStreams
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("stream candidates rank to the batch x82 answer on the same base/incoming split (sf0.001)") {
+    withRocksDb {
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val embs = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val inBase = graft.ext.Sampling.hashThresholdPredicate(
+        col("vec_id"), graft.queries.Extensions.BaseFrac)
+      val base = embs.filter(inBase)
+      val incoming = embs.filter(!inBase)
+      val k = graft.queries.Extensions.KnnGraphK
+      val batch = graft.ext.Similarity.incrementalKnn(
+          base, incoming, "vec_id", "embedding", k = k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      graft.ext.ExtCaches.clearCaches()
+
+      val source = MemoryStream[(Long, Array[Float])]
+      val stream = AnnStreams.knnIngestStream(
+        source.toDF().toDF("vec_id", "embedding"), base, "vec_id", "embedding")
+      val q = stream.writeStream.format("memory").queryName("inc_knn")
+        .outputMode("append").start()
+      // two micro-batches: the seeded index must carry across them
+      val rows = incoming.select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      source.addData(h1.toSeq: _*); q.processAllAvailable()
+      source.addData(h2.toSeq: _*); q.processAllAvailable()
+      q.stop()
+      // the registry twin's sink transform: dedup multi-band emissions,
+      // rank per incoming vector (valid over the union because a
+      // vector's candidates never span batches)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(desc("cosine"), col("base_id"))
+      val got = spark.table("inc_knn")
+        .dropDuplicates("vec_id", "base_id")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("base_id"),
+          r.getAs[Double]("cosine"), r.getAs[Long]("rnk")))
+        .toSet
+      assert(batch.nonEmpty, "degenerate spec: batch answer is empty")
+      assert(got == batch, s"stream=$got batch=$batch")
+      graft.ext.ExtCaches.clearCaches()
+    }
+  }
+
+  test("appendIncoming: a later vector is scored against an earlier STREAM vector") {
+    withRocksDb {
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      val base = Seq((100L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+        .toDF("vec_id", "embedding")
+      val v = Array.fill(64)(0.5f)
+      val source = MemoryStream[(Long, Array[Float])]
+      val stream = AnnStreams.knnIngestStream(
+        source.toDF().toDF("vec_id", "embedding"), base, "vec_id", "embedding",
+        appendIncoming = true)
+      val q = stream.writeStream.format("memory").queryName("inc_knn_append")
+        .outputMode("append").start()
+      source.addData((1L, v)); q.processAllAvailable() // batch 1
+      source.addData((2L, v)); q.processAllAvailable() // batch 2: dup of 1
+      q.stop()
+      val got = spark.table("inc_knn_append").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // vec 2 matches STREAM vec 1 at cosine 1.0 across the batch
+      // boundary; the alternating base vector is orthogonal to v and
+      // shares no sampled band (all-positive vs alternating signs)
+      assert(got.contains((2L, 1L, 1.0)), got)
+      graft.ext.ExtCaches.clearCaches()
+    }
+  }
+
+  test("hotBucketCap: a saturated bucket stops indexing and verifying") {
+    withRocksDb {
+      implicit val ctx = spark.sqlContext
+      import spark.implicits._
+      // three identical base vectors: every band bucket holds 3 > cap 2
+      // members, so all buckets saturate at seed time and the identical
+      // incoming vector matches nothing
+      val base = Seq(
+        (100L, Array.fill(64)(1f)), (101L, Array.fill(64)(1f)),
+        (102L, Array.fill(64)(1f))).toDF("vec_id", "embedding")
+      val source = MemoryStream[(Long, Array[Float])]
+      val stream = AnnStreams.knnIngestStream(
+        source.toDF().toDF("vec_id", "embedding"), base, "vec_id", "embedding",
+        hotBucketCap = Some(2))
+      val q = stream.writeStream.format("memory").queryName("inc_knn_cap")
+        .outputMode("append").start()
+      source.addData((1L, Array.fill(64)(1f))); q.processAllAvailable()
+      q.stop()
+      assert(spark.table("inc_knn_cap").isEmpty)
+      graft.ext.ExtCaches.clearCaches()
+    }
+  }
+}
