@@ -729,6 +729,14 @@ object ScaleSoak {
     sb.append("  cliques x20 closes in 2-3. Slope stays 5.9 on 10x data — the\n")
     sb.append("  log-round insurance costs a constant, exactly the DiagCC finding,\n")
     sb.append("  now measured on the graph shape where it is mandatory.\n")
+    sb.append("  x82's incremental form (incoming probing the STORED base band\n")
+    sb.append("  index — the x55 split) prices the ingest path: 1.3 -> 6.0 s\n")
+    sb.append("  across x3 -> x30 (slope 4.7), output exactly |incoming|*k.\n")
+    sb.append("  Decade cells (fresh-JVM): x78 x100 = 24.4 s with rows EXACTLY\n")
+    sb.append("  n*k = 600,000 (slope x100/x10 = 11.8 — linear through the decade;\n")
+    sb.append("  the 65k-key sampled geometry holds buckets at ~3 members even at\n")
+    sb.append("  200k vectors), x82 x100 = 7.4 s (slope 5.4 — sub-linear: only the\n")
+    sb.append("  25% incoming slice pays the probe, the index build is one scan).\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")
