@@ -39,21 +39,53 @@ object Classify {
 
   /** Train on `df`'s boolean `labelCol` and score every row of `df`
     * (in-sample; a deployment trains on a labeled slice and applies
-    * elsewhere — same plan, different inputs).
+    * elsewhere — [[nbVoteScoresSplit]], same plan over different
+    * inputs).
     *
     * Output: (id, label_pos, n_vocab_tokens, vote_score, predicted_pos),
     * one row per input row — documents with no vocabulary tokens score 0.
     */
   def nbVoteScores(df: DataFrame, idCol: String, labelCol: String,
                    textCol: String): DataFrame = {
-    val toks = ExtCaches.persistTracked(
-      df.select(col(idCol).as("id"), col(labelCol).as("pos"),
-        explode(TextOps.tokens(col(textCol))).as("token"))
+    val toks = distinctTokens(df, idCol, textCol,
+      Some(col(labelCol).as("pos")))
+    val w = trainVotes(df, labelCol, toks)
+    applyVotes(df.select(col(idCol).as("id"), col(labelCol).as("label_pos")),
+      toks, w, idCol)
+  }
+
+  /** The production split: train the vote table on the LABELED `train`
+    * slice, score every row of `apply` (whose labels, if any, play no
+    * part). Output: (id, n_vocab_tokens, vote_score, predicted_pos) —
+    * no label column, because the apply corpus has none; tokens absent
+    * from the training vocabulary contribute nothing (they have no
+    * weight row — the standard OOV behavior of a fixed-vocab model). */
+  def nbVoteScoresSplit(train: DataFrame, apply: DataFrame, idCol: String,
+                        labelCol: String, textCol: String): DataFrame = {
+    val trainToks = distinctTokens(train, idCol, textCol,
+      Some(col(labelCol).as("pos")))
+    val w = trainVotes(train, labelCol, trainToks)
+    val applyToks = distinctTokens(apply, idCol, textCol, None)
+    applyVotes(apply.select(col(idCol).as("id")), applyToks, w, idCol)
+  }
+
+  /** (id[, pos], distinct token) exploded relation, materialized once —
+    * it feeds both training and scoring. */
+  private def distinctTokens(df: DataFrame, idCol: String, textCol: String,
+                             pos: Option[org.apache.spark.sql.Column]): DataFrame =
+    ExtCaches.persistTracked(
+      df.select(Seq(col(idCol).as("id")) ++ pos.toSeq :+
+          explode(TextOps.tokens(col(textCol))).as("token"): _*)
         .distinct())
-    val totals = df.agg(
+
+  /** The |vocab|-row (token, vote) table: one integer hash aggregate +
+    * the 1-row totals anchor. */
+  private def trainVotes(train: DataFrame, labelCol: String,
+                         trainToks: DataFrame): DataFrame = {
+    val totals = train.agg(
       sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
       sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg"))
-    val weights = toks.groupBy(col("token"))
+    trainToks.groupBy(col("token"))
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("pos_df"),
         sum(when(col("pos"), 0L).otherwise(1L)).as("neg_df"))
       .crossJoin(broadcast(totals))
@@ -62,14 +94,21 @@ object Classify {
           .when(col("pos_df") * col("n_neg") < col("neg_df") * col("n_pos"), -1L)
           .otherwise(0L))
       .select(col("token"), col("vote"))
+  }
+
+  /** Join the exploded tokens to the weight table, sum per doc, restore
+    * zero-vocabulary rows via the id frame. `idFrame` carries `id` and
+    * optionally `label_pos`. */
+  private def applyVotes(idFrame: DataFrame, toks: DataFrame,
+                         weights: DataFrame, idCol: String): DataFrame = {
     val scores = toks.join(weights, Seq("token"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_vocab_tokens"), sum(col("vote")).as("vote_score"))
-    df.select(col(idCol).as("id"), col(labelCol).as("label_pos"))
-      .join(scores, Seq("id"), "left_outer")
-      .select(col("id").as(idCol), col("label_pos"),
+    val passthrough = idFrame.columns.filter(_ != "id").map(col)
+    idFrame.join(scores, Seq("id"), "left_outer")
+      .select(Seq(col("id").as(idCol)) ++ passthrough ++ Seq(
         coalesce(col("n_vocab_tokens"), lit(0L)).cast(LongType).as("n_vocab_tokens"),
         coalesce(col("vote_score"), lit(0L)).cast(LongType).as("vote_score"),
-        (coalesce(col("vote_score"), lit(0L)) > 0L).as("predicted_pos"))
+        (coalesce(col("vote_score"), lit(0L)) > 0L).as("predicted_pos")): _*)
   }
 }

@@ -505,7 +505,7 @@ object Similarity {
     * (cents = array of (c_label, n, ss, s[]) — |cells|·(d+3) cells,
     * trivially broadcast-small; see [[nearestCentroidPurity]] for the
     * exact-integer design and the single-row ceiling). */
-  private def packCents(stats: DataFrame): DataFrame =
+  private[graft] def packCents(stats: DataFrame): DataFrame =
     stats.agg(
       collect_list(struct(col("c_label"), col("n"), col("ss"), col("s")))
         .as("cents"))
@@ -571,11 +571,13 @@ object Similarity {
                     vecCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val q = quantizedWithLabel(df, idCol, labelCol, vecCol)
-    var stats = ExtCaches.persistTracked(
+    // cpTracked (see its Scaladoc): chained per-round persists leave a
+    // plan DAG that re-plans exponentially at every downstream action.
+    var stats = cpTracked(
       centroidStats(q.select(col("label").as("c_label"), col("v"))))
     val perRound = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
-      stats = ExtCaches.persistTracked(centroidStats(lloydAssign(q, stats)))
+      stats = cpTracked(centroidStats(lloydAssign(q, stats)))
       perRound += stats.select(
         lit(r.toLong).as("round"), col("c_label"),
         col("n").as("n_vecs"),
@@ -659,17 +661,38 @@ object Similarity {
     * and query vectors are re-expressed RELATIVE to their cell before
     * PQ coding, so the stats feed both the probe ranking and the
     * [[roundedCentroids]] subtraction. */
-  private def trainedCellStats(q: DataFrame, cells: Int,
+  /** Eager localCheckpoint for the tiny per-round Lloyd state (|cells|
+    * rows), blocks handed to ExtCaches for release at clearCaches — the
+    * [[Dedup.connectedComponents]] lineage discipline applied to the
+    * training loops. A persist() here is NOT enough: the persisted
+    * round's ANALYZED plan still contains the full previous-round tree,
+    * and because the chains re-reference `q` and each other, the
+    * downstream plan is a DAG that Catalyst's visitors traverse as a
+    * TREE — measured on x77 (the deepest composition: cell training +
+    * residuals + PQ training + bias joins) at 8,000+ InMemoryTableScan
+    * references / 166k rendered plan lines for the CODES relation alone,
+    * costing ~3 s of driver-side plan work per action and ~25 s for the
+    * full query. Checkpointing each round roots it at a LogicalRDD and
+    * the whole family re-plans in milliseconds (x77 25.6 → 3.9 s cold,
+    * x76 5.2 → 2.5 s — same hash-gated output). */
+  private def cpTracked(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    ExtCaches.trackReleasable(() =>
+      org.apache.spark.sql.graftfn.Lineage.release(cp, blocking = true))
+    cp
+  }
+
+  private[graft] def trainedCellStats(q: DataFrame, cells: Int,
                                lloydRounds: Int): DataFrame = {
-    var stats = ExtCaches.persistTracked(centroidStats(
+    var stats = cpTracked(centroidStats(
       q.select(pmod(col("id"), lit(cells.toLong)).as("c_label"), col("v"))))
     for (_ <- 1 to lloydRounds)
-      stats = ExtCaches.persistTracked(centroidStats(lloydAssign(q, stats)))
+      stats = cpTracked(centroidStats(lloydAssign(q, stats)))
     stats
   }
 
   /** Probe projection of [[trainedCellStats]]: (id, probe_rank, cell). */
-  private def probesFromStats(q: DataFrame, stats: DataFrame,
+  private[graft] def probesFromStats(q: DataFrame, stats: DataFrame,
                               nprobe: Int): DataFrame = {
     q.join(broadcast(packCents(stats)))
       .withColumn("scored", array_sort(transform(col("cents"), e =>
@@ -777,7 +800,7 @@ object Similarity {
     * ONE IEEE divide) sorted by code. The SINGLE spelling shared by the
     * raw-vector LUT (x74/x75/x76) and the per-(query, cell) residual
     * LUT (x77) so the double arithmetic cannot drift between them. */
-  private def pqTerms(codes: Int): Column =
+  private[graft] def pqTerms(codes: Int): Column =
     array_sort(transform(pqSubCells(codes)(col("cents")), e =>
       struct(pmod(e("c_label"), lit(codes.toLong)).as("code"),
         (dotQ(col("sv"), e("s")).cast(DoubleType) /
@@ -790,7 +813,7 @@ object Similarity {
     * svRel = the persisted (id, sub, sv) subvector relation). Factored
     * from [[pqCodesAndLut]] so the residual form (x77) trains on cell
     * residuals with the IDENTICAL spelling. */
-  private def pqTrainEncode(q: DataFrame, m: Int, codes: Int,
+  private[graft] def pqTrainEncode(q: DataFrame, m: Int, codes: Int,
                             lloydRounds: Int, dims: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
@@ -799,12 +822,15 @@ object Similarity {
     val svRel = ExtCaches.persistTracked(q.select(col("id"),
       posexplode(array((0 until m).map(s =>
         slice(col("v"), s * sub + 1, sub)): _*)).as(Seq("sub", "sv"))))
-    var stats = ExtCaches.persistTracked(centroidStats(svRel.select(
+    // cpTracked, not persistTracked: see its Scaladoc — the PQ chain is
+    // one of the two Lloyd loops whose chained plans made every
+    // downstream action re-traverse the full training DAG.
+    var stats = cpTracked(centroidStats(svRel.select(
       (col("sub").cast(LongType) * codes +
         pmod(col("id"), lit(codes.toLong))).as("c_label"),
       col("sv").as("v"))))
     for (_ <- 1 to lloydRounds)
-      stats = ExtCaches.persistTracked(centroidStats(
+      stats = cpTracked(centroidStats(
         svRel.join(broadcast(packCents(stats)))
           .select(pqArgmin(codes)(col("cents")).getField("c_label")
             .as("c_label"), col("sv").as("v"))))
@@ -880,7 +906,7 @@ object Similarity {
     * to the quantized grid keeps residuals (v − cbar) in exact integer
     * arithmetic end to end — the property every oracle gate in this
     * family rests on. */
-  private def roundedCentroids(stats: DataFrame): DataFrame =
+  private[graft] def roundedCentroids(stats: DataFrame): DataFrame =
     stats.select(col("c_label").as("cell"),
       transform(col("s"), si =>
         floor(si.cast(DoubleType) / col("n").cast(DoubleType) + lit(0.5))

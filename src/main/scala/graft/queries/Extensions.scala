@@ -1566,6 +1566,23 @@ object Extensions {
         "doc_id", "label_pos", "text")
       .orderBy(col("doc_id"))
 
+  /** Train/apply split classifier (x83): x80's model trained ONLY on the
+    * [[BaseFrac]] hash slice (whose weak labels come from the same x09
+    * quality gate), applied to the held-out rest — the production shape
+    * where x80 is the in-sample demonstration. Tokens outside the
+    * training vocabulary contribute nothing (standard fixed-vocab OOV);
+    * the apply output carries no label column because the apply corpus,
+    * in production, has none. */
+  def x83_classifier_split(s: SparkSession, dir: String): DataFrame = {
+    val labeled = TextOps.qualityScore(Tables.documents(s, dir))
+      .withColumn("label_pos", col("quality_score") >= QualityGate)
+    val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
+    graft.ext.Classify.nbVoteScoresSplit(
+        labeled.filter(inBase), labeled.filter(!inBase),
+        "doc_id", "label_pos", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Label-free semantic clustering (x81): connected components over the
     * MUTUAL edges of the x78 kNN graph — the SemDeDup partition step
     * derived from the embedding geometry alone, where x56/x59 require a
@@ -2524,7 +2541,8 @@ object Extensions {
     "x80_quality_classifier" -> (x80_quality_classifier _),
     "x81_semantic_clusters" -> (x81_semantic_clusters _),
     "x82_incremental_knn" -> (x82_incremental_knn _),
-    "x82_incremental_knn_stream" -> (x82_incremental_knn_stream _))
+    "x82_incremental_knn_stream" -> (x82_incremental_knn_stream _),
+    "x83_classifier_split" -> (x83_classifier_split _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -4291,6 +4309,45 @@ object Extensions {
     // x78 band CTEs with the x55-style hash split, incoming probing base.
     "x82_incremental_knn" -> x82OracleSql,
     "x82_incremental_knn_stream" -> x82OracleSql,
+
+    // x83: x80's CTE chain with the md5 hash split — votes trained on
+    // the base slice only, applied to the held-out rest (whose tokens
+    // outside the training vocabulary simply find no weight row).
+    "x83_classifier_split" ->
+      s"""WITH $qualityGateCte,
+         |lab AS (
+         |  SELECT q.doc_id, qt.t, (q.quality_score >= $QualityGate) AS pos,
+         |         substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base
+         |  FROM qq q JOIN qtoks qt USING (doc_id)),
+         |dt AS (
+         |  SELECT doc_id, pos, in_base, unnest(list_distinct(t)) AS token FROM lab),
+         |tot AS (
+         |  SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+         |  FROM lab WHERE in_base),
+         |w AS (
+         |  SELECT token,
+         |         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_df,
+         |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS neg_df
+         |  FROM dt WHERE in_base GROUP BY 1),
+         |v AS (
+         |  SELECT token,
+         |         CASE WHEN pos_df * n_neg > neg_df * n_pos THEN 1
+         |              WHEN pos_df * n_neg < neg_df * n_pos THEN -1
+         |              ELSE 0 END AS vote
+         |  FROM w, tot),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_vocab_tokens,
+         |         CAST(SUM(vote) AS BIGINT) AS vote_score
+         |  FROM dt JOIN v USING (token)
+         |  WHERE NOT in_base GROUP BY 1)
+         |SELECT l.doc_id,
+         |       COALESCE(sc.n_vocab_tokens, 0) AS n_vocab_tokens,
+         |       COALESCE(sc.vote_score, 0) AS vote_score,
+         |       COALESCE(sc.vote_score, 0) > 0 AS predicted_pos
+         |FROM (SELECT DISTINCT doc_id FROM lab WHERE NOT in_base) l
+         |LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // x79: both arms over the docs ∩ embeddings universe; the RRF score
     // is two COALESCE'd single-divide terms summed once — two-term IEEE

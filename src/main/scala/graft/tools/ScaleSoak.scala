@@ -112,7 +112,7 @@ object ScaleSoak {
     "x81_semantic_clusters",
     // x82 batch form: the incoming->base band probe — cost tracks
     // collisions like x55's, never |incoming|*|base|
-    "x82_incremental_knn",
+    "x82_incremental_knn", "x83_classifier_split",
     // round-10 stretch: the exact-rank length gate vs its approx-
     // quantile twin (sketch bounds + broadcast filter — the 100 TB form
     // x67's Scaladoc promised; proximity spec-gated, cost soaked here)

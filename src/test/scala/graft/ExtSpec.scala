@@ -1542,6 +1542,30 @@ class ClassifySpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("nbVoteScoresSplit: votes come from train only; OOV apply tokens are ignored") {
+    val train = Seq(
+      (0L, true, "good clean prose"),
+      (1L, true, "good clean text"),
+      (2L, false, "spam junk noise"),
+      (3L, false, "spam junk garbage")).toDF("doc_id", "label_pos", "text")
+    val apply = Seq(
+      (10L, false, "good clean material"),      // 2 pos-voting tokens + 1 OOV
+      (11L, true, "spam junk material"),        // 2 neg-voting tokens + 1 OOV
+      (12L, true, "wholly novel vocabulary")).  // all OOV -> score 0
+      toDF("doc_id", "label_pos", "text")
+    val r = Classify.nbVoteScoresSplit(train, apply, "doc_id", "label_pos", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // only apply rows come back, and without a label column
+    assert(r.keySet == Set(10L, 11L, 12L))
+    assert(!r(10L).schema.fieldNames.contains("label_pos"))
+    assert(r(10L).getAs[Long]("vote_score") == 2L && r(10L).getAs[Boolean]("predicted_pos"))
+    assert(r(11L).getAs[Long]("vote_score") == -2L && !r(11L).getAs[Boolean]("predicted_pos"))
+    // apply labels played no part: doc 10's false label did not flip votes
+    assert(r(12L).getAs[Long]("n_vocab_tokens") == 0L &&
+      r(12L).getAs[Long]("vote_score") == 0L)
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("nbVoteScores: in-sample agreement with the weak label beats chance on the corpus") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
     val labeled = graft.ext.TextOps.qualityScore(docs)
