@@ -737,6 +737,33 @@ object ScaleSoak {
     sb.append("  the 65k-key sampled geometry holds buckets at ~3 members even at\n")
     sb.append("  200k vectors), x82 x100 = 7.4 s (slope 5.4 — sub-linear: only the\n")
     sb.append("  25% incoming slice pays the probe, the index build is one scan).\n")
+    sb.append("- **Round-10 Lloyd-chain lineage fix: the ANN training rows\n")
+    sb.append("  re-measured (current ‡ cells supersede the r9-fresh-jvm rows).**\n")
+    sb.append("  The chained per-round persists left plan DAGs that Catalyst\n")
+    sb.append("  traverses as trees (PLANS.md: x77's codes relation at 166k\n")
+    sb.append("  rendered plan lines; ~3 s of driver plan work per ACTION); each\n")
+    sb.append("  round now ends in an eager localCheckpoint. Two honest effects in\n")
+    sb.append("  this table: small/medium dirs got FASTER (x74 sf0.01 3.1 -> 2.3,\n")
+    sb.append("  x76 x3 6.0 -> 4.4 — planning dominated there), while x10/x30\n")
+    sb.append("  cells pay a ~2-3 s CONSTANT more (x74 x30 8.6 -> 12.3): eager\n")
+    sb.append("  per-round checkpoint jobs serialize work that lazy persists let\n")
+    sb.append("  the first consumer pipeline — the same eager-vs-lazy trade the\n")
+    sb.append("  round-7 x51 finding recorded, resolved the opposite way here\n")
+    sb.append("  because unbounded PLAN growth (exponential in composition depth,\n")
+    sb.append("  fatal for the deep x77 form at any scale) outranks a bounded\n")
+    sb.append("  per-round job constant. The warm column also reads differently\n")
+    sb.append("  now: persisted plans matched across re-CONSTRUCTIONS via the\n")
+    sb.append("  CacheManager (warm 1.2 s pre-fix), checkpoint RDDs cannot —\n")
+    sb.append("  warm ~= cold for the training-bound lines, which is the honest\n")
+    sb.append("  number for a train-once-serve-many deployment anyway. The\n")
+    sb.append("  earlier decade bullet's warm-rep search isolation (x74 4.1 /\n")
+    sb.append("  x75 5.5 / x76 2.5 s at x100) was measured under the pre-fix\n")
+    sb.append("  protocol, where the warm rep re-read the trained index from the\n")
+    sb.append("  plan cache — it remains the SERVE-path estimate (probed-cell scan\n")
+    sb.append("  cuts the exhaustive ADC 40-55%), while the current x100 cold\n")
+    sb.append("  cells (x74 32.5 / x75 37.8 / x76 28.2) price train+serve in one\n")
+    sb.append("  fresh JVM; note x76 is now the CHEAPEST of the three at the\n")
+    sb.append("  decade even training-inclusive.\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")
