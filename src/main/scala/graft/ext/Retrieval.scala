@@ -50,11 +50,25 @@ object Retrieval {
     * Output: (q_id, doc_id, lex_rnk, vec_rnk, rrf, rnk) — arm ranks are
     * null when the doc was retrieved by the other arm only.
     */
+  /** Dense-arm contract: (corpusVecs(id, vec), queryVecs(id, vec), armK)
+    * → (q_id, id, vec_rnk ≤ armK). The fusion consumes only ranks, so
+    * any ANN variant satisfies it; an arm may return FEWER than armK
+    * rows per query (an IVF arm ranks only probed-cell members) — the
+    * full-outer fusion treats absence as a zero term, which is RRF's
+    * defined semantics for missing-from-arm. */
+  type DenseArm = (DataFrame, DataFrame, Int) => DataFrame
+
+  /** The x06 exact-cosine baseline arm (the oracle-gated default). */
+  val bruteArm: DenseArm = (corpus, queries, armK) =>
+    Similarity.bruteForceTopK(corpus, queries, "id", "vec", armK)
+      .select(col("q_id"), col("c_id").as("id"), col("rnk").as("vec_rnk"))
+
   def hybridRrfTopK(docs: DataFrame, embs: DataFrame, queries: DataFrame,
                     docIdCol: String, textCol: String,
                     vecIdCol: String, vecCol: String,
                     armK: Int, k: Int, rrfC: Int = 60, w: Int = 3,
-                    dfCap: Option[Int] = None): DataFrame = {
+                    dfCap: Option[Int] = None,
+                    denseArm: DenseArm = bruteArm): DataFrame = {
     val embIds = embs.select(col(vecIdCol).as("id"))
     // ranked universe: documents that have an embedding
     val corpusDocs = docs.select(col(docIdCol).as("id"), col(textCol).as("text"))
@@ -83,8 +97,7 @@ object Retrieval {
     val qVecs = corpusVecs.join(broadcast(qIds),
         corpusVecs("id") === qIds("q_id"))
       .select(col("id"), col("vec"))
-    val vec = Similarity.bruteForceTopK(corpusVecs, qVecs, "id", "vec", armK)
-      .select(col("q_id"), col("c_id").as("id"), col("rnk").as("vec_rnk"))
+    val vec = denseArm(corpusVecs, qVecs, armK)
 
     // -- fusion ---------------------------------------------------------
     val rrf =

@@ -1566,6 +1566,46 @@ object Extensions {
         "doc_id", "label_pos", "text")
       .orderBy(col("doc_id"))
 
+  /** Hybrid RRF with the SCALE-PATH dense arm (x84): x79's fusion with
+    * the trained-cells IVF×SQ8 search (x73) in the dense slot instead
+    * of the exact brute scan — the pluggable-arm claim made an
+    * oracle-gated fact, and the form whose plan is pure equi-joins (no
+    * whitelisted BNLJ: the fleet gate covers x84 with no exemption).
+    * The IVF arm may return fewer than armK rows per query (it ranks
+    * only probed-cell members); RRF's full-outer fusion treats absence
+    * as a zero term, so the operator also exercises the missing-arm
+    * path at every scale.
+    *
+    * Precondition (asserted loudly, the x59 discipline): the oracle's
+    * dense chain quantizes and trains over the FULL embeddings table,
+    * so the docs ∩ embs universe must equal embeddings — i.e. every
+    * embedded id has a document. True of every driver corpus; a future
+    * corpus violating it fails with this message instead of an opaque
+    * hash mismatch. */
+  def x84_hybrid_rrf_ivf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val embs = Tables.embeddings(s, dir)
+    val orphans = embs.select(col("vec_id").as("doc_id"))
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .count()
+    require(orphans == 0L,
+      s"x84 oracle precondition violated: $orphans embeddings lack a " +
+        "document row — the oracle trains its IVF over ALL embeddings " +
+        "while the engine restricts to docs ∩ embs. Restrict the oracle's " +
+        "qv CTE to the semi-joined universe before scaling this gate.")
+    graft.ext.Retrieval.hybridRrfTopK(
+        docs, embs, docs.filter(col("doc_id") < QuerySetSize),
+        "doc_id", "text", "vec_id", "embedding",
+        armK = HybridArmK, k = HybridTopK, rrfC = RrfC,
+        denseArm = (corpus, queries, armK) =>
+          Similarity.ivfSq8TopKScaled(corpus, queries, "id", "vec",
+              k = armK, cells = ScaledCells,
+              lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
+            .select(col("q_id"), col("c_id").as("id"),
+              col("rnk").as("vec_rnk")))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Train/apply split classifier (x83): x80's model trained ONLY on the
     * [[BaseFrac]] hash slice (whose weak labels come from the same x09
     * quality gate), applied to the held-out rest — the production shape
@@ -2542,7 +2582,8 @@ object Extensions {
     "x81_semantic_clusters" -> (x81_semantic_clusters _),
     "x82_incremental_knn" -> (x82_incremental_knn _),
     "x82_incremental_knn_stream" -> (x82_incremental_knn_stream _),
-    "x83_classifier_split" -> (x83_classifier_split _))
+    "x83_classifier_split" -> (x83_classifier_split _),
+    "x84_hybrid_rrf_ivf" -> (x84_hybrid_rrf_ivf _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -4309,6 +4350,74 @@ object Extensions {
     // x78 band CTEs with the x55-style hash split, incoming probing base.
     "x82_incremental_knn" -> x82OracleSql,
     "x82_incremental_knn_stream" -> x82OracleSql,
+
+    // x84: x79's lexical arm + fusion verbatim, with the x73 trained-
+    // cell SQ8 chain in the dense slot at armK depth. The dense chain
+    // (qv/trainedCellCtes/sq8CodesCte) trains over ALL embeddings — the
+    // registry query asserts embeddings ⊆ documents so this equals the
+    // engine's docs ∩ embs universe (loud-failure precondition).
+    "x84_hybrid_rrf_ivf" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+         |$trainedCellCtes,
+         |$sq8CodesCte,
+         |kcells AS (
+         |  SELECT r.vec_id, r.c_label AS cell, cb.code
+         |  FROM krank r JOIN cb USING (vec_id) WHERE rn = 1),
+         |kq AS (
+         |  SELECT r.vec_id AS q_id, r.c_label AS cell, cb.code AS q_code
+         |  FROM krank r JOIN cb USING (vec_id)
+         |  WHERE rn <= $ScaledNprobe AND r.vec_id < $QuerySetSize),
+         |ks AS (
+         |  SELECT q_id, kq.cell AS cell, c.vec_id AS c_id,
+         |         ${dotSql("q_code", "c.code")} AS dot_q8
+         |  FROM kq JOIN kcells c ON kq.cell = c.cell AND c.vec_id <> q_id),
+         |vr AS (
+         |  SELECT q_id, c_id,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS BIGINT) AS vec_rnk
+         |  FROM ks),
+         |vec AS (SELECT q_id, c_id AS id, vec_rnk FROM vr WHERE vec_rnk <= $HybridArmK),
+         |toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(t) >= 3
+         |              THEN list_distinct(list_transform(range(1, len(t) - 1),
+         |                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM toks),
+         |idx AS (
+         |  SELECT doc_id AS id, unnest(sh) AS shingle FROM sh
+         |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+         |q AS (
+         |  SELECT doc_id AS q_id FROM documents
+         |  WHERE doc_id < $QuerySetSize
+         |    AND doc_id IN (SELECT vec_id FROM embeddings)),
+         |qsh AS (SELECT q.q_id, i.shingle FROM idx i JOIN q ON i.id = q.q_id),
+         |lexs AS (
+         |  SELECT qsh.q_id, i.id, count(*) AS n_common
+         |  FROM qsh JOIN idx i USING (shingle)
+         |  WHERE i.id <> qsh.q_id GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT q_id, id,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY n_common DESC, id) AS BIGINT) AS lex_rnk
+         |  FROM lexs),
+         |lex AS (SELECT q_id, id, lex_rnk FROM lexr WHERE lex_rnk <= $HybridArmK),
+         |fused AS (
+         |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         |         COALESCE(l.id, v.id) AS doc_id, l.lex_rnk, v.vec_rnk
+         |  FROM lex l FULL OUTER JOIN vec v ON l.q_id = v.q_id AND l.id = v.id),
+         |fr AS (
+         |  SELECT q_id, doc_id, lex_rnk, vec_rnk,
+         |         COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(lex_rnk AS DOUBLE)), CAST(0 AS DOUBLE))
+         |         + COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(vec_rnk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM fused),
+         |rr AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM fr)
+         |SELECT q_id, doc_id, lex_rnk, vec_rnk, rrf, rnk FROM rr WHERE rnk <= $HybridTopK
+         |ORDER BY q_id, rnk""".stripMargin,
 
     // x83: x80's CTE chain with the md5 hash split — votes trained on
     // the base slice only, applied to the held-out rest (whose tokens

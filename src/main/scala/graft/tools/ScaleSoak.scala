@@ -113,6 +113,9 @@ object ScaleSoak {
     // x82 batch form: the incoming->base band probe — cost tracks
     // collisions like x55's, never |incoming|*|base|
     "x82_incremental_knn", "x83_classifier_split",
+    // x84: x79's fusion with the equi-join IVF dense arm — the line
+    // whose slope should READ like x73's, not like the brute scan's
+    "x84_hybrid_rrf_ivf",
     // round-10 stretch: the exact-rank length gate vs its approx-
     // quantile twin (sketch bounds + broadcast filter — the 100 TB form
     // x67's Scaladoc promised; proximity spec-gated, cost soaked here)

@@ -1492,6 +1492,25 @@ class RetrievalSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("x84: IVF dense arm fuses; ranks contiguous; arm ranks bounded") {
+    val r = graft.queries.Extensions.x84_hybrid_rrf_ivf(
+        spark, "/root/testdata/sf0.001").collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to sorted.length).toSeq)
+      sorted.foreach { row =>
+        val lex = Option(row.getAs[java.lang.Long]("lex_rnk"))
+        val vec = Option(row.getAs[java.lang.Long]("vec_rnk"))
+        assert(lex.nonEmpty || vec.nonEmpty)
+        assert(lex.forall(_ <= graft.queries.Extensions.HybridArmK) &&
+          vec.forall(_ <= graft.queries.Extensions.HybridArmK))
+      }
+    }
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("hybridRrfTopK: universe is docs ∩ embeddings; no self-retrieval") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),
