@@ -735,6 +735,14 @@ object ScaleSoak {
     sb.append("  x82's incremental form (incoming probing the STORED base band\n")
     sb.append("  index — the x55 split) prices the ingest path: 1.3 -> 6.0 s\n")
     sb.append("  across x3 -> x30 (slope 4.7), output exactly |incoming|*k.\n")
+    sb.append("  x84 (x79's fusion with the trained-cells IVF dense arm) reads\n")
+    sb.append("  near-FLAT (4.9 -> 7.5 s across x3 -> x30, slope 1.5) with a ~5 s\n")
+    sb.append("  CONSTANT the brute-arm x79 doesn't pay: the IVF arm trains its\n")
+    sb.append("  cells per run. The cross-over is the production argument in\n")
+    sb.append("  miniature - at 10 fixed queries the exact scan (x79) is cheaper\n")
+    sb.append("  through x30, and the trained arm wins only when the index\n")
+    sb.append("  amortizes over many queries or a corpus the scan can't afford;\n")
+    sb.append("  both forms are gated, so the swap is a one-argument change.\n")
     sb.append("  Decade cells (fresh-JVM): x78 x100 = 24.4 s with rows EXACTLY\n")
     sb.append("  n*k = 600,000 (slope x100/x10 = 11.8 — linear through the decade;\n")
     sb.append("  the 65k-key sampled geometry holds buckets at ~3 members even at\n")
