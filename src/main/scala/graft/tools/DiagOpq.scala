@@ -1,0 +1,81 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.ext.{ExtCaches, Similarity}
+import graft.queries.Extensions
+import graft.tables.Tables
+
+/** OPQ-style rotation, the measurement (the one ANN design note left
+  * unmeasured after round 10's x76/x77/256-codeword work): product
+  * quantization splits dims into m CONTIGUOUS subspaces, so its
+  * reconstruction error depends on how variance correlates across that
+  * split — OPQ (Ge et al., CVPR'13) learns a rotation to balance it.
+  * The deterministic stand-in here is a seed-derived coordinate
+  * PERMUTATION applied before the split (a signed permutation is an
+  * orthogonal transform — the lightest member of the OPQ family, and
+  * the only one that keeps the fixed-point pipeline exactly integer):
+  * recall@3 and shortlist coverage for the identity vs three permuted
+  * groupings at the shipped 64-codeword rate.
+  *
+  * Expected on THIS corpus: ≈ no change — the synthetic embedding dims
+  * are i.i.d., so every grouping carries the same variance and there
+  * is nothing for a rotation to balance. The measurement still earns
+  * its keep: it prices the knob (zero extra plan cost — one transform
+  * in the quantize projection), demonstrates where it plugs in, and
+  * records that the win only exists on CORRELATED real embeddings —
+  * the honest claim a production deployment needs before reaching for
+  * full learned OPQ. */
+object DiagOpq {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.sparkContext.setLogLevel("ERROR")
+    val dims = Extensions.EmbeddingDims
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < Extensions.QuerySetSize)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 3)
+      .select(col("q_id"), col("c_id")).cache()
+    val nExact = exact.count()
+    ExtCaches.clearCaches()
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("q_id"), col("c_id")).join(exact, Seq("q_id", "c_id")).count()
+
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    def permutation(seed: Long): IndexedSeq[Int] = {
+      val a = Array.tabulate(dims)(identity)
+      for (i <- dims - 1 to 1 by -1) {
+        val j = java.lang.Math.floorMod(mix(seed + i), i + 1)
+        val t = a(i); a(i) = a(j); a(j) = t
+      }
+      a.toIndexedSeq
+    }
+
+    for ((tag, perm) <- Seq(
+        ("identity", IndexedSeq.tabulate(dims)(identity)),
+        ("perm-seed1", permutation(1L)),
+        ("perm-seed2", permutation(2L)),
+        ("perm-seed3", permutation(3L)))) {
+      val permuted = array(perm.map(i => element_at(col("embedding"), i + 1)): _*)
+      val ep = e.select(col("vec_id"), permuted.as("embedding"))
+      val qp = ep.filter(col("vec_id") < Extensions.QuerySetSize)
+      val top50 = Similarity.pqTopK(ep, qp, "vec_id", "embedding", k = 50,
+        m = Extensions.PqM, codes = Extensions.PqCodes,
+        lloydRounds = Extensions.PqLloydRounds, dims = dims).cache()
+      val r3 = hits(top50.filter(col("rnk") <= 3))
+      val c10 = hits(top50.filter(col("rnk") <= 10))
+      val c50 = hits(top50)
+      println(f"[diagopq] $tag%-11s recall@3 $r3/$nExact  " +
+        f"top3⊆ADCtop10 $c10/$nExact  ⊆top50 $c50/$nExact")
+      top50.unpersist()
+      ExtCaches.clearCaches()
+    }
+    spark.stop()
+  }
+}
