@@ -385,11 +385,26 @@ class PlanSpec extends SparkSpec {
         "x65_stream_dedup_replay", "x55_incremental_lsh_stream",
         "x82_incremental_knn_stream")
 
+    // Plan-SIZE ceiling (round-10 lesson — the Lloyd-chain explosion):
+    // chained iterative constructions can leave plan DAGs that render —
+    // and are TRAVERSED by Catalyst's visitors — as exponentially large
+    // trees (x77 pre-fix: 166k lines / 8,145 InMemoryTableScans for one
+    // relation, ~3 s of driver plan work per action). Post-fix the
+    // fleet's largest rendered plan sits well under 20k lines; the
+    // ceiling catches any operator that re-grows one.
+    val maxPlanLines = 50000
+
     val violations = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => eagerStreamTwins.contains(name) }
       .flatMap { case (name, fn) =>
       val plan = fn(spark, dir).queryExecution.sparkPlan
-      physicalTrees(plan).flatMap(_.collect {
+      val planLines = plan.toString.linesIterator.length
+      val sizeViolation =
+        if (planLines <= maxPlanLines) Nil
+        else Seq(s"$name: rendered plan is $planLines lines (> $maxPlanLines) " +
+          "— an iterative construction is chaining lineage again; truncate " +
+          "per round (localCheckpoint, see Similarity.cpTracked)")
+      sizeViolation ++ physicalTrees(plan).flatMap(_.collect {
         case c: CartesianProductExec =>
           Some(s"$name: CartesianProduct\n${c.simpleStringWithNodeId()}")
         case b: BroadcastNestedLoopJoinExec
