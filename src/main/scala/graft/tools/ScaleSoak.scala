@@ -143,6 +143,24 @@ object ScaleSoak {
         w = 3, threshold = graft.queries.Extensions.JaccardThreshold,
         dfCap = Some(50))
         .orderBy(col("id_a"), col("id_b"))),
+    // x79's lexical arm under the boilerplate tail: every QUERY doc
+    // carries the corpus-wide header shingles, so the uncapped probe
+    // reads the header's full posting lists (|queries| * corpus-df rows)
+    // — the retrieval rendition of the x02 hazard. The df-cap twin drops
+    // the header shingles from the index; the BM25 idf term does the
+    // same thing smoothly in a production ranker.
+    "x79_dfcap50" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Retrieval.hybridRrfTopK(
+        graft.tables.Tables.documents(s, dir),
+        graft.tables.Tables.embeddings(s, dir),
+        graft.tables.Tables.documents(s, dir)
+          .filter(col("doc_id") < graft.queries.Extensions.QuerySetSize),
+        "doc_id", "text", "vec_id", "embedding",
+        armK = graft.queries.Extensions.HybridArmK,
+        k = graft.queries.Extensions.HybridTopK,
+        rrfC = graft.queries.Extensions.RrfC,
+        dfCap = Some(50))
+        .orderBy(col("q_id"), col("rnk"))),
     "x52_dfcap50" -> ((s: SparkSession, dir: String) =>
       graft.ext.Dedup.containmentPairs(
         graft.tables.Tables.documents(s, dir), "doc_id", "text",
@@ -297,6 +315,9 @@ object ScaleSoak {
   val BoilerFamily: Seq[String] = Seq(
     "x02_dfcap50", "x51_jaccard_prefix", "x52_dfcap50",
     "x55_incremental_lsh",
+    // round-10: the retrieval arm under the header — uncapped x79 pays
+    // the header posting lists per query, the df-cap twin drops them
+    "x79_hybrid_rrf", "x79_dfcap50",
     // round-9: the header's char q-grams are corpus-wide df — exactly
     // what the df-rarity prefix must refuse to select; the b-dirs make
     // that claim a measurement (round-8 asserted it by analogy to x02)
@@ -478,6 +499,16 @@ object ScaleSoak {
     sb.append("b100/b10 = 10.0 — the char-q-gram rarity prefix refuses the\n")
     sb.append("corpus-wide header grams, so boilerplate costs x62 a constant\n")
     sb.append("~2x, never a slope.\n\n")
+    sb.append("Round 10 added the RETRIEVAL arm under the header (x79 rows\n")
+    sb.append("below): the honest finding is that with a FIXED query set the\n")
+    sb.append("uncapped probe stays flat (2.5/1.9/2.6 s at b3/b10/b30 — the\n")
+    sb.append("header posting lists cost |queries| x corpus-df join rows, ~1.5M\n")
+    sb.append("at b30 for 10 queries) and the df-cap twin is marginally SLOWER\n")
+    sb.append("(its corpus-wide df aggregate scans the whole index to save a\n")
+    sb.append("bounded probe). The cap pays in retrieval only when |queries|\n")
+    sb.append("scales with the corpus (batch retrieval / all-pairs — where the\n")
+    sb.append("x02/x52 rows already price it); a production ranker's BM25 idf\n")
+    sb.append("term damps header terms smoothly without either knob.\n\n")
     if (renderMode)
       sb.append("THIS FILE IS RENDERED from `soak_cells.tsv` (see SCALING.md's\n" +
         "ledger note); the b-prefixed dirs are the boilerplate variant's\n" +
