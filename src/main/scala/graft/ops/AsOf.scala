@@ -45,7 +45,7 @@ object AsOf {
     val l = left.select(keyCols :+
       col(leftTs).as("_ts") :+
       lit(leftSide).as("_side") :+
-      struct(left.columns.map(col): _*).as("_lrow") :+
+      struct(left.columns.toIndexedSeq.map(col): _*).as("_lrow") :+
       lit(null).cast(left.schema(leftTs).dataType).as("_rts"): _*)
     val r = right
       .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)

@@ -431,7 +431,7 @@ object ScaleSoak {
     val (plainCells, boilerCells) = cells.partition(c => !c.dir.startsWith("b"))
     val sb = new StringBuilder
     sb.append(plainPreamble(renderMode = true))
-    sb.append(plainFindings)
+    sb.append(plainFindings())
     sb.append(renderTables(plainCells, Family,
       Seq("sf0.01", "sf0.1", "x3", "x10", "x30", "x100"),
       Seq(("slope x30/x3 (10x)", "x3", "x30"),
@@ -985,7 +985,7 @@ object ScaleSoak {
     if (boiler) sb.append(boilerPreamble(renderMode = false))
     else {
       sb.append(plainPreamble(renderMode = false, coldReps))
-      sb.append(plainFindings)
+      sb.append(plainFindings())
     }
     val labels = dirs.map(_._1)
     sb.append(s"| query | ${labels.mkString(" | ")} | " +
