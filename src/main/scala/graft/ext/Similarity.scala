@@ -179,18 +179,24 @@ object Similarity {
     * DuckDB oracle generator (graft.queries.Extensions), so the Spark
     * expression and the oracle SQL sample identical coordinates by
     * construction, not by parallel reimplementation. */
-  def sampledCoords(bands: Int, bitsPerBand: Int, dims: Int,
-                    seed: Long): IndexedSeq[IndexedSeq[Int]] = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    IndexedSeq.tabulate(bands, bitsPerBand) { (j, i) =>
-      java.lang.Math.floorMod(mix(seed + j * 131L + i), dims)
-    }
+  /** The driver-side deterministic mixer every seed-derived choice in the
+    * family flows through (band coordinate sampling here, the OPQ
+    * permutation diagnostic in [[graft.tools.DiagOpq]]): splitmix64's
+    * finalizer (Steele/Lea/Flood, OOPSLA'13 — public domain reference
+    * constants). ONE spelling so a future change cannot silently
+    * diverge the consumers' draws. */
+  private[graft] def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
   }
+
+  def sampledCoords(bands: Int, bitsPerBand: Int, dims: Int,
+                    seed: Long): IndexedSeq[IndexedSeq[Int]] =
+    IndexedSeq.tabulate(bands, bitsPerBand) { (j, i) =>
+      java.lang.Math.floorMod(splitmix64(seed + j * 131L + i), dims)
+    }
 
   /** Band keys for [[cosineNearDupPairsSampled]] given a precomputed
     * signature; coordinate choice comes from [[sampledCoords]]. */
@@ -674,7 +680,20 @@ object Similarity {
     * costing ~3 s of driver-side plan work per action and ~25 s for the
     * full query. Checkpointing each round roots it at a LogicalRDD and
     * the whole family re-plans in milliseconds (x77 25.6 → 3.9 s cold,
-    * x76 5.2 → 2.5 s — same hash-gated output). */
+    * x76 5.2 → 2.5 s — same hash-gated output).
+    *
+    * HOLD-ACROSS-clearCaches HAZARD (deliberate, and different from
+    * [[ExtCaches.persistTracked]]): localCheckpoint TRUNCATES lineage,
+    * so once [[ExtCaches.clearCaches]] releases the checkpoint blocks, a
+    * still-held DataFrame derived from these stats CANNOT recompute —
+    * its next action fails with a missing-block error, where a released
+    * persist would silently (and expensively) recompute. That loud
+    * failure is the intended contract: every registry query constructs,
+    * runs, and dumps its result before any clearCaches, and a caller
+    * that stashes a trained-stats derivative across a clearCaches has a
+    * stale-model bug this surfaces instead of masking. Consumers that
+    * legitimately outlive a cache epoch must re-invoke the query
+    * function (retraining from source), not re-act on the held frame. */
   private def cpTracked(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint(true)
     ExtCaches.trackReleasable(() =>

@@ -1576,23 +1576,36 @@ object Extensions {
     * as a zero term, so the operator also exercises the missing-arm
     * path at every scale.
     *
-    * Precondition (asserted loudly, the x59 discipline): the oracle's
-    * dense chain quantizes and trains over the FULL embeddings table,
-    * so the docs ∩ embs universe must equal embeddings — i.e. every
-    * embedded id has a document. True of every driver corpus; a future
-    * corpus violating it fails with this message instead of an opaque
-    * hash mismatch. */
+    * Precondition (asserted loudly, the x59 discipline — but LAZY, in
+    * the plan itself): the oracle's dense chain quantizes and trains
+    * over the FULL embeddings table, so the docs ∩ embs universe must
+    * equal embeddings — i.e. every embedded id has a document. True of
+    * every driver corpus; a future corpus violating it fails with this
+    * message instead of an opaque hash mismatch. The guard is an
+    * `assert_true` over the anti-join's 1-row count anchor, cross-joined
+    * into the result (the allowlisted 1-row broadcast form), so merely
+    * CONSTRUCTING the DataFrame costs nothing — PlanSpec's fleet plan
+    * sweep enumerates the registry without paying a Spark job here (the
+    * round-10 advice fix), and the check runs exactly when the query
+    * does. At 100 TB the full anti-join per run is the knob to revisit:
+    * swap `embs` below for a [[Sampling.hashThresholdPredicate]] slice
+    * (a probabilistic tripwire) and keep the exhaustive form as a
+    * corpus-onboarding check — the guard's message is the contract, not
+    * its sampling rate. */
   def x84_hybrid_rrf_ivf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val embs = Tables.embeddings(s, dir)
-    val orphans = embs.select(col("vec_id").as("doc_id"))
-      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .count()
-    require(orphans == 0L,
-      s"x84 oracle precondition violated: $orphans embeddings lack a " +
-        "document row — the oracle trains its IVF over ALL embeddings " +
-        "while the engine restricts to docs ∩ embs. Restrict the oracle's " +
-        "qv CTE to the semi-joined universe before scaling this gate.")
+    val guard = broadcast(
+      embs.select(col("vec_id").as("doc_id"))
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(assert_true(col("n_orphans") === 0L,
+          concat(lit("x84 oracle precondition violated: "), col("n_orphans"),
+            lit(" embeddings lack a document row — the oracle trains its " +
+              "IVF over ALL embeddings while the engine restricts to " +
+              "docs ∩ embs. Restrict the oracle's qv CTE to the " +
+              "semi-joined universe before scaling this gate.")))
+          .as("precondition_ok")))
     graft.ext.Retrieval.hybridRrfTopK(
         docs, embs, docs.filter(col("doc_id") < QuerySetSize),
         "doc_id", "text", "vec_id", "embedding",
@@ -1603,6 +1616,9 @@ object Extensions {
               lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
             .select(col("q_id"), col("c_id").as("id"),
               col("rnk").as("vec_rnk")))
+      .crossJoin(guard)
+      .filter(col("precondition_ok").isNull)
+      .drop("precondition_ok")
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -1704,6 +1720,27 @@ object Extensions {
       stageTableLanding(dir, "embeddings", landing, "vecs")
       val inBase = Sampling.hashThresholdPredicate(col("vec_id"), BaseFrac)
       val base = Tables.embeddings(s, dir).filter(inBase)
+      // Loud precondition (the x84/x59 discipline, round-10 advice): the
+      // processor SATURATES any bucket past KnnStreamBucketCap (members
+      // cleared, candidates silently dropped) while the gated batch
+      // oracle applies no cap — so a base corpus whose worst band bucket
+      // exceeds the cap would fail the stream-equals-batch gate as an
+      // opaque hash mismatch. Measure the worst bucket up front and fail
+      // with the real message instead. One aggregate over the base band
+      // rows — noise next to the stream run this function already pays.
+      val maxBucket = graft.streaming.AnnStreams
+        .bandVecs(base, "vec_id", "embedding", SampledBands,
+          SampledBandBits, EmbeddingDims, SampledSeed)
+        .groupBy(col("bkey")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(max(col("n")), lit(0L)).as("mx"))
+        .first().getLong(0)
+      require(maxBucket <= KnnStreamBucketCap,
+        s"x82_stream precondition violated: worst base band bucket holds " +
+          s"$maxBucket vectors > KnnStreamBucketCap=$KnnStreamBucketCap — " +
+          "the stream twin would saturate that bucket and silently drop " +
+          "candidates the uncapped batch oracle keeps. Raise the cap to " +
+          "at least the measured max (or shard the hot bucket) before " +
+          "gating this corpus.")
       val incoming = s.readStream.schema(embSchema)
         .option("maxFilesPerTrigger", streamMaxFiles)
         .parquet(landing.toString)

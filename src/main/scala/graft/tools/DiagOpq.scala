@@ -42,16 +42,13 @@ object DiagOpq {
     def hits(df: org.apache.spark.sql.DataFrame): Long =
       df.select(col("q_id"), col("c_id")).join(exact, Seq("q_id", "c_id")).count()
 
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
+    // Fisher-Yates over the family's shared splitmix64 mixer (ONE
+    // spelling — Similarity.splitmix64 — so the diagnostic's draws can
+    // never silently diverge from the band-sampling geometry's).
     def permutation(seed: Long): IndexedSeq[Int] = {
       val a = Array.tabulate(dims)(identity)
       for (i <- dims - 1 to 1 by -1) {
-        val j = java.lang.Math.floorMod(mix(seed + i), i + 1)
+        val j = java.lang.Math.floorMod(Similarity.splitmix64(seed + i), i + 1)
         val t = a(i); a(i) = a(j); a(j) = t
       }
       a.toIndexedSeq
