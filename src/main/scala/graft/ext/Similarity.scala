@@ -416,6 +416,55 @@ object Similarity {
       .select(col("vec_id"), col("base_id"), col("cosine"), col("rnk"))
   }
 
+  /** Banding-recall audit of [[knnGraph]] — the x50/x64/x71 "measure,
+    * don't guess" discipline applied to the one approximate structure
+    * that lacked it: per node, how much of the node's TRUE top-k (exact
+    * cosine over the full corpus — the [[bruteForceTopK]] kernel with
+    * every node as a query) survives the sampled-band candidate
+    * generation into the banded graph's edge set. Output per node:
+    * `n_exact` = |exact top-k| (min(k, n−1)), `hits_banded` = |exact ∩
+    * banded edges|, `recall_at_k` = one IEEE divide of those integers —
+    * the number x81's clustering and x82's ingest inherit.
+    *
+    * Both sides run the SAME quantized-cosine kernel with the SAME
+    * deterministic tiebreak (cosine desc, id), so a miss is a BANDING
+    * miss by construction — a true neighbor that never shared a sampled
+    * band with its node — never a scoring or tie artifact.
+    *
+    * Scale: the audit's denominator is intrinsically O(|nodes|·n) exact
+    * scores — that is what "true top-k" means — so at corpus scale the
+    * audit runs on a node SAMPLE: pass `nodePredicate` (e.g.
+    * [[graft.ext.Sampling.hashThresholdPredicate]] over the id) to
+    * restrict the exact side's queries while the banded graph under
+    * audit is still built over the FULL corpus. Per-node recall is an
+    * independent Bernoulli-ish draw, so the sampled mean estimates the
+    * corpus recall with the usual √n error bars; the registry gate runs
+    * unsampled (the corpus is audit-sized there). */
+  def knnGraphRecall(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     bands: Int = 16, bitsPerBand: Int = 16, dims: Int = 64,
+                     seed: Long = 0x5EEDL,
+                     nodePredicate: Option[Column] = None): DataFrame = {
+    val e = df.select(col(idCol), col(vecCol))
+    val queries = nodePredicate.fold(e)(e.filter(_))
+    // Persisted: the exact set feeds both the denominator count and the
+    // overlap join (the ivfRecallCompare barrier, same reason).
+    val exact = ExtCaches.persistTracked(
+      bruteForceTopK(e, queries, idCol, vecCol, k)
+        .select(col("q_id").as("src_id"), col("c_id").as("nbr_id")))
+    val banded = knnGraph(e, idCol, vecCol, k, bands, bitsPerBand, dims, seed)
+      .select(col("src_id"), col("nbr_id"))
+    val nExact = exact.groupBy(col("src_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val hits = exact.join(banded, Seq("src_id", "nbr_id"), "left_semi")
+      .groupBy(col("src_id")).agg(count(lit(1)).as("hits_banded"))
+    nExact.join(hits, Seq("src_id"), "left")
+      .na.fill(0L, Seq("hits_banded"))
+      .withColumn("recall_at_k",
+        col("hits_banded").cast(DoubleType) / col("n_exact").cast(DoubleType))
+      .select(col("src_id"), col("n_exact"), col("hits_banded"),
+        col("recall_at_k"))
+  }
+
 
   /** Nearest-centroid assignment + cluster-purity matrix — the partition
     * step of SemDeDup-style semantic dedup (Abbas et al., 2023: cluster

@@ -1655,7 +1655,16 @@ object Extensions {
     * star rewrite closes the same graph in O(log n) rounds. A mutual-kNN
     * graph is chain-shaped BY CONSTRUCTION (each node contributes ≤ k
     * edges, so dup runs form paths, not cliques) — the high-diameter
-    * regime x20_star exists for is this operator's COMMON case. */
+    * regime x20_star exists for is this operator's COMMON case.
+    *
+    * Inherited approximation, MEASURED (x85, round 11): the banded seed
+    * graph keeps ~1 % of true top-k edges on this corpus (true cosines
+    * 0.25–0.60 — below the sampled banding's effective collision
+    * threshold), so these components partition by near-dup-strength
+    * collision, not by general semantic neighborhood. That is the
+    * SemDeDup use case (partition, then prune WITHIN), but a consumer
+    * wanting true semantic neighborhoods refines the seed graph first
+    * (x89 NN-descent) and clusters ITS mutual edges instead. */
   def x81_semantic_clusters(s: SparkSession, dir: String): DataFrame = {
     val g = Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = KnnGraphK, bands = SampledBands,
@@ -1774,6 +1783,41 @@ object Extensions {
       case None => s.conf.unset(provKey)
     }
   }
+
+  /** kNN-graph banding-recall audit (x85): the x71 discipline applied to
+    * x78 — per node, the overlap of the TRUE top-[[KnnGraphK]] (exact
+    * cosine over the full corpus, the x06 kernel) with the banded
+    * graph's edges. The number x81's clusters and x82's ingest inherit:
+    * a banded edge list is only as good as the fraction of true
+    * neighbors the 16×16 sampled geometry lets collide. Unsampled here
+    * (every node audited — the corpus is audit-sized at registry
+    * scale); [[Similarity.knnGraphRecall]]'s `nodePredicate` is the
+    * 100 TB knob.
+    *
+    * THE MEASURED FINDING (round 11, SCALING.md graph section): recall@3
+    * = 13/1500 (0.9%) at sf0.001, 14/1500 (0.9%) at sf0.01, 82/6000
+    * (1.4%) at sf0.1. The banded graph is NOT a generic kNN graph on
+    * this corpus — and the geometry says why: a 16-bit sampled sign
+    * band collides only when all 16 coordinate signs agree
+    * (P ≈ (1/2 + arcsin ρ / π)^16 per band), which at the corpus's true
+    * top-3 cosine regime (0.25–0.60; the corpus has NO pair above 0.61)
+    * is ~0.1 % per band, ~1.5 % over 16 bands. Even restricted to true
+    * edges with cosine ≥ 0.4 (x05's dup threshold) recall is 40/1802 at
+    * sf0.1 — the geometry only pays at near-identical cosines (≥ ~0.9,
+    * where per-band collision reaches ~8 % and 16 bands ~75 %), i.e. it
+    * is a NEAR-DUP candidate generator, as shipped for x05. Against it,
+    * x71's trained-cell IVF holds recall@3 = 16/30 at ~30 % probe mass —
+    * the measured justification for x89: NN-descent refinement of this
+    * seed graph (exact rescoring of neighbor-of-neighbor candidates,
+    * linear per round), which lifts the graph to the recall the banding
+    * alone cannot reach. x81's mutual-edge clusters and x82's ingest
+    * inherit THIS number, not an assumed one. */
+  def x85_knn_graph_recall(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphRecall(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = KnnGraphK, bands = SampledBands,
+        bitsPerBand = SampledBandBits, dims = EmbeddingDims,
+        seed = SampledSeed)
+      .orderBy(col("src_id"))
 
   /** Three-way coarse-quantizer recall table (x71): per query, the exact
     * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
@@ -2620,7 +2664,8 @@ object Extensions {
     "x82_incremental_knn" -> (x82_incremental_knn _),
     "x82_incremental_knn_stream" -> (x82_incremental_knn_stream _),
     "x83_classifier_split" -> (x83_classifier_split _),
-    "x84_hybrid_rrf_ivf" -> (x84_hybrid_rrf_ivf _))
+    "x84_hybrid_rrf_ivf" -> (x84_hybrid_rrf_ivf _),
+    "x85_knn_graph_recall" -> (x85_knn_graph_recall _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -4387,6 +4432,33 @@ object Extensions {
     // x78 band CTEs with the x55-style hash split, incoming probing base.
     "x82_incremental_knn" -> x82OracleSql,
     "x82_incremental_knn_stream" -> x82OracleSql,
+
+    // x85: the banded graph (the x78 CTE chain verbatim) audited against
+    // the exact per-node top-k (the x71 brute chain with EVERY node as a
+    // query). Integer counts + one final divide per node.
+    "x85_knn_graph_recall" ->
+      s"""WITH $knnEdgeCtes,
+         |g AS (SELECT src_id, nbr_id FROM r WHERE rnk <= $KnnGraphK),
+         |bs AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
+         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
+         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id),
+         |bt AS (
+         |  SELECT src_id, nbr_id FROM (
+         |    SELECT src_id, nbr_id,
+         |           row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rnk
+         |    FROM bs) WHERE rnk <= $KnnGraphK),
+         |ec AS (SELECT src_id, CAST(count(*) AS BIGINT) AS n_exact FROM bt GROUP BY 1),
+         |h AS (
+         |  SELECT bt.src_id, CAST(count(*) AS BIGINT) AS hits_banded
+         |  FROM bt JOIN g ON bt.src_id = g.src_id AND bt.nbr_id = g.nbr_id
+         |  GROUP BY 1)
+         |SELECT ec.src_id, ec.n_exact,
+         |       CAST(COALESCE(h.hits_banded, 0) AS BIGINT) AS hits_banded,
+         |       CAST(COALESCE(h.hits_banded, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE) AS recall_at_k
+         |FROM ec LEFT JOIN h USING (src_id)
+         |ORDER BY src_id""".stripMargin,
 
     // x84: x79's lexical arm + fusion verbatim, with the x73 trained-
     // cell SQ8 chain in the dense slot at armK depth. The dense chain

@@ -695,6 +695,30 @@ class SimilaritySpec extends SparkSpec {
     assert(g.isEmpty) // every band bucket holds 3 > cap rows
     graft.ext.ExtCaches.clearCaches()
   }
+
+  test("x85 recall audit: one row per node, subset arithmetic, and the banding finding") {
+    val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = e.count()
+    val r = graft.queries.Extensions
+      .x85_knn_graph_recall(spark, "/root/testdata/sf0.001").collect()
+    assert(r.length == n, "every node audited")
+    r.foreach { row =>
+      val (ne, h, rec) = (row.getAs[Long]("n_exact"),
+        row.getAs[Long]("hits_banded"), row.getAs[Double]("recall_at_k"))
+      assert(ne == math.min(graft.queries.Extensions.KnnGraphK.toLong, n - 1))
+      assert(h >= 0L && h <= ne, "hits must be a subset count")
+      assert(rec == h.toDouble / ne.toDouble)
+    }
+    // the round-11 finding this audit exists to pin: the 16x16 sampled
+    // banding is a near-dup candidate generator, not a generic kNN
+    // builder — on this corpus (true top-3 cosines 0.25-0.60) it keeps
+    // under 10% of true edges. If this ever FAILS upward, the corpus
+    // changed regime and the x81/x82 inheritance note needs remeasuring.
+    val (hits, tot) = (r.map(_.getAs[Long]("hits_banded")).sum,
+      r.map(_.getAs[Long]("n_exact")).sum)
+    assert(hits < tot / 10, s"banding recall jumped: $hits/$tot")
+    graft.ext.ExtCaches.clearCaches()
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
