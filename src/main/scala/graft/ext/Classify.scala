@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Model-based corpus filtering, the deterministic form — the
   * train-a-classifier-on-weak-labels / apply-it-corpus-wide loop that
@@ -67,6 +67,110 @@ object Classify {
     val w = trainVotes(train, labelCol, trainToks)
     val applyToks = distinctTokens(apply, idCol, textCol, None)
     applyVotes(apply.select(col(idCol).as("id")), applyToks, w, idCol)
+  }
+
+  /** Holdout effectiveness of the split classifier — the measurement
+    * that makes [[nbVoteScoresSplit]] a curation tool instead of a
+    * determinism demo: train on `train`, score `apply`, and confront
+    * the predictions with `apply`'s own weak labels (which played NO
+    * part in training). Output is ONE row: the integer 2×2 confusion
+    * counts (tp/fp/fn/tn over predicted = vote_score > 0 vs the label)
+    * and precision / recall / accuracy, each a single IEEE divide of
+    * those integers (NULL when its denominator is empty) — the x56
+    * matrix discipline, so the whole row hash-gates exactly.
+    *
+    * Scale shape: [[nbVoteScoresSplit]]'s plan plus one broadcast-sized
+    * label join (the apply frame already carries its label column) and
+    * one global aggregate — nothing new shuffles. */
+  def nbVoteConfusion(train: DataFrame, apply: DataFrame, idCol: String,
+                      labelCol: String, textCol: String): DataFrame = {
+    val scored = nbVoteScoresSplit(train, apply, idCol, labelCol, textCol)
+    val labels = apply.select(col(idCol), col(labelCol).as("label_pos"))
+    def rate(num: org.apache.spark.sql.Column,
+             den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(den === 0L, lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+    scored.join(labels, Seq(idCol))
+      .agg(
+        sum(when(col("label_pos") && col("predicted_pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("label_pos") && col("predicted_pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label_pos") && !col("predicted_pos"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("label_pos") && !col("predicted_pos"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision", rate(col("tp"), col("tp") + col("fp")))
+      .withColumn("recall", rate(col("tp"), col("tp") + col("fn")))
+      .withColumn("accuracy",
+        rate(col("tp") + col("tn"), col("tp") + col("fp") + col("fn") + col("tn")))
+  }
+
+  /** Calibrated holdout confusion — [[nbVoteConfusion]] with the ONE
+    * change its measurement demands: the decision cut is learned on the
+    * TRAINING slice instead of fixed at zero. x86 measured that every
+    * token's +1 vote piles onto every document, so the informative
+    * margin sits far above zero and `> 0` predicts all-positive; the
+    * production form of a score-based filter always calibrates its
+    * operating point on labeled training data (the holdout stays
+    * untouched — selection on the holdout would be the leakage x53
+    * exists to prevent).
+    *
+    * The calibration is exact integer arithmetic end to end, so it
+    * hash-gates: per distinct training score τ, correct(τ) =
+    * total_pos − cum_pos(≤ τ) + cum_neg(≤ τ) via ONE cumulative window
+    * over the ≤ |distinct scores| aggregated rows (plus a synthetic
+    * τ = min−1 row for the all-positive rule); argmax with the smallest-τ
+    * tiebreak. Output: one row — the chosen integer `threshold`, the
+    * holdout confusion cells at that cut, and the one-divide rates.
+    *
+    * Scale shape: everything [[nbVoteScoresSplit]] pays, plus one
+    * aggregate to |distinct scores| rows, one unpartitioned window OVER
+    * THAT REDUCED relation (scores are small integers — bounded by
+    * vocabulary hits per doc), and two 1-row broadcast anchors. */
+  def nbVoteCalibrated(train: DataFrame, apply: DataFrame, idCol: String,
+                       labelCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val trainToks = distinctTokens(train, idCol, textCol,
+      Some(col(labelCol).as("pos")))
+    val w = trainVotes(train, labelCol, trainToks)
+    val trainScores = applyVotes(
+      train.select(col(idCol).as("id"), col(labelCol).as("label_pos")),
+      trainToks, w, idCol)
+    val byScore = trainScores.groupBy(col("vote_score").as("tau"))
+      .agg(sum(when(col("label_pos"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("label_pos"), 1L).otherwise(0L)).as("nn"))
+    val floorRow = byScore.agg((min(col("tau")) - 1L).as("tau"))
+      .withColumn("np", lit(0L)).withColumn("nn", lit(0L))
+    val wCum = Window.orderBy(col("tau"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = broadcast(trainScores
+      .agg(sum(when(col("label_pos"), 1L).otherwise(0L)).as("total_pos")))
+    val best = broadcast(
+      byScore.unionByName(floorRow)
+        .withColumn("cpos", sum(col("np")).over(wCum))
+        .withColumn("cneg", sum(col("nn")).over(wCum))
+        .crossJoin(tot)
+        .withColumn("correct", col("total_pos") - col("cpos") + col("cneg"))
+        .orderBy(desc("correct"), col("tau"))
+        .limit(1)
+        .select(col("tau").as("threshold")))
+    val applyToks = distinctTokens(apply, idCol, textCol, None)
+    val applyScores = applyVotes(
+      apply.select(col(idCol).as("id"), col(labelCol).as("label_pos")),
+      applyToks, w, idCol)
+    def rate(num: org.apache.spark.sql.Column,
+             den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(den === 0L, lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+    val pred = col("vote_score") > col("threshold")
+    applyScores.crossJoin(best)
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("label_pos") && pred, 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("label_pos") && pred, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("label_pos") && !pred, 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("label_pos") && !pred, 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision", rate(col("tp"), col("tp") + col("fp")))
+      .withColumn("recall", rate(col("tp"), col("tp") + col("fn")))
+      .withColumn("accuracy",
+        rate(col("tp") + col("tn"), col("tp") + col("fp") + col("fn") + col("tn")))
   }
 
   /** (id[, pos], distinct token) exploded relation, materialized once —

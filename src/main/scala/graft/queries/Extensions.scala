@@ -379,7 +379,19 @@ object Extensions {
 
   /** Quality gate for x26: keeps ~75% of the corpus at every SF (the score
     * distribution's p25 sits at 0.5). Interpolated into BOTH the Spark
-    * filter and the oracle SQL so the two sides can never drift. */
+    * filter and the oracle SQL so the two sides can never drift.
+    *
+    * As the weak-label source for the classifier family, now PRICED
+    * (x86, round 11): a vote model trained on this gate's labels over
+    * the 75 % hash slice reproduces the gate on the held-out 25 % with
+    * accuracy 0.75/0.74/0.75 at sf0.001/0.01/0.1 under the naive
+    * vote_score > 0 rule (it predicts all-positive — recall 1.0,
+    * precision = base rate), and 0.93 at sf0.1 once the cut is
+    * calibrated on the training slice (x90). The gate itself is a
+    * deterministic function of the text, so these numbers measure how
+    * learnable the gate is from token evidence alone — the fidelity a
+    * production pipeline gets when it swaps the exact scorer for the
+    * cheaper trained filter on an unscored corpus. */
   val QualityGate = 0.5
 
   /** x26's target corpus language — the C4-style "keep documents the
@@ -1639,6 +1651,55 @@ object Extensions {
       .orderBy(col("doc_id"))
   }
 
+  /** Holdout confusion matrix for the split classifier (x86) — the
+    * round-10 verdict's missing quality number: x83's predictions on the
+    * held-out slice confronted with that slice's OWN weak labels (never
+    * seen in training). One row: integer tp/fp/fn/tn + one-divide
+    * precision/recall/accuracy — the measurement that prices the
+    * [[QualityGate]] threshold and the whole "model-based curation"
+    * claim.
+    *
+    * THE MEASURED FINDING (round 11): at the shipped decision rule
+    * (vote_score > 0) the classifier predicts POSITIVE for every
+    * held-out document — fn = tn = 0 at all three scale factors, recall
+    * 1.0, precision = the base rate (0.74–0.76) — i.e. as a FILTER it
+    * keeps everything. The score itself carries strong signal (held-out
+    * means 15.4 vs 25.9 by label at sf0.1; the best single cut reaches
+    * 93.3 % accuracy): every token's +1 vote piles onto every document,
+    * so the informative MARGIN sits far above zero and the fixed
+    * threshold never fires. The production fix is x90: calibrate the
+    * cut on the TRAINING slice (argmax training accuracy, integer
+    * cumulative counts, never touching the holdout) and re-measure —
+    * this row stays as the uncalibrated baseline the calibration is
+    * judged against. */
+  def x86_classifier_confusion(s: SparkSession, dir: String): DataFrame = {
+    val labeled = TextOps.qualityScore(Tables.documents(s, dir))
+      .withColumn("label_pos", col("quality_score") >= QualityGate)
+    val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
+    graft.ext.Classify.nbVoteConfusion(
+      labeled.filter(inBase), labeled.filter(!inBase),
+      "doc_id", "label_pos", "text")
+  }
+
+  /** Calibrated split classifier (x90) — x86's measured fix: the same
+    * train/holdout split, but the decision cut is the training-slice
+    * accuracy argmax (integer cumulative counts over the score
+    * distribution; the holdout is never touched) instead of the naive
+    * `> 0`. Output: the learned threshold + the holdout confusion at
+    * that cut. Measured (round 11): threshold 20/18/19 and holdout
+    * accuracy 0.884/0.907/0.933 (precision 0.95, recall 0.89-0.96) at
+    * sf0.001/0.01/0.1 vs x86's 0.76/0.74/0.75 all-positive baseline — calibration is where the vote model's
+    * signal (label-mean scores 15 vs 26) becomes a usable filter. See
+    * [[graft.ext.Classify.nbVoteCalibrated]]. */
+  def x90_classifier_calibrated(s: SparkSession, dir: String): DataFrame = {
+    val labeled = TextOps.qualityScore(Tables.documents(s, dir))
+      .withColumn("label_pos", col("quality_score") >= QualityGate)
+    val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
+    graft.ext.Classify.nbVoteCalibrated(
+      labeled.filter(inBase), labeled.filter(!inBase),
+      "doc_id", "label_pos", "text")
+  }
+
   /** Label-free semantic clustering (x81): connected components over the
     * MUTUAL edges of the x78 kNN graph — the SemDeDup partition step
     * derived from the embedding geometry alone, where x56/x59 require a
@@ -2665,7 +2726,9 @@ object Extensions {
     "x82_incremental_knn_stream" -> (x82_incremental_knn_stream _),
     "x83_classifier_split" -> (x83_classifier_split _),
     "x84_hybrid_rrf_ivf" -> (x84_hybrid_rrf_ivf _),
-    "x85_knn_graph_recall" -> (x85_knn_graph_recall _))
+    "x85_knn_graph_recall" -> (x85_knn_graph_recall _),
+    "x86_classifier_confusion" -> (x86_classifier_confusion _),
+    "x90_classifier_calibrated" -> (x90_classifier_calibrated _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -3247,6 +3310,42 @@ object Extensions {
        |  FROM scored)
        |SELECT vec_id, base_id, cosine, rnk FROM r WHERE rnk <= $KnnGraphK
        |ORDER BY vec_id, rnk""".stripMargin
+
+  /** The x83 split-classifier CTE chain — weak labels off the quality
+    * gate, the md5 hash split, votes trained on the base slice only,
+    * scores for the held-out rest. `lab` carries (doc_id, pos, in_base)
+    * one row per doc; `sc` the held-out scores. ONE spelling shared by
+    * x83 (the per-doc scores) and x86 (the holdout confusion matrix), so
+    * the measured effectiveness is provably the measurement OF the gated
+    * classifier, not of a drifted twin. */
+  private def classifierSplitCtes: String =
+    s"""$qualityGateCte,
+       |lab AS (
+       |  SELECT q.doc_id, qt.t, (q.quality_score >= $QualityGate) AS pos,
+       |         substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base
+       |  FROM qq q JOIN qtoks qt USING (doc_id)),
+       |dt AS (
+       |  SELECT doc_id, pos, in_base, unnest(list_distinct(t)) AS token FROM lab),
+       |tot AS (
+       |  SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+       |  FROM lab WHERE in_base),
+       |w AS (
+       |  SELECT token,
+       |         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_df,
+       |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS neg_df
+       |  FROM dt WHERE in_base GROUP BY 1),
+       |v AS (
+       |  SELECT token,
+       |         CASE WHEN pos_df * n_neg > neg_df * n_pos THEN 1
+       |              WHEN pos_df * n_neg < neg_df * n_pos THEN -1
+       |              ELSE 0 END AS vote
+       |  FROM w, tot),
+       |sc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_vocab_tokens,
+       |         CAST(SUM(vote) AS BIGINT) AS vote_score
+       |  FROM dt JOIN v USING (token)
+       |  WHERE NOT in_base GROUP BY 1)""".stripMargin
 
   /** The x78 kNN-edge CTE chain — quantize, norm, sampled band rows,
     * DIRECTED candidates, exact cosine, per-source rank window. `r`
@@ -4528,37 +4627,12 @@ object Extensions {
          |SELECT q_id, doc_id, lex_rnk, vec_rnk, rrf, rnk FROM rr WHERE rnk <= $HybridTopK
          |ORDER BY q_id, rnk""".stripMargin,
 
-    // x83: x80's CTE chain with the md5 hash split — votes trained on
+    // x83: x80's CTE chain with the md5 hash split (classifierSplitCtes,
+    // shared verbatim with x86's confusion matrix) — votes trained on
     // the base slice only, applied to the held-out rest (whose tokens
     // outside the training vocabulary simply find no weight row).
     "x83_classifier_split" ->
-      s"""WITH $qualityGateCte,
-         |lab AS (
-         |  SELECT q.doc_id, qt.t, (q.quality_score >= $QualityGate) AS pos,
-         |         substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base
-         |  FROM qq q JOIN qtoks qt USING (doc_id)),
-         |dt AS (
-         |  SELECT doc_id, pos, in_base, unnest(list_distinct(t)) AS token FROM lab),
-         |tot AS (
-         |  SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
-         |  FROM lab WHERE in_base),
-         |w AS (
-         |  SELECT token,
-         |         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_df,
-         |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS neg_df
-         |  FROM dt WHERE in_base GROUP BY 1),
-         |v AS (
-         |  SELECT token,
-         |         CASE WHEN pos_df * n_neg > neg_df * n_pos THEN 1
-         |              WHEN pos_df * n_neg < neg_df * n_pos THEN -1
-         |              ELSE 0 END AS vote
-         |  FROM w, tot),
-         |sc AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_vocab_tokens,
-         |         CAST(SUM(vote) AS BIGINT) AS vote_score
-         |  FROM dt JOIN v USING (token)
-         |  WHERE NOT in_base GROUP BY 1)
+      s"""WITH $classifierSplitCtes
          |SELECT l.doc_id,
          |       COALESCE(sc.n_vocab_tokens, 0) AS n_vocab_tokens,
          |       COALESCE(sc.vote_score, 0) AS vote_score,
@@ -4566,6 +4640,84 @@ object Extensions {
          |FROM (SELECT DISTINCT doc_id FROM lab WHERE NOT in_base) l
          |LEFT JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // x86: the x83 chain verbatim, predictions confronted with the
+    // held-out slice's own weak labels — integer confusion counts, then
+    // one divide per rate (NULL on an empty denominator).
+    "x86_classifier_confusion" ->
+      s"""WITH $classifierSplitCtes,
+         |pred AS (
+         |  SELECT l.doc_id, l.pos AS label_pos,
+         |         COALESCE(sc.vote_score, 0) > 0 AS predicted_pos
+         |  FROM (SELECT DISTINCT doc_id, pos FROM lab WHERE NOT in_base) l
+         |  LEFT JOIN sc USING (doc_id)),
+         |m AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN label_pos AND predicted_pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN NOT label_pos AND predicted_pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN label_pos AND NOT predicted_pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN NOT label_pos AND NOT predicted_pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM pred)
+         |SELECT tp, fp, fn, tn,
+         |       CASE WHEN tp + fp = 0 THEN NULL
+         |            ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS "precision",
+         |       CASE WHEN tp + fn = 0 THEN NULL
+         |            ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+         |       CASE WHEN tp + fp + fn + tn = 0 THEN NULL
+         |            ELSE CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) END AS accuracy
+         |FROM m""".stripMargin,
+
+    // x90: the x83/x86 chain verbatim, plus in-sample TRAINING scores
+    // (sct), the integer threshold sweep over the reduced score
+    // distribution (correct(tau) = total_pos - cum_pos + cum_neg, with
+    // the synthetic min-1 all-positive candidate), argmax with the
+    // smallest-tau tiebreak, and the holdout confusion at that cut.
+    "x90_classifier_calibrated" ->
+      s"""WITH $classifierSplitCtes,
+         |sct AS (
+         |  SELECT doc_id, CAST(SUM(vote) AS BIGINT) AS vote_score
+         |  FROM dt JOIN v USING (token)
+         |  WHERE in_base GROUP BY 1),
+         |ts AS (
+         |  SELECT l.doc_id, l.pos, COALESCE(sct.vote_score, 0) AS vs
+         |  FROM (SELECT DISTINCT doc_id, pos FROM lab WHERE in_base) l
+         |  LEFT JOIN sct USING (doc_id)),
+         |cand AS (
+         |  SELECT vs AS tau,
+         |         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS nn
+         |  FROM ts GROUP BY 1
+         |  UNION ALL
+         |  SELECT CAST(min(vs) - 1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM ts),
+         |cum AS (
+         |  SELECT tau,
+         |         SUM(np) OVER (ORDER BY tau ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
+         |         SUM(nn) OVER (ORDER BY tau ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cneg
+         |  FROM cand),
+         |ttot AS (
+         |  SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS total_pos FROM ts),
+         |best AS (
+         |  SELECT CAST(tau AS BIGINT) AS threshold FROM cum, ttot
+         |  ORDER BY (total_pos - cpos + cneg) DESC, tau LIMIT 1),
+         |hold AS (
+         |  SELECT l.doc_id, l.pos AS label_pos, COALESCE(sc.vote_score, 0) AS vs
+         |  FROM (SELECT DISTINCT doc_id, pos FROM lab WHERE NOT in_base) l
+         |  LEFT JOIN sc USING (doc_id)),
+         |m AS (
+         |  SELECT b.threshold,
+         |    CAST(SUM(CASE WHEN label_pos AND vs > b.threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN NOT label_pos AND vs > b.threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN label_pos AND vs <= b.threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN NOT label_pos AND vs <= b.threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM hold, best b GROUP BY 1)
+         |SELECT threshold, tp, fp, fn, tn,
+         |       CASE WHEN tp + fp = 0 THEN NULL
+         |            ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS "precision",
+         |       CASE WHEN tp + fn = 0 THEN NULL
+         |            ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+         |       CASE WHEN tp + fp + fn + tn = 0 THEN NULL
+         |            ELSE CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) END AS accuracy
+         |FROM m""".stripMargin,
 
     // x79: both arms over the docs ∩ embeddings universe; the RRF score
     // is two COALESCE'd single-divide terms summed once — two-term IEEE

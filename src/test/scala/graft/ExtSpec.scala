@@ -1624,4 +1624,85 @@ class ClassifySpec extends SparkSpec {
     assert(agree.toDouble / n > 0.5, s"agreement $agree/$n not above chance")
     graft.ext.ExtCaches.clearCaches()
   }
+
+  test("nbVoteConfusion: cells partition the holdout; rates are the cell ratios") {
+    val train = Seq(
+      (0L, true, "good clean prose"),
+      (1L, true, "good clean text"),
+      (2L, false, "spam junk noise"),
+      (3L, false, "spam junk garbage")).toDF("doc_id", "label_pos", "text")
+    val apply = Seq(
+      (10L, true, "good clean material"),   // predicted pos, labeled pos: tp
+      (11L, true, "spam junk material"),    // predicted neg, labeled pos: fn
+      (12L, false, "good clean stuff"),     // predicted pos, labeled neg: fp
+      (13L, false, "wholly novel words")).  // score 0 -> neg, labeled neg: tn
+      toDF("doc_id", "label_pos", "text")
+    val r = Classify.nbVoteConfusion(train, apply, "doc_id", "label_pos", "text")
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (tp, fp, fn, tn) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"),
+      row.getAs[Long]("fn"), row.getAs[Long]("tn"))
+    assert((tp, fp, fn, tn) == ((1L, 1L, 1L, 1L)))
+    assert(row.getAs[Double]("precision") == 0.5)
+    assert(row.getAs[Double]("recall") == 0.5)
+    assert(row.getAs[Double]("accuracy") == 0.5)
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("nbVoteCalibrated: threshold is the training-accuracy argmax (smallest-tau tiebreak)") {
+    val train = Seq(
+      (0L, true, "good clean prose"),
+      (1L, true, "good clean text"),
+      (2L, false, "spam junk noise"),
+      (3L, false, "spam junk garbage")).toDF("doc_id", "label_pos", "text")
+    val apply = Seq(
+      (10L, true, "good clean material"),   // v=2  > -3 -> pos: tp
+      (11L, true, "spam junk material"),    // v=-2 > -3 -> pos: tp
+      (12L, false, "good clean stuff"),     // v=2  > -3 -> pos: fp
+      (13L, false, "wholly novel words")).  // v=0  > -3 -> pos: fp
+      toDF("doc_id", "label_pos", "text")
+    // training scores are +3 (pos docs) and -3 (neg docs): tau=-3 gets all
+    // four right; tau=-4 (all-positive) and tau=+3 (all-negative) get two.
+    val r = Classify.nbVoteCalibrated(train, apply, "doc_id", "label_pos", "text")
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("threshold") == -3L)
+    assert((row.getAs[Long]("tp"), row.getAs[Long]("fp"),
+      row.getAs[Long]("fn"), row.getAs[Long]("tn")) == ((2L, 2L, 0L, 0L)))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("x90 on the corpus: calibration turns the all-positive x86 baseline into a real filter") {
+    val dir = "/root/testdata/sf0.001"
+    val cal = graft.queries.Extensions
+      .x90_classifier_calibrated(spark, dir).collect()(0)
+    val base = graft.queries.Extensions
+      .x86_classifier_confusion(spark, dir).collect()(0)
+    // same holdout partitioned by both
+    val n = Seq("tp", "fp", "fn", "tn").map(cal.getAs[Long]).sum
+    assert(n == Seq("tp", "fp", "fn", "tn").map(base.getAs[Long]).sum)
+    // the measured round-11 facts this operator exists for: the baseline
+    // predicts all-positive; the calibrated cut actually rejects docs and
+    // beats the baseline's accuracy on the holdout.
+    assert(base.getAs[Long]("fn") == 0L && base.getAs[Long]("tn") == 0L)
+    assert(cal.getAs[Long]("tn") > 0L, "calibrated filter must reject something")
+    assert(cal.getAs[Double]("accuracy") > base.getAs[Double]("accuracy"))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("x86 on the corpus: cells sum to the holdout size; rates match the cells") {
+    val dir = "/root/testdata/sf0.001"
+    val r = graft.queries.Extensions.x86_classifier_confusion(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val (tp, fp, fn, tn) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"),
+      row.getAs[Long]("fn"), row.getAs[Long]("tn"))
+    val holdout = graft.queries.Extensions
+      .x83_classifier_split(spark, dir).count()
+    assert(tp + fp + fn + tn == holdout, "confusion cells partition the holdout")
+    assert(row.getAs[Double]("accuracy") == (tp + tn).toDouble / holdout.toDouble)
+    graft.ext.ExtCaches.clearCaches()
+  }
 }

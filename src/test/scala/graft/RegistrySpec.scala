@@ -24,7 +24,8 @@ class RegistrySpec extends AnyFunSuite {
   test("oracle SQL strings are substantive and carry the total-order contract") {
     // single-row global aggregates: order is vacuous, ORDER BY waived
     val oneRowAggregates = Set("x01_dedup_exact", "q01_null", "q08_churn_rate",
-      "x50_sketch_recall")
+      "x50_sketch_recall", "x86_classifier_confusion",
+      "x90_classifier_calibrated")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle")
       // the driver's compare is row-order-sensitive — every oracle must
