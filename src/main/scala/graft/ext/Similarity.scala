@@ -416,34 +416,84 @@ object Similarity {
       .select(col("vec_id"), col("base_id"), col("cosine"), col("rnk"))
   }
 
-  /** Banding-recall audit of [[knnGraph]] — the x50/x64/x71 "measure,
-    * don't guess" discipline applied to the one approximate structure
-    * that lacked it: per node, how much of the node's TRUE top-k (exact
-    * cosine over the full corpus — the [[bruteForceTopK]] kernel with
-    * every node as a query) survives the sampled-band candidate
-    * generation into the banded graph's edge set. Output per node:
-    * `n_exact` = |exact top-k| (min(k, n−1)), `hits_banded` = |exact ∩
-    * banded edges|, `recall_at_k` = one IEEE divide of those integers —
-    * the number x81's clustering and x82's ingest inherit.
+  /** kNN graph built on the TRAINED-CELL coarse quantizer instead of the
+    * sampled banding — the production graph builder the x85 measurement
+    * demands. x85 showed the 16×16 banded graph keeps ~1 % of true
+    * top-k edges at this corpus's neighbor regime (cosines 0.25–0.60 —
+    * below any sign-band's effective collision threshold), and the
+    * prototyped NN-descent refinement (Dong et al., WWW'11) converges
+    * at 1.3 % by round 2 on these i.i.d.-dim embeddings (SCALING.md —
+    * no navigable neighborhood structure to descend). What DOES carry
+    * recall here is the trained coarse quantizer (x71: the only arm
+    * above 50 %), so the graph form of it: every node probes its
+    * `nprobe` nearest Lloyd-trained cells ([[trainedCellProbes]] — the
+    * x73/x76 front end verbatim) and ranks the probed cells' members by
+    * EXACT quantized cosine (not the SQ8 code dot: ranking exactness is
+    * free at graph-build time and makes a miss purely a CELL-PROBE
+    * miss). Measured recall@3 vs the exact graph (x91):
+    * 0.744/0.732/0.698 at sf0.001/0.01/0.1 with the shipped nprobe=10/32
+    * (~32 % probed mass); the knob trades smoothly (sf0.01 prototype:
+    * 0.36 at nprobe=3 / 9.5 % mass, 0.87 at nprobe=16 / 51 % mass) — the smooth recall/cost knob the banding
+    * fundamentally lacks at this regime.
+    *
+    * Scale shape: cell training is the shared anchor-sized Lloyd chain;
+    * members and probes join on the CELL key (a pure equi-join — cost
+    * Σ_cells |members|·|probers| ≈ (nprobe/cells)·n² at fixed geometry,
+    * n^1.5 under the FAISS practice cells ∝ √n that [[ivfSq8TopKScaled]]
+    * documents); vectors are fetched back by id joins and never
+    * shuffled inside the scorer; WindowGroupLimit bounds each node's
+    * materialized candidates at k. Same output shape as [[knnGraph]],
+    * so every consumer (mutual-kNN clustering, SemDeDup neighborhoods)
+    * swaps in by reference. */
+  def knnGraphIvf(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                  cells: Int, lloydRounds: Int, nprobe: Int): DataFrame = {
+    val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
+    val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
+    val p = ExtCaches.persistTracked(
+      trainedCellProbes(q, cells, lloydRounds, nprobe))
+    val members = p.filter(col("probe_rank") === 1)
+      .select(col("id").as("nbr_id"), col("cell"))
+    val probes = p.select(col("id").as("src_id"), col("cell"))
+    // probed cells are distinct per node and each member has ONE cell,
+    // so the candidate relation needs no dedup (the x73 argument)
+    val cand = probes.join(members, Seq("cell"))
+      .filter(col("src_id") =!= col("nbr_id"))
+      .select(col("src_id"), col("nbr_id"))
+    val scored = cand
+      .join(v.select(col("id").as("src_id"), col("vec").as("vs"), col("norm").as("ns")), Seq("src_id"))
+      .join(v.select(col("id").as("nbr_id"), col("vec").as("vn"), col("norm").as("nn")), Seq("nbr_id"))
+      .withColumn("cosine", cosineFromParts(dotQ(col("vs"), col("vn")), col("ns"), col("nn")))
+    val w = Window.partitionBy(col("src_id")).orderBy(desc("cosine"), col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("src_id"), col("nbr_id"), col("cosine"), col("rnk"))
+  }
+
+  /** Recall audit of ANY directed edge set against the exact per-node
+    * top-k — the x50/x64/x71 "measure, don't guess" discipline as a
+    * reusable primitive: per node, how much of the node's TRUE top-k
+    * (exact cosine over the full corpus — the [[bruteForceTopK]] kernel
+    * with every node as a query) appears in `edges`. Output per node:
+    * `n_exact` = |exact top-k| (min(k, n−1)), `hits` = |exact ∩ edges|,
+    * `recall_at_k` = one IEEE divide of those integers.
     *
     * Both sides run the SAME quantized-cosine kernel with the SAME
-    * deterministic tiebreak (cosine desc, id), so a miss is a BANDING
-    * miss by construction — a true neighbor that never shared a sampled
-    * band with its node — never a scoring or tie artifact.
+    * deterministic tiebreak (cosine desc, id), so a miss is a
+    * CANDIDATE-GENERATION miss by construction — a true neighbor the
+    * audited builder never surfaced — never a scoring or tie artifact.
     *
     * Scale: the audit's denominator is intrinsically O(|nodes|·n) exact
     * scores — that is what "true top-k" means — so at corpus scale the
     * audit runs on a node SAMPLE: pass `nodePredicate` (e.g.
     * [[graft.ext.Sampling.hashThresholdPredicate]] over the id) to
-    * restrict the exact side's queries while the banded graph under
-    * audit is still built over the FULL corpus. Per-node recall is an
+    * restrict the exact side's queries while the graph under audit is
+    * still built over the FULL corpus. Per-node recall is an
     * independent Bernoulli-ish draw, so the sampled mean estimates the
-    * corpus recall with the usual √n error bars; the registry gate runs
+    * corpus recall with the usual √n error bars; the registry gates run
     * unsampled (the corpus is audit-sized there). */
-  def knnGraphRecall(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                     bands: Int = 16, bitsPerBand: Int = 16, dims: Int = 64,
-                     seed: Long = 0x5EEDL,
-                     nodePredicate: Option[Column] = None): DataFrame = {
+  def graphEdgesRecall(df: DataFrame, edges: DataFrame, idCol: String,
+                       vecCol: String, k: Int, hitsCol: String = "hits",
+                       nodePredicate: Option[Column] = None): DataFrame = {
     val e = df.select(col(idCol), col(vecCol))
     val queries = nodePredicate.fold(e)(e.filter(_))
     // Persisted: the exact set feeds both the denominator count and the
@@ -451,19 +501,30 @@ object Similarity {
     val exact = ExtCaches.persistTracked(
       bruteForceTopK(e, queries, idCol, vecCol, k)
         .select(col("q_id").as("src_id"), col("c_id").as("nbr_id")))
-    val banded = knnGraph(e, idCol, vecCol, k, bands, bitsPerBand, dims, seed)
-      .select(col("src_id"), col("nbr_id"))
     val nExact = exact.groupBy(col("src_id"))
       .agg(count(lit(1)).as("n_exact"))
-    val hits = exact.join(banded, Seq("src_id", "nbr_id"), "left_semi")
-      .groupBy(col("src_id")).agg(count(lit(1)).as("hits_banded"))
+    val hits = exact
+      .join(edges.select(col("src_id"), col("nbr_id")), Seq("src_id", "nbr_id"),
+        "left_semi")
+      .groupBy(col("src_id")).agg(count(lit(1)).as(hitsCol))
     nExact.join(hits, Seq("src_id"), "left")
-      .na.fill(0L, Seq("hits_banded"))
+      .na.fill(0L, Seq(hitsCol))
       .withColumn("recall_at_k",
-        col("hits_banded").cast(DoubleType) / col("n_exact").cast(DoubleType))
-      .select(col("src_id"), col("n_exact"), col("hits_banded"),
-        col("recall_at_k"))
+        col(hitsCol).cast(DoubleType) / col("n_exact").cast(DoubleType))
+      .select(col("src_id"), col("n_exact"), col(hitsCol), col("recall_at_k"))
   }
+
+  /** [[graphEdgesRecall]] of the banded [[knnGraph]] — the x85 registry
+    * form; hits column named `hits_banded` for the gated schema. */
+  def knnGraphRecall(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     bands: Int = 16, bitsPerBand: Int = 16, dims: Int = 64,
+                     seed: Long = 0x5EEDL,
+                     nodePredicate: Option[Column] = None): DataFrame =
+    graphEdgesRecall(df,
+      knnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol, k,
+        bands, bitsPerBand, dims, seed),
+      idCol, vecCol, k, hitsCol = "hits_banded",
+      nodePredicate = nodePredicate)
 
 
   /** Nearest-centroid assignment + cluster-purity matrix — the partition

@@ -1724,8 +1724,9 @@ object Extensions {
     * threshold), so these components partition by near-dup-strength
     * collision, not by general semantic neighborhood. That is the
     * SemDeDup use case (partition, then prune WITHIN), but a consumer
-    * wanting true semantic neighborhoods refines the seed graph first
-    * (x89 NN-descent) and clusters ITS mutual edges instead. */
+    * wanting true semantic neighborhoods builds the graph with the
+    * trained coarse quantizer instead (x89, recall 0.70-0.74 vs ~0.01)
+    * and clusters ITS mutual edges. */
   def x81_semantic_clusters(s: SparkSession, dir: String): DataFrame = {
     val g = Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = KnnGraphK, bands = SampledBands,
@@ -1867,18 +1868,53 @@ object Extensions {
     * sf0.1 — the geometry only pays at near-identical cosines (≥ ~0.9,
     * where per-band collision reaches ~8 % and 16 bands ~75 %), i.e. it
     * is a NEAR-DUP candidate generator, as shipped for x05. Against it,
-    * x71's trained-cell IVF holds recall@3 = 16/30 at ~30 % probe mass —
-    * the measured justification for x89: NN-descent refinement of this
-    * seed graph (exact rescoring of neighbor-of-neighbor candidates,
-    * linear per round), which lifts the graph to the recall the banding
-    * alone cannot reach. x81's mutual-edge clusters and x82's ingest
-    * inherit THIS number, not an assumed one. */
+    * x71's trained-cell IVF holds recall@3 = 16/30 at ~30 % probe mass.
+    * Both candidate fixes were then MEASURED: NN-descent refinement of
+    * this seed (Dong et al., WWW'11) converges at 20/1500 by round 2 —
+    * rejected, these i.i.d.-dim embeddings have no navigable
+    * neighborhood structure to descend (SCALING.md) — while the
+    * trained-cell graph builder (x89, audited by x91) reaches
+    * 0.70-0.74. x81's mutual-edge clusters and x82's ingest inherit
+    * THIS number, not an assumed one. */
   def x85_knn_graph_recall(s: SparkSession, dir: String): DataFrame =
     Similarity.knnGraphRecall(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = KnnGraphK, bands = SampledBands,
         bitsPerBand = SampledBandBits, dims = EmbeddingDims,
         seed = SampledSeed)
       .orderBy(col("src_id"))
+
+  /** IVF-probed kNN graph (x89) — the production graph builder the x85
+    * finding demands: same output shape and consumers as x78, but
+    * candidates come from the trained coarse quantizer (each node
+    * probes its [[ScaledNprobe]] nearest Lloyd-trained cells, the
+    * x73/x76 front end) instead of the sampled banding, and ranking
+    * inside probed cells is the exact quantized cosine. x91 audits it:
+    * recall@3 = 0.744/0.732/0.698 at sf0.001/0.01/0.1 at the shipped
+    * ~32 % probe mass vs x78's 0.009-0.014 on the same corpus — see [[Similarity.knnGraphIvf]] for the measured
+    * ladder and the rejected NN-descent alternative. */
+  def x89_knn_graph_ivf(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = KnnGraphK, cells = ScaledCells,
+        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
+      .orderBy(col("src_id"), col("rnk"))
+
+  /** Recall audit of the IVF-probed graph (x91) — x85's machinery
+    * ([[Similarity.graphEdgesRecall]]) pointed at x89's edges, so the
+    * two graph builders carry comparable, gate-verified recall numbers:
+    * banded 82/6000 vs IVF-probed 4187/6000 at sf0.1 (0.014 vs 0.698;
+    * 0.744/0.732 at sf0.001/0.01).
+    * Together with x85 this is the graph family's x71: the coarse
+    * quantizer is the only candidate generator with usable generic-kNN
+    * recall on this corpus, and its nprobe knob prices the rest. */
+  def x91_knn_graph_ivf_recall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.graphEdgesRecall(e,
+        Similarity.knnGraphIvf(e, "vec_id", "embedding", k = KnnGraphK,
+          cells = ScaledCells, lloydRounds = ScaledLloydRounds,
+          nprobe = ScaledNprobe),
+        "vec_id", "embedding", k = KnnGraphK, hitsCol = "hits_ivf")
+      .orderBy(col("src_id"))
+  }
 
   /** Three-way coarse-quantizer recall table (x71): per query, the exact
     * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
@@ -2728,7 +2764,9 @@ object Extensions {
     "x84_hybrid_rrf_ivf" -> (x84_hybrid_rrf_ivf _),
     "x85_knn_graph_recall" -> (x85_knn_graph_recall _),
     "x86_classifier_confusion" -> (x86_classifier_confusion _),
-    "x90_classifier_calibrated" -> (x90_classifier_calibrated _))
+    "x89_knn_graph_ivf" -> (x89_knn_graph_ivf _),
+    "x90_classifier_calibrated" -> (x90_classifier_calibrated _),
+    "x91_knn_graph_ivf_recall" -> (x91_knn_graph_ivf_recall _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -3310,6 +3348,32 @@ object Extensions {
        |  FROM scored)
        |SELECT vec_id, base_id, cosine, rnk FROM r WHERE rnk <= $KnnGraphK
        |ORDER BY vec_id, rnk""".stripMargin
+
+  /** The x89 IVF-graph CTE chain — quantize, trained-cell ranks (the
+    * x73/x76 `trainedCellCtes` front end verbatim), rank-1 members,
+    * nprobe probes, exact-cosine scoring, per-source rank window. `gr`
+    * holds (src_id, nbr_id, cosine, rnk). ONE spelling shared by x89
+    * (the edge list) and x91 (its recall audit), mirroring
+    * Similarity.knnGraphIvf. */
+  private def ivfGraphCtes: String =
+    s"""qv AS (
+       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+       |$trainedCellCtes,
+       |gn AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+       |gmem AS (SELECT vec_id AS nbr_id, c_label AS cell FROM krank WHERE rn = 1),
+       |gprob AS (SELECT vec_id AS src_id, c_label AS cell FROM krank WHERE rn <= $ScaledNprobe),
+       |gc AS (
+       |  SELECT p.src_id, m.nbr_id FROM gprob p JOIN gmem m USING (cell)
+       |  WHERE m.nbr_id <> p.src_id),
+       |gscored AS (
+       |  SELECT gc.src_id, gc.nbr_id,
+       |         CAST(${dotSql("ns.v", "nn.v")} AS DOUBLE)
+       |           / (sqrt(CAST(ns.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE))) AS cosine
+       |  FROM gc JOIN gn ns ON ns.vec_id = gc.src_id JOIN gn nn ON nn.vec_id = gc.nbr_id),
+       |gr AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
+       |  FROM gscored)""".stripMargin
 
   /** The x83 split-classifier CTE chain — weak labels off the quality
     * gate, the md5 hash split, votes trained on the base slice only,
@@ -4556,6 +4620,40 @@ object Extensions {
          |SELECT ec.src_id, ec.n_exact,
          |       CAST(COALESCE(h.hits_banded, 0) AS BIGINT) AS hits_banded,
          |       CAST(COALESCE(h.hits_banded, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE) AS recall_at_k
+         |FROM ec LEFT JOIN h USING (src_id)
+         |ORDER BY src_id""".stripMargin,
+
+    // x89: the trained-cell front end (trainedCellCtes, shared with
+    // x73/x76/x84) driving a per-node exact-cosine rank window — the
+    // graph twin of the x73 search with every node as a query.
+    "x89_knn_graph_ivf" ->
+      s"""WITH $ivfGraphCtes
+         |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
+         |ORDER BY src_id, rnk""".stripMargin,
+
+    // x91: the x89 chain verbatim audited against the exact per-node
+    // top-k (the x85 brute chain over gn). Integer counts + one divide.
+    "x91_knn_graph_ivf_recall" ->
+      s"""WITH $ivfGraphCtes,
+         |g AS (SELECT src_id, nbr_id FROM gr WHERE rnk <= $KnnGraphK),
+         |bs AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
+         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
+         |  FROM gn a JOIN gn b ON b.vec_id <> a.vec_id),
+         |bt AS (
+         |  SELECT src_id, nbr_id FROM (
+         |    SELECT src_id, nbr_id,
+         |           row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rnk
+         |    FROM bs) WHERE rnk <= $KnnGraphK),
+         |ec AS (SELECT src_id, CAST(count(*) AS BIGINT) AS n_exact FROM bt GROUP BY 1),
+         |h AS (
+         |  SELECT bt.src_id, CAST(count(*) AS BIGINT) AS hits_ivf
+         |  FROM bt JOIN g ON bt.src_id = g.src_id AND bt.nbr_id = g.nbr_id
+         |  GROUP BY 1)
+         |SELECT ec.src_id, ec.n_exact,
+         |       CAST(COALESCE(h.hits_ivf, 0) AS BIGINT) AS hits_ivf,
+         |       CAST(COALESCE(h.hits_ivf, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE) AS recall_at_k
          |FROM ec LEFT JOIN h USING (src_id)
          |ORDER BY src_id""".stripMargin,
 

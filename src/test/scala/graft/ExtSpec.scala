@@ -696,6 +696,36 @@ class SimilaritySpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("x89/x91: the IVF graph shares x78's shape and beats the banding's recall by decades") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val n = e.count()
+    val k = graft.queries.Extensions.KnnGraphK
+    val g = graft.queries.Extensions.x89_knn_graph_ivf(spark, dir).collect()
+    // same per-node contract as knnGraph: self-free, <= k, dense ranks,
+    // cosine non-increasing
+    g.groupBy(_.getAs[Long]("src_id")).foreach { case (src, edges) =>
+      assert(edges.forall(_.getAs[Long]("nbr_id") != src))
+      assert(edges.length <= k)
+      val byRank = edges.sortBy(_.getAs[Long]("rnk"))
+      assert(byRank.map(_.getAs[Long]("rnk")).toSeq == (1L to edges.length).toSeq)
+      val cos = byRank.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // nprobe cells of the corpus always hold >= k candidates here, so the
+    // graph is complete: exactly n*k edges
+    assert(g.length == n * k)
+    val audit = graft.queries.Extensions
+      .x91_knn_graph_ivf_recall(spark, dir).collect()
+    assert(audit.length == n)
+    val (hits, tot) = (audit.map(_.getAs[Long]("hits_ivf")).sum,
+      audit.map(_.getAs[Long]("n_exact")).sum)
+    // the round-11 pairing: banded recall ~1% (x85), IVF-probed ~70-75%.
+    // Pin the ordering loosely so a corpus-regime change fails loudly.
+    assert(hits > tot / 2, s"IVF graph recall collapsed: $hits/$tot")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("x85 recall audit: one row per node, subset arithmetic, and the banding finding") {
     val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = e.count()

@@ -333,13 +333,15 @@ class PlanSpec extends SparkSpec {
     // x79's dense arm is that same baseline by reference (the fusion
     // consumes only ranks, so a deployment swaps in an IVF arm without
     // touching the fusion — Retrieval.hybridRrfTopK Scaladoc).
-    // x85 is the kNN-graph RECALL AUDIT: its exact arm is by definition
-    // the x06 brute pass with every (or a sampled) node as a query — the
-    // audit's denominator cannot avoid the non-equi scan, and its scale
-    // knob is the node sample, not the join shape.
+    // x85/x91 are the kNN-graph RECALL AUDITS: their exact arm is by
+    // definition the x06 brute pass with every (or a sampled) node as a
+    // query — the audit's denominator cannot avoid the non-equi scan,
+    // and its scale knob is the node sample, not the join shape. (x89,
+    // the IVF graph under x91's audit, is itself pure equi-joins and
+    // carries NO exemption.)
     val bnljWhitelist =
       Set("x06_sim_topk_brute", "x71_ivf_recall", "x79_hybrid_rrf",
-        "x85_knn_graph_recall")
+        "x85_knn_graph_recall", "x91_knn_graph_ivf_recall")
 
     def isOneRowAnchor(b: BroadcastNestedLoopJoinExec): Boolean = {
       val build = b.buildSide match {
