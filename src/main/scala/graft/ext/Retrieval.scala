@@ -63,11 +63,30 @@ object Retrieval {
     Similarity.bruteForceTopK(corpus, queries, "id", "vec", armK)
       .select(col("q_id"), col("c_id").as("id"), col("rnk").as("vec_rnk"))
 
+  /** `idfWeighted`: the BM25-lite lexical arm (x87). The shared-shingle
+    * COUNT ranks a document by how many query shingles it carries —
+    * which on a boilerplate corpus means every document ties on the
+    * header terms and the df-cap knob must DROP them (a cliff: a term is
+    * either fully counted or gone, and the cap's threshold must be
+    * re-measured per corpus — SCALING_BOILER.md priced that honestly).
+    * BM25's answer is smooth idf damping, and its hash-gatable form is
+    * integer halving-buckets: weight(t) = max(1, ⌊log₂ N⌋ − ⌊log₂ df(t)⌋
+    * + 1) — exactly representable on both engines as
+    * `length(bin(N)) − length(bin(df)) + 1` (no libm, no floats), a
+    * staircase of log₂(N/df) + 1. A unique shingle carries ⌊log₂ N⌋ + 1;
+    * a header term at df = N carries 1 — damped, never dropped, with NO
+    * per-corpus threshold to tune: the weight adapts through N. The
+    * ranking score is the integer Σ weights over the shared shingles;
+    * the tf saturation and length-normalization terms of full BM25 are
+    * deliberately absent (distinct-shingle sets have tf = 1, and the
+    * corpus generator emits uniform lengths — both documented knobs, not
+    * needed for the damping this arm exists to provide). */
   def hybridRrfTopK(docs: DataFrame, embs: DataFrame, queries: DataFrame,
                     docIdCol: String, textCol: String,
                     vecIdCol: String, vecCol: String,
                     armK: Int, k: Int, rrfC: Int = 60, w: Int = 3,
                     dfCap: Option[Int] = None,
+                    idfWeighted: Boolean = false,
                     denseArm: DenseArm = bruteArm): DataFrame = {
     val embIds = embs.select(col(vecIdCol).as("id"))
     // ranked universe: documents that have an embedding
@@ -81,10 +100,27 @@ object Retrieval {
       Dedup.shingleIndex(corpusDocs, "id", "text", w, dfCap))
     val qShingles = idx.join(broadcast(qIds), idx("id") === qIds("q_id"))
       .select(col("q_id"), col("shingle"))
-    val lexScored = broadcast(qShingles).join(idx, Seq("shingle"))
+    val lexHits = broadcast(qShingles).join(idx, Seq("shingle"))
       .filter(col("id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("id"))
-      .agg(count(lit(1)).as("n_common"))
+    val lexScored =
+      if (!idfWeighted)
+        lexHits.groupBy(col("q_id"), col("id"))
+          .agg(count(lit(1)).as("n_common"))
+      else {
+        // per-shingle df off the same stored index; N = ranked universe
+        // size as a 1-row broadcast anchor. length(bin(x)) - 1 = floor
+        // log2 x, exact integers on both engines.
+        val dfRel = idx.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df"))
+        val nAnchor = broadcast(corpusDocs.agg(count(lit(1)).as("n_universe")))
+        lexHits.join(dfRel, Seq("shingle"))
+          .crossJoin(nAnchor)
+          .withColumn("idf_w", greatest(lit(1L),
+            (length(bin(col("n_universe"))) - length(bin(col("df"))) + 1)
+              .cast(LongType)))
+          .groupBy(col("q_id"), col("id"))
+          .agg(sum(col("idf_w")).as("n_common"))
+      }
     val wl = Window.partitionBy(col("q_id")).orderBy(desc("n_common"), col("id"))
     val lex = lexScored
       .withColumn("lex_rnk", row_number().over(wl).cast(LongType))

@@ -451,18 +451,29 @@ object Similarity {
     val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
     val p = ExtCaches.persistTracked(
       trainedCellProbes(q, cells, lloydRounds, nprobe))
+    // Shuffle discipline, the load-bearing choice at graph-build scale:
+    // vectors are attached to the SMALL relations (members: n rows;
+    // probes: n·nprobe rows) BEFORE the cell join, so the only big
+    // shuffle is the cell join's repartition of those small inputs —
+    // the (nprobe/cells)·n² candidate rows exist only PIPELINED inside
+    // whole-stage codegen (join → dot → project), never as a shuffled
+    // relation, and the rank exchange carries 24-byte (src, nbr, cosine)
+    // rows. The first spelling (candidate pairs materialized, vectors
+    // re-fetched by two id joins) repartitioned the full candidate
+    // relation twice with both 64-long arrays aboard — measured 3×
+    // slower at the x10 soak dir (158 → 52 s) and 15× at the
+    // sqrt-n-cells variant (80.5 → 5.5 s), identical gated output.
     val members = p.filter(col("probe_rank") === 1)
       .select(col("id").as("nbr_id"), col("cell"))
+      .join(v.select(col("id").as("nbr_id"), col("vec").as("vn"), col("norm").as("nn")), Seq("nbr_id"))
     val probes = p.select(col("id").as("src_id"), col("cell"))
+      .join(v.select(col("id").as("src_id"), col("vec").as("vs"), col("norm").as("ns")), Seq("src_id"))
     // probed cells are distinct per node and each member has ONE cell,
     // so the candidate relation needs no dedup (the x73 argument)
-    val cand = probes.join(members, Seq("cell"))
+    val scored = probes.join(members, Seq("cell"))
       .filter(col("src_id") =!= col("nbr_id"))
-      .select(col("src_id"), col("nbr_id"))
-    val scored = cand
-      .join(v.select(col("id").as("src_id"), col("vec").as("vs"), col("norm").as("ns")), Seq("src_id"))
-      .join(v.select(col("id").as("nbr_id"), col("vec").as("vn"), col("norm").as("nn")), Seq("nbr_id"))
       .withColumn("cosine", cosineFromParts(dotQ(col("vs"), col("vn")), col("ns"), col("nn")))
+      .select(col("src_id"), col("nbr_id"), col("cosine"))
     val w = Window.partitionBy(col("src_id")).orderBy(desc("cosine"), col("nbr_id"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)

@@ -1604,20 +1604,28 @@ object Extensions {
     * (a probabilistic tripwire) and keep the exhaustive form as a
     * corpus-onboarding check — the guard's message is the contract, not
     * its sampling rate. */
-  def x84_hybrid_rrf_ivf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val embs = Tables.embeddings(s, dir)
-    val guard = broadcast(
+  /** The lazy 1-row-anchor orphan guard shared by the trained-arm
+    * hybrids (x84, x88): asserts embeddings ⊆ documents inside the plan
+    * (see x84's Scaladoc for the precondition and the 100 TB sampling
+    * knob). Cross-join the result in, filter on the always-NULL
+    * assert column, drop it. */
+  private def orphanGuard(docs: DataFrame, embs: DataFrame,
+                          op: String): DataFrame =
+    broadcast(
       embs.select(col("vec_id").as("doc_id"))
         .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
         .select(assert_true(col("n_orphans") === 0L,
-          concat(lit("x84 oracle precondition violated: "), col("n_orphans"),
+          concat(lit(s"$op oracle precondition violated: "), col("n_orphans"),
             lit(" embeddings lack a document row — the oracle trains its " +
-              "IVF over ALL embeddings while the engine restricts to " +
+              "index over ALL embeddings while the engine restricts to " +
               "docs ∩ embs. Restrict the oracle's qv CTE to the " +
               "semi-joined universe before scaling this gate.")))
           .as("precondition_ok")))
+
+  def x84_hybrid_rrf_ivf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val embs = Tables.embeddings(s, dir)
     graft.ext.Retrieval.hybridRrfTopK(
         docs, embs, docs.filter(col("doc_id") < QuerySetSize),
         "doc_id", "text", "vec_id", "embedding",
@@ -1628,11 +1636,63 @@ object Extensions {
               lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
             .select(col("q_id"), col("c_id").as("id"),
               col("rnk").as("vec_rnk")))
-      .crossJoin(guard)
+      .crossJoin(orphanGuard(docs, embs, "x84"))
       .filter(col("precondition_ok").isNull)
       .drop("precondition_ok")
       .orderBy(col("q_id"), col("rnk"))
   }
+
+  /** Hybrid RRF with the IVF×PQ dense arm (x88) — the round-10 verdict's
+    * "plug x76 into the DenseArm contract": the COMPRESSED production
+    * index (trained-cell probes in front of the PQ-ADC tail, the full
+    * x76 composition) serving retrieval end to end. x84 proved the arm
+    * pluggable with IVF×SQ8; this closes the loop with the form a
+    * 100 TB deployment actually stores (m×codes bytes per vector
+    * instead of the full embedding). Rank-only fusion means the ADC
+    * scores never need calibration against the lexical arm — exactly
+    * why RRF is the fusion here. Same orphan precondition as x84 (the
+    * oracle trains cells AND codebooks over all embeddings). */
+  def x88_hybrid_rrf_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val embs = Tables.embeddings(s, dir)
+    graft.ext.Retrieval.hybridRrfTopK(
+        docs, embs, docs.filter(col("doc_id") < QuerySetSize),
+        "doc_id", "text", "vec_id", "embedding",
+        armK = HybridArmK, k = HybridTopK, rrfC = RrfC,
+        denseArm = (corpus, queries, armK) =>
+          Similarity.ivfPqTopK(corpus, queries, "id", "vec",
+              k = armK, cells = ScaledCells,
+              cellLloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
+              m = PqM, codes = PqCodes, pqLloydRounds = PqLloydRounds,
+              dims = EmbeddingDims)
+            .select(col("q_id"), col("c_id").as("id"),
+              col("rnk").as("vec_rnk")))
+      .crossJoin(orphanGuard(docs, embs, "x88"))
+      .filter(col("precondition_ok").isNull)
+      .drop("precondition_ok")
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Hybrid RRF with the BM25-lite lexical arm (x87): x79's fusion with
+    * idf-damped shingle weights in the lexical slot — the production
+    * ranking form the round-10 boilerplate soak named but didn't build
+    * (its conclusion: "BM25 idf damps header terms smoothly" where the
+    * df-cap is a drop-or-keep cliff needing a per-corpus threshold).
+    * The weight is the integer halving-bucket staircase of BM25's idf:
+    * max(1, ⌊log₂N⌋ − ⌊log₂df⌋ + 1), exact on both engines via
+    * length(bin(·)) — no libm, no threshold knob, adapts through N. See
+    * [[graft.ext.Retrieval.hybridRrfTopK]] (`idfWeighted`); the dense
+    * arm stays the x06 baseline so x79 vs x87 isolates the lexical
+    * change. SCALING_BOILER.md prices the damping on the header-term
+    * corpus. */
+  def x87_hybrid_rrf_bm25(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Retrieval.hybridRrfTopK(
+        Tables.documents(s, dir), Tables.embeddings(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") < QuerySetSize),
+        "doc_id", "text", "vec_id", "embedding",
+        armK = HybridArmK, k = HybridTopK, rrfC = RrfC,
+        idfWeighted = true)
+      .orderBy(col("q_id"), col("rnk"))
 
   /** Train/apply split classifier (x83): x80's model trained ONLY on the
     * [[BaseFrac]] hash slice (whose weak labels come from the same x09
@@ -1740,6 +1800,46 @@ object Extensions {
     val mutual = fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
     Dedup.clusterSummary(Dedup.connectedComponentsStar(mutual, "id_a", "id_b"))
       .orderBy(col("canonical_id"))
+  }
+
+  /** Cluster-vs-label purity matrix for the label-free clustering (x92,
+    * round-11 stretch): x81's mutual-kNN components confronted with the
+    * metadata `label` column they never saw — the x56 matrix shape, one
+    * integer row per (component, metadata label). A pure component
+    * (single label) says the label-free partition reproduces the
+    * labeled strata; a mixed row prices exactly where it doesn't.
+    *
+    * THE MEASURED FINDING (round 11): it doesn't, and the matrix says
+    * why that is the CORPUS's fact, not the operator's. Majority-label
+    * purity is 0.49/0.47/0.20 across the three SFs (8 of 140 components
+    * single-label at sf0.1) against a 10-label chance rate of 0.10 —
+    * and the cross-checks pin the cause: the true (exact) top-3
+    * neighbor is same-label 157/1500 ≈ chance, i.e. this corpus's
+    * labels are CENTROID-level structure (x56's 41 % nearest-centroid
+    * diagonal) with zero neighborhood-level signal, so ANY kNN-derived
+    * clustering tops out near chance (the x89 IVF graph's mutual
+    * components measure 0.23–0.26 — no better). The matrix is the
+    * honest negative a curation pipeline needs before trusting
+    * label-free partitions as strata: on corpora like this one, x81's
+    * components are near-dup groups (their actual job), not labels. */
+  def x92_cluster_label_purity(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val g = Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK,
+        bands = SampledBands, bitsPerBand = SampledBandBits,
+        dims = EmbeddingDims, seed = SampledSeed)
+      .select(col("src_id"), col("nbr_id"))
+    val fwd = g.filter(col("src_id") < col("nbr_id"))
+      .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
+    val rev = g.filter(col("src_id") > col("nbr_id"))
+      .select(col("nbr_id").as("id_a"), col("src_id").as("id_b"))
+    val mutual = fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
+    Dedup.connectedComponentsStar(mutual, "id_a", "id_b")
+      .select(col("v").as("vec_id"), col("label").as("canonical_id"))
+      .join(e.select(col("vec_id"), col("label").as("meta_label")),
+        Seq("vec_id"))
+      .groupBy(col("canonical_id"), col("meta_label"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("canonical_id"), col("meta_label"))
   }
 
   /** Incremental kNN (x82): each incoming vector's top-k neighbors among
@@ -2764,9 +2864,12 @@ object Extensions {
     "x84_hybrid_rrf_ivf" -> (x84_hybrid_rrf_ivf _),
     "x85_knn_graph_recall" -> (x85_knn_graph_recall _),
     "x86_classifier_confusion" -> (x86_classifier_confusion _),
+    "x87_hybrid_rrf_bm25" -> (x87_hybrid_rrf_bm25 _),
+    "x88_hybrid_rrf_ivfpq" -> (x88_hybrid_rrf_ivfpq _),
     "x89_knn_graph_ivf" -> (x89_knn_graph_ivf _),
     "x90_classifier_calibrated" -> (x90_classifier_calibrated _),
-    "x91_knn_graph_ivf_recall" -> (x91_knn_graph_ivf_recall _))
+    "x91_knn_graph_ivf_recall" -> (x91_knn_graph_ivf_recall _),
+    "x92_cluster_label_purity" -> (x92_cluster_label_purity _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -4590,6 +4693,32 @@ object Extensions {
          |HAVING count(*) > 1
          |ORDER BY canonical_id""".stripMargin,
 
+    // x92: the x81 recursive-closure chain verbatim, the component
+    // labels joined against the metadata label column — the x56 matrix
+    // shape over the label-free clustering.
+    "x92_cluster_label_purity" ->
+      s"""WITH RECURSIVE $knnEdgeCtes,
+         |knn AS (SELECT src_id, nbr_id FROM r WHERE rnk <= $KnnGraphK),
+         |mut AS (
+         |  SELECT a.src_id AS id_a, a.nbr_id AS id_b
+         |  FROM knn a JOIN knn b
+         |    ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
+         |  WHERE a.src_id < a.nbr_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mut
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM mut),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e2.dst AS v, r2.l FROM reach r2 JOIN edges e2 ON r2.v = e2.src),
+         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)
+         |SELECT lab.label AS canonical_id, emb.label AS meta_label,
+         |       CAST(count(*) AS BIGINT) AS n_members
+         |FROM lab JOIN embeddings emb ON emb.vec_id = lab.v
+         |GROUP BY 1, 2
+         |ORDER BY canonical_id, meta_label""".stripMargin,
+
     // x82 (both forms — the stream twin's oracle is the batch one
     // VERBATIM, so stream-equals-batch is the hash-gated claim): the
     // x78 band CTEs with the x55-style hash split, incoming probing base.
@@ -4833,6 +4962,132 @@ object Extensions {
          |lexs AS (
          |  SELECT qsh.q_id, i.id, count(*) AS n_common
          |  FROM qsh JOIN idx i USING (shingle)
+         |  WHERE i.id <> qsh.q_id GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT q_id, id,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY n_common DESC, id) AS BIGINT) AS lex_rnk
+         |  FROM lexs),
+         |lex AS (SELECT q_id, id, lex_rnk FROM lexr WHERE lex_rnk <= $HybridArmK),
+         |qv AS (
+         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings
+         |  WHERE vec_id IN (SELECT doc_id FROM documents)),
+         |nv AS (
+         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+         |vq AS (SELECT vec_id AS q_id, v AS qvec, norm_sq AS qn FROM nv WHERE vec_id < $QuerySetSize),
+         |vscored AS (
+         |  SELECT q_id, c.vec_id AS id,
+         |         CAST(${dotSql("qvec", "c.v")} AS DOUBLE)
+         |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.norm_sq AS DOUBLE))) AS cosine
+         |  FROM vq JOIN nv c ON c.vec_id <> q_id),
+         |vr AS (
+         |  SELECT q_id, id,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS BIGINT) AS vec_rnk
+         |  FROM vscored),
+         |vec AS (SELECT q_id, id, vec_rnk FROM vr WHERE vec_rnk <= $HybridArmK),
+         |fused AS (
+         |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         |         COALESCE(l.id, v.id) AS doc_id, l.lex_rnk, v.vec_rnk
+         |  FROM lex l FULL OUTER JOIN vec v ON l.q_id = v.q_id AND l.id = v.id),
+         |fr AS (
+         |  SELECT q_id, doc_id, lex_rnk, vec_rnk,
+         |         COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(lex_rnk AS DOUBLE)), CAST(0 AS DOUBLE))
+         |         + COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(vec_rnk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM fused),
+         |rr AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM fr)
+         |SELECT q_id, doc_id, lex_rnk, vec_rnk, rrf, rnk FROM rr WHERE rnk <= $HybridTopK
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    // x88: x84's oracle with the x76 IVF×PQ chain in the dense slot —
+    // the PQ chain (stored codes + per-query ADC LUTs) scoped to the
+    // trained cells' probed members, rank cut at armK, then x79/x84's
+    // lexical arm + fusion verbatim. Same orphan precondition as x84.
+    "x88_hybrid_rrf_ivfpq" ->
+      s"""WITH $pqChainCtes,
+         |$trainedCellCtes,
+         |kcells AS (
+         |  SELECT r.vec_id, r.c_label AS cell, cr.code
+         |  FROM krank r JOIN codesrel cr USING (vec_id) WHERE rn = 1),
+         |kq AS (
+         |  SELECT r.vec_id AS q_id, r.c_label AS cell, lt.lut AS lut
+         |  FROM krank r JOIN lut lt ON lt.q_id = r.vec_id
+         |  WHERE rn <= $ScaledNprobe),
+         |ks AS (
+         |  SELECT l.q_id, l.cell, c.vec_id AS c_id,
+         |         $pqTermSql AS score_pq
+         |  FROM kq l JOIN kcells c ON l.cell = c.cell AND c.vec_id <> l.q_id),
+         |vr AS (
+         |  SELECT q_id, c_id,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_pq DESC, c_id) AS BIGINT) AS vec_rnk
+         |  FROM ks),
+         |vec AS (SELECT q_id, c_id AS id, vec_rnk FROM vr WHERE vec_rnk <= $HybridArmK),
+         |toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(t) >= 3
+         |              THEN list_distinct(list_transform(range(1, len(t) - 1),
+         |                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM toks),
+         |idx AS (
+         |  SELECT doc_id AS id, unnest(sh) AS shingle FROM sh
+         |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+         |q AS (
+         |  SELECT doc_id AS q_id FROM documents
+         |  WHERE doc_id < $QuerySetSize
+         |    AND doc_id IN (SELECT vec_id FROM embeddings)),
+         |qsh AS (SELECT q.q_id, i.shingle FROM idx i JOIN q ON i.id = q.q_id),
+         |lexs AS (
+         |  SELECT qsh.q_id, i.id, count(*) AS n_common
+         |  FROM qsh JOIN idx i USING (shingle)
+         |  WHERE i.id <> qsh.q_id GROUP BY 1, 2),
+         |lexr AS (
+         |  SELECT q_id, id,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY n_common DESC, id) AS BIGINT) AS lex_rnk
+         |  FROM lexs),
+         |lex AS (SELECT q_id, id, lex_rnk FROM lexr WHERE lex_rnk <= $HybridArmK),
+         |fused AS (
+         |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         |         COALESCE(l.id, v.id) AS doc_id, l.lex_rnk, v.vec_rnk
+         |  FROM lex l FULL OUTER JOIN vec v ON l.q_id = v.q_id AND l.id = v.id),
+         |fr AS (
+         |  SELECT q_id, doc_id, lex_rnk, vec_rnk,
+         |         COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(lex_rnk AS DOUBLE)), CAST(0 AS DOUBLE))
+         |         + COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(vec_rnk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM fused),
+         |rr AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM fr)
+         |SELECT q_id, doc_id, lex_rnk, vec_rnk, rrf, rnk FROM rr WHERE rnk <= $HybridTopK
+         |ORDER BY q_id, rnk""".stripMargin,
+
+    // x87: x79's oracle with the lexical arm idf-weighted — per-shingle
+    // df off the same index, N as the ranked-universe count, weight =
+    // GREATEST(1, length(bin(N)) - length(bin(df)) + 1) (the integer
+    // halving-bucket idf staircase; bin() is exact on both engines), and
+    // the rank score the CAST-to-BIGINT sum of weights. Dense arm and
+    // fusion are x79's verbatim.
+    "x87_hybrid_rrf_bm25" ->
+      s"""WITH $shinglesCte,
+         |idx AS (
+         |  SELECT doc_id AS id, unnest(sh) AS shingle FROM sh
+         |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+         |dfrel AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY 1),
+         |nu AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_universe FROM documents
+         |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
+         |q AS (
+         |  SELECT doc_id AS q_id FROM documents
+         |  WHERE doc_id < $QuerySetSize
+         |    AND doc_id IN (SELECT vec_id FROM embeddings)),
+         |qsh AS (SELECT q.q_id, i.shingle FROM idx i JOIN q ON i.id = q.q_id),
+         |lexs AS (
+         |  SELECT qsh.q_id, i.id,
+         |         CAST(SUM(GREATEST(1, length(bin(nu.n_universe)) - length(bin(dfrel.df)) + 1)) AS BIGINT) AS n_common
+         |  FROM qsh JOIN idx i USING (shingle) JOIN dfrel USING (shingle), nu
          |  WHERE i.id <> qsh.q_id GROUP BY 1, 2),
          |lexr AS (
          |  SELECT q_id, id,

@@ -73,6 +73,51 @@ object DiagOpq {
       top50.unpersist()
       ExtCaches.clearCaches()
     }
+
+    // ---- The CORRELATED-embedding cell (round-11 verdict #6) ----------
+    // The i.i.d. table above shows the rotation CAN'T pay when every
+    // grouping carries the same variance. This half shows where it DOES:
+    // a corpus whose dims 32..63 are an EXACT COPY of dims 0..31 (the
+    // strongest cross-subspace correlation; cosine ordering is unchanged
+    // — dot and both norms scale by the same factor, so the i.i.d.
+    // ground-truth set is reused verbatim). Under the identity grouping,
+    // subspaces 4..7 re-learn byte-for-byte what 0..3 learned (the code
+    // budget buys nothing twice); the PAIRING permutation co-locates
+    // each dim with its copy, so every subspace quantizes 4 effective
+    // dims with the full 64-code book — the OPQ claim (group correlated
+    // dims together) in its exactly-measurable form.
+    val half = dims / 2
+    val corrCols = (0 until half).map(i => element_at(col("embedding"), i + 1))
+    val eCorr = e.select(col("vec_id"),
+      array(corrCols ++ corrCols: _*).as("embedding"))
+    val exactC = Similarity.bruteForceTopK(eCorr,
+        eCorr.filter(col("vec_id") < Extensions.QuerySetSize),
+        "vec_id", "embedding", 3)
+      .select(col("q_id"), col("c_id")).cache()
+    val nExactC = exactC.count()
+    def hitsC(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("q_id"), col("c_id")).join(exactC, Seq("q_id", "c_id")).count()
+    // pairing: slot 2t -> dim t, slot 2t+1 -> its copy half+t
+    val pairing = IndexedSeq.tabulate(dims)(j =>
+      if (j % 2 == 0) j / 2 else half + j / 2)
+    for ((tag, perm) <- Seq(
+        ("corr-identity", IndexedSeq.tabulate(dims)(identity)),
+        ("corr-pairing", pairing),
+        ("corr-seed1", permutation(1L)))) {
+      val permuted = array(perm.map(i => element_at(col("embedding"), i + 1)): _*)
+      val ep = eCorr.select(col("vec_id"), permuted.as("embedding"))
+      val qp = ep.filter(col("vec_id") < Extensions.QuerySetSize)
+      val top50 = Similarity.pqTopK(ep, qp, "vec_id", "embedding", k = 50,
+        m = Extensions.PqM, codes = Extensions.PqCodes,
+        lloydRounds = Extensions.PqLloydRounds, dims = dims).cache()
+      val r3 = hitsC(top50.filter(col("rnk") <= 3))
+      val c10 = hitsC(top50.filter(col("rnk") <= 10))
+      val c50 = hitsC(top50)
+      println(f"[diagopq] $tag%-13s recall@3 $r3/$nExactC  " +
+        f"top3⊆ADCtop10 $c10/$nExactC  ⊆top50 $c50/$nExactC")
+      top50.unpersist()
+      ExtCaches.clearCaches()
+    }
     spark.stop()
   }
 }

@@ -110,6 +110,13 @@ object ScaleSoak {
     // star-CC on the chain-shaped mutual-kNN graph (its common case)
     "x78_knn_graph", "x79_hybrid_rrf", "x80_quality_classifier",
     "x81_semantic_clusters",
+    // round-11: the idf-damped lexical arm (same fixed query set as x79,
+    // one extra df aggregate over the stored index — the slope should
+    // read like x79's) and the IVF-probed kNN graph (probe equi-join,
+    // (nprobe/cells)·n² exact scores at fixed geometry — the HONEST
+    // near-quadratic the nprobe/cells knobs exist to re-shape; compare
+    // x78's linear-but-1%-recall row)
+    "x87_hybrid_rrf_bm25", "x89_knn_graph_ivf", "x89_cells_sqrtn",
     // x82 batch form: the incoming->base band probe — cost tracks
     // collisions like x55's, never |incoming|*|base|
     "x82_incremental_knn", "x83_classifier_split",
@@ -168,6 +175,22 @@ object ScaleSoak {
         minSmall = graft.queries.Extensions.ContainmentMinSmall,
         dfCap = Some(50))
         .orderBy(col("id_a"), col("id_b"))),
+    // x89 with the FAISS-practice cell scaling (cells ∝ sqrt n, anchored
+    // at the registry's 32 cells per 2k vectors): per-node probed mass
+    // shrinks as nprobe/cells while the registry row keeps geometry
+    // fixed — the soak pair prices quadratic-vs-n^1.5 directly. (Recall
+    // at FIXED nprobe falls as cells grow — x71's mass curve; production
+    // co-scales nprobe with cells, the already-priced trade.)
+    "x89_cells_sqrtn" -> ((s: SparkSession, dir: String) => {
+      val e = graft.tables.Tables.embeddings(s, dir)
+      val cells = math.max(32, math.round(
+        32.0 * math.sqrt(e.count().toDouble / 2000.0)).toInt)
+      graft.ext.Similarity.knnGraphIvf(e, "vec_id", "embedding",
+        k = graft.queries.Extensions.KnnGraphK, cells = cells,
+        lloydRounds = graft.queries.Extensions.ScaledLloydRounds,
+        nprobe = graft.queries.Extensions.ScaledNprobe)
+        .orderBy(col("src_id"), col("rnk"))
+    }),
     // x44 at 4,096 shards (3 hex chars): the "shard count is the
     // parallelism knob" claim — raising shards 256x must not change the
     // cost class (one hash shuffle + per-shard running sums either way).
@@ -316,8 +339,12 @@ object ScaleSoak {
     "x02_dfcap50", "x51_jaccard_prefix", "x52_dfcap50",
     "x55_incremental_lsh",
     // round-10: the retrieval arm under the header — uncapped x79 pays
-    // the header posting lists per query, the df-cap twin drops them
-    "x79_hybrid_rrf", "x79_dfcap50",
+    // the header posting lists per query, the df-cap twin drops them.
+    // Round-11 adds the BM25-lite arm (x87): idf damping reads the same
+    // posting lists but weights the header terms to 1 — the cost story
+    // should match uncapped x79 while the RANKING no longer ties on the
+    // header (the quality half of the round-10 "production ranker" note).
+    "x79_hybrid_rrf", "x79_dfcap50", "x87_hybrid_rrf_bm25",
     // round-9: the header's char q-grams are corpus-wide df — exactly
     // what the df-rarity prefix must refuse to select; the b-dirs make
     // that claim a measurement (round-8 asserted it by analogy to x02)
@@ -509,6 +536,19 @@ object ScaleSoak {
     sb.append("scales with the corpus (batch retrieval / all-pairs — where the\n")
     sb.append("x02/x52 rows already price it); a production ranker's BM25 idf\n")
     sb.append("term damps header terms smoothly without either knob.\n\n")
+    sb.append("Round 11 BUILT that ranker (x87 rows below — the integer\n")
+    sb.append("halving-bucket idf staircase, max(1, log2(N)-log2(df)+1), exact\n")
+    sb.append("on both engines via length(bin(.))): under the header it reads\n")
+    sb.append("the same posting lists as uncapped x79 plus the corpus-df\n")
+    sb.append("aggregate the cap twin also pays — cost lands between the two\n")
+    sb.append("(5.1 s at b30 vs 2.5 uncapped / 4.3 capped; all three flat in\n")
+    sb.append("corpus size at fixed |queries|). What it buys: header shingles\n")
+    sb.append("weigh 1 instead of tying every candidate (the cap DROPS them —\n")
+    sb.append("same effect, but its threshold must be re-measured per corpus,\n")
+    sb.append("while idf adapts through N), and rare-shingle overlap outranks\n")
+    sb.append("common-shingle overlap (vs x79 on the plain corpus at sf0.1:\n")
+    sb.append("24/50 fused slots identical, 15/50 retrieved docs differ). The\n")
+    sb.append("round-10 sentence above is now a gated operator, not a note.\n\n")
     if (renderMode)
       sb.append("THIS FILE IS RENDERED from `soak_cells.tsv` (see SCALING.md's\n" +
         "ledger note); the b-prefixed dirs are the boilerplate variant's\n" +
@@ -806,6 +846,70 @@ object ScaleSoak {
     sb.append("  cells (x74 32.5 / x75 37.8 / x76 28.2) price train+serve in one\n")
     sb.append("  fresh JVM; note x76 is now the CHEAPEST of the three at the\n")
     sb.append("  decade even training-inclusive.\n")
+    sb.append("- **Round-11 banding-recall audit of the kNN graph (x85 — the\n")
+    sb.append("  number the round-10 verdict said x81/x82 inherit unmeasured).**\n")
+    sb.append("  recall@3 of the banded graph vs the exact per-node top-3:\n")
+    sb.append("  13/1500 (0.9%) at sf0.001, 14/1500 (0.9%) at sf0.01, 82/6000\n")
+    sb.append("  (1.4%) at sf0.1 — the sampled 16x16 banding recovers essentially\n")
+    sb.append("  NONE of the generic top-k. The geometry explains it exactly: a\n")
+    sb.append("  band collides only on 16 sign agreements, P ~ (1/2 +\n")
+    sb.append("  arcsin(rho)/pi)^16, and this corpus's true top-3 cosines live at\n")
+    sb.append("  0.25-0.60 (max pair cosine 0.61 — there are NO near-identical\n")
+    sb.append("  embedding pairs), where per-band collision is ~0.1% and 16 bands\n")
+    sb.append("  reach ~1.5%. Even restricted to true edges >= 0.4 (x05's dup\n")
+    sb.append("  threshold) recall is 40/1802 at sf0.1; of x78's 3492 edges there,\n")
+    sb.append("  only 40 score >= 0.4 — the rest are accidental 16-bit collisions\n")
+    sb.append("  that top-k keeps because knnGraph has no threshold. VERDICT: the\n")
+    sb.append("  banding is a NEAR-DUP candidate generator (its x05 job, where\n")
+    sb.append("  collision at cos >= 0.9 is ~75%), NOT a kNN-graph builder at this\n")
+    sb.append("  regime; x71's trained-cell IVF holds 16/30 recall@3 at ~30% probe\n")
+    sb.append("  mass on the same corpus. Both fixes were then measured rather\n")
+    sb.append("  than assumed: (a) NN-descent refinement (Dong WWW'11) from the\n")
+    sb.append("  banded seed — prototyped at k=3 with capped reverse neighbors on\n")
+    sb.append("  sf0.01: seed 14/1500, rounds 1-6 give 18/20/20/20/20/20 —\n")
+    sb.append("  REJECTED: it converges by round 2 at 1.3%, because i.i.d.-dim\n")
+    sb.append("  embeddings have no navigable neighborhood structure to descend\n")
+    sb.append("  (the x81 path-halving discipline: measure first, record the no).\n")
+    sb.append("  (b) The trained-cell IVF graph builder (x89, audited by x91 with\n")
+    sb.append("  the same graphEdgesRecall machinery as x85): recall@3 =\n")
+    sb.append("  0.744/0.732/0.698 at sf0.001/0.01/0.1 at the shipped nprobe=10/32\n")
+    sb.append("  (~32% probed mass, exact-cosine ranking inside probed cells),\n")
+    sb.append("  with the smooth knob the banding lacks (sf0.01 prototype: 0.36 at\n")
+    sb.append("  nprobe=3 / 9.5% mass, 0.87 at nprobe=16 / 51% mass). Cost is a\n")
+    sb.append("  pure cell equi-join scoring (nprobe/cells)*n^2 candidates, and\n")
+    sb.append("  the soak caught the graph build's real hazard IN THE PLAN, not\n")
+    sb.append("  the arithmetic: the first spelling materialized candidate pairs\n")
+    sb.append("  then re-fetched both 64-long vectors by two id joins — the\n")
+    sb.append("  candidate relation crossed the wire three times with arrays\n")
+    sb.append("  aboard (158 s at x10 fixed-geometry, 80.5 s at sqrt-n cells).\n")
+    sb.append("  Rewritten to attach vectors to the SMALL relations (members: n\n")
+    sb.append("  rows, probes: n*nprobe rows) BEFORE the cell join, candidates\n")
+    sb.append("  exist only pipelined inside whole-stage codegen and the rank\n")
+    sb.append("  exchange carries 24-byte rows: x10 fixed 158 -> 52 s (3x), x10\n")
+    sb.append("  sqrt-n 80.5 -> 5.5 s (15x), identical gated output — the shuffle\n")
+    sb.append("  WIDTH, not the dot-product count, was the bill. Final cells:\n")
+    sb.append("  x89 fixed-geometry 4.7 / 51.8 / 119.7 s at x3/x10/x30 (slope 25\n")
+    sb.append("  — the honest super-linearity of fixed cells); x89_cells_sqrtn\n")
+    sb.append("  (cells ~ 32*sqrt(n/2000), the FAISS practice) 3.6 / 5.5 / 20.2 s\n")
+    sb.append("  — slope 5.6, the n^1.5 class reading near-linear at this size.\n")
+    sb.append("  Recall at FIXED nprobe falls as cells grow (x71's mass curve);\n")
+    sb.append("  production co-scales nprobe — the trade x71/x91 price. x78's\n")
+    sb.append("  row stays linear but buys 1% recall. At 100 TB the remaining\n")
+    sb.append("  knob is ranking probed members by stored SQ8 codes (x73's tail:\n")
+    sb.append("  64 B/row instead of 512) with exact re-rank of the top slice —\n")
+    sb.append("  the x75 refine composition, already priced.\n")
+    sb.append("- **Round-11 retrieval arms.** x87 (BM25-lite idf damping —\n")
+    sb.append("  integer halving-bucket weights, max(1, log2(N)-log2(df)+1) via\n")
+    sb.append("  length(bin(.))) tracks x79's flat cost shape on the plain corpus:\n")
+    sb.append("  the only addition is one df aggregate over the stored index. The\n")
+    sb.append("  weighting CHANGES real rankings (vs x79 at sf0.1: only 24/50\n")
+    sb.append("  fused slots identical, 15/50 retrieved docs differ — rare-shingle\n")
+    sb.append("  overlap now outranks common-shingle overlap, BM25's claim), with\n")
+    sb.append("  no per-corpus threshold knob: the weight adapts through N where\n")
+    sb.append("  the df-cap's drop threshold must be re-measured per corpus.\n")
+    sb.append("  x88 (IVF x PQ dense arm) completes the pluggable-arm ladder:\n")
+    sb.append("  brute (x79) / IVF x SQ8 (x84) / IVF x PQ (x88) all gate against\n")
+    sb.append("  the same fusion, so a deployment picks the arm by index budget.\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")

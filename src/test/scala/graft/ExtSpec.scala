@@ -1586,6 +1586,74 @@ class RetrievalSpec extends SparkSpec {
     assert(ids == Set(1L, 2L))
     graft.ext.ExtCaches.clearCaches()
   }
+
+  test("idf weighting flips count-arm rankings: rare overlap beats common overlap") {
+    // query q shares ONE rare shingle with doc A (df=2: only q and A) and
+    // TWO common shingles with doc B (the fillers all carry them).
+    // count arm: B (2) > A (1). idf arm with N=18 docs: the rare shingle
+    // weighs max(1, len(bin(18)) - len(bin(2)) + 1) = 4, the common ones
+    // (df=17) weigh 1 — A (4) > B (2).
+    val q = (0L, "r1 r2 r3 c1 c2 c3")
+    val a = (1L, "r1 r2 r3 za zb zc")
+    val b = (2L, "r3 c1 c2 c3 yy")
+    val fillers = (3L to 17L).map(i => (i, s"r3 c1 c2 c3 f$i"))
+    val docs = (Seq(q, a, b) ++ fillers).toDF("doc_id", "text")
+    val embs = docs.select(col("doc_id").as("vec_id"))
+      .withColumn("embedding",
+        array((0 until 8).map(_ => lit(0.5f)): _*))
+    def lexRank(idf: Boolean): Map[Long, Long] =
+      Retrieval.hybridRrfTopK(docs, embs, docs.filter(col("doc_id") === 0L),
+          "doc_id", "text", "vec_id", "embedding", armK = 18, k = 18,
+          idfWeighted = idf)
+        .collect()
+        .flatMap(r => Option(r.getAs[java.lang.Long]("lex_rnk"))
+          .map(lr => r.getAs[Long]("doc_id") -> lr.toLong))
+        .toMap
+    val byCount = lexRank(idf = false)
+    val byIdf = lexRank(idf = true)
+    assert(byCount(2L) < byCount(1L),
+      s"count arm must favor B's two common shingles: $byCount")
+    assert(byIdf(1L) < byIdf(2L),
+      s"idf arm must favor A's rare shingle: $byIdf")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("x88: the IVF×PQ arm fuses; ranks contiguous; arm ranks bounded") {
+    val r = graft.queries.Extensions.x88_hybrid_rrf_ivfpq(
+        spark, "/root/testdata/sf0.001").collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+        (1L to sorted.length).toSeq)
+      sorted.foreach { row =>
+        val lex = Option(row.getAs[java.lang.Long]("lex_rnk"))
+        val vec = Option(row.getAs[java.lang.Long]("vec_rnk"))
+        assert(lex.nonEmpty || vec.nonEmpty)
+        assert(lex.forall(_ <= graft.queries.Extensions.HybridArmK) &&
+          vec.forall(_ <= graft.queries.Extensions.HybridArmK))
+      }
+    }
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("x92: purity matrix partitions x81's membership exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val m = graft.queries.Extensions.x92_cluster_label_purity(spark, dir)
+      .collect()
+    assert(m.nonEmpty)
+    // per component, member counts in the matrix must sum to x81's
+    // n_members for that component (the matrix is a refinement, not a
+    // re-clustering)
+    val byComp = m.groupBy(_.getAs[Long]("canonical_id"))
+      .map { case (c, rows) => c -> rows.map(_.getAs[Long]("n_members")).sum }
+    val x81 = graft.queries.Extensions.x81_semantic_clusters(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("canonical_id") -> r.getAs[Long]("n_members"))
+      .toMap
+    assert(byComp == x81, "matrix must re-aggregate to x81's summary exactly")
+    graft.ext.ExtCaches.clearCaches()
+  }
 }
 
 class ClassifySpec extends SparkSpec {

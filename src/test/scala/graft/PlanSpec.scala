@@ -332,7 +332,10 @@ class PlanSpec extends SparkSpec {
     // arms stay equi-joins, pinned by the x63/x69/x70 plan test.
     // x79's dense arm is that same baseline by reference (the fusion
     // consumes only ranks, so a deployment swaps in an IVF arm without
-    // touching the fusion — Retrieval.hybridRrfTopK Scaladoc).
+    // touching the fusion — Retrieval.hybridRrfTopK Scaladoc); x87 is
+    // x79 with only the LEXICAL arm changed (idf weights), so it carries
+    // the same brute dense arm and the same rationale — x84/x88 are the
+    // exemption-free trained-arm forms.
     // x85/x91 are the kNN-graph RECALL AUDITS: their exact arm is by
     // definition the x06 brute pass with every (or a sampled) node as a
     // query — the audit's denominator cannot avoid the non-equi scan,
@@ -341,7 +344,8 @@ class PlanSpec extends SparkSpec {
     // carries NO exemption.)
     val bnljWhitelist =
       Set("x06_sim_topk_brute", "x71_ivf_recall", "x79_hybrid_rrf",
-        "x85_knn_graph_recall", "x91_knn_graph_ivf_recall")
+        "x87_hybrid_rrf_bm25", "x85_knn_graph_recall",
+        "x91_knn_graph_ivf_recall")
 
     def isOneRowAnchor(b: BroadcastNestedLoopJoinExec): Boolean = {
       val build = b.buildSide match {
