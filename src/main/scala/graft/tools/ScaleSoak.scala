@@ -891,7 +891,10 @@ object ScaleSoak {
     sb.append("  x89 fixed-geometry 4.7 / 51.8 / 119.7 s at x3/x10/x30 (slope 25\n")
     sb.append("  — the honest super-linearity of fixed cells); x89_cells_sqrtn\n")
     sb.append("  (cells ~ 32*sqrt(n/2000), the FAISS practice) 3.6 / 5.5 / 20.2 s\n")
-    sb.append("  — slope 5.6, the n^1.5 class reading near-linear at this size.\n")
+    sb.append("  — slope 5.6, the n^1.5 class reading near-linear at this size —\n")
+    sb.append("  and its fresh-JVM decade cell holds: x100 = 89.6 s on 200k\n")
+    sb.append("  vectors (rows exactly n*k = 600,000; slope x100/x10 = 16.4,\n")
+    sb.append("  the n^1.5 signature between linear 10 and quadratic 100).\n")
     sb.append("  Recall at FIXED nprobe falls as cells grow (x71's mass curve);\n")
     sb.append("  production co-scales nprobe — the trade x71/x91 price. x78's\n")
     sb.append("  row stays linear but buys 1% recall. At 100 TB the remaining\n")
