@@ -480,6 +480,57 @@ object Similarity {
       .select(col("src_id"), col("nbr_id"), col("cosine"), col("rnk"))
   }
 
+  /** [[knnGraphIvf]] with the at-scale ranking tail: probed members are
+    * first ranked by the integer SQ8 code dot (the x63/x73 stored-code
+    * payload — int8-range per dim, the form a 100 TB index keeps at
+    * rest), a per-node SHORTLIST survives, and only the shortlist is
+    * re-ranked by the exact quantized cosine — the x75 refine
+    * composition applied to the graph build. The probe front end,
+    * shuffle discipline (codes attached to the small member/probe
+    * relations before the cell join; candidates pipelined; 24-byte rank
+    * exchanges), and output shape are [[knnGraphIvf]]'s; what changes
+    * is WHAT crosses the scorer (stored codes, not full-precision
+    * vectors — in this engine both are long arrays, but the code form
+    * is the one whose at-rest footprint x63 priced) and the extra
+    * shortlist window. The exact re-rank joins back only n·shortlist
+    * rows, so its cost is noise. Recall vs the exact graph = probe
+    * recall × shortlist fidelity — x94 measures the composition
+    * (0.744/0.731/0.697 across the SFs at shortlist=10: within 1 edge
+    * of x91's exact-rank 0.744/0.732/0.698, i.e. SQ8 shortlist loss is
+    * ~zero at this depth, exactly what the frozen-candidate x64 audit
+    * predicted). */
+  def knnGraphIvfSq8(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                     cells: Int, lloydRounds: Int, nprobe: Int,
+                     shortlist: Int): DataFrame = {
+    val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
+    val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
+    val p = ExtCaches.persistTracked(
+      trainedCellProbes(q, cells, lloydRounds, nprobe))
+    val coded = ExtCaches.persistTracked(
+      sq8Codes(df.select(col(idCol), col(vecCol)), idCol, vecCol))
+    val members = p.filter(col("probe_rank") === 1)
+      .select(col("id").as("nbr_id"), col("cell"))
+      .join(coded.select(col("id").as("nbr_id"), col("code").as("cn")), Seq("nbr_id"))
+    val probes = p.select(col("id").as("src_id"), col("cell"))
+      .join(coded.select(col("id").as("src_id"), col("code").as("cs")), Seq("src_id"))
+    val adc = probes.join(members, Seq("cell"))
+      .filter(col("src_id") =!= col("nbr_id"))
+      .withColumn("dot_q8", dotQ(col("cs"), col("cn")))
+      .select(col("src_id"), col("nbr_id"), col("dot_q8"))
+    val ws = Window.partitionBy(col("src_id")).orderBy(desc("dot_q8"), col("nbr_id"))
+    val short = adc.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= shortlist)
+      .select(col("src_id"), col("nbr_id"))
+    val rer = short
+      .join(v.select(col("id").as("src_id"), col("vec").as("vs"), col("norm").as("ns")), Seq("src_id"))
+      .join(v.select(col("id").as("nbr_id"), col("vec").as("vn"), col("norm").as("nn")), Seq("nbr_id"))
+      .withColumn("cosine", cosineFromParts(dotQ(col("vs"), col("vn")), col("ns"), col("nn")))
+    val w = Window.partitionBy(col("src_id")).orderBy(desc("cosine"), col("nbr_id"))
+    rer.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("src_id"), col("nbr_id"), col("cosine"), col("rnk"))
+  }
+
   /** Recall audit of ANY directed edge set against the exact per-node
     * top-k — the x50/x64/x71 "measure, don't guess" discipline as a
     * reusable primitive: per node, how much of the node's TRUE top-k

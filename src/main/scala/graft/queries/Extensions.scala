@@ -2016,6 +2016,42 @@ object Extensions {
       .orderBy(col("src_id"))
   }
 
+  /** x93 shortlist depth: probed members ranked by the stored SQ8 code
+    * dot survive to this depth per node before the exact re-rank picks
+    * the final [[KnnGraphK]] — x94 measures the composed loss (~zero at
+    * 10: the x64 frozen-candidate audit's prediction, now composed). */
+  val KnnShortlist = 10
+
+  /** SQ8-shortlist IVF graph (x93): x89 with the at-scale ranking tail —
+    * probed members ranked by the stored SQ8 code dot, a
+    * [[KnnShortlist]]-deep shortlist, exact re-rank of the shortlist
+    * only (the x75 refine composition applied to the graph build; see
+    * [[Similarity.knnGraphIvfSq8]]). The graph ladder's 100 TB rung:
+    * what crosses the scorer is the int8-range payload a production
+    * index keeps at rest. */
+  def x93_knn_graph_ivf_sq8(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphIvfSq8(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = KnnGraphK, cells = ScaledCells,
+        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
+        shortlist = KnnShortlist)
+      .orderBy(col("src_id"), col("rnk"))
+
+  /** Recall audit of the SQ8-shortlist graph (x94): completes the graph
+    * family's measured ladder — banded x85 ≈ 0.01, exact-rank IVF x91
+    * 0.7440/0.7320/0.6978, SQ8-shortlist IVF x94 0.7427/0.7320/0.6957 —
+    * the shortlist costs 2/0/13 edges of 1500/1500/6000 (fidelity ≈ 1
+    * at depth 10, composing x64's quantization-loss audit with x91's
+    * probe loss). */
+  def x94_knn_graph_ivf_sq8_recall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.graphEdgesRecall(e,
+        Similarity.knnGraphIvfSq8(e, "vec_id", "embedding", k = KnnGraphK,
+          cells = ScaledCells, lloydRounds = ScaledLloydRounds,
+          nprobe = ScaledNprobe, shortlist = KnnShortlist),
+        "vec_id", "embedding", k = KnnGraphK, hitsCol = "hits_ivf_sq8")
+      .orderBy(col("src_id"))
+  }
+
   /** Three-way coarse-quantizer recall table (x71): per query, the exact
     * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
     * Hamming-1 multi-probe sign SQ8 (x69), and learned-centroid IVF at
@@ -2869,7 +2905,9 @@ object Extensions {
     "x89_knn_graph_ivf" -> (x89_knn_graph_ivf _),
     "x90_classifier_calibrated" -> (x90_classifier_calibrated _),
     "x91_knn_graph_ivf_recall" -> (x91_knn_graph_ivf_recall _),
-    "x92_cluster_label_purity" -> (x92_cluster_label_purity _))
+    "x92_cluster_label_purity" -> (x92_cluster_label_purity _),
+    "x93_knn_graph_ivf_sq8" -> (x93_knn_graph_ivf_sq8 _),
+    "x94_knn_graph_ivf_sq8_recall" -> (x94_knn_graph_ivf_sq8_recall _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -3477,6 +3515,41 @@ object Extensions {
        |gr AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
        |  FROM gscored)""".stripMargin
+
+  /** The x93 SQ8-shortlist graph CTE chain — trained-cell ranks, stored
+    * SQ8 codes, ADC shortlist per node, exact re-rank of the shortlist.
+    * `g8` holds (src_id, nbr_id, cosine, rnk). Shared by x93 and x94,
+    * mirroring Similarity.knnGraphIvfSq8. */
+  private def ivfSq8GraphCtes: String =
+    s"""qv AS (
+       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+       |$trainedCellCtes,
+       |$sq8CodesCte,
+       |gn AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+       |smem AS (
+       |  SELECT k.vec_id AS nbr_id, k.c_label AS cell, c.code AS cn
+       |  FROM krank k JOIN codes c USING (vec_id) WHERE rn = 1),
+       |sprb AS (
+       |  SELECT k.vec_id AS src_id, k.c_label AS cell, c.code AS cs
+       |  FROM krank k JOIN codes c USING (vec_id) WHERE rn <= $ScaledNprobe),
+       |adc AS (
+       |  SELECT src_id, nbr_id, ${dotSql("cs", "cn")} AS dot_q8
+       |  FROM sprb JOIN smem USING (cell)
+       |  WHERE nbr_id <> src_id),
+       |shortl AS (
+       |  SELECT src_id, nbr_id FROM (
+       |    SELECT src_id, nbr_id,
+       |           row_number() OVER (PARTITION BY src_id ORDER BY dot_q8 DESC, nbr_id) AS srnk
+       |    FROM adc) WHERE srnk <= $KnnShortlist),
+       |rer AS (
+       |  SELECT s.src_id, s.nbr_id,
+       |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
+       |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
+       |  FROM shortl s JOIN gn a ON a.vec_id = s.src_id JOIN gn b ON b.vec_id = s.nbr_id),
+       |g8 AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
+       |  FROM rer)""".stripMargin
 
   /** The x83 split-classifier CTE chain — weak labels off the quality
     * gate, the md5 hash split, votes trained on the base slice only,
@@ -4692,6 +4765,39 @@ object Extensions {
          |FROM lab GROUP BY label
          |HAVING count(*) > 1
          |ORDER BY canonical_id""".stripMargin,
+
+    // x93: the SQ8-shortlist graph — trained cells + stored codes + ADC
+    // shortlist + exact re-rank, one factored chain (ivfSq8GraphCtes).
+    "x93_knn_graph_ivf_sq8" ->
+      s"""WITH $ivfSq8GraphCtes
+         |SELECT src_id, nbr_id, cosine, rnk FROM g8 WHERE rnk <= $KnnGraphK
+         |ORDER BY src_id, rnk""".stripMargin,
+
+    // x94: the x93 chain verbatim audited against the exact per-node
+    // top-k (the x85/x91 brute chain over gn).
+    "x94_knn_graph_ivf_sq8_recall" ->
+      s"""WITH $ivfSq8GraphCtes,
+         |g AS (SELECT src_id, nbr_id FROM g8 WHERE rnk <= $KnnGraphK),
+         |bs AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
+         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
+         |  FROM gn a JOIN gn b ON b.vec_id <> a.vec_id),
+         |bt AS (
+         |  SELECT src_id, nbr_id FROM (
+         |    SELECT src_id, nbr_id,
+         |           row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rnk
+         |    FROM bs) WHERE rnk <= $KnnGraphK),
+         |ec AS (SELECT src_id, CAST(count(*) AS BIGINT) AS n_exact FROM bt GROUP BY 1),
+         |h AS (
+         |  SELECT bt.src_id, CAST(count(*) AS BIGINT) AS hits_ivf_sq8
+         |  FROM bt JOIN g ON bt.src_id = g.src_id AND bt.nbr_id = g.nbr_id
+         |  GROUP BY 1)
+         |SELECT ec.src_id, ec.n_exact,
+         |       CAST(COALESCE(h.hits_ivf_sq8, 0) AS BIGINT) AS hits_ivf_sq8,
+         |       CAST(COALESCE(h.hits_ivf_sq8, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE) AS recall_at_k
+         |FROM ec LEFT JOIN h USING (src_id)
+         |ORDER BY src_id""".stripMargin,
 
     // x92: the x81 recursive-closure chain verbatim, the component
     // labels joined against the metadata label column — the x56 matrix

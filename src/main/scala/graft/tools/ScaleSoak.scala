@@ -117,6 +117,10 @@ object ScaleSoak {
     // near-quadratic the nprobe/cells knobs exist to re-shape; compare
     // x78's linear-but-1%-recall row)
     "x87_hybrid_rrf_bm25", "x89_knn_graph_ivf", "x89_cells_sqrtn",
+    // x93: x89's candidates scored by stored SQ8 codes + shortlist +
+    // exact re-rank — same candidate mass, one extra narrow window; the
+    // cost delta vs x89 prices the refine composition itself
+    "x93_knn_graph_ivf_sq8",
     // x82 batch form: the incoming->base band probe — cost tracks
     // collisions like x55's, never |incoming|*|base|
     "x82_incremental_knn", "x83_classifier_split",
@@ -897,10 +901,15 @@ object ScaleSoak {
     sb.append("  the n^1.5 signature between linear 10 and quadratic 100).\n")
     sb.append("  Recall at FIXED nprobe falls as cells grow (x71's mass curve);\n")
     sb.append("  production co-scales nprobe — the trade x71/x91 price. x78's\n")
-    sb.append("  row stays linear but buys 1% recall. At 100 TB the remaining\n")
-    sb.append("  knob is ranking probed members by stored SQ8 codes (x73's tail:\n")
-    sb.append("  64 B/row instead of 512) with exact re-rank of the top slice —\n")
-    sb.append("  the x75 refine composition, already priced.\n")
+    sb.append("  row stays linear but buys 1% recall. The 100 TB ranking tail is\n")
+    sb.append("  BUILT and measured as x93 (stored-SQ8-code ADC shortlist + exact\n")
+    sb.append("  re-rank of 10/node — the x75 refine composition; recall audit\n")
+    sb.append("  x94 = 0.7427/0.7320/0.6957, within 2/0/13 edges of x89's\n")
+    sb.append("  exact ranking): 5.6 / 14.6 / 115.3 s at x3/x10/x30. At x10 the\n")
+    sb.append("  integer-only scorer reads 3.5x cheaper than x89's per-candidate\n")
+    sb.append("  cosine (14.6 tight-reps vs 51.8 with a 20.4 s min rep — part of\n")
+    sb.append("  x89's median is contention, the raws carry it); at x30 both\n")
+    sb.append("  converge (~115 vs ~120 s), candidate-volume-bound.\n")
     sb.append("- **Round-11 retrieval arms.** x87 (BM25-lite idf damping —\n")
     sb.append("  integer halving-bucket weights, max(1, log2(N)-log2(df)+1) via\n")
     sb.append("  length(bin(.))) tracks x79's flat cost shape on the plain corpus:\n")

@@ -726,6 +726,29 @@ class SimilaritySpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("x93/x94: shortlist graph dominates nothing it shouldn't — per-node hits_sq8 <= hits_ivf") {
+    // Provable, not statistical: any probed candidate in the GLOBAL
+    // top-k is necessarily in x89's local top-k (k better probed
+    // candidates would themselves be global top-k), and x93's top-k is
+    // drawn from a SHORTLIST of the same probed set — so per node the
+    // SQ8 path can only lose exact edges, never gain them.
+    val dir = "/root/testdata/sf0.001"
+    val ivf = graft.queries.Extensions
+      .x91_knn_graph_ivf_recall(spark, dir).collect()
+      .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("hits_ivf")).toMap
+    val sq8 = graft.queries.Extensions
+      .x94_knn_graph_ivf_sq8_recall(spark, dir).collect()
+      .map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("hits_ivf_sq8")).toMap
+    assert(ivf.keySet == sq8.keySet)
+    sq8.foreach { case (node, h8) =>
+      assert(h8 <= ivf(node), s"node $node: sq8 $h8 > exact-rank ${ivf(node)}")
+    }
+    // and the measured round-11 fact: the shortlist loses almost nothing
+    val (t8, ti) = (sq8.values.sum, ivf.values.sum)
+    assert(ti - t8 <= ti / 20, s"shortlist loss blew up: $t8 vs $ti")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("x85 recall audit: one row per node, subset arithmetic, and the banding finding") {
     val e = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = e.count()

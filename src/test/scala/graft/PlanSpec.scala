@@ -139,26 +139,28 @@ class PlanSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
-  test("x89: IVF graph scores pipelined (no wide exchange of candidates); rank group-limits; cell join equi") {
+  test("x89/x93: IVF graphs score pipelined (no wide exchange of candidates); rank group-limits; cell join equi") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.execution.window.{WindowGroupLimitExec => WGL}
-    val df = Extensions.x89_knn_graph_ivf(spark, dir)
-    val p = formatted(df)
-    assert(p.contains("WindowGroupLimit"), p)
-    // anchors (packed centroids, the Lloyd state) are the only BNLJs;
-    // the member×prober relation itself must be a cell EQUI-join
-    assert(!p.contains("CartesianProduct"), p)
-    // the shuffle-width contract behind the 3-15x soak win: no exchange
-    // in the plan repartitions a relation that still carries a vector
-    // column — vectors ride only in the small pre-join inputs, and the
-    // rank exchange carries (src_id, nbr_id, cosine)
-    val wide = df.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeExec
-          if e.output.exists(_.dataType.typeName.startsWith("array")) => e
+    for (q <- Seq(Extensions.x89_knn_graph_ivf _,
+        Extensions.x93_knn_graph_ivf_sq8 _)) {
+      val df = q(spark, dir)
+      val p = formatted(df)
+      assert(p.contains("WindowGroupLimit"), p)
+      // anchors (packed centroids, the Lloyd state, SQ8 scales) are the
+      // only BNLJs; the member×prober relation itself is a cell EQUI-join
+      assert(!p.contains("CartesianProduct"), p)
+      // the shuffle-width contract behind the 3-15x soak win: no exchange
+      // in the plan repartitions a relation that still carries a vector
+      // or code column — arrays ride only in the small pre-join inputs,
+      // and the shortlist/rank exchanges carry (src_id, nbr_id, score)
+      val wide = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+            if e.output.exists(_.dataType.typeName.startsWith("array")) => e
+      }
+      assert(wide.isEmpty,
+        s"candidate/rank exchange carries array columns:\n${wide.mkString("\n")}")
+      graft.ext.ExtCaches.clearCaches()
     }
-    assert(wide.isEmpty,
-      s"candidate/rank exchange carries array columns:\n${wide.mkString("\n")}")
-    graft.ext.ExtCaches.clearCaches()
   }
 
   test("x63/x69/x70: SQ8 search is a bucket/cell equi-join; the only BNLJs are the 1-row scales/centroid anchors") {
