@@ -140,8 +140,16 @@ object Classify {
       .withColumn("np", lit(0L)).withColumn("nn", lit(0L))
     val wCum = Window.orderBy(col("tau"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Loud empty-train precondition (round-11 advice): with an empty
+    // training slice the min(tau)−1 floor row is NULL-valued and the
+    // chosen threshold would silently become a NULL row. Fail in-plan
+    // instead — assert_true over the same 1-row totals anchor the
+    // calibration already broadcasts (the x59/x84 lazy-guard
+    // discipline: constructing the frame costs nothing; the check runs
+    // exactly when the query does).
     val tot = broadcast(trainScores
-      .agg(sum(when(col("label_pos"), 1L).otherwise(0L)).as("total_pos")))
+      .agg(sum(when(col("label_pos"), 1L).otherwise(0L)).as("total_pos"),
+        count(lit(1)).as("n_train")))
     val best = broadcast(
       byScore.unionByName(floorRow)
         .withColumn("cpos", sum(col("np")).over(wCum))
@@ -150,7 +158,13 @@ object Classify {
         .withColumn("correct", col("total_pos") - col("cpos") + col("cneg"))
         .orderBy(desc("correct"), col("tau"))
         .limit(1)
-        .select(col("tau").as("threshold")))
+        .select(col("tau").as("threshold"),
+          assert_true(col("n_train") > 0L,
+            lit("nbVoteCalibrated precondition violated: the training " +
+              "slice is empty — no score distribution exists to " +
+              "calibrate a threshold on. Widen the train split (or " +
+              "train on a labeled corpus) before applying the " +
+              "calibrated cut.")).as("train_ok")))
     val applyToks = distinctTokens(apply, idCol, textCol, None)
     val applyScores = applyVotes(
       apply.select(col(idCol).as("id"), col(labelCol).as("label_pos")),
@@ -161,6 +175,8 @@ object Classify {
         .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
     val pred = col("vote_score") > col("threshold")
     applyScores.crossJoin(best)
+      .filter(col("train_ok").isNull)
+      .drop("train_ok")
       .groupBy(col("threshold"))
       .agg(
         sum(when(col("label_pos") && pred, 1L).otherwise(0L)).as("tp"),

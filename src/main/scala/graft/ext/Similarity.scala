@@ -445,12 +445,111 @@ object Similarity {
     * materialized candidates at k. Same output shape as [[knnGraph]],
     * so every consumer (mutual-kNN clustering, SemDeDup neighborhoods)
     * swaps in by reference. */
+  /** Degenerate-cell fence for the Lloyd-cell joins (round 12 — the
+    * x59/hotBucketCap discipline applied to the one bucketed family that
+    * lacked it). A coarse quantizer trained on a REAL clustered corpus
+    * can collapse: one cell absorbs a constant fraction of the corpus,
+    * and the members×probers equi-join over that cell is ~cell²
+    * semantically — AQE's skew split parallelizes it but cannot shrink
+    * it. With a cap, cells past it switch from exhaustive within-cell
+    * candidates to BANDED-LSH candidates within the cell (the x78
+    * sampled 16×16 geometry — the same fallback x59 uses for oversized
+    * SemDeDup clusters): near-identical vectors (the usual content of a
+    * collapsed cell) still collide in every band, so exact duplicates
+    * and near-dups are never lost, while the oversized cell's join is
+    * bounded by Σ (cell, band-bucket)² instead of cell². Sub-collision-
+    * regime neighbors inside an oversized cell ARE traded away — the
+    * price of boundedness, exactly as in x59 (and the x05 hotBucketCap
+    * composes on top if a corpus is adversarially all-identical). The
+    * gate-scale registry forms assert the corpus sits under the cap
+    * (`guarded`) so the exhaustive oracle stays valid, making a future
+    * violation a loud named failure instead of an opaque hash mismatch.
+    *
+    * The SEARCH front end (x73/x76/x77/x84/x88) shares the trained-cell
+    * probe machinery but has milder exposure — a query set probes
+    * |queries|·(cell mass) rows, linear in the collapsed cell, not
+    * cell² — so it stays unfenced by design; if a deployment ever runs
+    * corpus-sized query sets through it, this fence applies verbatim
+    * (the probe relation is the same shape). */
+  private[graft] final class CellFence(memberCells: DataFrame,
+                                       probeCells: DataFrame,
+                                       cap: Option[Int]) {
+    /** (cell) rows past the cap — |cells|-bounded, broadcast both ways. */
+    private lazy val big: DataFrame =
+      memberCells.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+        .filter(col("cell_n") > cap.get.toLong)
+        .select(col("cell"))
+    val okMembers: DataFrame = cap.fold(memberCells)(_ =>
+      memberCells.join(broadcast(big), Seq("cell"), "left_anti"))
+    val okProbes: DataFrame = cap.fold(probeCells)(_ =>
+      probeCells.join(broadcast(big), Seq("cell"), "left_anti"))
+
+    /** Banded within-cell scored edges for the oversized cells (exact
+      * cosine over band-collision candidates, id-pair rows only until
+      * the final vector fetch); None when unfenced. Empty under AQE when
+      * no cell exceeds the cap (the broadcast `big` stage reports zero
+      * rows and the branch collapses). */
+    def bandedScored(v: DataFrame): Option[DataFrame] = cap.map { _ =>
+      val keys = v.withColumn("sig", signSignature(col("vec"), 64))
+        .select(col("id"),
+          explode(sampledKeysFromSig(col("sig"), 16, 16, 64, 0x5EEDL)).as("bk"))
+      val srcK = probeCells.join(broadcast(big), Seq("cell"), "left_semi")
+        .join(keys.withColumnRenamed("id", "src_id"), Seq("src_id"))
+      val nbrK = memberCells.join(broadcast(big), Seq("cell"), "left_semi")
+        .join(keys.withColumnRenamed("id", "nbr_id"), Seq("nbr_id"))
+      val cand = srcK.join(nbrK, Seq("cell", "bk"))
+        .filter(col("src_id") =!= col("nbr_id"))
+        .select(col("src_id"), col("nbr_id"))
+        .distinct()
+      cand
+        .join(v.select(col("id").as("src_id"), col("vec").as("vs"), col("norm").as("ns")), Seq("src_id"))
+        .join(v.select(col("id").as("nbr_id"), col("vec").as("vn"), col("norm").as("nn")), Seq("nbr_id"))
+        .withColumn("cosine", cosineFromParts(dotQ(col("vs"), col("vn")), col("ns"), col("nn")))
+        .select(col("src_id"), col("nbr_id"), col("cosine"))
+    }
+
+    /** Lazy in-plan under-cap guard (the x84/x88 anchor form): asserts
+      * no Lloyd cell exceeds the cap, so a registry gate whose oracle is
+      * cell-exhaustive fails LOUDLY (with this message) the day a corpus
+      * collapses a cell, instead of hash-mismatching opaquely. */
+    def guarded(out: DataFrame, op: String, on: Boolean): DataFrame =
+      if (!on || cap.isEmpty) out
+      else {
+        val anchor = broadcast(
+          memberCells.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+            .agg(max(col("cell_n")).as("max_cell"))
+            .select(assert_true(col("max_cell") <= lit(cap.get.toLong),
+              concat(
+                lit(s"$op oracle precondition violated: largest Lloyd cell has "),
+                col("max_cell"),
+                lit(s" members > maxCellSize ${cap.get} — past the cap the " +
+                  "engine switches to banded within-cell candidates while " +
+                  "the oracle stays cell-exhaustive. Raise the cap (and " +
+                  "re-gate) or mirror the banded branch in the oracle SQL " +
+                  "before scaling this gate.")))
+              .as("cell_cap_ok")))
+        out.crossJoin(anchor)
+          .filter(col("cell_cap_ok").isNull)
+          .drop("cell_cap_ok")
+      }
+  }
+
+  private def cellFence(memberCells: DataFrame, probeCells: DataFrame,
+                        cap: Option[Int]): CellFence =
+    new CellFence(memberCells, probeCells, cap)
+
   def knnGraphIvf(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                  cells: Int, lloydRounds: Int, nprobe: Int): DataFrame = {
+                  cells: Int, lloydRounds: Int, nprobe: Int,
+                  maxCellSize: Option[Int] = None,
+                  assertUnderCap: Boolean = false): DataFrame = {
     val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
     val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
     val p = ExtCaches.persistTracked(
       trainedCellProbes(q, cells, lloydRounds, nprobe))
+    val memberCells = p.filter(col("probe_rank") === 1)
+      .select(col("id").as("nbr_id"), col("cell"))
+    val probeCells = p.select(col("id").as("src_id"), col("cell"))
+    val fence = cellFence(memberCells, probeCells, maxCellSize)
     // Shuffle discipline, the load-bearing choice at graph-build scale:
     // vectors are attached to the SMALL relations (members: n rows;
     // probes: n·nprobe rows) BEFORE the cell join, so the only big
@@ -463,21 +562,22 @@ object Similarity {
     // relation twice with both 64-long arrays aboard — measured 3×
     // slower at the x10 soak dir (158 → 52 s) and 15× at the
     // sqrt-n-cells variant (80.5 → 5.5 s), identical gated output.
-    val members = p.filter(col("probe_rank") === 1)
-      .select(col("id").as("nbr_id"), col("cell"))
+    val members = fence.okMembers
       .join(v.select(col("id").as("nbr_id"), col("vec").as("vn"), col("norm").as("nn")), Seq("nbr_id"))
-    val probes = p.select(col("id").as("src_id"), col("cell"))
+    val probes = fence.okProbes
       .join(v.select(col("id").as("src_id"), col("vec").as("vs"), col("norm").as("ns")), Seq("src_id"))
     // probed cells are distinct per node and each member has ONE cell,
     // so the candidate relation needs no dedup (the x73 argument)
-    val scored = probes.join(members, Seq("cell"))
+    val exactScored = probes.join(members, Seq("cell"))
       .filter(col("src_id") =!= col("nbr_id"))
       .withColumn("cosine", cosineFromParts(dotQ(col("vs"), col("vn")), col("ns"), col("nn")))
       .select(col("src_id"), col("nbr_id"), col("cosine"))
+    val scored = fence.bandedScored(v).fold(exactScored)(exactScored.unionByName(_))
     val w = Window.partitionBy(col("src_id")).orderBy(desc("cosine"), col("nbr_id"))
-    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+    val ranked = scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col("src_id"), col("nbr_id"), col("cosine"), col("rnk"))
+    fence.guarded(ranked, "knnGraphIvf", assertUnderCap)
   }
 
   /** [[knnGraphIvf]] with the at-scale ranking tail: probed members are
@@ -501,17 +601,22 @@ object Similarity {
     * predicted). */
   def knnGraphIvfSq8(df: DataFrame, idCol: String, vecCol: String, k: Int,
                      cells: Int, lloydRounds: Int, nprobe: Int,
-                     shortlist: Int): DataFrame = {
+                     shortlist: Int,
+                     maxCellSize: Option[Int] = None,
+                     assertUnderCap: Boolean = false): DataFrame = {
     val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
     val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
     val p = ExtCaches.persistTracked(
       trainedCellProbes(q, cells, lloydRounds, nprobe))
     val coded = ExtCaches.persistTracked(
       sq8Codes(df.select(col(idCol), col(vecCol)), idCol, vecCol))
-    val members = p.filter(col("probe_rank") === 1)
+    val memberCells = p.filter(col("probe_rank") === 1)
       .select(col("id").as("nbr_id"), col("cell"))
+    val probeCells = p.select(col("id").as("src_id"), col("cell"))
+    val fence = cellFence(memberCells, probeCells, maxCellSize)
+    val members = fence.okMembers
       .join(coded.select(col("id").as("nbr_id"), col("code").as("cn")), Seq("nbr_id"))
-    val probes = p.select(col("id").as("src_id"), col("cell"))
+    val probes = fence.okProbes
       .join(coded.select(col("id").as("src_id"), col("code").as("cs")), Seq("src_id"))
     val adc = probes.join(members, Seq("cell"))
       .filter(col("src_id") =!= col("nbr_id"))
@@ -525,10 +630,17 @@ object Similarity {
       .join(v.select(col("id").as("src_id"), col("vec").as("vs"), col("norm").as("ns")), Seq("src_id"))
       .join(v.select(col("id").as("nbr_id"), col("vec").as("vn"), col("norm").as("nn")), Seq("nbr_id"))
       .withColumn("cosine", cosineFromParts(dotQ(col("vs"), col("vn")), col("ns"), col("nn")))
+      .select(col("src_id"), col("nbr_id"), col("cosine"))
+    // Fenced oversized cells contribute banded exact-scored edges
+    // directly to the final rank (they are band-bounded already — the
+    // SQ8 shortlist exists to shrink cell-exhaustive candidate mass,
+    // which the banding has done for them).
+    val scored = fence.bandedScored(v).fold(rer)(rer.unionByName(_))
     val w = Window.partitionBy(col("src_id")).orderBy(desc("cosine"), col("nbr_id"))
-    rer.withColumn("rnk", row_number().over(w).cast(LongType))
+    val ranked = scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col("src_id"), col("nbr_id"), col("cosine"), col("rnk"))
+    fence.guarded(ranked, "knnGraphIvfSq8", assertUnderCap)
   }
 
   /** Recall audit of ANY directed edge set against the exact per-node

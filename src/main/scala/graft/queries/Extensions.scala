@@ -1609,8 +1609,8 @@ object Extensions {
     * (see x84's Scaladoc for the precondition and the 100 TB sampling
     * knob). Cross-join the result in, filter on the always-NULL
     * assert column, drop it. */
-  private def orphanGuard(docs: DataFrame, embs: DataFrame,
-                          op: String): DataFrame =
+  private[graft] def orphanGuard(docs: DataFrame, embs: DataFrame,
+                                 op: String): DataFrame =
     broadcast(
       embs.select(col("vec_id").as("doc_id"))
         .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -1995,8 +1995,24 @@ object Extensions {
   def x89_knn_graph_ivf(s: SparkSession, dir: String): DataFrame =
     Similarity.knnGraphIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = KnnGraphK, cells = ScaledCells,
-        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
+        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
+        maxCellSize = Some(KnnCellCap), assertUnderCap = true)
       .orderBy(col("src_id"), col("rnk"))
+
+  /** Lloyd-cell size cap for the gated graph builders (round 12 —
+    * retiring the round-11 `weak` marks): past it,
+    * [[Similarity.knnGraphIvf]]/[[Similarity.knnGraphIvfSq8]] switch to
+    * banded-LSH candidates WITHIN the oversized cell (the x59
+    * SemDedupClusterCap discipline — see [[Similarity.CellFence]] for
+    * the collapse geometry and the trade). The gated corpora sit far
+    * under it (sf0.1: 32 cells over 2k vectors, max cell ~100), so the
+    * exhaustive oracle semantics hold exactly while the cell² failure
+    * mode is fenced; the registry forms additionally assert the
+    * precondition in-plan (`assertUnderCap`) so a future corpus that
+    * collapses a cell fails loudly by name, never as an opaque hash
+    * mismatch. The degenerate one-giant-cell corpus is spec-pinned
+    * (CellFenceSpec). */
+  val KnnCellCap = 1000
 
   /** Recall audit of the IVF-probed graph (x91) — x85's machinery
     * ([[Similarity.graphEdgesRecall]]) pointed at x89's edges, so the
@@ -2011,7 +2027,7 @@ object Extensions {
     Similarity.graphEdgesRecall(e,
         Similarity.knnGraphIvf(e, "vec_id", "embedding", k = KnnGraphK,
           cells = ScaledCells, lloydRounds = ScaledLloydRounds,
-          nprobe = ScaledNprobe),
+          nprobe = ScaledNprobe, maxCellSize = Some(KnnCellCap)),
         "vec_id", "embedding", k = KnnGraphK, hitsCol = "hits_ivf")
       .orderBy(col("src_id"))
   }
@@ -2033,7 +2049,8 @@ object Extensions {
     Similarity.knnGraphIvfSq8(Tables.embeddings(s, dir), "vec_id",
         "embedding", k = KnnGraphK, cells = ScaledCells,
         lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
-        shortlist = KnnShortlist)
+        shortlist = KnnShortlist,
+        maxCellSize = Some(KnnCellCap), assertUnderCap = true)
       .orderBy(col("src_id"), col("rnk"))
 
   /** Recall audit of the SQ8-shortlist graph (x94): completes the graph
@@ -2047,7 +2064,8 @@ object Extensions {
     Similarity.graphEdgesRecall(e,
         Similarity.knnGraphIvfSq8(e, "vec_id", "embedding", k = KnnGraphK,
           cells = ScaledCells, lloydRounds = ScaledLloydRounds,
-          nprobe = ScaledNprobe, shortlist = KnnShortlist),
+          nprobe = ScaledNprobe, shortlist = KnnShortlist,
+          maxCellSize = Some(KnnCellCap)),
         "vec_id", "embedding", k = KnnGraphK, hitsCol = "hits_ivf_sq8")
       .orderBy(col("src_id"))
   }

@@ -195,6 +195,31 @@ object ScaleSoak {
         nprobe = graft.queries.Extensions.ScaledNprobe)
         .orderBy(col("src_id"), col("rnk"))
     }),
+    // Round-12: the registry x89/x93 now carry the KnnCellCap fence +
+    // in-plan under-cap assert (x59 discipline). The soak dirs VIOLATE
+    // the cap by construction at fixed geometry (x100: ~200k rows over
+    // 32 cells → ~6k members/cell), so — exactly as with x59_uncapped —
+    // the soak rows price the raw unfenced form via direct Similarity
+    // calls, keeping the decade series comparable across rounds; the
+    // fence's own cost/behavior is spec-pinned (CellFenceSpec) and
+    // priced by the x59 banded-fallback soak rows it reuses.
+    "x89_knn_graph_ivf" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Similarity.knnGraphIvf(
+        graft.tables.Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = graft.queries.Extensions.KnnGraphK,
+        cells = graft.queries.Extensions.ScaledCells,
+        lloydRounds = graft.queries.Extensions.ScaledLloydRounds,
+        nprobe = graft.queries.Extensions.ScaledNprobe)
+        .orderBy(col("src_id"), col("rnk"))),
+    "x93_knn_graph_ivf_sq8" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Similarity.knnGraphIvfSq8(
+        graft.tables.Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = graft.queries.Extensions.KnnGraphK,
+        cells = graft.queries.Extensions.ScaledCells,
+        lloydRounds = graft.queries.Extensions.ScaledLloydRounds,
+        nprobe = graft.queries.Extensions.ScaledNprobe,
+        shortlist = graft.queries.Extensions.KnnShortlist)
+        .orderBy(col("src_id"), col("rnk"))),
     // x44 at 4,096 shards (3 hex chars): the "shard count is the
     // parallelism knob" claim — raising shards 256x must not change the
     // cost class (one hash shuffle + per-shard running sums either way).

@@ -1569,6 +1569,29 @@ class RetrievalSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("orphanGuard: an orphaned embedding fails loudly on execution; clean corpus passes one NULL row") {
+    // The round-11 advice item: the guard went lazy (in-plan assert_true
+    // over a 1-row anchor) and every green corpus exercises only the
+    // pass path — if a plan change ever elided it, nothing would notice.
+    // Pin the FAILURE path: vec_id=3 has no document row.
+    val docs = Seq(1L, 2L).toDF("doc_id")
+    val embs = Seq(1L, 2L, 3L).toDF("vec_id")
+    val e = intercept[Exception] {
+      graft.queries.Extensions.orphanGuard(docs, embs, "specguard").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null &&
+      m.contains("specguard oracle precondition violated")),
+      s"guard failure lost its message: $e")
+    // Pass path: embeddings ⊆ documents yields exactly one NULL row
+    // (assert_true's success value) — the filter(isNull) contract x84/x88
+    // consume.
+    val ok = graft.queries.Extensions
+      .orphanGuard(docs, Seq(1L, 2L).toDF("vec_id"), "specguard").collect()
+    assert(ok.length == 1 && ok(0).isNullAt(0))
+  }
+
   test("x84: IVF dense arm fuses; ranks contiguous; arm ranks bounded") {
     val r = graft.queries.Extensions.x84_hybrid_rrf_ivf(
         spark, "/root/testdata/sf0.001").collect()
@@ -1795,6 +1818,26 @@ class ClassifySpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("nbVoteCalibrated: an empty training slice fails loudly, not as a NULL-threshold row") {
+    // Round-11 advice: min(tau) over an empty score distribution yields a
+    // NULL floor row and the chosen threshold silently went NULL. Now the
+    // in-plan train-count anchor assert_true fires instead.
+    val train = Seq.empty[(Long, Boolean, String)]
+      .toDF("doc_id", "label_pos", "text")
+    val apply = Seq((10L, true, "some words here"))
+      .toDF("doc_id", "label_pos", "text")
+    val e = intercept[Exception] {
+      Classify.nbVoteCalibrated(train, apply, "doc_id", "label_pos", "text")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null &&
+      m.contains("training slice is empty")),
+      s"empty-train failure lost its message: $e")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("x90 on the corpus: calibration turns the all-positive x86 baseline into a real filter") {
     val dir = "/root/testdata/sf0.001"
     val cal = graft.queries.Extensions
@@ -1824,6 +1867,110 @@ class ClassifySpec extends SparkSpec {
       .x83_classifier_split(spark, dir).count()
     assert(tp + fp + fn + tn == holdout, "confusion cells partition the holdout")
     assert(row.getAs[Double]("accuracy") == (tp + tn).toDouble / holdout.toDouble)
+    graft.ext.ExtCaches.clearCaches()
+  }
+}
+
+/** Round-12: the Lloyd-cell degenerate-size fence (Similarity.CellFence)
+  * — the x59 discipline applied to the IVF graph builders, pinned on the
+  * corpus shape the round-11 verdict flagged: Lloyd CAN collapse a cell
+  * on a real clustered corpus, and the unfenced members×probers cell
+  * join is then ~cell² semantically. The spec corpus forces exactly
+  * that: 50 near-identical vectors collapse into one cell (over a 20
+  * cap) beside 10 under-cap outliers. */
+class CellFenceSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Similarity
+
+  // Cluster (even ids, 50 vectors): dims 0..31 = +40 (shared core),
+  // dims 32..63 = ±1 by subgroup sign pattern. Subgroup A = ids {0, 2}
+  // (+1 at even dims), subgroup B = the other 48 evens (+1 at odd dims)
+  // — opposite signs on all 32 sampled-band-visible dims, so A and B
+  // never share a band. One dim per vector carries magnitude 2 (sign
+  // preserved) so vectors are distinct. Outliers (odd ids, 10 vectors):
+  // dims 0..31 = 0, dims 32..63 = ±50 alternating by (id/2 + d) parity
+  // — their per-dim sum is exactly 0, so the outlier centroid is the
+  // origin and Lloyd keeps cluster/outliers cleanly split.
+  private def corpus = {
+    val cluster = (0 until 100 by 2).map { id =>
+      val inA = id < 4
+      val vec = Array.tabulate(64) { d =>
+        if (d < 32) 40.0f
+        else {
+          val sign = if ((d % 2 == 0) == inA) 1.0f else -1.0f
+          val mag = if (d == 32 + ((id / 2) % 32)) 2.0f else 1.0f
+          sign * mag
+        }
+      }
+      (id.toLong, vec)
+    }
+    val outliers = (1 until 20 by 2).map { id =>
+      val vec = Array.tabulate(64) { d =>
+        if (d < 32) 0.0f
+        else if (((id / 2) + d) % 2 == 0) 50.0f else -50.0f
+      }
+      (id.toLong, vec)
+    }
+    (cluster ++ outliers).toDF("vec_id", "embedding")
+  }
+
+  private def edges(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getAs[Long]("src_id"), r.getAs[Long]("nbr_id"))).toSet
+
+  test("fence: oversized cell switches to banded candidates; under-cap cells and colliding neighbors keep exact semantics") {
+    val df = corpus
+    val unfenced = edges(Similarity.knnGraphIvf(df, "vec_id", "embedding",
+      k = 3, cells = 2, lloydRounds = 1, nprobe = 2))
+    graft.ext.ExtCaches.clearCaches()
+    val fenced = edges(Similarity.knnGraphIvf(df, "vec_id", "embedding",
+      k = 3, cells = 2, lloydRounds = 1, nprobe = 2,
+      maxCellSize = Some(20)))
+    graft.ext.ExtCaches.clearCaches()
+    val bIds = (4 until 100 by 2).map(_.toLong).toSet
+    // the degenerate cell really is fenced: node 0 (subgroup A) sees B
+    // members exactly (unfenced) but only band-collisions (fenced)
+    assert(unfenced.exists { case (s, n) => s == 0L && bIds(n) },
+      s"unfenced top-3 of node 0 should reach subgroup B: $unfenced")
+    assert(!fenced.exists { case (s, n) => s == 0L && bIds(n) },
+      "fenced node 0 must not see non-colliding B members")
+    assert(fenced((0L, 2L)), "the band-identical A twin must survive the fence")
+    assert(fenced != unfenced)
+    // where banding collides (within-subgroup) nothing is lost: every
+    // subgroup-B source keeps its exact top-3 under the fence
+    val bUnfenced = unfenced.filter { case (s, _) => bIds(s) }
+    val bFenced = fenced.filter { case (s, _) => bIds(s) }
+    assert(bFenced == bUnfenced,
+      s"fence changed B rows: ${(bFenced diff bUnfenced) ++ (bUnfenced diff bFenced)}")
+    // a cap above every cell is a no-op: exact equality with unfenced
+    val fencedHigh = edges(Similarity.knnGraphIvf(df, "vec_id", "embedding",
+      k = 3, cells = 2, lloydRounds = 1, nprobe = 2,
+      maxCellSize = Some(64)))
+    graft.ext.ExtCaches.clearCaches()
+    assert(fencedHigh == unfenced)
+  }
+
+  test("fence: the SQ8-shortlist builder takes the same fence; guard fails loudly past the cap") {
+    val df = corpus
+    val bIds = (4 until 100 by 2).map(_.toLong).toSet
+    val fenced8 = edges(Similarity.knnGraphIvfSq8(df, "vec_id", "embedding",
+      k = 3, cells = 2, lloydRounds = 1, nprobe = 2, shortlist = 10,
+      maxCellSize = Some(20)))
+    graft.ext.ExtCaches.clearCaches()
+    assert(!fenced8.exists { case (s, n) => s == 0L && bIds(n) },
+      "fenced sq8 node 0 must not see non-colliding B members")
+    assert(fenced8((0L, 2L)))
+    // the registry form's in-plan guard: a collapsed cell fails by name
+    val e = intercept[Exception] {
+      Similarity.knnGraphIvf(df, "vec_id", "embedding",
+        k = 3, cells = 2, lloydRounds = 1, nprobe = 2,
+        maxCellSize = Some(20), assertUnderCap = true).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null &&
+      m.contains("knnGraphIvf oracle precondition violated")),
+      s"cap guard lost its message: $e")
     graft.ext.ExtCaches.clearCaches()
   }
 }

@@ -139,28 +139,80 @@ class PlanSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
-  test("x89/x93: IVF graphs score pipelined (no wide exchange of candidates); rank group-limits; cell join equi") {
+  test("x89/x93: IVF graphs score pipelined (no wide exchange downstream of the cell join); rank group-limits; cell join equi") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    for (q <- Seq(Extensions.x89_knn_graph_ivf _,
-        Extensions.x93_knn_graph_ivf_sq8 _)) {
-      val df = q(spark, dir)
-      val p = formatted(df)
-      assert(p.contains("WindowGroupLimit"), p)
-      // anchors (packed centroids, the Lloyd state, SQ8 scales) are the
-      // only BNLJs; the member×prober relation itself is a cell EQUI-join
-      assert(!p.contains("CartesianProduct"), p)
-      // the shuffle-width contract behind the 3-15x soak win: no exchange
-      // in the plan repartitions a relation that still carries a vector
-      // or code column — arrays ride only in the small pre-join inputs,
-      // and the shortlist/rank exchanges carry (src_id, nbr_id, score)
-      val wide = df.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec
-            if e.output.exists(_.dataType.typeName.startsWith("array")) => e
-      }
-      assert(wide.isEmpty,
-        s"candidate/rank exchange carries array columns:\n${wide.mkString("\n")}")
-      graft.ext.ExtCaches.clearCaches()
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+
+    // The shuffle-width contract behind the 3-15x soak win (round 11),
+    // scoped to what it actually claims (round-11 advice): arrays ride
+    // ONLY in the small pre-join inputs (members: n rows, probes:
+    // n·nprobe rows — those MAY shuffle their 64-long vectors at
+    // production scale, they ARE the data); the candidate/shortlist/rank
+    // exchanges DOWNSTREAM of the cell join carry 24-byte rows, never an
+    // array. Pinning "no array on any exchange" only held because the
+    // pre-join attach joins broadcast at test scale — so disable
+    // broadcast and assert the scoped contract on the shuffle-join plan.
+    def unwrapAqe(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrapAqe(a.executedPlan)
+      case other                    => other
     }
+    def isCellJoin(p: SparkPlan): Boolean = p match {
+      case j: BaseJoinExec =>
+        j.leftKeys.exists(_.references.exists(_.name == "cell"))
+      case _ => false
+    }
+    // Path from the root down to the first cell join, inclusive.
+    def pathToCellJoin(p: SparkPlan): Option[List[SparkPlan]] =
+      if (isCellJoin(p)) Some(List(p))
+      else p.children.view.flatMap(pathToCellJoin).headOption.map(p :: _)
+    def hasArray(e: ShuffleExchangeExec): Boolean =
+      e.output.exists(_.dataType.typeName.startsWith("array"))
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (q <- Seq(Extensions.x89_knn_graph_ivf _,
+          Extensions.x93_knn_graph_ivf_sq8 _)) {
+        val df = q(spark, dir)
+        val p = formatted(df)
+        assert(p.contains("WindowGroupLimit"), p)
+        // anchors (packed centroids, the Lloyd state, SQ8 scales) are the
+        // only BNLJs; the member×prober relation itself is a cell EQUI-join
+        assert(!p.contains("CartesianProduct"), p)
+        val plan = unwrapAqe(df.queryExecution.executedPlan)
+        val path = pathToCellJoin(plan)
+        assert(path.nonEmpty, s"no cell equi-join found in plan:\n$plan")
+        // The contract, stated on the plan: walking UP from the cell
+        // join, the (nprobe/cells)·n² candidate rows must hit a
+        // WindowGroupLimit BEFORE any exchange (they exist only
+        // pipelined inside codegen), and the first exchange they do
+        // reach carries the limited narrow rank rows — never an array.
+        // Exchanges further up (x93's exact re-rank re-attaches vectors
+        // to the ≤ n·shortlist survivors) are the same bounded class as
+        // the pre-join attach inputs and MAY carry arrays at scale.
+        import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+        val upward = path.get.reverse // cell join first, then toward root
+        val firstExIdx = upward.indexWhere(_.isInstanceOf[ShuffleExchangeExec])
+        assert(firstExIdx >= 0, s"no rank exchange above the cell join:\n$plan")
+        assert(upward.take(firstExIdx).exists(_.isInstanceOf[WindowGroupLimitExec]),
+          s"candidate rows reach an exchange before any group limit:\n$plan")
+        val firstEx = upward(firstExIdx).asInstanceOf[ShuffleExchangeExec]
+        assert(!hasArray(firstEx),
+          s"the first post-limit rank exchange carries array columns:\n$firstEx")
+        // …and the scoped assertion is not vacuous: with broadcast off,
+        // the pre-join attach joins DO shuffle the vector/code arrays
+        // below the cell join — the documented scale caveat, in-plan.
+        val below = path.get.last.collect {
+          case e: ShuffleExchangeExec if hasArray(e) => e
+        }
+        assert(below.nonEmpty,
+          s"expected the pre-join inputs to shuffle arrays under " +
+            s"autoBroadcastJoinThreshold=-1; plan shape drifted:\n$plan")
+        graft.ext.ExtCaches.clearCaches()
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("x63/x69/x70: SQ8 search is a bucket/cell equi-join; the only BNLJs are the 1-row scales/centroid anchors") {
@@ -360,16 +412,19 @@ class PlanSpec extends SparkSpec {
     // x79 with only the LEXICAL arm changed (idf weights), so it carries
     // the same brute dense arm and the same rationale — x84/x88 are the
     // exemption-free trained-arm forms.
-    // x85/x91 are the kNN-graph RECALL AUDITS: their exact arm is by
+    // x85/x91/x94 are the kNN-graph RECALL AUDITS: their exact arm is by
     // definition the x06 brute pass with every (or a sampled) node as a
     // query — the audit's denominator cannot avoid the non-equi scan,
-    // and its scale knob is the node sample, not the join shape. (x89,
-    // the IVF graph under x91's audit, is itself pure equi-joins and
-    // carries NO exemption.)
+    // and its scale knob is the node sample, not the join shape. (x89
+    // and x93, the IVF graphs under the x91/x94 audits, are themselves
+    // pure equi-joins and carry NO exemption.) x94 is listed explicitly
+    // (round-11 advice): without it the gate passed only when x94 was
+    // planned after x85/x91 in the sweep (cache substitution of the
+    // persisted exact relation) — an ordering accident, not a contract.
     val bnljWhitelist =
       Set("x06_sim_topk_brute", "x71_ivf_recall", "x79_hybrid_rrf",
         "x87_hybrid_rrf_bm25", "x85_knn_graph_recall",
-        "x91_knn_graph_ivf_recall")
+        "x91_knn_graph_ivf_recall", "x94_knn_graph_ivf_sq8_recall")
 
     def isOneRowAnchor(b: BroadcastNestedLoopJoinExec): Boolean = {
       val build = b.buildSide match {
