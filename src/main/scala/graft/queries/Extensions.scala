@@ -2070,6 +2070,88 @@ object Extensions {
       .orderBy(col("src_id"))
   }
 
+  // ---- x95–x97: the planted-structure positive control (round 12) ---------
+
+  /** Cluster purity of the label-free clustering ON THE PLANTED CORPUS
+    * (x95) — x92's exact chain (banded kNN graph → mutual edges →
+    * star-CC → label confusion) run over [[graft.ext.Planted]] vectors
+    * derived from the same ids, confronted with the PLANTED labels. The
+    * positive control the round-11 verdict named #1: on the i.i.d.
+    * corpus x92 read ≈ chance and proved the cause was the corpus
+    * (labels with zero neighborhood signal); here the labels ARE the
+    * neighborhoods, so purity must read ≈ 1 — if it doesn't, x81's
+    * chain has a real bug the i.i.d. corpus hid. MEASURED (sf0.001/
+    * 0.01/0.1): majority purity = 1.0000 exactly at every SF — every
+    * component is single-label (41/41, 41/41, 179/179), zero
+    * cross-label mass — vs x92's 0.49/0.47/0.20 on the same ids'
+    * i.i.d. vectors: the structured-vs-i.i.d. pair for the clustering
+    * layer. (The mutual-k=3 graph splits each ~n/10 planted cluster
+    * into chain-shaped sub-components — 41/179 components over 10
+    * clusters, with 401/401/1539 of n vectors carrying mutual edges —
+    * exactly the SemDeDup partition behavior: components never CROSS a
+    * planted boundary, which is the property purity measures.) */
+  def x95_planted_purity(s: SparkSession, dir: String): DataFrame = {
+    val pe = graft.ext.Planted.vectors(
+      Tables.embeddings(s, dir).select(col("vec_id")), "vec_id")
+    val g = Similarity.knnGraph(pe, "vec_id", "embedding", k = KnnGraphK,
+        bands = SampledBands, bitsPerBand = SampledBandBits,
+        dims = EmbeddingDims, seed = SampledSeed)
+      .select(col("src_id"), col("nbr_id"))
+    val fwd = g.filter(col("src_id") < col("nbr_id"))
+      .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
+    val rev = g.filter(col("src_id") > col("nbr_id"))
+      .select(col("nbr_id").as("id_a"), col("src_id").as("id_b"))
+    val mutual = fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
+    Dedup.connectedComponentsStar(mutual, "id_a", "id_b")
+      .select(col("v").as("vec_id"), col("label").as("canonical_id"))
+      .join(pe.select(col("vec_id"), col("label").as("planted_label")),
+        Seq("vec_id"))
+      .groupBy(col("canonical_id"), col("planted_label"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("canonical_id"), col("planted_label"))
+  }
+
+  /** Banded-graph recall ON THE PLANTED CORPUS (x96) — x85's audit over
+    * [[graft.ext.Planted]] vectors: within a planted cluster every
+    * coordinate sign agrees (CenterMin > JitterMax), so cluster twins
+    * collide in EVERY sampled band and x85's own collision geometry
+    * predicts recall ≈ 1 where the i.i.d. corpus measured 0.009–0.014.
+    * MEASURED (sf0.001/0.01/0.1): recall@3 = 1.0000 exactly at every SF
+    * (1500/1500, 1500/1500, 6000/6000) — every true top-3 neighbor is
+    * same-cluster (cosine ≈ 0.93–0.97 vs cross ≈ 0 ± 0.12) and every
+    * same-cluster pair is a full-band collision. The pair of numbers
+    * (x85 ≈ 0.01 vs x96 = 1.0) turns "banding is a near-dup generator"
+    * from a verdict into a measured two-sided fact: ~1 % at
+    * sub-collision cosines, 100 % inside its regime. */
+  def x96_planted_knn_recall(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphRecall(
+        graft.ext.Planted.vectors(
+          Tables.embeddings(s, dir).select(col("vec_id")), "vec_id"),
+        "vec_id", "embedding", k = KnnGraphK, bands = SampledBands,
+        bitsPerBand = SampledBandBits, dims = EmbeddingDims,
+        seed = SampledSeed)
+      .orderBy(col("src_id"))
+
+  /** IVF-graph recall ON THE PLANTED CORPUS (x97) — x91's audit over the
+    * planted vectors at the same geometry (32 cells, nprobe 10, fenced):
+    * the structured-vs-i.i.d. pair for the trained-quantizer arm.
+    * MEASURED (sf0.001/0.01/0.1): recall@3 = 1.0000 exactly at every SF
+    * (1500/1500, 1500/1500, 6000/6000) vs 0.744/0.732/0.698 on i.i.d. —
+    * Lloyd cells align with planted clusters, so a node's 10 probed
+    * cells always include its true neighbors' cell; the 26–30 % the
+    * probe budget loses on i.i.d. vectors is boundary loss that planted
+    * structure simply does not have. */
+  def x97_planted_ivf_recall(s: SparkSession, dir: String): DataFrame = {
+    val pe = graft.ext.Planted.vectors(
+      Tables.embeddings(s, dir).select(col("vec_id")), "vec_id")
+    Similarity.graphEdgesRecall(pe,
+        Similarity.knnGraphIvf(pe, "vec_id", "embedding", k = KnnGraphK,
+          cells = ScaledCells, lloydRounds = ScaledLloydRounds,
+          nprobe = ScaledNprobe, maxCellSize = Some(KnnCellCap)),
+        "vec_id", "embedding", k = KnnGraphK, hitsCol = "hits_ivf")
+      .orderBy(col("src_id"))
+  }
+
   /** Three-way coarse-quantizer recall table (x71): per query, the exact
     * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
     * Hamming-1 multi-probe sign SQ8 (x69), and learned-centroid IVF at
@@ -2925,7 +3007,10 @@ object Extensions {
     "x91_knn_graph_ivf_recall" -> (x91_knn_graph_ivf_recall _),
     "x92_cluster_label_purity" -> (x92_cluster_label_purity _),
     "x93_knn_graph_ivf_sq8" -> (x93_knn_graph_ivf_sq8 _),
-    "x94_knn_graph_ivf_sq8_recall" -> (x94_knn_graph_ivf_sq8_recall _))
+    "x94_knn_graph_ivf_sq8_recall" -> (x94_knn_graph_ivf_sq8_recall _),
+    "x95_planted_purity" -> (x95_planted_purity _),
+    "x96_planted_knn_recall" -> (x96_planted_knn_recall _),
+    "x97_planted_ivf_recall" -> (x97_planted_ivf_recall _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -3514,9 +3599,13 @@ object Extensions {
     * holds (src_id, nbr_id, cosine, rnk). ONE spelling shared by x89
     * (the edge list) and x91 (its recall audit), mirroring
     * Similarity.knnGraphIvf. */
-  private def ivfGraphCtes: String =
+  private def ivfGraphCtes: String = ivfGraphCtesFrom("embeddings")
+
+  /** As [[knnEdgeCtesFrom]]: the x89 chain over an arbitrary
+    * (vec_id, embedding) source CTE (`pe` for x97). */
+  private def ivfGraphCtesFrom(src: String): String =
     s"""qv AS (
-       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM $src),
        |$trainedCellCtes,
        |gn AS (
        |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
@@ -3610,9 +3699,40 @@ object Extensions {
     * holds (src_id, nbr_id, cosine, rnk). ONE spelling shared by x78
     * (the edge list) and x81 (mutual-edge components), mirroring
     * Similarity.knnGraph. */
-  private def knnEdgeCtes: String =
+  /** The portable u16 hash, oracle side — the DuckDB spelling of
+    * Planted.u16 / the x21 sampling hash. */
+  private def u16Sql(s: String): String =
+    s"CAST(('0x' || substr(md5($s), 1, 4)) AS BIGINT)"
+
+  /** The planted-structure corpus (x95–x97), oracle side — cell-for-cell
+    * the [[graft.ext.Planted]] draws: label from "pc|id", per-(label,
+    * dim) center sign/magnitude from "cs|"/"cm|", per-(id, dim) jitter
+    * from "pj|". `pe` carries (vec_id, label, embedding). */
+  private def plantedCtes: String = {
+    import graft.ext.Planted._
+    s"""pl AS (
+       |  SELECT vec_id,
+       |         ${u16Sql("'pc|' || CAST(vec_id AS VARCHAR)")} % $PlantedK AS label
+       |  FROM embeddings),
+       |pe AS (
+       |  SELECT vec_id, label,
+       |         list_transform(range(0, $Dims), d ->
+       |           CAST((CASE WHEN ${u16Sql("'cs|' || CAST(label AS VARCHAR) || '|' || CAST(d AS VARCHAR)")} % 2 = 0
+       |                      THEN 1 ELSE -1 END)
+       |                * ($CenterMin + ${u16Sql("'cm|' || CAST(label AS VARCHAR) || '|' || CAST(d AS VARCHAR)")} % $CenterSpan)
+       |                + (${u16Sql("'pj|' || CAST(vec_id AS VARCHAR) || '|' || CAST(d AS VARCHAR)")} % ${2 * JitterMax + 1} - $JitterMax)
+       |             AS DOUBLE)) AS embedding
+       |  FROM pl)""".stripMargin
+  }
+
+  private def knnEdgeCtes: String = knnEdgeCtesFrom("embeddings")
+
+  /** The x78 banded-graph CTE chain over an arbitrary (vec_id, embedding)
+    * source CTE — `embeddings` for x81/x82/x85/x92, the planted `pe` for
+    * x95/x96. */
+  private def knnEdgeCtesFrom(src: String): String =
     s"""qv AS (
-       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM $src),
        |n AS (
        |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
        |e AS (
@@ -4814,6 +4934,85 @@ object Extensions {
          |SELECT ec.src_id, ec.n_exact,
          |       CAST(COALESCE(h.hits_ivf_sq8, 0) AS BIGINT) AS hits_ivf_sq8,
          |       CAST(COALESCE(h.hits_ivf_sq8, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE) AS recall_at_k
+         |FROM ec LEFT JOIN h USING (src_id)
+         |ORDER BY src_id""".stripMargin,
+
+    // x95: the x92 chain verbatim over the PLANTED corpus (pe replaces
+    // embeddings as the vector source; the confusion column is the
+    // PLANTED label). The positive control: purity must read ≈ 1.
+    "x95_planted_purity" ->
+      s"""WITH RECURSIVE $plantedCtes,
+         |${knnEdgeCtesFrom("pe")},
+         |knn AS (SELECT src_id, nbr_id FROM r WHERE rnk <= $KnnGraphK),
+         |mut AS (
+         |  SELECT a.src_id AS id_a, a.nbr_id AS id_b
+         |  FROM knn a JOIN knn b
+         |    ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
+         |  WHERE a.src_id < a.nbr_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM mut
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM mut),
+         |reach(v, l) AS (
+         |  SELECT DISTINCT src AS v, src AS l FROM edges
+         |  UNION
+         |  SELECT e2.dst AS v, r2.l FROM reach r2 JOIN edges e2 ON r2.v = e2.src),
+         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)
+         |SELECT lab.label AS canonical_id, pl.label AS planted_label,
+         |       CAST(count(*) AS BIGINT) AS n_members
+         |FROM lab JOIN pl ON pl.vec_id = lab.v
+         |GROUP BY 1, 2
+         |ORDER BY canonical_id, planted_label""".stripMargin,
+
+    // x96: the x85 banded-recall audit verbatim over the planted corpus.
+    "x96_planted_knn_recall" ->
+      s"""WITH $plantedCtes,
+         |${knnEdgeCtesFrom("pe")},
+         |g AS (SELECT src_id, nbr_id FROM r WHERE rnk <= $KnnGraphK),
+         |bs AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
+         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
+         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id),
+         |bt AS (
+         |  SELECT src_id, nbr_id FROM (
+         |    SELECT src_id, nbr_id,
+         |           row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rnk
+         |    FROM bs) WHERE rnk <= $KnnGraphK),
+         |ec AS (SELECT src_id, CAST(count(*) AS BIGINT) AS n_exact FROM bt GROUP BY 1),
+         |h AS (
+         |  SELECT bt.src_id, CAST(count(*) AS BIGINT) AS hits_banded
+         |  FROM bt JOIN g ON bt.src_id = g.src_id AND bt.nbr_id = g.nbr_id
+         |  GROUP BY 1)
+         |SELECT ec.src_id, ec.n_exact,
+         |       CAST(COALESCE(h.hits_banded, 0) AS BIGINT) AS hits_banded,
+         |       CAST(COALESCE(h.hits_banded, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE) AS recall_at_k
+         |FROM ec LEFT JOIN h USING (src_id)
+         |ORDER BY src_id""".stripMargin,
+
+    // x97: the x91 IVF-recall audit verbatim over the planted corpus.
+    "x97_planted_ivf_recall" ->
+      s"""WITH $plantedCtes,
+         |${ivfGraphCtesFrom("pe")},
+         |g AS (SELECT src_id, nbr_id FROM gr WHERE rnk <= $KnnGraphK),
+         |bs AS (
+         |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
+         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
+         |  FROM gn a JOIN gn b ON b.vec_id <> a.vec_id),
+         |bt AS (
+         |  SELECT src_id, nbr_id FROM (
+         |    SELECT src_id, nbr_id,
+         |           row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rnk
+         |    FROM bs) WHERE rnk <= $KnnGraphK),
+         |ec AS (SELECT src_id, CAST(count(*) AS BIGINT) AS n_exact FROM bt GROUP BY 1),
+         |h AS (
+         |  SELECT bt.src_id, CAST(count(*) AS BIGINT) AS hits_ivf
+         |  FROM bt JOIN g ON bt.src_id = g.src_id AND bt.nbr_id = g.nbr_id
+         |  GROUP BY 1)
+         |SELECT ec.src_id, ec.n_exact,
+         |       CAST(COALESCE(h.hits_ivf, 0) AS BIGINT) AS hits_ivf,
+         |       CAST(COALESCE(h.hits_ivf, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE) AS recall_at_k
          |FROM ec LEFT JOIN h USING (src_id)
          |ORDER BY src_id""".stripMargin,
 

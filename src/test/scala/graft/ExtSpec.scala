@@ -1974,3 +1974,69 @@ class CellFenceSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 }
+
+/** Round-12: the planted-structure positive control (graft.ext.Planted +
+  * x95–x97). The i.i.d. corpus cannot distinguish "the operator found
+  * nothing" from "there is nothing to find"; these pin the direction
+  * that matters — on planted structure the quality layer MUST light up. */
+class PlantedSpec extends SparkSpec {
+  import graft.ext.Planted
+  private val dir = "/root/testdata/sf0.001"
+
+  test("generator: integer envelope, sign stability, deterministic replay") {
+    val ids = graft.tables.Tables.embeddings(spark, dir).select(col("vec_id"))
+    val rows = Planted.vectors(ids, "vec_id").collect()
+    assert(rows.length == 500)
+    // labels cover all k planted centers
+    val labels = rows.map(_.getAs[Long]("label")).toSet
+    assert(labels == (0L until Planted.PlantedK.toLong).toSet)
+    // every coordinate is a nonzero integer inside the int64-kernel
+    // envelope [1, CenterMin+CenterSpan-1+JitterMax]
+    val maxAbs = (Planted.CenterMin + Planted.CenterSpan - 1 + Planted.JitterMax).toFloat
+    rows.foreach { r =>
+      r.getAs[scala.collection.Seq[Float]]("embedding").foreach { x =>
+        assert(x == x.toLong.toFloat && math.abs(x) >= 1.0f && math.abs(x) <= maxAbs,
+          s"coordinate $x outside the planted envelope")
+      }
+    }
+    // jitter never flips a sign: per (label, dim) the coordinate sign is
+    // constant across every vector of the cluster
+    val byLabel = rows.groupBy(_.getAs[Long]("label"))
+    byLabel.foreach { case (_, vs) =>
+      val sigs = vs.map(_.getAs[scala.collection.Seq[Float]]("embedding")
+        .map(x => x > 0).toSeq).toSet
+      assert(sigs.size == 1, "within-cluster sign signature must be constant")
+    }
+    // deterministic: a second build is bit-identical
+    val again = Planted.vectors(ids, "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2))).toSet)
+  }
+
+  test("positive control: purity and both graph recalls read 1.0 on planted structure where i.i.d. read chance") {
+    import graft.queries.Extensions
+    // x95: every component single-label — majority purity exactly 1
+    val purity = Extensions.x95_planted_purity(spark, dir).collect()
+    val byComp = purity.groupBy(_.getAs[Long]("canonical_id"))
+    assert(byComp.nonEmpty && byComp.forall(_._2.length == 1),
+      "a planted component crossed a cluster boundary")
+    graft.ext.ExtCaches.clearCaches()
+    // x96/x97: hits == n_exact on every node — recall exactly 1
+    for ((q, hitsCol) <- Seq(
+        (Extensions.x96_planted_knn_recall _, "hits_banded"),
+        (Extensions.x97_planted_ivf_recall _, "hits_ivf"))) {
+      val r = q(spark, dir).collect()
+      assert(r.nonEmpty)
+      assert(r.forall(row => row.getAs[Long](hitsCol) == row.getAs[Long]("n_exact")),
+        s"$hitsCol < n_exact on planted structure — candidate generation lost a planted neighbor")
+      graft.ext.ExtCaches.clearCaches()
+    }
+    // the i.i.d. contrast on the SAME ids (the x85 measured fact): banded
+    // recall ~1% — the pair of numbers that makes the control a control
+    val iid = Extensions.x85_knn_graph_recall(spark, dir).collect()
+    val iidRecall = iid.map(_.getAs[Long]("hits_banded")).sum.toDouble /
+      iid.map(_.getAs[Long]("n_exact")).sum.toDouble
+    assert(iidRecall < 0.05, s"i.i.d. banded recall drifted: $iidRecall")
+    graft.ext.ExtCaches.clearCaches()
+  }
+}

@@ -424,7 +424,8 @@ class PlanSpec extends SparkSpec {
     val bnljWhitelist =
       Set("x06_sim_topk_brute", "x71_ivf_recall", "x79_hybrid_rrf",
         "x87_hybrid_rrf_bm25", "x85_knn_graph_recall",
-        "x91_knn_graph_ivf_recall", "x94_knn_graph_ivf_sq8_recall")
+        "x91_knn_graph_ivf_recall", "x94_knn_graph_ivf_sq8_recall",
+        "x96_planted_knn_recall", "x97_planted_ivf_recall")
 
     def isOneRowAnchor(b: BroadcastNestedLoopJoinExec): Boolean = {
       val build = b.buildSide match {
