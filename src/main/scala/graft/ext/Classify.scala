@@ -126,14 +126,74 @@ object Classify {
     * vocabulary hits per doc), and two 1-row broadcast anchors. */
   def nbVoteCalibrated(train: DataFrame, apply: DataFrame, idCol: String,
                        labelCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val trainToks = distinctTokens(train, idCol, textCol,
       Some(col(labelCol).as("pos")))
     val w = trainVotes(train, labelCol, trainToks)
     val trainScores = applyVotes(
       train.select(col(idCol).as("id"), col(labelCol).as("label_pos")),
       trainToks, w, idCol)
-    val byScore = trainScores.groupBy(col("vote_score").as("tau"))
+    val applyToks = distinctTokens(apply, idCol, textCol, None)
+    val applyScores = applyVotes(
+      apply.select(col(idCol).as("id"), col(labelCol).as("label_pos")),
+      applyToks, w, idCol)
+    calibratedConfusion(trainScores, applyScores, "vote_score",
+      "nbVoteCalibrated")
+  }
+
+  /** Real-valued Naive-Bayes LOG-ODDS calibrated classifier — the
+    * deployment upgrade [[nbVoteScores]]'s Scaladoc promised, measured
+    * (round-12 verdict #6). Weight = Laplace-smoothed Bernoulli-NB
+    * log-odds w(t) = ln((pos_df+1)/(n_pos+2)) − ln((neg_df+1)/(n_neg+2));
+    * score = Σ w over a document's distinct vocabulary tokens; the
+    * decision cut is calibrated on the training slice exactly as in
+    * [[nbVoteCalibrated]] (shared [[calibratedConfusion]] tail — the
+    * class prior shifts every score equally, so it is absorbed by the
+    * threshold and deliberately omitted). SAME plan shape: one weight
+    * expression changed, nothing else.
+    *
+    * Spec-level, NOT oracle-gated: libm log differs across engines in
+    * the last ulp and a hash gate has no tolerance — the vote form
+    * (x80/x83/x90) stays the gated one; ClassifySpec judges this form
+    * on the identical holdout. MEASURED (x90's configuration, the
+    * round-12 verdict's #6): holdout accuracy 0.9302 at sf0.01 (n=129,
+    * +3 docs over the vote form's 0.9070) and 0.9333 at sf0.1 (n=1290,
+    * +1 doc over 0.9326), both far above the 0.74–0.75 all-positive
+    * baseline — the real-valued weights win slightly at the small SF
+    * and tie at the large one, so the integer vote + calibrated cut
+    * already captures nearly all the signal and the hash-gatable form
+    * costs ≤ 2.3 % accuracy (QualityGate keeps citing x90; this form
+    * is the documented deployment upgrade, now with its number). */
+  def nbLogOddsCalibrated(train: DataFrame, apply: DataFrame, idCol: String,
+                          labelCol: String, textCol: String): DataFrame = {
+    val trainToks = distinctTokens(train, idCol, textCol,
+      Some(col(labelCol).as("pos")))
+    val w = trainLogOdds(train, labelCol, trainToks)
+    val trainScores = applyWeights(
+      train.select(col(idCol).as("id"), col(labelCol).as("label_pos")),
+      trainToks, w, idCol)
+    val applyToks = distinctTokens(apply, idCol, textCol, None)
+    val applyScores = applyWeights(
+      apply.select(col(idCol).as("id"), col(labelCol).as("label_pos")),
+      applyToks, w, idCol)
+    calibratedConfusion(trainScores, applyScores, "score",
+      "nbLogOddsCalibrated")
+  }
+
+  /** The shared calibrate-on-train / confuse-on-holdout tail of
+    * [[nbVoteCalibrated]] (integer scores, oracle-gated) and
+    * [[nbLogOddsCalibrated]] (double scores, spec-gated): per distinct
+    * training score τ, correct(τ) = total_pos − cum_pos(≤ τ) +
+    * cum_neg(≤ τ) via ONE cumulative window over the ≤ |distinct
+    * scores| aggregated rows (plus a synthetic τ = min−1 all-positive
+    * row); argmax with the smallest-τ tiebreak; holdout 2×2 confusion
+    * at the chosen cut with one-divide rates. The threshold column's
+    * type follows the score column's, so the vote form's gated output
+    * is bit-identical to its pre-factoring spelling. */
+  private def calibratedConfusion(trainScores: DataFrame,
+                                  applyScores: DataFrame, scoreCol: String,
+                                  op: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = trainScores.groupBy(col(scoreCol).as("tau"))
       .agg(sum(when(col("label_pos"), 1L).otherwise(0L)).as("np"),
         sum(when(!col("label_pos"), 1L).otherwise(0L)).as("nn"))
     val floorRow = byScore.agg((min(col("tau")) - 1L).as("tau"))
@@ -160,20 +220,16 @@ object Classify {
         .limit(1)
         .select(col("tau").as("threshold"),
           assert_true(col("n_train") > 0L,
-            lit("nbVoteCalibrated precondition violated: the training " +
+            lit(s"$op precondition violated: the training " +
               "slice is empty — no score distribution exists to " +
               "calibrate a threshold on. Widen the train split (or " +
               "train on a labeled corpus) before applying the " +
               "calibrated cut.")).as("train_ok")))
-    val applyToks = distinctTokens(apply, idCol, textCol, None)
-    val applyScores = applyVotes(
-      apply.select(col(idCol).as("id"), col(labelCol).as("label_pos")),
-      applyToks, w, idCol)
     def rate(num: org.apache.spark.sql.Column,
              den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(den === 0L, lit(null).cast(DoubleType))
         .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
-    val pred = col("vote_score") > col("threshold")
+    val pred = col(scoreCol) > col("threshold")
     applyScores.crossJoin(best)
       .filter(col("train_ok").isNull)
       .drop("train_ok")
@@ -214,6 +270,46 @@ object Classify {
           .when(col("pos_df") * col("n_neg") < col("neg_df") * col("n_pos"), -1L)
           .otherwise(0L))
       .select(col("token"), col("vote"))
+  }
+
+  /** The |vocab|-row (token, w) real-valued weight table: the same one
+    * hash aggregate + 1-row anchor as [[trainVotes]], with the weight
+    * expression swapped for Laplace-smoothed Bernoulli-NB log-odds —
+    * ln((pos_df+1)/(n_pos+2)) − ln((neg_df+1)/(n_neg+2)). The smoothing
+    * keeps never-seen-in-class tokens finite (the +1/+2 add-one rule),
+    * and sign(w) agrees with the vote form's cross-multiplication except
+    * where smoothing moves a near-tie across zero. */
+  private def trainLogOdds(train: DataFrame, labelCol: String,
+                           trainToks: DataFrame): DataFrame = {
+    val totals = train.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg"))
+    trainToks.groupBy(col("token"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("pos_df"),
+        sum(when(col("pos"), 0L).otherwise(1L)).as("neg_df"))
+      .crossJoin(broadcast(totals))
+      .withColumn("w",
+        log((col("pos_df") + 1L).cast(DoubleType) /
+            (col("n_pos") + 2L).cast(DoubleType)) -
+        log((col("neg_df") + 1L).cast(DoubleType) /
+            (col("n_neg") + 2L).cast(DoubleType)))
+      .select(col("token"), col("w"))
+  }
+
+  /** [[applyVotes]]'s real-valued twin: join the exploded tokens to the
+    * (token, w) table, per-doc double sum into `score`, zero-vocabulary
+    * rows score 0.0. The double sum's addend order is shuffle-dependent
+    * — another reason this form is spec-gated, not hash-gated. */
+  private def applyWeights(idFrame: DataFrame, toks: DataFrame,
+                           weights: DataFrame, idCol: String): DataFrame = {
+    val scores = toks.join(weights, Seq("token"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_vocab_tokens"), sum(col("w")).as("score"))
+    val passthrough = idFrame.columns.filter(_ != "id").map(col)
+    idFrame.join(scores, Seq("id"), "left_outer")
+      .select(Seq(col("id").as(idCol)) ++ passthrough ++ Seq(
+        coalesce(col("n_vocab_tokens"), lit(0L)).cast(LongType).as("n_vocab_tokens"),
+        coalesce(col("score"), lit(0.0)).cast(DoubleType).as("score")): _*)
   }
 
   /** Join the exploded tokens to the weight table, sum per doc, restore

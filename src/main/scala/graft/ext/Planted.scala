@@ -67,8 +67,10 @@ object Planted {
 
   /** The portable 16-bit hash: first 4 md5 hex digits as an integer —
     * Spark `conv(substring(md5(x),1,4),16,10)`, DuckDB
-    * `CAST(('0x' || substr(md5(x),1,4)) AS BIGINT)`. */
-  private def u16(s: Column): Column =
+    * `CAST(('0x' || substr(md5(x),1,4)) AS BIGINT)`. Shared with
+    * [[Relevance]] (the perturbed-query twin generator) so the two
+    * planted-ground-truth corpora draw from the same primitive. */
+  private[ext] def u16(s: Column): Column =
     conv(substring(md5(s), 1, 4), 16, 10).cast(LongType)
 
   /** (vec_id, label, embedding) with planted cluster structure, one row

@@ -546,6 +546,17 @@ object Similarity {
     val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
     val p = ExtCaches.persistTracked(
       trainedCellProbes(q, cells, lloydRounds, nprobe))
+    graphFromProbes(v, p, k, maxCellSize, assertUnderCap, "knnGraphIvf")
+  }
+
+  /** The [[knnGraphIvf]] build tail over an externally supplied probe
+    * relation — factored out so the frozen-quantizer form
+    * ([[knnGraphIvfFrozen]]) and the self-trained form share one
+    * spelling of the shuffle discipline, scorer, and fence. */
+  private def graphFromProbes(v: DataFrame, p: DataFrame, k: Int,
+                              maxCellSize: Option[Int],
+                              assertUnderCap: Boolean,
+                              op: String): DataFrame = {
     val memberCells = p.filter(col("probe_rank") === 1)
       .select(col("id").as("nbr_id"), col("cell"))
     val probeCells = p.select(col("id").as("src_id"), col("cell"))
@@ -577,7 +588,91 @@ object Similarity {
     val ranked = scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col("src_id"), col("nbr_id"), col("cosine"), col("rnk"))
-    fence.guarded(ranked, "knnGraphIvf", assertUnderCap)
+    fence.guarded(ranked, op, assertUnderCap)
+  }
+
+  /** [[knnGraphIvf]] with the coarse quantizer trained on an EXPLICIT
+    * (frozen) training relation instead of the indexed corpus itself —
+    * the re-index-cadence primitive a 100 TB ingest actually runs: cells
+    * are trained once (k-means|| over a snapshot), then a GROWING corpus
+    * is indexed and served against the stale quantizer until the next
+    * scheduled retrain. Training determinism (exact-integer Lloyd) means
+    * "retrain from the same base" ≡ "load the persisted centroids", so
+    * equality claims against this form need no stored-state fixture.
+    * With `trainOn` = `df` this is exactly [[knnGraphIvf]]. */
+  def knnGraphIvfFrozen(df: DataFrame, trainOn: DataFrame, idCol: String,
+                        vecCol: String, k: Int, cells: Int,
+                        lloydRounds: Int, nprobe: Int): DataFrame = {
+    val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
+    val qt = ExtCaches.persistTracked(
+      trainOn.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
+    val stats = trainedCellStats(qt, cells, lloydRounds)
+    val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
+    val p = ExtCaches.persistTracked(probesFromStats(q, stats, nprobe))
+    graphFromProbes(v, p, k, maxCellSize = None, assertUnderCap = false,
+      op = "knnGraphIvfFrozen")
+  }
+
+  /** Incremental FOLD-IN of an ingest batch into a stored IVF kNN graph
+    * — the answer to the re-index-cadence question (round-12 stretch):
+    * given the stored base graph (`baseEdges`, a [[knnGraphIvfFrozen]]
+    * output over `base` with cells trained on `base`) and a new `batch`,
+    * produce the graph of base ∪ batch under the SAME frozen quantizer
+    * WITHOUT rescoring base×base. The delta is exactly two candidate
+    * families: (i) base sources × NEW members of their probed cells —
+    * everything else a base source could meet is already summarized by
+    * its stored top-k, because adding candidates can only push old ones
+    * down (topk(S∪T) ⊆ topk(S) ∪ T); (ii) batch sources × ALL members
+    * of their probed cells. Stored edges + delta re-ranked per source is
+    * therefore EXACTLY the fresh frozen-quantizer build over the union —
+    * GraphFoldInSpec asserts row-for-row equality (cosines included) on
+    * the real corpus, making the fold-in a correctness-preserving
+    * maintenance step, not an approximation.
+    *
+    * Scale shape: the delta's big join carries |base probes| ×
+    * (batch members per cell) — proportional to the BATCH, not the
+    * corpus; the stored edges re-enter only the final per-source rank
+    * (n·k rows). A real deployment alternates fold-ins with full
+    * retrains when quantizer staleness (x71's probed-mass recall curve)
+    * drifts past budget; both halves of that cadence now exist
+    * ([[knnGraphIvf]] retrain / this fold-in). Unfenced by design — it
+    * mirrors the frozen form; compose [[knnGraphIvf]]'s maxCellSize at
+    * the retrain boundary. */
+  def knnGraphIvfFoldIn(baseEdges: DataFrame, base: DataFrame,
+                        batch: DataFrame, idCol: String, vecCol: String,
+                        k: Int, cells: Int, lloydRounds: Int,
+                        nprobe: Int): DataFrame = {
+    val vb = withNorm(base.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
+    val vd = withNorm(batch.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
+    val v = vb.unionByName(vd)
+    val qb = ExtCaches.persistTracked(vb.select(col("id"), col("vec").as("v")))
+    val qd = vd.select(col("id"), col("vec").as("v"))
+    // Frozen quantizer: deterministic retrain from base ≡ loading the
+    // base build's persisted centroids.
+    val stats = trainedCellStats(qb, cells, lloydRounds)
+    val pb = ExtCaches.persistTracked(probesFromStats(qb, stats, nprobe))
+    val pd = ExtCaches.persistTracked(probesFromStats(qd, stats, nprobe))
+    def members(p: DataFrame): DataFrame =
+      p.filter(col("probe_rank") === 1).select(col("id").as("nbr_id"), col("cell"))
+    val withNbrVec = (m: DataFrame) => m.join(
+      v.select(col("id").as("nbr_id"), col("vec").as("vn"), col("norm").as("nn")),
+      Seq("nbr_id"))
+    val withSrcVec = (p: DataFrame) => p.select(col("id").as("src_id"), col("cell"))
+      .join(v.select(col("id").as("src_id"), col("vec").as("vs"), col("norm").as("ns")),
+        Seq("src_id"))
+    val newMembers = withNbrVec(members(pd))
+    val allMembers = withNbrVec(members(pb).unionByName(members(pd)))
+    val delta = withSrcVec(pb).join(newMembers, Seq("cell"))
+      .unionByName(withSrcVec(pd).join(allMembers, Seq("cell")))
+      .filter(col("src_id") =!= col("nbr_id"))
+      .withColumn("cosine", cosineFromParts(dotQ(col("vs"), col("vn")), col("ns"), col("nn")))
+      .select(col("src_id"), col("nbr_id"), col("cosine"))
+    val scored = baseEdges.select(col("src_id"), col("nbr_id"), col("cosine"))
+      .unionByName(delta)
+    val w = Window.partitionBy(col("src_id")).orderBy(desc("cosine"), col("nbr_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("src_id"), col("nbr_id"), col("cosine"), col("rnk"))
   }
 
   /** [[knnGraphIvf]] with the at-scale ranking tail: probed members are
@@ -926,12 +1021,19 @@ object Similarity {
     * ([[sq8CellSearch]], one tail for both). At 100 TB |cells| scales
     * with the corpus (SemDeDup's k ≈ 10⁵ holds cells ~10³) and nprobe
     * holds the probed fraction — both pure config, no plan change. */
+  /** `cellStats`: an externally trained coarse-quantizer state
+    * ([[trainedCellStats]] output over the same corpus) — pass it when
+    * several arms over ONE corpus share the quantizer (x98 runs the SQ8
+    * and PQ arms side by side; training is deterministic, so sharing
+    * changes cost, never results). Default: train internally. */
   def ivfSq8TopKScaled(corpus: DataFrame, queryIds: DataFrame,
                        idCol: String, vecCol: String, k: Int, cells: Int,
-                       lloydRounds: Int, nprobe: Int): DataFrame = {
+                       lloydRounds: Int, nprobe: Int,
+                       cellStats: Option[DataFrame] = None): DataFrame = {
     val q = ExtCaches.persistTracked(
       corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
-    sq8CellSearch(trainedCellProbes(q, cells, lloydRounds, nprobe),
+    val stats = cellStats.getOrElse(trainedCellStats(q, cells, lloydRounds))
+    sq8CellSearch(probesFromStats(q, stats, nprobe),
       corpus, queryIds, idCol, vecCol, k)
   }
 
@@ -1176,11 +1278,13 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
                 vecCol: String, k: Int, cells: Int, cellLloydRounds: Int,
                 nprobe: Int, m: Int = 8, codes: Int = 16,
-                pqLloydRounds: Int = 2, dims: Int = 64): DataFrame = {
+                pqLloydRounds: Int = 2, dims: Int = 64,
+                cellStats: Option[DataFrame] = None): DataFrame = {
     val q = ExtCaches.persistTracked(
       corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
-    val probes = ExtCaches.persistTracked(
-      trainedCellProbes(q, cells, cellLloydRounds, nprobe))
+    val probes = ExtCaches.persistTracked(probesFromStats(q,
+      cellStats.getOrElse(trainedCellStats(q, cells, cellLloydRounds)),
+      nprobe))
     val (coded, lutRows) =
       pqCodesAndLut(q, queryIds, idCol, m, codes, pqLloydRounds, dims)
     val members = probes.filter(col("probe_rank") === 1)

@@ -2152,6 +2152,86 @@ object Extensions {
       .orderBy(col("src_id"))
   }
 
+  /** Query-twin count for the x98 relevance harness — larger than
+    * [[QuerySetSize]] because the deliverable is a hit RATE (integer
+    * hits out of n): 50 queries resolve arm differences 10 cannot. */
+  val RelevanceQueries = 50
+
+  /** Retrieval relevance ground truth (x98) — the round-11 verdict's #3,
+    * and the end-to-end number the retrieval ladder lacked: the corpus
+    * is augmented with a PERTURBED TWIN of each query doc
+    * ([[graft.ext.Relevance]] — hash-dropped tokens, dyadic embedding
+    * jitter at cos(twin, source) ≈ 0.71 vs 0.49 max background), and
+    * each of the four gated arm configurations runs the SAME fused
+    * retrieval over the augmented corpus:
+    *   1_brute     = x79's form (count lexical + exact dense),
+    *   2_ivf_sq8   = x84's (count lexical + trained-cell SQ8 dense),
+    *   3_ivf_pq    = x88's (count lexical + IVF×PQ dense),
+    *   4_bm25_brute= x87's (idf-damped lexical + exact dense).
+    * Output: one integer row per arm — n_queries, twins found at rank 1
+    * and within the fused top-[[HybridTopK]], and the one-divide hit
+    * rate. hit@k(exact arms) is the positive control (the twin IS the
+    * nearest neighbor by construction); the compressed arms' shortfall
+    * is their probe/code-resolution loss priced END TO END, and
+    * 1 vs 4 adjudicates BM25-vs-raw with a number. The four calls share
+    * one augmented corpus, so the lexical index, quantized vectors, and
+    * brute-arm norms are cached once (identical analyzed plans); only
+    * the trained arms pay their training constants. Same orphan
+    * precondition as x84/x88, asserted over the UNION corpus. */
+  def x98_retrieval_relevance(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Relevance, Retrieval}
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val embs = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+    val udocs = docs.unionByName(
+      Relevance.twinDocs(docs, "doc_id", "text", RelevanceQueries))
+    val uembs = embs.unionByName(
+      Relevance.twinEmbs(embs, "vec_id", "embedding", RelevanceQueries))
+    val queries = docs.filter(col("doc_id") < RelevanceQueries)
+      .join(uembs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    // The fusion runs UNCUT (k = 2·armK keeps every shortlist row — a
+    // query contributes at most armK rows per arm) so hitsAtK can read
+    // the per-arm shortlist columns; the headline hit@k still cuts at
+    // HybridTopK inside the aggregate.
+    def run(arm: String, idf: Boolean, dense: Retrieval.DenseArm): DataFrame =
+      Relevance.hitsAtK(arm,
+        Retrieval.hybridRrfTopK(udocs, uembs, queries, "doc_id", "text",
+          "vec_id", "embedding", armK = HybridArmK, k = 2 * HybridArmK,
+          rrfC = RrfC, idfWeighted = idf, denseArm = dense),
+        queries, HybridTopK)
+    // ONE coarse-quantizer training shared by the SQ8 and PQ arms:
+    // training is deterministic (exact-integer Lloyd), so sharing the
+    // stats changes cost, never results — the oracle trains its cells
+    // once for both arms for the same reason. Trained over the same
+    // docs ∩ embs universe the arms receive.
+    val sharedStats = Similarity.trainedCellStats(
+      graft.ext.ExtCaches.persistTracked(
+        uembs.join(udocs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+          .select(col("vec_id").as("id"),
+            Similarity.quantize(col("embedding")).as("v"))),
+      ScaledCells, ScaledLloydRounds)
+    val sq8Arm: Retrieval.DenseArm = (corpus, qv, armK) =>
+      Similarity.ivfSq8TopKScaled(corpus, qv, "id", "vec", k = armK,
+          cells = ScaledCells, lloydRounds = ScaledLloydRounds,
+          nprobe = ScaledNprobe, cellStats = Some(sharedStats))
+        .select(col("q_id"), col("c_id").as("id"), col("rnk").as("vec_rnk"))
+    val pqArm: Retrieval.DenseArm = (corpus, qv, armK) =>
+      Similarity.ivfPqTopK(corpus, qv, "id", "vec", k = armK,
+          cells = ScaledCells, cellLloydRounds = ScaledLloydRounds,
+          nprobe = ScaledNprobe, m = PqM, codes = PqCodes,
+          pqLloydRounds = PqLloydRounds, dims = EmbeddingDims,
+          cellStats = Some(sharedStats))
+        .select(col("q_id"), col("c_id").as("id"), col("rnk").as("vec_rnk"))
+    run("1_brute", idf = false, Retrieval.bruteArm)
+      .unionByName(run("2_ivf_sq8", idf = false, sq8Arm))
+      .unionByName(run("3_ivf_pq", idf = false, pqArm))
+      .unionByName(run("4_bm25_brute", idf = true, Retrieval.bruteArm))
+      .crossJoin(orphanGuard(udocs, uembs, "x98"))
+      .filter(col("precondition_ok").isNull)
+      .drop("precondition_ok")
+      .orderBy(col("arm"))
+  }
+
   /** Three-way coarse-quantizer recall table (x71): per query, the exact
     * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
     * Hamming-1 multi-probe sign SQ8 (x69), and learned-centroid IVF at
@@ -3010,7 +3090,8 @@ object Extensions {
     "x94_knn_graph_ivf_sq8_recall" -> (x94_knn_graph_ivf_sq8_recall _),
     "x95_planted_purity" -> (x95_planted_purity _),
     "x96_planted_knn_recall" -> (x96_planted_knn_recall _),
-    "x97_planted_ivf_recall" -> (x97_planted_ivf_recall _))
+    "x97_planted_ivf_recall" -> (x97_planted_ivf_recall _),
+    "x98_retrieval_relevance" -> (x98_retrieval_relevance _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -3191,12 +3272,16 @@ object Extensions {
     * maxima of exact float→double widenings, (127·x)/s is one multiply +
     * one divide both engines associate identically, and floor is exact —
     * no round-half tie exists to differ. Dead dims (s = 0) code to 0. */
-  private def sq8CodesCte: String =
+  private def sq8CodesCte: String = sq8CodesCteFrom("embeddings")
+
+  /** As [[knnEdgeCtesFrom]]: the SQ8 code chain over an arbitrary
+    * (vec_id, embedding) source relation (`uembs` for x98). */
+  private def sq8CodesCteFrom(src: String): String =
     s"""mx AS (
        |  SELECT dim, MAX(ABS(x)) AS m FROM (
        |    SELECT generate_subscripts(embedding, 1) AS dim,
        |           CAST(unnest(embedding) AS DOUBLE) AS x
-       |    FROM embeddings) GROUP BY dim),
+       |    FROM $src) GROUP BY dim),
        |ma AS (SELECT list(m ORDER BY dim) AS scales FROM mx),
        |codes AS (
        |  SELECT vec_id,
@@ -3204,7 +3289,7 @@ object Extensions {
        |           CASE WHEN scales[i] > 0
        |                THEN CAST(floor(127 * CAST(embedding[i] AS DOUBLE) / scales[i]) AS BIGINT)
        |                ELSE 0 END) AS code
-       |  FROM embeddings, ma),
+       |  FROM $src, ma),
        |cb AS (
        |  SELECT vec_id, code,
        |         ${bucketSql("code")} AS bucket
@@ -3315,47 +3400,54 @@ object Extensions {
     * hash-seeded codebooks, Lloyd rounds, stored codes, per-query ADC
     * tables, and the row-local explicit-sum scoring — ends at `scoredq`
     * (q_id, c_id, score_pq). */
-  private def pqChainCtes: String = {
-    val subW = EmbeddingDims / PqM
+  private def pqChainCtes: String =
     s"""$centroidScoreCtes,
+       |${pqCodebookCtes(s"q.vec_id < $QuerySetSize")},
+       |scoredq AS (
+       |  SELECT l.q_id, c.vec_id AS c_id,
+       |         $pqTermSql AS score_pq
+       |  FROM codesrel c CROSS JOIN lut l
+       |  WHERE c.vec_id <> l.q_id)""".stripMargin
 
-         |sv AS (
-         |  SELECT vec_id, CAST(u.sub AS BIGINT) AS sub,
-         |         list_slice(v, CAST(u.sub * $subW + 1 AS INT), CAST(u.sub * $subW + $subW AS INT)) AS sv
-         |  FROM qv, unnest(range(0, $PqM)) AS u(sub)),
-         |pqaex_0 AS (
-         |  SELECT CAST(sub * $PqCodes + vec_id % $PqCodes AS BIGINT) AS c_label,
-         |         unnest(range(0, len(sv))) AS dim, unnest(sv) AS x
-         |  FROM sv),
-         |pqsums_0 AS (
-         |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
-         |  FROM pqaex_0 GROUP BY 1, 2),
-         |pqcent_0 AS (
-         |  SELECT c_label, max(n) AS n,
-         |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
-         |         list(s ORDER BY dim) AS sl
-         |  FROM pqsums_0 GROUP BY 1),
-         |${(1 to PqLloydRounds + 1).map(r => pqRoundSql(r)).mkString(",\n")},
-         |codesrel AS (
-         |  SELECT vec_id, list(c_label % $PqCodes ORDER BY sub) AS code
-         |  FROM pqassigned_${PqLloydRounds + 1} GROUP BY vec_id),
-         |lutterms AS (
-         |  SELECT q.vec_id AS q_id, q.sub, c.c_label % $PqCodes AS code,
-         |         CAST(${dotSql("q.sv", "c.sl")} AS DOUBLE) / CAST(c.n AS DOUBLE) AS term
-         |  FROM sv q JOIN pqcent_$PqLloydRounds c
-         |    ON c.c_label >= q.sub * $PqCodes AND c.c_label < (q.sub + 1) * $PqCodes
-         |  WHERE q.vec_id < $QuerySetSize),
-         |lutsub AS (
-         |  SELECT q_id, sub,
-         |         list(struct_pack(code := code, term := term) ORDER BY code) AS terms
-         |  FROM lutterms GROUP BY 1, 2),
-         |lut AS (SELECT q_id, list(terms ORDER BY sub) AS lut
-         |        FROM lutsub GROUP BY 1),
-         |scoredq AS (
-         |  SELECT l.q_id, c.vec_id AS c_id,
-         |         $pqTermSql AS score_pq
-         |  FROM codesrel c CROSS JOIN lut l
-         |  WHERE c.vec_id <> l.q_id)""".stripMargin
+  /** The PQ training + stored-codes + query-LUT chain over an existing
+    * `qv` (vec_id, v) relation — the body of [[pqChainCtes]] with the
+    * query predicate parameterized so the x98 relevance oracle can run
+    * it over the twin-augmented union corpus with its own query set.
+    * `queryPred` filters alias `q` (the subvector relation). */
+  private def pqCodebookCtes(queryPred: String): String = {
+    val subW = EmbeddingDims / PqM
+    s"""sv AS (
+       |  SELECT vec_id, CAST(u.sub AS BIGINT) AS sub,
+       |         list_slice(v, CAST(u.sub * $subW + 1 AS INT), CAST(u.sub * $subW + $subW AS INT)) AS sv
+       |  FROM qv, unnest(range(0, $PqM)) AS u(sub)),
+       |pqaex_0 AS (
+       |  SELECT CAST(sub * $PqCodes + vec_id % $PqCodes AS BIGINT) AS c_label,
+       |         unnest(range(0, len(sv))) AS dim, unnest(sv) AS x
+       |  FROM sv),
+       |pqsums_0 AS (
+       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
+       |  FROM pqaex_0 GROUP BY 1, 2),
+       |pqcent_0 AS (
+       |  SELECT c_label, max(n) AS n,
+       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+       |         list(s ORDER BY dim) AS sl
+       |  FROM pqsums_0 GROUP BY 1),
+       |${(1 to PqLloydRounds + 1).map(r => pqRoundSql(r)).mkString(",\n")},
+       |codesrel AS (
+       |  SELECT vec_id, list(c_label % $PqCodes ORDER BY sub) AS code
+       |  FROM pqassigned_${PqLloydRounds + 1} GROUP BY vec_id),
+       |lutterms AS (
+       |  SELECT q.vec_id AS q_id, q.sub, c.c_label % $PqCodes AS code,
+       |         CAST(${dotSql("q.sv", "c.sl")} AS DOUBLE) / CAST(c.n AS DOUBLE) AS term
+       |  FROM sv q JOIN pqcent_$PqLloydRounds c
+       |    ON c.c_label >= q.sub * $PqCodes AND c.c_label < (q.sub + 1) * $PqCodes
+       |  WHERE $queryPred),
+       |lutsub AS (
+       |  SELECT q_id, sub,
+       |         list(struct_pack(code := code, term := term) ORDER BY code) AS terms
+       |  FROM lutterms GROUP BY 1, 2),
+       |lut AS (SELECT q_id, list(terms ORDER BY sub) AS lut
+       |        FROM lutsub GROUP BY 1)""".stripMargin
   }
 
   /** The explicit left-associated m-term ADC sum over aliases `l` (the
@@ -3723,6 +3815,68 @@ object Extensions {
        |                + (${u16Sql("'pj|' || CAST(vec_id AS VARCHAR) || '|' || CAST(d AS VARCHAR)")} % ${2 * JitterMax + 1} - $JitterMax)
        |             AS DOUBLE)) AS embedding
        |  FROM pl)""".stripMargin
+  }
+
+  /** The x98 twin-augmented retrieval corpus, oracle side — cell-for-cell
+    * the [[graft.ext.Relevance]] draws: per-token keep from "qt|id|tok",
+    * per-(id, dim) dyadic jitter from "qe|id|dim", both hashed with the
+    * SOURCE id; `udocs`/`uembs` are the corpus unions (embeddings widened
+    * to double exactly as the engine widens them before the union) and
+    * `q` the query-id set. */
+  private def relevanceCorpusCtes: String = {
+    import graft.ext.Relevance._
+    s"""tdocs AS (
+       |  SELECT src + $TwinIdOffset AS doc_id,
+       |         array_to_string(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |           t -> ${u16Sql("'qt|' || CAST(src AS VARCHAR) || '|' || t")} % $TokenKeepMod <> 0), ' ') AS text
+       |  FROM (SELECT doc_id AS src, text FROM documents WHERE doc_id < $RelevanceQueries)),
+       |tembs AS (
+       |  SELECT src + $TwinIdOffset AS vec_id,
+       |         list_transform(list_zip(embedding, range(0, $EmbeddingDims)), p ->
+       |           CAST(p[1] AS DOUBLE)
+       |             + CAST(${u16Sql("'qe|' || CAST(src AS VARCHAR) || '|' || CAST(p[2] AS VARCHAR)")} % ${2 * JitterNum + 1} - $JitterNum AS DOUBLE) / $JitterDenom) AS embedding
+       |  FROM (SELECT vec_id AS src, embedding FROM embeddings WHERE vec_id < $RelevanceQueries)),
+       |udocs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM tdocs),
+       |uembs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |  FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding FROM tembs),
+       |q AS (
+       |  SELECT doc_id AS q_id FROM documents
+       |  WHERE doc_id < $RelevanceQueries
+       |    AND doc_id IN (SELECT vec_id FROM uembs))""".stripMargin
+  }
+
+  /** One arm's fusion + relevance-hit row for the x98 oracle: the
+    * x79/x84 full-outer RRF fusion spelling over the given lexical/dense
+    * shortlist CTEs, reduced to the (arm, n_queries, hits_at_1,
+    * hits_at_k) integer row — a hit is the query's OWN twin
+    * (doc_id = q_id + TwinIdOffset) inside the fused top-k. */
+  private def relevanceArmHitsSql(arm: String, lexRel: String,
+                                  vecRel: String): String = {
+    import graft.ext.Relevance.TwinIdOffset
+    s"""fused_$arm AS (
+       |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+       |         COALESCE(l.id, v.id) AS doc_id, l.lex_rnk, v.vec_rnk
+       |  FROM $lexRel l FULL OUTER JOIN $vecRel v ON l.q_id = v.q_id AND l.id = v.id),
+       |fr_$arm AS (
+       |  SELECT q_id, doc_id, lex_rnk, vec_rnk,
+       |         COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(lex_rnk AS DOUBLE)), CAST(0 AS DOUBLE))
+       |         + COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(vec_rnk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM fused_$arm),
+       |rr_$arm AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM fr_$arm),
+       |hits_$arm AS (
+       |  SELECT '$arm' AS arm,
+       |         (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
+       |         CAST(count(CASE WHEN doc_id = q_id + $TwinIdOffset AND rnk = 1 THEN 1 END) AS BIGINT) AS hits_at_1,
+       |         CAST(count(CASE WHEN doc_id = q_id + $TwinIdOffset AND rnk <= $HybridTopK THEN 1 END) AS BIGINT) AS hits_at_k,
+       |         CAST(count(CASE WHEN doc_id = q_id + $TwinIdOffset AND lex_rnk IS NOT NULL THEN 1 END) AS BIGINT) AS hits_lex,
+       |         CAST(count(CASE WHEN doc_id = q_id + $TwinIdOffset AND vec_rnk IS NOT NULL THEN 1 END) AS BIGINT) AS hits_vec
+       |  FROM rr_$arm)""".stripMargin
   }
 
   private def knnEdgeCtes: String = knnEdgeCtesFrom("embeddings")
@@ -5015,6 +5169,110 @@ object Extensions {
          |       CAST(COALESCE(h.hits_ivf, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE) AS recall_at_k
          |FROM ec LEFT JOIN h USING (src_id)
          |ORDER BY src_id""".stripMargin,
+
+    // x98: the four gated retrieval forms re-run over the twin-augmented
+    // union corpus (relevanceCorpusCtes) and reduced to planted hit@k.
+    // ONE index over udocs feeds both lexical arms (count + idf), ONE
+    // quantized qv over uembs feeds all three dense arms (brute /
+    // trained-cell SQ8 / IVF×PQ — the x84/x88 chains verbatim with the
+    // query predicate at RelevanceQueries), and each arm runs x79's
+    // fusion spelling (relevanceArmHitsSql) down to its integer hit row.
+    "x98_retrieval_relevance" ->
+      s"""WITH $relevanceCorpusCtes,
+         |qv AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM uembs),
+         |$trainedCellCtes,
+         |${sq8CodesCteFrom("uembs")},
+         |${pqCodebookCtes(s"q.vec_id < $RelevanceQueries")},
+         |toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |  FROM udocs),
+         |shx AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(t) >= 3
+         |              THEN list_distinct(list_transform(range(1, len(t) - 1),
+         |                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+         |              ELSE CAST([] AS VARCHAR[]) END AS sh
+         |  FROM toks),
+         |idx AS (
+         |  SELECT doc_id AS id, unnest(sh) AS shingle FROM shx
+         |  WHERE doc_id IN (SELECT vec_id FROM uembs)),
+         |qsh AS (SELECT q.q_id, i.shingle FROM idx i JOIN q ON i.id = q.q_id),
+         |lexcs AS (
+         |  SELECT qsh.q_id, i.id, count(*) AS n_common
+         |  FROM qsh JOIN idx i USING (shingle)
+         |  WHERE i.id <> qsh.q_id GROUP BY 1, 2),
+         |lexc AS (
+         |  SELECT q_id, id, lex_rnk FROM (
+         |    SELECT q_id, id,
+         |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY n_common DESC, id) AS BIGINT) AS lex_rnk
+         |    FROM lexcs) WHERE lex_rnk <= $HybridArmK),
+         |dfrel AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY 1),
+         |nu AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_universe FROM udocs
+         |  WHERE doc_id IN (SELECT vec_id FROM uembs)),
+         |lexis AS (
+         |  SELECT qsh.q_id, i.id,
+         |         CAST(SUM(GREATEST(1, length(bin(nu.n_universe)) - length(bin(dfrel.df)) + 1)) AS BIGINT) AS n_common
+         |  FROM qsh JOIN idx i USING (shingle) JOIN dfrel USING (shingle), nu
+         |  WHERE i.id <> qsh.q_id GROUP BY 1, 2),
+         |lexi AS (
+         |  SELECT q_id, id, lex_rnk FROM (
+         |    SELECT q_id, id,
+         |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY n_common DESC, id) AS BIGINT) AS lex_rnk
+         |    FROM lexis) WHERE lex_rnk <= $HybridArmK),
+         |nv AS (SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+         |vqr AS (SELECT vec_id AS q_id, v AS qvec, norm_sq AS qn FROM nv WHERE vec_id < $RelevanceQueries),
+         |vbs AS (
+         |  SELECT q_id, c.vec_id AS id,
+         |         CAST(${dotSql("qvec", "c.v")} AS DOUBLE)
+         |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.norm_sq AS DOUBLE))) AS cosine
+         |  FROM vqr JOIN nv c ON c.vec_id <> q_id),
+         |vb AS (
+         |  SELECT q_id, id, vec_rnk FROM (
+         |    SELECT q_id, id,
+         |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS BIGINT) AS vec_rnk
+         |    FROM vbs) WHERE vec_rnk <= $HybridArmK),
+         |kcells AS (
+         |  SELECT r.vec_id, r.c_label AS cell, cb.code
+         |  FROM krank r JOIN cb USING (vec_id) WHERE rn = 1),
+         |kq8 AS (
+         |  SELECT r.vec_id AS q_id, r.c_label AS cell, cb.code AS q_code
+         |  FROM krank r JOIN cb USING (vec_id)
+         |  WHERE rn <= $ScaledNprobe AND r.vec_id < $RelevanceQueries),
+         |ks8 AS (
+         |  SELECT q_id, kq8.cell AS cell, c.vec_id AS c_id,
+         |         ${dotSql("q_code", "c.code")} AS dot_q8
+         |  FROM kq8 JOIN kcells c ON kq8.cell = c.cell AND c.vec_id <> q_id),
+         |v8 AS (
+         |  SELECT q_id, id, vec_rnk FROM (
+         |    SELECT q_id, c_id AS id,
+         |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS BIGINT) AS vec_rnk
+         |    FROM ks8) WHERE vec_rnk <= $HybridArmK),
+         |mcells AS (
+         |  SELECT r.vec_id, r.c_label AS cell, cr.code
+         |  FROM krank r JOIN codesrel cr USING (vec_id) WHERE rn = 1),
+         |kqp AS (
+         |  SELECT r.vec_id AS q_id, r.c_label AS cell, lt.lut AS lut
+         |  FROM krank r JOIN lut lt ON lt.q_id = r.vec_id
+         |  WHERE rn <= $ScaledNprobe),
+         |ksp AS (
+         |  SELECT l.q_id, l.cell, c.vec_id AS c_id,
+         |         $pqTermSql AS score_pq
+         |  FROM kqp l JOIN mcells c ON l.cell = c.cell AND c.vec_id <> l.q_id),
+         |vp AS (
+         |  SELECT q_id, id, vec_rnk FROM (
+         |    SELECT q_id, c_id AS id,
+         |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_pq DESC, c_id) AS BIGINT) AS vec_rnk
+         |    FROM ksp) WHERE vec_rnk <= $HybridArmK),
+         |${relevanceArmHitsSql("1_brute", "lexc", "vb")},
+         |${relevanceArmHitsSql("2_ivf_sq8", "lexc", "v8")},
+         |${relevanceArmHitsSql("3_ivf_pq", "lexc", "vp")},
+         |${relevanceArmHitsSql("4_bm25_brute", "lexi", "vb")}
+         |SELECT arm, n_queries, hits_at_1, hits_at_k, hits_lex, hits_vec,
+         |       CAST(hits_at_k AS DOUBLE) / CAST(n_queries AS DOUBLE) AS hit_rate
+         |FROM (SELECT * FROM hits_1_brute UNION ALL SELECT * FROM hits_2_ivf_sq8
+         |      UNION ALL SELECT * FROM hits_3_ivf_pq UNION ALL SELECT * FROM hits_4_bm25_brute)
+         |ORDER BY arm""".stripMargin,
 
     // x92: the x81 recursive-closure chain verbatim, the component
     // labels joined against the metadata label column — the x56 matrix

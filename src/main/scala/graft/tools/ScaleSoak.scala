@@ -119,8 +119,12 @@ object ScaleSoak {
     "x87_hybrid_rrf_bm25", "x89_knn_graph_ivf", "x89_cells_sqrtn",
     // x93: x89's candidates scored by stored SQ8 codes + shortlist +
     // exact re-rank — same candidate mass, one extra narrow window; the
-    // cost delta vs x89 prices the refine composition itself
-    "x93_knn_graph_ivf_sq8",
+    // cost delta vs x89 prices the refine composition itself. The
+    // sqrt-n-cells twin (round 12) completes the n^1.5 claim for the
+    // form that would actually ship at 100 TB — x89_cells_sqrtn proved
+    // the class for the exact-rank build, this row for the stored-code
+    // shortlist build.
+    "x93_knn_graph_ivf_sq8", "x93_cells_sqrtn",
     // x82 batch form: the incoming->base band probe — cost tracks
     // collisions like x55's, never |incoming|*|base|
     "x82_incremental_knn", "x83_classifier_split",
@@ -220,6 +224,20 @@ object ScaleSoak {
         nprobe = graft.queries.Extensions.ScaledNprobe,
         shortlist = graft.queries.Extensions.KnnShortlist)
         .orderBy(col("src_id"), col("rnk"))),
+    // x93 under the FAISS-practice cell scaling — the x89_cells_sqrtn
+    // geometry applied to the SQ8-shortlist build (round-12 verdict #5):
+    // one decade row for the form a 100 TB index actually serves.
+    "x93_cells_sqrtn" -> ((s: SparkSession, dir: String) => {
+      val e = graft.tables.Tables.embeddings(s, dir)
+      val cells = math.max(32, math.round(
+        32.0 * math.sqrt(e.count().toDouble / 2000.0)).toInt)
+      graft.ext.Similarity.knnGraphIvfSq8(e, "vec_id", "embedding",
+        k = graft.queries.Extensions.KnnGraphK, cells = cells,
+        lloydRounds = graft.queries.Extensions.ScaledLloydRounds,
+        nprobe = graft.queries.Extensions.ScaledNprobe,
+        shortlist = graft.queries.Extensions.KnnShortlist)
+        .orderBy(col("src_id"), col("rnk"))
+    }),
     // x44 at 4,096 shards (3 hex chars): the "shard count is the
     // parallelism knob" claim — raising shards 256x must not change the
     // cost class (one hash shuffle + per-shard running sums either way).

@@ -421,11 +421,16 @@ class PlanSpec extends SparkSpec {
     // (round-11 advice): without it the gate passed only when x94 was
     // planned after x85/x91 in the sweep (cache substitution of the
     // persisted exact relation) — an ordering accident, not a contract.
+    // x98 carries the brute dense arm in two of its four configurations
+    // (the positive-control exact rank every compressed arm's hit@k is
+    // read against) — the same x06-baseline rationale as x79/x87; its
+    // sq8/pq arms stay pure equi-joins.
     val bnljWhitelist =
       Set("x06_sim_topk_brute", "x71_ivf_recall", "x79_hybrid_rrf",
         "x87_hybrid_rrf_bm25", "x85_knn_graph_recall",
         "x91_knn_graph_ivf_recall", "x94_knn_graph_ivf_sq8_recall",
-        "x96_planted_knn_recall", "x97_planted_ivf_recall")
+        "x96_planted_knn_recall", "x97_planted_ivf_recall",
+        "x98_retrieval_relevance")
 
     def isOneRowAnchor(b: BroadcastNestedLoopJoinExec): Boolean = {
       val build = b.buildSide match {
