@@ -952,7 +952,17 @@ object ScaleSoak {
     sb.append("  integer-only scorer reads 3.5x cheaper than x89's per-candidate\n")
     sb.append("  cosine (14.6 tight-reps vs 51.8 with a 20.4 s min rep — part of\n")
     sb.append("  x89's median is contention, the raws carry it); at x30 both\n")
-    sb.append("  converge (~115 vs ~120 s), candidate-volume-bound.\n")
+    sb.append("  converge (~115 vs ~120 s), candidate-volume-bound. Round 12\n")
+    sb.append("  completed the claim for the form that would actually ship:\n")
+    sb.append("  x93_cells_sqrtn (the SQ8-shortlist build under the same cells ~\n")
+    sb.append("  32*sqrt(n/2000) practice) = 4.9 / 10.4 / 27.4 s at x3/x10/x30\n")
+    sb.append("  (slope 5.6 — the same n^1.5 class as x89_cells_sqrtn) and the\n")
+    sb.append("  fresh-JVM decade cell x100 = 116.4 s on 200k vectors (rows\n")
+    sb.append("  exactly n*k = 600,000; slope x100/x10 = 11.2 vs x89's 16.4 —\n")
+    sb.append("  the integer shortlist scorer ages BETTER than the exact-rank\n")
+    sb.append("  build as candidate volume grows, the same 3.5x-at-x10 effect\n")
+    sb.append("  compounding): the 100 TB graph form keeps the n^1.5 class with\n")
+    sb.append("  a near-linear reading at this size.\n")
     sb.append("- **Round-11 retrieval arms.** x87 (BM25-lite idf damping —\n")
     sb.append("  integer halving-bucket weights, max(1, log2(N)-log2(df)+1) via\n")
     sb.append("  length(bin(.))) tracks x79's flat cost shape on the plain corpus:\n")
