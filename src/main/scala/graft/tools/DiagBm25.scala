@@ -59,16 +59,20 @@ object DiagBm25 {
           .otherwise(col("text")).as("text"))
   }
 
-  /** Planted hit@k of the three token-level lexical arms over a corpus.
-    * Returns (arm, n_queries, hits_at_1, hits_at_k) rows. */
+  /** Planted hit@k of the three lexical arms over a corpus, at SHINGLE
+    * granularity (the engine's lexical unit — token-level overlap does
+    * not discriminate documents on this small-vocabulary corpus; w=3
+    * shingles do) but WITH multiplicity, so tf-saturation has something
+    * to saturate. Returns (arm, n_queries, hits_at_1, hits_at_k) rows. */
   def lexArmsHits(corpus: DataFrame, nQueries: Int, armK: Int,
                   k: Int): DataFrame = {
     import graft.ext.Relevance
     val udocs = corpus.unionByName(
       Relevance.twinDocs(corpus, "doc_id", "text", nQueries))
-    // token-level tf index: (id, token, tf) + per-doc length
+    // shingle-occurrence tf index: (id, shingle, tf) + per-doc length
     val occ = udocs.select(col("doc_id").as("id"),
-      explode(graft.ext.TextOps.tokens(col("text"))).as("token"))
+      explode(org.apache.spark.sql.graftfn.ShingleArray.shingleOccurrences(
+        graft.ext.TextOps.tokens(col("text")), 3)).as("token"))
     val tf = occ.groupBy(col("id"), col("token"))
       .agg(count(lit(1)).as("tf")).persist()
     val dlen = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl")).persist()

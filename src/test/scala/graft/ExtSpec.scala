@@ -2169,3 +2169,45 @@ class GraphFoldInSpec extends SparkSpec {
     }
   }
 }
+
+/** The x87 knob experiment (round-12 stretch #8): tf-saturation and
+  * length-normalization are moot on the registry corpus (tf = 1,
+  * uniform lengths) and MEASURABLE on the token-stuffed variant —
+  * DiagBm25 prices them; this spec pins the measured direction. */
+class Bm25KnobSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+  import graft.queries.Extensions.{HybridArmK, HybridTopK, RelevanceQueries}
+
+  private def hits(corpus: org.apache.spark.sql.DataFrame) =
+    graft.tools.DiagBm25.lexArmsHits(corpus, RelevanceQueries,
+      HybridArmK, HybridTopK)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("hits_at_1"), r.getAs[Long]("hits_at_k"))).toMap
+
+  test("plain corpus: the three lexical arms are indistinguishable (the knobs are moot)") {
+    val h = hits(graft.tables.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
+    // measured 45/50 @1 and 50/50 @k for ALL three arms — distinct
+    // shingles (tf = 1) and uniform lengths give the extra BM25 terms
+    // nothing to act on
+    assert(h("1_count")._2 == 50L && h("2_idf")._2 == 50L && h("3_bm25")._2 == 50L, s"$h")
+    assert(h("1_count")._1 == h("2_idf")._1 && h("2_idf")._1 == h("3_bm25")._1, s"$h")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("stuffed corpus: count degrades, idf recovers, full BM25 restores plain-corpus hits") {
+    val h = hits(graft.tools.DiagBm25.stuffedDocs(spark, dir))
+    // measured: count 38/42, idf 44/50, bm25 45/50 — the monotone knob
+    // ladder (slack on the @1 cells: double-sum rank near-ties may move
+    // a query by one)
+    assert(h("1_count")._2 <= 45L,
+      s"count arm should be fooled by stuffing: $h")
+    assert(h("2_idf")._2 == 50L && h("3_bm25")._2 == 50L,
+      s"idf damping must recover the stuffed top-k: $h")
+    assert(h("1_count")._1 <= h("2_idf")._1 && h("2_idf")._1 <= h("3_bm25")._1 + 1,
+      s"knob ladder direction violated: $h")
+    assert(h("3_bm25")._1 >= 43L,
+      s"full BM25 should restore ~plain-corpus hit@1 (measured 45): $h")
+    graft.ext.ExtCaches.clearCaches()
+  }
+}
