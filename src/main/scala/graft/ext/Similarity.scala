@@ -693,7 +693,18 @@ object Similarity {
     * (0.744/0.731/0.697 across the SFs at shortlist=10: within 1 edge
     * of x91's exact-rank 0.744/0.732/0.698, i.e. SQ8 shortlist loss is
     * ~zero at this depth, exactly what the frozen-candidate x64 audit
-    * predicted). */
+    * predicted).
+    *
+    * CAVEAT, measured round 12 (DiagOpq planted cells): x94's
+    * fidelity ≈ 1 is an I.I.D.-corpus fact. On tightly clustered
+    * corpora a compression-ranked shortlist loses fidelity in
+    * proportion to the near-tie cohort it must order — on the planted
+    * corpus (clusters of ~200 members inside cosine 0.93–0.97) depth
+    * 10 keeps 0.27 of true edges vs exact-rank's 1.0 (x97), recovering
+    * monotonically with depth: 0.66 at 50, 0.998 at 200 ≈ the cluster
+    * size. Production rule: `shortlist` ≥ the expected near-tie cohort
+    * (estimable from x68's cluster-size histogram), or use
+    * [[knnGraphIvf]] whose exact ranking is free at graph-build time. */
   def knnGraphIvfSq8(df: DataFrame, idCol: String, vecCol: String, k: Int,
                      cells: Int, lloydRounds: Int, nprobe: Int,
                      shortlist: Int,

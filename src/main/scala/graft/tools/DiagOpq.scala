@@ -118,6 +118,78 @@ object DiagOpq {
       top50.unpersist()
       ExtCaches.clearCaches()
     }
+
+    // ---- The PLANTED cell (round 12 — the positive-control corpus) ----
+    // Clustered ≠ correlated: planted vectors are strongly CLUSTERED
+    // (x95–x97 read 1.0 where i.i.d. reads chance) but their dims are
+    // conditionally independent given the label (per-(label, dim) signs
+    // and magnitudes are separate hash draws), so every subspace
+    // grouping carries the same per-cluster structure and the rotation
+    // again has nothing to balance. MEASURED (sf0.1): recall@3 is FLAT
+    // across groupings — the clustered-≠-correlated point — but LOW
+    // (0–1/30, coverage@50 10–14/30), and the low is the cell's second
+    // finding: a 64-code-per-subspace PQ codebook separates the 10
+    // clusters but cannot ORDER the ~200 near-tie members WITHIN a
+    // cluster (the ±1 jitter that defines the true top-3 sits below
+    // codebook resolution, so the ADC ranking inside a cluster is
+    // arbitrary). The cure is refine DEPTH, not a rotation — priced on
+    // the SQ8 family below.
+    val eP = graft.ext.Planted.vectors(e.select(col("vec_id")), "vec_id")
+      .select(col("vec_id"), col("embedding"))
+    val exactP = Similarity.bruteForceTopK(eP,
+        eP.filter(col("vec_id") < Extensions.QuerySetSize),
+        "vec_id", "embedding", 3)
+      .select(col("q_id"), col("c_id")).cache()
+    val nExactP = exactP.count()
+    def hitsP(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("q_id"), col("c_id")).join(exactP, Seq("q_id", "c_id")).count()
+    for ((tag, perm) <- Seq(
+        ("planted-identity", IndexedSeq.tabulate(dims)(identity)),
+        ("planted-pairing", pairing),
+        ("planted-seed1", permutation(1L)))) {
+      val permuted = array(perm.map(i => element_at(col("embedding"), i + 1)): _*)
+      val ep = eP.select(col("vec_id"), permuted.as("embedding"))
+      val qp = ep.filter(col("vec_id") < Extensions.QuerySetSize)
+      val top50 = Similarity.pqTopK(ep, qp, "vec_id", "embedding", k = 50,
+        m = Extensions.PqM, codes = Extensions.PqCodes,
+        lloydRounds = Extensions.PqLloydRounds, dims = dims).cache()
+      val r3 = hitsP(top50.filter(col("rnk") <= 3))
+      val c10 = hitsP(top50.filter(col("rnk") <= 10))
+      val c50 = hitsP(top50)
+      println(f"[diagopq] $tag%-16s recall@3 $r3/$nExactP  " +
+        f"top3⊆ADCtop10 $c10/$nExactP  ⊆top50 $c50/$nExactP")
+      top50.unpersist()
+      ExtCaches.clearCaches()
+    }
+
+    // Cross-check of the resolution story one compression family up:
+    // the SQ8-shortlist graph (x93's form — 8 bits PER DIM, not 6 bits
+    // per 8-dim subspace) on the same planted corpus, audited
+    // edge-for-edge at growing refine depth. MEASURED (sf0.1): depth 10
+    // keeps 1648/6000 = 0.27 of true edges where exact-rank x97 reads
+    // 1.0 — x94's "shortlist fidelity ≈ 1" is an I.I.D. fact that does
+    // NOT transfer to tightly clustered corpora (a planted cluster is
+    // ~200 members inside cosine 0.93–0.97, and a compression-ranked
+    // shortlist loses fidelity in proportion to the near-tie cohort it
+    // must order). The knob that restores it is refine DEPTH, priced
+    // here per cell below — the production rule: shortlist ≥ the
+    // expected near-tie cohort, or use the exact-rank build (x89's
+    // form, whose ranking exactness is free at graph-build time —
+    // precisely its Scaladoc's argument).
+    for (sl <- Seq(Extensions.KnnShortlist, 50, 200)) {
+      val g93 = Similarity.knnGraphIvfSq8(eP, "vec_id", "embedding",
+        k = Extensions.KnnGraphK, cells = Extensions.ScaledCells,
+        lloydRounds = Extensions.ScaledLloydRounds,
+        nprobe = Extensions.ScaledNprobe, shortlist = sl,
+        maxCellSize = Some(Extensions.KnnCellCap))
+      val aud = Similarity.graphEdgesRecall(eP, g93, "vec_id", "embedding",
+          k = Extensions.KnnGraphK, hitsCol = "hits")
+        .agg(sum(col("hits")).as("h"), sum(col("n_exact")).as("n"))
+        .collect()(0)
+      println(s"[diagopq] planted-sq8graph shortlist=$sl recall@3 " +
+        s"${aud.getAs[Long]("h")}/${aud.getAs[Long]("n")}")
+      ExtCaches.clearCaches()
+    }
     spark.stop()
   }
 }
