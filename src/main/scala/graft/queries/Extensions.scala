@@ -2232,6 +2232,31 @@ object Extensions {
       .orderBy(col("arm"))
   }
 
+  /** Incremental graph fold-in, oracle-gated END TO END (x99) — the
+    * round-12 stretch upgraded from a spec to a registry gate: the
+    * ENGINE runs the full incremental maintenance path (build the
+    * stored base graph under a base-trained frozen quantizer —
+    * [[graft.ext.Similarity.knnGraphIvfFrozen]] — then fold the held-out
+    * batch in via [[graft.ext.Similarity.knnGraphIvfFoldIn]], never
+    * rescoring base×base), while the ORACLE computes the FRESH
+    * frozen-quantizer build over the union in DuckDB. The hash gate
+    * therefore proves two things at once: the fold-in algebra
+    * (topk(S∪T) ⊆ topk(S) ∪ T applied per probed cell) and the
+    * cross-engine arithmetic, at all three SFs. Base/batch is the x83
+    * hash split ([[BaseFrac]]); geometry is x89's. */
+  def x99_graph_foldin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val inBase = Sampling.hashThresholdPredicate(col("vec_id"), BaseFrac)
+    val base = e.filter(inBase)
+    val stored = Similarity.knnGraphIvfFrozen(base, base, "vec_id",
+      "embedding", k = KnnGraphK, cells = ScaledCells,
+      lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
+    Similarity.knnGraphIvfFoldIn(stored, base, e.filter(!inBase),
+        "vec_id", "embedding", k = KnnGraphK, cells = ScaledCells,
+        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
+      .orderBy(col("src_id"), col("rnk"))
+  }
+
   /** Three-way coarse-quantizer recall table (x71): per query, the exact
     * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
     * Hamming-1 multi-probe sign SQ8 (x69), and learned-centroid IVF at
@@ -3091,7 +3116,8 @@ object Extensions {
     "x95_planted_purity" -> (x95_planted_purity _),
     "x96_planted_knn_recall" -> (x96_planted_knn_recall _),
     "x97_planted_ivf_recall" -> (x97_planted_ivf_recall _),
-    "x98_retrieval_relevance" -> (x98_retrieval_relevance _))
+    "x98_retrieval_relevance" -> (x98_retrieval_relevance _),
+    "x99_graph_foldin" -> (x99_graph_foldin _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -3366,13 +3392,14 @@ object Extensions {
     * argmin assignment, and recompute exact-integer centroid stats. The
     * t spelling matches centroidScoreCtes / Similarity.tScore
     * operand-for-operand. */
-  private def kmeansRoundSql(r: Int, p: String = "", seed: String = "cent"): String = {
+  private def kmeansRoundSql(r: Int, p: String = "", seed: String = "cent",
+                             src: String = "qv"): String = {
     val prev = if (r == 1) seed else s"${p}cent_${r - 1}"
     s"""${p}scored_$r AS (
-       |  SELECT qv.vec_id, c.c_label,
+       |  SELECT $src.vec_id, c.c_label,
        |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |           - (2.0 * CAST(${dotSql("qv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-       |  FROM qv CROSS JOIN $prev c),
+       |           - (2.0 * CAST(${dotSql(s"$src.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+       |  FROM $src CROSS JOIN $prev c),
        |${p}assigned_$r AS (
        |  SELECT vec_id, c_label FROM (
        |    SELECT vec_id, c_label,
@@ -3380,7 +3407,7 @@ object Extensions {
        |    FROM ${p}scored_$r) WHERE rn = 1),
        |${p}aex_$r AS (
        |  SELECT a.c_label, unnest(range(0, len(v))) AS dim, unnest(v) AS x
-       |  FROM ${p}assigned_$r a JOIN qv USING (vec_id)),
+       |  FROM ${p}assigned_$r a JOIN $src USING (vec_id)),
        |${p}sums_$r AS (
        |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
        |  FROM ${p}aex_$r GROUP BY 1, 2),
@@ -3524,11 +3551,18 @@ object Extensions {
     * every vector against the FINAL centroids, and the (t, c_label)
     * rank (`krank`: rn = 1 is a corpus row's own cell, rn ≤ nprobe a
     * query's probe list). */
-  private def trainedCellCtes: String =
+  private def trainedCellCtes: String = trainedCellCtesOver("qv", "qv")
+
+  /** [[trainedCellCtes]] with the TRAINING relation and the SCORED
+    * relation decoupled — `trainSrc` seeds and iterates the Lloyd chain,
+    * `scoreSrc` is ranked against the final centroids. Equal arguments
+    * reproduce the classic chain byte-for-byte; the frozen-quantizer
+    * oracle (x99) trains on the base slice and scores the union. */
+  private def trainedCellCtesOver(trainSrc: String, scoreSrc: String): String =
     s"""kaex_0 AS (
        |  SELECT CAST(vec_id % $ScaledCells AS BIGINT) AS c_label,
        |         unnest(range(0, len(v))) AS dim, unnest(v) AS x
-       |  FROM qv),
+       |  FROM $trainSrc),
        |ksums_0 AS (
        |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
        |  FROM kaex_0 GROUP BY 1, 2),
@@ -3537,12 +3571,12 @@ object Extensions {
        |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
        |         list(s ORDER BY dim) AS sl
        |  FROM ksums_0 GROUP BY 1),
-       |${(1 to ScaledLloydRounds).map(r => kmeansRoundSql(r, "k", "kcent_0")).mkString(",\n")},
+       |${(1 to ScaledLloydRounds).map(r => kmeansRoundSql(r, "k", "kcent_0", trainSrc)).mkString(",\n")},
        |kscoredq AS (
-       |  SELECT qv.vec_id, c.c_label,
+       |  SELECT $scoreSrc.vec_id, c.c_label,
        |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |           - (2.0 * CAST(${dotSql("qv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-       |  FROM qv CROSS JOIN kcent_$ScaledLloydRounds c),
+       |           - (2.0 * CAST(${dotSql(s"$scoreSrc.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+       |  FROM $scoreSrc CROSS JOIN kcent_$ScaledLloydRounds c),
        |krank AS (
        |  SELECT vec_id, c_label,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
@@ -5273,6 +5307,36 @@ object Extensions {
          |FROM (SELECT * FROM hits_1_brute UNION ALL SELECT * FROM hits_2_ivf_sq8
          |      UNION ALL SELECT * FROM hits_3_ivf_pq UNION ALL SELECT * FROM hits_4_bm25_brute)
          |ORDER BY arm""".stripMargin,
+
+    // x99: the ORACLE computes the FRESH frozen-quantizer graph over the
+    // union (train on the base hash slice, score and rank everything —
+    // trainedCellCtesOver decouples the two), while the engine runs the
+    // INCREMENTAL fold-in; the hash gate proves fold-in ≡ fresh across
+    // engines. Tail = ivfGraphCtes' spelling over qall.
+    "x99_graph_foldin" ->
+      s"""WITH qall AS (
+         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+         |qv AS (
+         |  SELECT * FROM qall
+         |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}'),
+         |${trainedCellCtesOver("qv", "qall")},
+         |gn AS (
+         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qall),
+         |gmem AS (SELECT vec_id AS nbr_id, c_label AS cell FROM krank WHERE rn = 1),
+         |gprob AS (SELECT vec_id AS src_id, c_label AS cell FROM krank WHERE rn <= $ScaledNprobe),
+         |gc AS (
+         |  SELECT p.src_id, m.nbr_id FROM gprob p JOIN gmem m USING (cell)
+         |  WHERE m.nbr_id <> p.src_id),
+         |gscored AS (
+         |  SELECT gc.src_id, gc.nbr_id,
+         |         CAST(${dotSql("ns.v", "nn.v")} AS DOUBLE)
+         |           / (sqrt(CAST(ns.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE))) AS cosine
+         |  FROM gc JOIN gn ns ON ns.vec_id = gc.src_id JOIN gn nn ON nn.vec_id = gc.nbr_id),
+         |gr AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
+         |  FROM gscored)
+         |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
+         |ORDER BY src_id, rnk""".stripMargin,
 
     // x92: the x81 recursive-closure chain verbatim, the component
     // labels joined against the metadata label column — the x56 matrix
