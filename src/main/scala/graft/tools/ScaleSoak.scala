@@ -125,6 +125,12 @@ object ScaleSoak {
     // the class for the exact-rank build, this row for the stored-code
     // shortlist build.
     "x93_knn_graph_ivf_sq8", "x93_cells_sqrtn",
+    // round-12: the relevance harness (four retrieval forms over the
+    // twin-augmented corpus — cost should read like x79+x84+x88+one
+    // re-fuse, minus the shared cell training) and the fold-in (base
+    // build + batch delta — the delta is batch-proportional, so the
+    // line should track x89's fixed-geometry class at ~base size)
+    "x98_retrieval_relevance", "x99_graph_foldin",
     // x82 batch form: the incoming->base band probe — cost tracks
     // collisions like x55's, never |incoming|*|base|
     "x82_incremental_knn", "x83_classifier_split",
@@ -975,6 +981,20 @@ object ScaleSoak {
     sb.append("  x88 (IVF x PQ dense arm) completes the pluggable-arm ladder:\n")
     sb.append("  brute (x79) / IVF x SQ8 (x84) / IVF x PQ (x88) all gate against\n")
     sb.append("  the same fusion, so a deployment picks the arm by index budget.\n")
+    sb.append("- **Round-12 relevance + maintenance lines.** x98 (all four gated\n")
+    sb.append("  retrieval forms over the twin-augmented corpus, reduced to\n")
+    sb.append("  planted hit@k) reads 15.7 / 18.6 / 66.9 s at x3/x10/x30 — the\n")
+    sb.append("  query set is fixed at 50, so the slope is the INDEX cost (one\n")
+    sb.append("  shared cell training + the PQ codebooks + the inverted index),\n")
+    sb.append("  not the search; intrinsically ~ the sum of the four forms it\n")
+    sb.append("  runs minus the shared training. x99 (the fold-in maintenance\n")
+    sb.append("  path: stored base graph + batch delta, gated equal to the fresh\n")
+    sb.append("  frozen build) reads 8.3 / 18.2 / 125.3 s — x89's fixed-geometry\n")
+    sb.append("  candidate law at ~base size, CHEAPER than x89's own row at x10\n")
+    sb.append("  (18 vs 52 s: base x base is summarized by the stored top-k, the\n")
+    sb.append("  delta is batch-proportional) and converging with it at x30;\n")
+    sb.append("  the cells ~ sqrt(n) practice applies verbatim through the\n")
+    sb.append("  frozen form's geometry parameter.\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")
