@@ -121,17 +121,34 @@ object Bench {
     def storageKb: Long =
       try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 10
       catch { case _: Throwable => -1L }
+    // Hypervisor CPU-steal jiffies (/proc/stat field 9) — the attribution
+    // column the round-12 anomaly exposed: a virtualized box under bursty
+    // steal shows LOW load average (the stolen threads are runnable, not
+    // queued in the guest) while raw reps swing 5-40x, so la/gc/heap all
+    // read clean and the record cannot attribute itself. Measured the day
+    // it was added: a sweep with erratic reps (x51 37.5/41.0/4.0 s at la
+    // 1.7, gc 0.8 s) ran in a window that accumulated ~770 s of steal
+    // since boot; an idle-steal re-run returned every line to steady
+    // state. -1 where /proc/stat is unavailable (non-Linux).
+    def stealJiffies: Long =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat")
+        try f.getLines().next().trim.split("\\s+")(8).toLong
+        finally f.close()
+      } catch { case _: Throwable => -1L }
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def measured(name: String)(reps: => Seq[Double]): Seq[Double] = {
-      val (h0, gc0, la, cf0) =
-        (heapMb, gcMs, loadAvg, graft.ext.ExtCaches.fillCount)
+      val (h0, gc0, la, cf0, st0) =
+        (heapMb, gcMs, loadAvg, graft.ext.ExtCaches.fillCount, stealJiffies)
       val t = (System.nanoTime() - benchT0) / 1e9
       val times = reps
+      val stD = if (st0 < 0) -1L else stealJiffies - st0
       detail(name) =
         s"""{"r":[${times.map(fmt3).mkString(",")}],"t":${fmt3(t)},""" +
           s""""la":${fmt3(la)},"h0":$h0,"h1":$heapMb,"gc":${gcMs - gc0},""" +
-          s""""cf":${graft.ext.ExtCaches.fillCount - cf0},"sm":$storageKb}"""
+          s""""cf":${graft.ext.ExtCaches.fillCount - cf0},"sm":$storageKb,""" +
+          s""""st":$stD}"""
       times
     }
 
@@ -253,6 +270,7 @@ object Bench {
         s""""heap_max_mb":${Runtime.getRuntime.maxMemory >> 20},""" +
         s""""host_cpus":${Runtime.getRuntime.availableProcessors},""" +
         s""""load_avg_end":${fmt3(loadAvg)},"gc_total_ms":$gcMs,""" +
+        s""""steal_end_jiffies":$stealJiffies,""" +
         s""""wall_s":${fmt3((System.nanoTime() - benchT0) / 1e9)},""" +
         s""""queries":${detail.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")}}"""

@@ -200,8 +200,9 @@ object Similarity {
 
   /** Band keys for [[cosineNearDupPairsSampled]] given a precomputed
     * signature; coordinate choice comes from [[sampledCoords]]. */
-  private def sampledKeysFromSig(sig: Column, bands: Int, bitsPerBand: Int,
-                                 dims: Int, seed: Long): Column = {
+  private[graft] def sampledKeysFromSig(sig: Column, bands: Int,
+                                        bitsPerBand: Int,
+                                        dims: Int, seed: Long): Column = {
     val coords = sampledCoords(bands, bitsPerBand, dims, seed)
     array((0 until bands).map { j =>
       val key = (0 until bitsPerBand).map { i =>
@@ -470,7 +471,30 @@ object Similarity {
     * |queries|·(cell mass) rows, linear in the collapsed cell, not
     * cell² — so it stays unfenced by design; if a deployment ever runs
     * corpus-sized query sets through it, this fence applies verbatim
-    * (the probe relation is the same shape). */
+    * (the probe relation is the same shape).
+    *
+    * MEASURED on the corpus class that triggers the fence
+    * (DiagPlantedFence + PlantedFenceSpec, planted integer clusters
+    * where jitter never flips a sign): (1) the fallback's candidate set
+    * is EXACTLY Σ over (cell, cluster) cohorts g·(g−1) — every cohort
+    * shares one 64-bit signature, so band buckets cannot subdivide it
+    * (max bucket == max cohort; a hotBucketCap inside the fallback
+    * trips at exactly the size this cap already tripped at); (2)
+    * correctness survives in full (fully-fenced recall@3 = 1.0 — all
+    * true neighbors are same-cohort collisions) while COST is what
+    * collapses (cohort-quadratic); (3) retraining at finer granularity
+    * is INERT here — 12.8× the hash-split seeds left max cell ≈ the
+    * planted cluster size (extra seeds converge to EQUAL quantized
+    * centroids and the deterministic tie-break starves them), so the
+    * cells-∝-√n practice bounds cell size only when within-cluster
+    * variance is wide enough to separate quantized sub-centroids. The
+    * honest production rule: on corpora whose natural cluster size
+    * exceeds the cap, this fence is a loud TRIPWIRE (assertUnderCap)
+    * or a correct-but-quadratic fallback — bounding the cost needs
+    * either cohort sampling (the x59 truncation discipline) or a
+    * sub-quantizer on cell RESIDUALS (the x77 residual trick: residuals
+    * inside a planted cell are the jitter, i.i.d. again — exactly the
+    * regime Lloyd granularity DOES split). */
   private[graft] final class CellFence(memberCells: DataFrame,
                                        probeCells: DataFrame,
                                        cap: Option[Int]) {

@@ -2043,6 +2043,85 @@ class CellFenceSpec extends SparkSpec {
   }
 }
 
+/** The CellFence's banded fallback ON the corpus class that triggers it
+  * (DiagPlantedFence, round 12): planted structure is simultaneously the
+  * positive control and sign-LSH's adversarial case — jitter never flips
+  * a sign, so an entire (cell, planted-label) cohort shares one 64-bit
+  * signature. Three measured facts pinned here (numbers in PLANS.md):
+  * the fallback's candidate set is exactly cohort-quadratic, band
+  * buckets cannot subdivide a cohort (a hotBucketCap inside the fallback
+  * would trip at exactly the size the cell cap already tripped at), and
+  * Lloyd granularity is INERT — extra hash-split seeds converge to equal
+  * quantized centroids and die, so cells ∝ √n does NOT shrink the max
+  * cell here. Correctness survives (fallback recall = 1.0); COST is what
+  * collapses — the honest production rule for tightly clustered corpora
+  * is the cap as a loud tripwire, not a silent fix. */
+class PlantedFenceSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.{ExtCaches, Planted, Similarity}
+
+  private val N = 300
+  private val Cap = 10
+
+  private def planted = Planted.vectors(
+    (0L until N.toLong).toDF("vec_id"), "vec_id")
+
+  test("planted fallback: cohort-quadratic candidates, bucket == cohort, granularity inert, recall 1.0") {
+    val pe = ExtCaches.persistTracked(planted)
+    val v = Similarity.withNorm(
+      pe.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "vec", "norm")
+    val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
+
+    def memberCells(cells: Int) = Similarity
+      .trainedCellProbes(q, cells, 2, 1)
+      .filter(col("probe_rank") === 1)
+      .select(col("id").as("nbr_id"), col("cell"))
+
+    // -- granularity inertness: 12.8x the seeds, max cell stays oversized
+    val m10 = ExtCaches.persistTracked(memberCells(10))
+    def maxCell(m: org.apache.spark.sql.DataFrame): Long =
+      m.groupBy(col("cell")).agg(count(lit(1)).as("g"))
+        .agg(max(col("g"))).collect()(0).getLong(0)
+    assert(maxCell(m10) > Cap)
+    assert(maxCell(memberCells(128)) > Cap,
+      "128 hash-split seeds should NOT split planted clusters below the cap " +
+        "(equal quantized centroids die on the deterministic tie-break)")
+
+    // -- collapse equality: fallback pairs == sum over cohorts g*(g-1)
+    val cohorts = m10
+      .join(pe.select(col("vec_id").as("nbr_id"), col("label")), Seq("nbr_id"))
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("g"))
+      .agg(sum(col("g") * (col("g") - 1)).as("pairs"),
+        max(col("g")).as("max_cohort")).collect()(0)
+    val probes = m10.select(col("nbr_id").as("src_id"), col("cell"))
+    val fence = new Similarity.CellFence(m10, probes, Some(Cap))
+    assert(fence.bandedScored(v).get.count() == cohorts.getLong(0),
+      "banded fallback must generate exactly the within-(cell,label) pairs")
+
+    // -- bucket == cohort: banding buys no subdivision on planted signs
+    val keys = v.withColumn("sig", Similarity.signSignature(col("vec"), 64))
+      .select(col("id").as("nbr_id"),
+        explode(Similarity.sampledKeysFromSig(col("sig"), 16, 16, 64,
+          0x5EEDL)).as("bk"))
+    val maxBucket = m10.join(keys, Seq("nbr_id"))
+      .groupBy(col("cell"), col("bk")).agg(count(lit(1)).as("b"))
+      .agg(max(col("b"))).collect()(0).getLong(0)
+    assert(maxBucket == cohorts.getLong(1),
+      s"max band bucket $maxBucket != max cohort ${cohorts.getLong(1)}")
+
+    // -- the fence's design contract: correctness degrades gracefully
+    // (same-cohort pairs all collide), cost is what collapsed above
+    val g = Similarity.knnGraphIvf(pe, "vec_id", "embedding", k = 3,
+      cells = 10, lloydRounds = 2, nprobe = 1, maxCellSize = Some(Cap))
+    val r = Similarity.graphEdgesRecall(pe, g, "vec_id", "embedding", 3)
+      .agg(sum(col("hits")).as("h"), sum(col("n_exact")).as("d")).collect()(0)
+    assert(r.getLong(0) == r.getLong(1),
+      s"fully-fenced planted recall ${r.getLong(0)}/${r.getLong(1)} != 1.0")
+    ExtCaches.clearCaches()
+  }
+}
+
 /** Round-12: the planted-structure positive control (graft.ext.Planted +
   * x95–x97). The i.i.d. corpus cannot distinguish "the operator found
   * nothing" from "there is nothing to find"; these pin the direction
