@@ -532,6 +532,69 @@ object Similarity {
         .select(col("src_id"), col("nbr_id"), col("cosine"))
     }
 
+    /** Residual sub-quantizer fallback — the BOUNDED alternative to
+      * [[bandedScored]] for the corpus class where banding collapses
+      * (DiagPlantedFence: on planted integer clusters the banded
+      * fallback is exactly cohort-quadratic, because a cohort shares
+      * one sign signature, and retraining the COARSE quantizer finer is
+      * inert — extra hash-split seeds converge to equal quantized
+      * centroids and die). The way out is the x77 residual trick turned
+      * from a compression device into a candidate generator: residuals
+      * (v − cbar(cell), exact integers on the quantized grid) inside a
+      * collapsed cell are the WITHIN-cluster variance — i.i.d.-like
+      * again, exactly the regime Lloyd granularity DOES split — so one
+      * GLOBAL sub-quantizer trained on the oversized cells' residuals
+      * subdivides every cohort at once. Members take their rank-1
+      * residual sub-cell; probers rank `subNprobe` sub-cells per probed
+      * oversized cell (their residual differs per probed cell, so the
+      * probe id is the (src, cell) struct); candidates are the
+      * (cell, subcell) equi-join — Σ |probers_sub|·|members_sub|,
+      * bounded by n·subNprobe·maxSubcell instead of Σ cohort². The
+      * trade vs banding is recall-shaped, not correctness-shaped: a
+      * true neighbor in an unprobed sub-cell is lost (the x91 probe-
+      * budget curve applies, now one level down), where banding kept
+      * every cohort pair by keeping the whole quadratic cohort.
+      * Scoring is the exact quantized cosine over ORIGINAL vectors, so
+      * a hit ranks identically to the main path; (src, nbr) pairs are
+      * unique by construction (one sub-cell per member, distinct
+      * (cell, subcell) probes per source) — no dedup shuffle. */
+    def residualScored(v: DataFrame, stats: DataFrame, subCells: Int,
+                       lloydRounds: Int,
+                       subNprobe: Int): Option[DataFrame] = cap.map { _ =>
+      val cbar = roundedCentroids(stats)
+      val bigM = memberCells.join(broadcast(big), Seq("cell"), "left_semi")
+      val bigP = probeCells.join(broadcast(big), Seq("cell"), "left_semi")
+      def residual(side: DataFrame, idc: String): DataFrame =
+        side.join(v.select(col("id").as(idc), col("vec")), Seq(idc))
+          .join(broadcast(cbar), Seq("cell"))
+          .select(col(idc), col("cell"),
+            zip_with(col("vec"), col("cbar"), (a, b) => a - b).as("rv"))
+      // one global sub-quantizer over the oversized members' residuals
+      val rq = ExtCaches.persistTracked(
+        residual(bigM, "nbr_id")
+          .select(col("nbr_id").as("id"), col("rv").as("v")))
+      val sub = trainedCellStats(rq, subCells, lloydRounds)
+      val mSub = probesFromStats(rq, sub, 1)
+        .select(col("id").as("nbr_id"), col("cell").as("subcell"))
+        .join(bigM, Seq("nbr_id"))
+      val pSub = probesFromStats(
+          residual(bigP, "src_id")
+            .select(struct(col("src_id"), col("cell")).as("id"),
+              col("rv").as("v")),
+          sub, subNprobe)
+        .select(col("id.src_id").as("src_id"), col("id.cell").as("cell"),
+          col("cell").as("subcell"))
+      pSub.join(mSub, Seq("cell", "subcell"))
+        .filter(col("src_id") =!= col("nbr_id"))
+        .join(v.select(col("id").as("src_id"), col("vec").as("vs"),
+          col("norm").as("ns")), Seq("src_id"))
+        .join(v.select(col("id").as("nbr_id"), col("vec").as("vn"),
+          col("norm").as("nn")), Seq("nbr_id"))
+        .withColumn("cosine",
+          cosineFromParts(dotQ(col("vs"), col("vn")), col("ns"), col("nn")))
+        .select(col("src_id"), col("nbr_id"), col("cosine"))
+    }
+
     /** Lazy in-plan under-cap guard (the x84/x88 anchor form): asserts
       * no Lloyd cell exceeds the cap, so a registry gate whose oracle is
       * cell-exhaustive fails LOUDLY (with this message) the day a corpus
@@ -573,6 +636,32 @@ object Similarity {
     graphFromProbes(v, p, k, maxCellSize, assertUnderCap, "knnGraphIvf")
   }
 
+  /** [[knnGraphIvf]] with the RESIDUAL sub-quantizer fallback for
+    * oversized cells ([[CellFence.residualScored]]) instead of the
+    * banded one — the bounded form for corpora whose natural cluster
+    * size exceeds `maxCellSize` (tightly clustered corpora are exactly
+    * where a coarse cell collapses, and DiagPlantedFence measured both
+    * standard remedies failing there: the banded fallback is cohort-
+    * quadratic and finer coarse training is inert). Under-cap cells run
+    * the identical exact path, so on a corpus where no cell overflows
+    * this equals [[knnGraphIvf]] row for row (spec-pinned). Within an
+    * oversized cell, candidates are bounded by n·subNprobe·maxSubcell
+    * and recall follows the sub-quantizer's probe-budget curve (the
+    * x91 trade, one level down) — measured on the planted corpus in
+    * PlantedFenceSpec/PLANS.md. */
+  def knnGraphIvfResidual(df: DataFrame, idCol: String, vecCol: String,
+                          k: Int, cells: Int, lloydRounds: Int, nprobe: Int,
+                          maxCellSize: Int, subCells: Int,
+                          subNprobe: Int): DataFrame = {
+    val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
+    val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
+    val stats = trainedCellStats(q, cells, lloydRounds)
+    val p = ExtCaches.persistTracked(probesFromStats(q, stats, nprobe))
+    graphFromProbesWith(v, p, k, Some(maxCellSize), assertUnderCap = false,
+      "knnGraphIvfResidual",
+      _.residualScored(v, stats, subCells, lloydRounds, subNprobe))
+  }
+
   /** The [[knnGraphIvf]] build tail over an externally supplied probe
     * relation — factored out so the frozen-quantizer form
     * ([[knnGraphIvfFrozen]]) and the self-trained form share one
@@ -580,7 +669,15 @@ object Similarity {
   private def graphFromProbes(v: DataFrame, p: DataFrame, k: Int,
                               maxCellSize: Option[Int],
                               assertUnderCap: Boolean,
-                              op: String): DataFrame = {
+                              op: String): DataFrame =
+    graphFromProbesWith(v, p, k, maxCellSize, assertUnderCap, op,
+      _.bandedScored(v))
+
+  private def graphFromProbesWith(v: DataFrame, p: DataFrame, k: Int,
+                                  maxCellSize: Option[Int],
+                                  assertUnderCap: Boolean, op: String,
+                                  fallback: CellFence => Option[DataFrame])
+      : DataFrame = {
     val memberCells = p.filter(col("probe_rank") === 1)
       .select(col("id").as("nbr_id"), col("cell"))
     val probeCells = p.select(col("id").as("src_id"), col("cell"))
@@ -607,7 +704,7 @@ object Similarity {
       .filter(col("src_id") =!= col("nbr_id"))
       .withColumn("cosine", cosineFromParts(dotQ(col("vs"), col("vn")), col("ns"), col("nn")))
       .select(col("src_id"), col("nbr_id"), col("cosine"))
-    val scored = fence.bandedScored(v).fold(exactScored)(exactScored.unionByName(_))
+    val scored = fallback(fence).fold(exactScored)(exactScored.unionByName(_))
     val w = Window.partitionBy(col("src_id")).orderBy(desc("cosine"), col("nbr_id"))
     val ranked = scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)

@@ -118,6 +118,55 @@ object DiagPlantedFence {
         .agg(sum(col("hits")).as("h"), sum(col("n_exact")).as("d")).collect()(0)
       println(s"fallback recall nprobe=$nprobe: ${r.getLong(0)}/${r.getLong(1)}")
     }
+
+    // -- 5. the residual sub-quantizer fallback: bounded candidates,
+    //       probe-budget recall ----------------------------------------
+    val stats = Similarity.trainedCellStats(q, 10, LloydRounds)
+    // residual-space granularity: the contrast with raw-space inertness —
+    // residuals are the jitter, so extra seeds SHOULD split
+    val cbar = Similarity.roundedCentroids(stats)
+    val rq = members
+      .join(v.select(col("id").as("nbr_id"), col("vec")), Seq("nbr_id"))
+      .join(broadcast(cbar), Seq("cell"))
+      .select(col("nbr_id").as("id"),
+        zip_with(col("vec"), col("cbar"), (a, b) => a - b).as("v"))
+    for (sc <- Seq(16, 32, 64, 128)) {
+      val sub = Similarity.trainedCellStats(rq, sc, LloydRounds)
+      val sizes = Similarity.probesFromStats(rq, sub, 1)
+        .groupBy(col("cell")).agg(count(lit(1)).as("g"))
+        .agg(count(lit(1)).as("nonempty"), max(col("g")).as("mx")).collect()(0)
+      println(s"residual geometry sub=$sc nonempty=${sizes.getLong(0)} " +
+        s"max=${sizes.getLong(1)}")
+    }
+    // which cohorts stay glued at sub=64: per (cell,label), the spread of
+    // members over sub-cells and the largest single (subcell,label) blob
+    val sub64 = Similarity.trainedCellStats(rq, 64, LloydRounds)
+    val asg = Similarity.probesFromStats(rq, sub64, 1)
+      .select(col("id").as("nbr_id"), col("cell").as("subcell"))
+      .join(members, Seq("nbr_id"))
+      .join(pe.select(col("vec_id").as("nbr_id"), col("label")), Seq("nbr_id"))
+    asg.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("cohort"),
+        countDistinct(col("subcell")).as("n_sub"),
+        max(lit(1)).as("_"))
+      .orderBy(desc("cohort"))
+      .collect().take(12).foreach(r =>
+        println(s"cohort cell=${r.getLong(0)} label=${r.getLong(1)} " +
+          s"n=${r.getLong(2)} subcells=${r.getLong(3)}"))
+    for ((subCells, subNprobe) <- Seq((16, 2), (16, 5), (16, 8), (32, 10))) {
+      val fence2 = new Similarity.CellFence(members, probes, Some(cap))
+      val rs = fence2.residualScored(v, stats, subCells, LloydRounds,
+        subNprobe).get
+      val nCand = rs.count()
+      // sub-cell geometry: does the residual quantizer split cohorts?
+      val g = Similarity.knnGraphIvfResidual(pe, "vec_id", "embedding",
+        k = K, cells = 10, lloydRounds = LloydRounds, nprobe = 1,
+        maxCellSize = cap, subCells = subCells, subNprobe = subNprobe)
+      val r = Similarity.graphEdgesRecall(pe, g, "vec_id", "embedding", K)
+        .agg(sum(col("hits")).as("h"), sum(col("n_exact")).as("d")).collect()(0)
+      println(s"residual sub=$subCells probe=$subNprobe: candidates=$nCand " +
+        s"(banded=${pred.getLong(0)}) recall=${r.getLong(0)}/${r.getLong(1)}")
+    }
     spark.stop()
   }
 }

@@ -2120,6 +2120,66 @@ class PlantedFenceSpec extends SparkSpec {
       s"fully-fenced planted recall ${r.getLong(0)}/${r.getLong(1)} != 1.0")
     ExtCaches.clearCaches()
   }
+
+  test("residual fallback: equals knnGraphIvf under the cap; bounded below the banded quadratic past it, probe-budget recall, residual granularity splits pure cohorts") {
+    val pe = ExtCaches.persistTracked(planted)
+
+    // under-cap corpus: the residual form IS knnGraphIvf, row for row
+    val base = Similarity.knnGraphIvf(pe, "vec_id", "embedding", k = 3,
+      cells = 10, lloydRounds = 2, nprobe = 2, maxCellSize = Some(N))
+      .collect().toSet
+    val res = Similarity.knnGraphIvfResidual(pe, "vec_id", "embedding",
+      k = 3, cells = 10, lloydRounds = 2, nprobe = 2, maxCellSize = N,
+      subCells = 16, subNprobe = 4).collect().toSet
+    assert(res == base, "no-overflow residual build must equal knnGraphIvf")
+
+    // past the cap: candidates bounded below the banded cohort-quadratic
+    val v = Similarity.withNorm(
+      pe.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "vec", "norm")
+    val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
+    val stats = Similarity.trainedCellStats(q, 10, 2)
+    val m10 = ExtCaches.persistTracked(
+      Similarity.probesFromStats(q, stats, 1)
+        .filter(col("probe_rank") === 1)
+        .select(col("id").as("nbr_id"), col("cell")))
+    val probes = m10.select(col("nbr_id").as("src_id"), col("cell"))
+    val fence = new Similarity.CellFence(m10, probes, Some(Cap))
+    val banded = fence.bandedScored(v).get.count()
+    val residual = fence.residualScored(v, stats, 16, 2, 8).get.count()
+    assert(residual < banded,
+      s"residual candidates $residual not below the banded quadratic $banded")
+
+    // recall follows the sub-probe budget (measured 0.94 at sub=16,
+    // probe=8 on the sf0.01 twin — pin a conservative floor)
+    val g = Similarity.knnGraphIvfResidual(pe, "vec_id", "embedding",
+      k = 3, cells = 10, lloydRounds = 2, nprobe = 1, maxCellSize = Cap,
+      subCells = 16, subNprobe = 8)
+    val r = Similarity.graphEdgesRecall(pe, g, "vec_id", "embedding", 3)
+      .agg(sum(col("hits")).as("h"), sum(col("n_exact")).as("d")).collect()(0)
+    assert(r.getLong(0) * 10 >= r.getLong(1) * 6,
+      s"residual-fenced recall ${r.getLong(0)}/${r.getLong(1)} below 0.6")
+
+    // the contrast with raw-space inertness: on RESIDUALS, granularity
+    // splits — at least one pure cohort spreads over many sub-cells
+    val cbar = Similarity.roundedCentroids(stats)
+    val rq = m10
+      .join(v.select(col("id").as("nbr_id"), col("vec")), Seq("nbr_id"))
+      .join(broadcast(cbar), Seq("cell"))
+      .select(col("nbr_id").as("id"),
+        zip_with(col("vec"), col("cbar"), (a, b) => a - b).as("v"))
+    val maxSpread = Similarity.probesFromStats(
+        rq, Similarity.trainedCellStats(rq, 64, 2), 1)
+      .select(col("id").as("nbr_id"), col("cell").as("subcell"))
+      .join(m10, Seq("nbr_id"))
+      .join(pe.select(col("vec_id").as("nbr_id"), col("label")), Seq("nbr_id"))
+      .groupBy(col("cell"), col("label"))
+      .agg(countDistinct(col("subcell")).as("n_sub"))
+      .agg(max(col("n_sub"))).collect()(0).getLong(0)
+    assert(maxSpread >= 5,
+      s"residual granularity failed to split any cohort (max spread $maxSpread)")
+    ExtCaches.clearCaches()
+  }
 }
 
 /** Round-12: the planted-structure positive control (graft.ext.Planted +
