@@ -44,7 +44,11 @@ import graft.tables.Tables
   *     design contract: correctness degrades gracefully, COST is what
   *     collapses.
   *
-  * Usage: runMain graft.tools.DiagPlantedFence [sfDir] [cap]
+  * Usage: runMain graft.tools.DiagPlantedFence [sfDir] [cap] [nOverride]
+  * With nOverride the corpus is spark.range(n) ids (soak-sized cells —
+  * cohorts of n/10 trigger a production cap for real) and the recall
+  * audits run on a hash-sampled node set per graphEdgesRecall's
+  * documented 100 TB knob.
   */
 object DiagPlantedFence {
   val K = 3
@@ -53,13 +57,26 @@ object DiagPlantedFence {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val cap = args.lift(1).map(_.toInt).getOrElse(20)
+    val nOverride = args.lift(2).map(_.toLong)
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
 
-    val pe = ExtCaches.persistTracked(Planted.vectors(
-      Tables.embeddings(spark, dir).select(col("vec_id")), "vec_id"))
+    val ids = nOverride.fold(
+        Tables.embeddings(spark, dir).select(col("vec_id")))(n =>
+      spark.range(n).select(col("id").as("vec_id")))
+    val pe = ExtCaches.persistTracked(Planted.vectors(ids, "vec_id"))
     val n = pe.count()
-    println(s"corpus: $dir n=$n cap=$cap")
+    val soak = nOverride.isDefined
+    println(s"corpus: ${if (soak) s"range" else dir} n=$n cap=$cap")
+    def timed[T](tag: String)(body: => T): T = {
+      val t0 = System.nanoTime(); val r = body
+      println(f"  [$tag took ${(System.nanoTime() - t0) / 1e9}%.1f s]"); r
+    }
+    // soak-mode recall audits sample ~400 nodes (graphEdgesRecall's
+    // documented 100 TB knob); gate-scale audits run unsampled
+    val audit: Option[org.apache.spark.sql.Column] =
+      if (soak) Some(graft.ext.Sampling.hashThresholdPredicate(
+        col("vec_id"), 400.0 / n)) else None
 
     val v = Similarity.withNorm(
       pe.select(col("vec_id").as("id"), col("embedding").as("vec")),
@@ -93,7 +110,7 @@ object DiagPlantedFence {
       max(col("g")).as("max_cohort")).collect()(0)
     val fence = new Similarity.CellFence(members, probes, Some(cap))
     val scored = fence.bandedScored(v).get
-    val measured = scored.count()
+    val measured = timed("banded candidate count")(scored.count())
     println(s"collapse: fallback distinct pairs=$measured " +
       s"predicted sum g*(g-1)=${pred.getLong(0)} " +
       s"(equal=${measured == pred.getLong(0)})")
@@ -110,12 +127,15 @@ object DiagPlantedFence {
       s"(equal=${maxBucket == pred.getLong(1)})")
 
     // -- 4. recall of the fully-fenced build ---------------------------
-    for (nprobe <- Seq(1, 3)) {
+    for (nprobe <- if (soak) Seq(1) else Seq(1, 3)) {
       val g = Similarity.knnGraphIvf(pe, "vec_id", "embedding", k = K,
         cells = 10, lloydRounds = LloydRounds, nprobe = nprobe,
         maxCellSize = Some(cap))
-      val r = Similarity.graphEdgesRecall(pe, g, "vec_id", "embedding", K)
-        .agg(sum(col("hits")).as("h"), sum(col("n_exact")).as("d")).collect()(0)
+      val r = timed(s"banded-fenced build+audit nprobe=$nprobe")(
+        Similarity.graphEdgesRecall(pe, g, "vec_id", "embedding", K,
+            nodePredicate = audit)
+          .agg(sum(col("hits")).as("h"), sum(col("n_exact")).as("d"))
+          .collect()(0))
       println(s"fallback recall nprobe=$nprobe: ${r.getLong(0)}/${r.getLong(1)}")
     }
 
@@ -130,7 +150,7 @@ object DiagPlantedFence {
       .join(broadcast(cbar), Seq("cell"))
       .select(col("nbr_id").as("id"),
         zip_with(col("vec"), col("cbar"), (a, b) => a - b).as("v"))
-    for (sc <- Seq(16, 32, 64, 128)) {
+    for (sc <- if (soak) Seq(64, 256) else Seq(16, 32, 64, 128)) {
       val sub = Similarity.trainedCellStats(rq, sc, LloydRounds)
       val sizes = Similarity.probesFromStats(rq, sub, 1)
         .groupBy(col("cell")).agg(count(lit(1)).as("g"))
@@ -153,17 +173,21 @@ object DiagPlantedFence {
       .collect().take(12).foreach(r =>
         println(s"cohort cell=${r.getLong(0)} label=${r.getLong(1)} " +
           s"n=${r.getLong(2)} subcells=${r.getLong(3)}"))
-    for ((subCells, subNprobe) <- Seq((16, 2), (16, 5), (16, 8), (32, 10))) {
+    val residualArms =
+      if (soak) Seq((64, 8), (256, 16)) else Seq((16, 2), (16, 5), (16, 8), (32, 10))
+    for ((subCells, subNprobe) <- residualArms) {
       val fence2 = new Similarity.CellFence(members, probes, Some(cap))
       val rs = fence2.residualScored(v, stats, subCells, LloydRounds,
         subNprobe).get
-      val nCand = rs.count()
-      // sub-cell geometry: does the residual quantizer split cohorts?
+      val nCand = timed(s"residual candidate count sub=$subCells")(rs.count())
       val g = Similarity.knnGraphIvfResidual(pe, "vec_id", "embedding",
         k = K, cells = 10, lloydRounds = LloydRounds, nprobe = 1,
         maxCellSize = cap, subCells = subCells, subNprobe = subNprobe)
-      val r = Similarity.graphEdgesRecall(pe, g, "vec_id", "embedding", K)
-        .agg(sum(col("hits")).as("h"), sum(col("n_exact")).as("d")).collect()(0)
+      val r = timed(s"residual build+audit sub=$subCells")(
+        Similarity.graphEdgesRecall(pe, g, "vec_id", "embedding", K,
+            nodePredicate = audit)
+          .agg(sum(col("hits")).as("h"), sum(col("n_exact")).as("d"))
+          .collect()(0))
       println(s"residual sub=$subCells probe=$subNprobe: candidates=$nCand " +
         s"(banded=${pred.getLong(0)}) recall=${r.getLong(0)}/${r.getLong(1)}")
     }
