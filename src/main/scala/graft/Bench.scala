@@ -136,6 +136,34 @@ object Bench {
         try f.getLines().next().trim.split("\\s+")(8).toLong
         finally f.close()
       } catch { case _: Throwable => -1L }
+    // Fixed-work single-thread probes — the ABSOLUTE yardstick the r12
+    // anomaly showed the record still lacked: with steal quiet, identical
+    // cache-fill counts and flat gc, the PQ/ADC family (random in-heap
+    // lookups, memory-bound) ran ~6x its committed times while trivial
+    // scans ran ~1.25x — a noisy co-tenant can degrade MEMORY BANDWIDTH
+    // in a way no counter above records. These two numbers let any two
+    // records be compared on identical work: cpu = 2^28 dependent integer
+    // multiply-adds (core throughput); mem = 2^24 dependent random reads
+    // over a 256 MB array (DRAM/LLC latency under whatever pressure the
+    // host is experiencing at record time).
+    def cpuProbeS: Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      while (i < (1 << 28)) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      if (x == 42L) System.err.print("")
+      (System.nanoTime() - t0) / 1e9
+    }
+    def memProbeS: Double = {
+      val n = 1 << 25
+      val a = new Array[Long](n)
+      var i = 0
+      while (i < n) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
+      val t0 = System.nanoTime()
+      var x = 0L; var j = 0
+      while (j < (1 << 24)) { x = a(((x ^ (x >>> 13)) & (n - 1)).toInt) + x + j; j += 1 }
+      if (x == 42L) System.err.print("")
+      (System.nanoTime() - t0) / 1e9
+    }
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def measured(name: String)(reps: => Seq[Double]): Seq[Double] = {
@@ -271,6 +299,7 @@ object Bench {
         s""""host_cpus":${Runtime.getRuntime.availableProcessors},""" +
         s""""load_avg_end":${fmt3(loadAvg)},"gc_total_ms":$gcMs,""" +
         s""""steal_end_jiffies":$stealJiffies,""" +
+        s""""probe_cpu_s":${fmt3(cpuProbeS)},"probe_mem_s":${fmt3(memProbeS)},""" +
         s""""wall_s":${fmt3((System.nanoTime() - benchT0) / 1e9)},""" +
         s""""queries":${detail.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")}}"""
