@@ -651,13 +651,13 @@ object Similarity {
     * PlantedFenceSpec/PLANS.md. */
   def knnGraphIvfResidual(df: DataFrame, idCol: String, vecCol: String,
                           k: Int, cells: Int, lloydRounds: Int, nprobe: Int,
-                          maxCellSize: Int, subCells: Int,
-                          subNprobe: Int): DataFrame = {
+                          maxCellSize: Int, subCells: Int, subNprobe: Int,
+                          assertUnderCap: Boolean = false): DataFrame = {
     val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
     val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
     val stats = trainedCellStats(q, cells, lloydRounds)
     val p = ExtCaches.persistTracked(probesFromStats(q, stats, nprobe))
-    graphFromProbesWith(v, p, k, Some(maxCellSize), assertUnderCap = false,
+    graphFromProbesWith(v, p, k, Some(maxCellSize), assertUnderCap,
       "knnGraphIvfResidual",
       _.residualScored(v, stats, subCells, lloydRounds, subNprobe))
   }

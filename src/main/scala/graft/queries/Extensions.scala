@@ -1999,6 +1999,31 @@ object Extensions {
         maxCellSize = Some(KnnCellCap), assertUnderCap = true)
       .orderBy(col("src_id"), col("rnk"))
 
+  /** Residual sub-quantizer arm of the x101 residual-fenced graph —
+    * sub-cells ∝ the expected oversized-mode size / cap; the (16, 8)
+    * point measured recall 0.94 of the full fallback on the planted
+    * twin (PLANS.md round-12 DiagPlantedFence table). */
+  val ResidualSubCells = 16
+  val ResidualSubNprobe = 8
+
+  /** Residual-fenced IVF graph (x101) — [[Similarity.knnGraphIvfResidual]]
+    * as a first-class gated operator: the x89 build with the BOUNDED
+    * fallback (residual sub-quantizer, candidates born unique) in place
+    * of the banded one. At gate scale no cell exceeds [[KnnCellCap]]
+    * (asserted in-plan, same loud-failure discipline as x89/x93), so
+    * the oracle is x89's cell-exhaustive SQL VERBATIM and the gate
+    * proves the shared tail + the under-cap equality cross-engine; the
+    * overflow branch is spec-gated (PlantedFenceSpec) and soak-measured
+    * (n=20k cap=1000: 0.60× candidates, 66× count job, 4.8× build,
+    * recall 0.959→0.74 — the probe-budget trade, PLANS.md). */
+  def x101_knn_graph_residual(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphIvfResidual(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = KnnGraphK, cells = ScaledCells,
+        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
+        maxCellSize = KnnCellCap, subCells = ResidualSubCells,
+        subNprobe = ResidualSubNprobe, assertUnderCap = true)
+      .orderBy(col("src_id"), col("rnk"))
+
   /** Lloyd-cell size cap for the gated graph builders (round 12 —
     * retiring the round-11 `weak` marks): past it,
     * [[Similarity.knnGraphIvf]]/[[Similarity.knnGraphIvfSq8]] switch to
@@ -3117,7 +3142,8 @@ object Extensions {
     "x96_planted_knn_recall" -> (x96_planted_knn_recall _),
     "x97_planted_ivf_recall" -> (x97_planted_ivf_recall _),
     "x98_retrieval_relevance" -> (x98_retrieval_relevance _),
-    "x99_graph_foldin" -> (x99_graph_foldin _))
+    "x99_graph_foldin" -> (x99_graph_foldin _),
+    "x101_knn_graph_residual" -> (x101_knn_graph_residual _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -5401,6 +5427,15 @@ object Extensions {
     // x73/x76/x84) driving a per-node exact-cosine rank window — the
     // graph twin of the x73 search with every node as a query.
     "x89_knn_graph_ivf" ->
+      s"""WITH $ivfGraphCtes
+         |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
+         |ORDER BY src_id, rnk""".stripMargin,
+
+    // x101: the residual-fenced builder — at gate scale no cell exceeds
+    // KnnCellCap (asserted in-plan), so the fallback branch is empty and
+    // the oracle is x89's cell-exhaustive chain VERBATIM; the gate proves
+    // the shared graph tail and the under-cap equality cross-engine.
+    "x101_knn_graph_residual" ->
       s"""WITH $ivfGraphCtes
          |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
          |ORDER BY src_id, rnk""".stripMargin,

@@ -44,7 +44,7 @@ import graft.tables.Tables
   *     design contract: correctness degrades gracefully, COST is what
   *     collapses.
   *
-  * Usage: runMain graft.tools.DiagPlantedFence [sfDir] [cap] [nOverride]
+  * Usage: runMain graft.tools.DiagPlantedFence [sfDir] [cap] [nOverride] [coarseCells]
   * With nOverride the corpus is spark.range(n) ids (soak-sized cells —
   * cohorts of n/10 trigger a production cap for real) and the recall
   * audits run on a hash-sampled node set per graphEdgesRecall's
@@ -101,7 +101,8 @@ object DiagPlantedFence {
     }
 
     // -- 2+3. the collapse equality + bucket == cohort -----------------
-    val (members, probes) = memberCellsAt(10, 1)
+    val coarse = args.lift(3).map(_.toInt).getOrElse(10)
+    val (members, probes) = memberCellsAt(coarse, 1)
     val cohorts = members
       .join(pe.select(col("vec_id").as("nbr_id"), col("label")), Seq("nbr_id"))
       .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("g"))
@@ -129,7 +130,7 @@ object DiagPlantedFence {
     // -- 4. recall of the fully-fenced build ---------------------------
     for (nprobe <- if (soak) Seq(1) else Seq(1, 3)) {
       val g = Similarity.knnGraphIvf(pe, "vec_id", "embedding", k = K,
-        cells = 10, lloydRounds = LloydRounds, nprobe = nprobe,
+        cells = coarse, lloydRounds = LloydRounds, nprobe = nprobe,
         maxCellSize = Some(cap))
       val r = timed(s"banded-fenced build+audit nprobe=$nprobe")(
         Similarity.graphEdgesRecall(pe, g, "vec_id", "embedding", K,
@@ -141,7 +142,7 @@ object DiagPlantedFence {
 
     // -- 5. the residual sub-quantizer fallback: bounded candidates,
     //       probe-budget recall ----------------------------------------
-    val stats = Similarity.trainedCellStats(q, 10, LloydRounds)
+    val stats = Similarity.trainedCellStats(q, coarse, LloydRounds)
     // residual-space granularity: the contrast with raw-space inertness —
     // residuals are the jitter, so extra seeds SHOULD split
     val cbar = Similarity.roundedCentroids(stats)
@@ -181,7 +182,7 @@ object DiagPlantedFence {
         subNprobe).get
       val nCand = timed(s"residual candidate count sub=$subCells")(rs.count())
       val g = Similarity.knnGraphIvfResidual(pe, "vec_id", "embedding",
-        k = K, cells = 10, lloydRounds = LloydRounds, nprobe = 1,
+        k = K, cells = coarse, lloydRounds = LloydRounds, nprobe = 1,
         maxCellSize = cap, subCells = subCells, subNprobe = subNprobe)
       val r = timed(s"residual build+audit sub=$subCells")(
         Similarity.graphEdgesRecall(pe, g, "vec_id", "embedding", K,
