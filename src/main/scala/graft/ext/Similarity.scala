@@ -595,6 +595,113 @@ object Similarity {
         .select(col("src_id"), col("nbr_id"), col("cosine"))
     }
 
+    /** Recursive form of [[residualScored]] — closes the one gap the
+      * single-level measurement left (DiagPlantedFence coarse=10 vs 32):
+      * when the coarse quantizer MERGED clusters into one cell, level-1
+      * residuals are bimodal (mode offset ≫ jitter) and each mode stays
+      * glued in one sub-cell — the raw-space problem recursing. Here a
+      * still-oversized (key) group at level ℓ subtracts its ACCUMULATED
+      * centroid (off = cbar₀ + cbar₁ + … — after a glued mode's own
+      * sub-centroid is folded in, its residuals are pure jitter, the
+      * regime that splits) and re-quantizes, up to `maxDepth` levels.
+      * Candidates are emitted per level ONLY for keys at-or-under the
+      * cap, so every emitted join group is cap-bounded except at depth
+      * exhaustion, where the remainder is emitted exhaustively (correct,
+      * and the spec pins that depth 2 suffices on the merged-mode
+      * corpus — a glued mode IS one cluster). Each level's training is
+      * one global Lloyd chain over the still-oversized members'
+      * residuals; the loop is a STATIC driver loop of maxDepth plan
+      * stages (the Lloyd-chain discipline — no data-dependent driver
+      * action). depth 1 ≡ [[residualScored]]'s geometry with the
+      * oversized sub-cells recursed instead of joined quadratically. */
+    def residualScoredDeep(v: DataFrame, stats: DataFrame, subCells: Int,
+                           lloydRounds: Int, subNprobe: Int,
+                           maxDepth: Int): Option[DataFrame] = cap.map { _ =>
+      val capL = cap.get.toLong
+      // level-0 state: composite key = cell (as string for uniform
+      // nesting), accumulated offset = cbar(cell); members/probers of
+      // OVERSIZED level-0 cells only (under-cap cells run the exact
+      // main path).
+      val off0 = roundedCentroids(stats)
+        .select(col("cell").cast(StringType).as("key"), col("cbar").as("off"))
+      var memb = memberCells.join(broadcast(big), Seq("cell"), "left_semi")
+        .select(col("nbr_id"), col("cell").cast(StringType).as("key"))
+      var prob = probeCells.join(broadcast(big), Seq("cell"), "left_semi")
+        .select(col("src_id"), col("cell").cast(StringType).as("key"))
+      var off = off0
+      var emitted = Seq.empty[DataFrame]
+      for (level <- 1 to maxDepth) {
+        val sizes = memb.groupBy(col("key")).agg(count(lit(1)).as("kn"))
+        val bigK = sizes.filter(col("kn") > capL).select(col("key"))
+        val okK = sizes.filter(col("kn") <= capL).select(col("key"))
+        // cap-bounded keys: exhaustive within-key candidates, emitted
+        emitted :+= prob.join(broadcast(okK), Seq("key"), "left_semi")
+          .join(memb.join(broadcast(okK), Seq("key"), "left_semi"), Seq("key"))
+          .filter(col("src_id") =!= col("nbr_id"))
+          .select(col("src_id"), col("nbr_id"))
+        val last = level == maxDepth
+        if (last) {
+          // depth exhaustion: emit the remainder exhaustively (correct;
+          // quadratic only if the corpus defeats maxDepth levels)
+          emitted :+= prob.join(broadcast(bigK), Seq("key"), "left_semi")
+            .join(memb.join(broadcast(bigK), Seq("key"), "left_semi"),
+              Seq("key"))
+            .filter(col("src_id") =!= col("nbr_id"))
+            .select(col("src_id"), col("nbr_id"))
+        } else {
+          // recurse: residual vs the key's ACCUMULATED offset, one
+          // global sub-quantizer over the still-oversized members
+          val bigM = memb.join(broadcast(bigK), Seq("key"), "left_semi")
+          val bigP = prob.join(broadcast(bigK), Seq("key"), "left_semi")
+          def residual(side: DataFrame, idc: String): DataFrame =
+            side.join(v.select(col("id").as(idc), col("vec")), Seq(idc))
+              .join(broadcast(off), Seq("key"))
+              .select(col(idc), col("key"),
+                zip_with(col("vec"), col("off"), (a, b) => a - b).as("rv"))
+          val rq = ExtCaches.persistTracked(
+            residual(bigM, "nbr_id")
+              .select(struct(col("nbr_id"), col("key")).as("id"),
+                col("rv").as("v")))
+          val sub = trainedCellStats(
+            rq.select(col("id.nbr_id").as("id"), col("v")), subCells,
+            lloydRounds)
+          val cbarL = roundedCentroids(sub)
+            .select(col("cell").as("subkey"), col("cbar").as("cb"))
+          memb = probesFromStats(rq, sub, 1)
+            .select(col("id.nbr_id").as("nbr_id"),
+              concat(col("id.key"), lit("/"),
+                col("cell").cast(StringType)).as("key"))
+          prob = probesFromStats(
+              residual(bigP, "src_id")
+                .select(struct(col("src_id"), col("key")).as("id"),
+                  col("rv").as("v")),
+              sub, subNprobe)
+            .select(col("id.src_id").as("src_id"),
+              concat(col("id.key"), lit("/"),
+                col("cell").cast(StringType)).as("key"))
+          // new accumulated offsets for the keys that actually occur
+          off = memb.select(col("key")).distinct()
+            .unionByName(prob.select(col("key")).distinct()).distinct()
+            .withColumn("parent",
+              expr("substring(key, 1, length(key) - length(substring_index(key, '/', -1)) - 1)"))
+            .withColumn("subkey",
+              expr("CAST(substring_index(key, '/', -1) AS BIGINT)"))
+            .join(off.withColumnRenamed("key", "parent"), Seq("parent"))
+            .join(broadcast(cbarL), Seq("subkey"))
+            .select(col("key"),
+              zip_with(col("off"), col("cb"), (a, b) => a + b).as("off"))
+        }
+      }
+      emitted.reduce(_.unionByName(_)).distinct()
+        .join(v.select(col("id").as("src_id"), col("vec").as("vs"),
+          col("norm").as("ns")), Seq("src_id"))
+        .join(v.select(col("id").as("nbr_id"), col("vec").as("vn"),
+          col("norm").as("nn")), Seq("nbr_id"))
+        .withColumn("cosine",
+          cosineFromParts(dotQ(col("vs"), col("vn")), col("ns"), col("nn")))
+        .select(col("src_id"), col("nbr_id"), col("cosine"))
+    }
+
     /** Lazy in-plan under-cap guard (the x84/x88 anchor form): asserts
       * no Lloyd cell exceeds the cap, so a registry gate whose oracle is
       * cell-exhaustive fails LOUDLY (with this message) the day a corpus
@@ -652,14 +759,24 @@ object Similarity {
   def knnGraphIvfResidual(df: DataFrame, idCol: String, vecCol: String,
                           k: Int, cells: Int, lloydRounds: Int, nprobe: Int,
                           maxCellSize: Int, subCells: Int, subNprobe: Int,
-                          assertUnderCap: Boolean = false): DataFrame = {
+                          assertUnderCap: Boolean = false,
+                          depth: Int = 1): DataFrame = {
     val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
     val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
     val stats = trainedCellStats(q, cells, lloydRounds)
     val p = ExtCaches.persistTracked(probesFromStats(q, stats, nprobe))
     graphFromProbesWith(v, p, k, Some(maxCellSize), assertUnderCap,
       "knnGraphIvfResidual",
-      _.residualScored(v, stats, subCells, lloydRounds, subNprobe))
+      f => if (depth <= 1)
+        f.residualScored(v, stats, subCells, lloydRounds, subNprobe)
+      else
+        // the loop counts emit stages; `depth` counts QUANTIZER levels
+        // (depth residual trainings, then the final emit) — maxDepth=2
+        // in loop terms is provably identical to depth 1 (the
+        // exhaustion emit is the same (key, subkey) join), so the
+        // mapping is depth + 1
+        f.residualScoredDeep(v, stats, subCells, lloydRounds, subNprobe,
+          depth + 1))
   }
 
   /** The [[knnGraphIvf]] build tail over an externally supplied probe

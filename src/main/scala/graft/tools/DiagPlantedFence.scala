@@ -192,6 +192,26 @@ object DiagPlantedFence {
       println(s"residual sub=$subCells probe=$subNprobe: candidates=$nCand " +
         s"(banded=${pred.getLong(0)}) recall=${r.getLong(0)}/${r.getLong(1)}")
     }
+
+    // -- 6. depth-2 recursion: glued merged modes re-split on their own
+    //       residuals -------------------------------------------------
+    for ((subCells, subNprobe) <- residualArms.takeRight(1)) {
+      val fence3 = new Similarity.CellFence(members, probes, Some(cap))
+      val deep = fence3.residualScoredDeep(v, stats, subCells, LloydRounds,
+        subNprobe, maxDepth = 3).get
+      val nCand = timed(s"deep candidate count sub=$subCells")(deep.count())
+      val g = Similarity.knnGraphIvfResidual(pe, "vec_id", "embedding",
+        k = K, cells = coarse, lloydRounds = LloydRounds, nprobe = 1,
+        maxCellSize = cap, subCells = subCells, subNprobe = subNprobe,
+        depth = 2)
+      val r = timed(s"deep build+audit sub=$subCells")(
+        Similarity.graphEdgesRecall(pe, g, "vec_id", "embedding", K,
+            nodePredicate = audit)
+          .agg(sum(col("hits")).as("h"), sum(col("n_exact")).as("d"))
+          .collect()(0))
+      println(s"deep2 sub=$subCells probe=$subNprobe: candidates=$nCand " +
+        s"recall=${r.getLong(0)}/${r.getLong(1)}")
+    }
     spark.stop()
   }
 }

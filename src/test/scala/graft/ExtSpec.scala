@@ -2180,6 +2180,56 @@ class PlantedFenceSpec extends SparkSpec {
       s"residual granularity failed to split any cohort (max spread $maxSpread)")
     ExtCaches.clearCaches()
   }
+
+  test("depth-2 residual recursion: subset of one level, under-cap equality (empty-training path), recall floor") {
+    val pe = ExtCaches.persistTracked(planted)
+
+    // under-cap: depth 2 must equal knnGraphIvf exactly — this also
+    // exercises the recursion's empty-training path end to end (bigK
+    // empty at level 1, a Lloyd chain over zero rows, empty emits)
+    val base = Similarity.knnGraphIvf(pe, "vec_id", "embedding", k = 3,
+      cells = 10, lloydRounds = 2, nprobe = 2, maxCellSize = Some(N))
+      .collect().toSet
+    val deepOk = Similarity.knnGraphIvfResidual(pe, "vec_id", "embedding",
+      k = 3, cells = 10, lloydRounds = 2, nprobe = 2, maxCellSize = N,
+      subCells = 16, subNprobe = 4, depth = 2).collect().toSet
+    assert(deepOk == base, "no-overflow depth-2 build must equal knnGraphIvf")
+
+    // past the cap: the depth-2 candidate set is a SUBSET of the
+    // one-level set (a level-2 pair shares its level-1 key by
+    // construction: the member's rank-1 key is one of the prober's
+    // probed keys), so recursion only ever prunes
+    val v = Similarity.withNorm(
+      pe.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "vec", "norm")
+    val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
+    val stats = Similarity.trainedCellStats(q, 10, 2)
+    val m10 = ExtCaches.persistTracked(
+      Similarity.probesFromStats(q, stats, 1)
+        .filter(col("probe_rank") === 1)
+        .select(col("id").as("nbr_id"), col("cell")))
+    val probes = m10.select(col("nbr_id").as("src_id"), col("cell"))
+    val fence = new Similarity.CellFence(m10, probes, Some(Cap))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("src_id"), col("nbr_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = pairs(fence.residualScored(v, stats, 16, 2, 8).get)
+    val two = pairs(fence.residualScoredDeep(v, stats, 16, 2, 8,
+      maxDepth = 3).get)
+    assert(two.subsetOf(one),
+      s"depth-2 emitted ${(two diff one).size} pairs outside the one-level set")
+
+    // recall floor at the gate-measured operating point (0.738 at
+    // sf0.01 sub=32 probe=10; conservative floor at this geometry)
+    val g = Similarity.knnGraphIvfResidual(pe, "vec_id", "embedding",
+      k = 3, cells = 10, lloydRounds = 2, nprobe = 1, maxCellSize = Cap,
+      subCells = 16, subNprobe = 8, depth = 2)
+    val r = Similarity.graphEdgesRecall(pe, g, "vec_id", "embedding", 3)
+      .agg(sum(col("hits")).as("h"), sum(col("n_exact")).as("d")).collect()(0)
+    assert(r.getLong(0) * 2 >= r.getLong(1),
+      s"depth-2 recall ${r.getLong(0)}/${r.getLong(1)} below 0.5")
+    ExtCaches.clearCaches()
+  }
 }
 
 /** Round-12: the planted-structure positive control (graft.ext.Planted +
