@@ -153,8 +153,15 @@ object Bench {
       if (x == 42L) System.err.print("")
       (System.nanoTime() - t0) / 1e9
     }
+    // Guarded: the probe array is 256 MB; on a small-heap driver the
+    // allocation would OOM the bench (or force a full GC that pollutes the
+    // very heap/gc numbers recorded alongside it). -1 = "not measured",
+    // same convention as stealJiffies on non-Linux.
     def memProbeS: Double = {
       val n = 1 << 25
+      val rt = Runtime.getRuntime
+      val headroom = rt.maxMemory - (rt.totalMemory - rt.freeMemory)
+      if (headroom < 3L * (n.toLong << 3)) return -1.0
       val a = new Array[Long](n)
       var i = 0
       while (i < n) { a(i) = i * 0x9E3779B97F4A7C15L; i += 1 }
@@ -293,13 +300,17 @@ object Bench {
     // a large `gc` (heap pressure), a `cf` delta (unexpected cache
     // rebuild), or a cold first element in `r` (one-time cost) — the
     // round-8 verdict's "nothing in the record says so" gap.
+    // Probes run FIRST (advisor, round 12): memProbeS allocates 256 MB and
+    // cpuProbeS spins a core for seconds — sampling load/gc/heap AFTER them
+    // would record the probes' own disturbance as if it were the host's.
+    val (probeCpu, probeMem) = (cpuProbeS, memProbeS)
     val detailLine =
       s"""{"record":"attribution","started_epoch_ms":$startedMs,""" +
         s""""heap_max_mb":${Runtime.getRuntime.maxMemory >> 20},""" +
         s""""host_cpus":${Runtime.getRuntime.availableProcessors},""" +
         s""""load_avg_end":${fmt3(loadAvg)},"gc_total_ms":$gcMs,""" +
         s""""steal_end_jiffies":$stealJiffies,""" +
-        s""""probe_cpu_s":${fmt3(cpuProbeS)},"probe_mem_s":${fmt3(memProbeS)},""" +
+        s""""probe_cpu_s":${fmt3(probeCpu)},"probe_mem_s":${fmt3(probeMem)},""" +
         s""""wall_s":${fmt3((System.nanoTime() - benchT0) / 1e9)},""" +
         s""""queries":${detail.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString("{", ",", "}")}}"""

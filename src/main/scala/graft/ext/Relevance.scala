@@ -110,6 +110,35 @@ object Relevance {
     * `nQueries` is a 1-row count anchor over the actual query set
     * (broadcast, the allowlisted form), so the row is honest when a
     * scale factor carries fewer query docs than configured. */
+  /** One integer relevance row for a kNN-GRAPH arm (x102–x104, the
+    * round-12 verdict's #4: the graph builders carried recall-vs-exact
+    * audits but no planted relevance number). Input is a graph edge
+    * list (src_id, nbr_id, cosine, rnk) built over the twin-augmented
+    * corpus; a hit is the query's OWN twin
+    * (nbr_id = src_id + TwinIdOffset) appearing among the query's
+    * edges — at rank 1 (hits_at_1) or anywhere in its top `k`
+    * (hits_at_k). Same shape and count anchor as [[hitsAtK]], minus
+    * the per-arm shortlist columns (a graph has one candidate
+    * generator, not a lexical/dense pair). The `queries` semi-join
+    * restricts to query sources: the twins' own outgoing edges and
+    * the rest of the corpus are not scored rows. */
+  def graphHitsAtK(arm: String, edges: DataFrame, queries: DataFrame,
+                   idCol: String, k: Int): DataFrame = {
+    val isTwin = col("nbr_id") === col("src_id") + TwinIdOffset
+    edges
+      .join(broadcast(queries.select(col(idCol).as("src_id"))),
+        Seq("src_id"), "left_semi")
+      .agg(
+        count(when(isTwin && col("rnk") === 1L, lit(1))).as("hits_at_1"),
+        count(when(isTwin && col("rnk") <= k, lit(1))).as("hits_at_k"))
+      .crossJoin(broadcast(queries.agg(count(lit(1)).as("n_queries"))))
+      .select(lit(arm).as("arm"), col("n_queries"),
+        col("hits_at_1").cast(LongType).as("hits_at_1"),
+        col("hits_at_k").cast(LongType).as("hits_at_k"),
+        (col("hits_at_k").cast(DoubleType) /
+          col("n_queries").cast(DoubleType)).as("hit_rate"))
+  }
+
   def hitsAtK(arm: String, fused: DataFrame, nQueries: DataFrame,
               k: Int): DataFrame = {
     val isTwin = col("doc_id") === col("q_id") + TwinIdOffset

@@ -508,6 +508,23 @@ object Similarity {
     val okProbes: DataFrame = cap.fold(probeCells)(_ =>
       probeCells.join(broadcast(big), Seq("cell"), "left_anti"))
 
+    /** Whether ANY cell exceeds the cap — ONE broadcast-sized job (the
+      * `big` aggregate is ≤ |cells| rows; its input is the persisted
+      * probe relation, whose cache this action fills a step early).
+      * Deliberate driver-side action (round-13 advisor item): the
+      * RESIDUAL fallbacks below must train a sub-quantizer EAGERLY
+      * (trainedCellStats localCheckpoints every Lloyd round), so on the
+      * gated no-overflow path — exactly the geometry x101's
+      * assertUnderCap certifies — the un-short-circuited form paid
+      * lloydRounds+1 Spark jobs (plus the oversized-member residual
+      * scan) training over a provably EMPTY relation. One tiny count
+      * here buys skipping all of them; when cells DO overflow it adds
+      * one |cells|-row aggregate to a path already dominated by
+      * training. The lazy [[bandedScored]] fallback needs no such
+      * check — its empty branch collapses under AQE at execution time
+      * without any eager work. */
+    private lazy val anyBig: Boolean = cap.nonEmpty && !big.isEmpty
+
     /** Banded within-cell scored edges for the oversized cells (exact
       * cosine over band-collision candidates, id-pair rows only until
       * the final vector fetch); None when unfenced. Empty under AQE when
@@ -560,7 +577,10 @@ object Similarity {
       * (cell, subcell) probes per source) — no dedup shuffle. */
     def residualScored(v: DataFrame, stats: DataFrame, subCells: Int,
                        lloydRounds: Int,
-                       subNprobe: Int): Option[DataFrame] = cap.map { _ =>
+                       subNprobe: Int): Option[DataFrame] =
+    // no overflow → the exact path covers everything; skip the (eager)
+    // empty sub-quantizer training — see [[anyBig]]
+    cap.filter(_ => anyBig).map { _ =>
       val cbar = roundedCentroids(stats)
       val bigM = memberCells.join(broadcast(big), Seq("cell"), "left_semi")
       val bigP = probeCells.join(broadcast(big), Seq("cell"), "left_semi")
@@ -616,7 +636,12 @@ object Similarity {
       * oversized sub-cells recursed instead of joined quadratically. */
     def residualScoredDeep(v: DataFrame, stats: DataFrame, subCells: Int,
                            lloydRounds: Int, subNprobe: Int,
-                           maxDepth: Int): Option[DataFrame] = cap.map { _ =>
+                           maxDepth: Int): Option[DataFrame] =
+    // same no-overflow short-circuit as [[residualScored]]: with zero
+    // oversized level-0 cells, the static depth loop would run maxDepth−1
+    // EAGER Lloyd chains over empty relations. The loop body itself stays
+    // a static, action-free driver loop — only this outermost check acts.
+    cap.filter(_ => anyBig).map { _ =>
       val capL = cap.get.toLong
       // level-0 state: composite key = cell (as string for uniform
       // nesting), accumulated offset = cbar(cell); members/probers of

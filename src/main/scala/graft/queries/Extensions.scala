@@ -2024,6 +2024,79 @@ object Extensions {
         subNprobe = ResidualSubNprobe, assertUnderCap = true)
       .orderBy(col("src_id"), col("rnk"))
 
+  // ---- x102–x104: planted relevance for the graph family (round 13) -------
+
+  /** Twin-augmented embedding corpus + query set shared by the
+    * graph-relevance gates x102–x104 (the x98 ground truth pointed at
+    * the GRAPH builders — round-12 verdict #4): the corpus is widened
+    * to double and unioned with each query's perturbed twin
+    * ([[graft.ext.Relevance.twinEmbs]], dyadic jitter at
+    * cos(twin, source) ≈ 0.71 vs 0.49 max background), and "relevant
+    * edge" is defined as (src → src + TwinIdOffset). Queries are the
+    * [[RelevanceQueries]] lowest vec ids — pure scan filters on both
+    * engines, no docs join (the graph family is embedding-only, so
+    * unlike x98 there is no orphan precondition to guard). */
+  private def twinEmbCorpus(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val embs = Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
+    (embs.unionByName(graft.ext.Relevance.twinEmbs(
+        embs, "vec_id", "embedding", RelevanceQueries)),
+      embs.filter(col("vec_id") < RelevanceQueries))
+  }
+
+  /** Planted relevance of the IVF-probed graph (x102) — x89's builder
+    * over the twin-augmented corpus, reduced to the integer hit row
+    * ([[graft.ext.Relevance.graphHitsAtK]]): does each query's top-
+    * [[KnnGraphK]] edge list contain its OWN twin, and at rank 1? The
+    * graph-family analog of x98's end-to-end ranking number: x91's
+    * recall audit says how much of the exact graph the probes keep;
+    * this says whether the edges a curation pipeline consumes surface
+    * the KNOWN-relevant neighbor. */
+  def x102_graph_relevance_ivf(s: SparkSession, dir: String): DataFrame = {
+    val (u, q) = twinEmbCorpus(s, dir)
+    graft.ext.Relevance.graphHitsAtK("1_ivf",
+      Similarity.knnGraphIvf(u, "vec_id", "embedding", k = KnnGraphK,
+        cells = ScaledCells, lloydRounds = ScaledLloydRounds,
+        nprobe = ScaledNprobe, maxCellSize = Some(KnnCellCap),
+        assertUnderCap = true),
+      q, "vec_id", KnnGraphK)
+  }
+
+  /** Planted relevance of the SQ8-shortlist graph (x103) — x93's
+    * at-scale builder (stored-code ADC shortlist + exact re-rank) under
+    * the same twin ground truth; read against x102 it prices the
+    * shortlist's RELEVANCE cost end to end, composing x94's ~zero
+    * recall loss into the number a user cares about. */
+  def x103_graph_relevance_sq8(s: SparkSession, dir: String): DataFrame = {
+    val (u, q) = twinEmbCorpus(s, dir)
+    graft.ext.Relevance.graphHitsAtK("2_ivf_sq8",
+      Similarity.knnGraphIvfSq8(u, "vec_id", "embedding", k = KnnGraphK,
+        cells = ScaledCells, lloydRounds = ScaledLloydRounds,
+        nprobe = ScaledNprobe, shortlist = KnnShortlist,
+        maxCellSize = Some(KnnCellCap), assertUnderCap = true),
+      q, "vec_id", KnnGraphK)
+  }
+
+  /** Planted relevance of the residual-fenced graph (x104) — x101's
+    * builder under the twin ground truth. At gate scale no cell
+    * exceeds [[KnnCellCap]] (asserted in-plan), so the result must
+    * EQUAL x102's row (under-cap equality, now proven through the
+    * relevance reduction too) and the oracle is x102's SQL with only
+    * the arm label changed; the overflow branch's relevance is priced
+    * on the planted corpus in PlantedFenceSpec. */
+  def x104_graph_relevance_residual(s: SparkSession, dir: String)
+      : DataFrame = {
+    val (u, q) = twinEmbCorpus(s, dir)
+    graft.ext.Relevance.graphHitsAtK("3_residual",
+      Similarity.knnGraphIvfResidual(u, "vec_id", "embedding",
+        k = KnnGraphK, cells = ScaledCells,
+        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
+        maxCellSize = KnnCellCap, subCells = ResidualSubCells,
+        subNprobe = ResidualSubNprobe, assertUnderCap = true),
+      q, "vec_id", KnnGraphK)
+  }
+
   /** Lloyd-cell size cap for the gated graph builders (round 12 —
     * retiring the round-11 `weak` marks): past it,
     * [[Similarity.knnGraphIvf]]/[[Similarity.knnGraphIvfSq8]] switch to
@@ -3143,7 +3216,10 @@ object Extensions {
     "x97_planted_ivf_recall" -> (x97_planted_ivf_recall _),
     "x98_retrieval_relevance" -> (x98_retrieval_relevance _),
     "x99_graph_foldin" -> (x99_graph_foldin _),
-    "x101_knn_graph_residual" -> (x101_knn_graph_residual _))
+    "x101_knn_graph_residual" -> (x101_knn_graph_residual _),
+    "x102_graph_relevance_ivf" -> (x102_graph_relevance_ivf _),
+    "x103_graph_relevance_sq8" -> (x103_graph_relevance_sq8 _),
+    "x104_graph_relevance_residual" -> (x104_graph_relevance_residual _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -3779,11 +3855,15 @@ object Extensions {
     * SQ8 codes, ADC shortlist per node, exact re-rank of the shortlist.
     * `g8` holds (src_id, nbr_id, cosine, rnk). Shared by x93 and x94,
     * mirroring Similarity.knnGraphIvfSq8. */
-  private def ivfSq8GraphCtes: String =
+  private def ivfSq8GraphCtes: String = ivfSq8GraphCtesFrom("embeddings")
+
+  /** As [[ivfGraphCtesFrom]]: the x93 chain over an arbitrary
+    * (vec_id, embedding) source CTE (`uembs` for x103). */
+  private def ivfSq8GraphCtesFrom(src: String): String =
     s"""qv AS (
-       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
+       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM $src),
        |$trainedCellCtes,
-       |$sq8CodesCte,
+       |${sq8CodesCteFrom(src)},
        |gn AS (
        |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
        |smem AS (
@@ -3883,6 +3963,25 @@ object Extensions {
     * SOURCE id; `udocs`/`uembs` are the corpus unions (embeddings widened
     * to double exactly as the engine widens them before the union) and
     * `q` the query-id set. */
+  /** The twin-augmented EMBEDDING corpus alone (tembs + uembs) — the
+    * slice of [[relevanceCorpusCtes]] the graph-relevance oracles
+    * (x102–x104) need: the graph family is embedding-only, so pulling
+    * the doc CTEs in would drag an irrelevant `documents` dependency
+    * into those gates. */
+  private def relevanceEmbCtes: String = {
+    import graft.ext.Relevance._
+    s"""tembs AS (
+       |  SELECT src + $TwinIdOffset AS vec_id,
+       |         list_transform(list_zip(embedding, range(0, $EmbeddingDims)), p ->
+       |           CAST(p[1] AS DOUBLE)
+       |             + CAST(${u16Sql("'qe|' || CAST(src AS VARCHAR) || '|' || CAST(p[2] AS VARCHAR)")} % ${2 * JitterNum + 1} - $JitterNum AS DOUBLE) / $JitterDenom) AS embedding
+       |  FROM (SELECT vec_id AS src, embedding FROM embeddings WHERE vec_id < $RelevanceQueries)),
+       |uembs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |  FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding FROM tembs)""".stripMargin
+  }
+
   private def relevanceCorpusCtes: String = {
     import graft.ext.Relevance._
     s"""tdocs AS (
@@ -3890,19 +3989,10 @@ object Extensions {
        |         array_to_string(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
        |           t -> ${u16Sql("'qt|' || CAST(src AS VARCHAR) || '|' || t")} % $TokenKeepMod <> 0), ' ') AS text
        |  FROM (SELECT doc_id AS src, text FROM documents WHERE doc_id < $RelevanceQueries)),
-       |tembs AS (
-       |  SELECT src + $TwinIdOffset AS vec_id,
-       |         list_transform(list_zip(embedding, range(0, $EmbeddingDims)), p ->
-       |           CAST(p[1] AS DOUBLE)
-       |             + CAST(${u16Sql("'qe|' || CAST(src AS VARCHAR) || '|' || CAST(p[2] AS VARCHAR)")} % ${2 * JitterNum + 1} - $JitterNum AS DOUBLE) / $JitterDenom) AS embedding
-       |  FROM (SELECT vec_id AS src, embedding FROM embeddings WHERE vec_id < $RelevanceQueries)),
+       |$relevanceEmbCtes,
        |udocs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id, text FROM tdocs),
-       |uembs AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
-       |  FROM embeddings
-       |  UNION ALL SELECT vec_id, embedding FROM tembs),
        |q AS (
        |  SELECT doc_id AS q_id FROM documents
        |  WHERE doc_id < $RelevanceQueries
@@ -3937,6 +4027,29 @@ object Extensions {
        |         CAST(count(CASE WHEN doc_id = q_id + $TwinIdOffset AND lex_rnk IS NOT NULL THEN 1 END) AS BIGINT) AS hits_lex,
        |         CAST(count(CASE WHEN doc_id = q_id + $TwinIdOffset AND vec_rnk IS NOT NULL THEN 1 END) AS BIGINT) AS hits_vec
        |  FROM rr_$arm)""".stripMargin
+  }
+
+  /** One graph arm's relevance-hit row for the x102–x104 oracles: the
+    * given ranked-edge CTE (`gr` for the IVF chain, `g8` for the SQ8
+    * chain — built over `uembs`) restricted to query sources and
+    * reduced to (arm, n_queries, hits_at_1, hits_at_k, hit_rate) — a
+    * hit is the query's OWN twin (nbr_id = src_id + TwinIdOffset)
+    * among its top-[[KnnGraphK]] edges. Mirrors
+    * [[graft.ext.Relevance.graphHitsAtK]]; `gq` (the query-id CTE) is
+    * emitted here so each gate's SQL stays a single WITH chain. */
+  private def graphRelevanceHitsSql(arm: String, rel: String): String = {
+    import graft.ext.Relevance.TwinIdOffset
+    s"""gq AS (
+       |  SELECT vec_id AS q_id FROM embeddings WHERE vec_id < $RelevanceQueries)
+       |SELECT '$arm' AS arm,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM gq) AS n_queries,
+       |       CAST(count(CASE WHEN nbr_id = src_id + $TwinIdOffset AND rnk = 1 THEN 1 END) AS BIGINT) AS hits_at_1,
+       |       CAST(count(CASE WHEN nbr_id = src_id + $TwinIdOffset AND rnk <= $KnnGraphK THEN 1 END) AS BIGINT) AS hits_at_k,
+       |       CAST(count(CASE WHEN nbr_id = src_id + $TwinIdOffset AND rnk <= $KnnGraphK THEN 1 END) AS DOUBLE)
+       |         / (SELECT CAST(count(*) AS DOUBLE) FROM gq) AS hit_rate
+       |FROM $rel
+       |WHERE rnk <= $KnnGraphK AND src_id IN (SELECT q_id FROM gq)
+       |ORDER BY arm""".stripMargin
   }
 
   private def knnEdgeCtes: String = knnEdgeCtesFrom("embeddings")
@@ -5439,6 +5552,30 @@ object Extensions {
       s"""WITH $ivfGraphCtes
          |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
          |ORDER BY src_id, rnk""".stripMargin,
+
+    // x102: the x89 chain over the twin-augmented corpus
+    // (relevanceEmbCtes), reduced to the planted hit row — the graph
+    // family's x98.
+    "x102_graph_relevance_ivf" ->
+      s"""WITH $relevanceEmbCtes,
+         |${ivfGraphCtesFrom("uembs")},
+         |${graphRelevanceHitsSql("1_ivf", "gr")}""".stripMargin,
+
+    // x103: the x93 SQ8-shortlist chain over the twin-augmented corpus,
+    // same reduction.
+    "x103_graph_relevance_sq8" ->
+      s"""WITH $relevanceEmbCtes,
+         |${ivfSq8GraphCtesFrom("uembs")},
+         |${graphRelevanceHitsSql("2_ivf_sq8", "g8")}""".stripMargin,
+
+    // x104: at gate scale no cell overflows (asserted in-plan), so the
+    // residual-fenced builder's relevance row is x102's chain with only
+    // the arm label changed — under-cap equality proven through the
+    // relevance reduction.
+    "x104_graph_relevance_residual" ->
+      s"""WITH $relevanceEmbCtes,
+         |${ivfGraphCtesFrom("uembs")},
+         |${graphRelevanceHitsSql("3_residual", "gr")}""".stripMargin,
 
     // x91: the x89 chain verbatim audited against the exact per-node
     // top-k (the x85 brute chain over gn). Integer counts + one divide.
