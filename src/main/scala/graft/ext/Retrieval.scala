@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Hybrid (lexical + vector) retrieval with reciprocal-rank fusion — the
   * standard production shape for RAG-style corpus search: a sparse arm
@@ -146,5 +146,135 @@ object Retrieval {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("id").as("doc_id"),
         col("lex_rnk"), col("vec_rnk"), col("rrf"), col("rnk"))
+  }
+
+  // ---- x105: the stuffed-corpus integer-BM25 ladder ------------------------
+
+  /** Stuffing constants (mirrored by the oracle CTE in
+    * graft.queries.Extensions): the corpus's [[StuffTopK]] most-frequent
+    * tokens, each repeated [[StuffReps]] times, appended to
+    * 1-in-[[StuffModulo]] docs by portable hash — repeated tokens AND
+    * ~4× length variance, the corpus class where BM25's tf-saturation
+    * and length-norm terms stop being moot (DiagBm25 / Bm25KnobSpec). */
+  val StuffTopK = 20
+  val StuffReps = 8
+  val StuffModulo = 4L
+  /** Fixed-point scale of the saturated-tf term — 2^20, the engine's
+    * standard quantization scale class (Similarity.Scale). */
+  val SatScale: Long = 1L << 20
+
+  /** Deterministic token-stuffed corpus: (idCol, textCol) with
+    * 1/StuffModulo of docs carrying the global top-StuffTopK tokens
+    * appended StuffReps times each, in (count DESC, token) order.
+    * Unlike the diagnostic original (DiagBm25.stuffedDocs), the
+    * stuffing STRING is order-deterministic — collect_list order is not
+    * guaranteed, so the (negated-count, token) structs are array_sorted
+    * before the repeat/flatten — because the gated scoring runs at
+    * SHINGLE granularity, where the stuffing's token order changes the
+    * shingle multiset and a nondeterministic order would hash-flap. */
+  def stuffedDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val stuffing = broadcast(
+      counts.orderBy(desc("n"), col("token")).limit(StuffTopK)
+        .agg(concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct((-col("n")).as("nn"),
+            col("token").as("token")))),
+          s => array_repeat(s.getField("token"), StuffReps)))).as("stuffing")))
+    docs.crossJoin(stuffing)
+      .select(col(idCol),
+        when(Planted.u16(concat(lit("stuff|"), col(idCol).cast(StringType)))
+            % StuffModulo === 0L,
+          concat_ws(" ", col(textCol), col("stuffing")))
+          .otherwise(col(textCol)).as(textCol))
+  }
+
+  /** The full BM25 lexical ladder in INTEGER form under the planted twin
+    * ground truth (x105) — the hash-gatable completion of the x87 design
+    * note: x87 ships idf damping only (tf = 1 and uniform lengths make
+    * the other knobs moot on the registry corpus); on the STUFFED corpus
+    * they matter, and this scores all three arms over one tf index:
+    *
+    *   1_count    — shared-shingle-TYPE count (x79's lexical form);
+    *   2_idf      — Σ halving-bucket idf weights (x87's integer damping);
+    *   3_bm25_sat — Σ idf_w · satTf, the Robertson tf-saturation +
+    *                length-norm term at k1 = 6/5, b = 3/4 in EXACT
+    *                integer arithmetic: satTf = tf(k1+1) / (tf +
+    *                k1(1−b) + k1·b·dl·N/S) multiplied through by 10·S
+    *                = 22·tf·S / (10·tf·S + 3·S + 9·dl·N), then ONE
+    *                2^20-scaled integer division (both engines' DIV
+    *                truncates; operands positive) — a quantized
+    *                saturation staircase both engines replay bit-for-bit,
+    *                where the float spelling would be an
+    *                order-of-accumulation hazard (Σ of per-term doubles).
+    *
+    * Integer envelope: sat_num = 2^20·22·tf·S ≤ 2^25·tf·S — safe in
+    * int64 to S·tf ≈ 2.7e11 (the gated corpora sit at S ≈ 10^6–10^7,
+    * tf ≤ ~10²). Scoring is tf-weighted at shingle granularity with
+    * multiplicity ([[org.apache.spark.sql.graftfn.ShingleArray
+    * .shingleOccurrences]]) so saturation has something to saturate.
+    * Output: one (arm, n_queries, hits_at_1, hits_at_k, hit_rate) row
+    * per arm — a hit is the query's own twin in the arm's top ranks.
+    * Scale shape: one inverted-index equi-join (cost ∝ posting mass of
+    * the query terms — the stuffed shingles' lists are the point), two
+    * broadcast 1-row anchors (N, S), three rank windows over one cached
+    * (q_id, id) score relation. */
+  def lexRelevanceLadder(corpus: DataFrame, idCol: String, textCol: String,
+                         nQueries: Int, armK: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftfn.ShingleArray
+    val udocs = corpus.unionByName(
+      Relevance.twinDocs(corpus, idCol, textCol, nQueries))
+    val occ = udocs.select(col(idCol).as("id"),
+      explode(ShingleArray.shingleOccurrences(
+        TextOps.tokens(col(textCol)), 3)).as("shingle"))
+    val tf = ExtCaches.persistTracked(
+      occ.groupBy(col("id"), col("shingle")).agg(count(lit(1)).as("tf")))
+    val dlen = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val nAnchor = broadcast(udocs.agg(count(lit(1)).as("n_docs")))
+    val sAnchor = broadcast(tf.agg(sum(col("tf")).as("s_total")))
+    val dfRel = tf.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val qTf = tf.filter(col("id") < nQueries)
+      .select(col("id").as("q_id"), col("shingle"))
+    val hits = qTf.join(tf, Seq("shingle"))
+      .filter(col("id") =!= col("q_id"))
+      .join(dfRel, Seq("shingle"))
+      .crossJoin(nAnchor).crossJoin(sAnchor)
+      .join(dlen, Seq("id"))
+      .withColumn("idf_w", greatest(lit(1L),
+        (length(bin(col("n_docs"))) - length(bin(col("df"))) + 1)
+          .cast(LongType)))
+      .withColumn("sat_num",
+        lit(SatScale) * lit(22L) * col("tf") * col("s_total"))
+      .withColumn("sat_den",
+        lit(10L) * col("tf") * col("s_total") + lit(3L) * col("s_total") +
+          lit(9L) * col("dl") * col("n_docs"))
+      .withColumn("sat_tf", expr("sat_num DIV sat_den"))
+    val scored = ExtCaches.persistTracked(
+      hits.groupBy(col("q_id"), col("id"))
+        .agg(count(lit(1)).cast(LongType).as("s_count"),
+          sum(col("idf_w")).cast(LongType).as("s_idf"),
+          sum(col("idf_w") * col("sat_tf")).cast(LongType).as("s_bm25")))
+    val nQ = broadcast(
+      corpus.filter(col(idCol) < nQueries).agg(count(lit(1)).as("n_queries")))
+    def arm(name: String, scoreCol: String): DataFrame = {
+      val wl = Window.partitionBy(col("q_id")).orderBy(desc(scoreCol), col("id"))
+      val ranked = scored.withColumn("rnk", row_number().over(wl).cast(LongType))
+        .filter(col("rnk") <= armK)
+      val isTwin = col("id") === col("q_id") + Relevance.TwinIdOffset
+      ranked.agg(
+        count(when(isTwin && col("rnk") === 1L, lit(1))).as("hits_at_1"),
+        count(when(isTwin && col("rnk") <= k, lit(1))).as("hits_at_k"))
+        .crossJoin(nQ)
+        .select(lit(name).as("arm"), col("n_queries"),
+          col("hits_at_1").cast(LongType).as("hits_at_1"),
+          col("hits_at_k").cast(LongType).as("hits_at_k"),
+          (col("hits_at_k").cast(DoubleType) /
+            col("n_queries").cast(DoubleType)).as("hit_rate"))
+    }
+    arm("1_count", "s_count")
+      .unionByName(arm("2_idf", "s_idf"))
+      .unionByName(arm("3_bm25_sat", "s_bm25"))
+      .orderBy(col("arm"))
   }
 }

@@ -1899,6 +1899,14 @@ object Extensions {
       // opaque hash mismatch. Measure the worst bucket up front and fail
       // with the real message instead. One aggregate over the base band
       // rows — noise next to the stream run this function already pays.
+      // DELIBERATELY PERMANENT (round 13, reconciling the two fence
+      // contracts): the batch side's cap degrades into the bounded
+      // residual fallback (x101), the stream side's cap fails loud and
+      // stays that way — an in-stream residual fallback would need a
+      // corpus-wide Lloyd pass (unbounded state or a stale prefix
+      // model). The remedy at the cap is a scheduled batch re-index
+      // (x99's frozen-quantizer cadence + x101's fenced builder); see
+      // SCALING.md "The oversized-cell production rule".
       val maxBucket = graft.streaming.AnnStreams
         .bandVecs(base, "vec_id", "embedding", SampledBands,
           SampledBandBits, EmbeddingDims, SampledSeed)
@@ -2096,6 +2104,23 @@ object Extensions {
         subNprobe = ResidualSubNprobe, assertUnderCap = true),
       q, "vec_id", KnnGraphK)
   }
+
+  /** Stuffed-corpus integer BM25 ladder (x105) — the round-12 verdict's
+    * #5 resolved as a GATE, not a documented decision: the registry
+    * corpus makes tf-saturation and length-norm moot (tf = 1, uniform
+    * lengths — x87 ships idf-only and documents the knobs), DiagBm25 /
+    * Bm25KnobSpec price them on the deterministic token-stuffed corpus,
+    * and this line makes the full three-arm ladder (count / idf /
+    * saturated-BM25, all-integer scoring) an oracle-gated output on
+    * that corpus under the planted twin ground truth. See
+    * [[graft.ext.Retrieval.lexRelevanceLadder]] for the exact-integer
+    * saturation spelling. */
+  def x105_bm25_stuffed_ladder(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Retrieval.lexRelevanceLadder(
+      graft.ext.Retrieval.stuffedDocs(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text"),
+      "doc_id", "text", RelevanceQueries, HybridArmK, HybridTopK)
 
   /** Lloyd-cell size cap for the gated graph builders (round 12 —
     * retiring the round-11 `weak` marks): past it,
@@ -3219,7 +3244,8 @@ object Extensions {
     "x101_knn_graph_residual" -> (x101_knn_graph_residual _),
     "x102_graph_relevance_ivf" -> (x102_graph_relevance_ivf _),
     "x103_graph_relevance_sq8" -> (x103_graph_relevance_sq8 _),
-    "x104_graph_relevance_residual" -> (x104_graph_relevance_residual _))
+    "x104_graph_relevance_residual" -> (x104_graph_relevance_residual _),
+    "x105_bm25_stuffed_ladder" -> (x105_bm25_stuffed_ladder _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -4027,6 +4053,31 @@ object Extensions {
        |         CAST(count(CASE WHEN doc_id = q_id + $TwinIdOffset AND lex_rnk IS NOT NULL THEN 1 END) AS BIGINT) AS hits_lex,
        |         CAST(count(CASE WHEN doc_id = q_id + $TwinIdOffset AND vec_rnk IS NOT NULL THEN 1 END) AS BIGINT) AS hits_vec
        |  FROM rr_$arm)""".stripMargin
+  }
+
+  /** The deterministic token-stuffed corpus, oracle side — mirrors
+    * [[graft.ext.Retrieval.stuffedDocs]] cell for cell: global top-K
+    * tokens in (count DESC, token) order (DuckDB's ordered `list(...
+    * ORDER BY ...)` aggregate ≡ the engine's array_sort over negated
+    * counts), each repeated StuffReps times, appended to the
+    * u16-selected 1-in-StuffModulo docs. `sdocs` carries (doc_id, text). */
+  private def stuffedCorpusCtes: String = {
+    import graft.ext.Retrieval._
+    s"""stop AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |        FROM documents)
+       |  GROUP BY 1 ORDER BY n DESC, token LIMIT $StuffTopK),
+       |sstr AS (
+       |  SELECT array_to_string(flatten(
+       |           list(list_transform(range(0, $StuffReps), i -> token)
+       |                ORDER BY n DESC, token)), ' ') AS stuffing
+       |  FROM stop),
+       |sdocs AS (
+       |  SELECT doc_id,
+       |         CASE WHEN ${u16Sql("'stuff|' || CAST(doc_id AS VARCHAR)")} % $StuffModulo = 0
+       |              THEN text || ' ' || stuffing ELSE text END AS text
+       |  FROM documents, sstr)""".stripMargin
   }
 
   /** One graph arm's relevance-hit row for the x102–x104 oracles: the
@@ -5576,6 +5627,75 @@ object Extensions {
       s"""WITH $relevanceEmbCtes,
          |${ivfGraphCtesFrom("uembs")},
          |${graphRelevanceHitsSql("3_residual", "gr")}""".stripMargin,
+
+    // x105: the stuffed corpus (stuffedCorpusCtes) + its query twins,
+    // one tf-weighted shingle index, and the three-arm integer ladder —
+    // count / halving-bucket idf / 2^20-scaled saturated BM25 (the
+    // exact-rational 22·tf·S / (10·tf·S + 3·S + 9·dl·N) spelling at
+    // k1=6/5, b=3/4, ONE integer division per term; DuckDB `//` ≡
+    // Spark DIV on positive operands).
+    "x105_bm25_stuffed_ladder" -> {
+      import graft.ext.Relevance.{TwinIdOffset, TokenKeepMod}
+      import graft.ext.Retrieval.SatScale
+      val arms = Seq(("1_count", "s_count"), ("2_idf", "s_idf"),
+        ("3_bm25_sat", "s_bm25")).map { case (a, c) =>
+        s"""r_$a AS (
+           |  SELECT q_id, id,
+           |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY $c DESC, id) AS BIGINT) AS rnk
+           |  FROM ssc),
+           |h_$a AS (
+           |  SELECT '$a' AS arm,
+           |         (SELECT n_queries FROM sq) AS n_queries,
+           |         CAST(count(CASE WHEN id = q_id + $TwinIdOffset AND rnk = 1 THEN 1 END) AS BIGINT) AS hits_at_1,
+           |         CAST(count(CASE WHEN id = q_id + $TwinIdOffset AND rnk <= $HybridTopK THEN 1 END) AS BIGINT) AS hits_at_k,
+           |         CAST(count(CASE WHEN id = q_id + $TwinIdOffset AND rnk <= $HybridTopK THEN 1 END) AS DOUBLE)
+           |           / (SELECT CAST(n_queries AS DOUBLE) FROM sq) AS hit_rate
+           |  FROM r_$a WHERE rnk <= $HybridArmK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $stuffedCorpusCtes,
+         |stw AS (
+         |  SELECT src + $TwinIdOffset AS doc_id,
+         |         array_to_string(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         |           t -> ${u16Sql("'qt|' || CAST(src AS VARCHAR) || '|' || t")} % $TokenKeepMod <> 0), ' ') AS text
+         |  FROM (SELECT doc_id AS src, text FROM sdocs WHERE doc_id < $RelevanceQueries)),
+         |sudocs AS (
+         |  SELECT doc_id, text FROM sdocs
+         |  UNION ALL SELECT doc_id, text FROM stw),
+         |socc AS (
+         |  SELECT doc_id AS id,
+         |         unnest(list_transform(range(1, len(t) - 1),
+         |           i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |        FROM sudocs)),
+         |stf AS (SELECT id, shingle, CAST(count(*) AS BIGINT) AS tf FROM socc GROUP BY 1, 2),
+         |sdl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM stf GROUP BY 1),
+         |snn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sudocs),
+         |sss AS (SELECT CAST(SUM(tf) AS BIGINT) AS s_total FROM stf),
+         |sdf AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM stf GROUP BY 1),
+         |sqt AS (SELECT id AS q_id, shingle FROM stf WHERE id < $RelevanceQueries),
+         |shits AS (
+         |  SELECT sqt.q_id, t.id,
+         |         CAST(GREATEST(1, length(bin(n.n_docs)) - length(bin(d.df)) + 1) AS BIGINT) AS idf_w,
+         |         ($SatScale * 22 * t.tf * s.s_total)
+         |           // (10 * t.tf * s.s_total + 3 * s.s_total + 9 * l.dl * n.n_docs) AS sat_tf
+         |  FROM sqt JOIN stf t USING (shingle) JOIN sdf d USING (shingle)
+         |       JOIN sdl l ON l.id = t.id, snn n, sss s
+         |  WHERE t.id <> sqt.q_id),
+         |ssc AS (
+         |  SELECT q_id, id,
+         |         CAST(count(*) AS BIGINT) AS s_count,
+         |         CAST(SUM(idf_w) AS BIGINT) AS s_idf,
+         |         CAST(SUM(idf_w * sat_tf) AS BIGINT) AS s_bm25
+         |  FROM shits GROUP BY 1, 2),
+         |sq AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_queries FROM documents
+         |  WHERE doc_id < $RelevanceQueries),
+         |$arms
+         |SELECT * FROM h_1_count
+         |UNION ALL SELECT * FROM h_2_idf
+         |UNION ALL SELECT * FROM h_3_bm25_sat
+         |ORDER BY arm""".stripMargin
+    },
 
     // x91: the x89 chain verbatim audited against the exact per-node
     // top-k (the x85 brute chain over gn). Integer counts + one divide.
