@@ -78,9 +78,11 @@ object Retrieval {
     * per-corpus threshold to tune: the weight adapts through N. The
     * ranking score is the integer Σ weights over the shared shingles;
     * the tf saturation and length-normalization terms of full BM25 are
-    * deliberately absent (distinct-shingle sets have tf = 1, and the
-    * corpus generator emits uniform lengths — both documented knobs, not
-    * needed for the damping this arm exists to provide). */
+    * deliberately absent here (distinct-shingle sets have tf = 1, and
+    * the corpus generator emits uniform lengths — the knobs have nothing
+    * to act on); on the corpus class where they DO act, the full
+    * saturated form is gated as its own registry line — see
+    * [[lexRelevanceLadder]] (x105) and Bm25KnobSpec. */
   def hybridRrfTopK(docs: DataFrame, embs: DataFrame, queries: DataFrame,
                     docIdCol: String, textCol: String,
                     vecIdCol: String, vecCol: String,

@@ -2122,6 +2122,37 @@ object Extensions {
         "doc_id", "text"),
       "doc_id", "text", RelevanceQueries, HybridArmK, HybridTopK)
 
+  /** Cell cap for the planted-fence gate — BELOW the planted cluster
+    * size at every SF (clusters ≈ n/10 ≥ 50), so the residual OVERFLOW
+    * branch carries essentially the whole corpus and the oracle must
+    * replicate the full fallback machinery, not an empty branch. */
+  val PlantedFenceCap = 20
+
+  /** Residual-fenced graph ON the overflow corpus (x106) — the round-12
+    * verdict's #2 ("promote the depth-2/overflow fence to gated form"):
+    * x101 proves the under-cap path (its fallback branch is EMPTY at
+    * gate scale); this line runs [[Similarity.knnGraphIvfResidual]] over
+    * the PLANTED corpus (x95–x97's positive-control generator) with the
+    * cap far below the planted cluster size, so every Lloyd cell
+    * overflows and the gated output is produced by the residual
+    * sub-quantizer fallback end to end: big-cell detection, residual
+    * computation vs integer-rounded centroids, the hash-seeded
+    * sub-Lloyd chain, rank-1 member sub-cells, per-(src, cell)
+    * subNprobe prober sub-cells, the (cell, subcell) candidate join,
+    * and the union with the (near-empty) under-cap exact path. The
+    * DuckDB oracle spells out ALL of it (residualFenceCtes), so the
+    * hash gate proves the overflow algebra cross-engine at all three
+    * SFs — the branch PlantedFenceSpec could only spec-pin before. */
+  def x106_planted_fence_residual(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphIvfResidual(
+      graft.ext.Planted.vectors(
+        Tables.embeddings(s, dir).select(col("vec_id")), "vec_id"),
+      "vec_id", "embedding", k = KnnGraphK, cells = ScaledCells,
+      lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
+      maxCellSize = PlantedFenceCap, subCells = ResidualSubCells,
+      subNprobe = ResidualSubNprobe)
+      .orderBy(col("src_id"), col("rnk"))
+
   /** Lloyd-cell size cap for the gated graph builders (round 12 —
     * retiring the round-11 `weak` marks): past it,
     * [[Similarity.knnGraphIvf]]/[[Similarity.knnGraphIvfSq8]] switch to
@@ -3245,7 +3276,8 @@ object Extensions {
     "x102_graph_relevance_ivf" -> (x102_graph_relevance_ivf _),
     "x103_graph_relevance_sq8" -> (x103_graph_relevance_sq8 _),
     "x104_graph_relevance_residual" -> (x104_graph_relevance_residual _),
-    "x105_bm25_stuffed_ladder" -> (x105_bm25_stuffed_ladder _))
+    "x105_bm25_stuffed_ladder" -> (x105_bm25_stuffed_ladder _),
+    "x106_planted_fence_residual" -> (x106_planted_fence_residual _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -3915,6 +3947,104 @@ object Extensions {
        |g8 AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
        |  FROM rer)""".stripMargin
+
+  /** The residual-fence OVERFLOW chain, oracle side (x106) — mirrors
+    * [[graft.ext.Similarity.CellFence.residualScored]] composed into
+    * [[graft.ext.Similarity.knnGraphIvfResidual]], cell for cell, over
+    * the planted corpus CTE `pe`: coarse trained-cell chain (the shared
+    * `trainedCellCtes` spelling), cells past [[PlantedFenceCap]]
+    * (`bigc`), the under-cap exact join (`okc`), integer-rounded coarse
+    * centroids (`cbar` — the x77 spelling), big members' residuals
+    * (`rqv`), the hash-seeded sub-Lloyd chain (seeds nbr_id mod
+    * [[ResidualSubCells]], the same `kmeansRoundSql` rounds under the
+    * `rs` prefix), rank-1 member sub-cells (`msub`), per-(src, cell)
+    * top-[[ResidualSubNprobe]] prober sub-cells (`psub` — the prober's
+    * residual differs per probed cell, so the rank partitions by
+    * (src_id, cell)), the (cell, subcell) candidate join (`rescand`,
+    * pairs unique by construction), and the union + exact-cosine rank
+    * tail shared with every graph oracle. `gr` holds
+    * (src_id, nbr_id, cosine, rnk). */
+  private def residualFenceCtes: String =
+    s"""qv AS (
+       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM pe),
+       |$trainedCellCtes,
+       |gn AS (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+       |gmem AS (SELECT vec_id AS nbr_id, c_label AS cell FROM krank WHERE rn = 1),
+       |gprob AS (SELECT vec_id AS src_id, c_label AS cell FROM krank WHERE rn <= $ScaledNprobe),
+       |bigc AS (
+       |  SELECT cell FROM (SELECT cell, count(*) AS cn FROM gmem GROUP BY 1)
+       |  WHERE cn > $PlantedFenceCap),
+       |okc AS (
+       |  SELECT p.src_id, m.nbr_id
+       |  FROM gprob p JOIN gmem m USING (cell)
+       |  WHERE m.nbr_id <> p.src_id AND cell NOT IN (SELECT cell FROM bigc)),
+       |cbar AS (
+       |  SELECT c_label AS cell,
+       |         list_transform(sl, s ->
+       |           CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS cbar
+       |  FROM kcent_$ScaledLloydRounds),
+       |rqv AS (
+       |  SELECT m.nbr_id AS vec_id,
+       |         list_transform(list_zip(q.v, cb.cbar), p -> p[1] - p[2]) AS v
+       |  FROM gmem m JOIN qv q ON q.vec_id = m.nbr_id JOIN cbar cb USING (cell)
+       |  WHERE m.cell IN (SELECT cell FROM bigc)),
+       |rsaex_0 AS (
+       |  SELECT CAST(vec_id % $ResidualSubCells AS BIGINT) AS c_label,
+       |         unnest(range(0, len(v))) AS dim, unnest(v) AS x
+       |  FROM rqv),
+       |rssums_0 AS (
+       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
+       |  FROM rsaex_0 GROUP BY 1, 2),
+       |rscent_0 AS (
+       |  SELECT c_label, max(n) AS n,
+       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+       |         list(s ORDER BY dim) AS sl
+       |  FROM rssums_0 GROUP BY 1),
+       |${(1 to ScaledLloydRounds).map(r => kmeansRoundSql(r, "rs", "rscent_0", "rqv")).mkString(",\n")},
+       |mssc AS (
+       |  SELECT rqv.vec_id, c.c_label,
+       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+       |           - (2.0 * CAST(${dotSql("rqv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+       |  FROM rqv CROSS JOIN rscent_$ScaledLloydRounds c),
+       |msub AS (
+       |  SELECT vec_id AS nbr_id, c_label AS subcell FROM (
+       |    SELECT vec_id, c_label,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
+       |    FROM mssc) WHERE rn = 1),
+       |mcell AS (
+       |  SELECT s.nbr_id, m.cell, s.subcell
+       |  FROM msub s JOIN gmem m USING (nbr_id)),
+       |prv AS (
+       |  SELECT p.src_id, p.cell,
+       |         list_transform(list_zip(q.v, cb.cbar), x -> x[1] - x[2]) AS v
+       |  FROM gprob p JOIN qv q ON q.vec_id = p.src_id JOIN cbar cb USING (cell)
+       |  WHERE p.cell IN (SELECT cell FROM bigc)),
+       |pssc AS (
+       |  SELECT prv.src_id, prv.cell, c.c_label,
+       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+       |           - (2.0 * CAST(${dotSql("prv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+       |  FROM prv CROSS JOIN rscent_$ScaledLloydRounds c),
+       |psub AS (
+       |  SELECT src_id, cell, c_label AS subcell FROM (
+       |    SELECT src_id, cell, c_label,
+       |           row_number() OVER (PARTITION BY src_id, cell ORDER BY t, c_label) AS rn
+       |    FROM pssc) WHERE rn <= $ResidualSubNprobe),
+       |rescand AS (
+       |  SELECT p.src_id, m.nbr_id
+       |  FROM psub p JOIN mcell m ON m.cell = p.cell AND m.subcell = p.subcell
+       |  WHERE m.nbr_id <> p.src_id),
+       |allc AS (
+       |  SELECT src_id, nbr_id FROM okc
+       |  UNION ALL SELECT src_id, nbr_id FROM rescand),
+       |gscored AS (
+       |  SELECT a.src_id, a.nbr_id,
+       |         CAST(${dotSql("ns.v", "nn.v")} AS DOUBLE)
+       |           / (sqrt(CAST(ns.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE))) AS cosine
+       |  FROM allc a JOIN gn ns ON ns.vec_id = a.src_id JOIN gn nn ON nn.vec_id = a.nbr_id),
+       |gr AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
+       |  FROM gscored)""".stripMargin
 
   /** The x83 split-classifier CTE chain — weak labels off the quality
     * gate, the md5 hash split, votes trained on the base slice only,
@@ -5696,6 +5826,17 @@ object Extensions {
          |UNION ALL SELECT * FROM h_3_bm25_sat
          |ORDER BY arm""".stripMargin
     },
+
+    // x106: the planted corpus (plantedCtes) + the FULL residual-fence
+    // overflow chain (residualFenceCtes) — the oracle replicates the
+    // fallback machinery end to end (big cells, residuals, sub-Lloyd,
+    // member/prober sub-cells, the (cell, subcell) join), because at
+    // this cap the fallback IS the graph.
+    "x106_planted_fence_residual" ->
+      s"""WITH $plantedCtes,
+         |$residualFenceCtes
+         |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
+         |ORDER BY src_id, rnk""".stripMargin,
 
     // x91: the x89 chain verbatim audited against the exact per-node
     // top-k (the x85 brute chain over gn). Integer counts + one divide.

@@ -2232,6 +2232,80 @@ class PlantedFenceSpec extends SparkSpec {
   }
 }
 
+/** Round-13 (the round-12 verdict's #3): the PURE-CELL probe-budget law
+  * pinned as exact integers, at the soak geometry that discovered it —
+  * n = 20,000 planted vectors, coarse = 32 (train cells ≥ the 10
+  * planted clusters → 17 non-empty cells, every cell PURE, merged-mode
+  * free), cap = 1000. With pure cells the residual space FULLY splits
+  * (all sub-cells non-empty — the contrast with the merged-mode
+  * geometry, where glued modes hold 2056/1726-member sub-cells) and
+  * recall lands on the i.i.d. probe-budget curve: 460/1230 = 0.374 at
+  * 12.5 % probed sub-mass (sub=64, probe=8), 410/1230 = 0.333 at ~6 %
+  * (sub=256, probe=16) — vs x91's prototype 0.36 at 9.5 % mass.
+  * Everything on the path is deterministic integer arithmetic
+  * (planted draws, Lloyd chains, tie-breaks, the 400/n audit sample),
+  * so the law is pinned EXACTLY, not within tolerance: any drift in
+  * the quantizer, the fence, or the sampling shows as an integer diff
+  * here before it can silently move a gated corpus. Also pins the
+  * round-13 finding that depth-2 recursion is a NO-OP on pure cells
+  * (all level-1 sub-cells under cap → identical candidates), closing
+  * the loop with PlantedFenceSpec's merged-mode depth-2 pruning. */
+class PureCellCurveSpec extends SparkSpec {
+  import graft.ext.{ExtCaches, Planted, Similarity}
+
+  test("pure cells: full residual split, exact probe-budget curve, depth-2 no-op") {
+    val n = 20000L
+    val cap = 1000
+    val coarse = 32
+    val pe = ExtCaches.persistTracked(Planted.vectors(
+      spark.range(n).select(col("id").as("vec_id")), "vec_id"))
+    val audit = Some(graft.ext.Sampling.hashThresholdPredicate(
+      col("vec_id"), 400.0 / n))
+    val v = Similarity.withNorm(
+      pe.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      "vec", "norm")
+    val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
+    val stats = Similarity.trainedCellStats(q, coarse, 2)
+    val members = ExtCaches.persistTracked(
+      Similarity.probesFromStats(q, stats, 1)
+        .filter(col("probe_rank") === 1)
+        .select(col("id").as("nbr_id"), col("cell")))
+    val probes = members.select(col("nbr_id").as("src_id"), col("cell"))
+
+    // pure-cell premise: 32 seeds over 10 planted clusters converge to
+    // 17 non-empty cells (the granularity-inertness shape)
+    val geom = members.groupBy(col("cell")).agg(count(lit(1)).as("g"))
+      .agg(count(lit(1)).as("nonempty"), max(col("g")).as("mx")).collect()(0)
+    assert(geom.getLong(0) == 17L && geom.getLong(1) == 2057L,
+      s"coarse geometry moved: ${geom.getLong(0)} cells, max ${geom.getLong(1)}")
+
+    val fence = new Similarity.CellFence(members, probes, Some(cap))
+    // the curve, exact: (subCells, subNprobe, candidates, hits, denom)
+    for ((sub, probe, expCand, expHits) <- Seq(
+        (64, 8, 3841954L, 460L), (256, 16, 1940805L, 410L))) {
+      val cand = fence.residualScored(v, stats, sub, 2, probe).get.count()
+      assert(cand == expCand,
+        s"sub=$sub probe=$probe candidates $cand != $expCand")
+      val g = Similarity.knnGraphIvfResidual(pe, "vec_id", "embedding",
+        k = 3, cells = coarse, lloydRounds = 2, nprobe = 1,
+        maxCellSize = cap, subCells = sub, subNprobe = probe)
+      val r = Similarity.graphEdgesRecall(pe, g, "vec_id", "embedding", 3,
+          nodePredicate = audit)
+        .agg(sum(col("hits")).as("h"), sum(col("n_exact")).as("d"))
+        .collect()(0)
+      assert((r.getLong(0), r.getLong(1)) == ((expHits, 1230L)),
+        s"sub=$sub probe=$probe recall ${r.getLong(0)}/${r.getLong(1)} " +
+          s"!= $expHits/1230 — the probe-budget law drifted")
+    }
+    // depth-2 is a no-op on pure cells: every level-1 sub-cell is under
+    // cap, so recursion emits the identical candidate set
+    val deep = fence.residualScoredDeep(v, stats, 256, 2, 16, maxDepth = 3)
+      .get.count()
+    assert(deep == 1940805L, s"pure-cell depth-2 diverged: $deep")
+    ExtCaches.clearCaches()
+  }
+}
+
 /** Round-12: the planted-structure positive control (graft.ext.Planted +
   * x95–x97). The i.i.d. corpus cannot distinguish "the operator found
   * nothing" from "there is nothing to find"; these pin the direction
