@@ -2153,6 +2153,40 @@ object Extensions {
       subNprobe = ResidualSubNprobe)
       .orderBy(col("src_id"), col("rnk"))
 
+  /** x107's coarse geometry: 10 seeds over the 10 planted clusters —
+    * the MERGED-mode regime (some cells glue two clusters), which is
+    * the only geometry where depth-2 recursion actually fires: pure
+    * cells' residuals split fully at level 1 (PureCellCurveSpec's
+    * no-op finding), glued modes leave level-1 sub-cells over the cap
+    * and force the level-2 re-quantization. nprobe 2 of 10 cells ≈
+    * the x89 probe-mass class. */
+  val PlantedDeepCoarse = 10
+  val PlantedDeepNprobe = 2
+
+  /** Depth-2 residual recursion, oracle-gated end to end (x107) — the
+    * last spec-only branch promoted to a registry gate (round-12 weak
+    * #2's explicit residue): [[Similarity.knnGraphIvfResidual]] at
+    * `depth = 2` over the planted corpus in MERGED-mode geometry
+    * ([[PlantedDeepCoarse]]), cap far below cluster size, so the
+    * static two-level loop runs in full — level-1 global sub-Lloyd
+    * over big-cell residuals, still-oversized (cell, sub) keys
+    * re-quantized at level 2 against ACCUMULATED offsets
+    * (cbar₀ + cbar₁), cap-bounded emits at each level, and the
+    * depth-exhaustion exhaustive emit for keys depth 2 cannot split.
+    * The DuckDB oracle (deepFenceCtes) replicates every stage, so the
+    * recursion algebra — offsets, per-level seeds, the emit/recurse
+    * partition, the final DISTINCT — is cross-engine-proven at all
+    * three SFs. */
+  def x107_planted_fence_deep(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphIvfResidual(
+      graft.ext.Planted.vectors(
+        Tables.embeddings(s, dir).select(col("vec_id")), "vec_id"),
+      "vec_id", "embedding", k = KnnGraphK, cells = PlantedDeepCoarse,
+      lloydRounds = ScaledLloydRounds, nprobe = PlantedDeepNprobe,
+      maxCellSize = PlantedFenceCap, subCells = ResidualSubCells,
+      subNprobe = ResidualSubNprobe, depth = 2)
+      .orderBy(col("src_id"), col("rnk"))
+
   /** Lloyd-cell size cap for the gated graph builders (round 12 —
     * retiring the round-11 `weak` marks): past it,
     * [[Similarity.knnGraphIvf]]/[[Similarity.knnGraphIvfSq8]] switch to
@@ -3277,7 +3311,8 @@ object Extensions {
     "x103_graph_relevance_sq8" -> (x103_graph_relevance_sq8 _),
     "x104_graph_relevance_residual" -> (x104_graph_relevance_residual _),
     "x105_bm25_stuffed_ladder" -> (x105_bm25_stuffed_ladder _),
-    "x106_planted_fence_residual" -> (x106_planted_fence_residual _))
+    "x106_planted_fence_residual" -> (x106_planted_fence_residual _),
+    "x107_planted_fence_deep" -> (x107_planted_fence_deep _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -3718,9 +3753,10 @@ object Extensions {
     * `scoreSrc` is ranked against the final centroids. Equal arguments
     * reproduce the classic chain byte-for-byte; the frozen-quantizer
     * oracle (x99) trains on the base slice and scores the union. */
-  private def trainedCellCtesOver(trainSrc: String, scoreSrc: String): String =
+  private def trainedCellCtesOver(trainSrc: String, scoreSrc: String,
+                                  cells: Int = ScaledCells): String =
     s"""kaex_0 AS (
-       |  SELECT CAST(vec_id % $ScaledCells AS BIGINT) AS c_label,
+       |  SELECT CAST(vec_id % $cells AS BIGINT) AS c_label,
        |         unnest(range(0, len(v))) AS dim, unnest(v) AS x
        |  FROM $trainSrc),
        |ksums_0 AS (
@@ -3948,6 +3984,28 @@ object Extensions {
        |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
        |  FROM rer)""".stripMargin
 
+  /** One GLOBAL residual sub-Lloyd chain under prefix `p`, trained on
+    * `src` (vec_id, v, …): hash seeds vec_id mod [[ResidualSubCells]],
+    * [[ScaledLloydRounds]] rounds of the shared [[kmeansRoundSql]]
+    * spelling — mirrors `trainedCellStats(rq, subCells, lloydRounds)`
+    * with the rq ids being member ids. Final centroids land in
+    * `<p>cent_<ScaledLloydRounds>`. Shared by the x106 (one level,
+    * `rs`) and x107 (two levels, `da`/`db`) fence oracles. */
+  private def subLloydCtes(p: String, src: String): String =
+    s"""${p}aex_0 AS (
+       |  SELECT CAST(vec_id % $ResidualSubCells AS BIGINT) AS c_label,
+       |         unnest(range(0, len(v))) AS dim, unnest(v) AS x
+       |  FROM $src),
+       |${p}sums_0 AS (
+       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
+       |  FROM ${p}aex_0 GROUP BY 1, 2),
+       |${p}cent_0 AS (
+       |  SELECT c_label, max(n) AS n,
+       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
+       |         list(s ORDER BY dim) AS sl
+       |  FROM ${p}sums_0 GROUP BY 1),
+       |${(1 to ScaledLloydRounds).map(r => kmeansRoundSql(r, p, s"${p}cent_0", src)).mkString(",\n")}""".stripMargin
+
   /** The residual-fence OVERFLOW chain, oracle side (x106) — mirrors
     * [[graft.ext.Similarity.CellFence.residualScored]] composed into
     * [[graft.ext.Similarity.knnGraphIvfResidual]], cell for cell, over
@@ -3968,54 +4026,42 @@ object Extensions {
     s"""qv AS (
        |  SELECT vec_id, ${quantSql("embedding")} AS v FROM pe),
        |$trainedCellCtes,
-       |gn AS (
+       |gn AS MATERIALIZED (
        |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-       |gmem AS (SELECT vec_id AS nbr_id, c_label AS cell FROM krank WHERE rn = 1),
-       |gprob AS (SELECT vec_id AS src_id, c_label AS cell FROM krank WHERE rn <= $ScaledNprobe),
-       |bigc AS (
+       |gmem AS MATERIALIZED (SELECT vec_id AS nbr_id, c_label AS cell FROM krank WHERE rn = 1),
+       |gprob AS MATERIALIZED (SELECT vec_id AS src_id, c_label AS cell FROM krank WHERE rn <= $ScaledNprobe),
+       |bigc AS MATERIALIZED (
        |  SELECT cell FROM (SELECT cell, count(*) AS cn FROM gmem GROUP BY 1)
        |  WHERE cn > $PlantedFenceCap),
        |okc AS (
        |  SELECT p.src_id, m.nbr_id
        |  FROM gprob p JOIN gmem m USING (cell)
        |  WHERE m.nbr_id <> p.src_id AND cell NOT IN (SELECT cell FROM bigc)),
-       |cbar AS (
+       |cbar AS MATERIALIZED (
        |  SELECT c_label AS cell,
        |         list_transform(sl, s ->
        |           CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS cbar
        |  FROM kcent_$ScaledLloydRounds),
-       |rqv AS (
+       |rqv AS MATERIALIZED (
        |  SELECT m.nbr_id AS vec_id,
        |         list_transform(list_zip(q.v, cb.cbar), p -> p[1] - p[2]) AS v
        |  FROM gmem m JOIN qv q ON q.vec_id = m.nbr_id JOIN cbar cb USING (cell)
        |  WHERE m.cell IN (SELECT cell FROM bigc)),
-       |rsaex_0 AS (
-       |  SELECT CAST(vec_id % $ResidualSubCells AS BIGINT) AS c_label,
-       |         unnest(range(0, len(v))) AS dim, unnest(v) AS x
-       |  FROM rqv),
-       |rssums_0 AS (
-       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
-       |  FROM rsaex_0 GROUP BY 1, 2),
-       |rscent_0 AS (
-       |  SELECT c_label, max(n) AS n,
-       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
-       |         list(s ORDER BY dim) AS sl
-       |  FROM rssums_0 GROUP BY 1),
-       |${(1 to ScaledLloydRounds).map(r => kmeansRoundSql(r, "rs", "rscent_0", "rqv")).mkString(",\n")},
+       |${subLloydCtes("rs", "rqv")},
        |mssc AS (
        |  SELECT rqv.vec_id, c.c_label,
        |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
        |           - (2.0 * CAST(${dotSql("rqv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
        |  FROM rqv CROSS JOIN rscent_$ScaledLloydRounds c),
-       |msub AS (
+       |msub AS MATERIALIZED (
        |  SELECT vec_id AS nbr_id, c_label AS subcell FROM (
        |    SELECT vec_id, c_label,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
        |    FROM mssc) WHERE rn = 1),
-       |mcell AS (
+       |mcell AS MATERIALIZED (
        |  SELECT s.nbr_id, m.cell, s.subcell
        |  FROM msub s JOIN gmem m USING (nbr_id)),
-       |prv AS (
+       |prv AS MATERIALIZED (
        |  SELECT p.src_id, p.cell,
        |         list_transform(list_zip(q.v, cb.cbar), x -> x[1] - x[2]) AS v
        |  FROM gprob p JOIN qv q ON q.vec_id = p.src_id JOIN cbar cb USING (cell)
@@ -4025,7 +4071,7 @@ object Extensions {
        |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
        |           - (2.0 * CAST(${dotSql("prv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
        |  FROM prv CROSS JOIN rscent_$ScaledLloydRounds c),
-       |psub AS (
+       |psub AS MATERIALIZED (
        |  SELECT src_id, cell, c_label AS subcell FROM (
        |    SELECT src_id, cell, c_label,
        |           row_number() OVER (PARTITION BY src_id, cell ORDER BY t, c_label) AS rn
@@ -4045,6 +4091,157 @@ object Extensions {
        |gr AS (
        |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
        |  FROM gscored)""".stripMargin
+
+  /** The depth-2 residual recursion, oracle side (x107) — mirrors
+    * [[graft.ext.Similarity.CellFence.residualScoredDeep]] at
+    * maxDepth = 3 (public depth = 2) composed into
+    * [[graft.ext.Similarity.knnGraphIvfResidual]], over the planted
+    * corpus CTE `pe` at the MERGED-mode coarse geometry
+    * ([[PlantedDeepCoarse]] cells, [[PlantedDeepNprobe]] probes).
+    * Stage by stage: coarse chain → under-cap exact emit (`emit0`, the
+    * main path; the loop's own level-1 ok-emit is empty by
+    * construction, since every fenced level-0 key is over the cap by
+    * definition of `big0`) → level-1 global sub-Lloyd over big-cell
+    * residuals (`da` prefix; the engine's one-quantizer-per-level
+    * discipline) → member rank-1 / prober top-subNprobe sub-cells →
+    * cap-bounded level-2 emit (`emit1`, keys NOT in `big1`) →
+    * still-oversized keys re-quantized at level 2 against ACCUMULATED
+    * offsets cbar₀ + cbar₁ (`db` prefix; residuals computed as
+    * v − cb0 − cb1, exact integers, ≡ the engine's v − (cb0 + cb1)) →
+    * level-3 ok emit (`emit2`) + the depth-exhaustion exhaustive emit
+    * (`emit3`, keys still in `big2`) → DISTINCT union (the engine's
+    * defensive `.distinct()`; pairs are disjoint across emits by the
+    * key-partition argument, so it is a no-op on both sides) → the
+    * shared exact-cosine rank tail. */
+  private def deepFenceCtes: String = {
+    val L = ScaledLloydRounds
+    s"""qv AS (
+       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM pe),
+       |${trainedCellCtesOver("qv", "qv", PlantedDeepCoarse)},
+       |gn AS MATERIALIZED (
+       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
+       |gmem AS MATERIALIZED (SELECT vec_id AS nbr_id, c_label AS cell FROM krank WHERE rn = 1),
+       |gprob AS MATERIALIZED (SELECT vec_id AS src_id, c_label AS cell FROM krank WHERE rn <= $PlantedDeepNprobe),
+       |big0 AS MATERIALIZED (
+       |  SELECT cell FROM (SELECT cell, count(*) AS cn FROM gmem GROUP BY 1)
+       |  WHERE cn > $PlantedFenceCap),
+       |emit0 AS (
+       |  SELECT p.src_id, m.nbr_id
+       |  FROM gprob p JOIN gmem m USING (cell)
+       |  WHERE m.nbr_id <> p.src_id AND cell NOT IN (SELECT cell FROM big0)),
+       |cbar0 AS MATERIALIZED (
+       |  SELECT c_label AS cell,
+       |         list_transform(sl, s ->
+       |           CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS cb0
+       |  FROM kcent_$L),
+       |rqv1 AS MATERIALIZED (
+       |  SELECT m.nbr_id AS vec_id, m.cell,
+       |         list_transform(list_zip(q.v, c0.cb0), p -> p[1] - p[2]) AS v
+       |  FROM gmem m JOIN qv q ON q.vec_id = m.nbr_id JOIN cbar0 c0 USING (cell)
+       |  WHERE m.cell IN (SELECT cell FROM big0)),
+       |${subLloydCtes("da", "rqv1")},
+       |m1sc AS (
+       |  SELECT rqv1.vec_id, rqv1.cell, c.c_label,
+       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+       |           - (2.0 * CAST(${dotSql("rqv1.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+       |  FROM rqv1 CROSS JOIN dacent_$L c),
+       |memb1 AS MATERIALIZED (
+       |  SELECT vec_id AS nbr_id, cell, c_label AS s1 FROM (
+       |    SELECT vec_id, cell, c_label,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
+       |    FROM m1sc) WHERE rn = 1),
+       |prv1 AS (
+       |  SELECT p.src_id, p.cell,
+       |         list_transform(list_zip(q.v, c0.cb0), x -> x[1] - x[2]) AS v
+       |  FROM gprob p JOIN qv q ON q.vec_id = p.src_id JOIN cbar0 c0 USING (cell)
+       |  WHERE p.cell IN (SELECT cell FROM big0)),
+       |p1sc AS (
+       |  SELECT prv1.src_id, prv1.cell, c.c_label,
+       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+       |           - (2.0 * CAST(${dotSql("prv1.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+       |  FROM prv1 CROSS JOIN dacent_$L c),
+       |prob1 AS MATERIALIZED (
+       |  SELECT src_id, cell, c_label AS s1 FROM (
+       |    SELECT src_id, cell, c_label,
+       |           row_number() OVER (PARTITION BY src_id, cell ORDER BY t, c_label) AS rn
+       |    FROM p1sc) WHERE rn <= $ResidualSubNprobe),
+       |big1 AS MATERIALIZED (
+       |  SELECT cell, s1 FROM (SELECT cell, s1, count(*) AS cn FROM memb1 GROUP BY 1, 2)
+       |  WHERE cn > $PlantedFenceCap),
+       |emit1 AS (
+       |  SELECT p.src_id, m.nbr_id
+       |  FROM prob1 p JOIN memb1 m ON m.cell = p.cell AND m.s1 = p.s1
+       |  WHERE m.nbr_id <> p.src_id
+       |    AND NOT EXISTS (SELECT 1 FROM big1 b WHERE b.cell = m.cell AND b.s1 = m.s1)),
+       |cbar1 AS MATERIALIZED (
+       |  SELECT c_label AS s1,
+       |         list_transform(sl, s ->
+       |           CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS cb1
+       |  FROM dacent_$L),
+       |rqv2 AS MATERIALIZED (
+       |  SELECT m.nbr_id AS vec_id, m.cell, m.s1,
+       |         list_transform(list_zip(q.v, c0.cb0, c1.cb1), p -> p[1] - p[2] - p[3]) AS v
+       |  FROM memb1 m JOIN qv q ON q.vec_id = m.nbr_id
+       |       JOIN cbar0 c0 ON c0.cell = m.cell JOIN cbar1 c1 ON c1.s1 = m.s1
+       |  WHERE EXISTS (SELECT 1 FROM big1 b WHERE b.cell = m.cell AND b.s1 = m.s1)),
+       |${subLloydCtes("db", "rqv2")},
+       |m2sc AS (
+       |  SELECT rqv2.vec_id, rqv2.cell, rqv2.s1, c.c_label,
+       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+       |           - (2.0 * CAST(${dotSql("rqv2.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+       |  FROM rqv2 CROSS JOIN dbcent_$L c),
+       |memb2 AS MATERIALIZED (
+       |  SELECT vec_id AS nbr_id, cell, s1, c_label AS s2 FROM (
+       |    SELECT vec_id, cell, s1, c_label,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
+       |    FROM m2sc) WHERE rn = 1),
+       |prv2 AS (
+       |  SELECT p.src_id, p.cell, p.s1,
+       |         list_transform(list_zip(q.v, c0.cb0, c1.cb1), x -> x[1] - x[2] - x[3]) AS v
+       |  FROM prob1 p JOIN qv q ON q.vec_id = p.src_id
+       |       JOIN cbar0 c0 ON c0.cell = p.cell JOIN cbar1 c1 ON c1.s1 = p.s1
+       |  WHERE EXISTS (SELECT 1 FROM big1 b WHERE b.cell = p.cell AND b.s1 = p.s1)),
+       |p2sc AS (
+       |  SELECT prv2.src_id, prv2.cell, prv2.s1, c.c_label,
+       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
+       |           - (2.0 * CAST(${dotSql("prv2.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
+       |  FROM prv2 CROSS JOIN dbcent_$L c),
+       |prob2 AS MATERIALIZED (
+       |  SELECT src_id, cell, s1, c_label AS s2 FROM (
+       |    SELECT src_id, cell, s1, c_label,
+       |           row_number() OVER (PARTITION BY src_id, cell, s1 ORDER BY t, c_label) AS rn
+       |    FROM p2sc) WHERE rn <= $ResidualSubNprobe),
+       |big2 AS MATERIALIZED (
+       |  SELECT cell, s1, s2 FROM (
+       |    SELECT cell, s1, s2, count(*) AS cn FROM memb2 GROUP BY 1, 2, 3)
+       |  WHERE cn > $PlantedFenceCap),
+       |emit2 AS (
+       |  SELECT p.src_id, m.nbr_id
+       |  FROM prob2 p JOIN memb2 m ON m.cell = p.cell AND m.s1 = p.s1 AND m.s2 = p.s2
+       |  WHERE m.nbr_id <> p.src_id
+       |    AND NOT EXISTS (SELECT 1 FROM big2 b
+       |                    WHERE b.cell = m.cell AND b.s1 = m.s1 AND b.s2 = m.s2)),
+       |emit3 AS (
+       |  SELECT p.src_id, m.nbr_id
+       |  FROM prob2 p JOIN memb2 m ON m.cell = p.cell AND m.s1 = p.s1 AND m.s2 = p.s2
+       |  WHERE m.nbr_id <> p.src_id
+       |    AND EXISTS (SELECT 1 FROM big2 b
+       |                WHERE b.cell = m.cell AND b.s1 = m.s1 AND b.s2 = m.s2)),
+       |allc AS (
+       |  SELECT DISTINCT src_id, nbr_id FROM (
+       |    SELECT src_id, nbr_id FROM emit0
+       |    UNION ALL SELECT src_id, nbr_id FROM emit1
+       |    UNION ALL SELECT src_id, nbr_id FROM emit2
+       |    UNION ALL SELECT src_id, nbr_id FROM emit3)),
+       |gscored AS (
+       |  SELECT a.src_id, a.nbr_id,
+       |         CAST(${dotSql("ns.v", "nn.v")} AS DOUBLE)
+       |           / (sqrt(CAST(ns.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE))) AS cosine
+       |  FROM allc a JOIN gn ns ON ns.vec_id = a.src_id JOIN gn nn ON nn.vec_id = a.nbr_id),
+       |gr AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
+       |  FROM gscored)""".stripMargin
+  }
 
   /** The x83 split-classifier CTE chain — weak labels off the quality
     * gate, the md5 hash split, votes trained on the base slice only,
@@ -5835,6 +6032,17 @@ object Extensions {
     "x106_planted_fence_residual" ->
       s"""WITH $plantedCtes,
          |$residualFenceCtes
+         |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
+         |ORDER BY src_id, rnk""".stripMargin,
+
+    // x107: the depth-2 recursion over the planted corpus in MERGED-mode
+    // geometry (deepFenceCtes) — two sub-Lloyd levels, accumulated
+    // offsets, per-level cap-bounded emits, the depth-exhaustion
+    // remainder, the defensive DISTINCT. The last spec-only fence branch
+    // promoted to a hash gate.
+    "x107_planted_fence_deep" ->
+      s"""WITH $plantedCtes,
+         |$deepFenceCtes
          |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
          |ORDER BY src_id, rnk""".stripMargin,
 
