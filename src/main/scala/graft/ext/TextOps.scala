@@ -460,4 +460,66 @@ object TextOps {
     }
     cur.unionAll(base.filter(size(col("t")) < 2))
   }
+
+  /** CCNet-style LM-perplexity quality gate (x108) in hash-gatable
+    * INTEGER form — the one classic curation stage the pipeline surface
+    * lacked: train a token-bigram language model on a reference slice,
+    * score every held-out document by its average per-bigram surprise,
+    * and gate on a threshold (Wenzek et al., CCNet: KenLM perplexity
+    * deciles against a reference corpus; C4 and most production
+    * pipelines run the same shape).
+    *
+    * Integerization — the halving-bucket trick applied to a CONDITIONAL
+    * probability: −log₂ p(w₂|w₁) ≈ fl2(c(w₁·)+1) − fl2(c(w₁w₂)+1),
+    * where fl2(x) = ⌊log₂ x⌋ = length(bin(x)) − 1 (exact integers on
+    * both engines), c counts bigram OCCURRENCES in the base slice
+    * (multiplicity — the LM sees every occurrence), and +1 is the
+    * smoothing that makes an unseen bigram under a seen prefix cost the
+    * full fl2(c₁+1) bits. An unseen PREFIX backs off to the model's
+    * maximum surprise, fl2(N+1) bits (N = total base bigram mass) —
+    * out-of-domain text must get MORE expensive, not free. Per-doc
+    * score = Σ bits over its bigram occurrences (an integer sum —
+    * shuffle-order-proof) and the reported average is fixed-point:
+    * bits_x16 = (16·Σ) DIV n — zero float accumulation anywhere.
+    *
+    * Split discipline = x83's: the model trains on the hash-selected
+    * base slice only and scores the REST (scoring the training slice
+    * would reward memorization); docs with < 2 tokens have no bigrams
+    * and are excluded (documented — a length gate catches them first).
+    *
+    * Scale shape: the count table is one groupBy over base bigram
+    * occurrences; scoring is two equi-joins (bigram, then prefix) of
+    * held-out occurrences against it, then one per-doc integer
+    * aggregate. At 100 TB the count table gets a min-count prune
+    * (standard KenLM practice) and either broadcasts (pruned vocab²)
+    * or shuffle-joins on the bigram key; nothing here is corpus². */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+                     baseFrac: Double): DataFrame = {
+    import org.apache.spark.sql.graftfn.ShingleArray
+    val inBase = Sampling.hashThresholdPredicate(col(idCol), baseFrac)
+    def fl2(c: Column): Column = (length(bin(c)) - 1).cast(LongType)
+    val occ = docs.select(col(idCol).as("id"), inBase.as("in_base"),
+        explode(ShingleArray.shingleOccurrences(
+          tokens(col(textCol)), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c12 = ExtCaches.persistTracked(
+      occ.filter(col("in_base"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c12")))
+    val c1 = c12
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val nAnchor = broadcast(c12.agg(sum(col("c12")).as("n_mass")))
+    occ.filter(!col("in_base"))
+      .join(c12, Seq("bg"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(nAnchor)
+      .withColumn("bits",
+        when(col("c1").isNull, fl2(col("n_mass") + 1L))
+          .otherwise(fl2(col("c1") + 1L) -
+            fl2(coalesce(col("c12"), lit(0L)) + 1L)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("nll_bits"))
+      .select(col("id"), col("n_bigrams"), col("nll_bits"),
+        expr("(16 * nll_bits) DIV n_bigrams").as("bits_x16"))
+  }
 }

@@ -2177,6 +2177,31 @@ object Extensions {
     * recursion algebra — offsets, per-level seeds, the emit/recurse
     * partition, the final DISTINCT — is cross-engine-proven at all
     * three SFs. */
+  /** LM-gate threshold: average per-bigram surprise, fixed-point ×16
+    * (so 112 = 7.0 bits/bigram). Chosen from the measured held-out
+    * distribution at sf0.01 so the flag is a real partition of the
+    * corpus (both kept and dropped non-empty at every SF), pinned as a
+    * constant the way a production pipeline freezes its CCNet decile
+    * cut: the held-out medians sit at 79–80 ×16-bits across the three
+    * SFs (ranges 76–86), so 80 keeps ~60–75 % and drops a real tail at
+    * every scale. */
+  val LmGateBitsX16 = 80L
+
+  /** CCNet-style LM-perplexity gate (x108) — the classic curation stage
+    * the surface lacked: a token-bigram LM trained on the x83 hash-split
+    * base slice, every held-out doc scored by integer per-bigram
+    * surprise ([[graft.ext.TextOps.bigramLmScores]]: halving-bucket
+    * −log₂ p(w₂|w₁) with +1 smoothing and max-surprise prefix backoff,
+    * all-integer output incl. the ×16 fixed-point average), gated at
+    * [[LmGateBitsX16]]. */
+  def x108_lm_perplexity_gate(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.bigramLmScores(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", BaseFrac)
+      .select(col("id").as("doc_id"), col("n_bigrams"), col("nll_bits"),
+        col("bits_x16"), (col("bits_x16") <= LmGateBitsX16).as("kept"))
+      .orderBy(col("doc_id"))
+
   def x107_planted_fence_deep(s: SparkSession, dir: String): DataFrame =
     Similarity.knnGraphIvfResidual(
       graft.ext.Planted.vectors(
@@ -3312,7 +3337,8 @@ object Extensions {
     "x104_graph_relevance_residual" -> (x104_graph_relevance_residual _),
     "x105_bm25_stuffed_ladder" -> (x105_bm25_stuffed_ladder _),
     "x106_planted_fence_residual" -> (x106_planted_fence_residual _),
-    "x107_planted_fence_deep" -> (x107_planted_fence_deep _))
+    "x107_planted_fence_deep" -> (x107_planted_fence_deep _),
+    "x108_lm_perplexity_gate" -> (x108_lm_perplexity_gate _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -6034,6 +6060,43 @@ object Extensions {
          |$residualFenceCtes
          |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
          |ORDER BY src_id, rnk""".stripMargin,
+
+    // x108: the bigram-LM perplexity gate — base-slice counts (the x83
+    // hash split), halving-bucket conditional surprise with +1 smoothing
+    // and max-surprise prefix backoff, integer sums, ×16 fixed-point
+    // average via integer division. Count CTEs materialized (each is
+    // referenced twice).
+    "x108_lm_perplexity_gate" -> {
+      import graft.ext.Sampling
+      s"""WITH occ AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base,
+         |         unnest(list_transform(range(1, len(t)),
+         |           i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+         |        FROM documents)),
+         |c12 AS MATERIALIZED (
+         |  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM occ WHERE in_base GROUP BY 1),
+         |c1 AS MATERIALIZED (
+         |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+         |  FROM c12 GROUP BY 1),
+         |nm AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_mass FROM c12),
+         |sc AS (
+         |  SELECT o.id,
+         |         CASE WHEN c1.c1 IS NULL THEN length(bin(n.n_mass + 1)) - 1
+         |              ELSE (length(bin(c1.c1 + 1)) - 1)
+         |                   - (length(bin(COALESCE(c12.c12, 0) + 1)) - 1) END AS bits
+         |  FROM occ o LEFT JOIN c12 USING (bg)
+         |       LEFT JOIN c1 ON c1.w1 = split_part(o.bg, ' ', 1), nm n
+         |  WHERE NOT o.in_base)
+         |SELECT id AS doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(SUM(bits) AS BIGINT) AS nll_bits,
+         |       (16 * CAST(SUM(bits) AS BIGINT)) // CAST(count(*) AS BIGINT) AS bits_x16,
+         |       (16 * CAST(SUM(bits) AS BIGINT)) // CAST(count(*) AS BIGINT) <= $LmGateBitsX16 AS kept
+         |FROM sc GROUP BY 1
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // x107: the depth-2 recursion over the planted corpus in MERGED-mode
     // geometry (deepFenceCtes) — two sub-Lloyd levels, accumulated
