@@ -67,6 +67,34 @@ class TextOpsSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("bigramLmScores: in-model text scores below max-surprise; unseen prefixes back off to fl2(N+1); base slice never scored") {
+    // ids chosen so the md5 hash split at frac 0.5 puts 6,9,11 in base
+    // and 1,2 in the held-out rest (deterministic; verified by the
+    // assertions below — a flipped id would fail loudly)
+    val docs = Seq(
+      (6L, "a b a b a b"), (9L, "a b a b"), (11L, "a b c"),
+      (1L, "a b a b"),        // pure in-model bigrams → low bits
+      (2L, "zz qq zz qq"))    // unseen prefixes → max surprise
+      .toDF("doc_id", "text")
+    val r = TextOps.bigramLmScores(docs, "doc_id", "text", 0.5)
+      .orderBy("id").collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[Long]("n_bigrams"),
+        x.getAs[Long]("nll_bits"), x.getAs[Long]("bits_x16")))
+    val byId = r.map(t => t._1 -> t).toMap
+    assert(r.map(_._1).toSet == Set(1L, 2L),
+      s"held-out set moved (hash split drifted): ${r.map(_._1).toSet}")
+    val inModel = byId(1L); val ood = byId(2L)
+    // base mass N = bigrams of docs 1,2,3 = 5+3+2 = 10 → max surprise
+    // fl2(11) = 3 bits per OOD bigram
+    assert(ood._2 == 3L && ood._3 == 9L && ood._4 == 48L,
+      s"OOD doc should cost fl2(N+1)=3 bits per bigram: $ood")
+    // in-model "a b"/"b a" are the corpus's dominant bigrams → cheaper
+    // per bigram than the OOD backoff
+    assert(inModel._4 < ood._4,
+      s"in-model text must score below max surprise: $inModel vs $ood")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("qualityScore is in [0,1] and penalizes punctuation") {
     val r = TextOps.qualityScore(
       Seq("the quick brown fox and a dog", "!!!???###").toDF("text"))
