@@ -300,16 +300,18 @@ object Bench {
     // a large `gc` (heap pressure), a `cf` delta (unexpected cache
     // rebuild), or a cold first element in `r` (one-time cost) — the
     // round-8 verdict's "nothing in the record says so" gap.
-    // Probes run FIRST (advisor, round 12): memProbeS allocates 256 MB and
-    // cpuProbeS spins a core for seconds — sampling load/gc/heap AFTER them
-    // would record the probes' own disturbance as if it were the host's.
+    // Sampling order (advisor, rounds 12+13): capture load/gc/steal FIRST,
+    // then run the probes — memProbeS allocates 256 MB and cpuProbeS spins a
+    // core for seconds, so sampling after them would record the probes' own
+    // disturbance as if it were the host's.
+    val (laEnd, gcEnd, stealEnd) = (loadAvg, gcMs, stealJiffies)
     val (probeCpu, probeMem) = (cpuProbeS, memProbeS)
     val detailLine =
       s"""{"record":"attribution","started_epoch_ms":$startedMs,""" +
         s""""heap_max_mb":${Runtime.getRuntime.maxMemory >> 20},""" +
         s""""host_cpus":${Runtime.getRuntime.availableProcessors},""" +
-        s""""load_avg_end":${fmt3(loadAvg)},"gc_total_ms":$gcMs,""" +
-        s""""steal_end_jiffies":$stealJiffies,""" +
+        s""""load_avg_end":${fmt3(laEnd)},"gc_total_ms":$gcEnd,""" +
+        s""""steal_end_jiffies":$stealEnd,""" +
         s""""probe_cpu_s":${fmt3(probeCpu)},"probe_mem_s":${fmt3(probeMem)},""" +
         s""""wall_s":${fmt3((System.nanoTime() - benchT0) / 1e9)},""" +
         s""""queries":${detail.map { case (k, v) => "\"" + k + "\":" + v }

@@ -574,7 +574,12 @@ object Similarity {
       * Scoring is the exact quantized cosine over ORIGINAL vectors, so
       * a hit ranks identically to the main path; (src, nbr) pairs are
       * unique by construction (one sub-cell per member, distinct
-      * (cell, subcell) probes per source) — no dedup shuffle. */
+      * (cell, subcell) probes per source) — no dedup shuffle.
+      *
+      * Returns None when the geometry is UNFENCED (no cap) OR when no
+      * cell exceeds the cap (the [[anyBig]] short-circuit): callers must
+      * treat None as "exact path covers everything", not "fence absent" —
+      * do not `.get` on a geometry that may drift under the cap. */
     def residualScored(v: DataFrame, stats: DataFrame, subCells: Int,
                        lloydRounds: Int,
                        subNprobe: Int): Option[DataFrame] =
@@ -633,7 +638,10 @@ object Similarity {
       * residuals; the loop is a STATIC driver loop of maxDepth plan
       * stages (the Lloyd-chain discipline — no data-dependent driver
       * action). depth 1 ≡ [[residualScored]]'s geometry with the
-      * oversized sub-cells recursed instead of joined quadratically. */
+      * oversized sub-cells recursed instead of joined quadratically.
+      *
+      * Same None contract as [[residualScored]]: None when unfenced OR
+      * when no level-0 cell exceeds the cap — never `.get` blindly. */
     def residualScoredDeep(v: DataFrame, stats: DataFrame, subCells: Int,
                            lloydRounds: Int, subNprobe: Int,
                            maxDepth: Int): Option[DataFrame] =
