@@ -522,4 +522,110 @@ object TextOps {
       .select(col("id"), col("n_bigrams"), col("nll_bits"),
         expr("(16 * nll_bits) DIV n_bigrams").as("bits_x16"))
   }
+
+  /** DSIR-style importance weights (x109, step 1 of 2) in hash-gatable
+    * INTEGER form — Xie et al. 2023 ("Data Selection for Language Models
+    * via Importance Resampling"): hash every unigram AND bigram
+    * occurrence into `buckets` feature buckets, fit two bag-of-features
+    * multinomials — p̂_target on the base slice's TARGET rows (the
+    * reference corpus: here the x09 quality gate, the same weak signal
+    * x80/x83 train on) and p̂_raw on the WHOLE base slice — and weight
+    * each held-out document by its log importance ratio
+    * log p̂_target(x)/p̂_raw(x) = Σ_occurrences (log p_t[b] − log p_r[b]).
+    *
+    * Integerization is [[bigramLmScores]]'s halving bucket applied to a
+    * RATIO, with ONE floor per side of the full ratio: per occurrence
+    * in bucket b,
+    * λ[b] = fl2((c_t[b]+1)·(N_r+1)) − fl2((c_r[b]+1)·(N_t+1))
+    * (fl2(x) = ⌊log₂ x⌋ = length(bin(x)) − 1, exact on both engines;
+    * +1 smoothing; N_t/N_r the two models' total feature masses). The
+    * four-floor decomposition fl2(c_t+1) − fl2(c_r+1) + fl2(N_r+1) −
+    * fl2(N_t+1) was measured systematically ≈ −0.4 bits/occurrence
+    * (each floor drops up to a bit, and they don't cancel), which
+    * length-amplifies into an inverted signal — longer target docs
+    * scored LOWER; the product form's two floors cancel in expectation
+    * for a target-typical bucket ((c_t+1)(N_r+1) ≈ (c_r+1)(N_t+1) →
+    * λ = 0), and the measured per-slice means flip to the correct
+    * direction. Per-doc w_bits = Σ λ is a signed integer sum
+    * (shuffle-order-proof) — the whole-doc log₂ importance weight. The
+    * ×16 length-normalized diagnostic dodges negative-division engine
+    * skew by shifting through the |λ| < 128 product bound:
+    * w_x16 = (16·Σ(λ+128)) DIV n − 2048 — the only division is of
+    * non-negative integers, where Spark DIV ≡ DuckDB //.
+    * i64 bound: the products are < 2¹²⁶ only because counts are — at
+    * 100 TB (N ~ 2⁵⁰⁺) the production form right-shifts both masses by
+    * a shared s before multiplying (±1 floor noise) or widens to
+    * DECIMAL(38,0); at any gate scale the i64 product is exact.
+    *
+    * Split discipline = x83's: both models train on the hash-selected
+    * base slice only and weigh the REST; the held-out rows' quality
+    * labels play no part. Docs with zero tokens have no features and
+    * are excluded (a length gate catches them first).
+    *
+    * Scale shape: the models are ≤ `buckets` rows BY CONSTRUCTION (the
+    * hashing trick is DSIR's own scale device), so scoring is two
+    * BROADCAST joins + one 1-row mass anchor over the held-out
+    * occurrences — zero shuffles beyond the two map-side-combinable
+    * training aggregates and the final per-doc sum. At 100 TB nothing
+    * here is corpus²; the bucket count is the only memory knob. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetCol: String, baseFrac: Double,
+                  buckets: Int): DataFrame = {
+    import org.apache.spark.sql.graftfn.ShingleArray
+    val inBase = Sampling.hashThresholdPredicate(col(idCol), baseFrac)
+    def fl2(c: Column): Column = (length(bin(c)) - 1).cast(LongType)
+    val t = tokens(col(textCol))
+    val occ = docs.select(col(idCol).as("id"), inBase.as("in_base"),
+        col(targetCol).as("is_target"),
+        explode(concat(ShingleArray.shingleOccurrences(t, 1),
+          ShingleArray.shingleOccurrences(t, 2))).as("g"))
+      .select(col("id"), col("in_base"), col("is_target"),
+        (Planted.u16(concat(lit("dsirb|"), col("g"))) % buckets).as("bucket"))
+    val ct = ExtCaches.persistTracked(
+      occ.filter(col("in_base") && col("is_target"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c_t")))
+    val cr = ExtCaches.persistTracked(
+      occ.filter(col("in_base"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c_r")))
+    val anchor = broadcast(
+      ct.agg(coalesce(sum(col("c_t")), lit(0L)).as("n_t"))
+        .crossJoin(cr.agg(coalesce(sum(col("c_r")), lit(0L)).as("n_r"))))
+    occ.filter(!col("in_base"))
+      .join(broadcast(ct), Seq("bucket"), "left")
+      .join(broadcast(cr), Seq("bucket"), "left")
+      .crossJoin(anchor)
+      .withColumn("lam",
+        fl2((coalesce(col("c_t"), lit(0L)) + 1L) * (col("n_r") + 1L)) -
+          fl2((coalesce(col("c_r"), lit(0L)) + 1L) * (col("n_t") + 1L)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lam")).as("w_bits"))
+      .select(col("id"), col("n_feats"), col("w_bits"),
+        expr("(16 * w_bits + 2048 * n_feats) DIV n_feats - 2048")
+          .as("w_x16"))
+  }
+
+  /** DSIR importance RESAMPLING (x109, step 2 of 2): thin the held-out
+    * pool with per-document probability proportional to its importance
+    * weight — the Bernoulli form of the paper's resampling step, in
+    * exact integer arithmetic. Acceptance probability is the
+    * exponentiated log-weight, 2^(w_bits − T) clamped to [2⁻¹⁶, 1]
+    * (sampling ∝ w(x) IS sampling ∝ 2^log₂w(x)): a doc at or above
+    * `thresholdBits` is kept surely; each whole bit below HALVES the
+    * keep probability: shift = min(16, max(0, T − w_bits)),
+    * accept iff u16(salt‖id) < 2¹⁶ ≫ shift — the x21/x27 hash-threshold
+    * draw, so the selection is a pure function of (id, weight):
+    * re-runs, backfills and appends keep exactly the same rows. The
+    * whole-bit acceptance grid is the price of engine-exact
+    * integerization (same honesty as [[bigramLmScores]]'s bit-granular
+    * surprise); the published form draws Gumbel top-k without
+    * replacement — same weights, different thinning schedule. */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+                   targetCol: String, baseFrac: Double, buckets: Int,
+                   thresholdBits: Long, salt: String = "dsirk|"): DataFrame =
+    dsirWeights(docs, idCol, textCol, targetCol, baseFrac, buckets)
+      .withColumn("shift",
+        expr(s"least(16L, greatest(0L, $thresholdBits - w_bits))"))
+      .withColumn("accepted",
+        Planted.u16(concat(lit(salt), col("id").cast("string"))) <
+          expr("65536 DIV shiftleft(1L, cast(shift as int))"))
 }

@@ -2163,20 +2163,6 @@ object Extensions {
   val PlantedDeepCoarse = 10
   val PlantedDeepNprobe = 2
 
-  /** Depth-2 residual recursion, oracle-gated end to end (x107) — the
-    * last spec-only branch promoted to a registry gate (round-12 weak
-    * #2's explicit residue): [[Similarity.knnGraphIvfResidual]] at
-    * `depth = 2` over the planted corpus in MERGED-mode geometry
-    * ([[PlantedDeepCoarse]]), cap far below cluster size, so the
-    * static two-level loop runs in full — level-1 global sub-Lloyd
-    * over big-cell residuals, still-oversized (cell, sub) keys
-    * re-quantized at level 2 against ACCUMULATED offsets
-    * (cbar₀ + cbar₁), cap-bounded emits at each level, and the
-    * depth-exhaustion exhaustive emit for keys depth 2 cannot split.
-    * The DuckDB oracle (deepFenceCtes) replicates every stage, so the
-    * recursion algebra — offsets, per-level seeds, the emit/recurse
-    * partition, the final DISTINCT — is cross-engine-proven at all
-    * three SFs. */
   /** LM-gate threshold: average per-bigram surprise, fixed-point ×16
     * (so 112 = 7.0 bits/bigram). Chosen from the measured held-out
     * distribution at sf0.01 so the flag is a real partition of the
@@ -2202,6 +2188,56 @@ object Extensions {
         col("bits_x16"), (col("bits_x16") <= LmGateBitsX16).as("kept"))
       .orderBy(col("doc_id"))
 
+  /** DSIR feature-bucket count — the hashing-trick model size (the
+    * paper uses 10k for web-scale corpora; 1024 caps both multinomials
+    * at broadcast size here while still forcing real collisions, which
+    * is the point of hashed features). */
+  val DsirBuckets = 1024
+
+  /** DSIR acceptance threshold on the whole-doc log₂ importance weight
+    * ([[graft.ext.TextOps.dsirWeights]]'s w_bits). Pinned from the
+    * measured held-out distribution the way [[LmGateBitsX16]] was:
+    * w_bits spans −4..+6 at sf0.001/0.01 and −2..+2 at sf0.1 (medians
+    * 0), so 1 keeps the top quartile surely, thins the median class at
+    * 1/2, and drives the tail to 2⁻³..2⁻⁵ — sure-keeps, thinned keeps,
+    * and hash-rejected docs all non-empty at every SF. */
+  val DsirThresholdBits = 1L
+
+  /** DSIR-style importance resampling (x109) — the curation ladder's
+    * missing published stage (heuristics x09 → classifier x83 → LM gate
+    * x108 → importance RESAMPLING): hashed unigram+bigram features,
+    * integer halving-bucket importance weights log₂(p̂_target/p̂_raw)
+    * with the x09 quality gate as the target-corpus signal, and the
+    * x21/x27 hash-threshold draw thinning the held-out pool with
+    * probability ∝ the exponentiated weight (power-of-two grid). Both
+    * models train on the [[BaseFrac]] hash slice only (x83's split
+    * discipline); see [[graft.ext.TextOps.dsirWeights]] /
+    * [[graft.ext.TextOps.dsirResample]] for the integerization and the
+    * broadcast-model scale shape. */
+  def x109_dsir_resample(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.dsirResample(
+      TextOps.qualityScore(Tables.documents(s, dir))
+        .withColumn("is_target", col("quality_score") >= QualityGate),
+      "doc_id", "text", "is_target", BaseFrac, DsirBuckets,
+      DsirThresholdBits)
+      .select(col("id").as("doc_id"), col("n_feats"), col("w_bits"),
+        col("w_x16"), col("shift"), col("accepted"))
+      .orderBy(col("doc_id"))
+
+  /** Depth-2 residual recursion, oracle-gated end to end (x107) — the
+    * last spec-only branch promoted to a registry gate (round-12 weak
+    * #2's explicit residue): [[Similarity.knnGraphIvfResidual]] at
+    * `depth = 2` over the planted corpus in MERGED-mode geometry
+    * ([[PlantedDeepCoarse]]), cap far below cluster size, so the
+    * static two-level loop runs in full — level-1 global sub-Lloyd
+    * over big-cell residuals, still-oversized (cell, sub) keys
+    * re-quantized at level 2 against ACCUMULATED offsets
+    * (cbar₀ + cbar₁), cap-bounded emits at each level, and the
+    * depth-exhaustion exhaustive emit for keys depth 2 cannot split.
+    * The DuckDB oracle (deepFenceCtes) replicates every stage, so the
+    * recursion algebra — offsets, per-level seeds, the emit/recurse
+    * partition, the final DISTINCT — is cross-engine-proven at all
+    * three SFs. */
   def x107_planted_fence_deep(s: SparkSession, dir: String): DataFrame =
     Similarity.knnGraphIvfResidual(
       graft.ext.Planted.vectors(
@@ -3338,7 +3374,8 @@ object Extensions {
     "x105_bm25_stuffed_ladder" -> (x105_bm25_stuffed_ladder _),
     "x106_planted_fence_residual" -> (x106_planted_fence_residual _),
     "x107_planted_fence_deep" -> (x107_planted_fence_deep _),
-    "x108_lm_perplexity_gate" -> (x108_lm_perplexity_gate _))
+    "x108_lm_perplexity_gate" -> (x108_lm_perplexity_gate _),
+    "x109_dsir_resample" -> (x109_dsir_resample _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -4413,7 +4450,10 @@ object Extensions {
     * tokens in (count DESC, token) order (DuckDB's ordered `list(...
     * ORDER BY ...)` aggregate ≡ the engine's array_sort over negated
     * counts), each repeated StuffReps times, appended to the
-    * u16-selected 1-in-StuffModulo docs. `sdocs` carries (doc_id, text). */
+    * u16-selected 1-in-StuffModulo docs. `sdocs` carries (doc_id, text).
+    * The stuffed append is COALESCE(text || ' ' || stuffing, stuffing)
+    * to mirror the engine's concat_ws NULL-skipping — a NULL-text doc
+    * stuffs to the bare stuffing string on both engines. */
   private def stuffedCorpusCtes: String = {
     import graft.ext.Retrieval._
     s"""stop AS (
@@ -4429,7 +4469,7 @@ object Extensions {
        |sdocs AS (
        |  SELECT doc_id,
        |         CASE WHEN ${u16Sql("'stuff|' || CAST(doc_id AS VARCHAR)")} % $StuffModulo = 0
-       |              THEN text || ' ' || stuffing ELSE text END AS text
+       |              THEN COALESCE(text || ' ' || stuffing, stuffing) ELSE text END AS text
        |  FROM documents, sstr)""".stripMargin
   }
 
@@ -6096,6 +6136,55 @@ object Extensions {
          |       (16 * CAST(SUM(bits) AS BIGINT)) // CAST(count(*) AS BIGINT) <= $LmGateBitsX16 AS kept
          |FROM sc GROUP BY 1
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // x109: DSIR importance resampling — hashed unigram+bigram feature
+    // buckets, target/raw multinomials counted on the base slice (target
+    // = the x09 quality gate), halving-bucket integer log-importance per
+    // occurrence, offset-safe ×16 length normalization, and the
+    // hash-threshold power-of-two acceptance draw. Bucket CTEs
+    // materialized (each referenced by the scoring join).
+    "x109_dsir_resample" -> {
+      import graft.ext.Sampling
+      s"""WITH $qualityGateCte,
+         |docc AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base,
+         |         (quality_score >= $QualityGate) AS is_target,
+         |         ${u16Sql("'dsirb|' || g")} % $DsirBuckets AS bucket
+         |  FROM (SELECT q.doc_id, q.quality_score,
+         |               unnest(list_concat(qt.t, list_transform(range(1, len(qt.t)),
+         |                 i -> array_to_string(list_slice(qt.t, i, i + 1), ' ')))) AS g
+         |        FROM qq q JOIN qtoks qt USING (doc_id))),
+         |ctb AS MATERIALIZED (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS c_t
+         |  FROM docc WHERE in_base AND is_target GROUP BY 1),
+         |crb AS MATERIALIZED (
+         |  SELECT bucket, CAST(count(*) AS BIGINT) AS c_r
+         |  FROM docc WHERE in_base GROUP BY 1),
+         |an AS (SELECT (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) FROM ctb) AS n_t,
+         |              (SELECT CAST(COALESCE(SUM(c_r), 0) AS BIGINT) FROM crb) AS n_r),
+         |sc AS (
+         |  SELECT o.id,
+         |         (length(bin((COALESCE(ct.c_t, 0) + 1) * (a.n_r + 1))) - 1)
+         |         - (length(bin((COALESCE(cr.c_r, 0) + 1) * (a.n_t + 1))) - 1) AS lam
+         |  FROM docc o LEFT JOIN ctb ct USING (bucket)
+         |       LEFT JOIN crb cr USING (bucket), an a
+         |  WHERE NOT o.in_base),
+         |pw AS (
+         |  SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |         CAST(SUM(lam) AS BIGINT) AS w_bits
+         |  FROM sc GROUP BY 1),
+         |ws AS (
+         |  SELECT doc_id, n_feats, w_bits,
+         |         (16 * w_bits + 2048 * n_feats) // n_feats - 2048 AS w_x16
+         |  FROM pw),
+         |wk AS (
+         |  SELECT *, CAST(least(16, greatest(0, $DsirThresholdBits - w_bits)) AS BIGINT) AS shift
+         |  FROM ws)
+         |SELECT doc_id, n_feats, w_bits, w_x16, shift,
+         |       ${u16Sql("'dsirk|' || CAST(doc_id AS VARCHAR)")} < 65536 // (CAST(1 AS BIGINT) << shift) AS accepted
+         |FROM wk ORDER BY doc_id""".stripMargin
     },
 
     // x107: the depth-2 recursion over the planted corpus in MERGED-mode

@@ -220,6 +220,59 @@ class TextOpsSpec extends SparkSpec {
     val expected3 = "tables are not a <MASK>" // "tables" ≠ \btable\b
     assert(r(2).getAs[Long]("n_chars_scrubbed") == expected3.length.toLong)
   }
+
+  test("dsirWeights: target-vocab held-out docs outweigh raw-vocab ones; base slice never weighed") {
+    // same deterministic md5 split as the bigramLmScores spec: at frac
+    // 0.5, ids 6,9,11 land in base, 1,2 in the held-out rest
+    val docs = Seq(
+      (6L, "apple banana apple banana", true),
+      (9L, "apple cherry banana cherry", true),
+      (11L, "zebra yak zebra yak", false),
+      (1L, "apple banana apple", false),  // target-like text; label unused
+      (2L, "zebra yak yak", false))       // raw-like text
+      .toDF("doc_id", "text", "is_target")
+    val r = TextOps.dsirWeights(docs, "doc_id", "text", "is_target", 0.5, 1024)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("n_feats"), x.getAs[Long]("w_bits"),
+          x.getAs[Long]("w_x16"))).toMap
+    assert(r.keySet == Set(1L, 2L),
+      s"held-out set moved (hash split drifted): ${r.keySet}")
+    // doc 1's features are frequent in the TARGET model, doc 2's only in
+    // the raw model — the importance direction DSIR exists to measure
+    assert(r(1L)._2 > r(2L)._2,
+      s"target-like doc must outweigh raw-like doc: ${r(1L)} vs ${r(2L)}")
+    // unigrams + bigrams, with multiplicity: 3 tokens → 3 + 2 features
+    assert(r(1L)._1 == 5L && r(2L)._1 == 5L)
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("dsirResample: at/above-threshold docs keep surely; each bit below halves the hash budget") {
+    val docs = Seq(
+      (6L, "apple banana apple banana", true),
+      (9L, "apple cherry banana cherry", true),
+      (11L, "zebra yak zebra yak", false),
+      (1L, "apple banana apple", false),
+      (2L, "zebra yak yak", false))
+      .toDF("doc_id", "text", "is_target")
+    def run(t: Long) =
+      TextOps.dsirResample(docs, "doc_id", "text", "is_target", 0.5, 1024, t)
+        .collect().map(x => x.getAs[Long]("id") ->
+          (x.getAs[Long]("w_bits"), x.getAs[Long]("shift"),
+            x.getAs[Boolean]("accepted"))).toMap
+    // threshold below every weight: shift 0 everywhere, all kept surely
+    val loose = run(-100L)
+    assert(loose.values.forall(v => v._2 == 0L && v._3), s"loose: $loose")
+    // threshold far above: shift saturates at 16 → keep prob 2^-16
+    // (u16 must be 0) — with these ids, nothing survives
+    val tight = run(100L)
+    assert(tight.values.forall(v => v._2 == 16L), s"tight: $tight")
+    // the shift algebra itself: min(16, max(0, T - w_bits)) at T = 0
+    val mid = run(0L)
+    mid.foreach { case (_, (w, s, _)) =>
+      assert(s == math.min(16L, math.max(0L, 0L - w)))
+    }
+    graft.ext.ExtCaches.clearCaches()
+  }
 }
 
 class DedupSpec extends SparkSpec {
