@@ -4,15 +4,26 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Multimodal-column plumbing (SURVEY.md §7.6): media as opaque `binary`
+/** Multimodal-column operators (SURVEY.md §7.6): media as opaque `binary`
   * payloads with typed metadata, processed by per-partition iterator
   * transforms — the Scala analog of a vectorized Python `mapInPandas`
-  * stage. The Spark-side mechanics (schema, encoders, partition-iterator
-  * batching, post-transform aggregation) are real and tested; the codec
-  * itself is a STUB — this container has no image/audio libraries, so
-  * `decodeStub` derives deterministic fake features from the raw bytes.
-  * Swapping in a real decoder changes only the function body, not the
-  * pipeline shape.
+  * stage. Since round 14 the codec is REAL: payloads are genuine binary
+  * image containers — P6 PPM (netpbm: ASCII header + raw RGB) and 24-bit
+  * uncompressed BMP (little-endian headers, BOTTOM-UP row order, BGR
+  * channel order, 4-byte row padding) — and [[decodeImage]] is a real
+  * parser that dispatches on the magic bytes and normalizes both to one
+  * pixel layout (row-major top-down RGB). The containers were chosen
+  * because they are fully specified by public format docs and parseable
+  * in pure JVM code (this container has no native codec libraries);
+  * swapping in libjpeg-class codecs changes only the parser body, not
+  * the pipeline shape.
+  *
+  * Correctness story: the synthetic corpus's pixels are a deterministic
+  * integer function of (doc_id, flat index) — [[pixelByte]] — so the
+  * DuckDB oracle recomputes the decoded histogram ANALYTICALLY from the
+  * formula while the engine round-trips real bytes (encode → parse →
+  * histogram). Any header/padding/row-order/channel-order bug in either
+  * codec path breaks the x14 hash gate.
   *
   * Scale: `mapPartitions` keeps the decode batched per partition (one
   * codec init per partition, not per row — the same reason mapInPandas
@@ -29,45 +40,213 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
                            bucket: Int, count: Long)
 
+  /** A decoded image, container-independent: row-major, top-down, RGB
+    * interleaved (3 bytes per pixel). Both parsers normalize to this —
+    * BMP must flip its bottom-up rows and swap BGR. */
+  case class DecodedImage(width: Int, height: Int, rgb: Array[Byte])
+
   val HistogramBuckets = 16
 
-  /** Synthesize a media relation from the documents table: the UTF-8
-    * bytes of `text` stand in for an encoded image/audio payload, with a
-    * deterministic fake format tag. Payload synthesis is built-ins only
-    * (`encode`), so it runs columnar until the decode stage. `n_bytes` is
-    * the PAYLOAD byte count (octet_length) — `length(text)` counts
-    * characters and diverges from the binary payload on any non-ASCII
-    * document. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").cast(LongType).as("doc_id"),
-      element_at(array(lit("png"), lit("jpeg"), lit("wav")),
-        (col("doc_id") % 3 + 1).cast("int")).as("format"),
-      octet_length(col("text")).cast(LongType).as("n_bytes"),
-      encode(col("text"), "UTF-8").as("payload"))
+  // ---- deterministic synthetic pixel field (oracle-replayable) ----------
 
-  /** STUB decoder: a real implementation would decode the image/audio and
-    * emit perceptual features; here the deterministic fake is a histogram
-    * of `byte mod HistogramBuckets`. The signature and batching are the
-    * real contract. */
-  def decodeStub(payload: Array[Byte]): Array[Long] = {
-    val hist = new Array[Long](HistogramBuckets)
+  /** Per-doc image dims, 4..16 — small enough that the oracle's
+    * analytic pixel relation stays cheap, large enough that BMP row
+    * padding exercises every remainder class (3w mod 4 ∈ {0,1,2,3}). */
+  def imageWidth(docId: Long): Int = (4 + (docId * 7) % 13).toInt
+  def imageHeight(docId: Long): Int = (4 + (docId * 11) % 13).toInt
+
+  /** Channel byte at flat index `idx` = (y·w + x)·3 + channel — a pure
+    * integer formula both engines can evaluate exactly. */
+  def pixelByte(docId: Long, idx: Long): Byte =
+    ((docId * 37 + idx * 101) % 256).toByte
+
+  private def synthPixels(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
     var i = 0
-    while (i < payload.length) {
-      hist(((payload(i) % HistogramBuckets) + HistogramBuckets) % HistogramBuckets) += 1
-      i += 1
-    }
-    hist
+    while (i < rgb.length) { rgb(i) = pixelByte(docId, i.toLong); i += 1 }
+    rgb
   }
 
-  /** Per-partition feature extraction: one row per (doc, bucket) with a
-    * non-zero count. Runs the stub codec once per row inside a partition
-    * iterator — no shuffle, no driver involvement. */
+  // ---- encoders ----------------------------------------------------------
+
+  /** P6 PPM: "P6\n<w> <h>\n255\n" + raw row-major top-down RGB. */
+  def encodePpm(img: DecodedImage): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n255\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + img.rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.rgb, 0, out, header.length, img.rgb.length)
+    out
+  }
+
+  private def rowSizeBmp(w: Int): Int = (3 * w + 3) / 4 * 4
+
+  private def putIntLE(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = (v & 0xff).toByte
+    a(off + 1) = ((v >>> 8) & 0xff).toByte
+    a(off + 2) = ((v >>> 16) & 0xff).toByte
+    a(off + 3) = ((v >>> 24) & 0xff).toByte
+  }
+
+  private def getIntLE(a: Array[Byte], off: Int): Int =
+    (a(off) & 0xff) | ((a(off + 1) & 0xff) << 8) |
+      ((a(off + 2) & 0xff) << 16) | ((a(off + 3) & 0xff) << 24)
+
+  /** 24-bit uncompressed BMP (BITMAPINFOHEADER): 14-byte file header +
+    * 40-byte info header + pixel rows BOTTOM-UP, BGR, each padded to a
+    * 4-byte boundary. */
+  def encodeBmp(img: DecodedImage): Array[Byte] = {
+    val (w, h) = (img.width, img.height)
+    val rowSize = rowSizeBmp(w)
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    out(0) = 'B'; out(1) = 'M'
+    putIntLE(out, 2, out.length) // file size
+    putIntLE(out, 10, 54) // pixel-data offset
+    putIntLE(out, 14, 40) // info-header size
+    putIntLE(out, 18, w)
+    putIntLE(out, 22, h) // positive height = bottom-up
+    out(26) = 1 // planes (u16 LE)
+    out(28) = 24 // bpp (u16 LE)
+    putIntLE(out, 30, 0) // BI_RGB, uncompressed
+    putIntLE(out, 34, dataSize)
+    var y = 0
+    while (y < h) {
+      val srcRow = h - 1 - y // bottom-up: file row y is image row h-1-y
+      var x = 0
+      while (x < w) {
+        val s = (srcRow * w + x) * 3
+        val d = 54 + y * rowSize + x * 3
+        out(d) = img.rgb(s + 2) // B
+        out(d + 1) = img.rgb(s + 1) // G
+        out(d + 2) = img.rgb(s) // R
+        x += 1
+      }
+      y += 1 // padding bytes stay zero
+    }
+    out
+  }
+
+  // ---- decoders ----------------------------------------------------------
+
+  /** Parse one P6 image starting at `off`; returns (image, bytes
+    * consumed). Tolerates arbitrary whitespace and '#' comments between
+    * header tokens (the netpbm spec); requires maxval 255. */
+  private def decodePpmAt(p: Array[Byte], off: Int): (DecodedImage, Int) = {
+    require(off + 2 <= p.length && p(off) == 'P' && p(off + 1) == '6',
+      s"not a P6 PPM at offset $off")
+    var i = off + 2
+    def skipWs(): Unit = {
+      var inComment = false
+      while (i < p.length && (inComment || p(i) == ' ' || p(i) == '\n' ||
+          p(i) == '\r' || p(i) == '\t' || p(i) == '#')) {
+        if (p(i) == '#') inComment = true
+        else if (p(i) == '\n') inComment = false
+        i += 1
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      require(i < p.length && p(i) >= '0' && p(i) <= '9',
+        s"expected integer in PPM header at $i")
+      var v = 0
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = v * 10 + (p(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    require(maxval == 255, s"unsupported PPM maxval $maxval")
+    i += 1 // exactly ONE whitespace byte separates header from raster
+    val n = w * h * 3
+    require(i + n <= p.length, s"truncated PPM raster: need $n at $i")
+    val rgb = new Array[Byte](n)
+    System.arraycopy(p, i, rgb, 0, n)
+    (DecodedImage(w, h, rgb), i + n - off)
+  }
+
+  private def decodeBmp(p: Array[Byte]): DecodedImage = {
+    require(p.length >= 54 && p(0) == 'B' && p(1) == 'M', "not a BMP")
+    val dataOff = getIntLE(p, 10)
+    val w = getIntLE(p, 18)
+    val h = getIntLE(p, 22)
+    val bpp = (p(28) & 0xff) | ((p(29) & 0xff) << 8)
+    val compression = getIntLE(p, 30)
+    require(h > 0, "top-down BMP (negative height) not supported")
+    require(bpp == 24 && compression == 0,
+      s"unsupported BMP variant: bpp=$bpp compression=$compression")
+    val rowSize = rowSizeBmp(w)
+    require(dataOff + rowSize * h <= p.length, "truncated BMP raster")
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = h - 1 - y
+      var x = 0
+      while (x < w) {
+        val s = dataOff + srcRow * rowSize + x * 3
+        val d = (y * w + x) * 3
+        rgb(d) = p(s + 2) // R from BGR
+        rgb(d + 1) = p(s + 1)
+        rgb(d + 2) = p(s)
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(w, h, rgb)
+  }
+
+  /** THE decoder: dispatch on magic bytes, normalize to top-down RGB.
+    * Fails loudly on anything else — an unrecognized payload is a data
+    * bug, not a feature row. */
+  def decodeImage(payload: Array[Byte]): DecodedImage = {
+    require(payload.length >= 2, "payload too short for any magic")
+    if (payload(0) == 'P' && payload(1) == '6') decodePpmAt(payload, 0)._1
+    else if (payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
+    else throw new IllegalArgumentException(
+      s"unrecognized image magic: 0x${"%02x%02x".format(payload(0), payload(1))}")
+  }
+
+  // ---- corpus synthesis ----------------------------------------------------
+
+  /** A real image relation from the documents table: per doc, a genuine
+    * PPM (even ids) or BMP (odd ids) container holding the deterministic
+    * [[pixelByte]] field at [[imageWidth]]×[[imageHeight]]. Built in a
+    * partition iterator — payload bytes never exist driver-side. */
+  def imagesFromDocuments(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast(LongType)).as[Long].mapPartitions { ids =>
+      ids.map { d =>
+        val img = DecodedImage(imageWidth(d), imageHeight(d),
+          synthPixels(d, imageWidth(d), imageHeight(d)))
+        val (fmt, payload) =
+          if (d % 2 == 0) ("ppm", encodePpm(img)) else ("bmp", encodeBmp(img))
+        MediaRow(d, fmt, payload.length.toLong, payload)
+      }
+    }
+  }
+
+  // ---- features ------------------------------------------------------------
+
+  /** Integer Rec.601-style luma, exact on both engines:
+    * (77·R + 150·G + 29·B) DIV 256 ∈ [0, 255] (77+150+29 = 256). */
+  def lumaBucket(r: Int, g: Int, b: Int): Int =
+    ((77 * r + 150 * g + 29 * b) / 256) / (256 / HistogramBuckets)
+
+  /** Per-partition feature extraction: REAL decode, then a luminance
+    * histogram — one row per (doc, bucket) with a non-zero count. No
+    * shuffle, no driver involvement; one decoder instance per partition. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val hist = decodeStub(r.payload)
+        val img = decodeImage(r.payload)
+        val hist = new Array[Long](HistogramBuckets)
+        var i = 0
+        while (i < img.rgb.length) {
+          hist(lumaBucket(img.rgb(i) & 0xff, img.rgb(i + 1) & 0xff,
+            img.rgb(i + 2) & 0xff)) += 1
+          i += 3
+        }
         hist.iterator.zipWithIndex.collect {
           case (cnt, bucket) if cnt > 0 =>
             MediaFeatures(r.doc_id, r.format, r.n_bytes, bucket, cnt)
@@ -76,50 +255,81 @@ object Multimodal {
     }
   }
 
-  /** End-to-end media featurization over the documents table. */
-  def documentByteHistogram(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** End-to-end media featurization over the documents table: synthesize
+    * real containers, parse them back, histogram the decoded luminance. */
+  def documentPixelHistogram(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    extractFeatures(mediaFromDocuments(docs).as[MediaRow]).toDF()
+    extractFeatures(imagesFromDocuments(docs)).toDF()
   }
 
-  /** Resize stub: a real image resize decodes, scales, and re-encodes;
-    * the stub downsamples the payload by averaging fixed `factor`-byte
-    * blocks (deterministic; output length = ceil(n/factor), the 1-D
-    * analog of area-average scaling). As with [[decodeStub]], the
-    * partition-iterator batching and the payload-in/payload-out row
-    * contract are the real interface a codec would slot into. */
-  def resizeStub(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+  // ---- transforms ------------------------------------------------------------
+
+  /** REAL image resize: decode, area-average `factor`×`factor` pixel
+    * blocks per channel (edge blocks average their remainder — the same
+    * contract as any box-filter downscale), re-encode in the SAME
+    * container format the row arrived in. Output dims = ceil(dim/factor). */
+  def resizeImage(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     require(factor > 0, s"factor must be positive: $factor")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val n = r.payload.length
-        val out = new Array[Byte]((n + factor - 1) / factor)
-        var i = 0
-        while (i < out.length) {
-          var s = 0
-          var j = i * factor
-          val end = math.min(j + factor, n)
-          while (j < end) { s += r.payload(j) & 0xff; j += 1 }
-          out(i) = (s / (end - i * factor)).toByte
-          i += 1
+        val img = decodeImage(r.payload)
+        val ow = (img.width + factor - 1) / factor
+        val oh = (img.height + factor - 1) / factor
+        val out = new Array[Byte](ow * oh * 3)
+        var oy = 0
+        while (oy < oh) {
+          var ox = 0
+          while (ox < ow) {
+            var c = 0
+            while (c < 3) {
+              var sum = 0; var n = 0
+              var y = oy * factor
+              val yEnd = math.min(y + factor, img.height)
+              while (y < yEnd) {
+                var x = ox * factor
+                val xEnd = math.min(x + factor, img.width)
+                while (x < xEnd) {
+                  sum += img.rgb((y * img.width + x) * 3 + c) & 0xff
+                  n += 1; x += 1
+                }
+                y += 1
+              }
+              out((oy * ow + ox) * 3 + c) = (sum / n).toByte
+              c += 1
+            }
+            ox += 1
+          }
+          oy += 1
         }
-        r.copy(n_bytes = out.length.toLong, payload = out)
+        val resized = DecodedImage(ow, oh, out)
+        val payload =
+          if (r.format == "bmp") encodeBmp(resized) else encodePpm(resized)
+        r.copy(n_bytes = payload.length.toLong, payload = payload)
       }
     }
   }
 
-  /** Frame sampling stub for "video" payloads: every `stride`-th byte
-    * starts a frame of `frameLen` bytes. Real frame extraction swaps the
-    * slicing for a container parser; the partition-iterator shape stays. */
-  def sampleFrames(media: Dataset[MediaRow], stride: Int, frameLen: Int)
+  /** REAL frame sampling: a "video" payload is a stream of concatenated
+    * P6 frames (the simplest container that is still a container); parse
+    * frames sequentially, keep every `stride`-th, emit the decoded RGB.
+    * A real container parser (mp4 atoms + a codec) swaps in here; the
+    * sequential-parse partition-iterator shape is the contract. */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int)
   : Dataset[(Long, Int, Array[Byte])] = {
+    require(stride > 0, s"stride must be positive: $stride")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        Iterator.range(0, r.payload.length, stride).zipWithIndex.map {
-          case (off, idx) =>
-            (r.doc_id, idx, r.payload.slice(off, math.min(off + frameLen, r.payload.length)))
+        val frames = Iterator.unfold(0) { off =>
+          if (off >= r.payload.length) None
+          else {
+            val (img, consumed) = decodePpmAt(r.payload, off)
+            Some((img, off + consumed))
+          }
+        }
+        frames.zipWithIndex.collect {
+          case (img, idx) if idx % stride == 0 => (r.doc_id, idx, img.rgb)
         }
       }
     }

@@ -3244,10 +3244,19 @@ object Extensions {
       .orderBy(col("event_type"))
   }
 
-  // ---- x14: multimodal byte-histogram features ---------------------------
+  // ---- x14: multimodal decoded-pixel histogram ----------------------------
 
+  /** Real-codec multimodal featurization (x14, round 14 — decode made
+    * REAL): synthesize genuine binary image containers per document (P6
+    * PPM for even ids, 24-bit bottom-up padded BMP for odd — see
+    * [[graft.ext.Multimodal]]), PARSE them back with the real
+    * dual-format decoder, and histogram the decoded integer luminance.
+    * The oracle never touches bytes: it recomputes the histogram
+    * analytically from the deterministic pixel formula, so the gate is
+    * a cross-engine proof that encode → parse → normalize (row flip,
+    * BGR swap, padding strip) round-trips exactly. */
   def x14_multimodal_histogram(s: SparkSession, dir: String): DataFrame =
-    Multimodal.documentByteHistogram(s, Tables.documents(s, dir))
+    Multimodal.documentPixelHistogram(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("format"), col("n_bytes"),
         col("bucket").cast(LongType).as("bucket"),
         col("count").as("n_in_bucket"))
@@ -7227,27 +7236,35 @@ object Extensions {
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin,
 
-    // Byte-exact twin of Multimodal.decodeStub: iterate the UTF-8 PAYLOAD
-    // bytes (not characters — ord(substr) histograms codepoints and breaks
-    // on any non-ASCII document). bucket = byte mod 16 = the byte's low
-    // hex nibble, read straight out of hex(encode(text)); n_bytes is the
-    // payload octet count on both sides.
+    // Analytic twin of Multimodal's REAL codec path: the engine encodes
+    // genuine PPM/BMP containers and parses them back; the oracle never
+    // sees a byte — it recomputes the decoded luminance histogram from
+    // the deterministic pixel formula (channel at flat index i =
+    // (doc_id·37 + i·101) mod 256, luma = (77R+150G+29B) DIV 256,
+    // bucket = luma DIV 16) and the containers' arithmetic sizes (PPM:
+    // 9 + digits(w) + digits(h) + 3wh; BMP: 54 + h·rowSize with 4-byte
+    // row padding). A header, padding, row-order or channel-order bug in
+    // either codec path breaks this hash.
     "x14_multimodal_histogram" ->
-      """WITH hx AS (
-        |  SELECT doc_id, hex(encode(text)) AS hs,
-        |         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(4 + (doc_id * 7) % 13 AS BIGINT) AS w,
+        |         CAST(4 + (doc_id * 11) % 13 AS BIGINT) AS h
         |  FROM documents),
-        |bytes AS (
-        |  SELECT doc_id, nb,
-        |         strpos('0123456789ABCDEF', substr(hs, CAST(2*i AS INT), 1)) - 1 AS bucket
-        |  FROM hx, unnest(range(1, nb + 1)) AS u(i)),
-        |h AS (SELECT doc_id, nb, bucket, count(*) AS n_in_bucket
-        |      FROM bytes GROUP BY 1, 2, 3)
+        |lum AS (
+        |  SELECT doc_id, w, h,
+        |         ((77 * ((doc_id*37 + (3*i)*101) % 256)
+        |          + 150 * ((doc_id*37 + (3*i+1)*101) % 256)
+        |          + 29 * ((doc_id*37 + (3*i+2)*101) % 256)) // 256) // 16 AS bucket
+        |  FROM dims, unnest(range(0, w * h)) AS u(i))
         |SELECT doc_id,
-        |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
-        |       nb AS n_bytes,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+        |       CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
+        |            ELSE 54 + h * ((3*w + 3) // 4 * 4) END AS BIGINT) AS n_bytes,
         |       CAST(bucket AS BIGINT) AS bucket,
-        |       n_in_bucket
-        |FROM h
+        |       CAST(count(*) AS BIGINT) AS n_in_bucket
+        |FROM lum
+        |GROUP BY 1, 2, 3, 4
         |ORDER BY doc_id, bucket""".stripMargin)
 }

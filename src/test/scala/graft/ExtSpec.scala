@@ -857,59 +857,114 @@ class SimilaritySpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+  import Multimodal.{DecodedImage, MediaRow}
 
-  test("decodeStub histogram counts bytes mod 16") {
-    val h = Multimodal.decodeStub("aab".getBytes("UTF-8"))
-    // 'a'=97 → 1, 'b'=98 → 2
-    assert(h(1) == 2L && h(2) == 1L && h.sum == 3L)
+  // a 3×2 test card whose RGB bytes are all distinct — any channel swap,
+  // row flip, or padding slip changes the round-trip
+  private val card = DecodedImage(3, 2,
+    Array.tabulate[Byte](18)(i => (i * 11 + 5).toByte))
+
+  test("PPM round-trips: header parse, maxval check, raster copy") {
+    val p = Multimodal.encodePpm(card)
+    assert(new String(p.take(9), "US-ASCII") == "P6\n3 2\n25") // header prefix
+    val d = Multimodal.decodeImage(p)
+    assert(d.width == 3 && d.height == 2)
+    assert(d.rgb.toSeq == card.rgb.toSeq)
   }
 
-  test("documentByteHistogram runs the mapPartitions pipeline end to end") {
-    val docs = Seq((0L, "aa"), (1L, "b")).toDF("doc_id", "text")
-    val r = Multimodal.documentByteHistogram(spark, docs)
-      .orderBy("doc_id", "bucket").collect()
-      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("bucket"), x.getAs[Long]("count")))
-    assert(r.toSeq == Seq((0L, 1, 2L), (1L, 2, 1L)))
+  test("PPM decode tolerates comments and extra whitespace in the header") {
+    val raster = card.rgb
+    val header = "P6 # a comment\n 3\t2 #dims\n255\n".getBytes("US-ASCII")
+    val d = Multimodal.decodeImage(header ++ raster)
+    assert(d.width == 3 && d.height == 2 && d.rgb.toSeq == raster.toSeq)
   }
 
-  test("mediaFromDocuments assigns deterministic formats and byte counts") {
-    val docs = Seq((0L, "xy"), (1L, "z"), (2L, "w")).toDF("doc_id", "text")
-    val r = Multimodal.mediaFromDocuments(docs).orderBy("doc_id").collect()
-      .map(x => (x.getAs[String]("format"), x.getAs[Long]("n_bytes")))
-    assert(r.toSeq == Seq(("png", 2L), ("jpeg", 1L), ("wav", 1L)))
+  test("BMP round-trips: bottom-up rows flipped, BGR swapped, padding stripped") {
+    // w=3 → 9 pixel bytes per row padded to 12: the padding branch runs
+    val b = Multimodal.encodeBmp(card)
+    assert(b(0) == 'B' && b(1) == 'M')
+    assert(b.length == 54 + 2 * 12)
+    // file row 0 is IMAGE row 1 (bottom-up), stored BGR: first stored
+    // byte = blue of pixel (x=0, y=1) = rgb[(1*3+0)*3 + 2]
+    assert(b(54) == card.rgb(11))
+    val d = Multimodal.decodeImage(b)
+    assert(d.width == 3 && d.height == 2)
+    assert(d.rgb.toSeq == card.rgb.toSeq)
   }
 
-  test("non-ASCII text: n_bytes counts UTF-8 payload bytes, not characters") {
-    // "é" is 2 UTF-8 bytes (0xC3 0xA9), "€" is 3 (0xE2 0x82 0xAC)
-    val docs = Seq((0L, "é€")).toDF("doc_id", "text")
-    val media = Multimodal.mediaFromDocuments(docs).collect()(0)
-    assert(media.getAs[Long]("n_bytes") == 5L)
-    val hist = Multimodal.documentByteHistogram(spark, docs)
-      .collect().map(x => x.getAs[Int]("bucket") -> x.getAs[Long]("count")).toMap
-    // low nibbles of C3 A9 E2 82 AC → 3, 9, 2, 2, C(12)
-    assert(hist == Map(3 -> 1L, 9 -> 1L, 2 -> 2L, 12 -> 1L))
+  test("decodeImage fails loudly on unknown magic") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(Array[Byte](0x47, 0x49, 0x46)) // "GIF"
+    }
+    assert(e.getMessage.contains("magic"))
   }
 
-  test("resizeStub area-averages fixed blocks; tail block averages its remainder") {
-    import spark.implicits._
-    val media = Seq(Multimodal.MediaRow(1L, "png", 5L,
-      Array[Byte](0, 2, 4, 6, 10))).toDS()
-    val r = Multimodal.resizeStub(media, 2).collect()(0)
-    assert(r.n_bytes == 3L)
-    assert(r.payload.toSeq == Seq[Byte](1, 5, 10)) // (0+2)/2, (4+6)/2, 10/1
-    // empty payload resizes to empty, no division by zero
-    val empty = Seq(Multimodal.MediaRow(2L, "wav", 0L, Array.empty[Byte])).toDS()
-    assert(Multimodal.resizeStub(empty, 4).collect()(0).payload.isEmpty)
+  test("imagesFromDocuments → extractFeatures: decoded histogram matches the pixel formula") {
+    val docs = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("doc_id", "text")
+    val media = Multimodal.imagesFromDocuments(docs)
+    val rows = media.collect().sortBy(_.doc_id)
+    assert(rows.map(_.format).toSeq == Seq("ppm", "bmp", "ppm"))
+    // container sizes are arithmetic: PPM 9+digits(w)+digits(h)+3wh,
+    // BMP 54 + h * paddedRow
+    rows.foreach { r =>
+      val (w, h) = (Multimodal.imageWidth(r.doc_id), Multimodal.imageHeight(r.doc_id))
+      val expected =
+        if (r.format == "ppm") 9 + w.toString.length + h.toString.length + 3 * w * h
+        else 54 + h * ((3 * w + 3) / 4 * 4)
+      assert(r.n_bytes == expected.toLong, s"doc ${r.doc_id}")
+    }
+    // the engine's decode-path histogram == the analytic formula's
+    val got = Multimodal.extractFeatures(media).collect()
+      .groupBy(_.doc_id).view.mapValues(
+        _.map(f => f.bucket -> f.count).toMap).toMap
+    val want = rows.map { r =>
+      val (w, h) = (Multimodal.imageWidth(r.doc_id), Multimodal.imageHeight(r.doc_id))
+      r.doc_id -> (0 until w * h).groupBy { i =>
+        Multimodal.lumaBucket(
+          (r.doc_id * 37 + (3 * i) * 101).toInt % 256,
+          (r.doc_id * 37 + (3 * i + 1) * 101).toInt % 256,
+          (r.doc_id * 37 + (3 * i + 2) * 101).toInt % 256)
+      }.view.mapValues(_.size.toLong).toMap
+    }.toMap
+    assert(got == want)
   }
 
-  test("sampleFrames slices payloads on stride boundaries") {
-    val docs = Seq((7L, "abcdefgh")).toDF("doc_id", "text")
-    val media = Multimodal.mediaFromDocuments(docs).as[Multimodal.MediaRow]
-    val frames = Multimodal.sampleFrames(media, stride = 4, frameLen = 2)
+  test("resizeImage area-averages blocks and re-encodes in the arriving format") {
+    // 2×2 solid quadrants → factor 2 → one pixel holding the average
+    val img = DecodedImage(2, 2, Array[Byte](
+      0, 0, 0, 40, 40, 40,
+      80, 80, 80, 120, 120, 120))
+    val media = Seq(
+      MediaRow(1L, "ppm", 0L, Multimodal.encodePpm(img)),
+      MediaRow(2L, "bmp", 0L, Multimodal.encodeBmp(img))).toDS()
+    val r = Multimodal.resizeImage(media, 2).collect().sortBy(_.doc_id)
+    assert(r(0).payload.take(2).toSeq == Seq[Byte]('P', '6'))
+    assert(r(1).payload.take(2).toSeq == Seq[Byte]('B', 'M')) // format kept
+    r.foreach { m =>
+      val d = Multimodal.decodeImage(m.payload)
+      assert(d.width == 1 && d.height == 1)
+      assert(d.rgb.toSeq == Seq[Byte](60, 60, 60)) // (0+40+80+120)/4
+      assert(m.n_bytes == m.payload.length.toLong)
+    }
+    // edge blocks average their remainder: 3×1 at factor 2 → dims 2×1,
+    // second output pixel = the lone remainder column
+    val edge = DecodedImage(3, 1, Array[Byte](10, 10, 10, 30, 30, 30, 99, 99, 99))
+    val e = Multimodal.resizeImage(
+      Seq(MediaRow(3L, "ppm", 0L, Multimodal.encodePpm(edge))).toDS(), 2)
+      .collect()(0)
+    assert(Multimodal.decodeImage(e.payload).rgb.toSeq ==
+      Seq[Byte](20, 20, 20, 99, 99, 99))
+  }
+
+  test("sampleFrames parses concatenated P6 frames and keeps every stride-th") {
+    def frame(v: Byte) = Multimodal.encodePpm(
+      DecodedImage(1, 1, Array[Byte](v, v, v)))
+    val video = frame(1) ++ frame(2) ++ frame(3) ++ frame(4) ++ frame(5)
+    val media = Seq(MediaRow(9L, "ppm-stream", video.length.toLong, video)).toDS()
+    val frames = Multimodal.sampleFrames(media, stride = 2)
       .collect().sortBy(_._2)
-    assert(frames.length == 2)
-    assert(new String(frames(0)._3, "UTF-8") == "ab")
-    assert(new String(frames(1)._3, "UTF-8") == "ef")
+    assert(frames.map(_._2).toSeq == Seq(0, 2, 4))
+    assert(frames.map(_._3.head).toSeq == Seq[Byte](1, 3, 5))
   }
 }
 

@@ -83,8 +83,10 @@ class SourcesSpec extends SparkSpec {
 
   test("binaryFile source feeds the multimodal decode path; glob filters before open") {
     val dir = tmp("graft_bin")
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.img"),
-      Array[Byte](0, 1, 2, 3, 4))
+    // a real 1×1 PPM on disk — the content column feeds the REAL decoder
+    val ppm = graft.ext.Multimodal.encodePpm(
+      graft.ext.Multimodal.DecodedImage(1, 1, Array[Byte](7, 8, 9)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.img"), ppm)
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.img"),
       Array[Byte](5, 6))
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "skip.txt"),
@@ -93,12 +95,12 @@ class SourcesSpec extends SparkSpec {
     assert(media.count() == 2) // the .txt never enters the scan
     val r = media.select(col("path"), col("length"), col("content"))
       .orderBy(col("length").desc).collect()
-    assert(r(0).getAs[Long]("length") == 5L)
-    assert(r(0).getAs[Array[Byte]]("content").toSeq == Seq[Byte](0, 1, 2, 3, 4))
-    // the content column is exactly what the multimodal stub decodes
-    val hist = graft.ext.Multimodal.decodeStub(
+    assert(r(0).getAs[Long]("length") == ppm.length.toLong)
+    // the content column is exactly what the multimodal codec decodes
+    val img = graft.ext.Multimodal.decodeImage(
       r(0).getAs[Array[Byte]]("content"))
-    assert(hist.sum > 0)
+    assert(img.width == 1 && img.height == 1)
+    assert(img.rgb.toSeq == Seq[Byte](7, 8, 9))
   }
 
   test("textLines reads one row per line with file lineage") {
