@@ -429,19 +429,65 @@ object TextOps {
   /** This round's winning merge as a 1-row anchor: most frequent
     * adjacent pair, count desc / pair asc, chosen by one ungrouped
     * `min_by` — shared by [[bpeMergeLoop]] (the trainer) and
-    * [[bpeEncode]] (the tokenizer), ONE spelling of the tie-break. */
-  private def topPair(cur: DataFrame): DataFrame = cur
-    .select(explode(adjacentPairs(col("t"))).as("pair"))
-    .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    * [[bpeEncode]] (the tokenizer), ONE spelling of the tie-break.
+    * `weight` multiplies each occurrence (lit(1) for the word-level
+    * loop, the word frequency for [[bpeMergeLoopChars]]). */
+  private def topPair(cur: DataFrame, weight: Column = lit(1L)): DataFrame = cur
+    .select(weight.as("w"), explode(adjacentPairs(col("t"))).as("pair"))
+    .groupBy(col("pair")).agg(sum(col("w")).as("n"))
     .agg(min_by(struct(col("pair"), col("n")),
       struct((-col("n")).as("nn"), col("pair"))).as("m"))
     .select(col("m.pair").as("m_pair"), col("m.n").as("m_n"))
 
-  private def applyTopMerge(cur: DataFrame, top: DataFrame): DataFrame = {
+  private def applyTopMerge(cur: DataFrame, top: DataFrame,
+                            keep: Seq[String] = Seq("id")): DataFrame = {
     val a = split(col("m_pair"), " ")(0)
     val b = split(col("m_pair"), " ")(1)
     cur.crossJoin(broadcast(top))
-      .select(col("id"), applyMerge(col("t"), a, b).as("t"))
+      .select(keep.map(col) :+ applyMerge(col("t"), a, b).as("t"): _*)
+  }
+
+  /** k rounds of CHARACTER-level BPE training (x110) — the published
+    * granularity (Sennrich et al. 2016): merges happen between symbols
+    * WITHIN words, never across a word boundary, and each word ends in
+    * the `</w>` marker so word-final units stay distinct from word-
+    * internal ones. The working relation is the DISTINCT-WORD table
+    * with corpus frequencies — the published trainer's own efficiency
+    * device (subword-nmt and every production BPE trainer pre-aggregate
+    * to word counts): pair statistics are frequency-WEIGHTED sums over
+    * |vocab| rows instead of unweighted sums over corpus token
+    * occurrences, so each round's shuffle is bounded by the vocabulary,
+    * not the corpus. x60 remains the word-level twin (same loop over
+    * per-document word sequences — the granularity that feeds x46's
+    * phrase mining); this is the tokenizer-training granularity.
+    *
+    * Per round: one frequency-weighted pair count (map-side
+    * combinable), one ungrouped min_by to a broadcastable 1-row winner
+    * (count desc, pair asc), one per-row fold ([[applyMerge]] —
+    * left-to-right, non-overlapping, the published scan order). Output
+    * row r: (round, pair, n = the winner's weighted count,
+    * n_tokens_after = Σ freq·|symbols| — the corpus symbol mass that
+    * proves the merge was APPLIED, not just counted). Merged symbols
+    * are spelled a_b (x60's convention). */
+  def bpeMergeLoopChars(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    var cur = ExtCaches.persistTracked(docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(regexp_extract_all(col("word"), lit("[a-z0-9]"), lit(0)),
+          array(lit("</w>"))).as("t")))
+    val rounds = (1 to k).map { r =>
+      val top = topPair(cur, col("freq"))
+      cur = ExtCaches.persistTracked(
+        applyTopMerge(cur, top, keep = Seq("word", "freq")))
+      cur.agg(sum(col("freq") * size(col("t"))).cast(LongType)
+          .as("n_tokens_after"))
+        .crossJoin(broadcast(top))
+        .select(lit(r.toLong).as("round"), col("m_pair").as("pair"),
+          col("m_n").as("n"), col("n_tokens_after"))
+    }
+    rounds.reduce(_.unionAll(_))
   }
 
   /** The corpus ENCODED by k BPE merge rounds — x60's loop returning the

@@ -2224,6 +2224,27 @@ object Extensions {
         col("w_x16"), col("shift"), col("accepted"))
       .orderBy(col("doc_id"))
 
+  /** Char-BPE training rounds — enough that merged symbols themselves
+    * win later rounds (the recursion that makes BPE BPE), small enough
+    * that the oracle's unrolled replay stays cheap. */
+  val CharBpeRounds = 4
+
+  /** Character-level BPE training (x110) — the published granularity
+    * (Sennrich et al. 2016), closing x60's documented divergence:
+    * merges between symbols WITHIN words (never across a boundary),
+    * `</w>` end-of-word markers, pair statistics frequency-weighted
+    * over the DISTINCT-WORD relation (the published trainer's own
+    * working set — shuffles bound by |vocab|, not corpus occurrences).
+    * x60 stays as the word-level twin feeding phrase mining; see
+    * [[graft.ext.TextOps.bpeMergeLoopChars]]. The oracle unrolls the
+    * same per-round algebra (weighted count → deterministic winner →
+    * non-overlapping left-to-right apply) in SQL. */
+  def x110_bpe_char_merges(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.bpeMergeLoopChars(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", CharBpeRounds)
+      .orderBy(col("round"))
+
   /** Depth-2 residual recursion, oracle-gated end to end (x107) — the
     * last spec-only branch promoted to a registry gate (round-12 weak
     * #2's explicit residue): [[Similarity.knnGraphIvfResidual]] at
@@ -3384,7 +3405,8 @@ object Extensions {
     "x106_planted_fence_residual" -> (x106_planted_fence_residual _),
     "x107_planted_fence_deep" -> (x107_planted_fence_deep _),
     "x108_lm_perplexity_gate" -> (x108_lm_perplexity_gate _),
-    "x109_dsir_resample" -> (x109_dsir_resample _))
+    "x109_dsir_resample" -> (x109_dsir_resample _),
+    "x110_bpe_char_merges" -> (x110_bpe_char_merges _))
 
   // ======================================================================
   // DuckDB oracle SQL
@@ -3501,10 +3523,20 @@ object Extensions {
     * (TextOps.applyMerge). `sel` marks merge starts; a position is
     * emitted unless it is the SECOND token of a selected merge, and a
     * selected start emits the fused token. */
-  private def bpeRoundSql(r: Int): String = {
+  /** One unrolled BPE round, oracle side. Defaults replay x60's
+    * word-level loop over per-document sequences; `key = "word",
+    * weighted = true` replays x110's char-level loop over the
+    * distinct-word relation (pair counts and the post-merge symbol mass
+    * weighted by the carried `freq` column). */
+  private def bpeRoundSql(r: Int, key: String = "doc_id",
+                          weighted: Boolean = false): String = {
     val prev = s"seqs${r - 1}"
+    val nExpr = if (weighted) "SUM(freq)" else "count(*)"
+    val carry = if (weighted) ", freq" else ""
+    val carryPs = if (weighted) ", ps.freq" else ""
+    val afterExpr = if (weighted) "SUM(freq * len(t))" else "SUM(len(t))"
     s"""cnt$r AS (
-       |  SELECT t[p] || ' ' || t[p+1] AS pair, count(*) AS n
+       |  SELECT t[p] || ' ' || t[p+1] AS pair, $nExpr AS n
        |  FROM $prev, unnest(range(1, len(t))) AS u(p)
        |  GROUP BY 1),
        |mt$r AS (
@@ -3512,31 +3544,31 @@ object Extensions {
        |         pair, n
        |  FROM cnt$r ORDER BY n DESC, pair LIMIT 1),
        |match$r AS (
-       |  SELECT s.doc_id, p
+       |  SELECT s.$key, p
        |  FROM $prev s, mt$r m, unnest(range(1, len(s.t))) AS u(p)
        |  WHERE s.t[p] = m.a AND s.t[p+1] = m.b),
        |sel$r AS (
-       |  SELECT doc_id, p FROM (
-       |    SELECT doc_id, p,
-       |           row_number() OVER (PARTITION BY doc_id, g ORDER BY p) AS rk
-       |    FROM (SELECT doc_id, p,
-       |                 p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |  SELECT $key, p FROM (
+       |    SELECT $key, p,
+       |           row_number() OVER (PARTITION BY $key, g ORDER BY p) AS rk
+       |    FROM (SELECT $key, p,
+       |                 p - row_number() OVER (PARTITION BY $key ORDER BY p) AS g
        |          FROM match$r))
        |  WHERE rk % 2 = 1),
        |seqs$r AS (
-       |  SELECT ps.doc_id,
+       |  SELECT ps.$key$carryPs,
        |         list(CASE WHEN s1.p IS NOT NULL THEN m.a || '_' || m.b
        |                   ELSE ps.tok END ORDER BY ps.p) AS t
-       |  FROM (SELECT doc_id, p, t[p] AS tok
+       |  FROM (SELECT $key, p, t[p] AS tok$carry
        |        FROM $prev, unnest(range(1, len(t) + 1)) AS u(p)) ps
        |  CROSS JOIN mt$r m
-       |  LEFT JOIN sel$r s1 ON ps.doc_id = s1.doc_id AND ps.p = s1.p
-       |  LEFT JOIN sel$r s2 ON ps.doc_id = s2.doc_id AND ps.p = s2.p + 1
+       |  LEFT JOIN sel$r s1 ON ps.$key = s1.$key AND ps.p = s1.p
+       |  LEFT JOIN sel$r s2 ON ps.$key = s2.$key AND ps.p = s2.p + 1
        |  WHERE s2.p IS NULL
-       |  GROUP BY ps.doc_id),
+       |  GROUP BY ps.$key$carryPs),
        |row$r AS (
        |  SELECT CAST($r AS BIGINT) AS round, m.pair, CAST(m.n AS BIGINT) AS n,
-       |         (SELECT CAST(SUM(len(t)) AS BIGINT) FROM seqs$r) AS n_tokens_after
+       |         (SELECT CAST($afterExpr AS BIGINT) FROM seqs$r) AS n_tokens_after
        |  FROM mt$r m)""".stripMargin
   }
 
@@ -5276,7 +5308,7 @@ object Extensions {
          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
          |  FROM documents),
          |seqs0 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
-         |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")},
+         |${(1 to BpeRounds).map(r => bpeRoundSql(r)).mkString(",\n")},
          |enc AS (
          |  SELECT doc_id, t FROM seqs$BpeRounds
          |  UNION ALL
@@ -6196,6 +6228,24 @@ object Extensions {
          |FROM wk ORDER BY doc_id""".stripMargin
     },
 
+    // x110: char-level BPE — the x60 round algebra re-keyed to the
+    // distinct-word relation with frequency-weighted pair counts and
+    // </w> end-of-word markers (bpeRoundSql's weighted form).
+    "x110_bpe_char_merges" ->
+      s"""WITH w0 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |        FROM documents)
+         |  GROUP BY 1),
+         |seqs0 AS (
+         |  SELECT word, freq,
+         |         list_concat(regexp_extract_all(word, '[a-z0-9]'), ['</w>']) AS t
+         |  FROM w0),
+         |${(1 to CharBpeRounds).map(r => bpeRoundSql(r, key = "word", weighted = true)).mkString(",\n")}
+         |SELECT round, pair, n, n_tokens_after
+         |FROM (${(1 to CharBpeRounds).map(r => s"SELECT * FROM row$r").mkString(" UNION ALL ")})
+         |ORDER BY round""".stripMargin,
+
     // x107: the depth-2 recursion over the planted corpus in MERGED-mode
     // geometry (deepFenceCtes) — two sub-Lloyd levels, accumulated
     // offsets, per-level cap-bounded emits, the depth-exhaustion
@@ -6857,7 +6907,7 @@ object Extensions {
          |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
          |  FROM documents),
          |seqs0 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
-         |${(1 to BpeRounds).map(bpeRoundSql).mkString(",\n")}
+         |${(1 to BpeRounds).map(r => bpeRoundSql(r)).mkString(",\n")}
          |SELECT round, pair, n, n_tokens_after
          |FROM (${(1 to BpeRounds).map(r => s"SELECT * FROM row$r").mkString(" UNION ALL ")})
          |ORDER BY round""".stripMargin,

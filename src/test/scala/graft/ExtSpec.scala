@@ -221,6 +221,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2).getAs[Long]("n_chars_scrubbed") == expected3.length.toLong)
   }
 
+  test("bpeMergeLoopChars: frequency-weighted within-word merges with </w> markers") {
+    // words: low ×4, lower ×2 → symbol seqs [l o w </w>]×4, [l o w e r </w>]×2
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "low"))
+      .toDF("doc_id", "text")
+    val r = TextOps.bpeMergeLoopChars(docs, "doc_id", "text", 3)
+      .orderBy("round").collect()
+      .map(x => (x.getAs[Long]("round"), x.getAs[String]("pair"),
+        x.getAs[Long]("n"), x.getAs[Long]("n_tokens_after")))
+    // r1: "l o" and "o w" both weigh 6 → pair-asc tiebreak picks "l o";
+    //     corpus mass 4·3 + 2·5 = 22
+    // r2: the MERGED symbol wins ("l_o w", 6) → 4·2 + 2·4 = 16
+    // r3: "l_o_w </w>" (4) — a word-final merge via the marker → 4·1 + 2·4 = 12
+    assert(r.toSeq == Seq(
+      (1L, "l o", 6L, 22L),
+      (2L, "l_o w", 6L, 16L),
+      (3L, "l_o_w </w>", 4L, 12L)))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("dsirWeights: target-vocab held-out docs outweigh raw-vocab ones; base slice never weighed") {
     // same deterministic md5 split as the bigramLmScores spec: at frac
     // 0.5, ids 6,9,11 land in base, 1,2 in the held-out rest
