@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.ext.{Dedup, ExtCaches, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.ops.Cdc
+import graft.streaming.EventStreams
+import graft.tables.Tables
+
+/** engine-operator gates: as-of/range joins, JSON extraction, skew handling, multimodal decode — split from the former monolithic Extensions.scala
+  * (round 14, pure mechanical move; one object still unions every
+  * family — see [[Extensions]]). Registry slices are DEFS, not vals:
+  * they are evaluated once at union time in Extensions' constructor,
+  * AFTER every mixed-in trait's constants are initialized, so the
+  * oracle strings may interpolate any family's constants safely. */
+private[queries] trait ExtEngineOpsGates { this: ExtCore =>
+
+
+  // ---- x15: as-of join — click→purchase attribution ----------------------
+
+  /** For every purchase event, the user's most recent strictly-earlier
+    * click (classic attribution). Oracle: DuckDB's native ASOF LEFT JOIN;
+    * our side runs the engine's CUSTOM physical operator
+    * (graftfn.AsOfJoinExec — sort-merge as-of over co-partitioned
+    * children); the composed union+window form (graft.ops.AsOf) is
+    * equivalence-tested against it and remains the no-extension fallback. */
+  def x15_asof_attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    org.apache.spark.sql.graftfn.AsOfJoinNative
+      .lastBefore(purchases, clicks, Seq("user_id"), "ts", "ts")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_ts_us"),
+        unix_micros(col("asof_ts")).as("click_ts_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+
+  // ---- x16: range join — events into overlapping value bands -------------
+
+  /** Count/sum events whose value falls in each of ten OVERLAPPING bands
+    * [8i, 8i+15) — overlap makes it a genuine range join (a value can
+    * land in two bands), not a floor() bucketing. Binned equi-join shape
+    * (graft.ops.RangeJoin); oracle: DuckDB's inequality join (IEJoin). */
+  def x16_range_value_bands(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val bands = s.range(10).select(
+      col("id").as("band_id"),
+      (col("id") * 8.0).cast(DoubleType).as("lo"),
+      (col("id") * 8.0 + 15.0).cast(DoubleType).as("hi"))
+    val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
+    graft.ops.RangeJoin.pointInInterval(ev, bands, "value", "lo", "hi", 8.0)
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast(DoubleType).as("total_value"))
+      .orderBy(col("band_id"))
+  }
+
+
+  // ---- x17: semi-structured JSON property extraction ---------------------
+
+  /** Parse the events table's JSON `props` column and aggregate an
+    * extracted numeric field — the semi-structured access path every
+    * event pipeline needs. `get_json_object` is a codegen'd per-row
+    * expression (a production schema-on-read would use from_json with a
+    * declared schema; path extraction keeps the oracle portable). */
+  def x17_json_props(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("total_k"),
+        ratio(sum(col("k")), count(col("k"))).as("avg_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+
+  private[queries] def ratio(n: Column, d: Column): Column =
+    n.cast(org.apache.spark.sql.types.DoubleType) /
+      d.cast(org.apache.spark.sql.types.DoubleType)
+
+
+  // ---- x19: skew-salted aggregation under the oracle gate ----------------
+
+  /** Per-event-type value totals computed through the two-phase SALTED
+    * path (graft.ops.Skew): 5 hot keys × thousands of rows each is
+    * exactly the shape that pins one reducer per key in a plain groupBy.
+    * The oracle is the direct aggregation — the gate proves the salted
+    * plan is semantically invisible. Decimal accumulation keeps the
+    * two-phase partial sums exact, so even the doubles hash-match. */
+  def x19_salted_agg(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Skew
+    val ev = Tables.events(s, dir)
+      .withColumn("value_dec", col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    Skew.saltedSumCount(ev, Seq("event_type"), col("value_dec"),
+        saltFrom = Seq("event_id"), buckets = 32,
+        sumName = "total_value_dec", cntName = "n_events")
+      .select(col("event_type"),
+        col("total_value_dec").cast(org.apache.spark.sql.types.DoubleType)
+          .as("total_value"),
+        col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+
+  // ---- x29: skewed-key large×large join under AQE skew splitting ---------
+
+  /** Cohort-relative engagement over a HOT-KEY join: every event joins its
+    * cohort's aggregate (per-user cohorts, except the 'view' firehose which
+    * collapses onto one sentinel key — the bot-traffic/default-value shape
+    * that pins a single reducer at scale), then counts events above their
+    * cohort average. The x19 twin covered aggregation skew (salting); this
+    * is the JOIN-side skew tool: both sides shuffle on k (the cohort side
+    * carries a SHUFFLE_MERGE hint — at 100 TB the cohort relation is
+    * |users|-sized and stats would forbid a broadcast anyway), and AQE's
+    * OptimizeSkewedJoin splits the hot partition into advisory-size chunks,
+    * replicating the matching build rows (PlanSpec pins `skew=true` in
+    * the executed plan). The cohort profile is MATERIALIZED (persisted,
+    * tracked) before the join — the shape a real pipeline has anyway
+    * (profile/feature tables are stored assets, not inline aggregates),
+    * and the shape OptimizeSkewedJoin requires: both join children must be
+    * bare requirement-introduced shuffles (`SMJ(Sort(Shuffle),
+    * Sort(Shuffle))`) — an aggregate between sort and shuffle on the build
+    * side defeats the pattern, because splitting a partition under a final
+    * aggregate would recompute it. The profile is persisted in STORED-ASSET
+    * shape (round-robin repartitioned first): the inline aggregate's cache
+    * would otherwise remember its hashpartitioning(k) and EnsureRequirements
+    * would skip the build-side shuffle entirely — a TableCacheQueryStage
+    * child that the skew rule cannot match (and could not re-range anyway,
+    * cached blocks have no map outputs). A profile table read back from
+    * parquet arrives with unknown partitioning and always shuffles; the
+    * repartition reproduces exactly that, for one extra exchange of a
+    * |cohorts|-sized relation at build time. Above-average is decided by
+    * the exact decimal cross-multiply v·n > Σv — no order-dependent float
+    * average, so the oracle hash-matches. */
+  def x29_skew_join(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    // eventsFanned, not events: skew splitting works at map-output
+    // granularity, and the one-row-group testdata layout gives the join
+    // shuffle a single mapper — an unsplittable hot bucket (no-op on real
+    // many-file layouts).
+    val e = Tables.eventsFanned(s, dir).select(
+      col("event_type"),
+      col("value").cast(dec).as("v"),
+      when(col("event_type") === "view", lit(-1L))
+        .otherwise(col("user_id")).as("k"))
+    val cohorts = ExtCaches.persistTracked(e.groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .repartition(s.sparkContext.defaultParallelism))
+    e.join(cohorts.hint("merge"), Seq("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("v") * col("n") > col("s"), 1L).otherwise(0L))
+          .as("n_above_avg"))
+      .orderBy(col("event_type"))
+  }
+
+
+  // ---- x14: multimodal decoded-pixel histogram ----------------------------
+
+  /** Real-codec multimodal featurization (x14, round 14 — decode made
+    * REAL): synthesize genuine binary image containers per document (P6
+    * PPM for even ids, 24-bit bottom-up padded BMP for odd — see
+    * [[graft.ext.Multimodal]]), PARSE them back with the real
+    * dual-format decoder, and histogram the decoded integer luminance.
+    * The oracle never touches bytes: it recomputes the histogram
+    * analytically from the deterministic pixel formula, so the gate is
+    * a cross-engine proof that encode → parse → normalize (row flip,
+    * BGR swap, padding strip) round-trips exactly. */
+  def x14_multimodal_histogram(s: SparkSession, dir: String): DataFrame =
+    Multimodal.documentPixelHistogram(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        col("bucket").cast(LongType).as("bucket"),
+        col("count").as("n_in_bucket"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  protected def queriesEngineOps: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x14_multimodal_histogram" -> (x14_multimodal_histogram _),
+    "x15_asof_attribution" -> (x15_asof_attribution _),
+    "x16_range_value_bands" -> (x16_range_value_bands _),
+    "x17_json_props" -> (x17_json_props _),
+    "x19_salted_agg" -> (x19_salted_agg _),
+    "x29_skew_join" -> (x29_skew_join _))
+
+  protected def oracleSqlEngineOps: Map[String, String] = Map(
+
+    "x15_asof_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id AS purchase_id, p.user_id,
+        |       epoch_us(p.ts) AS purchase_ts_us,
+        |       epoch_us(c.ts) AS click_ts_us
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts < p.ts
+        |ORDER BY purchase_id""".stripMargin,
+
+
+    "x19_salted_agg" ->
+      """SELECT event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |       count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+
+    // Hot-key join: every event joins its cohort aggregate (the 'view'
+    // firehose pooled on sentinel key -1, others per-user); above-average
+    // decided by the exact decimal cross-multiply v*n > s so the doubles
+    // never enter a comparison.
+    "x29_skew_join" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+        |         CASE WHEN event_type = 'view' THEN -1 ELSE user_id END AS k
+        |  FROM events),
+        |c AS (SELECT k, SUM(v) AS s, count(*) AS n FROM e GROUP BY k)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       CAST(SUM(CASE WHEN e.v * c.n > c.s THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+        |FROM e JOIN c ON e.k = c.k
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+
+    "x17_json_props" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+        |         / count(json_extract_string(props, '$.k')) AS avg_k,
+        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+
+    "x16_range_value_bands" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, i * 8.0 AS lo, i * 8.0 + 15.0 AS hi
+        |  FROM unnest(range(0, 10)) AS t(i))
+        |SELECT band_id, lo, hi, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin,
+
+
+    // Analytic twin of Multimodal's REAL codec path: the engine encodes
+    // genuine PPM/BMP containers and parses them back; the oracle never
+    // sees a byte — it recomputes the decoded luminance histogram from
+    // the deterministic pixel formula (channel at flat index i =
+    // (doc_id·37 + i·101) mod 256, luma = (77R+150G+29B) DIV 256,
+    // bucket = luma DIV 16) and the containers' arithmetic sizes (PPM:
+    // 9 + digits(w) + digits(h) + 3wh; BMP: 54 + h·rowSize with 4-byte
+    // row padding). A header, padding, row-order or channel-order bug in
+    // either codec path breaks this hash.
+    "x14_multimodal_histogram" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |         CAST(4 + (doc_id * 7) % 13 AS BIGINT) AS w,
+        |         CAST(4 + (doc_id * 11) % 13 AS BIGINT) AS h
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, w, h,
+        |         ((77 * ((doc_id*37 + (3*i)*101) % 256)
+        |          + 150 * ((doc_id*37 + (3*i+1)*101) % 256)
+        |          + 29 * ((doc_id*37 + (3*i+2)*101) % 256)) // 256) // 16 AS bucket
+        |  FROM dims, unnest(range(0, w * h)) AS u(i))
+        |SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+        |       CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
+        |            ELSE 54 + h * ((3*w + 3) // 4 * 4) END AS BIGINT) AS n_bytes,
+        |       CAST(bucket AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_in_bucket
+        |FROM lum
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY doc_id, bucket""".stripMargin)
+}

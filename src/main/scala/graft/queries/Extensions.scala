@@ -1,13 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
-
-import graft.ext.{Dedup, ExtCaches, Multimodal, Packing, Sampling, Similarity, TextOps}
-import graft.ops.Cdc
-import graft.streaming.EventStreams
-import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** North-star extension queries (SURVEY.md §7.6): the LLM-data-pipeline
   * operators over the documents / embeddings / events tables, each with a
@@ -20,7301 +13,15 @@ import graft.tables.Tables
   * for float sums, integer arithmetic until one final IEEE double divide,
   * and a deterministic total ORDER BY on every result.
   */
-object Extensions {
-  val JaccardThreshold = 0.5
-  val CosineDupThreshold = 0.4
-  /** x05 LSH geometry: 8 bands × 8 sign bits cover all 64 embedding dims. */
-  val CosineBands = 8
-  val CosineBandBits = 8
-  /** x05_sampled geometry (the corpus-scale knob — SCALING.md): 16 bands ×
-    * 16 coordinates SAMPLED from the 64-dim sign signature → 65k-key band
-    * space, candidates ~linear in n where the disjoint 8×8 slicing
-    * saturates its 256-key space past ~10k vectors. */
-  val SampledBands = 16
-  val SampledBandBits = 16
-  val SampledSeed = 0x5EEDL
-  val EmbeddingDims = 64
-  val QuerySetSize = 10
-  /** x78 kNN-graph degree — small because consumers (mutual-kNN, NN-
-    * descent seeding, SemDeDup neighborhoods) want the closest handful,
-    * and n·k is the output size. */
-  val KnnGraphK = 3
-  /** x79 hybrid-retrieval geometry: each arm retrieves HybridArmK, RRF
-    * keeps HybridTopK. RrfC = 60 is the constant from Cormack et al.,
-    * SIGIR'09 — large enough that a few rank positions within an arm
-    * matter less than presence in both arms. */
-  val HybridArmK = 10
-  val HybridTopK = 5
-  val RrfC = 60
-  /** x07/x63/x64/x69 coarse-quantizer width: sign bits of the leading
-    * SimBucketBits components = 2^SimBucketBits IVF buckets. ONE constant
-    * interpolated into BOTH the Scala calls and the oracle SQL (probe
-    * count, substr lengths, bucket concat) — the round-8 advice fix: a
-    * hardcoded `4`/`range(0,5)` pair in the SQL would silently
-    * desynchronize the engines if the call-site bits ever changed. */
-  val SimBucketBits = 4
-  /** x52 containment geometry: the smaller set must be ≥ 80 % inside the
-    * larger, and carry at least 5 shingles (one- or two-shingle sets hit
-    * containment 1.0 by accident, not by duplication). */
-  val ContainmentThreshold = 0.8
-  val ContainmentMinSmall = 5L
-  // x62: char-Levenshtein near-dup threshold + Ed-Join q-gram width. The
-  // corpus's near-identical pairs sit at ED 4-8 with the next cohort past
-  // 20 (measured at sf0.01), so k=8 captures the true duplicate band
-  // while keeping the prefix (k·q+1 = 41 grams) a fraction of a document.
-  val EditDistK = 8
-  val EditDistQ = 5
-  /** x53 split fractions (binary-exact so the md5 cuts are the intended
-    * ones on both engines) and the draw's salt. */
-  val SplitTrainFrac = 0.75
-  val SplitValFrac = 0.125
-  val SplitSalt = "split"
-
-  // ---- x01: exact dedup ---------------------------------------------------
-
-  def x01_dedup_exact(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactDupSummary(Tables.documents(s, dir), "text")
-
-  // ---- x02: exact n-gram Jaccard near-dup (inverted index) ---------------
-
-  def x02_dedup_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        w = 3, threshold = JaccardThreshold)
-      .orderBy(col("id_a"), col("id_b"))
-
-  // ---- x03: MinHash + LSH near-dup ---------------------------------------
-
-  def x03_dedup_minhash_lsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
-      .orderBy(col("id_a"), col("id_b"))
-
-  // ---- x20: duplicate-cluster resolution over the x03 pair graph ---------
-
-  /** Component labels over the x03 MinHash-LSH pair graph, shared by x20
-    * (cluster summary) and x23 (survivor anti-join) — the fixpoint is
-    * EAGER and iterative (see Dedup.connectedComponents), so running it
-    * once per (session, dir) matters: a real pipeline computes components
-    * once and derives every downstream view from them. The labels sit on
-    * a lineage-truncated (localCheckpoint) final round, so holding the
-    * DataFrame is cheap; the keyed entry is dropped by
-    * ExtCaches.clearCaches via a registered hook, after which the
-    * checkpoint RDDs are reclaimed by the ContextCleaner. */
-  private val ccLabelsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  ExtCaches.registerClearHook(() => ccLabelsCache.clear())
-
-  /** The x03 near-dup pair graph — THE one spelling of its tuning, shared
-    * by both component forms: x20 and x20_star must stay oracle-equal
-    * against the same dupClustersSql, so a parameter change must reach
-    * both (and the oracle CTE) or neither. */
-  private def minhashPairGraph(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
-      .select(col("id_a"), col("id_b"))
-
-  private def minhashDupLabels(s: SparkSession, dir: String): DataFrame =
-    ccLabelsCache.getOrElseUpdate((s, dir),
-      Dedup.connectedComponents(minhashPairGraph(s, dir), "id_a", "id_b"))
-
-  /** What a dedup pipeline runs AFTER pairing: connected components over
-    * the near-dup pairs, one canonical doc per cluster. Iterative
-    * min-label propagation (see Dedup.connectedComponents for the scale
-    * story); the oracle computes the same fixpoint with a recursive CTE. */
-  def x20_dup_clusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.clusterSummary(minhashDupLabels(s, dir))
-      .orderBy(col("canonical_id"))
-
-  /** Same labels as [[minhashDupLabels]] but computed by the O(log n)-round
-    * large-star/small-star rewrite (Dedup.connectedComponentsStar) — the
-    * form that survives high-diameter pair graphs at extreme scale. Cached
-    * separately so x20 and x20_star each exercise their own algorithm
-    * end-to-end; eager like the propagation form. */
-  private val starLabelsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  ExtCaches.registerClearHook(() => starLabelsCache.clear())
-
-  private def minhashDupLabelsStar(s: SparkSession, dir: String): DataFrame =
-    starLabelsCache.getOrElseUpdate((s, dir),
-      Dedup.connectedComponentsStar(minhashPairGraph(s, dir), "id_a", "id_b"))
-
-  /** x20 through the alternating large-star/small-star component algorithm
-    * (Kiveris et al., SoCC'14) instead of min-label propagation — the same
-    * cluster summary, proven against the SAME recursive-CTE oracle. This is
-    * the O(log n) path the 100 TB dedup story rests on: propagation needs
-    * diameter-many rounds (ruinous on chain-shaped near-dup graphs), the
-    * star form converges in O(log n) regardless of shape. Oracle-gating it
-    * here proves the scale path end-to-end, not just property-equivalent. */
-  def x20_dup_clusters_star(s: SparkSession, dir: String): DataFrame =
-    Dedup.clusterSummary(minhashDupLabelsStar(s, dir))
-      .orderBy(col("canonical_id"))
-
-  /** Bench hooks: materialize the shared component-label fixpoints so the
-    * harness can charge them as their own timed lines (the fixpoints are
-    * eager — construction runs the full iterative job — and shared across
-    * x20/x23/x26, so letting whichever consumer runs first absorb the cost
-    * in a median-hidden first rep misreports both). */
-  def warmCcLabels(s: SparkSession, dir: String): Unit = {
-    minhashDupLabels(s, dir); ()
-  }
-  def warmStarLabels(s: SparkSession, dir: String): Unit = {
-    minhashDupLabelsStar(s, dir); ()
-  }
-
-  // ---- x04: SimHash fingerprints + near-dup pairs ------------------------
-
-  def x04_dedup_simhash(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        Dedup.simhash(TextOps.tokens(col("text")), bits = 32).as("simhash"))
-      .orderBy(col("doc_id"))
-
-  def x04_dedup_simhash_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(
-        x04_dedup_simhash(s, dir), "doc_id", "simhash", maxDist = 2)
-      .orderBy(col("id_a"), col("id_b"))
-
-  // ---- x05: embedding-cosine near-dup ------------------------------------
-
-  def x05_dedup_embedding(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id",
-        "embedding", CosineDupThreshold, CosineBands, CosineBandBits)
-      .orderBy(col("id_a"), col("id_b"))
-
-  /** The sampled-band variant of x05 — the corpus-size scale path the
-    * round-5 soak forced (SCALING.md: fixed 8×8 banding saturates its
-    * 256-key space past ~10k vectors and goes quadratic; 16×16 sampled
-    * from the full sign signature keeps candidates ~linear). Oracle-gated
-    * here for the same reason x20_star is: the scale path must be proven
-    * end-to-end against an oracle computing the identical banded
-    * semantics, not just property-tested. The sampled coordinate table is
-    * generated ONCE ([[Similarity.sampledCoords]]) and interpolated into
-    * both the Spark expression and the oracle SQL. */
-  def x05_dedup_embedding_sampled(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairsSampled(Tables.embeddings(s, dir), "vec_id",
-        "embedding", CosineDupThreshold, SampledBands, SampledBandBits,
-        EmbeddingDims, SampledSeed)
-      .orderBy(col("id_a"), col("id_b"))
-
-  // ---- x06/x07: similarity search ----------------------------------------
-
-  def x06_sim_topk_brute(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 5)
-      .orderBy(col("q_id"), col("rnk"))
-  }
-
-  def x07_sim_topk_ivf(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 3, bits = SimBucketBits)
-      .orderBy(col("q_id"), col("rnk"))
-  }
-
-  // ---- x08–x11: text analysis --------------------------------------------
-
-  def x08_text_stats(s: SparkSession, dir: String): DataFrame =
-    TextOps.tokenStats(Tables.documents(s, dir))
-      .select(col("doc_id"), col("lang"), col("n_tokens"),
-        col("n_distinct_tokens"), col("total_token_chars"),
-        col("type_token_ratio"), col("avg_token_len"))
-      .orderBy(col("doc_id"))
-
-  def x09_text_quality(s: SparkSession, dir: String): DataFrame =
-    TextOps.qualityScore(Tables.documents(s, dir))
-      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
-        col("punct_chars"), col("stopword_count"), col("punct_ratio"),
-        col("stopword_ratio"), col("quality_score"))
-      .orderBy(col("doc_id"))
-
-  def x10_text_langid(s: SparkSession, dir: String): DataFrame =
-    TextOps.langId(Tables.documents(s, dir))
-      .groupBy(col("lang"), col("predicted_lang"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang"), col("predicted_lang"))
-
-  def x11_text_fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        TextOps.fingerprint(TextOps.tokens(col("text")), w = 3).as("fingerprint"))
-      .orderBy(col("doc_id"))
-
-  // ---- x18: corpus-statistics rarity scoring -----------------------------
-
-  /** Per-document bigram rarity against CORPUS-level statistics: two-pass
-    * shape — aggregate global bigram frequencies, then join them back to
-    * every occurrence and re-aggregate per document. This is the plan
-    * behind corpus-level quality/rarity filtering in training-data
-    * pipelines (a document whose phrases are globally rare is either
-    * novel or noise). All-integer arithmetic until one final divide, so
-    * the oracle matches bitwise; no log-likelihood here because libm
-    * functions are not bit-portable across engines. */
-  def x18_text_rarity(s: SparkSession, dir: String): DataFrame = {
-    // Cached (tracked in ExtCaches): feeds both the corpus-stats pass and
-    // the per-doc join-back.
-    val occ = graft.ext.ExtCaches.persistTracked(Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(org.apache.spark.sql.graftfn.ShingleArray
-          .shingleOccurrences(TextOps.tokens(col("text")), 2)).as("bigram")))
-    val cf = occ.groupBy(col("bigram")).agg(count(lit(1)).as("cf"))
-    occ.join(cf, Seq("bigram"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        ratio(sum(col("cf")), count(lit(1))).as("avg_bigram_cf"),
-        min(col("cf")).as("min_bigram_cf"))
-      .orderBy(col("doc_id"))
-  }
-
-  // ---- x21: deterministic sampling (dataset mixing) -----------------------
-
-  val SampleFrac = 0.25 // binary-exact so both engines see the same cut
-
-  /** Scan-only hash-threshold sample: the 100 TB downsampling pass. */
-  def x21_sample_hash(s: SparkSession, dir: String): DataFrame =
-    Sampling.hashThresholdSample(
-        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
-        "doc_id", SampleFrac)
-      .orderBy(col("doc_id"))
-
-  /** Exact per-stratum sample: ceil(n·frac) docs per language. */
-  def x21_sample_stratified(s: SparkSession, dir: String): DataFrame =
-    Sampling.stratifiedExactSample(
-        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
-        "lang", "doc_id", SampleFrac)
-      .select(col("doc_id"), col("lang"), col("rnk"))
-      .orderBy(col("lang"), col("rnk"))
-
-  // ---- x22: vocabulary coverage / OOV rate --------------------------------
-
-  val VocabSize = 50
-
-  def x22_vocab_coverage(s: SparkSession, dir: String): DataFrame =
-    TextOps.vocabCoverage(Tables.documents(s, dir), "doc_id", "text", VocabSize)
-      .orderBy(col("doc_id"))
-
-  // ---- x23: end-to-end dedup — the surviving corpus ----------------------
-
-  /** The pipeline a training-data build actually runs: near-dup pair
-    * generation (x03's MinHash+LSH) → connected components (x20) → drop
-    * every non-canonical cluster member with one LEFT ANTI join against
-    * the corpus. Exact duplicates need no separate pass — identical texts
-    * have identical signatures, so they always share every band bucket.
-    * The anti-join is the scale shape: the dropped-id side is |non-
-    * canonical members| (tiny next to the corpus) and broadcasts; the
-    * corpus is never shuffled. Eager like x20 (the component fixpoint
-    * must run to build the plan). */
-  def x23_dedup_survivors(s: SparkSession, dir: String): DataFrame = {
-    val dropped = minhashDupLabels(s, dir)
-      .filter(col("label") =!= col("v"))
-      .select(col("v").as("doc_id"))
-    Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
-      .join(dropped, Seq("doc_id"), "left_anti")
-      .orderBy(col("doc_id"))
-  }
-
-  // ---- x24: repetition / boilerplate quality metrics ---------------------
-
-  def x24_repetition(s: SparkSession, dir: String): DataFrame =
-    TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
-      .orderBy(col("doc_id"))
-
-  // ---- x30: per-source contribution caps ---------------------------------
-
-  /** "Keep at most `SourceCap` documents per source, best first" — the
-    * absolute-budget curation pass (one flooding crawl domain must not
-    * swamp the corpus; x27's mixture weights bound sources
-    * PROPORTIONALLY, this bounds them absolutely). Quality-ranked with a
-    * doc_id tiebreak — a total order, so the kept set is deterministic
-    * and oracle-reproducible; the rank-filter plans as WindowGroupLimit
-    * (PlanSpec fleet gate), so no partition materializes more than
-    * `SourceCap` rows per source. 15 < the 25 docs/source of the
-    * smallest oracle-gated corpus (sf0.01), so the cap BINDS at every
-    * tested scale — a cap the correctness gate never sees bind is not
-    * tested. */
-  val SourceCap = 15
-
-  def x30_source_caps(s: SparkSession, dir: String): DataFrame =
-    Sampling.capPerGroup(
-        TextOps.qualityScore(Tables.documents(s, dir)),
-        col("source"), Seq(desc("quality_score"), col("doc_id")), SourceCap)
-      .select(col("source"), col("rnk"), col("doc_id"), col("quality_score"))
-      .orderBy(col("source"), col("rnk"))
-
-  // ---- x31: token-window chunking ----------------------------------------
-
-  /** Chunk geometry: 64-token windows, stride 48 (16-token overlap). */
-  val ChunkSize = 64
-  val ChunkStride = 48
-
-  /** The tokenize-and-pack step (TextOps.chunkTokens): per-row windowing
-    * at scan speed, output keyed by chunk hash for downstream dedup. */
-  def x31_chunks(s: SparkSession, dir: String): DataFrame =
-    TextOps.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
-        ChunkSize, ChunkStride)
-      .orderBy(col("doc_id"), col("chunk_id"))
-
-  // ---- x32: per-document salient terms (keyword extraction) --------------
-
-  val KeywordsPerDoc = 3
-
-  /** Top-3 terms per document by tf/df salience (TextOps
-    * .tfSalienceTopTerms): two map-side-combinable corpus aggregates, a
-    * broadcast df join-back, WindowGroupLimit per-doc top-k. Integer
-    * arithmetic until the one IEEE divide — no libm log (x18's rule). */
-  def x32_doc_keywords(s: SparkSession, dir: String): DataFrame =
-    TextOps.tfSalienceTopTerms(Tables.documents(s, dir), "doc_id", "text",
-        KeywordsPerDoc)
-      .orderBy(col("doc_id"), col("rnk"))
-
-  // ---- x25: per-label embedding centroids --------------------------------
-
-  /** Exact per-cluster centroids over the quantized embedding table (see
-    * Similarity.centroids for the scale shape). */
-  def x25_embedding_centroids(s: SparkSession, dir: String): DataFrame =
-    Similarity.centroids(Tables.embeddings(s, dir), "label", "embedding")
-      .orderBy(col("label"), col("dim"))
-
-  // ---- x26: the end-to-end training-data build ---------------------------
-
-  /** Quality gate for x26: keeps ~75% of the corpus at every SF (the score
-    * distribution's p25 sits at 0.5). Interpolated into BOTH the Spark
-    * filter and the oracle SQL so the two sides can never drift.
-    *
-    * As the weak-label source for the classifier family, now PRICED
-    * (x86, round 11): a vote model trained on this gate's labels over
-    * the 75 % hash slice reproduces the gate on the held-out 25 % with
-    * accuracy 0.75/0.74/0.75 at sf0.001/0.01/0.1 under the naive
-    * vote_score > 0 rule (it predicts all-positive — recall 1.0,
-    * precision = base rate), and 0.93 at sf0.1 once the cut is
-    * calibrated on the training slice (x90). The gate itself is a
-    * deterministic function of the text, so these numbers measure how
-    * learnable the gate is from token evidence alone — the fidelity a
-    * production pipeline gets when it swaps the exact scorer for the
-    * cheaper trained filter on an unscored corpus. */
-  val QualityGate = 0.5
-
-  /** x26's target corpus language — the C4-style "keep documents the
-    * language-ID model says are X" selection. (The metadata `lang` label
-    * is NOT used as the gate: the synthetic corpus is English-shaped text
-    * under every label, so the classifier predicts en throughout, and the
-    * report below groups by the metadata label precisely to expose that
-    * label/content disagreement per stratum.) Interpolated into both
-    * engine and oracle. */
-  val TargetLang = "en"
-
-  /** The whole pipeline in one query — what a C4/Gopher-style corpus
-    * build runs end to end, each stage an operator proven on its own
-    * elsewhere in this file:
-    *
-    *   1. per-row scoring at scan speed: language ID (x10) + quality
-    *      metrics (x09), one pass, no shuffle;
-    *   2. gates: predicted language = [[TargetLang]] (target-language
-    *      selection), quality_score ≥ [[QualityGate]];
-    *   3. exact dedup (x01's digest): keep the min doc_id per sha256 —
-    *      a groupBy on the digest plus a semi-join back, never a sort;
-    *   4. near-dup dedup (x03→x20→x23): anti-join against the dropped
-    *      side of the SHARED component-label fixpoint (one CC run serves
-    *      x20, x23 and x26 via ccLabelsCache);
-    *   5. the deliverable: per-language corpus report — doc counts and
-    *      exact integer token/char totals (what a tokenizer-budget plan
-    *      consumes), min/max quality as the gate audit.
-    *
-    * The gated corpus is materialized once (persistTracked): it feeds
-    * both the digest aggregate and the semi-join probe, and at 100 TB a
-    * pipeline would checkpoint exactly this relation before the dedup
-    * joins. Aggregate outputs are integers (exact in any order) — never
-    * order-dependent double sums (oracle-parity rule). */
-  def x26_pipeline_gate(s: SparkSession, dir: String): DataFrame = {
-    val scored = TextOps.langId(TextOps.qualityScore(Tables.documents(s, dir)))
-    val gated = ExtCaches.persistTracked(scored
-      .filter(col("predicted_lang") === TargetLang &&
-        col("quality_score") >= QualityGate)
-      .select(col("doc_id"), col("lang"), col("text"),
-        col("n_chars"), col("n_tokens"), col("quality_score")))
-    val keepIds = gated
-      .groupBy(sha2(col("text"), 256).as("digest"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val dropped = minhashDupLabels(s, dir)
-      .filter(col("label") =!= col("v"))
-      .select(col("v").as("doc_id"))
-    gated
-      .join(keepIds, Seq("doc_id"), "left_semi")
-      .join(dropped, Seq("doc_id"), "left_anti")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        sum(col("n_chars")).as("total_chars"),
-        min(col("quality_score")).as("min_quality"),
-        max(col("quality_score")).as("max_quality"))
-      .orderBy(col("lang"))
-  }
-
-  /** [[x26_pipeline_gate]] widened into the FULL corpus build (round-7
-    * wiring of the round-6 closers into the composed pipeline):
-    *
-    *   1–3. gate + exact dedup, exactly x26's stages;
-    *   4. block-level span dedup (x54's operator, over the exact
-    *      survivors): per-doc post-dedup token counts, and documents
-    *      whose every block is duplicate content are dropped — the
-    *      C4/Lee-et-al granularity between whole-doc exact and near-dup;
-    *   5. near-dup anti-join against the dropped side of the SHARED
-    *      component fixpoint (one CC run still serves x20/x23/x26/x53
-    *      and this query via ccLabelsCache);
-    *   6. x53's leakage-safe split as the final stage: every near-dup
-    *      family draws ONE split from its cluster label, so no family
-    *      straddles train/val/test;
-    *   7. deliverable: per (lang, split) doc counts with BOTH token
-    *      totals — raw and post-block-dedup, the tokenizer-budget pair a
-    *      training-data plan consumes.
-    *
-    * Scale: every stage is an equi-join / hash-aggregate proven
-    * individually (x26, x54, x53); composing them adds no new shuffle
-    * class, and the block stage runs on the already-gated corpus — at
-    * 100 TB exactly where a pipeline wants its most token-heavy pass. */
-  def x26b_corpus_build(s: SparkSession, dir: String): DataFrame = {
-    val scored = TextOps.langId(TextOps.qualityScore(Tables.documents(s, dir)))
-    val gated = ExtCaches.persistTracked(scored
-      .filter(col("predicted_lang") === TargetLang &&
-        col("quality_score") >= QualityGate)
-      .select(col("doc_id"), col("lang"), col("text"),
-        col("n_chars"), col("n_tokens"), col("quality_score")))
-    val keepIds = gated
-      .groupBy(sha2(col("text"), 256).as("digest"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val exactKept = ExtCaches.persistTracked(
-      gated.join(keepIds, Seq("doc_id"), "left_semi"))
-    val blockStats = Dedup.blockDedup(exactKept, "doc_id", "text", BlockW)
-      .filter(col("n_tokens_kept") > 0)
-      .select(col("doc_id"), col("n_tokens_kept"))
-    val labels = minhashDupLabels(s, dir)
-    val dropped = labels
-      .filter(col("label") =!= col("v"))
-      .select(col("v").as("doc_id"))
-    val surv = exactKept
-      .join(blockStats, Seq("doc_id"))
-      .join(dropped, Seq("doc_id"), "left_anti")
-    val split = Sampling.clusterSplit(surv, "doc_id", labels,
-      SplitTrainFrac, SplitValFrac, SplitSalt)
-    surv
-      .join(split.select(col("doc_id"), col("split")), Seq("doc_id"))
-      .groupBy(col("lang"), col("split"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        sum(col("n_tokens_kept")).as("kept_block_tokens"))
-      .orderBy(col("lang"), col("split"))
-  }
-
-  // ---- x27: dataset mixing — per-source mixture weights -------------------
-
-  /** The mixture recipe: named sources with their keep fractions (all
-    * binary-exact so both engines compute the identical cut); the other
-    * 16 sources in the corpus are dropped — exactly how a training mix
-    * names its corpora and weights them. Interpolated into both the
-    * Spark filter and the oracle SQL via [[mixtureCaseSql]]. */
-  val MixtureWeights: Map[String, Double] =
-    Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 1.0, "src3" -> 0.125)
-
-  /** The oracle-side twin of Sampling.weightedMixtureSample's CASE ladder,
-    * generated from the SAME weights map so the two sides cannot drift. */
-  private def mixtureCaseSql: String =
-    MixtureWeights.toSeq.sortBy(_._1).map { case (k, f) =>
-      s"WHEN '$k' THEN '${Sampling.cutFor(f)}'"
-    }.mkString("CASE source ", " ", " ELSE NULL END")
-
-  /** Deterministic mixture sampling + the achieved-mix audit: sample each
-    * named source at its weight in one scan-only pass, then report kept
-    * doc counts and exact token totals per (source, lang) — the numbers a
-    * mixture re-balance loop actually monitors. */
-  def x27_source_mixture(s: SparkSession, dir: String): DataFrame =
-    Sampling.weightedMixtureSample(
-        TextOps.tokenStats(Tables.documents(s, dir)), "doc_id", "source",
-        MixtureWeights)
-      .groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
-      .orderBy(col("source"), col("lang"))
-
-  // ---- x28: eval-set decontamination --------------------------------------
-
-  /** The held-out "benchmark" slice for x28: a deterministic hash sample
-    * of the corpus (the x21 cut machinery), standing in for an eval set.
-    * Small by construction — exactly the real-world shape, where the
-    * benchmark suite is kilobytes against a 100 TB corpus. */
-  val EvalFrac = 0.0625
-
-  /** Decontamination — NOT symmetric dedup: for every TRAINING document,
-    * the fraction of its 3-token shingles that also appear anywhere in
-    * the EVAL set. Train docs above [[ContaminationThreshold]] would be
-    * dropped before training (they leak benchmark content). Scale shape:
-    * the eval shingle vocabulary is tiny and broadcasts; the corpus side
-    * is one explode + one broadcast LEFT SEMI-style join + one per-doc
-    * aggregate — never corpus×corpus. Output: every contaminated doc
-    * with its overlap counts (all-integer; one final divide). */
-  val ContaminationThreshold = 0.25
-
-  def x28_decontamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val isEval = Sampling.hashThresholdPredicate(col("doc_id"), EvalFrac)
-    val shingled = docs
-      .select(col("doc_id"),
-        TextOps.shingles(TextOps.tokens(col("text"))).as("sh"), isEval.as("is_eval"))
-    val evalShingles = shingled.filter(col("is_eval"))
-      .select(explode(col("sh")).as("shingle")).distinct()
-    shingled.filter(!col("is_eval"))
-      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_shingles"),
-        explode(col("sh")).as("shingle"))
-      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id"), col("n_shingles"))
-      .agg(count(lit(1)).as("n_shared"))
-      .withColumn("overlap_frac",
-        col("n_shared").cast("double") / col("n_shingles").cast("double"))
-      .filter(col("overlap_frac") >= ContaminationThreshold)
-      .orderBy(col("doc_id"))
-  }
-
-  // ---- x33: incremental ingest dedup --------------------------------------
-
-  /** The already-ingested share of the corpus in the x33 split (hash of
-    * doc_id, the same deterministic splitter x28 uses for eval/train). */
-  val BaseFrac = 0.75
-
-  /** Incremental near-dup dedup of an incoming batch against the ingested
-    * base (Dedup.incrementalDedup keyed on the min-shingle fingerprint —
-    * the x11 1-perm MinHash, which actually fires on this corpus where
-    * exact text collisions don't exist): base ships only its distinct
-    * fingerprint index, first-wins within the batch is one hash
-    * aggregate, the base check one anti-join. */
-  def x33_incremental_dedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
-    Dedup.incrementalDedup(
-        docs.filter(inBase), docs.filter(!inBase), "doc_id",
-        TextOps.fingerprint(TextOps.tokens(col("text"))))
-      .orderBy(col("doc_id"))
-  }
-
-  // ---- x34: token-budget corpus selection ---------------------------------
-
-  /** ~44 % of the sf0.01 corpus's tokens, ~4.4 % of sf0.1's — the
-    * budget binds (cuts off mid-histogram) at every tested scale. */
-  val TokenBudget = 12000L
-  val QualityBuckets = 100
-
-  /** "Build the best `TokenBudget`-token corpus": quality-histogram
-    * threshold selection (Sampling.budgetBuckets over the x09 quality
-    * score, weighted by token count) — the scale-safe replacement for a
-    * global quality sort + running sum, which would be an unpartitioned
-    * window over the whole corpus. */
-  def x34_token_budget(s: SparkSession, dir: String): DataFrame =
-    Sampling.budgetBuckets(
-        TextOps.qualityScore(Tables.documents(s, dir)),
-        col("quality_score"), col("n_tokens"), TokenBudget, QualityBuckets)
-      .orderBy(desc("bucket"))
-
-  // ---- x35: compliance scrub (PII-redaction plumbing) ---------------------
-
-  /** Blocklist for x35: frequent corpus terms, so the scrub FIRES on most
-    * documents at every tested scale — a redaction gate the correctness
-    * gate never sees fire is not tested. A production deployment swaps
-    * the alternation for PII patterns (emails/phones/SSNs); the synthetic
-    * corpus carries none, and the operator is the plumbing, not the
-    * pattern. Sorted inside scrubPattern so term order can't change the
-    * regex. */
-  val ScrubTerms: Seq[String] = Seq("customer", "table", "stream")
-  val ScrubMask = "<MASK>"
-
-  /** Redact every blocklisted term and emit the audit triple per doc:
-    * hit count, scrubbed length, sha256 of the released bytes (see
-    * TextOps.scrubTerms for the scale shape — pure scan-speed
-    * projection, CountMatchesRule keeps the hit count allocation-free). */
-  def x35_blocklist_scrub(s: SparkSession, dir: String): DataFrame =
-    TextOps.scrubTerms(Tables.documents(s, dir), "doc_id", "text",
-        ScrubTerms, ScrubMask)
-      .orderBy(col("doc_id"))
-
-  // ---- x36: quality-policy cluster representatives ------------------------
-
-  /** The survivor policy production dedup actually ships: keep each
-    * near-dup cluster's BEST-QUALITY member (x09 score, smallest-id
-    * tiebreak), not x23's smallest-id canonical. Rides the SHARED x20
-    * component fixpoint (ccLabelsCache — one CC run serves x20/x23/x26
-    * and this) plus the x09 scoring pass; the selection itself is the
-    * q06 sort-free max_by idiom (see Dedup.clusterRepresentatives). */
-  def x36_cluster_reps(s: SparkSession, dir: String): DataFrame =
-    Dedup.clusterRepresentatives(
-        minhashDupLabels(s, dir),
-        TextOps.qualityScore(Tables.documents(s, dir)),
-        "doc_id", "quality_score")
-      .orderBy(col("cluster_id"))
-
-  // ---- x37: snapshot CDC — the MERGE-feed diff ----------------------------
-
-  /** Membership draw for each snapshot (~87.5 % of keys each, ~76 %
-    * overlap) and the touched-row draw within the overlap — all three
-    * independent salted hashes of the order key, so every change class
-    * (insert / delete / update) fires at every tested scale. */
-  val CdcSnapFrac = 0.875
-  val CdcTouchFrac = 0.25
-
-  /** Price perturbation for touched rows: an exact-in-binary additive
-    * delta — one IEEE add both engines compute bit-identically (no
-    * rounding-mode trap, unlike a `* 1.1` + ROUND). */
-  val CdcPriceDelta = 16.0
-
-  /** Changed-data capture between two snapshots of `orders` — the diff a
-    * MERGE INTO / SCD pipeline consumes: full-outer join the snapshots on
-    * the key, classify each key as insert (new only), delete (old only),
-    * update (both, value changed), and emit ONLY the changed rows. The
-    * two snapshots are deterministic salted-hash slices of the base table
-    * (Sampling.saltedHashPredicate — the x28 split machinery with
-    * independent draws), with touched overlap rows shifted by
-    * [[CdcPriceDelta]]; presence is decided by explicit marker columns,
-    * not value nullability, so the classifier is schema-agnostic.
-    *
-    * Scale shape: both sides partition on the join key — ONE
-    * co-partitioned sort-merge full-outer join, no broadcast needed and
-    * none possible (both sides are table-sized); with key-bucketed
-    * snapshot layouts (Sources.writeBucketed) the shuffle disappears
-    * entirely. Output is |changed keys| — the deliverable a downstream
-    * MERGE applies, a fraction of either snapshot. */
-  def x37_snapshot_cdc(s: SparkSession, dir: String): DataFrame =
-    cdcDiff(s, dir).orderBy(col("o_orderkey"))
-
-  /** The x37 diff body without the presentation sort — shared with x58,
-    * whose apply join would otherwise carry a pointless inner ORDER BY. */
-  private def cdcDiff(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val k = col("o_orderkey")
-    val oldSnap = o.filter(Sampling.saltedHashPredicate(k, "a", CdcSnapFrac))
-      .select(k, col("o_totalprice").as("old_price"), lit(true).as("in_old"))
-    val newSnap = o.filter(Sampling.saltedHashPredicate(k, "b", CdcSnapFrac))
-      .select(k,
-        when(Sampling.saltedHashPredicate(k, "u", CdcTouchFrac),
-          col("o_totalprice") + CdcPriceDelta)
-          .otherwise(col("o_totalprice")).as("new_price"),
-        lit(true).as("in_new"))
-    oldSnap.join(newSnap, Seq("o_orderkey"), "full_outer")
-      .withColumn("change_type",
-        when(col("in_old").isNull, lit("insert"))
-          .when(col("in_new").isNull, lit("delete"))
-          .when(col("old_price") =!= col("new_price"), lit("update"))
-          .otherwise(lit("unchanged")))
-      .filter(col("change_type") =!= "unchanged")
-      .select(col("o_orderkey"), col("change_type"),
-        col("old_price"), col("new_price"))
-  }
-
-  // ---- x58: CDC round-trip — apply(v1, cdc) == v2 -------------------------
-
-  /** The consumer half of x37, closing the round-7 verdict's open item
-    * ("x37's CDC output is never applied"): reconstruct snapshot v2 by
-    * MERGE-applying the x37 change set to snapshot v1 (`ops.Cdc` — one
-    * equi-join, change-set side broadcastable). The ORACLE computes v2
-    * DIRECTLY from the base table — it never sees v1 or the diff — so a
-    * hash match proves the diff is SUFFICIENT to reconstruct v2, the
-    * property a MERGE INTO consumer actually relies on. */
-  def x58_cdc_apply(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-    val k = col("o_orderkey")
-    val v1 = o.filter(Sampling.saltedHashPredicate(k, "a", CdcSnapFrac))
-      .select(k, col("o_totalprice").as("price"))
-    Cdc.applyChanges(v1, cdcDiff(s, dir),
-        "o_orderkey", "price", "new_price")
-      .orderBy(k)
-  }
-
-  // ---- x38: winnowing fingerprints + passage-level near-dup pairs ---------
-
-  /** Winnowing geometry: 4-token grams, window of 4 hashes — any shared
-    * run of ≥ 7 tokens guarantees a shared fingerprint. [[WinnowMinShared]]
-    * keeps pairs sharing at least that many DISTINCT fingerprints (an
-    * integer gate — no float similarity anywhere in the pipeline). */
-  val WinnowK = 4
-  val WinnowWin = 4
-  val WinnowMinShared = 2L
-
-  /** Per-document winnowing fingerprint sets, exploded to (doc, fp) rows
-    * — the passage-level dedup index a plagiarism/boilerplate detector
-    * stores (see TextOps.winnowFingerprints for the selection scheme and
-    * the per-row scale story). */
-  def x38_winnow_fingerprints(s: SparkSession, dir: String): DataFrame =
-    TextOps.winnowFingerprints(Tables.documents(s, dir), "doc_id", "text",
-        WinnowK, WinnowWin)
-      .select(col("doc_id"), explode(col("fps")).as("fingerprint"))
-      .orderBy(col("doc_id"), col("fingerprint"))
-
-  /** Passage-overlap candidate pairs over the winnowing index — the
-    * detector whole-document MinHash (x03) cannot express: docs sharing
-    * a ≥ 7-token run collide here even at low whole-doc similarity. */
-  def x38_winnow_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.winnowPairs(Tables.documents(s, dir), "doc_id", "text",
-        WinnowK, WinnowWin, WinnowMinShared)
-      .orderBy(col("id_a"), col("id_b"))
-
-  // ---- x39: per-source token frequencies via the Misra–Gries UDAF ---------
-
-  /** Counter budget for x39 — chosen ABOVE the corpus's per-source
-    * distinct-token count (31 at every SF, fixed by the generator's
-    * vocabulary), which puts Misra–Gries in its exactness regime: no
-    * counter ever evicts, so every (item, count) is the true frequency
-    * and the DuckDB GROUP BY oracle matches bit-for-bit. This
-    * oracle-gates the TypedImperativeAggregate rung of the Catalyst
-    * ladder end-to-end (the k < distinct sketch regime — lower bounds,
-    * n/(k+1) coverage — is property-tested in PropertySpec, where an
-    * oracle cannot express the guarantee). */
-  val HeavyK = 32
-
-  /** Per-source token frequency tables computed through the custom
-    * bounded-memory aggregate (graftfn.HeavyHitters): one explode + one
-    * hash aggregate whose per-group state is ≤ k counters regardless of
-    * stream length — the shape that survives 100 TB token streams where
-    * an exact (source, token) COUNT pivot would. Output exploded back to
-    * rows and totally ordered, so the array's internal order (map
-    * iteration — nondeterministic) never reaches the gate. */
-  def x39_heavy_hitters(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
-      .groupBy(col("source"))
-      .agg(org.apache.spark.sql.graftfn.HeavyHitters.of(col("tok"), HeavyK).as("hh"))
-      .select(col("source"), explode(col("hh")).as("e"))
-      .select(col("source"), col("e.item").as("token"),
-        col("e.count_lower").as("n"))
-      .orderBy(col("source"), col("token"))
-
-  // ---- x40: conversion-funnel journeys ------------------------------------
-
-  /** Per-user funnel table — the event-analytics staple x12/x13/x15 do
-    * not cover: for every user with a view, their first view, their
-    * first STRICTLY-LATER click, and their first strictly-later-still
-    * purchase (absent stages stay NULL — the funnel report is one
-    * aggregation over this). Each stage is one keyed min-aggregate and
-    * one equi-join on user_id; every shuffle in the chain is on the SAME
-    * key, so after the first exchange the whole funnel is key-local
-    * (Catalyst reuses the hashpartitioning — at 100 TB the funnel costs
-    * one shuffle of each event slice, never a re-partition). Timestamps
-    * exported as epoch_us (the x12/x15 parity convention). */
-  def x40_funnel_journeys(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    def slice(t: String) = ev.filter(col("event_type") === t)
-      .select(col("user_id"), col("ts"))
-    val v = slice("view").groupBy(col("user_id"))
-      .agg(min(col("ts")).as("fv"))
-    val c = slice("click").join(v, Seq("user_id"))
-      .filter(col("ts") > col("fv"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("fc"))
-    val p = slice("purchase").join(c, Seq("user_id"))
-      .filter(col("ts") > col("fc"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("fp"))
-    v.join(c, Seq("user_id"), "left")
-      .join(p, Seq("user_id"), "left")
-      .select(col("user_id"),
-        unix_micros(col("fv")).as("first_view_us"),
-        unix_micros(col("fc")).as("first_click_us"),
-        unix_micros(col("fp")).as("first_purchase_us"))
-      .orderBy(col("user_id"))
-  }
-
-  // ---- x41: weekly cohort retention ---------------------------------------
-
-  /** Cohort-retention matrix — with x40's funnel, the other half of the
-    * product-analytics pair: users are cohorted by the Monday of their
-    * FIRST PURCHASE's week (the conversion anchor — cohorting on first
-    * activity is degenerate on this corpus, every user is active from
-    * week one, and a cohort split the gate never sees split is not
-    * tested), and each (cohort, week-offset) cell counts distinct
-    * cohort members active — any event — that many weeks later; offset
-    * 0 includes pre-purchase same-week activity by construction. Both
-    * week anchors are `date_trunc('week')` Mondays, so day deltas are
-    * exact multiples of 7 and the offset divide is exact on both
-    * engines. Shape: one keyed min-agg for the cohort anchor, one
-    * equi-join back on user_id (non-purchasers drop out — inner), one
-    * distinct-count — the standard two-level distinct that
-    * partial-aggregates on (cohort, offset, user) before the final
-    * count, so no cell ever materializes its full user list on one
-    * reducer. */
-  def x41_cohort_retention(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(
-      col("user_id"), col("ts"), col("event_type"))
-    val cohorts = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"))
-      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
-    ev.join(cohorts, Seq("user_id"))
-      .select(col("user_id"), col("cohort_week"),
-        (datediff(date_trunc("week", col("ts")), col("cohort_week")) / 7)
-          .cast(LongType).as("week_offset"))
-      .filter(col("week_offset") >= 0) // pre-cohort-week activity is not retention
-      .groupBy(col("cohort_week"), col("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_active"))
-      .select(unix_micros(col("cohort_week")).as("cohort_week_us"),
-        col("week_offset"), col("n_active"))
-      .orderBy(col("cohort_week_us"), col("week_offset"))
-  }
-
-  // ---- x42: data-quality expectations audit -------------------------------
-
-  /** The dbt-test / expectations audit a pipeline runs before promoting a
-    * load: one (rule, n_violations, n_checked) row per declared rule.
-    * Scale shape: all rules on one table FUSE into a single conditional
-    * aggregation over one scan (`stack` unpivots the counters to rows) —
-    * at 100 TB you pay one pass per table, not one per rule. The FK rule
-    * is folded into lineitem's fused pass as a LEFT join against the
-    * parent's distinct key projection with a presence marker (null marker
-    * ⇒ orphan) — the same single scan also counts the quantity rule, so
-    * the referential check costs one join, never an extra table pass.
-    * Two rules are chosen to FIRE on this corpus (date horizon, quantity
-    * cap) and five to pass — both report paths are proven, not just the
-    * all-green one. All-integer output. */
-  def x42_expectations(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("o_orderdate") > lit("2000-12-31").cast("timestamp"), 1L)
-          .otherwise(0L)).as("v_date"),
-        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_price"))
-      .selectExpr(
-        "stack(2, 'orders_date_horizon_2000', v_date, 'orders_price_positive', v_price) AS (rule, n_violations)",
-        "n AS n_checked")
-    val parentKeys = Tables.orders(s, dir)
-      .select(col("o_orderkey").as("l_orderkey")).distinct()
-      .withColumn("parent_hit", lit(1))
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_quantity"))
-      .join(parentKeys, Seq("l_orderkey"), "left")
-      .agg(count(lit(1)).as("n"),
-        sum(when(!col("l_quantity").between(1, 40), 1L).otherwise(0L)).as("v_qty"),
-        sum(when(col("parent_hit").isNull, 1L).otherwise(0L)).as("v_fk"))
-      .selectExpr(
-        "stack(2, 'lineitem_quantity_cap_40', v_qty, 'lineitem_orders_fk', v_fk) AS (rule, n_violations)",
-        "n AS n_checked")
-    val pk = Tables.part(s, dir)
-      .agg(count(lit(1)).as("n"),
-        (count(lit(1)) - countDistinct(col("p_partkey"))).as("v"))
-      .select(lit("part_pk_unique").as("rule"),
-        col("v").as("n_violations"), col("n").as("n_checked"))
-    val cu = Tables.customer(s, dir)
-      .agg(count(lit(1)).as("n"),
-        (count(lit(1)) - count(col("c_name"))).as("v"))
-      .select(lit("customer_name_not_null").as("rule"),
-        col("v").as("n_violations"), col("n").as("n_checked"))
-    val ev = Tables.events(s, dir)
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("v"))
-      .select(lit("events_value_nonnegative").as("rule"),
-        col("v").as("n_violations"), col("n").as("n_checked"))
-    o.unionByName(li).unionByName(pk)
-      .unionByName(cu).unionByName(ev)
-      .orderBy(col("rule"))
-  }
-
-  // ---- x43: SCD type-2 history assembly -----------------------------------
-
-  /** How many synthetic snapshot versions x43 assembles, and the
-    * per-version touch fraction (independent salted draws per version,
-    * cumulative: version v applies every delta with draw < v's salt —
-    * so some keys change at v2 only, some at v3 only, some at both,
-    * some never; every segment shape the assembler must handle occurs
-    * at every tested scale). */
-  val ScdVersions = 3
-  val ScdTouchFrac = 0.25
-
-  /** Slowly-changing-dimension type-2 assembly — the companion to x37's
-    * CDC diff: given V point-in-time snapshots of `orders`, emit the
-    * versioned history (key, price, valid_from, valid_to) with one row
-    * per UNBROKEN run of equal values (valid_to = V for the open
-    * segment). The snapshots here are synthesized from one base table
-    * with deterministic salted deltas; a real pipeline reads stored
-    * snapshots — the assembly is identical. Gaps-and-islands per key:
-    * LAG over a (key)-partitioned, version-ordered window marks change
-    * points, a running SUM of the marks labels segments, one aggregate
-    * per (key, segment) emits the interval. The window partitions by
-    * key over exactly V rows — bounded state, shuffle on the key the
-    * snapshots are already stored by (bucketed layouts make it
-    * shuffle-free). */
-  def x43_scd2_history(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = Tables.orders(s, dir).select(
-      col("o_orderkey").as("k"), col("o_totalprice").as("p0"))
-    // version v's value: base price + delta for every version draw <= v
-    // that hits — cumulative, so changes persist into later versions
-    val versions = (1 to ScdVersions).map { v =>
-      val bumps = (2 to v).map { u =>
-        when(Sampling.saltedHashPredicate(col("k"), s"v$u", ScdTouchFrac),
-          lit(CdcPriceDelta)).otherwise(lit(0.0))
-      }
-      base.select(col("k"), lit(v.toLong).as("version"),
-        bumps.foldLeft(col("p0"))(_ + _).as("price"))
-    }.reduce(_ unionByName _)
-    val byKey = Window.partitionBy(col("k")).orderBy(col("version"))
-    versions
-      .withColumn("chg",
-        when(lag(col("price"), 1).over(byKey).isNull ||
-          lag(col("price"), 1).over(byKey) =!= col("price"), 1L)
-          .otherwise(0L))
-      .withColumn("seg", sum(col("chg")).over(
-        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("k"), col("seg"), col("price"))
-      .agg(min(col("version")).as("valid_from"),
-        max(col("version")).as("valid_to"))
-      .select(col("k").as("o_orderkey"), col("price"),
-        col("valid_from"), col("valid_to"))
-      .orderBy(col("o_orderkey"), col("valid_from"))
-  }
-
-  // ---- x44: sequence packing into training context windows ----------------
-
-  /** Pack length in tokens. Small enough that sf0.01's ~55-token median
-    * docs yield multi-doc packs AND boundary-straddling docs at every
-    * tested scale — both manifest shapes exercised; a production run
-    * sets the model's context length. */
-  val CtxLen = 256L
-
-  /** Context-window packing manifest (Packing.packManifest): documents
-    * hash-sharded into 16 independent token streams, concat-and-chunk
-    * placement per stream via one shard-partitioned cumulative-sum
-    * window. The manifest is what a pretraining loader consumes — for
-    * any pack index it can locate exactly the documents whose token
-    * ranges intersect it. One shuffle, bounded per-partition state; the
-    * shard count is the 100 TB parallelism knob. */
-  def x44_sequence_packing(s: SparkSession, dir: String): DataFrame =
-    Packing.packManifest(Tables.documents(s, dir), "doc_id",
-        size(TextOps.tokens(col("text"))), CtxLen)
-      .orderBy(col("doc_id"))
-
-  // ---- x45: bloom-prefiltered decontamination ------------------------------
-
-  /** Bloom sizing: ~1.2 MB per million expected distinct eval shingles
-    * at the default FPP; generous for every tested scale factor. */
-  val BloomExpectedItems = 1L << 20
-
-  /** x28's decontamination with the broadcast semi-join replaced by the
-    * at-scale shape: when the eval-shingle vocabulary outgrows the
-    * broadcast threshold (a benchmark SUITE at 100 TB — millions of
-    * documents, billions of shingles), the corpus side must meet it in a
-    * SHUFFLE semi-join, and the cost driver becomes how many corpus
-    * shingle occurrences reach that shuffle. A bloom filter over the
-    * eval vocabulary (Spark's own runtime-filter aggregate, built here
-    * explicitly because the optimizer only injects it for equi-joins it
-    * can prove selective — graftfn.BloomPrune) broadcasts at ~1 MB/M
-    * keys and prunes the non-contaminated bulk BEFORE the shuffle; the
-    * exact semi-join on the survivors keeps the output bit-identical to
-    * x28 (bloom false positives die in the join, never reach the
-    * result). Same oracle SQL as x28 — the bloom is invisible in the
-    * answer, by construction. */
-  def x45_decontamination_bloom(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val isEval = Sampling.hashThresholdPredicate(col("doc_id"), EvalFrac)
-    val shingled = docs
-      .select(col("doc_id"),
-        TextOps.shingles(TextOps.tokens(col("text"))).as("sh"), isEval.as("is_eval"))
-    // Two consumers (bloom build + exact confirm): persist, or the eval
-    // docs re-tokenize per consumer.
-    val evalShingles = ExtCaches.persistTracked(
-      shingled.filter(col("is_eval"))
-        .select(explode(col("sh")).as("shingle")).distinct())
-    val bloom = evalShingles.agg(
-      org.apache.spark.sql.graftfn.BloomPrune.bloomAgg(col("shingle"), BloomExpectedItems).as("bloom"))
-    shingled.filter(!col("is_eval"))
-      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_shingles"),
-        explode(col("sh")).as("shingle"))
-      // the bloom rides in as a scalar subquery (might_contain's required
-      // shape — see BloomPrune.mightContain), primed once per task
-      .filter(org.apache.spark.sql.graftfn.BloomPrune.mightContain(bloom, col("shingle")))
-      // deliberately NO broadcast hint: this is the shuffle semi-join the
-      // bloom exists to feed less (AQE may still broadcast at test scale)
-      .join(evalShingles, Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id"), col("n_shingles"))
-      .agg(count(lit(1)).as("n_shared"))
-      .withColumn("overlap_frac",
-        col("n_shared").cast("double") / col("n_shingles").cast("double"))
-      .filter(col("overlap_frac") >= ContaminationThreshold)
-      .orderBy(col("doc_id"))
-  }
-
-  // ---- x46: adjacent-pair counts (vocabulary merge mining) -----------------
-
-  /** Top-k cutoff for the merge-candidate table. */
-  val BpeTopPairs = 100
-
-  /** The BPE-training inner loop's statistic, at word granularity: count
-    * every ADJACENT token pair across the corpus and rank merge
-    * candidates. One `zip_with` of the token array against its own tail
-    * (no index arithmetic, no self-join), one explode, one hash
-    * aggregate — partial counts combine map-side, so the shuffle carries
-    * |vocab²∩corpus| pair keys, not token occurrences — and a global
-    * top-k that plans as TakeOrderedAndProject (no global sort). A real
-    * BPE trainer iterates this op over subword units with the previous
-    * round's merges applied; the per-round statistic is exactly this
-    * query, and the iteration discipline is x20's (checkpointed
-    * fixpoint). Deterministic tiebreak: count desc, then pair. */
-  def x46_bigram_counts(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
-      .select(TextOps.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(explode(TextOps.adjacentPairs(col("t"))).as("pair"))
-      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), col("pair")).limit(BpeTopPairs)
-  }
-
-  // ---- x60: iterated BPE merge loop (k rounds of x46 + application) -------
-
-  /** Merge rounds for x60 — enough to prove the loop (count → pick →
-    * APPLY → re-count) composes: round 2's winner can only exist because
-    * round 1's merge rewrote the corpus. */
-  val BpeRounds = 3
-
-  def x60_bpe_merges(s: SparkSession, dir: String): DataFrame =
-    TextOps.bpeMergeLoop(Tables.documents(s, dir), "doc_id", "text", BpeRounds)
-      .orderBy(col("round"))
-
-  // ---- x66: BPE tokenizer-apply (the encode half of train→apply) ----------
-
-  /** x60 learns the merge table; x66 proves the engine can RUN it back
-    * over the corpus — the per-document encoded sequence after the same
-    * k rounds, delivered as (token count, sequence digest) so the hash
-    * gate pins every document's exact token-by-token encoding, not just
-    * corpus totals. Winner selection and the greedy-leftmost fold are
-    * the SAME private helpers x60 uses (one spelling of the tie-break);
-    * the oracle reuses x60's unrolled-round CTE chain and digests
-    * seqs_k, with <2-token docs passing through unchanged on both
-    * sides. Scale shape = x60's per round; the encode itself adds one
-    * per-row fold and never shuffles the corpus. */
-  def x66_bpe_encode(s: SparkSession, dir: String): DataFrame =
-    TextOps.bpeEncode(Tables.documents(s, dir), "doc_id", "text", BpeRounds)
-      .select(col("id").as("doc_id"),
-        size(col("t")).cast(LongType).as("n_tokens"),
-        md5(concat_ws(" ", col("t"))).as("seq_digest"))
-      .orderBy(col("doc_id"))
-
-  // ---- x67: per-source length-band gate (C4-style outlier pruning) --------
-
-  /** Length-outlier pruning the way curation pipelines actually spell it
-    * (C4 / Gopher rules): per SOURCE, drop the shortest 5% and longest 5%
-    * of documents by token count, with the cut defined by EXACT rank —
-    * row_number over the (n_tokens, doc_id) total order, keep
-    * lo < r ≤ hi with lo = floor(0.05·n), hi = ceil(0.95·n) — so the
-    * gate is integer-deterministic and the oracle replays it row for
-    * row (a percentile-of-doubles spelling would inherit interpolation
-    * semantics that differ across engines; rank doesn't). Output: per
-    * source, the kept count, the LEARNED token bounds (min/max kept —
-    * what a config snapshot would freeze), and kept token mass.
-    *
-    * Scale shape: one (source, n_tokens)-keyed sort shuffle for the rank
-    * window (partition count = |sources|, each internally sorted — same
-    * cost class as any keyed ORDER BY), a broadcast of the |sources|-row
-    * count table, one final aggregate. At 100 TB with few huge sources,
-    * swap exact rank for a two-pass approx-quantile bound + broadcast
-    * filter — the documented sketch trade; the exact form here is the
-    * oracle-checkable contract the sketch must approximate. */
-  def x67_length_gate(s: SparkSession, dir: String): DataFrame =
-    x67_length_gate0(Tables.documents(s, dir))
-
-  /** x67 over an explicit documents relation (test seam for the
-    * constructed-ladder spec). */
-  def x67_length_gate0(docs: DataFrame): DataFrame = {
-    val t = docs.select(col("doc_id"), col("source"),
-      size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
-    val counts = t.groupBy(col("source")).agg(count(lit(1)).as("n_docs_src"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-      .orderBy(col("n_tokens"), col("doc_id"))
-    t.withColumn("r", row_number().over(w).cast(LongType))
-      .join(broadcast(counts), Seq("source"))
-      .filter(col("r") >
-          floor(col("n_docs_src").cast(DoubleType) * lit(0.05)).cast(LongType)
-        && col("r") <=
-          ceil(col("n_docs_src").cast(DoubleType) * lit(0.95)).cast(LongType))
-      .groupBy(col("source"), col("n_docs_src"))
-      .agg(count(lit(1)).as("kept_docs"),
-        min(col("n_tokens")).as("min_kept_tokens"),
-        max(col("n_tokens")).as("max_kept_tokens"),
-        sum(col("n_tokens")).as("kept_tokens"))
-      .orderBy(col("source"))
-  }
-
-  /** The 100 TB form x67's Scaladoc promises — now implemented, not just
-    * documented (round-9 verdict stretch #8): ONE aggregation pass
-    * computes per-source approx-quantile token bounds
-    * (`percentile_approx`, a mergeable KLL-family sketch — map-side
-    * combinable, NO sort shuffle), the |sources|-row bounds table
-    * broadcasts, and a plain filter + aggregate replaces the rank
-    * window. Cost class drops from a per-source sort shuffle (the exact
-    * form's rank window — each source's rows sorted in one partition,
-    * the few-huge-sources hazard) to two linear scans.
-    *
-    * NOT a registry query: sketch quantiles are engine-specific by
-    * construction (DuckDB and Spark implement different sketches), so
-    * the exact-rank x67 stays the oracle-checkable contract and THIS
-    * form's claim is proximity to it — spec-gated (ApproxLengthGateSpec)
-    * at two scale factors and soaked beside x67's cost. Tolerance
-    * model: percentile_approx at `accuracy` a guarantees a rank error
-    * ≤ n/a per source; boundary TIES add the count of docs sharing the
-    * boundary token value (the exact form splits ties by rank, a
-    * value-space bound cannot), so kept_docs may differ by
-    * (n_docs_src/accuracy + ties at the two boundary values) — both
-    * measured in the spec. */
-  def x67_length_gate_approx0(docs: DataFrame,
-                              accuracy: Int = 10000): DataFrame = {
-    val t = docs.select(col("doc_id"), col("source"),
-      size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
-    val bounds = t.groupBy(col("source")).agg(
-      count(lit(1)).as("n_docs_src"),
-      percentile_approx(col("n_tokens"), lit(0.05), lit(accuracy)).as("lo"),
-      percentile_approx(col("n_tokens"), lit(0.95), lit(accuracy)).as("hi"))
-    t.join(broadcast(bounds), Seq("source"))
-      .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
-      .groupBy(col("source"), col("n_docs_src"))
-      .agg(count(lit(1)).as("kept_docs"),
-        min(col("n_tokens")).as("min_kept_tokens"),
-        max(col("n_tokens")).as("max_kept_tokens"),
-        sum(col("n_tokens")).as("kept_tokens"))
-      .orderBy(col("source"))
-  }
-
-  // ---- x68: dup-cluster size histogram (the dup-mass profile) -------------
-
-  /** The curator's first question about a corpus's duplication: how big
-    * are the clusters? One histogram row per cluster SIZE (n_clusters of
-    * that size, n_docs they hold), plus the size-1 row for documents
-    * outside the pair graph — together a partition of the corpus, so the
-    * histogram doubles as a mass audit (Σ n_docs = |corpus|). Reuses the
-    * SHARED x20 component fixpoint (ccLabelsCache — the same labels
-    * x20/x23/x26/x36/x53 consume; bench family 4); the two aggregates
-    * after it are |clusters|- then |distinct sizes|-row, and the
-    * singleton row is a 1-row×1-row anchor join. Output bounded by
-    * |distinct cluster sizes| — broadcast-sized at any corpus scale. */
-  def x68_cluster_size_hist(s: SparkSession, dir: String): DataFrame = {
-    val labels = minhashDupLabels(s, dir)
-    val total = Tables.documents(s, dir).agg(count(lit(1)).as("total_docs"))
-    val labeled = labels.agg(count(lit(1)).as("labeled_docs"))
-    val hist = labels.groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"))
-      .groupBy(col("cluster_size"))
-      .agg(count(lit(1)).as("n_clusters"))
-      .select(col("cluster_size"), col("n_clusters"),
-        (col("cluster_size") * col("n_clusters")).as("n_docs"))
-    val singletons = total.crossJoin(labeled) // 1-row × 1-row anchors
-      .select(lit(1L).as("cluster_size"),
-        (col("total_docs") - col("labeled_docs")).as("n_clusters"),
-        (col("total_docs") - col("labeled_docs")).as("n_docs"))
-    hist.unionAll(singletons)
-      .filter(col("n_clusters") > 0)
-      .orderBy(col("cluster_size"))
-  }
-
-  // ---- x47: exact embedding Gram matrix (PCA / whitening prep) ------------
-
-  /** Fixed-point scale for the Gram accumulation: 2^10 (binary, so
-    * x·Scale never rounds in the double multiply). Deliberately coarser
-    * than Similarity.Scale (2^20): Gram cells sum PRODUCTS over the
-    * whole corpus, and 2^10 keeps |q_i·q_j| < 2^20 for unit-magnitude
-    * embeddings — long sums stay exact past 10^12 rows, which is the
-    * 100 TB overflow budget Similarity's pairwise scale doesn't need. */
-  val GramScale = 1024.0
-
-  /** X'X over the embedding corpus — the reduction every whitening /
-    * PCA / spectral-diagnostic step starts from. One scan, ONE custom
-    * TypedImperativeAggregate (graftfn.GramMatrix) carrying a fixed
-    * long[d(d+1)/2] triangle per partial: the shuffle moves one 16 KB
-    * buffer per map partition instead of the posexplode-pair form's
-    * d(d+1)/2 rows per input row (2080× write amplification at d=64 —
-    * fine for the DuckDB oracle at test scale, disqualifying for a
-    * corpus scan). Exact integer cells ⇒ bit-stable at any
-    * partitioning; the `gram` double is derived from them by two final
-    * IEEE divides. The post-aggregate explode emits 2080 rows total. */
-  def x47_embedding_gram(s: SparkSession, dir: String): DataFrame = {
-    val q = transform(col("embedding"),
-      x => round(x.cast(DoubleType) * GramScale).cast(LongType))
-    Tables.embeddings(s, dir)
-      .select(q.as("q"))
-      // count(q), not count(*): GramMatrix skips null vectors, so the
-      // mean's denominator must count exactly the contributing rows
-      .agg(org.apache.spark.sql.graftfn.GramMatrix.of(col("q"), EmbeddingDims).as("g"),
-        count(col("q")).as("n_vectors"))
-      .select(col("n_vectors"), explode(col("g")).as("cell"))
-      .select(col("cell.i").as("i"), col("cell.j").as("j"),
-        col("cell.sum_q").as("sum_q"),
-        (col("cell.sum_q").cast(DoubleType) / col("n_vectors").cast(DoubleType)
-          / lit(GramScale * GramScale)).as("gram"))
-      .orderBy(col("i"), col("j"))
-  }
-
-  // ---- x48: per-source token-mass equalization (mixture APPLICATION) ------
-
-  /** The sampling step x27 only plans for: x27 reports per-source
-    * mixture weights; this op APPLIES a re-weighting by deterministic
-    * hash rejection — each source is downsampled to the token mass of
-    * the smallest source (the temperature→0 limit of mT5/XLM-R-style
-    * temperature sampling; a λ-blend of natural and uniform shares is
-    * the same machinery with rational target shares).
-    *
-    * Exactness discipline: the accept test is ALL-INTEGER —
-    * u16 · src_tokens < 2^16 · min_tokens, where u16 is the first 4 hex
-    * digits of md5(doc_id) (16-bit hash fraction, rate resolution
-    * 1/65536) — because a double `pow`/divide rate could differ by an
-    * ulp between engines and flip a boundary document out of the
-    * bit-exact oracle gate. Long products stay exact up to 2^47 tokens
-    * per source (~140 T), the 100 TB budget. Scale shape: two pruned
-    * corpus scans — the weight build and the probe (the corpus itself
-    * is never cached; only the |sources|-row weight table persists, so
-    * the min anchor derives from it rather than re-scanning) — then a
-    * broadcast join, a 1-row broadcast min anchor, and one
-    * map-side-combinable summary aggregate; re-run-stable and
-    * append-stable like every hash-gated sampler here ([[Sampling]]). */
-  def x48_source_equalize(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
-    // persist the tiny weight table: the min anchor is an aggregate OVER
-    // it, and without the barrier its subplan re-runs the corpus scan
-    // (Spark reuses identical exchanges, not bare aggregate subtrees)
-    val bySource = ExtCaches.persistTracked(t.groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("src_tokens")))
-    val minTok = bySource.agg(min(col("src_tokens")).as("min_tokens"))
-    val u16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast(LongType)
-    t.join(broadcast(bySource), Seq("source"))
-      .crossJoin(broadcast(minTok)) // 1-row anchor, fleet-gate-bounded
-      .filter(u16 * col("src_tokens") < lit(65536L) * col("min_tokens"))
-      .groupBy(col("source"), col("src_tokens"), col("min_tokens"))
-      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
-      .orderBy(col("source"))
-  }
-
-  // ---- x61: temperature-sampled mixture (rational-τ generalization of x48)
-
-  /** x48's Scaladoc claims a λ-blend / temperature mixture is "the same
-    * machinery with rational target shares" — x61 proves it with τ = 1/2
-    * (the mT5/XLM-R temperature-sampling family, Xue et al. NAACL'21 /
-    * Conneau et al. ACL'20): per-source keep rate r_i = (min/src)^(1−τ)
-    * = sqrt(min_tokens/src_tokens), so kept token mass ∝ src_tokens^τ —
-    * large sources are damped toward (not onto) the uniform share, the
-    * standard low-resource-upweighting curve. τ→0 recovers x48 exactly.
-    *
-    * Exactness discipline: the square root never gets evaluated — the
-    * accept test is SQUARED into all-integer form, u16²·src_tokens <
-    * 2³²·min_tokens (for general rational τ = a/b the same move gives
-    * u16^b·src^a < 2^(16b)·min^a). The products are DECIMAL(38,0) /
-    * HUGEINT (u16² alone is 2³²; ×src_tokens would overflow int64 past
-    * 2³¹ tokens per source — decimal keeps the 100 TB budget with exact
-    * integer compares, no ulp anywhere). Per-document containment is
-    * provable, not just statistical: u16·src < 2¹⁶·min implies
-    * u16²·src < 2³²·min (multiply by u16 < 2¹⁶), so x48's kept set ⊆
-    * x61's kept set document-by-document — spec-asserted. Scale shape:
-    * identical to x48 (two pruned scans, broadcast weight table, 1-row
-    * min anchor, one summary aggregate). */
-  def x61_source_temperature(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
-        size(TextOps.tokens(col("text"))).cast(LongType).as("n_tokens"))
-    val bySource = ExtCaches.persistTracked(t.groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("src_tokens")))
-    val minTok = bySource.agg(min(col("src_tokens")).as("min_tokens"))
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val u16 = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast(LongType).cast(dec)
-    t.join(broadcast(bySource), Seq("source"))
-      .crossJoin(broadcast(minTok)) // 1-row anchor, fleet-gate-bounded
-      .filter(u16 * u16 * col("src_tokens").cast(dec) <
-        lit(4294967296L).cast(dec) * col("min_tokens").cast(dec))
-      .groupBy(col("source"), col("src_tokens"), col("min_tokens"))
-      .agg(count(lit(1)).as("kept_docs"), sum(col("n_tokens")).as("kept_tokens"))
-      .orderBy(col("source"))
-  }
-
-  // ---- x62: edit-distance near-dup pairs (Ed-Join prefix filter) ----------
-
-  /** Char-granularity near-dup join: all pairs at Levenshtein ≤ k — the
-    * typo/OCR/template-variable duplication that shingle scores dilute
-    * (a one-char flip per line destroys every containing shingle but
-    * costs one edit; EditDistSpec pins exactly that counter-case, found
-    * here, invisible to x02 at its threshold). Candidates come from the
-    * Ed-Join q-gram prefix filter (Xiao et al. VLDB'08 — the same
-    * df→rarity-rank→prefix ladder as x51, one column swapped: char
-    * q-grams for token shingles), verification is banded `levenshtein`
-    * with early exit. The ORACLE is the brute-force length-filtered
-    * self-join — it never models the prefix, so the hash match proves
-    * the filter recall-exact, the x51/x20 "two algorithms, one answer"
-    * discipline. */
-  def x62_editdist_pairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.editDistancePairs(Tables.documents(s, dir), "doc_id", "text",
-        k = EditDistK, q = EditDistQ)
-      .orderBy(col("id_a"), col("id_b"))
-
-  // ---- x63/x64: SQ8 compressed ANN + its recall price ---------------------
-
-  /** IVF×SQ8 top-k — the production FAISS composition (coarse bucket ×
-    * 8-bit scalar codes): the stored ANN payload drops from 21-bit
-    * fixed-point longs to int8, the scan goes bandwidth-bound, and
-    * ranking stays EXACT integer arithmetic (the SQ8 dot is
-    * order-proof, so the oracle reproduces it bit-for-bit). Same bucket
-    * equi-join shape as x07; the scales are learned corpus statistics
-    * carried as a 1-row broadcast anchor (x56's collect_list form). */
-  def x63_sim_topk_ivfsq8(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.ivfSq8TopK(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 3, bits = SimBucketBits)
-      .orderBy(col("q_id"), col("rnk"))
-  }
-
-  /** x63 with the FAISS nprobe knob turned to bits+1: each query also
-    * probes every Hamming-distance-1 bucket, recovering bucket-border
-    * neighbors for a bounded candidate-cost increase. Same broadcast
-    * equi-join plan family; Sq8Spec asserts the containment this buys
-    * (every query's multi-probe top-1 dot ≥ its single-probe top-1). */
-  def x69_sim_topk_multiprobe(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.ivfSq8TopKMultiProbe(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 3, bits = SimBucketBits)
-      .orderBy(col("q_id"), col("rnk"))
-  }
-
-  /** The x50 discipline applied to the compressed vector index:
-    * compression is admissible only with its measured recall attached.
-    * Over IDENTICAL bucket-mate candidate sets, rank by SQ8 integer dot
-    * and by exact fixed-point cosine; per query, count how many exact
-    * top-k survive in the compressed top-k (bucket-border loss is x07's
-    * number; this isolates pure quantization loss). */
-  def x64_sq8_recall(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.sq8Recall(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 3, bits = SimBucketBits)
-      .orderBy(col("q_id"))
-  }
-
-  /** x70 probe width: 3 of the 10 learned cells ≈ 30% of the corpus per
-    * query — deliberately ~equal to x69's Hamming-1 sign expansion
-    * ((bits+1)/2^bits = 31%), so x71's recall comparison holds probe cost
-    * fixed and isolates the coarse-quantizer design. */
-  val IvfNprobe = 3
-
-  /** Learned-centroid IVF×SQ8 (x70) — the FAISS IVF-k-means composition
-    * the round-8 verdict named as the one missing published ANN
-    * component: cells from exact-integer centroids (the x56 assignment
-    * machinery), nprobe nearest cells per query, exact integer SQ8 dot
-    * ranking. Same broadcast equi-join plan family as x63/x69; the only
-    * BNLJ is the 1-row centroid/scales anchors. */
-  def x70_sim_topk_ivfkm(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.ivfSq8TopKLearned(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "label", "embedding", k = 3, nprobe = IvfNprobe)
-      .orderBy(col("q_id"), col("rnk"))
-  }
-
-  /** x72 Lloyd rounds: 3 is enough to show movement AND stabilization on
-    * the benchmarked corpora while keeping the oracle's unrolled CTE
-    * chain readable; production runs to a drift tolerance. */
-  val KmeansRounds = 3
-
-  /** Iterated k-means (x72) — the Lloyd loop x70's coarse quantizer
-    * trains with: each round re-assigns the corpus to the nearest
-    * previous-round centroid (broadcast-anchor argmin, the x56
-    * machinery) and recomputes exact-integer centroid statistics; the
-    * oracle replays every round unrolled (the x60 BPE discipline) and
-    * hash-gates each round's complete centroid state via per-cell
-    * digests of the integer sum vectors. */
-  def x72_kmeans_iterate(s: SparkSession, dir: String): DataFrame =
-    Similarity.kmeansIterate(Tables.embeddings(s, dir), "vec_id",
-        "label", "embedding", KmeansRounds)
-      .orderBy(col("round"), col("c_label"))
-
-  /** x73 geometry: 32 hash-seeded Lloyd-trained cells (|cells| decoupled
-    * from the 10 metadata labels — the knob the x71 scale finding says
-    * production turns), 2 Lloyd rounds, nprobe 10 ⇒ probed fraction
-    * 10/32 ≈ 31%, matching x69's (bits+1)/2^bits and x70's 3/10 so the
-    * recall comparison stays equal-cost. */
-  val ScaledCells = 32
-  val ScaledLloydRounds = 2
-  val ScaledNprobe = 10
-
-  /** Scaled-cells trained IVF×SQ8 (x73): x70 with the cell count as a
-    * free parameter — cells seeded by a deterministic hash split
-    * (vec_id mod cells) and refined with x72's exact-integer Lloyd
-    * rounds, then the same broadcast cell equi-join + integer SQ8
-    * ranking (one shared search tail). The oracle unrolls the seed +
-    * Lloyd rounds (kmeansRoundSql with the k-prefix) and replays the
-    * search — every trained centroid, every assignment, and the final
-    * ranking hash-match across engines. */
-  def x73_sim_topk_ivf_scaled(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.ivfSq8TopKScaled(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 3, cells = ScaledCells,
-        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
-      .orderBy(col("q_id"), col("rnk"))
-  }
-
-  /** x74 PQ geometry: 8 subspaces × 8 dims, 64 codewords per subspace
-    * (6-bit codes ⇒ 6 bytes stored per vector vs 256 for raw floats), 2
-    * Lloyd training rounds. The codeword count is the fidelity knob and
-    * was CHOSEN BY MEASUREMENT at all three code rates (tools/DiagPq,
-    * PLANS.md): sf0.1 recall@3 / top-50 coverage run 3/30 & 16/30 at 16
-    * codewords, 9/30 & 22/30 at 64, and 8/30 & 25/30 at 256 (8-bit, the
-    * production FAISS rate). 64 stays the shipped default ON this
-    * table: at the gated corpus size 256 cells/subspace is data-starved
-    * (~8 vectors per codeword — the codebook can't even fill), raw
-    * recall@3 ties within noise, and the +3 shortlist coverage costs
-    * 1.33× storage; a production corpus (≥10⁶ vectors per subspace)
-    * flips that trade and runs 256 + refine — priced, not asserted. */
-  val PqM = 8
-  val PqCodes = 64
-  val PqLloydRounds = 2
-
-  /** Product-quantization ADC top-k (x74) — the third FAISS compression
-    * pillar beside SQ8 (x63) and IVF (x07/x70/x73): per-subspace
-    * codebooks trained by the joint exact-integer Lloyd chain, vectors
-    * stored as m code ids, ranking via per-query lookup tables with an
-    * explicit left-associated m-term sum so the double scores
-    * hash-match across engines. */
-  def x74_sim_topk_pq(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.pqTopK(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 3, m = PqM, codes = PqCodes,
-        lloydRounds = PqLloydRounds, dims = EmbeddingDims)
-      .orderBy(col("q_id"), col("rnk"))
-  }
-
-  /** x75 refine depth: the ADC shortlist the exact re-rank touches —
-    * 50 of 2,000 at sf0.1 = 2.5% of the corpus pays exact math. */
-  val PqShortlist = 50
-
-  /** PQ shortlist + exact re-rank (x75) — the FAISS refine composition:
-    * x74's cheap ADC ranking generates a `PqShortlist`-deep candidate
-    * list per query, the exact fixed-point cosine re-ranks only those.
-    * The oracle replays the whole chain (codebooks, codes, ADC
-    * shortlist, exact re-rank), so the hash gate pins the composition
-    * end to end. */
-  def x75_sim_topk_pq_refined(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.pqTopKRefined(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 3, shortlist = PqShortlist, m = PqM,
-        codes = PqCodes, lloydRounds = PqLloydRounds, dims = EmbeddingDims)
-      .orderBy(col("q_id"), col("rnk"))
-  }
-
-  /** IVF×PQ composed search (x76) — the production FAISS index shape
-    * (IVFPQ with `by_residual=false`), composing the pillars the family
-    * built separately: x73's TRAINED coarse quantizer prunes the scan to
-    * each query's nprobe nearest cells, and x74's ADC tables score ONLY
-    * those cells' members — the probed fraction bounds the candidate
-    * count (here 10/32 ≈ 31%, matching the family's equal-budget recall
-    * comparisons) and the PQ codes bound the per-candidate cost to m
-    * table lookups. This retires the exhaustive full-corpus ADC scan as
-    * the only PQ search path (x74/x75 stay as the documented unpruned
-    * baseline, like x06 beside the IVF variants). Geometry reuses x73's
-    * cell constants and x74's codebook constants VERBATIM so every
-    * recall number composes across the family tables. */
-  def x76_sim_topk_ivf_pq(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.ivfPqTopK(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 3, cells = ScaledCells,
-        cellLloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
-        m = PqM, codes = PqCodes, pqLloydRounds = PqLloydRounds,
-        dims = EmbeddingDims)
-      .orderBy(col("q_id"), col("rnk"))
-  }
-
-  /** Residual IVF×PQ (x77) — FAISS `by_residual=true`, the library
-    * DEFAULT and the form production IVFPQ deployments run: identical
-    * geometry to x76 (same trained cells, same probe budget, same m ×
-    * codes budget), but the codebooks are trained on (vector − its
-    * cell's rounded centroid) and the ADC score carries the exact
-    * per-(query, cell) integer coarse bias dot(q, cbar) — residuals
-    * concentrate around the origin, so the same code budget quantizes a
-    * smaller ball and the ranking tracks the true dot product tighter.
-    * x76 vs x77 is therefore a measured statement about what residual
-    * encoding buys at fixed storage, with both variants oracle-gated. */
-  def x77_sim_topk_ivf_pq_residual(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "embedding", k = 3, cells = ScaledCells,
-        cellLloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
-        m = PqM, codes = PqCodes, pqLloydRounds = PqLloydRounds,
-        dims = EmbeddingDims)
-      .orderBy(col("q_id"), col("rnk"))
-  }
-
-  /** LSH-bounded kNN graph (x78): every vector's top-[[KnnGraphK]]
-    * neighbors among its sampled-band candidates — the per-node
-    * neighborhood primitive (NN-descent seeding, mutual-kNN clustering,
-    * SemDeDup neighborhoods) that x05's threshold-pair form can't
-    * express: output is ~n·k directed edges, not a threshold-dependent
-    * pair set. Same 16×16 sampled geometry as x05_sampled so the two
-    * share the candidate-generation scale story; the oracle computes the
-    * identical banded candidates + window. */
-  def x78_knn_graph(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding",
-        k = KnnGraphK, bands = SampledBands, bitsPerBand = SampledBandBits,
-        dims = EmbeddingDims, seed = SampledSeed)
-      .orderBy(col("src_id"), col("rnk"))
-
-  /** Hybrid lexical+vector retrieval with RRF fusion (x79): the sparse
-    * arm ranks by shared-shingle count off the inverted index, the dense
-    * arm by exact cosine (the x06 baseline — pluggable for any IVF
-    * variant since fusion consumes only ranks), and reciprocal-rank
-    * fusion merges the shortlists. The ranked universe is documents ∩
-    * embeddings so the two arms rank the same corpus. Both arm depths
-    * and the fused depth come from shared constants interpolated into
-    * the oracle. */
-  def x79_hybrid_rrf(s: SparkSession, dir: String): DataFrame =
-    graft.ext.Retrieval.hybridRrfTopK(
-        Tables.documents(s, dir), Tables.embeddings(s, dir),
-        Tables.documents(s, dir).filter(col("doc_id") < QuerySetSize),
-        "doc_id", "text", "vec_id", "embedding",
-        armK = HybridArmK, k = HybridTopK, rrfC = RrfC)
-      .orderBy(col("q_id"), col("rnk"))
-
-  /** Weak-label NB-vote quality classifier (x80): the train-on-heuristic
-    * / apply-corpus-wide loop of model-based curation. The weak label is
-    * the x09 quality score gated at [[QualityGate]] (the same signal the
-    * x26 pipeline consumes); training is one integer aggregate to a
-    * per-token vote, scoring one equi-join + per-doc sum — see
-    * [[graft.ext.Classify.nbVoteScores]] for why the vote form (not
-    * log-odds) is the oracle-gatable one. In-sample by construction
-    * here; a deployment trains on a labeled slice and applies to the
-    * rest with the identical plan. */
-  def x80_quality_classifier(s: SparkSession, dir: String): DataFrame =
-    graft.ext.Classify.nbVoteScores(
-        TextOps.qualityScore(Tables.documents(s, dir))
-          .withColumn("label_pos", col("quality_score") >= QualityGate),
-        "doc_id", "label_pos", "text")
-      .orderBy(col("doc_id"))
-
-  /** Hybrid RRF with the SCALE-PATH dense arm (x84): x79's fusion with
-    * the trained-cells IVF×SQ8 search (x73) in the dense slot instead
-    * of the exact brute scan — the pluggable-arm claim made an
-    * oracle-gated fact, and the form whose plan is pure equi-joins (no
-    * whitelisted BNLJ: the fleet gate covers x84 with no exemption).
-    * The IVF arm may return fewer than armK rows per query (it ranks
-    * only probed-cell members); RRF's full-outer fusion treats absence
-    * as a zero term, so the operator also exercises the missing-arm
-    * path at every scale.
-    *
-    * Precondition (asserted loudly, the x59 discipline — but LAZY, in
-    * the plan itself): the oracle's dense chain quantizes and trains
-    * over the FULL embeddings table, so the docs ∩ embs universe must
-    * equal embeddings — i.e. every embedded id has a document. True of
-    * every driver corpus; a future corpus violating it fails with this
-    * message instead of an opaque hash mismatch. The guard is an
-    * `assert_true` over the anti-join's 1-row count anchor, cross-joined
-    * into the result (the allowlisted 1-row broadcast form), so merely
-    * CONSTRUCTING the DataFrame costs nothing — PlanSpec's fleet plan
-    * sweep enumerates the registry without paying a Spark job here (the
-    * round-10 advice fix), and the check runs exactly when the query
-    * does. At 100 TB the full anti-join per run is the knob to revisit:
-    * swap `embs` below for a [[Sampling.hashThresholdPredicate]] slice
-    * (a probabilistic tripwire) and keep the exhaustive form as a
-    * corpus-onboarding check — the guard's message is the contract, not
-    * its sampling rate. */
-  /** The lazy 1-row-anchor orphan guard shared by the trained-arm
-    * hybrids (x84, x88): asserts embeddings ⊆ documents inside the plan
-    * (see x84's Scaladoc for the precondition and the 100 TB sampling
-    * knob). Cross-join the result in, filter on the always-NULL
-    * assert column, drop it. */
-  private[graft] def orphanGuard(docs: DataFrame, embs: DataFrame,
-                                 op: String): DataFrame =
-    broadcast(
-      embs.select(col("vec_id").as("doc_id"))
-        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-        .select(assert_true(col("n_orphans") === 0L,
-          concat(lit(s"$op oracle precondition violated: "), col("n_orphans"),
-            lit(" embeddings lack a document row — the oracle trains its " +
-              "index over ALL embeddings while the engine restricts to " +
-              "docs ∩ embs. Restrict the oracle's qv CTE to the " +
-              "semi-joined universe before scaling this gate.")))
-          .as("precondition_ok")))
-
-  def x84_hybrid_rrf_ivf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val embs = Tables.embeddings(s, dir)
-    graft.ext.Retrieval.hybridRrfTopK(
-        docs, embs, docs.filter(col("doc_id") < QuerySetSize),
-        "doc_id", "text", "vec_id", "embedding",
-        armK = HybridArmK, k = HybridTopK, rrfC = RrfC,
-        denseArm = (corpus, queries, armK) =>
-          Similarity.ivfSq8TopKScaled(corpus, queries, "id", "vec",
-              k = armK, cells = ScaledCells,
-              lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
-            .select(col("q_id"), col("c_id").as("id"),
-              col("rnk").as("vec_rnk")))
-      .crossJoin(orphanGuard(docs, embs, "x84"))
-      .filter(col("precondition_ok").isNull)
-      .drop("precondition_ok")
-      .orderBy(col("q_id"), col("rnk"))
-  }
-
-  /** Hybrid RRF with the IVF×PQ dense arm (x88) — the round-10 verdict's
-    * "plug x76 into the DenseArm contract": the COMPRESSED production
-    * index (trained-cell probes in front of the PQ-ADC tail, the full
-    * x76 composition) serving retrieval end to end. x84 proved the arm
-    * pluggable with IVF×SQ8; this closes the loop with the form a
-    * 100 TB deployment actually stores (m×codes bytes per vector
-    * instead of the full embedding). Rank-only fusion means the ADC
-    * scores never need calibration against the lexical arm — exactly
-    * why RRF is the fusion here. Same orphan precondition as x84 (the
-    * oracle trains cells AND codebooks over all embeddings). */
-  def x88_hybrid_rrf_ivfpq(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val embs = Tables.embeddings(s, dir)
-    graft.ext.Retrieval.hybridRrfTopK(
-        docs, embs, docs.filter(col("doc_id") < QuerySetSize),
-        "doc_id", "text", "vec_id", "embedding",
-        armK = HybridArmK, k = HybridTopK, rrfC = RrfC,
-        denseArm = (corpus, queries, armK) =>
-          Similarity.ivfPqTopK(corpus, queries, "id", "vec",
-              k = armK, cells = ScaledCells,
-              cellLloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
-              m = PqM, codes = PqCodes, pqLloydRounds = PqLloydRounds,
-              dims = EmbeddingDims)
-            .select(col("q_id"), col("c_id").as("id"),
-              col("rnk").as("vec_rnk")))
-      .crossJoin(orphanGuard(docs, embs, "x88"))
-      .filter(col("precondition_ok").isNull)
-      .drop("precondition_ok")
-      .orderBy(col("q_id"), col("rnk"))
-  }
-
-  /** Hybrid RRF with the BM25-lite lexical arm (x87): x79's fusion with
-    * idf-damped shingle weights in the lexical slot — the production
-    * ranking form the round-10 boilerplate soak named but didn't build
-    * (its conclusion: "BM25 idf damps header terms smoothly" where the
-    * df-cap is a drop-or-keep cliff needing a per-corpus threshold).
-    * The weight is the integer halving-bucket staircase of BM25's idf:
-    * max(1, ⌊log₂N⌋ − ⌊log₂df⌋ + 1), exact on both engines via
-    * length(bin(·)) — no libm, no threshold knob, adapts through N. See
-    * [[graft.ext.Retrieval.hybridRrfTopK]] (`idfWeighted`); the dense
-    * arm stays the x06 baseline so x79 vs x87 isolates the lexical
-    * change. SCALING_BOILER.md prices the damping on the header-term
-    * corpus. */
-  def x87_hybrid_rrf_bm25(s: SparkSession, dir: String): DataFrame =
-    graft.ext.Retrieval.hybridRrfTopK(
-        Tables.documents(s, dir), Tables.embeddings(s, dir),
-        Tables.documents(s, dir).filter(col("doc_id") < QuerySetSize),
-        "doc_id", "text", "vec_id", "embedding",
-        armK = HybridArmK, k = HybridTopK, rrfC = RrfC,
-        idfWeighted = true)
-      .orderBy(col("q_id"), col("rnk"))
-
-  /** Train/apply split classifier (x83): x80's model trained ONLY on the
-    * [[BaseFrac]] hash slice (whose weak labels come from the same x09
-    * quality gate), applied to the held-out rest — the production shape
-    * where x80 is the in-sample demonstration. Tokens outside the
-    * training vocabulary contribute nothing (standard fixed-vocab OOV);
-    * the apply output carries no label column because the apply corpus,
-    * in production, has none. */
-  def x83_classifier_split(s: SparkSession, dir: String): DataFrame = {
-    val labeled = TextOps.qualityScore(Tables.documents(s, dir))
-      .withColumn("label_pos", col("quality_score") >= QualityGate)
-    val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
-    graft.ext.Classify.nbVoteScoresSplit(
-        labeled.filter(inBase), labeled.filter(!inBase),
-        "doc_id", "label_pos", "text")
-      .orderBy(col("doc_id"))
-  }
-
-  /** Holdout confusion matrix for the split classifier (x86) — the
-    * round-10 verdict's missing quality number: x83's predictions on the
-    * held-out slice confronted with that slice's OWN weak labels (never
-    * seen in training). One row: integer tp/fp/fn/tn + one-divide
-    * precision/recall/accuracy — the measurement that prices the
-    * [[QualityGate]] threshold and the whole "model-based curation"
-    * claim.
-    *
-    * THE MEASURED FINDING (round 11): at the shipped decision rule
-    * (vote_score > 0) the classifier predicts POSITIVE for every
-    * held-out document — fn = tn = 0 at all three scale factors, recall
-    * 1.0, precision = the base rate (0.74–0.76) — i.e. as a FILTER it
-    * keeps everything. The score itself carries strong signal (held-out
-    * means 15.4 vs 25.9 by label at sf0.1; the best single cut reaches
-    * 93.3 % accuracy): every token's +1 vote piles onto every document,
-    * so the informative MARGIN sits far above zero and the fixed
-    * threshold never fires. The production fix is x90: calibrate the
-    * cut on the TRAINING slice (argmax training accuracy, integer
-    * cumulative counts, never touching the holdout) and re-measure —
-    * this row stays as the uncalibrated baseline the calibration is
-    * judged against. */
-  def x86_classifier_confusion(s: SparkSession, dir: String): DataFrame = {
-    val labeled = TextOps.qualityScore(Tables.documents(s, dir))
-      .withColumn("label_pos", col("quality_score") >= QualityGate)
-    val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
-    graft.ext.Classify.nbVoteConfusion(
-      labeled.filter(inBase), labeled.filter(!inBase),
-      "doc_id", "label_pos", "text")
-  }
-
-  /** Calibrated split classifier (x90) — x86's measured fix: the same
-    * train/holdout split, but the decision cut is the training-slice
-    * accuracy argmax (integer cumulative counts over the score
-    * distribution; the holdout is never touched) instead of the naive
-    * `> 0`. Output: the learned threshold + the holdout confusion at
-    * that cut. Measured (round 11): threshold 20/18/19 and holdout
-    * accuracy 0.884/0.907/0.933 (precision 0.95, recall 0.89-0.96) at
-    * sf0.001/0.01/0.1 vs x86's 0.76/0.74/0.75 all-positive baseline — calibration is where the vote model's
-    * signal (label-mean scores 15 vs 26) becomes a usable filter. See
-    * [[graft.ext.Classify.nbVoteCalibrated]]. */
-  def x90_classifier_calibrated(s: SparkSession, dir: String): DataFrame = {
-    val labeled = TextOps.qualityScore(Tables.documents(s, dir))
-      .withColumn("label_pos", col("quality_score") >= QualityGate)
-    val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
-    graft.ext.Classify.nbVoteCalibrated(
-      labeled.filter(inBase), labeled.filter(!inBase),
-      "doc_id", "label_pos", "text")
-  }
-
-  /** Label-free semantic clustering (x81): connected components over the
-    * MUTUAL edges of the x78 kNN graph — the SemDeDup partition step
-    * derived from the embedding geometry alone, where x56/x59 require a
-    * metadata label to cluster on. Mutuality (b ∈ knn(a) AND a ∈ knn(b))
-    * is the standard asymmetry filter that keeps hub vectors from
-    * chaining unrelated neighborhoods into one component; the component
-    * fixpoint and summary are the same machinery as x20 (and the oracle
-    * is the same recursive closure over the mutual edge set).
-    *
-    * The fixpoint is the large-star/small-star form, NOT min-label
-    * propagation — measured, not stylistic: already at sf0.1 the mutual
-    * rank-1 edges chain duplicates into a component of diameter > 25
-    * (propagation's round cap; it failed to converge there), while the
-    * star rewrite closes the same graph in O(log n) rounds. A mutual-kNN
-    * graph is chain-shaped BY CONSTRUCTION (each node contributes ≤ k
-    * edges, so dup runs form paths, not cliques) — the high-diameter
-    * regime x20_star exists for is this operator's COMMON case.
-    *
-    * Inherited approximation, MEASURED (x85, round 11): the banded seed
-    * graph keeps ~1 % of true top-k edges on this corpus (true cosines
-    * 0.25–0.60 — below the sampled banding's effective collision
-    * threshold), so these components partition by near-dup-strength
-    * collision, not by general semantic neighborhood. That is the
-    * SemDeDup use case (partition, then prune WITHIN), but a consumer
-    * wanting true semantic neighborhoods builds the graph with the
-    * trained coarse quantizer instead (x89, recall 0.70-0.74 vs ~0.01)
-    * and clusters ITS mutual edges. */
-  def x81_semantic_clusters(s: SparkSession, dir: String): DataFrame = {
-    val g = Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
-        "embedding", k = KnnGraphK, bands = SampledBands,
-        bitsPerBand = SampledBandBits, dims = EmbeddingDims,
-        seed = SampledSeed)
-      .select(col("src_id"), col("nbr_id"))
-    val fwd = g.filter(col("src_id") < col("nbr_id"))
-      .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
-    val rev = g.filter(col("src_id") > col("nbr_id"))
-      .select(col("nbr_id").as("id_a"), col("src_id").as("id_b"))
-    val mutual = fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
-    Dedup.clusterSummary(Dedup.connectedComponentsStar(mutual, "id_a", "id_b"))
-      .orderBy(col("canonical_id"))
-  }
-
-  /** Cluster-vs-label purity matrix for the label-free clustering (x92,
-    * round-11 stretch): x81's mutual-kNN components confronted with the
-    * metadata `label` column they never saw — the x56 matrix shape, one
-    * integer row per (component, metadata label). A pure component
-    * (single label) says the label-free partition reproduces the
-    * labeled strata; a mixed row prices exactly where it doesn't.
-    *
-    * THE MEASURED FINDING (round 11): it doesn't, and the matrix says
-    * why that is the CORPUS's fact, not the operator's. Majority-label
-    * purity is 0.49/0.47/0.20 across the three SFs (8 of 140 components
-    * single-label at sf0.1) against a 10-label chance rate of 0.10 —
-    * and the cross-checks pin the cause: the true (exact) top-3
-    * neighbor is same-label 157/1500 ≈ chance, i.e. this corpus's
-    * labels are CENTROID-level structure (x56's 41 % nearest-centroid
-    * diagonal) with zero neighborhood-level signal, so ANY kNN-derived
-    * clustering tops out near chance (the x89 IVF graph's mutual
-    * components measure 0.23–0.26 — no better). The matrix is the
-    * honest negative a curation pipeline needs before trusting
-    * label-free partitions as strata: on corpora like this one, x81's
-    * components are near-dup groups (their actual job), not labels. */
-  def x92_cluster_label_purity(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val g = Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK,
-        bands = SampledBands, bitsPerBand = SampledBandBits,
-        dims = EmbeddingDims, seed = SampledSeed)
-      .select(col("src_id"), col("nbr_id"))
-    val fwd = g.filter(col("src_id") < col("nbr_id"))
-      .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
-    val rev = g.filter(col("src_id") > col("nbr_id"))
-      .select(col("nbr_id").as("id_a"), col("src_id").as("id_b"))
-    val mutual = fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
-    Dedup.connectedComponentsStar(mutual, "id_a", "id_b")
-      .select(col("v").as("vec_id"), col("label").as("canonical_id"))
-      .join(e.select(col("vec_id"), col("label").as("meta_label")),
-        Seq("vec_id"))
-      .groupBy(col("canonical_id"), col("meta_label"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy(col("canonical_id"), col("meta_label"))
-  }
-
-  /** Incremental kNN (x82): each incoming vector's top-k neighbors among
-    * the base corpus's band-mates — the online-ingest half of x78 and
-    * the ANN twin of x55's incremental dedup; same [[BaseFrac]] hash
-    * split, same sampled geometry. See [[Similarity.incrementalKnn]]. */
-  def x82_incremental_knn(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val inBase = Sampling.hashThresholdPredicate(col("vec_id"), BaseFrac)
-    Similarity.incrementalKnn(e.filter(inBase), e.filter(!inBase),
-        "vec_id", "embedding", k = KnnGraphK, bands = SampledBands,
-        bitsPerBand = SampledBandBits, dims = EmbeddingDims,
-        seed = SampledSeed)
-      .orderBy(col("vec_id"), col("rnk"))
-  }
-
-  /** x82_stream hot-bucket cap: the stored band index's saturation guard
-    * in the stream processor (the x55_stream/LshStreamBucketCap
-    * discipline — a no-op at registry scale, so the batch oracle's
-    * exhaustive semantics hold exactly; the saturation behavior itself
-    * is spec-pinned in StreamIncKnnSpec). */
-  val KnnStreamBucketCap = 1000
-
-  /** x82 executed in TRUE streaming mode: the incoming vectors arrive
-    * as a file stream and the sampled-band index is STREAMING STATE
-    * ([[graft.streaming.AnnStreams]] — transformWithState ListState
-    * keyed by band key, seeded from the base corpus). The ORACLE is
-    * x82's verbatim: the streamed neighbor lists must equal the batch
-    * answer row for row. The processor emits scored candidates; the
-    * per-vector top-k rank runs in the sink PER MICRO-BATCH, which is
-    * exact because all of an incoming vector's band rows ride in its
-    * own micro-batch (only the BASE side is indexed, so candidates for
-    * one vector cannot span batches — the x55 argument). Multi-band
-    * collisions canonicalized per batch (the batch `.distinct()`);
-    * `batch_id=N` overwrite keeps the sink idempotent. */
-  def x82_incremental_knn_stream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.streaming.Trigger
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = s.conf.getOption(provKey)
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val embSchema = s.read.parquet(s"$dir/embeddings.parquet").schema
-      val tmp = streamTmpDir("graft_x82_stream_")
-      val out = tmp.resolve("out").toString
-      val ckpt = tmp.resolve("ckpt").toString
-      val landing = tmp.resolve("landing")
-      stageTableLanding(dir, "embeddings", landing, "vecs")
-      val inBase = Sampling.hashThresholdPredicate(col("vec_id"), BaseFrac)
-      val base = Tables.embeddings(s, dir).filter(inBase)
-      // Loud precondition (the x84/x59 discipline, round-10 advice): the
-      // processor SATURATES any bucket past KnnStreamBucketCap (members
-      // cleared, candidates silently dropped) while the gated batch
-      // oracle applies no cap — so a base corpus whose worst band bucket
-      // exceeds the cap would fail the stream-equals-batch gate as an
-      // opaque hash mismatch. Measure the worst bucket up front and fail
-      // with the real message instead. One aggregate over the base band
-      // rows — noise next to the stream run this function already pays.
-      // DELIBERATELY PERMANENT (round 13, reconciling the two fence
-      // contracts): the batch side's cap degrades into the bounded
-      // residual fallback (x101), the stream side's cap fails loud and
-      // stays that way — an in-stream residual fallback would need a
-      // corpus-wide Lloyd pass (unbounded state or a stale prefix
-      // model). The remedy at the cap is a scheduled batch re-index
-      // (x99's frozen-quantizer cadence + x101's fenced builder); see
-      // SCALING.md "The oversized-cell production rule".
-      val maxBucket = graft.streaming.AnnStreams
-        .bandVecs(base, "vec_id", "embedding", SampledBands,
-          SampledBandBits, EmbeddingDims, SampledSeed)
-        .groupBy(col("bkey")).agg(count(lit(1)).as("n"))
-        .agg(coalesce(max(col("n")), lit(0L)).as("mx"))
-        .first().getLong(0)
-      require(maxBucket <= KnnStreamBucketCap,
-        s"x82_stream precondition violated: worst base band bucket holds " +
-          s"$maxBucket vectors > KnnStreamBucketCap=$KnnStreamBucketCap — " +
-          "the stream twin would saturate that bucket and silently drop " +
-          "candidates the uncapped batch oracle keeps. Raise the cap to " +
-          "at least the measured max (or shard the hot bucket) before " +
-          "gating this corpus.")
-      val incoming = s.readStream.schema(embSchema)
-        .option("maxFilesPerTrigger", streamMaxFiles)
-        .parquet(landing.toString)
-        .filter(!inBase)
-      val q = graft.streaming.AnnStreams.knnIngestStream(
-          incoming, base, "vec_id", "embedding",
-          bands = SampledBands, bitsPerBand = SampledBandBits,
-          dims = EmbeddingDims, seed = SampledSeed,
-          hotBucketCap = Some(KnnStreamBucketCap))
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[graft.streaming.AnnStreams.KnnCand],
-           id: Long) =>
-            val w = Window.partitionBy(col("vec_id"))
-              .orderBy(desc("cosine"), col("base_id"))
-            batch.dropDuplicates("vec_id", "base_id")
-              .withColumn("rnk", row_number().over(w).cast(LongType))
-              .filter(col("rnk") <= KnnGraphK)
-              .write.mode("overwrite").parquet(s"$out/batch_id=$id")
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.option("basePath", out).parquet(out)
-        .select(col("vec_id"), col("base_id"), col("cosine"), col("rnk"))
-        .orderBy(col("vec_id"), col("rnk"))
-    } finally prevProv match {
-      case Some(v) => s.conf.set(provKey, v)
-      case None => s.conf.unset(provKey)
-    }
-  }
-
-  /** kNN-graph banding-recall audit (x85): the x71 discipline applied to
-    * x78 — per node, the overlap of the TRUE top-[[KnnGraphK]] (exact
-    * cosine over the full corpus, the x06 kernel) with the banded
-    * graph's edges. The number x81's clusters and x82's ingest inherit:
-    * a banded edge list is only as good as the fraction of true
-    * neighbors the 16×16 sampled geometry lets collide. Unsampled here
-    * (every node audited — the corpus is audit-sized at registry
-    * scale); [[Similarity.knnGraphRecall]]'s `nodePredicate` is the
-    * 100 TB knob.
-    *
-    * THE MEASURED FINDING (round 11, SCALING.md graph section): recall@3
-    * = 13/1500 (0.9%) at sf0.001, 14/1500 (0.9%) at sf0.01, 82/6000
-    * (1.4%) at sf0.1. The banded graph is NOT a generic kNN graph on
-    * this corpus — and the geometry says why: a 16-bit sampled sign
-    * band collides only when all 16 coordinate signs agree
-    * (P ≈ (1/2 + arcsin ρ / π)^16 per band), which at the corpus's true
-    * top-3 cosine regime (0.25–0.60; the corpus has NO pair above 0.61)
-    * is ~0.1 % per band, ~1.5 % over 16 bands. Even restricted to true
-    * edges with cosine ≥ 0.4 (x05's dup threshold) recall is 40/1802 at
-    * sf0.1 — the geometry only pays at near-identical cosines (≥ ~0.9,
-    * where per-band collision reaches ~8 % and 16 bands ~75 %), i.e. it
-    * is a NEAR-DUP candidate generator, as shipped for x05. Against it,
-    * x71's trained-cell IVF holds recall@3 = 16/30 at ~30 % probe mass.
-    * Both candidate fixes were then MEASURED: NN-descent refinement of
-    * this seed (Dong et al., WWW'11) converges at 20/1500 by round 2 —
-    * rejected, these i.i.d.-dim embeddings have no navigable
-    * neighborhood structure to descend (SCALING.md) — while the
-    * trained-cell graph builder (x89, audited by x91) reaches
-    * 0.70-0.74. x81's mutual-edge clusters and x82's ingest inherit
-    * THIS number, not an assumed one. */
-  def x85_knn_graph_recall(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraphRecall(Tables.embeddings(s, dir), "vec_id",
-        "embedding", k = KnnGraphK, bands = SampledBands,
-        bitsPerBand = SampledBandBits, dims = EmbeddingDims,
-        seed = SampledSeed)
-      .orderBy(col("src_id"))
-
-  /** IVF-probed kNN graph (x89) — the production graph builder the x85
-    * finding demands: same output shape and consumers as x78, but
-    * candidates come from the trained coarse quantizer (each node
-    * probes its [[ScaledNprobe]] nearest Lloyd-trained cells, the
-    * x73/x76 front end) instead of the sampled banding, and ranking
-    * inside probed cells is the exact quantized cosine. x91 audits it:
-    * recall@3 = 0.744/0.732/0.698 at sf0.001/0.01/0.1 at the shipped
-    * ~32 % probe mass vs x78's 0.009-0.014 on the same corpus — see [[Similarity.knnGraphIvf]] for the measured
-    * ladder and the rejected NN-descent alternative. */
-  def x89_knn_graph_ivf(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraphIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
-        k = KnnGraphK, cells = ScaledCells,
-        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
-        maxCellSize = Some(KnnCellCap), assertUnderCap = true)
-      .orderBy(col("src_id"), col("rnk"))
-
-  /** Residual sub-quantizer arm of the x101 residual-fenced graph —
-    * sub-cells ∝ the expected oversized-mode size / cap; the (16, 8)
-    * point measured recall 0.94 of the full fallback on the planted
-    * twin (PLANS.md round-12 DiagPlantedFence table). */
-  val ResidualSubCells = 16
-  val ResidualSubNprobe = 8
-
-  /** Residual-fenced IVF graph (x101) — [[Similarity.knnGraphIvfResidual]]
-    * as a first-class gated operator: the x89 build with the BOUNDED
-    * fallback (residual sub-quantizer, candidates born unique) in place
-    * of the banded one. At gate scale no cell exceeds [[KnnCellCap]]
-    * (asserted in-plan, same loud-failure discipline as x89/x93), so
-    * the oracle is x89's cell-exhaustive SQL VERBATIM and the gate
-    * proves the shared tail + the under-cap equality cross-engine; the
-    * overflow branch is spec-gated (PlantedFenceSpec) and soak-measured
-    * (n=20k cap=1000: 0.60× candidates, 66× count job, 4.8× build,
-    * recall 0.959→0.74 — the probe-budget trade, PLANS.md). */
-  def x101_knn_graph_residual(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraphIvfResidual(Tables.embeddings(s, dir), "vec_id",
-        "embedding", k = KnnGraphK, cells = ScaledCells,
-        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
-        maxCellSize = KnnCellCap, subCells = ResidualSubCells,
-        subNprobe = ResidualSubNprobe, assertUnderCap = true)
-      .orderBy(col("src_id"), col("rnk"))
-
-  // ---- x102–x104: planted relevance for the graph family (round 13) -------
-
-  /** Twin-augmented embedding corpus + query set shared by the
-    * graph-relevance gates x102–x104 (the x98 ground truth pointed at
-    * the GRAPH builders — round-12 verdict #4): the corpus is widened
-    * to double and unioned with each query's perturbed twin
-    * ([[graft.ext.Relevance.twinEmbs]], dyadic jitter at
-    * cos(twin, source) ≈ 0.71 vs 0.49 max background), and "relevant
-    * edge" is defined as (src → src + TwinIdOffset). Queries are the
-    * [[RelevanceQueries]] lowest vec ids — pure scan filters on both
-    * engines, no docs join (the graph family is embedding-only, so
-    * unlike x98 there is no orphan precondition to guard). */
-  private def twinEmbCorpus(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val embs = Tables.embeddings(s, dir).select(col("vec_id"),
-      transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
-    (embs.unionByName(graft.ext.Relevance.twinEmbs(
-        embs, "vec_id", "embedding", RelevanceQueries)),
-      embs.filter(col("vec_id") < RelevanceQueries))
-  }
-
-  /** Planted relevance of the IVF-probed graph (x102) — x89's builder
-    * over the twin-augmented corpus, reduced to the integer hit row
-    * ([[graft.ext.Relevance.graphHitsAtK]]): does each query's top-
-    * [[KnnGraphK]] edge list contain its OWN twin, and at rank 1? The
-    * graph-family analog of x98's end-to-end ranking number: x91's
-    * recall audit says how much of the exact graph the probes keep;
-    * this says whether the edges a curation pipeline consumes surface
-    * the KNOWN-relevant neighbor. */
-  def x102_graph_relevance_ivf(s: SparkSession, dir: String): DataFrame = {
-    val (u, q) = twinEmbCorpus(s, dir)
-    graft.ext.Relevance.graphHitsAtK("1_ivf",
-      Similarity.knnGraphIvf(u, "vec_id", "embedding", k = KnnGraphK,
-        cells = ScaledCells, lloydRounds = ScaledLloydRounds,
-        nprobe = ScaledNprobe, maxCellSize = Some(KnnCellCap),
-        assertUnderCap = true),
-      q, "vec_id", KnnGraphK)
-  }
-
-  /** Planted relevance of the SQ8-shortlist graph (x103) — x93's
-    * at-scale builder (stored-code ADC shortlist + exact re-rank) under
-    * the same twin ground truth; read against x102 it prices the
-    * shortlist's RELEVANCE cost end to end, composing x94's ~zero
-    * recall loss into the number a user cares about. */
-  def x103_graph_relevance_sq8(s: SparkSession, dir: String): DataFrame = {
-    val (u, q) = twinEmbCorpus(s, dir)
-    graft.ext.Relevance.graphHitsAtK("2_ivf_sq8",
-      Similarity.knnGraphIvfSq8(u, "vec_id", "embedding", k = KnnGraphK,
-        cells = ScaledCells, lloydRounds = ScaledLloydRounds,
-        nprobe = ScaledNprobe, shortlist = KnnShortlist,
-        maxCellSize = Some(KnnCellCap), assertUnderCap = true),
-      q, "vec_id", KnnGraphK)
-  }
-
-  /** Planted relevance of the residual-fenced graph (x104) — x101's
-    * builder under the twin ground truth. At gate scale no cell
-    * exceeds [[KnnCellCap]] (asserted in-plan), so the result must
-    * EQUAL x102's row (under-cap equality, now proven through the
-    * relevance reduction too) and the oracle is x102's SQL with only
-    * the arm label changed; the overflow branch's relevance is priced
-    * on the planted corpus in PlantedFenceSpec. */
-  def x104_graph_relevance_residual(s: SparkSession, dir: String)
-      : DataFrame = {
-    val (u, q) = twinEmbCorpus(s, dir)
-    graft.ext.Relevance.graphHitsAtK("3_residual",
-      Similarity.knnGraphIvfResidual(u, "vec_id", "embedding",
-        k = KnnGraphK, cells = ScaledCells,
-        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
-        maxCellSize = KnnCellCap, subCells = ResidualSubCells,
-        subNprobe = ResidualSubNprobe, assertUnderCap = true),
-      q, "vec_id", KnnGraphK)
-  }
-
-  /** Stuffed-corpus integer BM25 ladder (x105) — the round-12 verdict's
-    * #5 resolved as a GATE, not a documented decision: the registry
-    * corpus makes tf-saturation and length-norm moot (tf = 1, uniform
-    * lengths — x87 ships idf-only and documents the knobs), DiagBm25 /
-    * Bm25KnobSpec price them on the deterministic token-stuffed corpus,
-    * and this line makes the full three-arm ladder (count / idf /
-    * saturated-BM25, all-integer scoring) an oracle-gated output on
-    * that corpus under the planted twin ground truth. See
-    * [[graft.ext.Retrieval.lexRelevanceLadder]] for the exact-integer
-    * saturation spelling. */
-  def x105_bm25_stuffed_ladder(s: SparkSession, dir: String): DataFrame =
-    graft.ext.Retrieval.lexRelevanceLadder(
-      graft.ext.Retrieval.stuffedDocs(
-        Tables.documents(s, dir).select(col("doc_id"), col("text")),
-        "doc_id", "text"),
-      "doc_id", "text", RelevanceQueries, HybridArmK, HybridTopK)
-
-  /** Cell cap for the planted-fence gate — BELOW the planted cluster
-    * size at every SF (clusters ≈ n/10 ≥ 50), so the residual OVERFLOW
-    * branch carries essentially the whole corpus and the oracle must
-    * replicate the full fallback machinery, not an empty branch. */
-  val PlantedFenceCap = 20
-
-  /** Residual-fenced graph ON the overflow corpus (x106) — the round-12
-    * verdict's #2 ("promote the depth-2/overflow fence to gated form"):
-    * x101 proves the under-cap path (its fallback branch is EMPTY at
-    * gate scale); this line runs [[Similarity.knnGraphIvfResidual]] over
-    * the PLANTED corpus (x95–x97's positive-control generator) with the
-    * cap far below the planted cluster size, so every Lloyd cell
-    * overflows and the gated output is produced by the residual
-    * sub-quantizer fallback end to end: big-cell detection, residual
-    * computation vs integer-rounded centroids, the hash-seeded
-    * sub-Lloyd chain, rank-1 member sub-cells, per-(src, cell)
-    * subNprobe prober sub-cells, the (cell, subcell) candidate join,
-    * and the union with the (near-empty) under-cap exact path. The
-    * DuckDB oracle spells out ALL of it (residualFenceCtes), so the
-    * hash gate proves the overflow algebra cross-engine at all three
-    * SFs — the branch PlantedFenceSpec could only spec-pin before. */
-  def x106_planted_fence_residual(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraphIvfResidual(
-      graft.ext.Planted.vectors(
-        Tables.embeddings(s, dir).select(col("vec_id")), "vec_id"),
-      "vec_id", "embedding", k = KnnGraphK, cells = ScaledCells,
-      lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
-      maxCellSize = PlantedFenceCap, subCells = ResidualSubCells,
-      subNprobe = ResidualSubNprobe)
-      .orderBy(col("src_id"), col("rnk"))
-
-  /** x107's coarse geometry: 10 seeds over the 10 planted clusters —
-    * the MERGED-mode regime (some cells glue two clusters), which is
-    * the only geometry where depth-2 recursion actually fires: pure
-    * cells' residuals split fully at level 1 (PureCellCurveSpec's
-    * no-op finding), glued modes leave level-1 sub-cells over the cap
-    * and force the level-2 re-quantization. nprobe 2 of 10 cells ≈
-    * the x89 probe-mass class. */
-  val PlantedDeepCoarse = 10
-  val PlantedDeepNprobe = 2
-
-  /** LM-gate threshold: average per-bigram surprise, fixed-point ×16
-    * (so 112 = 7.0 bits/bigram). Chosen from the measured held-out
-    * distribution at sf0.01 so the flag is a real partition of the
-    * corpus (both kept and dropped non-empty at every SF), pinned as a
-    * constant the way a production pipeline freezes its CCNet decile
-    * cut: the held-out medians sit at 79–80 ×16-bits across the three
-    * SFs (ranges 76–86), so 80 keeps ~60–75 % and drops a real tail at
-    * every scale. */
-  val LmGateBitsX16 = 80L
-
-  /** CCNet-style LM-perplexity gate (x108) — the classic curation stage
-    * the surface lacked: a token-bigram LM trained on the x83 hash-split
-    * base slice, every held-out doc scored by integer per-bigram
-    * surprise ([[graft.ext.TextOps.bigramLmScores]]: halving-bucket
-    * −log₂ p(w₂|w₁) with +1 smoothing and max-surprise prefix backoff,
-    * all-integer output incl. the ×16 fixed-point average), gated at
-    * [[LmGateBitsX16]]. */
-  def x108_lm_perplexity_gate(s: SparkSession, dir: String): DataFrame =
-    graft.ext.TextOps.bigramLmScores(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")),
-      "doc_id", "text", BaseFrac)
-      .select(col("id").as("doc_id"), col("n_bigrams"), col("nll_bits"),
-        col("bits_x16"), (col("bits_x16") <= LmGateBitsX16).as("kept"))
-      .orderBy(col("doc_id"))
-
-  /** DSIR feature-bucket count — the hashing-trick model size (the
-    * paper uses 10k for web-scale corpora; 1024 caps both multinomials
-    * at broadcast size here while still forcing real collisions, which
-    * is the point of hashed features). */
-  val DsirBuckets = 1024
-
-  /** DSIR acceptance threshold on the whole-doc log₂ importance weight
-    * ([[graft.ext.TextOps.dsirWeights]]'s w_bits). Pinned from the
-    * measured held-out distribution the way [[LmGateBitsX16]] was:
-    * w_bits spans −4..+6 at sf0.001/0.01 and −2..+2 at sf0.1 (medians
-    * 0), so 1 keeps the top quartile surely, thins the median class at
-    * 1/2, and drives the tail to 2⁻³..2⁻⁵ — sure-keeps, thinned keeps,
-    * and hash-rejected docs all non-empty at every SF. */
-  val DsirThresholdBits = 1L
-
-  /** DSIR-style importance resampling (x109) — the curation ladder's
-    * missing published stage (heuristics x09 → classifier x83 → LM gate
-    * x108 → importance RESAMPLING): hashed unigram+bigram features,
-    * integer halving-bucket importance weights log₂(p̂_target/p̂_raw)
-    * with the x09 quality gate as the target-corpus signal, and the
-    * x21/x27 hash-threshold draw thinning the held-out pool with
-    * probability ∝ the exponentiated weight (power-of-two grid). Both
-    * models train on the [[BaseFrac]] hash slice only (x83's split
-    * discipline); see [[graft.ext.TextOps.dsirWeights]] /
-    * [[graft.ext.TextOps.dsirResample]] for the integerization and the
-    * broadcast-model scale shape. */
-  def x109_dsir_resample(s: SparkSession, dir: String): DataFrame =
-    graft.ext.TextOps.dsirResample(
-      TextOps.qualityScore(Tables.documents(s, dir))
-        .withColumn("is_target", col("quality_score") >= QualityGate),
-      "doc_id", "text", "is_target", BaseFrac, DsirBuckets,
-      DsirThresholdBits)
-      .select(col("id").as("doc_id"), col("n_feats"), col("w_bits"),
-        col("w_x16"), col("shift"), col("accepted"))
-      .orderBy(col("doc_id"))
-
-  /** Char-BPE training rounds — enough that merged symbols themselves
-    * win later rounds (the recursion that makes BPE BPE), small enough
-    * that the oracle's unrolled replay stays cheap. */
-  val CharBpeRounds = 4
-
-  /** Character-level BPE training (x110) — the published granularity
-    * (Sennrich et al. 2016), closing x60's documented divergence:
-    * merges between symbols WITHIN words (never across a boundary),
-    * `</w>` end-of-word markers, pair statistics frequency-weighted
-    * over the DISTINCT-WORD relation (the published trainer's own
-    * working set — shuffles bound by |vocab|, not corpus occurrences).
-    * x60 stays as the word-level twin feeding phrase mining; see
-    * [[graft.ext.TextOps.bpeMergeLoopChars]]. The oracle unrolls the
-    * same per-round algebra (weighted count → deterministic winner →
-    * non-overlapping left-to-right apply) in SQL. */
-  def x110_bpe_char_merges(s: SparkSession, dir: String): DataFrame =
-    graft.ext.TextOps.bpeMergeLoopChars(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")),
-      "doc_id", "text", CharBpeRounds)
-      .orderBy(col("round"))
-
-  /** Depth-2 residual recursion, oracle-gated end to end (x107) — the
-    * last spec-only branch promoted to a registry gate (round-12 weak
-    * #2's explicit residue): [[Similarity.knnGraphIvfResidual]] at
-    * `depth = 2` over the planted corpus in MERGED-mode geometry
-    * ([[PlantedDeepCoarse]]), cap far below cluster size, so the
-    * static two-level loop runs in full — level-1 global sub-Lloyd
-    * over big-cell residuals, still-oversized (cell, sub) keys
-    * re-quantized at level 2 against ACCUMULATED offsets
-    * (cbar₀ + cbar₁), cap-bounded emits at each level, and the
-    * depth-exhaustion exhaustive emit for keys depth 2 cannot split.
-    * The DuckDB oracle (deepFenceCtes) replicates every stage, so the
-    * recursion algebra — offsets, per-level seeds, the emit/recurse
-    * partition, the final DISTINCT — is cross-engine-proven at all
-    * three SFs. */
-  def x107_planted_fence_deep(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraphIvfResidual(
-      graft.ext.Planted.vectors(
-        Tables.embeddings(s, dir).select(col("vec_id")), "vec_id"),
-      "vec_id", "embedding", k = KnnGraphK, cells = PlantedDeepCoarse,
-      lloydRounds = ScaledLloydRounds, nprobe = PlantedDeepNprobe,
-      maxCellSize = PlantedFenceCap, subCells = ResidualSubCells,
-      subNprobe = ResidualSubNprobe, depth = 2)
-      .orderBy(col("src_id"), col("rnk"))
-
-  /** Lloyd-cell size cap for the gated graph builders (round 12 —
-    * retiring the round-11 `weak` marks): past it,
-    * [[Similarity.knnGraphIvf]]/[[Similarity.knnGraphIvfSq8]] switch to
-    * banded-LSH candidates WITHIN the oversized cell (the x59
-    * SemDedupClusterCap discipline — see [[Similarity.CellFence]] for
-    * the collapse geometry and the trade). The gated corpora sit far
-    * under it (sf0.1: 32 cells over 2k vectors, max cell ~100), so the
-    * exhaustive oracle semantics hold exactly while the cell² failure
-    * mode is fenced; the registry forms additionally assert the
-    * precondition in-plan (`assertUnderCap`) so a future corpus that
-    * collapses a cell fails loudly by name, never as an opaque hash
-    * mismatch. The degenerate one-giant-cell corpus is spec-pinned
-    * (CellFenceSpec). */
-  val KnnCellCap = 1000
-
-  /** Recall audit of the IVF-probed graph (x91) — x85's machinery
-    * ([[Similarity.graphEdgesRecall]]) pointed at x89's edges, so the
-    * two graph builders carry comparable, gate-verified recall numbers:
-    * banded 82/6000 vs IVF-probed 4187/6000 at sf0.1 (0.014 vs 0.698;
-    * 0.744/0.732 at sf0.001/0.01).
-    * Together with x85 this is the graph family's x71: the coarse
-    * quantizer is the only candidate generator with usable generic-kNN
-    * recall on this corpus, and its nprobe knob prices the rest. */
-  def x91_knn_graph_ivf_recall(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.graphEdgesRecall(e,
-        Similarity.knnGraphIvf(e, "vec_id", "embedding", k = KnnGraphK,
-          cells = ScaledCells, lloydRounds = ScaledLloydRounds,
-          nprobe = ScaledNprobe, maxCellSize = Some(KnnCellCap)),
-        "vec_id", "embedding", k = KnnGraphK, hitsCol = "hits_ivf")
-      .orderBy(col("src_id"))
-  }
-
-  /** x93 shortlist depth: probed members ranked by the stored SQ8 code
-    * dot survive to this depth per node before the exact re-rank picks
-    * the final [[KnnGraphK]] — x94 measures the composed loss (~zero at
-    * 10: the x64 frozen-candidate audit's prediction, now composed). */
-  val KnnShortlist = 10
-
-  /** SQ8-shortlist IVF graph (x93): x89 with the at-scale ranking tail —
-    * probed members ranked by the stored SQ8 code dot, a
-    * [[KnnShortlist]]-deep shortlist, exact re-rank of the shortlist
-    * only (the x75 refine composition applied to the graph build; see
-    * [[Similarity.knnGraphIvfSq8]]). The graph ladder's 100 TB rung:
-    * what crosses the scorer is the int8-range payload a production
-    * index keeps at rest. */
-  def x93_knn_graph_ivf_sq8(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraphIvfSq8(Tables.embeddings(s, dir), "vec_id",
-        "embedding", k = KnnGraphK, cells = ScaledCells,
-        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
-        shortlist = KnnShortlist,
-        maxCellSize = Some(KnnCellCap), assertUnderCap = true)
-      .orderBy(col("src_id"), col("rnk"))
-
-  /** Recall audit of the SQ8-shortlist graph (x94): completes the graph
-    * family's measured ladder — banded x85 ≈ 0.01, exact-rank IVF x91
-    * 0.7440/0.7320/0.6978, SQ8-shortlist IVF x94 0.7427/0.7320/0.6957 —
-    * the shortlist costs 2/0/13 edges of 1500/1500/6000 (fidelity ≈ 1
-    * at depth 10, composing x64's quantization-loss audit with x91's
-    * probe loss). */
-  def x94_knn_graph_ivf_sq8_recall(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.graphEdgesRecall(e,
-        Similarity.knnGraphIvfSq8(e, "vec_id", "embedding", k = KnnGraphK,
-          cells = ScaledCells, lloydRounds = ScaledLloydRounds,
-          nprobe = ScaledNprobe, shortlist = KnnShortlist,
-          maxCellSize = Some(KnnCellCap)),
-        "vec_id", "embedding", k = KnnGraphK, hitsCol = "hits_ivf_sq8")
-      .orderBy(col("src_id"))
-  }
-
-  // ---- x95–x97: the planted-structure positive control (round 12) ---------
-
-  /** Cluster purity of the label-free clustering ON THE PLANTED CORPUS
-    * (x95) — x92's exact chain (banded kNN graph → mutual edges →
-    * star-CC → label confusion) run over [[graft.ext.Planted]] vectors
-    * derived from the same ids, confronted with the PLANTED labels. The
-    * positive control the round-11 verdict named #1: on the i.i.d.
-    * corpus x92 read ≈ chance and proved the cause was the corpus
-    * (labels with zero neighborhood signal); here the labels ARE the
-    * neighborhoods, so purity must read ≈ 1 — if it doesn't, x81's
-    * chain has a real bug the i.i.d. corpus hid. MEASURED (sf0.001/
-    * 0.01/0.1): majority purity = 1.0000 exactly at every SF — every
-    * component is single-label (41/41, 41/41, 179/179), zero
-    * cross-label mass — vs x92's 0.49/0.47/0.20 on the same ids'
-    * i.i.d. vectors: the structured-vs-i.i.d. pair for the clustering
-    * layer. (The mutual-k=3 graph splits each ~n/10 planted cluster
-    * into chain-shaped sub-components — 41/179 components over 10
-    * clusters, with 401/401/1539 of n vectors carrying mutual edges —
-    * exactly the SemDeDup partition behavior: components never CROSS a
-    * planted boundary, which is the property purity measures.) */
-  def x95_planted_purity(s: SparkSession, dir: String): DataFrame = {
-    val pe = graft.ext.Planted.vectors(
-      Tables.embeddings(s, dir).select(col("vec_id")), "vec_id")
-    val g = Similarity.knnGraph(pe, "vec_id", "embedding", k = KnnGraphK,
-        bands = SampledBands, bitsPerBand = SampledBandBits,
-        dims = EmbeddingDims, seed = SampledSeed)
-      .select(col("src_id"), col("nbr_id"))
-    val fwd = g.filter(col("src_id") < col("nbr_id"))
-      .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
-    val rev = g.filter(col("src_id") > col("nbr_id"))
-      .select(col("nbr_id").as("id_a"), col("src_id").as("id_b"))
-    val mutual = fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
-    Dedup.connectedComponentsStar(mutual, "id_a", "id_b")
-      .select(col("v").as("vec_id"), col("label").as("canonical_id"))
-      .join(pe.select(col("vec_id"), col("label").as("planted_label")),
-        Seq("vec_id"))
-      .groupBy(col("canonical_id"), col("planted_label"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy(col("canonical_id"), col("planted_label"))
-  }
-
-  /** Banded-graph recall ON THE PLANTED CORPUS (x96) — x85's audit over
-    * [[graft.ext.Planted]] vectors: within a planted cluster every
-    * coordinate sign agrees (CenterMin > JitterMax), so cluster twins
-    * collide in EVERY sampled band and x85's own collision geometry
-    * predicts recall ≈ 1 where the i.i.d. corpus measured 0.009–0.014.
-    * MEASURED (sf0.001/0.01/0.1): recall@3 = 1.0000 exactly at every SF
-    * (1500/1500, 1500/1500, 6000/6000) — every true top-3 neighbor is
-    * same-cluster (cosine ≈ 0.93–0.97 vs cross ≈ 0 ± 0.12) and every
-    * same-cluster pair is a full-band collision. The pair of numbers
-    * (x85 ≈ 0.01 vs x96 = 1.0) turns "banding is a near-dup generator"
-    * from a verdict into a measured two-sided fact: ~1 % at
-    * sub-collision cosines, 100 % inside its regime. */
-  def x96_planted_knn_recall(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnGraphRecall(
-        graft.ext.Planted.vectors(
-          Tables.embeddings(s, dir).select(col("vec_id")), "vec_id"),
-        "vec_id", "embedding", k = KnnGraphK, bands = SampledBands,
-        bitsPerBand = SampledBandBits, dims = EmbeddingDims,
-        seed = SampledSeed)
-      .orderBy(col("src_id"))
-
-  /** IVF-graph recall ON THE PLANTED CORPUS (x97) — x91's audit over the
-    * planted vectors at the same geometry (32 cells, nprobe 10, fenced):
-    * the structured-vs-i.i.d. pair for the trained-quantizer arm.
-    * MEASURED (sf0.001/0.01/0.1): recall@3 = 1.0000 exactly at every SF
-    * (1500/1500, 1500/1500, 6000/6000) vs 0.744/0.732/0.698 on i.i.d. —
-    * Lloyd cells align with planted clusters, so a node's 10 probed
-    * cells always include its true neighbors' cell; the 26–30 % the
-    * probe budget loses on i.i.d. vectors is boundary loss that planted
-    * structure simply does not have. */
-  def x97_planted_ivf_recall(s: SparkSession, dir: String): DataFrame = {
-    val pe = graft.ext.Planted.vectors(
-      Tables.embeddings(s, dir).select(col("vec_id")), "vec_id")
-    Similarity.graphEdgesRecall(pe,
-        Similarity.knnGraphIvf(pe, "vec_id", "embedding", k = KnnGraphK,
-          cells = ScaledCells, lloydRounds = ScaledLloydRounds,
-          nprobe = ScaledNprobe, maxCellSize = Some(KnnCellCap)),
-        "vec_id", "embedding", k = KnnGraphK, hitsCol = "hits_ivf")
-      .orderBy(col("src_id"))
-  }
-
-  /** Query-twin count for the x98 relevance harness — larger than
-    * [[QuerySetSize]] because the deliverable is a hit RATE (integer
-    * hits out of n): 50 queries resolve arm differences 10 cannot. */
-  val RelevanceQueries = 50
-
-  /** Retrieval relevance ground truth (x98) — the round-11 verdict's #3,
-    * and the end-to-end number the retrieval ladder lacked: the corpus
-    * is augmented with a PERTURBED TWIN of each query doc
-    * ([[graft.ext.Relevance]] — hash-dropped tokens, dyadic embedding
-    * jitter at cos(twin, source) ≈ 0.71 vs 0.49 max background), and
-    * each of the four gated arm configurations runs the SAME fused
-    * retrieval over the augmented corpus:
-    *   1_brute     = x79's form (count lexical + exact dense),
-    *   2_ivf_sq8   = x84's (count lexical + trained-cell SQ8 dense),
-    *   3_ivf_pq    = x88's (count lexical + IVF×PQ dense),
-    *   4_bm25_brute= x87's (idf-damped lexical + exact dense).
-    * Output: one integer row per arm — n_queries, twins found at rank 1
-    * and within the fused top-[[HybridTopK]], and the one-divide hit
-    * rate. hit@k(exact arms) is the positive control (the twin IS the
-    * nearest neighbor by construction); the compressed arms' shortfall
-    * is their probe/code-resolution loss priced END TO END, and
-    * 1 vs 4 adjudicates BM25-vs-raw with a number. The four calls share
-    * one augmented corpus, so the lexical index, quantized vectors, and
-    * brute-arm norms are cached once (identical analyzed plans); only
-    * the trained arms pay their training constants. Same orphan
-    * precondition as x84/x88, asserted over the UNION corpus. */
-  def x98_retrieval_relevance(s: SparkSession, dir: String): DataFrame = {
-    import graft.ext.{Relevance, Retrieval}
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val embs = Tables.embeddings(s, dir).select(col("vec_id"),
-      transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
-    val udocs = docs.unionByName(
-      Relevance.twinDocs(docs, "doc_id", "text", RelevanceQueries))
-    val uembs = embs.unionByName(
-      Relevance.twinEmbs(embs, "vec_id", "embedding", RelevanceQueries))
-    val queries = docs.filter(col("doc_id") < RelevanceQueries)
-      .join(uembs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
-    // The fusion runs UNCUT (k = 2·armK keeps every shortlist row — a
-    // query contributes at most armK rows per arm) so hitsAtK can read
-    // the per-arm shortlist columns; the headline hit@k still cuts at
-    // HybridTopK inside the aggregate.
-    def run(arm: String, idf: Boolean, dense: Retrieval.DenseArm): DataFrame =
-      Relevance.hitsAtK(arm,
-        Retrieval.hybridRrfTopK(udocs, uembs, queries, "doc_id", "text",
-          "vec_id", "embedding", armK = HybridArmK, k = 2 * HybridArmK,
-          rrfC = RrfC, idfWeighted = idf, denseArm = dense),
-        queries, HybridTopK)
-    // ONE coarse-quantizer training shared by the SQ8 and PQ arms:
-    // training is deterministic (exact-integer Lloyd), so sharing the
-    // stats changes cost, never results — the oracle trains its cells
-    // once for both arms for the same reason. Trained over the same
-    // docs ∩ embs universe the arms receive.
-    val sharedStats = Similarity.trainedCellStats(
-      graft.ext.ExtCaches.persistTracked(
-        uembs.join(udocs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-          .select(col("vec_id").as("id"),
-            Similarity.quantize(col("embedding")).as("v"))),
-      ScaledCells, ScaledLloydRounds)
-    val sq8Arm: Retrieval.DenseArm = (corpus, qv, armK) =>
-      Similarity.ivfSq8TopKScaled(corpus, qv, "id", "vec", k = armK,
-          cells = ScaledCells, lloydRounds = ScaledLloydRounds,
-          nprobe = ScaledNprobe, cellStats = Some(sharedStats))
-        .select(col("q_id"), col("c_id").as("id"), col("rnk").as("vec_rnk"))
-    val pqArm: Retrieval.DenseArm = (corpus, qv, armK) =>
-      Similarity.ivfPqTopK(corpus, qv, "id", "vec", k = armK,
-          cells = ScaledCells, cellLloydRounds = ScaledLloydRounds,
-          nprobe = ScaledNprobe, m = PqM, codes = PqCodes,
-          pqLloydRounds = PqLloydRounds, dims = EmbeddingDims,
-          cellStats = Some(sharedStats))
-        .select(col("q_id"), col("c_id").as("id"), col("rnk").as("vec_rnk"))
-    run("1_brute", idf = false, Retrieval.bruteArm)
-      .unionByName(run("2_ivf_sq8", idf = false, sq8Arm))
-      .unionByName(run("3_ivf_pq", idf = false, pqArm))
-      .unionByName(run("4_bm25_brute", idf = true, Retrieval.bruteArm))
-      .crossJoin(orphanGuard(udocs, uembs, "x98"))
-      .filter(col("precondition_ok").isNull)
-      .drop("precondition_ok")
-      .orderBy(col("arm"))
-  }
-
-  /** Incremental graph fold-in, oracle-gated END TO END (x99) — the
-    * round-12 stretch upgraded from a spec to a registry gate: the
-    * ENGINE runs the full incremental maintenance path (build the
-    * stored base graph under a base-trained frozen quantizer —
-    * [[graft.ext.Similarity.knnGraphIvfFrozen]] — then fold the held-out
-    * batch in via [[graft.ext.Similarity.knnGraphIvfFoldIn]], never
-    * rescoring base×base), while the ORACLE computes the FRESH
-    * frozen-quantizer build over the union in DuckDB. The hash gate
-    * therefore proves two things at once: the fold-in algebra
-    * (topk(S∪T) ⊆ topk(S) ∪ T applied per probed cell) and the
-    * cross-engine arithmetic, at all three SFs. Base/batch is the x83
-    * hash split ([[BaseFrac]]); geometry is x89's. */
-  def x99_graph_foldin(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val inBase = Sampling.hashThresholdPredicate(col("vec_id"), BaseFrac)
-    val base = e.filter(inBase)
-    val stored = Similarity.knnGraphIvfFrozen(base, base, "vec_id",
-      "embedding", k = KnnGraphK, cells = ScaledCells,
-      lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
-    Similarity.knnGraphIvfFoldIn(stored, base, e.filter(!inBase),
-        "vec_id", "embedding", k = KnnGraphK, cells = ScaledCells,
-        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
-      .orderBy(col("src_id"), col("rnk"))
-  }
-
-  /** Three-way coarse-quantizer recall table (x71): per query, the exact
-    * full-corpus top-k overlap kept by single-probe sign SQ8 (x63),
-    * Hamming-1 multi-probe sign SQ8 (x69), and learned-centroid IVF at
-    * nprobe cells (x70) — the latter two at ~equal probed corpus
-    * fraction (~31% vs ~30%). The x64 discipline one level up: x64
-    * froze candidates to isolate quantization loss; this frees them and
-    * prices each coarse-quantizer design. All-integer output. */
-  def x71_ivf_recall(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    Similarity.ivfRecallCompare(e, e.filter(col("vec_id") < QuerySetSize),
-        "vec_id", "label", "embedding", k = 3, bits = SimBucketBits,
-        nprobe = IvfNprobe)
-      .orderBy(col("q_id"))
-  }
-
-  // ---- x49: cross-source duplication flow matrix --------------------------
-
-  /** WHERE the duplication comes from: the x02 exact near-dup pair graph
-    * aggregated to an undirected source×source flow matrix — per source
-    * pair, how many near-dup pairs cross it, their total shingle overlap,
-    * and the worst (max) Jaccard. The curation question this answers is
-    * the one x01–x05 don't: a corpus mixer needs to know WHICH feeds
-    * duplicate each other (a crawl that mirrors a curated dump, two
-    * crawls overlapping) before deciding which source's copies survive —
-    * the diagonal (source_a = source_b) is within-feed redundancy, the
-    * off-diagonal is cross-feed contamination.
-    *
-    * Exactness: counts and shingle-overlap sums are integers; the only
-    * double is `max_jaccard`, and max over per-pair values both engines
-    * compute identically from integers is order-insensitive and exact.
-    * Scale shape: the pair relation is SPARSE (near-dups, not all pairs),
-    * so the two source-attachment joins are equi-joins of a small
-    * relation against a 2-column pruned corpus scan, and the final
-    * aggregate is bounded by |sources|² — a broadcast-sized result no
-    * matter the corpus. */
-  def x49_source_dup_flow(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      w = 3, threshold = JaccardThreshold)
-    val src = docs.select(col("doc_id"), col("source"))
-    pairs
-      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")),
-        Seq("id_a"))
-      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")),
-        Seq("id_b"))
-      .groupBy(least(col("src_a"), col("src_b")).as("source_a"),
-        greatest(col("src_a"), col("src_b")).as("source_b"))
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("n_common")).as("overlap_shingles"),
-        max(col("jaccard")).as("max_jaccard"))
-      .orderBy(col("source_a"), col("source_b"))
-  }
-
-  // ---- x50: sketch recall audit (LSH vs exact pair set) -------------------
-
-  /** "Measure, don't guess" applied to the sketches themselves: the
-    * MinHash-LSH pair set (x03) audited against the exact inverted-index
-    * pair set (x02) it approximates. Both pipelines verify candidates
-    * with the same exact-Jaccard ≥ threshold test, so the LSH output is
-    * provably ⊆ the exact output (any pair with J ≥ 0.5 shares ≥ 1
-    * shingle and therefore appears in the index join); what this audit
-    * measures is BANDING recall — how many true near-dup pairs never
-    * collided in any of the 4 bands. At 100 TB the exact index join is
-    * run on a SAMPLE to estimate the same recall number; here the corpus
-    * is small enough to compute it exactly, and the all-integer one-row
-    * result (n_missed = n_exact − n_sketch by the subset property) is
-    * the regression gate a production pipeline pins its band geometry
-    * with. Shape: one shuffle on the canonical pair key over the union
-    * of two sparse pair relations, then a single-row total aggregate. */
-  def x50_sketch_recall(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        w = 3, threshold = JaccardThreshold)
-      .select(col("id_a"), col("id_b"),
-        lit(1L).as("f_exact"), lit(0L).as("f_sketch"))
-    val sketch = Dedup.minhashLshPairs(docs, "doc_id", "text",
-        w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
-      .select(col("id_a"), col("id_b"),
-        lit(0L).as("f_exact"), lit(1L).as("f_sketch"))
-    exact.unionByName(sketch)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("f_exact")).as("in_exact"),
-        max(col("f_sketch")).as("in_sketch"))
-      .agg(sum(col("in_exact")).as("n_exact_pairs"),
-        sum(col("in_sketch")).as("n_sketch_pairs"),
-        sum(when(col("in_exact") === 1L && col("in_sketch") === 0L, 1L)
-          .otherwise(0L)).as("n_missed"))
-  }
-
-  // ---- x51: prefix-filtered exact Jaccard (AllPairs/PPJoin) ---------------
-
-  /** The published candidate-pruning upgrade for the flagship exact
-    * near-dup pass: identical output to x02 (the prefix filter is
-    * recall-exact — see Dedup.prefixJaccardPairs for the lemma), proven
-    * here against the SAME oracle SQL, the x20/x20_star precedent for
-    * "two algorithms, one fixpoint". The soak (SCALING.md) measures what
-    * the filter buys: only each document's rarest shingles enter the
-    * self-join, so the high-df boilerplate tail that turns Σ df² quadratic
-    * on real corpora never reaches the join at all. */
-  def x51_jaccard_prefix(s: SparkSession, dir: String): DataFrame =
-    Dedup.prefixJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        w = 3, threshold = JaccardThreshold)
-      .orderBy(col("id_a"), col("id_b"))
-
-  // ---- x52: containment pairs (sub-document duplication) ------------------
-
-  def x52_containment(s: SparkSession, dir: String): DataFrame =
-    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
-        w = 3, threshold = ContainmentThreshold, minSmall = ContainmentMinSmall)
-      .orderBy(col("id_a"), col("id_b"))
-
-  // ---- x53: leakage-safe cluster-aware train/val/test split ---------------
-
-  /** Split assignment that respects the x20 duplicate clusters: every
-    * near-dup family shares one split (drawn from its cluster label), so
-    * no test document has a near-duplicate in train — the contamination
-    * guarantee an id-hash split silently violates. Reuses the session's
-    * shared CC fixpoint (minhashDupLabels), like x20/x23/x26/x36; the
-    * oracle recomputes the same closure with the recursive CTE and the
-    * same salted md5 draw. */
-  def x53_cluster_split(s: SparkSession, dir: String): DataFrame =
-    Sampling.clusterSplit(Tables.documents(s, dir), "doc_id",
-        minhashDupLabels(s, dir), SplitTrainFrac, SplitValFrac, SplitSalt)
-      .orderBy(col("doc_id"))
-
-  // ---- x54: block-level exact span dedup (C4/Lee et al. granularity) ------
-
-  /** Aligned block width for x54 — 10 tokens keeps block counts honest on
-    * the synthetic ~30–60-token documents while still firing corpus-wide
-    * (sf0.01: 151 duplicate blocks across 57 documents). */
-  val BlockW = 10
-
-  def x54_block_dedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.blockDedup(Tables.documents(s, dir), "doc_id", "text", BlockW)
-      .orderBy(col("doc_id"))
-
-  // ---- x57: unaligned repeated-substring dedup (ExactSubstr granularity) --
-
-  /** Sliding-window width for x57 — 8 tokens, deliberately ≠ [[BlockW]]:
-    * the two operators are independent granularities (x54 = aligned
-    * blocks, x57 = every offset), and differing widths keep their oracle
-    * CTEs from sharing intermediate shapes by accident. */
-  val SubstrW = 8
-
-  def x57_substr_dedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.substrDedup(Tables.documents(s, dir), "doc_id", "text", SubstrW)
-      .orderBy(col("doc_id"))
-
-  // ---- x55: incremental near-dup vs ingested base (LSH batch gate) --------
-
-  /** Near-dup complement of x33: the incoming batch (the [[BaseFrac]]
-    * hash-split's complement, same split as x33 so the two gates see the
-    * same nightly batch) is checked against the base corpus through the
-    * x03 MinHash-LSH geometry — base ships only its stored band index and
-    * shingle sets, candidates are band collisions, and each is verified
-    * with exact Jaccard before the batch row is dropped. */
-  def x55_incremental_lsh(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
-    Dedup.incrementalLshPairs(
-        docs.filter(inBase), docs.filter(!inBase), "doc_id", "text",
-        w = 3, perms = 16, bands = 4, threshold = JaccardThreshold)
-      .orderBy(col("doc_id"), col("base_id"))
-  }
-
-  /** x55 executed in TRUE streaming mode (round-9 stretch; the x12/x13/
-    * x65 discipline applied to the dedup index): the incoming half of
-    * the corpus arrives as a file stream, and the LSH band index is
-    * STREAMING STATE — `transformWithState` ListState keyed by band
-    * bucket, seeded from the base corpus via the initial-state API
-    * ([[graft.streaming.DedupStreams]]) — the production nightly-crawl
-    * form where the dedup gate runs at ingest, not behind a batch job.
-    * The ORACLE is x55's, verbatim: the streamed matches must equal the
-    * batch batch-vs-base answer row for row, which makes "the in-state
-    * index is the stored batch index" an oracle-gated fact instead of a
-    * spec claim. Multi-band collisions are canonicalized by a streaming
-    * dropDuplicates (the batch side's candidate `.distinct()`);
-    * per-batch `batch_id=N` overwrite keeps the at-least-once
-    * foreachBatch sink idempotent (the x13 discipline). transformWithState
-    * requires the RocksDB state-store provider — set for the query's
-    * lifetime and restored after. */
-  /** x55_stream hot-bucket cap (round-9 verdict #2): buckets past this
-    * saturate — state cleared, no further index/verify (the batch
-    * minhashLshPairs hot-bucket guard ported into the processor). The
-    * benchmarked corpora sit far under it (max seed bucket ≲ 10 docs at
-    * sf0.1), so the registry run's cap is a NO-OP and the x55 oracle's
-    * exhaustive semantics hold exactly — the x59/SemDedupClusterCap
-    * discipline: the degenerate mode is fenced (StreamIncLshSpec pins
-    * the saturation behavior) without perturbing the gated answer. */
-  val LshStreamBucketCap = 1000
-
-  def x55_incremental_lsh_stream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = s.conf.getOption(provKey)
-    s.conf.set(provKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val docsSchema = s.read.parquet(s"$dir/documents.parquet").schema
-      val tmp = streamTmpDir("graft_x55_stream_")
-      val out = tmp.resolve("out").toString
-      val ckpt = tmp.resolve("ckpt").toString
-      val landing = tmp.resolve("landing")
-      stageTableLanding(dir, "documents", landing, "docs")
-      val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
-      val base = Tables.documents(s, dir).filter(inBase)
-      val incoming = s.readStream.schema(docsSchema)
-        .option("maxFilesPerTrigger", streamMaxFiles)
-        .parquet(landing.toString)
-        .filter(!inBase)
-      // Multi-band dedup happens PER BATCH in the sink, not as a second
-      // stateful operator: all of an incoming doc's band rows ride in its
-      // own micro-batch, so a pair's duplicate emissions (identical
-      // values, one per colliding band) can never span batches —
-      // batch-local dropDuplicates is exact and keeps the query
-      // single-stateful-operator.
-      val q = graft.streaming.DedupStreams.lshDedupStream(
-          incoming, base, "doc_id", "text",
-          w = 3, perms = 16, bands = 4, threshold = JaccardThreshold,
-          hotBucketCap = Some(LshStreamBucketCap))
-        .writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[graft.streaming.DedupStreams.LshMatch],
-           id: Long) =>
-            batch.dropDuplicates("doc_id", "base_id")
-              .write.mode("overwrite").parquet(s"$out/batch_id=$id")
-        }
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.option("basePath", out).parquet(out)
-        .select(col("doc_id"), col("base_id"), col("jaccard"))
-        .orderBy(col("doc_id"), col("base_id"))
-    } finally prevProv match {
-      case Some(v) => s.conf.set(provKey, v)
-      case None => s.conf.unset(provKey)
-    }
-  }
-
-  // ---- x56: nearest-centroid assignment / semantic cluster purity ---------
-
-  def x56_cluster_purity(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearestCentroidPurity(Tables.embeddings(s, dir), "vec_id",
-        "label", "embedding")
-      .orderBy(col("label"), col("assigned_label"))
-
-  // ---- x59: SemDeDup within-cluster embedding prune ------------------------
-
-  /** Cosine floor for the within-cluster prune — same value as the banded
-    * x05 threshold so the two operators' answer sets are directly
-    * comparable: x59 ⊇ (x05 pairs whose members share a cluster), plus
-    * every within-cluster pair the banding missed. */
-  val SemDedupThreshold = CosineDupThreshold
-
-  /** x59 cluster-size guard (round-8 verdict #3): clusters past this fall
-    * back to within-cluster banded LSH instead of the exhaustive
-    * self-join. The benchmarked corpora sit far under it (sf0.1: ~200
-    * vectors/cluster), so the oracle's exhaustive semantics hold exactly
-    * while the quadratic failure mode is fenced — the degenerate
-    * one-giant-cluster case is spec-pinned (SemDedupGuardSpec) and soak-
-    * measured rather than left to production discovery. */
-  val SemDedupClusterCap = 1000
-
-  def x59_semdedup_prune(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    // Loud-failure guard (round-9 advice): the x59 ORACLE is
-    // unconditionally exhaustive, so the gate's validity rests on every
-    // cluster sitting at or under the cap — past it the engine switches
-    // to banded within-cluster semantics and the compare would fail as
-    // an opaque hash mismatch. Assert the precondition HERE so a future
-    // scale bump fails with this message instead. Cost: one assignment
-    // scan reduced to a 1-row max — the documented stats-scan exception
-    // (Sources z-order grid precedent); the assignment relation itself
-    // is the same one semDedupPairs persists.
-    val maxCluster = Similarity
-      .nearestCentroidAssign(e, "vec_id", "label", "embedding")
-      .groupBy(col("assigned_label")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head().getLong(0)
-    require(maxCluster <= SemDedupClusterCap,
-      s"x59 oracle precondition violated: largest embedding cluster has " +
-        s"$maxCluster members > cap $SemDedupClusterCap — the engine " +
-        "would fall back to banded semantics while the oracle stays " +
-        "exhaustive. Raise SemDedupClusterCap (and re-gate) or mirror " +
-        "the banded branch in the oracle SQL before scaling this gate.")
-    Similarity.semDedupPairs(e, "vec_id",
-        "label", "embedding", SemDedupThreshold,
-        maxClusterSize = Some(SemDedupClusterCap))
-      .orderBy(col("cluster"), col("id_a"), col("id_b"))
-  }
-
-  // ---- x12/x13: event-stream analytics (batch form of the streaming ops) --
-
-  def x12_events_tumbling(s: SparkSession, dir: String): DataFrame =
-    EventStreams.tumblingStats(Tables.events(s, dir), "1 hour")
-      .select(unix_micros(col("window_start")).as("window_start_us"),
-        col("event_type"), col("n_events"), col("total_value"))
-      .orderBy(col("window_start_us"), col("event_type"))
-
-  def x13_events_sessions(s: SparkSession, dir: String): DataFrame =
-    EventStreams.userSessions(Tables.events(s, dir), "30 minutes")
-      .select(col("user_id"),
-        unix_micros(col("session_start")).as("session_start_us"),
-        unix_micros(col("session_end")).as("session_end_us"),
-        col("n_events"), col("total_value"))
-      .orderBy(col("user_id"), col("session_start_us"))
-
-  /** x12 executed in TRUE streaming mode — the round-5 verdict's ask #6:
-    * the same [[EventStreams.tumblingStats]] transform, but fed by a file
-    * readStream over the events parquet and drained through foreachBatch
-    * into a parquet sink, then read back and compared against the SAME
-    * DuckDB oracle as the batch twin. This upgrades "the projection runs
-    * unchanged at ingest" from a MemoryStream spec claim to an
-    * oracle-gated fact: the streaming run's final output hash-matches the
-    * batch oracle row for row.
-    *
-    * Mechanics: `maxFilesPerTrigger=1` forces at least one genuine
-    * micro-batch boundary whenever the source has >1 file, so aggregation
-    * state really is built incrementally; OutputMode.Complete re-emits the
-    * full aggregate each batch and the foreachBatch overwrite keeps the
-    * sink idempotent (the crash/restart exactly-once discipline
-    * StreamingSpec proves). Complete mode holds all window state — correct
-    * here because the oracle needs every window; a production ingest at
-    * 100 TB/day runs the watermarked append twin
-    * ([[EventStreams.watermarkedTumblingStats]], StreamingSpec) whose
-    * state is bounded by the lateness horizon instead. The temp sink/
-    * checkpoint dirs are per-invocation (streams cannot share checkpoints
-    * with different run ids) and deleted on JVM exit. */
-  /** Temp roots awaiting deletion at JVM exit — ONE process-wide hook
-    * drains the queue (a hook per invocation would accumulate live
-    * Thread objects for the process lifetime under repeated bench/soak
-    * runs). */
-  private val streamTmpDirs =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
-  private lazy val streamTmpHook: Unit = {
-    import java.nio.file.{Files, LinkOption, Path}
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def nuke(p: Path): Unit = {
-        if (Files.isDirectory(p, LinkOption.NOFOLLOW_LINKS)) {
-          val l = Files.list(p)
-          try l.iterator().forEachRemaining(nuke) finally l.close()
-        }
-        Files.deleteIfExists(p)
-      }
-      var p = streamTmpDirs.poll()
-      while (p != null) {
-        try nuke(p) catch { case _: Throwable => () }
-        p = streamTmpDirs.poll()
-      }
-    }))
-  }
-
-  /** Per-invocation temp root for the streaming twins, recursively
-    * deleted at JVM exit — `File.deleteOnExit` is per-path and
-    * non-recursive, so on a non-empty dir it silently no-ops and every
-    * invocation would leak its checkpoint + sink + landing data. */
-  private def streamTmpDir(prefix: String): java.nio.file.Path = {
-    streamTmpHook
-    val tmp = java.nio.file.Files.createTempDirectory(prefix)
-    streamTmpDirs.add(tmp)
-    tmp
-  }
-
-  /** Stage the events table into a fresh landing directory by symlink —
-    * FileStreamSource ingests a DIRECTORY (its basePath is forced to the
-    * source path, so a bare file errors), and the symlinks resolve to
-    * the ORIGINAL file mtimes, so staged data always sorts before
-    * anything written into the landing dir afterwards (the source
-    * processes oldest-first). Single-file tables stage as one link; dir
-    * tables link every contained parquet file. */
-  /** Micro-batch granularity for the streaming twins. Default 1 file per
-    * trigger — the strictest incremental-state exercise (state must
-    * survive a batch boundary between any two rows of different files).
-    * `SPARK_GRAFT_STREAM_MAX_FILES` widens it for the batch-size
-    * sensitivity measurement (PLANS.md): the OUTPUT is invariant to this
-    * knob by construction — state convergence cannot depend on batch
-    * slicing — so only wall time moves. */
-  private[graft] def streamMaxFiles: Int =
-    sys.props.get("graft.stream.maxFiles")
-      .orElse(sys.env.get("SPARK_GRAFT_STREAM_MAX_FILES"))
-      .map(_.toInt).getOrElse(1)
-
-  private def stageEventsLanding(dir: String,
-                                 landing: java.nio.file.Path,
-                                 tag: String = "events"): Unit =
-    stageTableLanding(dir, "events", landing, tag)
-
-  private def stageTableLanding(dir: String, table: String,
-                                landing: java.nio.file.Path,
-                                tag: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    Files.createDirectories(landing)
-    // Absolute target, or a relative `dir` yields symlinks that resolve
-    // against the LANDING dir (dangling) — batch reads tolerate relative
-    // paths (resolved against cwd), the staged stream must too.
-    // `tag` names the link files — a second staging wave under a distinct
-    // tag re-delivers the same data without colliding (x65's replay).
-    val src = Paths.get(dir, s"$table.parquet").toAbsolutePath.normalize()
-    if (Files.isDirectory(src)) {
-      val listing = Files.list(src)
-      try {
-        val it = listing.iterator()
-        var i = 0
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getFileName.toString.endsWith(".parquet")) {
-            Files.createSymbolicLink(
-              landing.resolve(f"$tag%s-$i%05d.parquet"), f)
-            i += 1
-          }
-        }
-      } finally listing.close()
-    } else {
-      Files.createSymbolicLink(landing.resolve(s"$tag-00000.parquet"), src)
-    }
-  }
-
-  def x12_events_tumbling_stream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val tmp = streamTmpDir("graft_x12_stream_")
-    val out = tmp.resolve("out").toString
-    val ckpt = tmp.resolve("ckpt").toString
-    val landing = tmp.resolve("landing")
-    stageEventsLanding(dir, landing)
-    val raw = s.readStream.schema(batchSchema)
-      .option("maxFilesPerTrigger", streamMaxFiles)
-      .parquet(landing.toString)
-    val ev = Tables.surfaceEventTs(raw)
-    val q = EventStreams.tumblingStats(ev, "1 hour")
-      .writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(out)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.read.parquet(out)
-      .select(unix_micros(col("window_start")).as("window_start_us"),
-        col("event_type"), col("n_events"), col("total_value"))
-      .orderBy(col("window_start_us"), col("event_type"))
-  }
-
-  /** x13 executed in TRUE streaming mode — the harder streaming gate:
-    * session windows cannot run in complete mode (Spark requires
-    * watermarked append/update for session merges), so unlike x12's
-    * re-emit-everything form this proves the APPEND discipline end to
-    * end: a session row is emitted exactly once, only after the
-    * watermark passes its close, out of state that merged it across
-    * micro-batch boundaries.
-    *
-    * The tail problem append mode creates — the final sessions close
-    * only when the watermark passes them, and a finite replay's
-    * watermark stops at the last real event — is solved the way a
-    * production pipeline does it: a PUNCTUATION (heartbeat) event far
-    * past the data horizon arrives as its own final micro-batch,
-    * advancing the watermark so every real session finalizes. The
-    * sentinel's own session never closes (nothing arrives after it), so
-    * it never appears in the append output — no filtering, no
-    * reconciliation; the emitted rows must equal the batch twin's
-    * gaps-and-islands oracle EXACTLY, which is the gated claim.
-    *
-    * Staging mirrors x12 ([[stageEventsLanding]]); the sentinel parquet
-    * is written AFTER so its newer mtime orders it last
-    * (FileStreamSource processes oldest-first), and
-    * `maxFilesPerTrigger=1` keeps real data and punctuation in separate
-    * micro-batches — the watermark only advances between batches.
-    *
-    * Two replay-vs-production knobs, both load-bearing:
-    *  - the watermark DELAY is the full replayed history
-    *    ([[ReplayLateness]]), not a production-tight horizon: a replay's
-    *    files carry no cross-file time order (Spark-written part files
-    *    interleave arbitrarily), so any event older than a previous
-    *    file's max would be dropped as late under a tight horizon — the
-    *    horizon must cover the replayed span, and state stays bounded
-    *    because the replay itself is. A live ingest with near-ordered
-    *    arrival tightens it back (StreamingSpec's watermark specs).
-    *  - the sink writes each micro-batch to its own `batch_id=N`
-    *    directory with overwrite — foreachBatch is at-least-once, and a
-    *    retried batch must overwrite ITS OWN output, not append a
-    *    duplicate (blind append would double sessions under retry). */
-  def x13_events_sessions_stream(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.streaming.Trigger
-    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val tmp = streamTmpDir("graft_x13_stream_")
-    val out = tmp.resolve("out").toString
-    val ckpt = tmp.resolve("ckpt").toString
-    val landing = tmp.resolve("landing")
-    stageEventsLanding(dir, landing)
-    // Punctuation event at 2100-01-01, in the file's own ts encoding
-    // (TIMESTAMP(NANOS) surfaces as long under nanosAsLong; NTZ-annotated
-    // micros surface as TIMESTAMP_NTZ, whose external type is
-    // LocalDateTime — a java.sql.Timestamp there fails encoding).
-    val farFutureUs = 4102444800000000L // 2100-01-01T00:00:00Z in micros
-    val tsValue: Any = batchSchema("ts").dataType match {
-      case LongType => farFutureUs * 1000L
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        java.time.LocalDateTime.ofEpochSecond(
-          farFutureUs / 1000000L, 0, java.time.ZoneOffset.UTC)
-      case _ => java.sql.Timestamp.from(
-        java.time.Instant.ofEpochSecond(farFutureUs / 1000000L))
-    }
-    val sentinelRow = Row.fromSeq(batchSchema.fields.map {
-      case f if f.name == "ts" => tsValue
-      case f if f.name == "event_id" => -1L
-      case f if f.name == "user_id" => -1L
-      case f if f.name == "event_type" => "punctuation"
-      case f if f.name == "value" => 0.0
-      case _ => null
-    }.toSeq)
-    s.createDataFrame(java.util.List.of(sentinelRow), batchSchema)
-      .coalesce(1).write.mode("append").parquet(landing.toString)
-    val raw = s.readStream.schema(batchSchema)
-      .option("maxFilesPerTrigger", streamMaxFiles)
-      .parquet(landing.toString)
-    val ev = Tables.surfaceEventTs(raw)
-    val q = EventStreams.watermarkedUserSessions(ev, "30 minutes", ReplayLateness)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // the named projection excludes the inferred batch_id partition col
-    s.read.parquet(out)
-      .select(col("user_id"),
-        unix_micros(col("session_start")).as("session_start_us"),
-        unix_micros(col("session_end")).as("session_end_us"),
-        col("n_events"), col("total_value"))
-      .orderBy(col("user_id"), col("session_start_us"))
-  }
-
-  /** Watermark delay for the x13 replay: wide enough that NO event in
-    * the replayed history can be late relative to any other (files
-    * carry no cross-file order), while the 2100 punctuation still lands
-    * the final watermark decades past the data — every real session
-    * closes, the sentinel's never does. ~60 years in days. */
-  val ReplayLateness = "21900 days"
-
-  // ---- x65: streaming exact dedup under at-least-once redelivery ----------
-
-  /** The ingest half of x01 run as a STREAM: the events table is staged
-    * into the landing directory TWICE (two symlink waves — a replayed
-    * ingest, the at-least-once redelivery failure mode every 100 TB
-    * pipeline must absorb), and
-    * `dropDuplicatesWithinWatermark("event_id")`
-    * ([[EventStreams.dedupedEvents]]) collapses the redelivery back to
-    * exactly-once out of keyed state, across micro-batch boundaries
-    * (`maxFilesPerTrigger=1` forces the two copies of every row into
-    * DIFFERENT batches). The oracle aggregates the PLAIN single-copy
-    * table: the stream saw every row twice, so a dedup that leaked even
-    * one key would double a count and hash-mismatch — the
-    * streaming-mode-oracle discipline of x12/x13 applied to the one
-    * stateful streaming API the family had only spec'd
-    * (StreamingSpec:213). Redelivered rows are byte-identical here, so
-    * "keep first arrival" is deterministic as a SET whatever the file
-    * interleaving. Watermark horizon = [[ReplayLateness]]: within a
-    * replay nothing may expire mid-run (state stays keyed on every id);
-    * production sets it to the redelivery SLA and state size becomes
-    * |keys within horizon| — that knob, not corpus size, bounds memory.
-    * Sink: per-batch overwrite dirs (x13's at-least-once discipline). */
-  def x65_stream_dedup_replay(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val batchSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val tmp = streamTmpDir("graft_x65_stream_")
-    val out = tmp.resolve("out").toString
-    val ckpt = tmp.resolve("ckpt").toString
-    val landing = tmp.resolve("landing")
-    stageEventsLanding(dir, landing)
-    stageEventsLanding(dir, landing, tag = "events-redeliver")
-    val raw = s.readStream.schema(batchSchema)
-      .option("maxFilesPerTrigger", streamMaxFiles)
-      .parquet(landing.toString)
-    val ev = Tables.surfaceEventTs(raw)
-    val q = EventStreams.dedupedEvents(ev, ReplayLateness)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.read.parquet(out)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        count_distinct(col("user_id")).as("n_users"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast(DoubleType).as("total_value"))
-      .orderBy(col("event_type"))
-  }
-
-  // ---- x15: as-of join — click→purchase attribution ----------------------
-
-  /** For every purchase event, the user's most recent strictly-earlier
-    * click (classic attribution). Oracle: DuckDB's native ASOF LEFT JOIN;
-    * our side runs the engine's CUSTOM physical operator
-    * (graftfn.AsOfJoinExec — sort-merge as-of over co-partitioned
-    * children); the composed union+window form (graft.ops.AsOf) is
-    * equivalence-tested against it and remains the no-extension fallback. */
-  def x15_asof_attribution(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"))
-    org.apache.spark.sql.graftfn.AsOfJoinNative
-      .lastBefore(purchases, clicks, Seq("user_id"), "ts", "ts")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        unix_micros(col("ts")).as("purchase_ts_us"),
-        unix_micros(col("asof_ts")).as("click_ts_us"))
-      .orderBy(col("purchase_id"))
-  }
-
-  // ---- x16: range join — events into overlapping value bands -------------
-
-  /** Count/sum events whose value falls in each of ten OVERLAPPING bands
-    * [8i, 8i+15) — overlap makes it a genuine range join (a value can
-    * land in two bands), not a floor() bucketing. Binned equi-join shape
-    * (graft.ops.RangeJoin); oracle: DuckDB's inequality join (IEJoin). */
-  def x16_range_value_bands(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DoubleType
-    val bands = s.range(10).select(
-      col("id").as("band_id"),
-      (col("id") * 8.0).cast(DoubleType).as("lo"),
-      (col("id") * 8.0 + 15.0).cast(DoubleType).as("hi"))
-    val ev = Tables.events(s, dir).select(col("event_id"), col("value"))
-    graft.ops.RangeJoin.pointInInterval(ev, bands, "value", "lo", "hi", 8.0)
-      .groupBy(col("band_id"), col("lo"), col("hi"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast(DoubleType).as("total_value"))
-      .orderBy(col("band_id"))
-  }
-
-  // ---- x17: semi-structured JSON property extraction ---------------------
-
-  /** Parse the events table's JSON `props` column and aggregate an
-    * extracted numeric field — the semi-structured access path every
-    * event pipeline needs. `get_json_object` is a codegen'd per-row
-    * expression (a production schema-on-read would use from_json with a
-    * declared schema; path extraction keeps the oracle portable). */
-  def x17_json_props(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("k")).as("total_k"),
-        ratio(sum(col("k")), count(col("k"))).as("avg_k"),
-        max(col("k")).as("max_k"))
-      .orderBy(col("event_type"))
-
-  private def ratio(n: Column, d: Column): Column =
-    n.cast(org.apache.spark.sql.types.DoubleType) /
-      d.cast(org.apache.spark.sql.types.DoubleType)
-
-  // ---- x19: skew-salted aggregation under the oracle gate ----------------
-
-  /** Per-event-type value totals computed through the two-phase SALTED
-    * path (graft.ops.Skew): 5 hot keys × thousands of rows each is
-    * exactly the shape that pins one reducer per key in a plain groupBy.
-    * The oracle is the direct aggregation — the gate proves the salted
-    * plan is semantically invisible. Decimal accumulation keeps the
-    * two-phase partial sums exact, so even the doubles hash-match. */
-  def x19_salted_agg(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Skew
-    val ev = Tables.events(s, dir)
-      .withColumn("value_dec", col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
-    Skew.saltedSumCount(ev, Seq("event_type"), col("value_dec"),
-        saltFrom = Seq("event_id"), buckets = 32,
-        sumName = "total_value_dec", cntName = "n_events")
-      .select(col("event_type"),
-        col("total_value_dec").cast(org.apache.spark.sql.types.DoubleType)
-          .as("total_value"),
-        col("n_events"))
-      .orderBy(col("event_type"))
-  }
-
-  // ---- x29: skewed-key large×large join under AQE skew splitting ---------
-
-  /** Cohort-relative engagement over a HOT-KEY join: every event joins its
-    * cohort's aggregate (per-user cohorts, except the 'view' firehose which
-    * collapses onto one sentinel key — the bot-traffic/default-value shape
-    * that pins a single reducer at scale), then counts events above their
-    * cohort average. The x19 twin covered aggregation skew (salting); this
-    * is the JOIN-side skew tool: both sides shuffle on k (the cohort side
-    * carries a SHUFFLE_MERGE hint — at 100 TB the cohort relation is
-    * |users|-sized and stats would forbid a broadcast anyway), and AQE's
-    * OptimizeSkewedJoin splits the hot partition into advisory-size chunks,
-    * replicating the matching build rows (PlanSpec pins `skew=true` in
-    * the executed plan). The cohort profile is MATERIALIZED (persisted,
-    * tracked) before the join — the shape a real pipeline has anyway
-    * (profile/feature tables are stored assets, not inline aggregates),
-    * and the shape OptimizeSkewedJoin requires: both join children must be
-    * bare requirement-introduced shuffles (`SMJ(Sort(Shuffle),
-    * Sort(Shuffle))`) — an aggregate between sort and shuffle on the build
-    * side defeats the pattern, because splitting a partition under a final
-    * aggregate would recompute it. The profile is persisted in STORED-ASSET
-    * shape (round-robin repartitioned first): the inline aggregate's cache
-    * would otherwise remember its hashpartitioning(k) and EnsureRequirements
-    * would skip the build-side shuffle entirely — a TableCacheQueryStage
-    * child that the skew rule cannot match (and could not re-range anyway,
-    * cached blocks have no map outputs). A profile table read back from
-    * parquet arrives with unknown partitioning and always shuffles; the
-    * repartition reproduces exactly that, for one extra exchange of a
-    * |cohorts|-sized relation at build time. Above-average is decided by
-    * the exact decimal cross-multiply v·n > Σv — no order-dependent float
-    * average, so the oracle hash-matches. */
-  def x29_skew_join(s: SparkSession, dir: String): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
-    // eventsFanned, not events: skew splitting works at map-output
-    // granularity, and the one-row-group testdata layout gives the join
-    // shuffle a single mapper — an unsplittable hot bucket (no-op on real
-    // many-file layouts).
-    val e = Tables.eventsFanned(s, dir).select(
-      col("event_type"),
-      col("value").cast(dec).as("v"),
-      when(col("event_type") === "view", lit(-1L))
-        .otherwise(col("user_id")).as("k"))
-    val cohorts = ExtCaches.persistTracked(e.groupBy(col("k"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      .repartition(s.sparkContext.defaultParallelism))
-    e.join(cohorts.hint("merge"), Seq("k"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(col("v") * col("n") > col("s"), 1L).otherwise(0L))
-          .as("n_above_avg"))
-      .orderBy(col("event_type"))
-  }
-
-  // ---- x14: multimodal decoded-pixel histogram ----------------------------
-
-  /** Real-codec multimodal featurization (x14, round 14 — decode made
-    * REAL): synthesize genuine binary image containers per document (P6
-    * PPM for even ids, 24-bit bottom-up padded BMP for odd — see
-    * [[graft.ext.Multimodal]]), PARSE them back with the real
-    * dual-format decoder, and histogram the decoded integer luminance.
-    * The oracle never touches bytes: it recomputes the histogram
-    * analytically from the deterministic pixel formula, so the gate is
-    * a cross-engine proof that encode → parse → normalize (row flip,
-    * BGR swap, padding strip) round-trips exactly. */
-  def x14_multimodal_histogram(s: SparkSession, dir: String): DataFrame =
-    Multimodal.documentPixelHistogram(s, Tables.documents(s, dir))
-      .select(col("doc_id"), col("format"), col("n_bytes"),
-        col("bucket").cast(LongType).as("bucket"),
-        col("count").as("n_in_bucket"))
-      .orderBy(col("doc_id"), col("bucket"))
-
-  // ======================================================================
-  // Registry
-  // ======================================================================
-
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x01_dedup_exact" -> (x01_dedup_exact _),
-    "x02_dedup_ngram_jaccard" -> (x02_dedup_ngram_jaccard _),
-    "x03_dedup_minhash_lsh" -> (x03_dedup_minhash_lsh _),
-    "x04_dedup_simhash" -> (x04_dedup_simhash _),
-    "x04_dedup_simhash_pairs" -> (x04_dedup_simhash_pairs _),
-    "x05_dedup_embedding" -> (x05_dedup_embedding _),
-    "x05_dedup_embedding_sampled" -> (x05_dedup_embedding_sampled _),
-    "x06_sim_topk_brute" -> (x06_sim_topk_brute _),
-    "x07_sim_topk_ivf" -> (x07_sim_topk_ivf _),
-    "x08_text_stats" -> (x08_text_stats _),
-    "x09_text_quality" -> (x09_text_quality _),
-    "x10_text_langid" -> (x10_text_langid _),
-    "x11_text_fingerprint" -> (x11_text_fingerprint _),
-    "x12_events_tumbling" -> (x12_events_tumbling _),
-    "x12_events_tumbling_stream" -> (x12_events_tumbling_stream _),
-    "x13_events_sessions" -> (x13_events_sessions _),
-    "x13_events_sessions_stream" -> (x13_events_sessions_stream _),
-    "x14_multimodal_histogram" -> (x14_multimodal_histogram _),
-    "x15_asof_attribution" -> (x15_asof_attribution _),
-    "x16_range_value_bands" -> (x16_range_value_bands _),
-    "x17_json_props" -> (x17_json_props _),
-    "x18_text_rarity" -> (x18_text_rarity _),
-    "x19_salted_agg" -> (x19_salted_agg _),
-    "x20_dup_clusters" -> (x20_dup_clusters _),
-    "x20_dup_clusters_star" -> (x20_dup_clusters_star _),
-    "x21_sample_hash" -> (x21_sample_hash _),
-    "x21_sample_stratified" -> (x21_sample_stratified _),
-    "x22_vocab_coverage" -> (x22_vocab_coverage _),
-    "x23_dedup_survivors" -> (x23_dedup_survivors _),
-    "x24_repetition" -> (x24_repetition _),
-    "x30_source_caps" -> (x30_source_caps _),
-    "x31_chunks" -> (x31_chunks _),
-    "x32_doc_keywords" -> (x32_doc_keywords _),
-    "x25_embedding_centroids" -> (x25_embedding_centroids _),
-    "x26_pipeline_gate" -> (x26_pipeline_gate _),
-    "x26b_corpus_build" -> (x26b_corpus_build _),
-    "x27_source_mixture" -> (x27_source_mixture _),
-    "x28_decontamination" -> (x28_decontamination _),
-    "x29_skew_join" -> (x29_skew_join _),
-    "x33_incremental_dedup" -> (x33_incremental_dedup _),
-    "x34_token_budget" -> (x34_token_budget _),
-    "x35_blocklist_scrub" -> (x35_blocklist_scrub _),
-    "x36_cluster_reps" -> (x36_cluster_reps _),
-    "x37_snapshot_cdc" -> (x37_snapshot_cdc _),
-    "x38_winnow_fingerprints" -> (x38_winnow_fingerprints _),
-    "x38_winnow_pairs" -> (x38_winnow_pairs _),
-    "x39_heavy_hitters" -> (x39_heavy_hitters _),
-    "x40_funnel_journeys" -> (x40_funnel_journeys _),
-    "x41_cohort_retention" -> (x41_cohort_retention _),
-    "x42_expectations" -> (x42_expectations _),
-    "x43_scd2_history" -> (x43_scd2_history _),
-    "x44_sequence_packing" -> (x44_sequence_packing _),
-    "x45_decontamination_bloom" -> (x45_decontamination_bloom _),
-    "x46_bigram_counts" -> (x46_bigram_counts _),
-    "x47_embedding_gram" -> (x47_embedding_gram _),
-    "x48_source_equalize" -> (x48_source_equalize _),
-    "x49_source_dup_flow" -> (x49_source_dup_flow _),
-    "x50_sketch_recall" -> (x50_sketch_recall _),
-    "x51_jaccard_prefix" -> (x51_jaccard_prefix _),
-    "x52_containment" -> (x52_containment _),
-    "x53_cluster_split" -> (x53_cluster_split _),
-    "x54_block_dedup" -> (x54_block_dedup _),
-    "x55_incremental_lsh" -> (x55_incremental_lsh _),
-    "x55_incremental_lsh_stream" -> (x55_incremental_lsh_stream _),
-    "x56_cluster_purity" -> (x56_cluster_purity _),
-    "x57_substr_dedup" -> (x57_substr_dedup _),
-    "x58_cdc_apply" -> (x58_cdc_apply _),
-    "x59_semdedup_prune" -> (x59_semdedup_prune _),
-    "x60_bpe_merges" -> (x60_bpe_merges _),
-    "x61_source_temperature" -> (x61_source_temperature _),
-    "x62_editdist_pairs" -> (x62_editdist_pairs _),
-    "x63_sim_topk_ivfsq8" -> (x63_sim_topk_ivfsq8 _),
-    "x64_sq8_recall" -> (x64_sq8_recall _),
-    "x65_stream_dedup_replay" -> (x65_stream_dedup_replay _),
-    "x66_bpe_encode" -> (x66_bpe_encode _),
-    "x67_length_gate" -> (x67_length_gate _),
-    "x69_sim_topk_multiprobe" -> (x69_sim_topk_multiprobe _),
-    "x68_cluster_size_hist" -> (x68_cluster_size_hist _),
-    "x70_sim_topk_ivfkm" -> (x70_sim_topk_ivfkm _),
-    "x71_ivf_recall" -> (x71_ivf_recall _),
-    "x72_kmeans_iterate" -> (x72_kmeans_iterate _),
-    "x73_sim_topk_ivf_scaled" -> (x73_sim_topk_ivf_scaled _),
-    "x74_sim_topk_pq" -> (x74_sim_topk_pq _),
-    "x75_sim_topk_pq_refined" -> (x75_sim_topk_pq_refined _),
-    "x76_sim_topk_ivf_pq" -> (x76_sim_topk_ivf_pq _),
-    "x77_sim_topk_ivf_pq_residual" -> (x77_sim_topk_ivf_pq_residual _),
-    "x78_knn_graph" -> (x78_knn_graph _),
-    "x79_hybrid_rrf" -> (x79_hybrid_rrf _),
-    "x80_quality_classifier" -> (x80_quality_classifier _),
-    "x81_semantic_clusters" -> (x81_semantic_clusters _),
-    "x82_incremental_knn" -> (x82_incremental_knn _),
-    "x82_incremental_knn_stream" -> (x82_incremental_knn_stream _),
-    "x83_classifier_split" -> (x83_classifier_split _),
-    "x84_hybrid_rrf_ivf" -> (x84_hybrid_rrf_ivf _),
-    "x85_knn_graph_recall" -> (x85_knn_graph_recall _),
-    "x86_classifier_confusion" -> (x86_classifier_confusion _),
-    "x87_hybrid_rrf_bm25" -> (x87_hybrid_rrf_bm25 _),
-    "x88_hybrid_rrf_ivfpq" -> (x88_hybrid_rrf_ivfpq _),
-    "x89_knn_graph_ivf" -> (x89_knn_graph_ivf _),
-    "x90_classifier_calibrated" -> (x90_classifier_calibrated _),
-    "x91_knn_graph_ivf_recall" -> (x91_knn_graph_ivf_recall _),
-    "x92_cluster_label_purity" -> (x92_cluster_label_purity _),
-    "x93_knn_graph_ivf_sq8" -> (x93_knn_graph_ivf_sq8 _),
-    "x94_knn_graph_ivf_sq8_recall" -> (x94_knn_graph_ivf_sq8_recall _),
-    "x95_planted_purity" -> (x95_planted_purity _),
-    "x96_planted_knn_recall" -> (x96_planted_knn_recall _),
-    "x97_planted_ivf_recall" -> (x97_planted_ivf_recall _),
-    "x98_retrieval_relevance" -> (x98_retrieval_relevance _),
-    "x99_graph_foldin" -> (x99_graph_foldin _),
-    "x101_knn_graph_residual" -> (x101_knn_graph_residual _),
-    "x102_graph_relevance_ivf" -> (x102_graph_relevance_ivf _),
-    "x103_graph_relevance_sq8" -> (x103_graph_relevance_sq8 _),
-    "x104_graph_relevance_residual" -> (x104_graph_relevance_residual _),
-    "x105_bm25_stuffed_ladder" -> (x105_bm25_stuffed_ladder _),
-    "x106_planted_fence_residual" -> (x106_planted_fence_residual _),
-    "x107_planted_fence_deep" -> (x107_planted_fence_deep _),
-    "x108_lm_perplexity_gate" -> (x108_lm_perplexity_gate _),
-    "x109_dsir_resample" -> (x109_dsir_resample _),
-    "x110_bpe_char_merges" -> (x110_bpe_char_merges _))
-
-  // ======================================================================
-  // DuckDB oracle SQL
-  // ======================================================================
-
-  /** tokens + distinct 3-token shingles, shared CTE prefix. */
-  private val shinglesCte: String =
-    """toks AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id,
-      |         CASE WHEN len(t) >= 3
-      |              THEN list_distinct(list_transform(range(1, len(t) - 1),
-      |                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
-      |              ELSE CAST([] AS VARCHAR[]) END AS sh
-      |  FROM toks)""".stripMargin
-
-  /** The full MinHash→LSH→verify CTE chain (mirrors Dedup.minhashLshPairs
-    * with w=3, 16 perms, 4 bands): `verified` holds candidate pairs with
-    * exact Jaccard. Shared by x03 (the pair query) and x20 (cluster
-    * resolution over the pair graph). */
-  private val minhashVerifiedCte: String =
-    s"""$shinglesCte,
-       |sigs AS (
-       |  SELECT doc_id, sh,
-       |         list_transform(range(0, 16), i ->
-       |           list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
-       |  FROM sh),
-       |bandrows AS (
-       |  SELECT doc_id, j AS band,
-       |         md5(array_to_string(list_slice(sig, CAST(j*4+1 AS INT), CAST(j*4+4 AS INT)), ',')) AS bucket
-       |  FROM sigs, unnest(range(0, 4)) AS u(j)),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-       |  FROM bandrows x JOIN bandrows y
-       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-       |verified AS (
-       |  SELECT id_a, id_b,
-       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |           / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
-       |  FROM cand
-       |  JOIN sh a ON id_a = a.doc_id
-       |  JOIN sh b ON id_b = b.doc_id)""".stripMargin
-
-  /** Connected-component labels over the verified near-dup pair graph
-    * (mirrors minhashDupLabels' fixpoint as a recursive closure) — the
-    * ONE spelling shared by x26/x26b/x53, so the three pipelines' notion
-    * of "near-dup family" cannot drift. Needs WITH RECURSIVE and
-    * [[minhashVerifiedCte]] upstream. `lab` = (v, label = min reachable
-    * vertex). */
-  private val ccLabelsCte: String =
-    s"""prs AS (
-       |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM prs
-       |  UNION
-       |  SELECT id_b AS src, id_a AS dst FROM prs),
-       |reach(v, l) AS (
-       |  SELECT DISTINCT src AS v, src AS l FROM edges
-       |  UNION
-       |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
-       |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)""".stripMargin
-
-  /** The per-row scoring + gate CTE chain (language ID + quality score +
-    * the TargetLang/QualityGate filter) — mirrors
-    * TextOps.langId∘qualityScore exactly; the ONE spelling shared by x26
-    * and x26b. `gated` = the corpus after stage 1+2 of the pipeline. */
-  private def qualityGateCte: String =
-    s"""qtoks AS (
-       |  SELECT doc_id, lang, text,
-       |         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-       |  FROM documents),
-       |qm AS (
-       |  SELECT doc_id, lang, text,
-       |         CAST(len(text) AS BIGINT) AS n_chars,
-       |         CAST(len(t) AS BIGINT) AS n_tokens,
-       |         CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
-       |         CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','in','is','it','for'))) AS BIGINT) AS stopword_count,
-       |         CAST(len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS BIGINT) AS s_en,
-       |         CAST(len(list_filter(t, x -> x IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de,
-       |         CAST(len(list_filter(t, x -> x IN ('el','los','que','y','las'))) AS BIGINT) AS s_es,
-       |         CAST(len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS s_fr,
-       |         CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS BIGINT) AS s_zh
-       |  FROM qtoks),
-       |qr AS (
-       |  SELECT *,
-       |         CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
-       |         CASE WHEN n_tokens > 0 THEN CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
-       |  FROM qm),
-       |qq AS (
-       |  SELECT *,
-       |         ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-       |               * (1.0 - punct_ratio)
-       |               * least(stopword_ratio * 5.0 + 0.5, 1.0), 6) AS quality_score,
-       |         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-       |              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-       |              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-       |              WHEN s_fr >= s_zh THEN 'fr'
-       |              ELSE 'zh' END AS predicted_lang
-       |  FROM qr),
-       |gated AS (
-       |  SELECT doc_id, lang, text, n_chars, n_tokens, quality_score
-       |  FROM qq
-       |  WHERE predicted_lang = '$TargetLang' AND quality_score >= $QualityGate)""".stripMargin
-
-  /** One unrolled round of the x60 BPE loop: count adjacent pairs of
-    * `seqs${r-1}`, pick the winner (count desc, pair asc), apply it
-    * greedily leftmost-first. Greedy non-overlapping selection is the
-    * gaps-and-islands odd-rank filter: consecutive match positions can
-    * only chain when the pair is a token repeated against itself, and
-    * leftmost-greedy takes ranks 1, 3, 5… of each island — provably the
-    * same selection as the Spark side's left-to-right fold
-    * (TextOps.applyMerge). `sel` marks merge starts; a position is
-    * emitted unless it is the SECOND token of a selected merge, and a
-    * selected start emits the fused token. */
-  /** One unrolled BPE round, oracle side. Defaults replay x60's
-    * word-level loop over per-document sequences; `key = "word",
-    * weighted = true` replays x110's char-level loop over the
-    * distinct-word relation (pair counts and the post-merge symbol mass
-    * weighted by the carried `freq` column). */
-  private def bpeRoundSql(r: Int, key: String = "doc_id",
-                          weighted: Boolean = false): String = {
-    val prev = s"seqs${r - 1}"
-    val nExpr = if (weighted) "SUM(freq)" else "count(*)"
-    val carry = if (weighted) ", freq" else ""
-    val carryPs = if (weighted) ", ps.freq" else ""
-    val afterExpr = if (weighted) "SUM(freq * len(t))" else "SUM(len(t))"
-    s"""cnt$r AS (
-       |  SELECT t[p] || ' ' || t[p+1] AS pair, $nExpr AS n
-       |  FROM $prev, unnest(range(1, len(t))) AS u(p)
-       |  GROUP BY 1),
-       |mt$r AS (
-       |  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
-       |         pair, n
-       |  FROM cnt$r ORDER BY n DESC, pair LIMIT 1),
-       |match$r AS (
-       |  SELECT s.$key, p
-       |  FROM $prev s, mt$r m, unnest(range(1, len(s.t))) AS u(p)
-       |  WHERE s.t[p] = m.a AND s.t[p+1] = m.b),
-       |sel$r AS (
-       |  SELECT $key, p FROM (
-       |    SELECT $key, p,
-       |           row_number() OVER (PARTITION BY $key, g ORDER BY p) AS rk
-       |    FROM (SELECT $key, p,
-       |                 p - row_number() OVER (PARTITION BY $key ORDER BY p) AS g
-       |          FROM match$r))
-       |  WHERE rk % 2 = 1),
-       |seqs$r AS (
-       |  SELECT ps.$key$carryPs,
-       |         list(CASE WHEN s1.p IS NOT NULL THEN m.a || '_' || m.b
-       |                   ELSE ps.tok END ORDER BY ps.p) AS t
-       |  FROM (SELECT $key, p, t[p] AS tok$carry
-       |        FROM $prev, unnest(range(1, len(t) + 1)) AS u(p)) ps
-       |  CROSS JOIN mt$r m
-       |  LEFT JOIN sel$r s1 ON ps.$key = s1.$key AND ps.p = s1.p
-       |  LEFT JOIN sel$r s2 ON ps.$key = s2.$key AND ps.p = s2.p + 1
-       |  WHERE s2.p IS NULL
-       |  GROUP BY ps.$key$carryPs),
-       |row$r AS (
-       |  SELECT CAST($r AS BIGINT) AS round, m.pair, CAST(m.n AS BIGINT) AS n,
-       |         (SELECT CAST($afterExpr AS BIGINT) FROM seqs$r) AS n_tokens_after
-       |  FROM mt$r m)""".stripMargin
-  }
-
-  /** Fixed-point quantization + exact integer dot product — mirrors
-    * Similarity.quantize/dotQ bit-for-bit (×2^20 is a binary scale: the
-    * double multiply never rounds; round() is half-away-from-zero in both
-    * engines and exact ties are impossible on dyadic inputs). */
-  private def quantSql(v: String): String =
-    s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * ${Similarity.Scale}) AS BIGINT))"
-
-  private def dotSql(a: String, b: String): String =
-    s"""CAST(list_sum(list_transform(list_zip($a, $b),
-       |  p -> p[1] * p[2])) AS BIGINT)""".stripMargin
-
-  /** Sign-bucket key over the leading [[SimBucketBits]] components of an
-    * integer array column — mirrors Similarity.signBucket, generated from
-    * the SAME constant as the Scala call sites (round-8 advice: hardcoded
-    * widths in the SQL would silently desync the engines). */
-  private def bucketSql(arr: String): String =
-    (1 to SimBucketBits)
-      .map(i => s"CASE WHEN $arr[$i] >= 0 THEN '1' ELSE '0' END")
-      .mkString("(", " ||\n          ", ")")
-
-  /** SQ8 scales + codes + sign bucket — mirrors
-    * Similarity.sq8Scales/sq8Codes/signBucket bit-for-bit: scales are
-    * maxima of exact float→double widenings, (127·x)/s is one multiply +
-    * one divide both engines associate identically, and floor is exact —
-    * no round-half tie exists to differ. Dead dims (s = 0) code to 0. */
-  private def sq8CodesCte: String = sq8CodesCteFrom("embeddings")
-
-  /** As [[knnEdgeCtesFrom]]: the SQ8 code chain over an arbitrary
-    * (vec_id, embedding) source relation (`uembs` for x98). */
-  private def sq8CodesCteFrom(src: String): String =
-    s"""mx AS (
-       |  SELECT dim, MAX(ABS(x)) AS m FROM (
-       |    SELECT generate_subscripts(embedding, 1) AS dim,
-       |           CAST(unnest(embedding) AS DOUBLE) AS x
-       |    FROM $src) GROUP BY dim),
-       |ma AS (SELECT list(m ORDER BY dim) AS scales FROM mx),
-       |codes AS (
-       |  SELECT vec_id,
-       |         list_transform(range(1, ${EmbeddingDims + 1}), i ->
-       |           CASE WHEN scales[i] > 0
-       |                THEN CAST(floor(127 * CAST(embedding[i] AS DOUBLE) / scales[i]) AS BIGINT)
-       |                ELSE 0 END) AS code
-       |  FROM $src, ma),
-       |cb AS (
-       |  SELECT vec_id, code,
-       |         ${bucketSql("code")} AS bucket
-       |  FROM codes)""".stripMargin
-
-  /** The x55 incremental-LSH oracle — ONE spelling registered for BOTH
-    * the batch query and its streaming twin (stream-equals-batch is the
-    * gated claim): the x03 MinHash→LSH→verify chain with the x33
-    * base/batch hash-split; candidates are batch×base band collisions
-    * only. */
-  private def x55OracleSql: String =
-    s"""WITH $shinglesCte,
-       |flags AS (
-       |  SELECT doc_id, sh,
-       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base
-       |  FROM sh),
-       |sigs AS (
-       |  SELECT doc_id, in_base,
-       |         list_transform(range(0, 16), i ->
-       |           list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sig
-       |  FROM flags),
-       |bandrows AS (
-       |  SELECT doc_id, in_base, j AS band,
-       |         md5(array_to_string(list_slice(sig, CAST(j*4+1 AS INT), CAST(j*4+4 AS INT)), ',')) AS bucket
-       |  FROM sigs, unnest(range(0, 4)) AS u(j)),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS base_id
-       |  FROM bandrows x JOIN bandrows y
-       |    ON x.band = y.band AND x.bucket = y.bucket
-       |   AND NOT x.in_base AND y.in_base),
-       |ver AS (
-       |  SELECT c.doc_id, c.base_id,
-       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |           / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
-       |  FROM cand c
-       |  JOIN sh a ON c.doc_id = a.doc_id
-       |  JOIN sh b ON c.base_id = b.doc_id)
-       |SELECT doc_id, base_id, jaccard FROM ver
-       |WHERE jaccard >= $JaccardThreshold
-       |ORDER BY doc_id, base_id""".stripMargin
-
-  /** Exact-integer centroid chain — ONE spelling shared by every oracle
-    * that ranks vectors against per-label centroids (x56 purity, x59
-    * SemDeDup, x70 learned IVF, x71 recall compare): quantized vectors
-    * (qv), per-(label, dim) integer sums (sums), the 1-row-per-label
-    * centroid stats with HUGEINT |s|² (cent — DuckDB's SUM(BIGINT) is
-    * HUGEINT, matching the Spark side's DECIMAL(38,0)), and the
-    * all-pairs score t = |s|²/n² − 2(v·s)/n (scored) whose expression
-    * tree mirrors Similarity.tScore operand-for-operand so the doubles
-    * are bit-identical. */
-  private def centroidScoreCtes: String =
-    s"""qv AS (
-       |  SELECT vec_id, CAST(label AS BIGINT) AS label, ${quantSql("embedding")} AS v
-       |  FROM embeddings),
-       |cex AS (
-       |  SELECT label, unnest(range(0, len(v))) AS dim, unnest(v) AS x FROM qv),
-       |sums AS (
-       |  SELECT label AS c_label, dim, SUM(x) AS s, count(*) AS n
-       |  FROM cex GROUP BY 1, 2),
-       |cent AS (
-       |  SELECT c_label, max(n) AS n,
-       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
-       |         list(s ORDER BY dim) AS sl
-       |  FROM sums GROUP BY 1),
-       |scored AS (
-       |  SELECT qv.vec_id, qv.label, cent.c_label,
-       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |           - (2.0 * CAST(${dotSql("qv.v", "cent.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-       |  FROM qv CROSS JOIN cent)""".stripMargin
-
-  /** One unrolled Lloyd round for the x72 oracle (the x60 bpeRoundSql
-    * discipline): score the corpus against round r−1's centroids (round
-    * 0 = the shared chain's per-label `cent`), take the (t, c_label)
-    * argmin assignment, and recompute exact-integer centroid stats. The
-    * t spelling matches centroidScoreCtes / Similarity.tScore
-    * operand-for-operand. */
-  private def kmeansRoundSql(r: Int, p: String = "", seed: String = "cent",
-                             src: String = "qv"): String = {
-    val prev = if (r == 1) seed else s"${p}cent_${r - 1}"
-    s"""${p}scored_$r AS (
-       |  SELECT $src.vec_id, c.c_label,
-       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |           - (2.0 * CAST(${dotSql(s"$src.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-       |  FROM $src CROSS JOIN $prev c),
-       |${p}assigned_$r AS (
-       |  SELECT vec_id, c_label FROM (
-       |    SELECT vec_id, c_label,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
-       |    FROM ${p}scored_$r) WHERE rn = 1),
-       |${p}aex_$r AS (
-       |  SELECT a.c_label, unnest(range(0, len(v))) AS dim, unnest(v) AS x
-       |  FROM ${p}assigned_$r a JOIN $src USING (vec_id)),
-       |${p}sums_$r AS (
-       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
-       |  FROM ${p}aex_$r GROUP BY 1, 2),
-       |${p}cent_$r AS (
-       |  SELECT c_label, max(n) AS n,
-       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
-       |         list(s ORDER BY dim) AS sl
-       |  FROM ${p}sums_$r GROUP BY 1),
-       |${p}row_$r AS (
-       |  SELECT CAST($r AS BIGINT) AS round, c_label,
-       |         CAST(n AS BIGINT) AS n_vecs,
-       |         md5(array_to_string(sl, ',')) AS centroid_digest
-       |  FROM ${p}cent_$r)""".stripMargin
-  }
-
-  /** The full PQ chain (x74/x75 shared spelling): subvector split,
-    * hash-seeded codebooks, Lloyd rounds, stored codes, per-query ADC
-    * tables, and the row-local explicit-sum scoring — ends at `scoredq`
-    * (q_id, c_id, score_pq). */
-  private def pqChainCtes: String =
-    s"""$centroidScoreCtes,
-       |${pqCodebookCtes(s"q.vec_id < $QuerySetSize")},
-       |scoredq AS (
-       |  SELECT l.q_id, c.vec_id AS c_id,
-       |         $pqTermSql AS score_pq
-       |  FROM codesrel c CROSS JOIN lut l
-       |  WHERE c.vec_id <> l.q_id)""".stripMargin
-
-  /** The PQ training + stored-codes + query-LUT chain over an existing
-    * `qv` (vec_id, v) relation — the body of [[pqChainCtes]] with the
-    * query predicate parameterized so the x98 relevance oracle can run
-    * it over the twin-augmented union corpus with its own query set.
-    * `queryPred` filters alias `q` (the subvector relation). */
-  private def pqCodebookCtes(queryPred: String): String = {
-    val subW = EmbeddingDims / PqM
-    s"""sv AS (
-       |  SELECT vec_id, CAST(u.sub AS BIGINT) AS sub,
-       |         list_slice(v, CAST(u.sub * $subW + 1 AS INT), CAST(u.sub * $subW + $subW AS INT)) AS sv
-       |  FROM qv, unnest(range(0, $PqM)) AS u(sub)),
-       |pqaex_0 AS (
-       |  SELECT CAST(sub * $PqCodes + vec_id % $PqCodes AS BIGINT) AS c_label,
-       |         unnest(range(0, len(sv))) AS dim, unnest(sv) AS x
-       |  FROM sv),
-       |pqsums_0 AS (
-       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
-       |  FROM pqaex_0 GROUP BY 1, 2),
-       |pqcent_0 AS (
-       |  SELECT c_label, max(n) AS n,
-       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
-       |         list(s ORDER BY dim) AS sl
-       |  FROM pqsums_0 GROUP BY 1),
-       |${(1 to PqLloydRounds + 1).map(r => pqRoundSql(r)).mkString(",\n")},
-       |codesrel AS (
-       |  SELECT vec_id, list(c_label % $PqCodes ORDER BY sub) AS code
-       |  FROM pqassigned_${PqLloydRounds + 1} GROUP BY vec_id),
-       |lutterms AS (
-       |  SELECT q.vec_id AS q_id, q.sub, c.c_label % $PqCodes AS code,
-       |         CAST(${dotSql("q.sv", "c.sl")} AS DOUBLE) / CAST(c.n AS DOUBLE) AS term
-       |  FROM sv q JOIN pqcent_$PqLloydRounds c
-       |    ON c.c_label >= q.sub * $PqCodes AND c.c_label < (q.sub + 1) * $PqCodes
-       |  WHERE $queryPred),
-       |lutsub AS (
-       |  SELECT q_id, sub,
-       |         list(struct_pack(code := code, term := term) ORDER BY code) AS terms
-       |  FROM lutterms GROUP BY 1, 2),
-       |lut AS (SELECT q_id, list(terms ORDER BY sub) AS lut
-       |        FROM lutsub GROUP BY 1)""".stripMargin
-  }
-
-  /** The explicit left-associated m-term ADC sum over aliases `l` (the
-    * LUT side, column `lut`) and `c` (the code side, column `code`) —
-    * mirrors Similarity.pqScore operand-for-operand; ONE spelling shared
-    * by the exhaustive (x74/x75) and IVF-scoped (x76) scoring CTEs so
-    * the double arithmetic cannot drift between them. */
-  private def pqTermSql: String =
-    (0 until PqM).map(s =>
-      s"list_filter(l.lut[${s + 1}], t -> t.code = c.code[${s + 1}])[1].term")
-      .mkString("\n         + ")
-
-  /** One unrolled PQ Lloyd round (x74): like [[kmeansRoundSql]] but over
-    * the (vec_id, sub) subvector relation with the argmin restricted to
-    * the row's own subspace's cells (cell = sub·codes + code). Round
-    * R+1's `pqassigned` doubles as the final code assignment (its
-    * unreferenced `pqcent` CTE is never executed). */
-  private def pqRoundSql(r: Int, src: String = "sv",
-                         p: String = "pq"): String = {
-    val prev = s"${p}cent_${r - 1}"
-    s"""${p}scored_$r AS (
-       |  SELECT $src.vec_id, $src.sub, c.c_label,
-       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |           - (2.0 * CAST(${dotSql(s"$src.sv", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-       |  FROM $src JOIN $prev c
-       |    ON c.c_label >= $src.sub * $PqCodes AND c.c_label < ($src.sub + 1) * $PqCodes),
-       |${p}assigned_$r AS (
-       |  SELECT vec_id, sub, c_label FROM (
-       |    SELECT vec_id, sub, c_label,
-       |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY t, c_label) AS rn
-       |    FROM ${p}scored_$r) WHERE rn = 1),
-       |${p}aex_$r AS (
-       |  SELECT a.c_label, unnest(range(0, len($src.sv))) AS dim, unnest($src.sv) AS x
-       |  FROM ${p}assigned_$r a JOIN $src ON $src.vec_id = a.vec_id AND $src.sub = a.sub),
-       |${p}sums_$r AS (
-       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
-       |  FROM ${p}aex_$r GROUP BY 1, 2),
-       |${p}cent_$r AS (
-       |  SELECT c_label, max(n) AS n,
-       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
-       |         list(s ORDER BY dim) AS sl
-       |  FROM ${p}sums_$r GROUP BY 1)""".stripMargin
-  }
-
-  /** The tf/df/salience chain — ONE spelling shared by the keyword
-    * extraction oracle (x32) and the BM25 retrieval oracle's query-set
-    * derivation (x78): tokenize, per-(doc, term) tf, per-term df, the
-    * single-IEEE-divide salience, and the (salience DESC, tok) rank. */
-  private def tfSalienceCtes: String =
-    s"""toks AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-       |  FROM documents),
-       |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-       |tf AS (
-       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-       |  FROM occ GROUP BY doc_id, tok),
-       |dfq AS (
-       |  SELECT tok, CAST(count(*) AS BIGINT) AS df
-       |  FROM (SELECT DISTINCT doc_id, tok FROM occ) GROUP BY tok),
-       |sc AS (
-       |  SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
-       |         CAST(tf.tf AS DOUBLE) / CAST(dfq.df AS DOUBLE) AS salience
-       |  FROM tf JOIN dfq USING (tok)),
-       |r AS (
-       |  SELECT doc_id, tok, tf, df, salience,
-       |         CAST(row_number() OVER (PARTITION BY doc_id
-       |                ORDER BY salience DESC, tok) AS BIGINT) AS rnk
-       |  FROM sc)""".stripMargin
-
-  /** The trained-coarse-quantizer chain — ONE spelling shared by every
-    * oracle that searches trained cells (x73 scaled IVF, x76 IVF×PQ,
-    * x77 residual IVF×PQ): hash-split seeds (vec_id mod cells), the
-    * Lloyd rounds unrolled under the k-prefix, the all-pairs score of
-    * every vector against the FINAL centroids, and the (t, c_label)
-    * rank (`krank`: rn = 1 is a corpus row's own cell, rn ≤ nprobe a
-    * query's probe list). */
-  private def trainedCellCtes: String = trainedCellCtesOver("qv", "qv")
-
-  /** [[trainedCellCtes]] with the TRAINING relation and the SCORED
-    * relation decoupled — `trainSrc` seeds and iterates the Lloyd chain,
-    * `scoreSrc` is ranked against the final centroids. Equal arguments
-    * reproduce the classic chain byte-for-byte; the frozen-quantizer
-    * oracle (x99) trains on the base slice and scores the union. */
-  private def trainedCellCtesOver(trainSrc: String, scoreSrc: String,
-                                  cells: Int = ScaledCells): String =
-    s"""kaex_0 AS (
-       |  SELECT CAST(vec_id % $cells AS BIGINT) AS c_label,
-       |         unnest(range(0, len(v))) AS dim, unnest(v) AS x
-       |  FROM $trainSrc),
-       |ksums_0 AS (
-       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
-       |  FROM kaex_0 GROUP BY 1, 2),
-       |kcent_0 AS (
-       |  SELECT c_label, max(n) AS n,
-       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
-       |         list(s ORDER BY dim) AS sl
-       |  FROM ksums_0 GROUP BY 1),
-       |${(1 to ScaledLloydRounds).map(r => kmeansRoundSql(r, "k", "kcent_0", trainSrc)).mkString(",\n")},
-       |kscoredq AS (
-       |  SELECT $scoreSrc.vec_id, c.c_label,
-       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |           - (2.0 * CAST(${dotSql(s"$scoreSrc.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-       |  FROM $scoreSrc CROSS JOIN kcent_$ScaledLloydRounds c),
-       |krank AS (
-       |  SELECT vec_id, c_label,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
-       |  FROM kscoredq)""".stripMargin
-
-  /** The residual IVF×PQ chain (x77): integer-rounded final centroids
-    * (`cbar` — floor(s/n + 0.5), ONE bigint→double cast + ONE IEEE
-    * divide + floor, the Similarity.roundedCentroids spelling), corpus
-    * residuals vs the rank-1 cell, the PQ joint-Lloyd chain retargeted
-    * at the residual subvectors (same [[pqRoundSql]], `rpq` prefix),
-    * the per-query LUT built from FULL query subvectors against the
-    * residual codebook, and the per-(query, probed cell) exact-integer
-    * coarse bias dot(q, cbar). */
-  private def residualPqCtes: String = {
-    val subW = EmbeddingDims / PqM
-    s"""cbar AS (
-       |  SELECT c_label AS cell,
-       |         list_transform(sl, s ->
-       |           CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS cbar
-       |  FROM kcent_$ScaledLloydRounds),
-       |rv AS (
-       |  SELECT qv.vec_id, r.c_label AS cell,
-       |         list_transform(list_zip(qv.v, cb.cbar), p -> p[1] - p[2]) AS v
-       |  FROM krank r JOIN qv USING (vec_id) JOIN cbar cb ON cb.cell = r.c_label
-       |  WHERE r.rn = 1),
-       |rsv AS (
-       |  SELECT vec_id, CAST(u.sub AS BIGINT) AS sub,
-       |         list_slice(v, CAST(u.sub * $subW + 1 AS INT), CAST(u.sub * $subW + $subW AS INT)) AS sv
-       |  FROM rv, unnest(range(0, $PqM)) AS u(sub)),
-       |rpqaex_0 AS (
-       |  SELECT CAST(sub * $PqCodes + vec_id % $PqCodes AS BIGINT) AS c_label,
-       |         unnest(range(0, len(sv))) AS dim, unnest(sv) AS x
-       |  FROM rsv),
-       |rpqsums_0 AS (
-       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
-       |  FROM rpqaex_0 GROUP BY 1, 2),
-       |rpqcent_0 AS (
-       |  SELECT c_label, max(n) AS n,
-       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
-       |         list(s ORDER BY dim) AS sl
-       |  FROM rpqsums_0 GROUP BY 1),
-       |${(1 to PqLloydRounds + 1).map(r => pqRoundSql(r, "rsv", "rpq")).mkString(",\n")},
-       |rcodesrel AS (
-       |  SELECT vec_id, list(c_label % $PqCodes ORDER BY sub) AS code
-       |  FROM rpqassigned_${PqLloydRounds + 1} GROUP BY vec_id),
-       |qsv AS (
-       |  SELECT vec_id, CAST(u.sub AS BIGINT) AS sub,
-       |         list_slice(v, CAST(u.sub * $subW + 1 AS INT), CAST(u.sub * $subW + $subW AS INT)) AS sv
-       |  FROM qv, unnest(range(0, $PqM)) AS u(sub)
-       |  WHERE vec_id < $QuerySetSize),
-       |rlutterms AS (
-       |  SELECT q.vec_id AS q_id, q.sub, c.c_label % $PqCodes AS code,
-       |         CAST(${dotSql("q.sv", "c.sl")} AS DOUBLE) / CAST(c.n AS DOUBLE) AS term
-       |  FROM qsv q JOIN rpqcent_$PqLloydRounds c
-       |    ON c.c_label >= q.sub * $PqCodes AND c.c_label < (q.sub + 1) * $PqCodes),
-       |rlutsub AS (
-       |  SELECT q_id, sub,
-       |         list(struct_pack(code := code, term := term) ORDER BY code) AS terms
-       |  FROM rlutterms GROUP BY 1, 2),
-       |rlut AS (SELECT q_id, list(terms ORDER BY sub) AS lut
-       |         FROM rlutsub GROUP BY 1),
-       |rkq AS (
-       |  SELECT r.vec_id AS q_id, r.c_label AS cell,
-       |         ${dotSql("qv.v", "cb.cbar")} AS bias, lt.lut AS lut
-       |  FROM krank r
-       |  JOIN qv USING (vec_id)
-       |  JOIN cbar cb ON cb.cell = r.c_label
-       |  JOIN rlut lt ON lt.q_id = r.vec_id
-       |  WHERE r.rn <= $ScaledNprobe),
-       |rkcells AS (
-       |  SELECT rv.vec_id, rv.cell, cr.code
-       |  FROM rv JOIN rcodesrel cr USING (vec_id))""".stripMargin
-  }
-
-  /** LSH band key for band `j` over the quantized vector `v` — mirrors
-    * Similarity.bandKeys: sign bits of components [j·r+1 .. j·r+r] packed
-    * little-endian, band index in the high bits. */
-  private def bandKeySql(j: Int, r: Int): String =
-    (0 until r).map(i =>
-        s"(CASE WHEN v[${j * r + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END)")
-      .mkString(s"(${j.toLong << r} + ", " + ", ")")
-
-  /** UNION ALL of one (vec_id, bk) SELECT per band, from CTE `n`. */
-  private def bandRowsSql(bands: Int, r: Int): String =
-    (0 until bands).map(j =>
-        s"  SELECT vec_id, ${bandKeySql(j, r)} AS bk FROM n")
-      .mkString("\n  UNION ALL\n")
-
-  /** Sampled-band key for band `j` — mirrors
-    * Similarity.cosineNearDupPairsSampled: bit `i` of the key is the sign
-    * of vector coordinate `coords(i)` (0-based; the SAME splitmix64 table
-    * the Spark expression uses, via Similarity.sampledCoords), band index
-    * in the high bits. The signature test `sig & (1<<src) != 0` is by
-    * construction `v[src+1] >= 0`, which is what we emit — no bit ops
-    * needed oracle-side. */
-  private def sampledBandKeySql(j: Int, coords: Seq[Int], bits: Int): String =
-    coords.zipWithIndex.map { case (src, i) =>
-        s"(CASE WHEN v[${src + 1}] >= 0 THEN ${1L << i} ELSE 0 END)" }
-      .mkString(s"(${j.toLong << bits} + ", " + ", ")")
-
-  /** UNION ALL of one (vec_id, bk) SELECT per sampled band, from CTE `n`. */
-  private def sampledBandRowsSql(bands: Int, bits: Int, dims: Int,
-                                 seed: Long): String = {
-    val coords = Similarity.sampledCoords(bands, bits, dims, seed)
-    (0 until bands).map(j =>
-        s"  SELECT vec_id, ${sampledBandKeySql(j, coords(j), bits)} AS bk FROM n")
-      .mkString("\n  UNION ALL\n")
-  }
-
-  /** x82's oracle — the x78 band CTEs + the x55-style md5 hash split:
-    * DIRECTED candidates from incoming (NOT in_base) to base (in_base),
-    * exact cosine, per-incoming-vector rank window. Shared verbatim by
-    * the batch form and the streaming twin (stream-equals-batch is the
-    * gated claim). */
-  private def x82OracleSql: String =
-    s"""WITH qv AS (
-       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-       |n AS (
-       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-       |flags AS (
-       |  SELECT vec_id,
-       |         substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base
-       |  FROM embeddings),
-       |e AS (
-       |${sampledBandRowsSql(SampledBands, SampledBandBits, EmbeddingDims, SampledSeed)}),
-       |c AS (
-       |  SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS base_id
-       |  FROM e a JOIN e b ON a.bk = b.bk
-       |  JOIN flags fa ON fa.vec_id = a.vec_id
-       |  JOIN flags fb ON fb.vec_id = b.vec_id
-       |  WHERE NOT fa.in_base AND fb.in_base),
-       |scored AS (
-       |  SELECT c.vec_id, c.base_id,
-       |         CAST(${dotSql("ni.v", "nb.v")} AS DOUBLE)
-       |           / (sqrt(CAST(ni.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE))) AS cosine
-       |  FROM c JOIN n ni ON ni.vec_id = c.vec_id JOIN n nb ON nb.vec_id = c.base_id),
-       |r AS (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, base_id) AS BIGINT) AS rnk
-       |  FROM scored)
-       |SELECT vec_id, base_id, cosine, rnk FROM r WHERE rnk <= $KnnGraphK
-       |ORDER BY vec_id, rnk""".stripMargin
-
-  /** The x89 IVF-graph CTE chain — quantize, trained-cell ranks (the
-    * x73/x76 `trainedCellCtes` front end verbatim), rank-1 members,
-    * nprobe probes, exact-cosine scoring, per-source rank window. `gr`
-    * holds (src_id, nbr_id, cosine, rnk). ONE spelling shared by x89
-    * (the edge list) and x91 (its recall audit), mirroring
-    * Similarity.knnGraphIvf. */
-  private def ivfGraphCtes: String = ivfGraphCtesFrom("embeddings")
-
-  /** As [[knnEdgeCtesFrom]]: the x89 chain over an arbitrary
-    * (vec_id, embedding) source CTE (`pe` for x97). */
-  private def ivfGraphCtesFrom(src: String): String =
-    s"""qv AS (
-       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM $src),
-       |$trainedCellCtes,
-       |gn AS (
-       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-       |gmem AS (SELECT vec_id AS nbr_id, c_label AS cell FROM krank WHERE rn = 1),
-       |gprob AS (SELECT vec_id AS src_id, c_label AS cell FROM krank WHERE rn <= $ScaledNprobe),
-       |gc AS (
-       |  SELECT p.src_id, m.nbr_id FROM gprob p JOIN gmem m USING (cell)
-       |  WHERE m.nbr_id <> p.src_id),
-       |gscored AS (
-       |  SELECT gc.src_id, gc.nbr_id,
-       |         CAST(${dotSql("ns.v", "nn.v")} AS DOUBLE)
-       |           / (sqrt(CAST(ns.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE))) AS cosine
-       |  FROM gc JOIN gn ns ON ns.vec_id = gc.src_id JOIN gn nn ON nn.vec_id = gc.nbr_id),
-       |gr AS (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
-       |  FROM gscored)""".stripMargin
-
-  /** The x93 SQ8-shortlist graph CTE chain — trained-cell ranks, stored
-    * SQ8 codes, ADC shortlist per node, exact re-rank of the shortlist.
-    * `g8` holds (src_id, nbr_id, cosine, rnk). Shared by x93 and x94,
-    * mirroring Similarity.knnGraphIvfSq8. */
-  private def ivfSq8GraphCtes: String = ivfSq8GraphCtesFrom("embeddings")
-
-  /** As [[ivfGraphCtesFrom]]: the x93 chain over an arbitrary
-    * (vec_id, embedding) source CTE (`uembs` for x103). */
-  private def ivfSq8GraphCtesFrom(src: String): String =
-    s"""qv AS (
-       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM $src),
-       |$trainedCellCtes,
-       |${sq8CodesCteFrom(src)},
-       |gn AS (
-       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-       |smem AS (
-       |  SELECT k.vec_id AS nbr_id, k.c_label AS cell, c.code AS cn
-       |  FROM krank k JOIN codes c USING (vec_id) WHERE rn = 1),
-       |sprb AS (
-       |  SELECT k.vec_id AS src_id, k.c_label AS cell, c.code AS cs
-       |  FROM krank k JOIN codes c USING (vec_id) WHERE rn <= $ScaledNprobe),
-       |adc AS (
-       |  SELECT src_id, nbr_id, ${dotSql("cs", "cn")} AS dot_q8
-       |  FROM sprb JOIN smem USING (cell)
-       |  WHERE nbr_id <> src_id),
-       |shortl AS (
-       |  SELECT src_id, nbr_id FROM (
-       |    SELECT src_id, nbr_id,
-       |           row_number() OVER (PARTITION BY src_id ORDER BY dot_q8 DESC, nbr_id) AS srnk
-       |    FROM adc) WHERE srnk <= $KnnShortlist),
-       |rer AS (
-       |  SELECT s.src_id, s.nbr_id,
-       |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
-       |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
-       |  FROM shortl s JOIN gn a ON a.vec_id = s.src_id JOIN gn b ON b.vec_id = s.nbr_id),
-       |g8 AS (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
-       |  FROM rer)""".stripMargin
-
-  /** One GLOBAL residual sub-Lloyd chain under prefix `p`, trained on
-    * `src` (vec_id, v, …): hash seeds vec_id mod [[ResidualSubCells]],
-    * [[ScaledLloydRounds]] rounds of the shared [[kmeansRoundSql]]
-    * spelling — mirrors `trainedCellStats(rq, subCells, lloydRounds)`
-    * with the rq ids being member ids. Final centroids land in
-    * `<p>cent_<ScaledLloydRounds>`. Shared by the x106 (one level,
-    * `rs`) and x107 (two levels, `da`/`db`) fence oracles. */
-  private def subLloydCtes(p: String, src: String): String =
-    s"""${p}aex_0 AS (
-       |  SELECT CAST(vec_id % $ResidualSubCells AS BIGINT) AS c_label,
-       |         unnest(range(0, len(v))) AS dim, unnest(v) AS x
-       |  FROM $src),
-       |${p}sums_0 AS (
-       |  SELECT c_label, dim, SUM(x) AS s, count(*) AS n
-       |  FROM ${p}aex_0 GROUP BY 1, 2),
-       |${p}cent_0 AS (
-       |  SELECT c_label, max(n) AS n,
-       |         SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ss,
-       |         list(s ORDER BY dim) AS sl
-       |  FROM ${p}sums_0 GROUP BY 1),
-       |${(1 to ScaledLloydRounds).map(r => kmeansRoundSql(r, p, s"${p}cent_0", src)).mkString(",\n")}""".stripMargin
-
-  /** The residual-fence OVERFLOW chain, oracle side (x106) — mirrors
-    * [[graft.ext.Similarity.CellFence.residualScored]] composed into
-    * [[graft.ext.Similarity.knnGraphIvfResidual]], cell for cell, over
-    * the planted corpus CTE `pe`: coarse trained-cell chain (the shared
-    * `trainedCellCtes` spelling), cells past [[PlantedFenceCap]]
-    * (`bigc`), the under-cap exact join (`okc`), integer-rounded coarse
-    * centroids (`cbar` — the x77 spelling), big members' residuals
-    * (`rqv`), the hash-seeded sub-Lloyd chain (seeds nbr_id mod
-    * [[ResidualSubCells]], the same `kmeansRoundSql` rounds under the
-    * `rs` prefix), rank-1 member sub-cells (`msub`), per-(src, cell)
-    * top-[[ResidualSubNprobe]] prober sub-cells (`psub` — the prober's
-    * residual differs per probed cell, so the rank partitions by
-    * (src_id, cell)), the (cell, subcell) candidate join (`rescand`,
-    * pairs unique by construction), and the union + exact-cosine rank
-    * tail shared with every graph oracle. `gr` holds
-    * (src_id, nbr_id, cosine, rnk). */
-  private def residualFenceCtes: String =
-    s"""qv AS (
-       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM pe),
-       |$trainedCellCtes,
-       |gn AS MATERIALIZED (
-       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-       |gmem AS MATERIALIZED (SELECT vec_id AS nbr_id, c_label AS cell FROM krank WHERE rn = 1),
-       |gprob AS MATERIALIZED (SELECT vec_id AS src_id, c_label AS cell FROM krank WHERE rn <= $ScaledNprobe),
-       |bigc AS MATERIALIZED (
-       |  SELECT cell FROM (SELECT cell, count(*) AS cn FROM gmem GROUP BY 1)
-       |  WHERE cn > $PlantedFenceCap),
-       |okc AS (
-       |  SELECT p.src_id, m.nbr_id
-       |  FROM gprob p JOIN gmem m USING (cell)
-       |  WHERE m.nbr_id <> p.src_id AND cell NOT IN (SELECT cell FROM bigc)),
-       |cbar AS MATERIALIZED (
-       |  SELECT c_label AS cell,
-       |         list_transform(sl, s ->
-       |           CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS cbar
-       |  FROM kcent_$ScaledLloydRounds),
-       |rqv AS MATERIALIZED (
-       |  SELECT m.nbr_id AS vec_id,
-       |         list_transform(list_zip(q.v, cb.cbar), p -> p[1] - p[2]) AS v
-       |  FROM gmem m JOIN qv q ON q.vec_id = m.nbr_id JOIN cbar cb USING (cell)
-       |  WHERE m.cell IN (SELECT cell FROM bigc)),
-       |${subLloydCtes("rs", "rqv")},
-       |mssc AS (
-       |  SELECT rqv.vec_id, c.c_label,
-       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |           - (2.0 * CAST(${dotSql("rqv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-       |  FROM rqv CROSS JOIN rscent_$ScaledLloydRounds c),
-       |msub AS MATERIALIZED (
-       |  SELECT vec_id AS nbr_id, c_label AS subcell FROM (
-       |    SELECT vec_id, c_label,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
-       |    FROM mssc) WHERE rn = 1),
-       |mcell AS MATERIALIZED (
-       |  SELECT s.nbr_id, m.cell, s.subcell
-       |  FROM msub s JOIN gmem m USING (nbr_id)),
-       |prv AS MATERIALIZED (
-       |  SELECT p.src_id, p.cell,
-       |         list_transform(list_zip(q.v, cb.cbar), x -> x[1] - x[2]) AS v
-       |  FROM gprob p JOIN qv q ON q.vec_id = p.src_id JOIN cbar cb USING (cell)
-       |  WHERE p.cell IN (SELECT cell FROM bigc)),
-       |pssc AS (
-       |  SELECT prv.src_id, prv.cell, c.c_label,
-       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |           - (2.0 * CAST(${dotSql("prv.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-       |  FROM prv CROSS JOIN rscent_$ScaledLloydRounds c),
-       |psub AS MATERIALIZED (
-       |  SELECT src_id, cell, c_label AS subcell FROM (
-       |    SELECT src_id, cell, c_label,
-       |           row_number() OVER (PARTITION BY src_id, cell ORDER BY t, c_label) AS rn
-       |    FROM pssc) WHERE rn <= $ResidualSubNprobe),
-       |rescand AS (
-       |  SELECT p.src_id, m.nbr_id
-       |  FROM psub p JOIN mcell m ON m.cell = p.cell AND m.subcell = p.subcell
-       |  WHERE m.nbr_id <> p.src_id),
-       |allc AS (
-       |  SELECT src_id, nbr_id FROM okc
-       |  UNION ALL SELECT src_id, nbr_id FROM rescand),
-       |gscored AS (
-       |  SELECT a.src_id, a.nbr_id,
-       |         CAST(${dotSql("ns.v", "nn.v")} AS DOUBLE)
-       |           / (sqrt(CAST(ns.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE))) AS cosine
-       |  FROM allc a JOIN gn ns ON ns.vec_id = a.src_id JOIN gn nn ON nn.vec_id = a.nbr_id),
-       |gr AS (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
-       |  FROM gscored)""".stripMargin
-
-  /** The depth-2 residual recursion, oracle side (x107) — mirrors
-    * [[graft.ext.Similarity.CellFence.residualScoredDeep]] at
-    * maxDepth = 3 (public depth = 2) composed into
-    * [[graft.ext.Similarity.knnGraphIvfResidual]], over the planted
-    * corpus CTE `pe` at the MERGED-mode coarse geometry
-    * ([[PlantedDeepCoarse]] cells, [[PlantedDeepNprobe]] probes).
-    * Stage by stage: coarse chain → under-cap exact emit (`emit0`, the
-    * main path; the loop's own level-1 ok-emit is empty by
-    * construction, since every fenced level-0 key is over the cap by
-    * definition of `big0`) → level-1 global sub-Lloyd over big-cell
-    * residuals (`da` prefix; the engine's one-quantizer-per-level
-    * discipline) → member rank-1 / prober top-subNprobe sub-cells →
-    * cap-bounded level-2 emit (`emit1`, keys NOT in `big1`) →
-    * still-oversized keys re-quantized at level 2 against ACCUMULATED
-    * offsets cbar₀ + cbar₁ (`db` prefix; residuals computed as
-    * v − cb0 − cb1, exact integers, ≡ the engine's v − (cb0 + cb1)) →
-    * level-3 ok emit (`emit2`) + the depth-exhaustion exhaustive emit
-    * (`emit3`, keys still in `big2`) → DISTINCT union (the engine's
-    * defensive `.distinct()`; pairs are disjoint across emits by the
-    * key-partition argument, so it is a no-op on both sides) → the
-    * shared exact-cosine rank tail. */
-  private def deepFenceCtes: String = {
-    val L = ScaledLloydRounds
-    s"""qv AS (
-       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM pe),
-       |${trainedCellCtesOver("qv", "qv", PlantedDeepCoarse)},
-       |gn AS MATERIALIZED (
-       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-       |gmem AS MATERIALIZED (SELECT vec_id AS nbr_id, c_label AS cell FROM krank WHERE rn = 1),
-       |gprob AS MATERIALIZED (SELECT vec_id AS src_id, c_label AS cell FROM krank WHERE rn <= $PlantedDeepNprobe),
-       |big0 AS MATERIALIZED (
-       |  SELECT cell FROM (SELECT cell, count(*) AS cn FROM gmem GROUP BY 1)
-       |  WHERE cn > $PlantedFenceCap),
-       |emit0 AS (
-       |  SELECT p.src_id, m.nbr_id
-       |  FROM gprob p JOIN gmem m USING (cell)
-       |  WHERE m.nbr_id <> p.src_id AND cell NOT IN (SELECT cell FROM big0)),
-       |cbar0 AS MATERIALIZED (
-       |  SELECT c_label AS cell,
-       |         list_transform(sl, s ->
-       |           CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS cb0
-       |  FROM kcent_$L),
-       |rqv1 AS MATERIALIZED (
-       |  SELECT m.nbr_id AS vec_id, m.cell,
-       |         list_transform(list_zip(q.v, c0.cb0), p -> p[1] - p[2]) AS v
-       |  FROM gmem m JOIN qv q ON q.vec_id = m.nbr_id JOIN cbar0 c0 USING (cell)
-       |  WHERE m.cell IN (SELECT cell FROM big0)),
-       |${subLloydCtes("da", "rqv1")},
-       |m1sc AS (
-       |  SELECT rqv1.vec_id, rqv1.cell, c.c_label,
-       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |           - (2.0 * CAST(${dotSql("rqv1.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-       |  FROM rqv1 CROSS JOIN dacent_$L c),
-       |memb1 AS MATERIALIZED (
-       |  SELECT vec_id AS nbr_id, cell, c_label AS s1 FROM (
-       |    SELECT vec_id, cell, c_label,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
-       |    FROM m1sc) WHERE rn = 1),
-       |prv1 AS (
-       |  SELECT p.src_id, p.cell,
-       |         list_transform(list_zip(q.v, c0.cb0), x -> x[1] - x[2]) AS v
-       |  FROM gprob p JOIN qv q ON q.vec_id = p.src_id JOIN cbar0 c0 USING (cell)
-       |  WHERE p.cell IN (SELECT cell FROM big0)),
-       |p1sc AS (
-       |  SELECT prv1.src_id, prv1.cell, c.c_label,
-       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |           - (2.0 * CAST(${dotSql("prv1.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-       |  FROM prv1 CROSS JOIN dacent_$L c),
-       |prob1 AS MATERIALIZED (
-       |  SELECT src_id, cell, c_label AS s1 FROM (
-       |    SELECT src_id, cell, c_label,
-       |           row_number() OVER (PARTITION BY src_id, cell ORDER BY t, c_label) AS rn
-       |    FROM p1sc) WHERE rn <= $ResidualSubNprobe),
-       |big1 AS MATERIALIZED (
-       |  SELECT cell, s1 FROM (SELECT cell, s1, count(*) AS cn FROM memb1 GROUP BY 1, 2)
-       |  WHERE cn > $PlantedFenceCap),
-       |emit1 AS (
-       |  SELECT p.src_id, m.nbr_id
-       |  FROM prob1 p JOIN memb1 m ON m.cell = p.cell AND m.s1 = p.s1
-       |  WHERE m.nbr_id <> p.src_id
-       |    AND NOT EXISTS (SELECT 1 FROM big1 b WHERE b.cell = m.cell AND b.s1 = m.s1)),
-       |cbar1 AS MATERIALIZED (
-       |  SELECT c_label AS s1,
-       |         list_transform(sl, s ->
-       |           CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS cb1
-       |  FROM dacent_$L),
-       |rqv2 AS MATERIALIZED (
-       |  SELECT m.nbr_id AS vec_id, m.cell, m.s1,
-       |         list_transform(list_zip(q.v, c0.cb0, c1.cb1), p -> p[1] - p[2] - p[3]) AS v
-       |  FROM memb1 m JOIN qv q ON q.vec_id = m.nbr_id
-       |       JOIN cbar0 c0 ON c0.cell = m.cell JOIN cbar1 c1 ON c1.s1 = m.s1
-       |  WHERE EXISTS (SELECT 1 FROM big1 b WHERE b.cell = m.cell AND b.s1 = m.s1)),
-       |${subLloydCtes("db", "rqv2")},
-       |m2sc AS (
-       |  SELECT rqv2.vec_id, rqv2.cell, rqv2.s1, c.c_label,
-       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |           - (2.0 * CAST(${dotSql("rqv2.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-       |  FROM rqv2 CROSS JOIN dbcent_$L c),
-       |memb2 AS MATERIALIZED (
-       |  SELECT vec_id AS nbr_id, cell, s1, c_label AS s2 FROM (
-       |    SELECT vec_id, cell, s1, c_label,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
-       |    FROM m2sc) WHERE rn = 1),
-       |prv2 AS (
-       |  SELECT p.src_id, p.cell, p.s1,
-       |         list_transform(list_zip(q.v, c0.cb0, c1.cb1), x -> x[1] - x[2] - x[3]) AS v
-       |  FROM prob1 p JOIN qv q ON q.vec_id = p.src_id
-       |       JOIN cbar0 c0 ON c0.cell = p.cell JOIN cbar1 c1 ON c1.s1 = p.s1
-       |  WHERE EXISTS (SELECT 1 FROM big1 b WHERE b.cell = p.cell AND b.s1 = p.s1)),
-       |p2sc AS (
-       |  SELECT prv2.src_id, prv2.cell, prv2.s1, c.c_label,
-       |         CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE)
-       |           - (2.0 * CAST(${dotSql("prv2.v", "c.sl")} AS DOUBLE)) / CAST(n AS DOUBLE) AS t
-       |  FROM prv2 CROSS JOIN dbcent_$L c),
-       |prob2 AS MATERIALIZED (
-       |  SELECT src_id, cell, s1, c_label AS s2 FROM (
-       |    SELECT src_id, cell, s1, c_label,
-       |           row_number() OVER (PARTITION BY src_id, cell, s1 ORDER BY t, c_label) AS rn
-       |    FROM p2sc) WHERE rn <= $ResidualSubNprobe),
-       |big2 AS MATERIALIZED (
-       |  SELECT cell, s1, s2 FROM (
-       |    SELECT cell, s1, s2, count(*) AS cn FROM memb2 GROUP BY 1, 2, 3)
-       |  WHERE cn > $PlantedFenceCap),
-       |emit2 AS (
-       |  SELECT p.src_id, m.nbr_id
-       |  FROM prob2 p JOIN memb2 m ON m.cell = p.cell AND m.s1 = p.s1 AND m.s2 = p.s2
-       |  WHERE m.nbr_id <> p.src_id
-       |    AND NOT EXISTS (SELECT 1 FROM big2 b
-       |                    WHERE b.cell = m.cell AND b.s1 = m.s1 AND b.s2 = m.s2)),
-       |emit3 AS (
-       |  SELECT p.src_id, m.nbr_id
-       |  FROM prob2 p JOIN memb2 m ON m.cell = p.cell AND m.s1 = p.s1 AND m.s2 = p.s2
-       |  WHERE m.nbr_id <> p.src_id
-       |    AND EXISTS (SELECT 1 FROM big2 b
-       |                WHERE b.cell = m.cell AND b.s1 = m.s1 AND b.s2 = m.s2)),
-       |allc AS (
-       |  SELECT DISTINCT src_id, nbr_id FROM (
-       |    SELECT src_id, nbr_id FROM emit0
-       |    UNION ALL SELECT src_id, nbr_id FROM emit1
-       |    UNION ALL SELECT src_id, nbr_id FROM emit2
-       |    UNION ALL SELECT src_id, nbr_id FROM emit3)),
-       |gscored AS (
-       |  SELECT a.src_id, a.nbr_id,
-       |         CAST(${dotSql("ns.v", "nn.v")} AS DOUBLE)
-       |           / (sqrt(CAST(ns.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE))) AS cosine
-       |  FROM allc a JOIN gn ns ON ns.vec_id = a.src_id JOIN gn nn ON nn.vec_id = a.nbr_id),
-       |gr AS (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
-       |  FROM gscored)""".stripMargin
-  }
-
-  /** The x83 split-classifier CTE chain — weak labels off the quality
-    * gate, the md5 hash split, votes trained on the base slice only,
-    * scores for the held-out rest. `lab` carries (doc_id, pos, in_base)
-    * one row per doc; `sc` the held-out scores. ONE spelling shared by
-    * x83 (the per-doc scores) and x86 (the holdout confusion matrix), so
-    * the measured effectiveness is provably the measurement OF the gated
-    * classifier, not of a drifted twin. */
-  private def classifierSplitCtes: String =
-    s"""$qualityGateCte,
-       |lab AS (
-       |  SELECT q.doc_id, qt.t, (q.quality_score >= $QualityGate) AS pos,
-       |         substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base
-       |  FROM qq q JOIN qtoks qt USING (doc_id)),
-       |dt AS (
-       |  SELECT doc_id, pos, in_base, unnest(list_distinct(t)) AS token FROM lab),
-       |tot AS (
-       |  SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-       |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
-       |  FROM lab WHERE in_base),
-       |w AS (
-       |  SELECT token,
-       |         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_df,
-       |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS neg_df
-       |  FROM dt WHERE in_base GROUP BY 1),
-       |v AS (
-       |  SELECT token,
-       |         CASE WHEN pos_df * n_neg > neg_df * n_pos THEN 1
-       |              WHEN pos_df * n_neg < neg_df * n_pos THEN -1
-       |              ELSE 0 END AS vote
-       |  FROM w, tot),
-       |sc AS (
-       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_vocab_tokens,
-       |         CAST(SUM(vote) AS BIGINT) AS vote_score
-       |  FROM dt JOIN v USING (token)
-       |  WHERE NOT in_base GROUP BY 1)""".stripMargin
-
-  /** The x78 kNN-edge CTE chain — quantize, norm, sampled band rows,
-    * DIRECTED candidates, exact cosine, per-source rank window. `r`
-    * holds (src_id, nbr_id, cosine, rnk). ONE spelling shared by x78
-    * (the edge list) and x81 (mutual-edge components), mirroring
-    * Similarity.knnGraph. */
-  /** The portable u16 hash, oracle side — the DuckDB spelling of
-    * Planted.u16 / the x21 sampling hash. */
-  private def u16Sql(s: String): String =
-    s"CAST(('0x' || substr(md5($s), 1, 4)) AS BIGINT)"
-
-  /** The planted-structure corpus (x95–x97), oracle side — cell-for-cell
-    * the [[graft.ext.Planted]] draws: label from "pc|id", per-(label,
-    * dim) center sign/magnitude from "cs|"/"cm|", per-(id, dim) jitter
-    * from "pj|". `pe` carries (vec_id, label, embedding). */
-  private def plantedCtes: String = {
-    import graft.ext.Planted._
-    s"""pl AS (
-       |  SELECT vec_id,
-       |         ${u16Sql("'pc|' || CAST(vec_id AS VARCHAR)")} % $PlantedK AS label
-       |  FROM embeddings),
-       |pe AS (
-       |  SELECT vec_id, label,
-       |         list_transform(range(0, $Dims), d ->
-       |           CAST((CASE WHEN ${u16Sql("'cs|' || CAST(label AS VARCHAR) || '|' || CAST(d AS VARCHAR)")} % 2 = 0
-       |                      THEN 1 ELSE -1 END)
-       |                * ($CenterMin + ${u16Sql("'cm|' || CAST(label AS VARCHAR) || '|' || CAST(d AS VARCHAR)")} % $CenterSpan)
-       |                + (${u16Sql("'pj|' || CAST(vec_id AS VARCHAR) || '|' || CAST(d AS VARCHAR)")} % ${2 * JitterMax + 1} - $JitterMax)
-       |             AS DOUBLE)) AS embedding
-       |  FROM pl)""".stripMargin
-  }
-
-  /** The x98 twin-augmented retrieval corpus, oracle side — cell-for-cell
-    * the [[graft.ext.Relevance]] draws: per-token keep from "qt|id|tok",
-    * per-(id, dim) dyadic jitter from "qe|id|dim", both hashed with the
-    * SOURCE id; `udocs`/`uembs` are the corpus unions (embeddings widened
-    * to double exactly as the engine widens them before the union) and
-    * `q` the query-id set. */
-  /** The twin-augmented EMBEDDING corpus alone (tembs + uembs) — the
-    * slice of [[relevanceCorpusCtes]] the graph-relevance oracles
-    * (x102–x104) need: the graph family is embedding-only, so pulling
-    * the doc CTEs in would drag an irrelevant `documents` dependency
-    * into those gates. */
-  private def relevanceEmbCtes: String = {
-    import graft.ext.Relevance._
-    s"""tembs AS (
-       |  SELECT src + $TwinIdOffset AS vec_id,
-       |         list_transform(list_zip(embedding, range(0, $EmbeddingDims)), p ->
-       |           CAST(p[1] AS DOUBLE)
-       |             + CAST(${u16Sql("'qe|' || CAST(src AS VARCHAR) || '|' || CAST(p[2] AS VARCHAR)")} % ${2 * JitterNum + 1} - $JitterNum AS DOUBLE) / $JitterDenom) AS embedding
-       |  FROM (SELECT vec_id AS src, embedding FROM embeddings WHERE vec_id < $RelevanceQueries)),
-       |uembs AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
-       |  FROM embeddings
-       |  UNION ALL SELECT vec_id, embedding FROM tembs)""".stripMargin
-  }
-
-  private def relevanceCorpusCtes: String = {
-    import graft.ext.Relevance._
-    s"""tdocs AS (
-       |  SELECT src + $TwinIdOffset AS doc_id,
-       |         array_to_string(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-       |           t -> ${u16Sql("'qt|' || CAST(src AS VARCHAR) || '|' || t")} % $TokenKeepMod <> 0), ' ') AS text
-       |  FROM (SELECT doc_id AS src, text FROM documents WHERE doc_id < $RelevanceQueries)),
-       |$relevanceEmbCtes,
-       |udocs AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id, text FROM tdocs),
-       |q AS (
-       |  SELECT doc_id AS q_id FROM documents
-       |  WHERE doc_id < $RelevanceQueries
-       |    AND doc_id IN (SELECT vec_id FROM uembs))""".stripMargin
-  }
-
-  /** One arm's fusion + relevance-hit row for the x98 oracle: the
-    * x79/x84 full-outer RRF fusion spelling over the given lexical/dense
-    * shortlist CTEs, reduced to the (arm, n_queries, hits_at_1,
-    * hits_at_k) integer row — a hit is the query's OWN twin
-    * (doc_id = q_id + TwinIdOffset) inside the fused top-k. */
-  private def relevanceArmHitsSql(arm: String, lexRel: String,
-                                  vecRel: String): String = {
-    import graft.ext.Relevance.TwinIdOffset
-    s"""fused_$arm AS (
-       |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
-       |         COALESCE(l.id, v.id) AS doc_id, l.lex_rnk, v.vec_rnk
-       |  FROM $lexRel l FULL OUTER JOIN $vecRel v ON l.q_id = v.q_id AND l.id = v.id),
-       |fr_$arm AS (
-       |  SELECT q_id, doc_id, lex_rnk, vec_rnk,
-       |         COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(lex_rnk AS DOUBLE)), CAST(0 AS DOUBLE))
-       |         + COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(vec_rnk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
-       |  FROM fused_$arm),
-       |rr_$arm AS (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
-       |  FROM fr_$arm),
-       |hits_$arm AS (
-       |  SELECT '$arm' AS arm,
-       |         (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_queries,
-       |         CAST(count(CASE WHEN doc_id = q_id + $TwinIdOffset AND rnk = 1 THEN 1 END) AS BIGINT) AS hits_at_1,
-       |         CAST(count(CASE WHEN doc_id = q_id + $TwinIdOffset AND rnk <= $HybridTopK THEN 1 END) AS BIGINT) AS hits_at_k,
-       |         CAST(count(CASE WHEN doc_id = q_id + $TwinIdOffset AND lex_rnk IS NOT NULL THEN 1 END) AS BIGINT) AS hits_lex,
-       |         CAST(count(CASE WHEN doc_id = q_id + $TwinIdOffset AND vec_rnk IS NOT NULL THEN 1 END) AS BIGINT) AS hits_vec
-       |  FROM rr_$arm)""".stripMargin
-  }
-
-  /** The deterministic token-stuffed corpus, oracle side — mirrors
-    * [[graft.ext.Retrieval.stuffedDocs]] cell for cell: global top-K
-    * tokens in (count DESC, token) order (DuckDB's ordered `list(...
-    * ORDER BY ...)` aggregate ≡ the engine's array_sort over negated
-    * counts), each repeated StuffReps times, appended to the
-    * u16-selected 1-in-StuffModulo docs. `sdocs` carries (doc_id, text).
-    * The stuffed append is COALESCE(text || ' ' || stuffing, stuffing)
-    * to mirror the engine's concat_ws NULL-skipping — a NULL-text doc
-    * stuffs to the bare stuffing string on both engines. */
-  private def stuffedCorpusCtes: String = {
-    import graft.ext.Retrieval._
-    s"""stop AS (
-       |  SELECT token, CAST(count(*) AS BIGINT) AS n
-       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
-       |        FROM documents)
-       |  GROUP BY 1 ORDER BY n DESC, token LIMIT $StuffTopK),
-       |sstr AS (
-       |  SELECT array_to_string(flatten(
-       |           list(list_transform(range(0, $StuffReps), i -> token)
-       |                ORDER BY n DESC, token)), ' ') AS stuffing
-       |  FROM stop),
-       |sdocs AS (
-       |  SELECT doc_id,
-       |         CASE WHEN ${u16Sql("'stuff|' || CAST(doc_id AS VARCHAR)")} % $StuffModulo = 0
-       |              THEN COALESCE(text || ' ' || stuffing, stuffing) ELSE text END AS text
-       |  FROM documents, sstr)""".stripMargin
-  }
-
-  /** One graph arm's relevance-hit row for the x102–x104 oracles: the
-    * given ranked-edge CTE (`gr` for the IVF chain, `g8` for the SQ8
-    * chain — built over `uembs`) restricted to query sources and
-    * reduced to (arm, n_queries, hits_at_1, hits_at_k, hit_rate) — a
-    * hit is the query's OWN twin (nbr_id = src_id + TwinIdOffset)
-    * among its top-[[KnnGraphK]] edges. Mirrors
-    * [[graft.ext.Relevance.graphHitsAtK]]; `gq` (the query-id CTE) is
-    * emitted here so each gate's SQL stays a single WITH chain. */
-  private def graphRelevanceHitsSql(arm: String, rel: String): String = {
-    import graft.ext.Relevance.TwinIdOffset
-    s"""gq AS (
-       |  SELECT vec_id AS q_id FROM embeddings WHERE vec_id < $RelevanceQueries)
-       |SELECT '$arm' AS arm,
-       |       (SELECT CAST(count(*) AS BIGINT) FROM gq) AS n_queries,
-       |       CAST(count(CASE WHEN nbr_id = src_id + $TwinIdOffset AND rnk = 1 THEN 1 END) AS BIGINT) AS hits_at_1,
-       |       CAST(count(CASE WHEN nbr_id = src_id + $TwinIdOffset AND rnk <= $KnnGraphK THEN 1 END) AS BIGINT) AS hits_at_k,
-       |       CAST(count(CASE WHEN nbr_id = src_id + $TwinIdOffset AND rnk <= $KnnGraphK THEN 1 END) AS DOUBLE)
-       |         / (SELECT CAST(count(*) AS DOUBLE) FROM gq) AS hit_rate
-       |FROM $rel
-       |WHERE rnk <= $KnnGraphK AND src_id IN (SELECT q_id FROM gq)
-       |ORDER BY arm""".stripMargin
-  }
-
-  private def knnEdgeCtes: String = knnEdgeCtesFrom("embeddings")
-
-  /** The x78 banded-graph CTE chain over an arbitrary (vec_id, embedding)
-    * source CTE — `embeddings` for x81/x82/x85/x92, the planted `pe` for
-    * x95/x96. */
-  private def knnEdgeCtesFrom(src: String): String =
-    s"""qv AS (
-       |  SELECT vec_id, ${quantSql("embedding")} AS v FROM $src),
-       |n AS (
-       |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-       |e AS (
-       |${sampledBandRowsSql(SampledBands, SampledBandBits, EmbeddingDims, SampledSeed)}),
-       |c AS (
-       |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS nbr_id
-       |  FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id <> b.vec_id),
-       |scored AS (
-       |  SELECT src_id, nbr_id,
-       |         CAST(${dotSql("ns.v", "nn.v")} AS DOUBLE)
-       |           / (sqrt(CAST(ns.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE))) AS cosine
-       |  FROM c JOIN n ns ON ns.vec_id = c.src_id JOIN n nn ON nn.vec_id = c.nbr_id),
-       |r AS (
-       |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
-       |  FROM scored)""".stripMargin
-
-  // tf-weighted: the inner sum runs over every token occurrence (dt is
-  // the raw token list, not list_distinct) — mirrors Dedup.simhash.
-  private val simhashSql: String =
-    """CAST(list_sum(list_transform(range(0, 32), j ->
-      |  CASE WHEN list_sum(list_transform(dt, t ->
-      |         CASE WHEN substr(md5(j::VARCHAR || '|' || t), 1, 1) >= '8'
-      |              THEN 1 ELSE -1 END)) > 0
-      |       THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END)) AS BIGINT)""".stripMargin
-
-  /** x43's snapshot synthesis, oracle side — one SELECT per version from
-    * the SAME (salt, frac, delta) constants as the Spark generator;
-    * version v applies every delta u <= v (cumulative). */
-  private def scdVersionRowsSql: String =
-    (1 to ScdVersions).map { v =>
-      val bumps = (2 to v).map(u =>
-        s"(CASE WHEN substr(md5(CAST(k AS VARCHAR) || 'v$u'), 1, 8) < '${Sampling.cutFor(ScdTouchFrac)}' THEN $CdcPriceDelta ELSE 0.0 END)")
-      val expr = ("p0" +: bumps).mkString(" + ")
-      s"  SELECT k, CAST($v AS BIGINT) AS version, $expr AS price FROM base"
-    }.mkString("\n  UNION ALL\n")
-
-  /** Winnowing selection, oracle side — mirrors TextOps.winnowFingerprints
-    * exactly: POSITIONAL k-gram md5s (DuckDB list_slice bounds are
-    * INCLUSIVE, hence the +k−1 ends), full windows when the hash sequence
-    * covers the window, one global-min window otherwise, list_distinct
-    * last. Geometry interpolated from the same WinnowK/WinnowWin
-    * constants as the Spark expression. */
-  private def winnowCte: String =
-    s"""wtoks AS (
-       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-       |  FROM documents),
-       |wh AS (
-       |  SELECT doc_id,
-       |         list_transform(range(1, len(t) - ${WinnowK - 1} + 1), i ->
-       |           md5(array_to_string(list_slice(t, i, i + ${WinnowK - 1}), ' '))) AS hs
-       |  FROM wtoks),
-       |wf AS (
-       |  SELECT doc_id,
-       |         CASE WHEN len(hs) >= 1 THEN
-       |           list_distinct(list_transform(
-       |             range(1, greatest(len(hs) - ${WinnowWin - 1}, 1) + 1), j ->
-       |               list_min(list_slice(hs, j, j + ${WinnowWin - 1}))))
-       |         ELSE CAST([] AS VARCHAR[]) END AS fps
-       |  FROM wh)""".stripMargin
-
-  /** The exact n-gram Jaccard pair set — shared verbatim by x02 (the full
-    * inverted-index join) and x51 (the AllPairs prefix-filtered join):
-    * the prefix filter is recall-exact, so both algorithms must reproduce
-    * this single ground-truth pair set. */
-  private val ngramJaccardSql: String =
-    s"""WITH $shinglesCte,
-       |idx AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM sh),
-       |sizes AS (SELECT id, count(*) AS n FROM idx GROUP BY 1),
-       |common AS (
-       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-       |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, n_common,
-       |       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
-       |FROM common
-       |JOIN sizes sa ON id_a = sa.id
-       |JOIN sizes sb ON id_b = sb.id
-       |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JaccardThreshold
-       |ORDER BY id_a, id_b""".stripMargin
-
-  /** Transitive-closure cluster summary over the x03 pair graph — shared
-    * verbatim by x20 (propagation) and x20_star (large-star/small-star):
-    * both Spark algorithms must converge to this single fixpoint. */
-  private val dupClustersSql: String =
-    s"""WITH RECURSIVE $minhashVerifiedCte,
-       |prs AS (
-       |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
-       |edges AS (
-       |  SELECT id_a AS src, id_b AS dst FROM prs
-       |  UNION
-       |  SELECT id_b AS src, id_a AS dst FROM prs),
-       |reach(v, l) AS (
-       |  SELECT DISTINCT src AS v, src AS l FROM edges
-       |  UNION
-       |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
-       |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)
-       |SELECT label AS canonical_id, count(*) AS n_members
-       |FROM lab GROUP BY label
-       |HAVING count(*) > 1
-       |ORDER BY canonical_id""".stripMargin
-
-  val oracleSql: Map[String, String] = Map(
-    "x01_dedup_exact" ->
-      """SELECT count(*) AS total_docs,
-        |       count(DISTINCT sha256(text)) AS distinct_docs,
-        |       count(*) - count(DISTINCT sha256(text)) AS duplicate_docs
-        |FROM documents""".stripMargin,
-
-    "x02_dedup_ngram_jaccard" -> ngramJaccardSql,
-
-    "x03_dedup_minhash_lsh" ->
-      s"""WITH $minhashVerifiedCte
-         |SELECT id_a, id_b, jaccard FROM verified
-         |WHERE jaccard >= $JaccardThreshold
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // Duplicate-cluster resolution over the x03 pair graph: DuckDB's
-    // recursive CTE computes the transitive closure (reach = every label
-    // reachable from v), min per vertex = the component's smallest member
-    // — the same fixpoint Dedup.connectedComponents converges to by
-    // min-label propagation.
-    "x20_dup_clusters" -> dupClustersSql,
-
-    // Same oracle, different Spark algorithm: x20_star runs the
-    // large-star/small-star O(log n) component form against the identical
-    // recursive-CTE closure, proving the scale path bit-equal end-to-end.
-    "x20_dup_clusters_star" -> dupClustersSql,
-
-    "x04_dedup_simhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |d AS (SELECT doc_id, t AS dt FROM toks)
-         |SELECT doc_id, $simhashSql AS simhash
-         |FROM d ORDER BY doc_id""".stripMargin,
-
-    "x04_dedup_simhash_pairs" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |d AS (SELECT doc_id, t AS dt FROM toks),
-         |h AS (SELECT doc_id, $simhashSql AS simhash FROM d)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM h a JOIN h b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "x05_dedup_embedding" ->
-      s"""WITH qv AS (
-         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-         |n AS (
-         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-         |e AS (
-         |${bandRowsSql(CosineBands, CosineBandBits)}),
-         |c AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id < b.vec_id),
-         |pairs AS (
-         |  SELECT id_a, id_b,
-         |         CAST(${dotSql("na.v", "nb.v")} AS DOUBLE)
-         |           / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE))) AS cosine
-         |  FROM c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b)
-         |SELECT id_a, id_b, cosine FROM pairs
-         |WHERE cosine >= $CosineDupThreshold
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "x05_dedup_embedding_sampled" ->
-      s"""WITH qv AS (
-         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-         |n AS (
-         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-         |e AS (
-         |${sampledBandRowsSql(SampledBands, SampledBandBits, EmbeddingDims, SampledSeed)}),
-         |c AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM e a JOIN e b ON a.bk = b.bk AND a.vec_id < b.vec_id),
-         |pairs AS (
-         |  SELECT id_a, id_b,
-         |         CAST(${dotSql("na.v", "nb.v")} AS DOUBLE)
-         |           / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE))) AS cosine
-         |  FROM c JOIN n na ON na.vec_id = c.id_a JOIN n nb ON nb.vec_id = c.id_b)
-         |SELECT id_a, id_b, cosine FROM pairs
-         |WHERE cosine >= $CosineDupThreshold
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    "x06_sim_topk_brute" ->
-      s"""WITH qv AS (
-         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-         |n AS (
-         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-         |q AS (SELECT vec_id AS q_id, v AS qvec, norm_sq AS qn FROM n WHERE vec_id < $QuerySetSize),
-         |scored AS (
-         |  SELECT q_id, c.vec_id AS c_id,
-         |         CAST(${dotSql("qvec", "c.v")} AS DOUBLE)
-         |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.norm_sq AS DOUBLE))) AS cosine
-         |  FROM q JOIN n c ON c.vec_id <> q_id),
-         |r AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
-         |  FROM scored)
-         |SELECT q_id, c_id, cosine, rnk FROM r WHERE rnk <= 5
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    "x07_sim_topk_ivf" ->
-      s"""WITH qv AS (
-         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-         |n AS (
-         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq,
-         |         ${bucketSql("v")} AS bucket
-         |  FROM qv),
-         |q AS (SELECT vec_id AS q_id, v AS qvec, norm_sq AS qn, bucket FROM n WHERE vec_id < $QuerySetSize),
-         |scored AS (
-         |  SELECT q_id, q.bucket AS bucket, c.vec_id AS c_id,
-         |         CAST(${dotSql("qvec", "c.v")} AS DOUBLE)
-         |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.norm_sq AS DOUBLE))) AS cosine
-         |  FROM q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q_id),
-         |r AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
-         |  FROM scored)
-         |SELECT q_id, bucket, c_id, cosine, rnk FROM r WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    "x08_text_stats" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |  FROM documents)
-        |SELECT doc_id, lang,
-        |       CAST(len(t) AS BIGINT) AS n_tokens,
-        |       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
-        |       CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS BIGINT) AS total_token_chars,
-        |       CASE WHEN len(t) > 0
-        |            THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
-        |            ELSE 0.0 END AS type_token_ratio,
-        |       CASE WHEN len(t) > 0
-        |            THEN CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0) AS DOUBLE) / CAST(len(t) AS DOUBLE)
-        |            ELSE 0.0 END AS avg_token_len
-        |FROM toks ORDER BY doc_id""".stripMargin,
-
-    "x09_text_quality" ->
-      """WITH toks AS (
-        |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |         CAST(len(text) AS BIGINT) AS n_chars,
-        |         CAST(len(t) AS BIGINT) AS n_tokens,
-        |         CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
-        |         CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','in','is','it','for'))) AS BIGINT) AS stopword_count
-        |  FROM toks),
-        |r AS (
-        |  SELECT *,
-        |         CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
-        |         CASE WHEN n_tokens > 0 THEN CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
-        |  FROM m)
-        |SELECT doc_id, n_chars, n_tokens, punct_chars, stopword_count,
-        |       punct_ratio, stopword_ratio,
-        |       ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-        |             * (1.0 - punct_ratio)
-        |             * least(stopword_ratio * 5.0 + 0.5, 1.0), 6) AS quality_score
-        |FROM r ORDER BY doc_id""".stripMargin,
-
-    "x10_text_langid" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |  FROM documents),
-        |scored AS (
-        |  SELECT doc_id, lang,
-        |         CAST(len(list_filter(t, x -> x IN ('the','and','of','to','is'))) AS BIGINT) AS s_en,
-        |         CAST(len(list_filter(t, x -> x IN ('der','die','und','ist','das'))) AS BIGINT) AS s_de,
-        |         CAST(len(list_filter(t, x -> x IN ('el','los','que','y','las'))) AS BIGINT) AS s_es,
-        |         CAST(len(list_filter(t, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS s_fr,
-        |         CAST(len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS BIGINT) AS s_zh
-        |  FROM toks),
-        |pred AS (
-        |  SELECT lang,
-        |         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-        |              WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-        |              WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-        |              WHEN s_fr >= s_zh THEN 'fr'
-        |              ELSE 'zh' END AS predicted_lang
-        |  FROM scored)
-        |SELECT lang, predicted_lang, count(*) AS n_docs
-        |FROM pred GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin,
-
-    "x11_text_fingerprint" ->
-      s"""WITH $shinglesCte
-         |SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS fingerprint
-         |FROM sh ORDER BY doc_id""".stripMargin,
-
-    // Incremental dedup: x11's fingerprint carried through the x28-style
-    // hash split; first-wins per digest, NOT-IN against the base index,
-    // null-fingerprint rows passed through.
-    "x33_incremental_dedup" ->
-      s"""WITH $shinglesCte,
-         |fp AS (
-         |  SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS digest,
-         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base
-         |  FROM sh),
-         |k AS (
-         |  SELECT digest, CAST(min(doc_id) AS BIGINT) AS doc_id
-         |  FROM fp WHERE NOT in_base AND digest IS NOT NULL
-         |  GROUP BY digest),
-         |surv AS (
-         |  SELECT doc_id, digest FROM k
-         |  WHERE digest NOT IN (SELECT digest FROM fp WHERE in_base AND digest IS NOT NULL)
-         |  UNION ALL
-         |  SELECT doc_id, CAST(NULL AS VARCHAR) AS digest
-         |  FROM fp WHERE NOT in_base AND digest IS NULL)
-         |SELECT doc_id, digest FROM surv ORDER BY doc_id""".stripMargin,
-
-    "x12_events_tumbling" ->
-      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS window_start_us,
-        |       event_type, count(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
-
-    // The streaming-mode run must equal the batch aggregate exactly —
-    // SAME oracle text as x12_events_tumbling: that identity IS the claim
-    // being gated (incremental state across micro-batches converges to
-    // the batch answer).
-    "x12_events_tumbling_stream" ->
-      """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS window_start_us,
-        |       event_type, count(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
-
-    // The append-mode streaming run must equal the batch sessionization
-    // exactly — SAME oracle text as x13_events_sessions: each session
-    // emitted once, after its watermark close, out of merged state.
-    "x13_events_sessions_stream" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-        |marked AS (
-        |  SELECT user_id, ts, value,
-        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
-        |              THEN 1 ELSE 0 END AS new_s
-        |  FROM e),
-        |sess AS (
-        |  SELECT user_id, ts, value,
-        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM marked)
-        |SELECT user_id,
-        |       epoch_us(min(ts)) AS session_start_us,
-        |       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
-        |       count(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin,
-
-    "x13_events_sessions" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-        |marked AS (
-        |  SELECT user_id, ts, value,
-        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
-        |              THEN 1 ELSE 0 END AS new_s
-        |  FROM e),
-        |sess AS (
-        |  SELECT user_id, ts, value,
-        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM marked)
-        |SELECT user_id,
-        |       epoch_us(min(ts)) AS session_start_us,
-        |       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
-        |       count(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_us""".stripMargin,
-
-    "x15_asof_attribution" ->
-      """WITH p AS (
-        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-        |  FROM events WHERE event_type = 'purchase'),
-        |c AS (
-        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
-        |  FROM events WHERE event_type = 'click')
-        |SELECT p.event_id AS purchase_id, p.user_id,
-        |       epoch_us(p.ts) AS purchase_ts_us,
-        |       epoch_us(c.ts) AS click_ts_us
-        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts < p.ts
-        |ORDER BY purchase_id""".stripMargin,
-
-    // Hash-threshold sampling: md5 hex is lowercase in both engines, and
-    // lexicographic comparison of fixed-width hex == numeric comparison.
-    // Both the fraction and the 8-hex-char cut are INTERPOLATED from
-    // SampleFrac (via Sampling.hashCut) so changing the constant cannot
-    // silently break Spark/oracle parity.
-    "x21_sample_hash" ->
-      s"""SELECT doc_id, lang FROM documents
-         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.hashCut(SampleFrac)}'
-         |ORDER BY doc_id""".stripMargin,
-
-    "x21_sample_stratified" ->
-      s"""WITH r AS (
-         |  SELECT doc_id, lang,
-         |         CAST(row_number() OVER (
-         |           PARTITION BY lang
-         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk,
-         |         count(*) OVER (PARTITION BY lang) AS n
-         |  FROM documents)
-         |SELECT doc_id, lang, rnk FROM r
-         |WHERE rnk <= ceil(n * $SampleFrac)
-         |ORDER BY lang, rnk""".stripMargin,
-
-    // End-to-end dedup survivors: the x20 component fixpoint, then an
-    // anti-join keeping canonical members and untouched docs.
-    "x23_dedup_survivors" ->
-      s"""WITH RECURSIVE $minhashVerifiedCte,
-         |prs AS (
-         |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM prs
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM prs),
-         |reach(v, l) AS (
-         |  SELECT DISTINCT src AS v, src AS l FROM edges
-         |  UNION
-         |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
-         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)
-         |SELECT d.doc_id, d.lang, d.n_chars
-         |FROM documents d
-         |WHERE d.doc_id NOT IN (SELECT v FROM lab WHERE label <> v)
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // Repetition metrics: bigrams via zip of the token list with its own
-    // tail (same strings Spark's in-row HOF builds), token mode via
-    // (doc, tok) aggregate.
-    "x24_repetition" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |  FROM documents),
-        |inrow AS (
-        |  SELECT doc_id,
-        |         CAST(len(t) AS BIGINT) AS n_tokens,
-        |         list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
-        |                        s -> s[1] || ' ' || s[2]) AS bg
-        |  FROM toks),
-        |b AS (
-        |  SELECT doc_id, n_tokens,
-        |         CAST(len(bg) AS BIGINT) AS n_bigrams,
-        |         CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams
-        |  FROM inrow),
-        |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM occ GROUP BY 1, 2),
-        |top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_token_n
-        |        FROM cnt GROUP BY 1)
-        |SELECT b.doc_id, b.n_tokens,
-        |       coalesce(top.top_token_n, 0) AS top_token_n,
-        |       b.n_bigrams, b.n_distinct_bigrams,
-        |       CASE WHEN b.n_tokens > 0
-        |            THEN CAST(coalesce(top.top_token_n, 0) AS DOUBLE)
-        |                   / CAST(b.n_tokens AS DOUBLE)
-        |            ELSE 0.0 END AS top_token_frac,
-        |       CASE WHEN b.n_bigrams > 0
-        |            THEN CAST(b.n_bigrams - b.n_distinct_bigrams AS DOUBLE)
-        |                   / CAST(b.n_bigrams AS DOUBLE)
-        |            ELSE 0.0 END AS dup_bigram_frac
-        |FROM b LEFT JOIN top ON b.doc_id = top.doc_id
-        |ORDER BY b.doc_id""".stripMargin,
-
-    // Per-source caps: the x09 quality formula (same CTE chain, same
-    // ROUND(…,6)) carried alongside `source`, then a per-source
-    // row_number capped at SourceCap. Stopwords interpolated from the
-    // one TextOps lexicon.
-    "x30_source_caps" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, source, text,
-         |         regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, source,
-         |         CAST(len(text) AS BIGINT) AS n_chars,
-         |         CAST(len(t) AS BIGINT) AS n_tokens,
-         |         CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
-         |         CAST(len(list_filter(t, x -> x IN (${TextOps.EnglishStopwords.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS stopword_count
-         |  FROM toks),
-         |r AS (
-         |  SELECT doc_id, source,
-         |         CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
-         |         CASE WHEN n_tokens > 0 THEN CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
-         |         n_tokens
-         |  FROM m),
-         |q AS (
-         |  SELECT doc_id, source,
-         |         ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-         |               * (1.0 - punct_ratio)
-         |               * least(stopword_ratio * 5.0 + 0.5, 1.0), 6) AS quality_score
-         |  FROM r),
-         |k AS (
-         |  SELECT source, doc_id, quality_score,
-         |         CAST(row_number() OVER (PARTITION BY source
-         |                ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rnk
-         |  FROM q)
-         |SELECT source, rnk, doc_id, quality_score FROM k
-         |WHERE rnk <= $SourceCap
-         |ORDER BY source, rnk""".stripMargin,
-
-    // Token-budget selection: the x09/x30 quality formula, bucketed to
-    // QualityBuckets bins, best-bin-first cumulative token sums, bins
-    // kept while the budget is unmet (the crossing bin included).
-    "x34_token_budget" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |         CAST(len(text) AS BIGINT) AS n_chars,
-         |         CAST(len(t) AS BIGINT) AS n_tokens,
-         |         CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
-         |         CAST(len(list_filter(t, x -> x IN (${TextOps.EnglishStopwords.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS stopword_count
-         |  FROM toks),
-         |r AS (
-         |  SELECT doc_id, n_tokens,
-         |         CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
-         |         CASE WHEN n_tokens > 0 THEN CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio
-         |  FROM m),
-         |q AS (
-         |  SELECT doc_id, n_tokens,
-         |         ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-         |               * (1.0 - punct_ratio)
-         |               * least(stopword_ratio * 5.0 + 0.5, 1.0), 6) AS quality_score
-         |  FROM r),
-         |b AS (
-         |  SELECT least(CAST(floor(quality_score * $QualityBuckets) AS BIGINT), $QualityBuckets) AS bucket,
-         |         CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
-         |  FROM q GROUP BY 1),
-         |c AS (
-         |  SELECT bucket, n_docs, bucket_tokens,
-         |         CAST(sum(bucket_tokens) OVER (ORDER BY bucket DESC
-         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-         |  FROM b)
-         |SELECT bucket, n_docs, bucket_tokens, cum_tokens FROM c
-         |WHERE cum_tokens - bucket_tokens < $TokenBudget
-         |ORDER BY bucket DESC""".stripMargin,
-
-    // Compliance scrub: the pattern and mask are interpolated from the
-    // SAME constants as the Spark side (TextOps.scrubPattern sorts the
-    // terms, so the alternation is one spelling). '\b' is literal in a
-    // standard single-quoted DuckDB string; RE2 and Java regex agree on
-    // this word-boundary-plus-alternation subset. 'g' = replace all,
-    // matching Spark's regexp_replace default.
-    "x35_blocklist_scrub" ->
-      s"""WITH s AS (
-         |  SELECT doc_id,
-         |         regexp_extract_all(text, '${TextOps.scrubPattern(ScrubTerms)}') AS hits,
-         |         regexp_replace(text, '${TextOps.scrubPattern(ScrubTerms)}', '$ScrubMask', 'g') AS scrubbed
-         |  FROM documents)
-         |SELECT doc_id,
-         |       CAST(len(hits) AS BIGINT) AS n_hits,
-         |       CAST(len(scrubbed) AS BIGINT) AS n_chars_scrubbed,
-         |       sha256(scrubbed) AS scrubbed_digest
-         |FROM s ORDER BY doc_id""".stripMargin,
-
-    // Quality-policy cluster representatives: the x20 recursive component
-    // fixpoint joined to the x09 quality chain (qtoks naming per x26),
-    // argmax per label via row_number over (score DESC, id) — the total
-    // order Dedup.clusterRepresentatives' max_by struct encodes.
-    "x36_cluster_reps" ->
-      s"""WITH RECURSIVE $minhashVerifiedCte,
-         |prs AS (
-         |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM prs
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM prs),
-         |reach(v, l) AS (
-         |  SELECT DISTINCT src AS v, src AS l FROM edges
-         |  UNION
-         |  SELECT e.dst AS v, r.l FROM reach r JOIN edges e ON r.v = e.src),
-         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v),
-         |qtoks AS (
-         |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |qm AS (
-         |  SELECT doc_id,
-         |         CAST(len(text) AS BIGINT) AS n_chars,
-         |         CAST(len(t) AS BIGINT) AS n_tokens,
-         |         CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS BIGINT) AS punct_chars,
-         |         CAST(len(list_filter(t, x -> x IN ('the','a','an','and','of','to','in','is','it','for'))) AS BIGINT) AS stopword_count
-         |  FROM qtoks),
-         |qr AS (
-         |  SELECT doc_id,
-         |         CASE WHEN n_chars > 0 THEN CAST(punct_chars AS DOUBLE) / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS punct_ratio,
-         |         CASE WHEN n_tokens > 0 THEN CAST(stopword_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
-         |         n_tokens
-         |  FROM qm),
-         |qq AS (
-         |  SELECT doc_id,
-         |         ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0)
-         |               * (1.0 - punct_ratio)
-         |               * least(stopword_ratio * 5.0 + 0.5, 1.0), 6) AS quality_score
-         |  FROM qr),
-         |mem AS (
-         |  SELECT lab.label, lab.v, qq.quality_score
-         |  FROM lab JOIN qq ON lab.v = qq.doc_id),
-         |rk AS (
-         |  SELECT label, v, quality_score,
-         |         CAST(row_number() OVER (PARTITION BY label
-         |                ORDER BY quality_score DESC, v) AS BIGINT) AS rn,
-         |         CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS n
-         |  FROM mem)
-         |SELECT label AS cluster_id, n AS n_members, v AS rep_doc_id,
-         |       quality_score AS rep_score
-         |FROM rk WHERE rn = 1 AND n > 1
-         |ORDER BY cluster_id""".stripMargin,
-
-    // Snapshot CDC: both membership draws and the touched-row draw are
-    // interpolated from the SAME (salt, frac) constants as the Spark
-    // side (Sampling.saltedHashPredicate / cutFor); presence via the
-    // outer join's key nullability mirrors the marker columns.
-    "x37_snapshot_cdc" ->
-      s"""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
-         |olds AS (
-         |  SELECT k, p AS old_price FROM o
-         |  WHERE substr(md5(CAST(k AS VARCHAR) || 'a'), 1, 8) < '${Sampling.cutFor(CdcSnapFrac)}'),
-         |news AS (
-         |  SELECT k,
-         |         CASE WHEN substr(md5(CAST(k AS VARCHAR) || 'u'), 1, 8) < '${Sampling.cutFor(CdcTouchFrac)}'
-         |              THEN p + $CdcPriceDelta ELSE p END AS new_price
-         |  FROM o
-         |  WHERE substr(md5(CAST(k AS VARCHAR) || 'b'), 1, 8) < '${Sampling.cutFor(CdcSnapFrac)}'),
-         |j AS (
-         |  SELECT COALESCE(olds.k, news.k) AS o_orderkey, old_price, new_price,
-         |         CASE WHEN olds.k IS NULL THEN 'insert'
-         |              WHEN news.k IS NULL THEN 'delete'
-         |              WHEN old_price <> new_price THEN 'update'
-         |              ELSE 'unchanged' END AS change_type
-         |  FROM olds FULL OUTER JOIN news ON olds.k = news.k)
-         |SELECT o_orderkey, change_type, old_price, new_price
-         |FROM j WHERE change_type <> 'unchanged'
-         |ORDER BY o_orderkey""".stripMargin,
-
-    // x58: the oracle is snapshot v2 computed DIRECTLY from the base
-    // table (same (salt, frac, delta) constants as x37) — it never sees
-    // v1 or the change set. The Spark side reconstructs v2 as
-    // apply(v1, x37-diff), so hash equality proves the diff SUFFICIENT,
-    // the MERGE INTO consumer's actual contract.
-    "x58_cdc_apply" ->
-      s"""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders)
-         |SELECT k AS o_orderkey,
-         |       CASE WHEN substr(md5(CAST(k AS VARCHAR) || 'u'), 1, 8) < '${Sampling.cutFor(CdcTouchFrac)}'
-         |            THEN p + $CdcPriceDelta ELSE p END AS price
-         |FROM o
-         |WHERE substr(md5(CAST(k AS VARCHAR) || 'b'), 1, 8) < '${Sampling.cutFor(CdcSnapFrac)}'
-         |ORDER BY o_orderkey""".stripMargin,
-
-    // SCD2 assembly: version rows generated from the SAME (salt, frac,
-    // delta) constants as the Spark side; gaps-islands via lag + running
-    // sum. Prices are base + exact multiples of the binary-exact delta,
-    // so the <> change test is reliable on doubles in both engines.
-    "x43_scd2_history" ->
-      s"""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p0 FROM orders),
-         |vers AS (
-         |$scdVersionRowsSql),
-         |m AS (
-         |  SELECT k, version, price,
-         |         CASE WHEN lag(price) OVER (PARTITION BY k ORDER BY version) IS NULL
-         |                OR lag(price) OVER (PARTITION BY k ORDER BY version) <> price
-         |              THEN 1 ELSE 0 END AS chg
-         |  FROM vers),
-         |sg AS (
-         |  SELECT k, version, price,
-         |         SUM(chg) OVER (PARTITION BY k ORDER BY version
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
-         |  FROM m)
-         |SELECT k AS o_orderkey, price,
-         |       CAST(min(version) AS BIGINT) AS valid_from,
-         |       CAST(max(version) AS BIGINT) AS valid_to
-         |FROM sg GROUP BY k, seg, price
-         |ORDER BY o_orderkey, valid_from""".stripMargin,
-
-    // x44: same md5-prefix shard key and doc_id stream order as
-    // Packing.packManifest; `//` is DuckDB's exact integer division
-    // (mirrors Spark's `div`).
-    "x44_sequence_packing" ->
-      s"""WITH m AS (
-         |  SELECT doc_id,
-         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
-         |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
-         |  FROM documents),
-         |p AS (
-         |  SELECT doc_id, shard, n_tokens,
-         |         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
-         |  FROM m WHERE n_tokens > 0)
-         |SELECT doc_id, shard, n_tokens,
-         |       cum_end - n_tokens AS start_offset,
-         |       (cum_end - n_tokens) // $CtxLen AS pack_first,
-         |       (cum_end - n_tokens) % $CtxLen AS offset_in_pack,
-         |       (cum_end - 1) // $CtxLen - (cum_end - n_tokens) // $CtxLen + 1 AS packs_spanned
-         |FROM p
-         |ORDER BY doc_id""".stripMargin,
-
-    // x46: DuckDB's 1-based list indexing over range(1, len) pairs t[i]
-    // with t[i+1] — the same adjacency zip as Spark's slice/zip_with.
-    "x46_bigram_counts" ->
-      s"""WITH toks AS (
-         |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |pairs AS (
-         |  SELECT t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS pair
-         |  FROM toks, unnest(range(1, len(t))) AS u(i)
-         |  WHERE len(t) >= 2)
-         |SELECT pair, count(*) AS n
-         |FROM pairs GROUP BY pair
-         |ORDER BY n DESC, pair
-         |LIMIT $BpeTopPairs""".stripMargin,
-
-    // x48: the accept test mirrors Spark's conv(hex,16,10) via DuckDB's
-    // '0x…' cast — both unsigned 16-bit, so the integer comparison is
-    // bit-identical; summary rows only (the manifest is the filter).
-    "x48_source_equalize" ->
-      """WITH t AS (
-        |  SELECT doc_id, source,
-        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
-        |      FROM t GROUP BY source),
-        |m AS (SELECT MIN(src_tokens) AS min_tokens FROM s),
-        |kept AS (
-        |  SELECT t.source, s.src_tokens, m.min_tokens, t.n_tokens
-        |  FROM t JOIN s USING (source), m
-        |  WHERE CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
-        |          * s.src_tokens
-        |        < 65536 * m.min_tokens)
-        |SELECT source, src_tokens, min_tokens,
-        |       count(*) AS kept_docs, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
-        |FROM kept
-        |GROUP BY source, src_tokens, min_tokens
-        |ORDER BY source""".stripMargin,
-
-    // x61: x48's accept test squared into rational-τ form (τ = 1/2):
-    // u16²·src < 2³²·min in HUGEINT (Spark: DECIMAL(38,0)) — exact
-    // integer compare, the sqrt never evaluated in either engine.
-    "x61_source_temperature" ->
-      """WITH t AS (
-        |  SELECT doc_id, source,
-        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
-        |      FROM t GROUP BY source),
-        |m AS (SELECT MIN(src_tokens) AS min_tokens FROM s),
-        |kept AS (
-        |  SELECT t.source, s.src_tokens, m.min_tokens, t.n_tokens
-        |  FROM t JOIN s USING (source), m
-        |  WHERE CAST(CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS HUGEINT)
-        |          * CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
-        |          * s.src_tokens
-        |        < CAST(4294967296 AS HUGEINT) * m.min_tokens)
-        |SELECT source, src_tokens, min_tokens,
-        |       count(*) AS kept_docs, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
-        |FROM kept
-        |GROUP BY source, src_tokens, min_tokens
-        |ORDER BY source""".stripMargin,
-
-    // x66: x60's unrolled CTE chain, digesting the final sequences;
-    // <2-token docs (excluded from seqs0) pass through unchanged.
-    "x66_bpe_encode" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |seqs0 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
-         |${(1 to BpeRounds).map(r => bpeRoundSql(r)).mkString(",\n")},
-         |enc AS (
-         |  SELECT doc_id, t FROM seqs$BpeRounds
-         |  UNION ALL
-         |  SELECT doc_id, t FROM toks WHERE len(t) < 2)
-         |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
-         |       md5(array_to_string(t, ' ')) AS seq_digest
-         |FROM enc ORDER BY doc_id""".stripMargin,
-
-    // x67: the same exact-rank gate, replayed row for row; floor/ceil on
-    // identically-computed doubles of integer products — engine-identical.
-    "x67_length_gate" ->
-      """WITH t AS (
-        |  SELECT doc_id, source,
-        |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (SELECT source, count(*) AS n_docs_src FROM t GROUP BY source),
-        |r AS (
-        |  SELECT t.doc_id, t.source, t.n_tokens, c.n_docs_src,
-        |         CAST(row_number() OVER (PARTITION BY t.source ORDER BY t.n_tokens, t.doc_id) AS BIGINT) AS rnk,
-        |         CAST(floor(CAST(c.n_docs_src AS DOUBLE) * 0.05) AS BIGINT) AS lo,
-        |         CAST(ceil(CAST(c.n_docs_src AS DOUBLE) * 0.95) AS BIGINT) AS hi
-        |  FROM t JOIN c USING (source))
-        |SELECT source, n_docs_src, count(*) AS kept_docs,
-        |       MIN(n_tokens) AS min_kept_tokens, MAX(n_tokens) AS max_kept_tokens,
-        |       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
-        |FROM r WHERE rnk > lo AND rnk <= hi
-        |GROUP BY source, n_docs_src
-        |ORDER BY source""".stripMargin,
-
-    // x68: histogram over the SAME recursive-CTE component labels as
-    // x20/x23/x26, plus the singleton row — a partition of the corpus.
-    "x68_cluster_size_hist" ->
-      s"""WITH RECURSIVE $minhashVerifiedCte,
-         |$ccLabelsCte,
-         |sizes AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
-         |          FROM lab GROUP BY label),
-         |hist AS (
-         |  SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
-         |         CAST(cluster_size * count(*) AS BIGINT) AS n_docs
-         |  FROM sizes GROUP BY cluster_size),
-         |singles AS (
-         |  SELECT CAST(1 AS BIGINT) AS cluster_size,
-         |         CAST((SELECT count(*) FROM documents)
-         |              - (SELECT count(*) FROM lab) AS BIGINT) AS n_clusters,
-         |         CAST((SELECT count(*) FROM documents)
-         |              - (SELECT count(*) FROM lab) AS BIGINT) AS n_docs)
-         |SELECT cluster_size, n_clusters, n_docs
-         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
-         |WHERE n_clusters > 0
-         |ORDER BY cluster_size""".stripMargin,
-
-    // x62: the oracle is the BRUTE-FORCE length-filtered self-join — it
-    // never models the q-gram prefix, so the hash match proves the
-    // Ed-Join candidate filter recall-exact (the x51 oracle discipline).
-    // levenshtein() agrees between engines on ascii text; the length
-    // filter ED ≥ abs(|a|−|b|) is part of the operator's contract.
-    "x62_editdist_pairs" ->
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS l FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS ed
-         |FROM d a
-         |JOIN d b ON a.doc_id < b.doc_id AND abs(a.l - b.l) <= $EditDistK
-         |WHERE levenshtein(a.text, b.text) <= $EditDistK
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // x63: the SQ8 code CTE is shared with x64 (one spelling, no drift);
-    // ranking is an all-integer dot of codes, so the compare is exact.
-    "x63_sim_topk_ivfsq8" ->
-      s"""WITH $sq8CodesCte,
-         |q AS (SELECT vec_id AS q_id, code AS q_code, bucket FROM cb
-         |      WHERE vec_id < $QuerySetSize),
-         |scored AS (
-         |  SELECT q_id, q.bucket AS bucket, c.vec_id AS c_id,
-         |         ${dotSql("q_code", "c.code")} AS dot_q8
-         |  FROM q JOIN cb c ON q.bucket = c.bucket AND c.vec_id <> q_id),
-         |r AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS BIGINT) AS rnk
-         |  FROM scored)
-         |SELECT q_id, bucket, c_id, dot_q8, rnk FROM r WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    // x69: the probe expansion is a string-literal flip per position —
-    // identical in both engines; buckets are disjoint so no dedupe. The
-    // probe count and substr width interpolate from SimBucketBits, the
-    // same constant the Scala call passes (round-8 advice fix).
-    "x69_sim_topk_multiprobe" ->
-      s"""WITH $sq8CodesCte,
-         |q0 AS (SELECT vec_id AS q_id, code AS q_code, bucket FROM cb
-         |       WHERE vec_id < $QuerySetSize),
-         |q AS (
-         |  SELECT q_id, q_code,
-         |         unnest(list_transform(range(0, ${SimBucketBits + 1}), i ->
-         |           CASE WHEN i = 0 THEN bucket
-         |                ELSE substr(bucket, 1, CAST(i - 1 AS INT)) ||
-         |                     (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1'
-         |                           THEN '0' ELSE '1' END) ||
-         |                     substr(bucket, CAST(i + 1 AS INT), $SimBucketBits)
-         |           END)) AS bucket
-         |  FROM q0),
-         |scored AS (
-         |  SELECT q_id, c.vec_id AS c_id,
-         |         ${dotSql("q_code", "c.code")} AS dot_q8
-         |  FROM q JOIN cb c ON q.bucket = c.bucket AND c.vec_id <> q_id),
-         |r AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS BIGINT) AS rnk
-         |  FROM scored)
-         |SELECT q_id, c_id, dot_q8, rnk FROM r WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    // x64: both rankings over the SAME bucket-mate candidates — the
-    // doubles (cosine, recall) are computed from identical integers by
-    // identical single expressions, so they hash-match. Recall divides
-    // by LEAST(k, candidate count): a sparse bucket keeps all its mates
-    // under both rankings and must read 1.0, not |mates|/k (round-8
-    // advice fix, mirrored in Similarity.sq8Recall).
-    "x64_sq8_recall" ->
-      s"""WITH $sq8CodesCte,
-         |n AS (
-         |  SELECT vec_id, code, bucket, ${quantSql("embedding")} AS vq
-         |  FROM cb JOIN embeddings USING (vec_id)),
-         |n2 AS (SELECT vec_id, code, bucket, vq, ${dotSql("vq", "vq")} AS norm FROM n),
-         |q AS (SELECT vec_id AS q_id, code AS q_code, vq AS q_vq,
-         |             norm AS qn, bucket
-         |      FROM n2 WHERE vec_id < $QuerySetSize),
-         |scored AS (
-         |  SELECT q_id, c.vec_id AS c_id,
-         |         ${dotSql("q_code", "c.code")} AS dot_q8,
-         |         CAST(${dotSql("q_vq", "c.vq")} AS DOUBLE)
-         |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.norm AS DOUBLE))) AS cosine
-         |  FROM q JOIN n2 c ON q.bucket = c.bucket AND c.vec_id <> q_id),
-         |rr AS (
-         |  SELECT q_id,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS rnk8,
-         |         row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnkx
-         |  FROM scored)
-         |SELECT q_id,
-         |       CAST(SUM(CASE WHEN rnk8 <= 3 AND rnkx <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-         |       CAST(SUM(CASE WHEN rnk8 <= 3 AND rnkx <= 3 THEN 1 ELSE 0 END) AS DOUBLE)
-         |         / CAST(LEAST(3, COUNT(*)) AS DOUBLE) AS recall_at_k
-         |FROM rr GROUP BY q_id
-         |ORDER BY q_id""".stripMargin,
-
-    // x70: the x56 centroid chain ranks every (vector, centroid) pair;
-    // rn = 1 is the corpus cell assignment, rn <= nprobe the query probe
-    // list; ranking is the all-integer SQ8 dot — exact compare.
-    "x70_sim_topk_ivfkm" ->
-      s"""WITH $centroidScoreCtes,
-         |$sq8CodesCte,
-         |lrank AS (
-         |  SELECT vec_id, c_label,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
-         |  FROM scored),
-         |lcells AS (
-         |  SELECT r.vec_id, r.c_label AS cell, cb.code
-         |  FROM lrank r JOIN cb USING (vec_id) WHERE rn = 1),
-         |lq AS (
-         |  SELECT r.vec_id AS q_id, r.c_label AS cell, cb.code AS q_code
-         |  FROM lrank r JOIN cb USING (vec_id)
-         |  WHERE rn <= $IvfNprobe AND r.vec_id < $QuerySetSize),
-         |lscored AS (
-         |  SELECT q_id, lq.cell AS cell, c.vec_id AS c_id,
-         |         ${dotSql("q_code", "c.code")} AS dot_q8
-         |  FROM lq JOIN lcells c ON lq.cell = c.cell AND c.vec_id <> q_id),
-         |r AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS BIGINT) AS rnk
-         |  FROM lscored)
-         |SELECT q_id, cell, c_id, dot_q8, rnk FROM r WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    // x71: the exact full-corpus top-k (quantized cosine — the x06
-    // kernel) intersected with each coarse-quantizer's top-k; counts are
-    // integers, so the three-way comparison hash-matches exactly.
-    "x71_ivf_recall" ->
-      s"""WITH $centroidScoreCtes,
-         |$sq8CodesCte,
-         |bn AS (SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-         |bq AS (SELECT vec_id AS q_id, v AS qvec, norm_sq AS qn FROM bn
-         |       WHERE vec_id < $QuerySetSize),
-         |bscored AS (
-         |  SELECT q_id, c.vec_id AS c_id,
-         |         CAST(${dotSql("qvec", "c.v")} AS DOUBLE)
-         |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.norm_sq AS DOUBLE))) AS cosine
-         |  FROM bq JOIN bn c ON c.vec_id <> q_id),
-         |btop AS (
-         |  SELECT q_id, c_id FROM (
-         |    SELECT q_id, c_id,
-         |           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rnk
-         |    FROM bscored) WHERE rnk <= 3),
-         |sq AS (SELECT vec_id AS q_id, code AS q_code, bucket FROM cb
-         |       WHERE vec_id < $QuerySetSize),
-         |sscored AS (
-         |  SELECT q_id, c.vec_id AS c_id, ${dotSql("q_code", "c.code")} AS dot_q8
-         |  FROM sq JOIN cb c ON sq.bucket = c.bucket AND c.vec_id <> q_id),
-         |stop AS (
-         |  SELECT q_id, c_id FROM (
-         |    SELECT q_id, c_id,
-         |           row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS rnk
-         |    FROM sscored) WHERE rnk <= 3),
-         |mq AS (
-         |  SELECT q_id, q_code,
-         |         unnest(list_transform(range(0, ${SimBucketBits + 1}), i ->
-         |           CASE WHEN i = 0 THEN bucket
-         |                ELSE substr(bucket, 1, CAST(i - 1 AS INT)) ||
-         |                     (CASE WHEN substr(bucket, CAST(i AS INT), 1) = '1'
-         |                           THEN '0' ELSE '1' END) ||
-         |                     substr(bucket, CAST(i + 1 AS INT), $SimBucketBits)
-         |           END)) AS bucket
-         |  FROM sq),
-         |mscored AS (
-         |  SELECT q_id, c.vec_id AS c_id, ${dotSql("q_code", "c.code")} AS dot_q8
-         |  FROM mq JOIN cb c ON mq.bucket = c.bucket AND c.vec_id <> q_id),
-         |mtop AS (
-         |  SELECT q_id, c_id FROM (
-         |    SELECT q_id, c_id,
-         |           row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS rnk
-         |    FROM mscored) WHERE rnk <= 3),
-         |lrank AS (
-         |  SELECT vec_id, c_label,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
-         |  FROM scored),
-         |lcells AS (
-         |  SELECT r.vec_id, r.c_label AS cell, cb.code
-         |  FROM lrank r JOIN cb USING (vec_id) WHERE rn = 1),
-         |lq AS (
-         |  SELECT r.vec_id AS q_id, r.c_label AS cell, cb.code AS q_code
-         |  FROM lrank r JOIN cb USING (vec_id)
-         |  WHERE rn <= $IvfNprobe AND r.vec_id < $QuerySetSize),
-         |lscored AS (
-         |  SELECT q_id, c.vec_id AS c_id, ${dotSql("q_code", "c.code")} AS dot_q8
-         |  FROM lq JOIN lcells c ON lq.cell = c.cell AND c.vec_id <> q_id),
-         |ltop AS (
-         |  SELECT q_id, c_id FROM (
-         |    SELECT q_id, c_id,
-         |           row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS rnk
-         |    FROM lscored) WHERE rnk <= 3),
-         |bcount AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
-         |           FROM btop GROUP BY 1),
-         |hs AS (SELECT b.q_id, CAST(count(*) AS BIGINT) AS hits_sign
-         |       FROM btop b JOIN stop s ON b.q_id = s.q_id AND b.c_id = s.c_id
-         |       GROUP BY 1),
-         |hm AS (SELECT b.q_id, CAST(count(*) AS BIGINT) AS hits_multiprobe
-         |       FROM btop b JOIN mtop m ON b.q_id = m.q_id AND b.c_id = m.c_id
-         |       GROUP BY 1),
-         |hl AS (SELECT b.q_id, CAST(count(*) AS BIGINT) AS hits_ivfkm
-         |       FROM btop b JOIN ltop l ON b.q_id = l.q_id AND b.c_id = l.c_id
-         |       GROUP BY 1)
-         |SELECT q_id, n_exact,
-         |       CAST(COALESCE(hits_sign, 0) AS BIGINT) AS hits_sign,
-         |       CAST(COALESCE(hits_multiprobe, 0) AS BIGINT) AS hits_multiprobe,
-         |       CAST(COALESCE(hits_ivfkm, 0) AS BIGINT) AS hits_ivfkm
-         |FROM bcount
-         |LEFT JOIN hs USING (q_id) LEFT JOIN hm USING (q_id)
-         |LEFT JOIN hl USING (q_id)
-         |ORDER BY q_id""".stripMargin,
-
-    // x72: the Lloyd loop unrolled round by round (the x60 discipline);
-    // each round's ENTIRE centroid state hash-gates via per-cell digests
-    // of the exact integer sum vectors — a one-vector assignment flip in
-    // any round changes that cell's digest and fails the compare.
-    "x72_kmeans_iterate" ->
-      s"""WITH $centroidScoreCtes,
-         |${(1 to KmeansRounds).map(r => kmeansRoundSql(r)).mkString(",\n")}
-         |SELECT round, c_label, n_vecs, centroid_digest
-         |FROM (${(1 to KmeansRounds).map(r => s"SELECT * FROM row_$r").mkString(" UNION ALL ")})
-         |ORDER BY round, c_label""".stripMargin,
-
-    // x73: hash-split seed centroids (vec_id mod cells), the Lloyd
-    // rounds unrolled under the k-prefix, then the x70 search chain
-    // against the TRAINED final centroids — cells decoupled from labels.
-    "x73_sim_topk_ivf_scaled" ->
-      s"""WITH $centroidScoreCtes,
-         |$trainedCellCtes,
-         |$sq8CodesCte,
-         |kcells AS (
-         |  SELECT r.vec_id, r.c_label AS cell, cb.code
-         |  FROM krank r JOIN cb USING (vec_id) WHERE rn = 1),
-         |kq AS (
-         |  SELECT r.vec_id AS q_id, r.c_label AS cell, cb.code AS q_code
-         |  FROM krank r JOIN cb USING (vec_id)
-         |  WHERE rn <= $ScaledNprobe AND r.vec_id < $QuerySetSize),
-         |ks AS (
-         |  SELECT q_id, kq.cell AS cell, c.vec_id AS c_id,
-         |         ${dotSql("q_code", "c.code")} AS dot_q8
-         |  FROM kq JOIN kcells c ON kq.cell = c.cell AND c.vec_id <> q_id),
-         |r AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS BIGINT) AS rnk
-         |  FROM ks)
-         |SELECT q_id, cell, c_id, dot_q8, rnk FROM r WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    // x74: the PQ chain unrolled — subvector split, hash-seeded per-
-    // subspace codebooks, Lloyd rounds, round R+1's assignment as the
-    // stored codes, per-query ADC tables looked up BY CODE KEY, and the
-    // m-term score spelled as an explicit left-associated addition so
-    // the doubles are bit-identical.
-    "x74_sim_topk_pq" ->
-      s"""WITH $pqChainCtes,
-         |r AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_pq DESC, c_id) AS BIGINT) AS rnk
-         |  FROM scoredq)
-         |SELECT q_id, c_id, score_pq, rnk FROM r WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    // x75: the x74 chain verbatim (one factored spelling), the ADC rank
-    // cut at the shortlist depth, and the exact fixed-point cosine
-    // re-ranking ONLY the shortlist — the refine composition end to end.
-    "x75_sim_topk_pq_refined" ->
-      s"""WITH $pqChainCtes,
-         |pqr AS (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score_pq DESC, c_id) AS rnk
-         |  FROM scoredq),
-         |short AS (SELECT q_id, c_id FROM pqr WHERE rnk <= $PqShortlist),
-         |nrm AS (SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-         |rer AS (
-         |  SELECT s.q_id, s.c_id,
-         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
-         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
-         |  FROM short s
-         |  JOIN nrm a ON a.vec_id = s.q_id
-         |  JOIN nrm b ON b.vec_id = s.c_id),
-         |rr AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS BIGINT) AS rnk
-         |  FROM rer)
-         |SELECT q_id, c_id, cosine, rnk FROM rr WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    // x76: the IVF×PQ composition — the x74 PQ chain (stored codes +
-    // per-query ADC tables) with x73's trained-cell chain in front of
-    // it: every corpus row's cell is its rank-1 trained centroid, every
-    // query probes its nprobe nearest trained cells, and the explicit
-    // m-term ADC sum (pqTermSql — the x74 spelling verbatim) scores only
-    // the probed cells' members. The unreferenced exhaustive `scoredq`
-    // CTE from the shared chain is never executed.
-    "x76_sim_topk_ivf_pq" ->
-      s"""WITH $pqChainCtes,
-         |$trainedCellCtes,
-         |kcells AS (
-         |  SELECT r.vec_id, r.c_label AS cell, cr.code
-         |  FROM krank r JOIN codesrel cr USING (vec_id) WHERE rn = 1),
-         |kq AS (
-         |  SELECT r.vec_id AS q_id, r.c_label AS cell, lt.lut AS lut
-         |  FROM krank r JOIN lut lt ON lt.q_id = r.vec_id
-         |  WHERE rn <= $ScaledNprobe),
-         |ks AS (
-         |  SELECT l.q_id, l.cell, c.vec_id AS c_id,
-         |         $pqTermSql AS score_pq
-         |  FROM kq l JOIN kcells c ON l.cell = c.cell AND c.vec_id <> l.q_id),
-         |r AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_pq DESC, c_id) AS BIGINT) AS rnk
-         |  FROM ks)
-         |SELECT q_id, cell, c_id, score_pq, rnk FROM r WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    // x77: the residual IVF×PQ composition — the x76 trained-cell chain,
-    // integer-rounded centroids (cbar), the PQ chain retargeted at the
-    // corpus RESIDUALS (rpq prefix, same pqRoundSql spelling), per-query
-    // LUTs from FULL query subvectors vs the residual codebook, and the
-    // score = exact-integer coarse bias + the m-term ADC sum, folded
-    // left-to-right so the doubles are bit-identical.
-    "x77_sim_topk_ivf_pq_residual" ->
-      s"""WITH $centroidScoreCtes,
-         |$trainedCellCtes,
-         |$residualPqCtes,
-         |rks AS (
-         |  SELECT l.q_id, l.cell, c.vec_id AS c_id,
-         |         CAST(l.bias AS DOUBLE)
-         |         + $pqTermSql AS score_pq
-         |  FROM rkq l JOIN rkcells c ON l.cell = c.cell AND c.vec_id <> l.q_id),
-         |rr AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_pq DESC, c_id) AS BIGINT) AS rnk
-         |  FROM rks)
-         |SELECT q_id, cell, c_id, score_pq, rnk FROM rr WHERE rnk <= 3
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    // x78: the x05_sampled band-candidate CTEs verbatim (same sampled
-    // coordinate table, interpolated from Similarity.sampledCoords), but
-    // DIRECTED candidates (<>, not <) and a per-source rank window in
-    // place of the threshold filter. CTE chain shared with x81.
-    "x78_knn_graph" ->
-      s"""WITH $knnEdgeCtes
-         |SELECT src_id, nbr_id, cosine, rnk FROM r WHERE rnk <= $KnnGraphK
-         |ORDER BY src_id, rnk""".stripMargin,
-
-    // x81: the x78 edge chain, restricted to MUTUAL edges, closed by the
-    // same recursive-CTE component fixpoint as x20's oracle.
-    "x81_semantic_clusters" ->
-      s"""WITH RECURSIVE $knnEdgeCtes,
-         |knn AS (SELECT src_id, nbr_id FROM r WHERE rnk <= $KnnGraphK),
-         |mut AS (
-         |  SELECT a.src_id AS id_a, a.nbr_id AS id_b
-         |  FROM knn a JOIN knn b
-         |    ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
-         |  WHERE a.src_id < a.nbr_id),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM mut
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM mut),
-         |reach(v, l) AS (
-         |  SELECT DISTINCT src AS v, src AS l FROM edges
-         |  UNION
-         |  SELECT e2.dst AS v, r2.l FROM reach r2 JOIN edges e2 ON r2.v = e2.src),
-         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)
-         |SELECT label AS canonical_id, count(*) AS n_members
-         |FROM lab GROUP BY label
-         |HAVING count(*) > 1
-         |ORDER BY canonical_id""".stripMargin,
-
-    // x93: the SQ8-shortlist graph — trained cells + stored codes + ADC
-    // shortlist + exact re-rank, one factored chain (ivfSq8GraphCtes).
-    "x93_knn_graph_ivf_sq8" ->
-      s"""WITH $ivfSq8GraphCtes
-         |SELECT src_id, nbr_id, cosine, rnk FROM g8 WHERE rnk <= $KnnGraphK
-         |ORDER BY src_id, rnk""".stripMargin,
-
-    // x94: the x93 chain verbatim audited against the exact per-node
-    // top-k (the x85/x91 brute chain over gn).
-    "x94_knn_graph_ivf_sq8_recall" ->
-      s"""WITH $ivfSq8GraphCtes,
-         |g AS (SELECT src_id, nbr_id FROM g8 WHERE rnk <= $KnnGraphK),
-         |bs AS (
-         |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
-         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
-         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
-         |  FROM gn a JOIN gn b ON b.vec_id <> a.vec_id),
-         |bt AS (
-         |  SELECT src_id, nbr_id FROM (
-         |    SELECT src_id, nbr_id,
-         |           row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rnk
-         |    FROM bs) WHERE rnk <= $KnnGraphK),
-         |ec AS (SELECT src_id, CAST(count(*) AS BIGINT) AS n_exact FROM bt GROUP BY 1),
-         |h AS (
-         |  SELECT bt.src_id, CAST(count(*) AS BIGINT) AS hits_ivf_sq8
-         |  FROM bt JOIN g ON bt.src_id = g.src_id AND bt.nbr_id = g.nbr_id
-         |  GROUP BY 1)
-         |SELECT ec.src_id, ec.n_exact,
-         |       CAST(COALESCE(h.hits_ivf_sq8, 0) AS BIGINT) AS hits_ivf_sq8,
-         |       CAST(COALESCE(h.hits_ivf_sq8, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE) AS recall_at_k
-         |FROM ec LEFT JOIN h USING (src_id)
-         |ORDER BY src_id""".stripMargin,
-
-    // x95: the x92 chain verbatim over the PLANTED corpus (pe replaces
-    // embeddings as the vector source; the confusion column is the
-    // PLANTED label). The positive control: purity must read ≈ 1.
-    "x95_planted_purity" ->
-      s"""WITH RECURSIVE $plantedCtes,
-         |${knnEdgeCtesFrom("pe")},
-         |knn AS (SELECT src_id, nbr_id FROM r WHERE rnk <= $KnnGraphK),
-         |mut AS (
-         |  SELECT a.src_id AS id_a, a.nbr_id AS id_b
-         |  FROM knn a JOIN knn b
-         |    ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
-         |  WHERE a.src_id < a.nbr_id),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM mut
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM mut),
-         |reach(v, l) AS (
-         |  SELECT DISTINCT src AS v, src AS l FROM edges
-         |  UNION
-         |  SELECT e2.dst AS v, r2.l FROM reach r2 JOIN edges e2 ON r2.v = e2.src),
-         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)
-         |SELECT lab.label AS canonical_id, pl.label AS planted_label,
-         |       CAST(count(*) AS BIGINT) AS n_members
-         |FROM lab JOIN pl ON pl.vec_id = lab.v
-         |GROUP BY 1, 2
-         |ORDER BY canonical_id, planted_label""".stripMargin,
-
-    // x96: the x85 banded-recall audit verbatim over the planted corpus.
-    "x96_planted_knn_recall" ->
-      s"""WITH $plantedCtes,
-         |${knnEdgeCtesFrom("pe")},
-         |g AS (SELECT src_id, nbr_id FROM r WHERE rnk <= $KnnGraphK),
-         |bs AS (
-         |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
-         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
-         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
-         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id),
-         |bt AS (
-         |  SELECT src_id, nbr_id FROM (
-         |    SELECT src_id, nbr_id,
-         |           row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rnk
-         |    FROM bs) WHERE rnk <= $KnnGraphK),
-         |ec AS (SELECT src_id, CAST(count(*) AS BIGINT) AS n_exact FROM bt GROUP BY 1),
-         |h AS (
-         |  SELECT bt.src_id, CAST(count(*) AS BIGINT) AS hits_banded
-         |  FROM bt JOIN g ON bt.src_id = g.src_id AND bt.nbr_id = g.nbr_id
-         |  GROUP BY 1)
-         |SELECT ec.src_id, ec.n_exact,
-         |       CAST(COALESCE(h.hits_banded, 0) AS BIGINT) AS hits_banded,
-         |       CAST(COALESCE(h.hits_banded, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE) AS recall_at_k
-         |FROM ec LEFT JOIN h USING (src_id)
-         |ORDER BY src_id""".stripMargin,
-
-    // x97: the x91 IVF-recall audit verbatim over the planted corpus.
-    "x97_planted_ivf_recall" ->
-      s"""WITH $plantedCtes,
-         |${ivfGraphCtesFrom("pe")},
-         |g AS (SELECT src_id, nbr_id FROM gr WHERE rnk <= $KnnGraphK),
-         |bs AS (
-         |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
-         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
-         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
-         |  FROM gn a JOIN gn b ON b.vec_id <> a.vec_id),
-         |bt AS (
-         |  SELECT src_id, nbr_id FROM (
-         |    SELECT src_id, nbr_id,
-         |           row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rnk
-         |    FROM bs) WHERE rnk <= $KnnGraphK),
-         |ec AS (SELECT src_id, CAST(count(*) AS BIGINT) AS n_exact FROM bt GROUP BY 1),
-         |h AS (
-         |  SELECT bt.src_id, CAST(count(*) AS BIGINT) AS hits_ivf
-         |  FROM bt JOIN g ON bt.src_id = g.src_id AND bt.nbr_id = g.nbr_id
-         |  GROUP BY 1)
-         |SELECT ec.src_id, ec.n_exact,
-         |       CAST(COALESCE(h.hits_ivf, 0) AS BIGINT) AS hits_ivf,
-         |       CAST(COALESCE(h.hits_ivf, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE) AS recall_at_k
-         |FROM ec LEFT JOIN h USING (src_id)
-         |ORDER BY src_id""".stripMargin,
-
-    // x98: the four gated retrieval forms re-run over the twin-augmented
-    // union corpus (relevanceCorpusCtes) and reduced to planted hit@k.
-    // ONE index over udocs feeds both lexical arms (count + idf), ONE
-    // quantized qv over uembs feeds all three dense arms (brute /
-    // trained-cell SQ8 / IVF×PQ — the x84/x88 chains verbatim with the
-    // query predicate at RelevanceQueries), and each arm runs x79's
-    // fusion spelling (relevanceArmHitsSql) down to its integer hit row.
-    "x98_retrieval_relevance" ->
-      s"""WITH $relevanceCorpusCtes,
-         |qv AS (SELECT vec_id, ${quantSql("embedding")} AS v FROM uembs),
-         |$trainedCellCtes,
-         |${sq8CodesCteFrom("uembs")},
-         |${pqCodebookCtes(s"q.vec_id < $RelevanceQueries")},
-         |toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM udocs),
-         |shx AS (
-         |  SELECT doc_id,
-         |         CASE WHEN len(t) >= 3
-         |              THEN list_distinct(list_transform(range(1, len(t) - 1),
-         |                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
-         |              ELSE CAST([] AS VARCHAR[]) END AS sh
-         |  FROM toks),
-         |idx AS (
-         |  SELECT doc_id AS id, unnest(sh) AS shingle FROM shx
-         |  WHERE doc_id IN (SELECT vec_id FROM uembs)),
-         |qsh AS (SELECT q.q_id, i.shingle FROM idx i JOIN q ON i.id = q.q_id),
-         |lexcs AS (
-         |  SELECT qsh.q_id, i.id, count(*) AS n_common
-         |  FROM qsh JOIN idx i USING (shingle)
-         |  WHERE i.id <> qsh.q_id GROUP BY 1, 2),
-         |lexc AS (
-         |  SELECT q_id, id, lex_rnk FROM (
-         |    SELECT q_id, id,
-         |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY n_common DESC, id) AS BIGINT) AS lex_rnk
-         |    FROM lexcs) WHERE lex_rnk <= $HybridArmK),
-         |dfrel AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY 1),
-         |nu AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_universe FROM udocs
-         |  WHERE doc_id IN (SELECT vec_id FROM uembs)),
-         |lexis AS (
-         |  SELECT qsh.q_id, i.id,
-         |         CAST(SUM(GREATEST(1, length(bin(nu.n_universe)) - length(bin(dfrel.df)) + 1)) AS BIGINT) AS n_common
-         |  FROM qsh JOIN idx i USING (shingle) JOIN dfrel USING (shingle), nu
-         |  WHERE i.id <> qsh.q_id GROUP BY 1, 2),
-         |lexi AS (
-         |  SELECT q_id, id, lex_rnk FROM (
-         |    SELECT q_id, id,
-         |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY n_common DESC, id) AS BIGINT) AS lex_rnk
-         |    FROM lexis) WHERE lex_rnk <= $HybridArmK),
-         |nv AS (SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-         |vqr AS (SELECT vec_id AS q_id, v AS qvec, norm_sq AS qn FROM nv WHERE vec_id < $RelevanceQueries),
-         |vbs AS (
-         |  SELECT q_id, c.vec_id AS id,
-         |         CAST(${dotSql("qvec", "c.v")} AS DOUBLE)
-         |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.norm_sq AS DOUBLE))) AS cosine
-         |  FROM vqr JOIN nv c ON c.vec_id <> q_id),
-         |vb AS (
-         |  SELECT q_id, id, vec_rnk FROM (
-         |    SELECT q_id, id,
-         |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS BIGINT) AS vec_rnk
-         |    FROM vbs) WHERE vec_rnk <= $HybridArmK),
-         |kcells AS (
-         |  SELECT r.vec_id, r.c_label AS cell, cb.code
-         |  FROM krank r JOIN cb USING (vec_id) WHERE rn = 1),
-         |kq8 AS (
-         |  SELECT r.vec_id AS q_id, r.c_label AS cell, cb.code AS q_code
-         |  FROM krank r JOIN cb USING (vec_id)
-         |  WHERE rn <= $ScaledNprobe AND r.vec_id < $RelevanceQueries),
-         |ks8 AS (
-         |  SELECT q_id, kq8.cell AS cell, c.vec_id AS c_id,
-         |         ${dotSql("q_code", "c.code")} AS dot_q8
-         |  FROM kq8 JOIN kcells c ON kq8.cell = c.cell AND c.vec_id <> q_id),
-         |v8 AS (
-         |  SELECT q_id, id, vec_rnk FROM (
-         |    SELECT q_id, c_id AS id,
-         |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS BIGINT) AS vec_rnk
-         |    FROM ks8) WHERE vec_rnk <= $HybridArmK),
-         |mcells AS (
-         |  SELECT r.vec_id, r.c_label AS cell, cr.code
-         |  FROM krank r JOIN codesrel cr USING (vec_id) WHERE rn = 1),
-         |kqp AS (
-         |  SELECT r.vec_id AS q_id, r.c_label AS cell, lt.lut AS lut
-         |  FROM krank r JOIN lut lt ON lt.q_id = r.vec_id
-         |  WHERE rn <= $ScaledNprobe),
-         |ksp AS (
-         |  SELECT l.q_id, l.cell, c.vec_id AS c_id,
-         |         $pqTermSql AS score_pq
-         |  FROM kqp l JOIN mcells c ON l.cell = c.cell AND c.vec_id <> l.q_id),
-         |vp AS (
-         |  SELECT q_id, id, vec_rnk FROM (
-         |    SELECT q_id, c_id AS id,
-         |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_pq DESC, c_id) AS BIGINT) AS vec_rnk
-         |    FROM ksp) WHERE vec_rnk <= $HybridArmK),
-         |${relevanceArmHitsSql("1_brute", "lexc", "vb")},
-         |${relevanceArmHitsSql("2_ivf_sq8", "lexc", "v8")},
-         |${relevanceArmHitsSql("3_ivf_pq", "lexc", "vp")},
-         |${relevanceArmHitsSql("4_bm25_brute", "lexi", "vb")}
-         |SELECT arm, n_queries, hits_at_1, hits_at_k, hits_lex, hits_vec,
-         |       CAST(hits_at_k AS DOUBLE) / CAST(n_queries AS DOUBLE) AS hit_rate
-         |FROM (SELECT * FROM hits_1_brute UNION ALL SELECT * FROM hits_2_ivf_sq8
-         |      UNION ALL SELECT * FROM hits_3_ivf_pq UNION ALL SELECT * FROM hits_4_bm25_brute)
-         |ORDER BY arm""".stripMargin,
-
-    // x99: the ORACLE computes the FRESH frozen-quantizer graph over the
-    // union (train on the base hash slice, score and rank everything —
-    // trainedCellCtesOver decouples the two), while the engine runs the
-    // INCREMENTAL fold-in; the hash gate proves fold-in ≡ fresh across
-    // engines. Tail = ivfGraphCtes' spelling over qall.
-    "x99_graph_foldin" ->
-      s"""WITH qall AS (
-         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-         |qv AS (
-         |  SELECT * FROM qall
-         |  WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}'),
-         |${trainedCellCtesOver("qv", "qall")},
-         |gn AS (
-         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qall),
-         |gmem AS (SELECT vec_id AS nbr_id, c_label AS cell FROM krank WHERE rn = 1),
-         |gprob AS (SELECT vec_id AS src_id, c_label AS cell FROM krank WHERE rn <= $ScaledNprobe),
-         |gc AS (
-         |  SELECT p.src_id, m.nbr_id FROM gprob p JOIN gmem m USING (cell)
-         |  WHERE m.nbr_id <> p.src_id),
-         |gscored AS (
-         |  SELECT gc.src_id, gc.nbr_id,
-         |         CAST(${dotSql("ns.v", "nn.v")} AS DOUBLE)
-         |           / (sqrt(CAST(ns.norm_sq AS DOUBLE)) * sqrt(CAST(nn.norm_sq AS DOUBLE))) AS cosine
-         |  FROM gc JOIN gn ns ON ns.vec_id = gc.src_id JOIN gn nn ON nn.vec_id = gc.nbr_id),
-         |gr AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
-         |  FROM gscored)
-         |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
-         |ORDER BY src_id, rnk""".stripMargin,
-
-    // x92: the x81 recursive-closure chain verbatim, the component
-    // labels joined against the metadata label column — the x56 matrix
-    // shape over the label-free clustering.
-    "x92_cluster_label_purity" ->
-      s"""WITH RECURSIVE $knnEdgeCtes,
-         |knn AS (SELECT src_id, nbr_id FROM r WHERE rnk <= $KnnGraphK),
-         |mut AS (
-         |  SELECT a.src_id AS id_a, a.nbr_id AS id_b
-         |  FROM knn a JOIN knn b
-         |    ON a.src_id = b.nbr_id AND a.nbr_id = b.src_id
-         |  WHERE a.src_id < a.nbr_id),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM mut
-         |  UNION
-         |  SELECT id_b AS src, id_a AS dst FROM mut),
-         |reach(v, l) AS (
-         |  SELECT DISTINCT src AS v, src AS l FROM edges
-         |  UNION
-         |  SELECT e2.dst AS v, r2.l FROM reach r2 JOIN edges e2 ON r2.v = e2.src),
-         |lab AS (SELECT v, min(l) AS label FROM reach GROUP BY v)
-         |SELECT lab.label AS canonical_id, emb.label AS meta_label,
-         |       CAST(count(*) AS BIGINT) AS n_members
-         |FROM lab JOIN embeddings emb ON emb.vec_id = lab.v
-         |GROUP BY 1, 2
-         |ORDER BY canonical_id, meta_label""".stripMargin,
-
-    // x82 (both forms — the stream twin's oracle is the batch one
-    // VERBATIM, so stream-equals-batch is the hash-gated claim): the
-    // x78 band CTEs with the x55-style hash split, incoming probing base.
-    "x82_incremental_knn" -> x82OracleSql,
-    "x82_incremental_knn_stream" -> x82OracleSql,
-
-    // x85: the banded graph (the x78 CTE chain verbatim) audited against
-    // the exact per-node top-k (the x71 brute chain with EVERY node as a
-    // query). Integer counts + one final divide per node.
-    "x85_knn_graph_recall" ->
-      s"""WITH $knnEdgeCtes,
-         |g AS (SELECT src_id, nbr_id FROM r WHERE rnk <= $KnnGraphK),
-         |bs AS (
-         |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
-         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
-         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
-         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id),
-         |bt AS (
-         |  SELECT src_id, nbr_id FROM (
-         |    SELECT src_id, nbr_id,
-         |           row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rnk
-         |    FROM bs) WHERE rnk <= $KnnGraphK),
-         |ec AS (SELECT src_id, CAST(count(*) AS BIGINT) AS n_exact FROM bt GROUP BY 1),
-         |h AS (
-         |  SELECT bt.src_id, CAST(count(*) AS BIGINT) AS hits_banded
-         |  FROM bt JOIN g ON bt.src_id = g.src_id AND bt.nbr_id = g.nbr_id
-         |  GROUP BY 1)
-         |SELECT ec.src_id, ec.n_exact,
-         |       CAST(COALESCE(h.hits_banded, 0) AS BIGINT) AS hits_banded,
-         |       CAST(COALESCE(h.hits_banded, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE) AS recall_at_k
-         |FROM ec LEFT JOIN h USING (src_id)
-         |ORDER BY src_id""".stripMargin,
-
-    // x89: the trained-cell front end (trainedCellCtes, shared with
-    // x73/x76/x84) driving a per-node exact-cosine rank window — the
-    // graph twin of the x73 search with every node as a query.
-    "x89_knn_graph_ivf" ->
-      s"""WITH $ivfGraphCtes
-         |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
-         |ORDER BY src_id, rnk""".stripMargin,
-
-    // x101: the residual-fenced builder — at gate scale no cell exceeds
-    // KnnCellCap (asserted in-plan), so the fallback branch is empty and
-    // the oracle is x89's cell-exhaustive chain VERBATIM; the gate proves
-    // the shared graph tail and the under-cap equality cross-engine.
-    "x101_knn_graph_residual" ->
-      s"""WITH $ivfGraphCtes
-         |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
-         |ORDER BY src_id, rnk""".stripMargin,
-
-    // x102: the x89 chain over the twin-augmented corpus
-    // (relevanceEmbCtes), reduced to the planted hit row — the graph
-    // family's x98.
-    "x102_graph_relevance_ivf" ->
-      s"""WITH $relevanceEmbCtes,
-         |${ivfGraphCtesFrom("uembs")},
-         |${graphRelevanceHitsSql("1_ivf", "gr")}""".stripMargin,
-
-    // x103: the x93 SQ8-shortlist chain over the twin-augmented corpus,
-    // same reduction.
-    "x103_graph_relevance_sq8" ->
-      s"""WITH $relevanceEmbCtes,
-         |${ivfSq8GraphCtesFrom("uembs")},
-         |${graphRelevanceHitsSql("2_ivf_sq8", "g8")}""".stripMargin,
-
-    // x104: at gate scale no cell overflows (asserted in-plan), so the
-    // residual-fenced builder's relevance row is x102's chain with only
-    // the arm label changed — under-cap equality proven through the
-    // relevance reduction.
-    "x104_graph_relevance_residual" ->
-      s"""WITH $relevanceEmbCtes,
-         |${ivfGraphCtesFrom("uembs")},
-         |${graphRelevanceHitsSql("3_residual", "gr")}""".stripMargin,
-
-    // x105: the stuffed corpus (stuffedCorpusCtes) + its query twins,
-    // one tf-weighted shingle index, and the three-arm integer ladder —
-    // count / halving-bucket idf / 2^20-scaled saturated BM25 (the
-    // exact-rational 22·tf·S / (10·tf·S + 3·S + 9·dl·N) spelling at
-    // k1=6/5, b=3/4, ONE integer division per term; DuckDB `//` ≡
-    // Spark DIV on positive operands).
-    "x105_bm25_stuffed_ladder" -> {
-      import graft.ext.Relevance.{TwinIdOffset, TokenKeepMod}
-      import graft.ext.Retrieval.SatScale
-      val arms = Seq(("1_count", "s_count"), ("2_idf", "s_idf"),
-        ("3_bm25_sat", "s_bm25")).map { case (a, c) =>
-        s"""r_$a AS (
-           |  SELECT q_id, id,
-           |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY $c DESC, id) AS BIGINT) AS rnk
-           |  FROM ssc),
-           |h_$a AS (
-           |  SELECT '$a' AS arm,
-           |         (SELECT n_queries FROM sq) AS n_queries,
-           |         CAST(count(CASE WHEN id = q_id + $TwinIdOffset AND rnk = 1 THEN 1 END) AS BIGINT) AS hits_at_1,
-           |         CAST(count(CASE WHEN id = q_id + $TwinIdOffset AND rnk <= $HybridTopK THEN 1 END) AS BIGINT) AS hits_at_k,
-           |         CAST(count(CASE WHEN id = q_id + $TwinIdOffset AND rnk <= $HybridTopK THEN 1 END) AS DOUBLE)
-           |           / (SELECT CAST(n_queries AS DOUBLE) FROM sq) AS hit_rate
-           |  FROM r_$a WHERE rnk <= $HybridArmK)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $stuffedCorpusCtes,
-         |stw AS (
-         |  SELECT src + $TwinIdOffset AS doc_id,
-         |         array_to_string(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-         |           t -> ${u16Sql("'qt|' || CAST(src AS VARCHAR) || '|' || t")} % $TokenKeepMod <> 0), ' ') AS text
-         |  FROM (SELECT doc_id AS src, text FROM sdocs WHERE doc_id < $RelevanceQueries)),
-         |sudocs AS (
-         |  SELECT doc_id, text FROM sdocs
-         |  UNION ALL SELECT doc_id, text FROM stw),
-         |socc AS (
-         |  SELECT doc_id AS id,
-         |         unnest(list_transform(range(1, len(t) - 1),
-         |           i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
-         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |        FROM sudocs)),
-         |stf AS (SELECT id, shingle, CAST(count(*) AS BIGINT) AS tf FROM socc GROUP BY 1, 2),
-         |sdl AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM stf GROUP BY 1),
-         |snn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sudocs),
-         |sss AS (SELECT CAST(SUM(tf) AS BIGINT) AS s_total FROM stf),
-         |sdf AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM stf GROUP BY 1),
-         |sqt AS (SELECT id AS q_id, shingle FROM stf WHERE id < $RelevanceQueries),
-         |shits AS (
-         |  SELECT sqt.q_id, t.id,
-         |         CAST(GREATEST(1, length(bin(n.n_docs)) - length(bin(d.df)) + 1) AS BIGINT) AS idf_w,
-         |         ($SatScale * 22 * t.tf * s.s_total)
-         |           // (10 * t.tf * s.s_total + 3 * s.s_total + 9 * l.dl * n.n_docs) AS sat_tf
-         |  FROM sqt JOIN stf t USING (shingle) JOIN sdf d USING (shingle)
-         |       JOIN sdl l ON l.id = t.id, snn n, sss s
-         |  WHERE t.id <> sqt.q_id),
-         |ssc AS (
-         |  SELECT q_id, id,
-         |         CAST(count(*) AS BIGINT) AS s_count,
-         |         CAST(SUM(idf_w) AS BIGINT) AS s_idf,
-         |         CAST(SUM(idf_w * sat_tf) AS BIGINT) AS s_bm25
-         |  FROM shits GROUP BY 1, 2),
-         |sq AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_queries FROM documents
-         |  WHERE doc_id < $RelevanceQueries),
-         |$arms
-         |SELECT * FROM h_1_count
-         |UNION ALL SELECT * FROM h_2_idf
-         |UNION ALL SELECT * FROM h_3_bm25_sat
-         |ORDER BY arm""".stripMargin
-    },
-
-    // x106: the planted corpus (plantedCtes) + the FULL residual-fence
-    // overflow chain (residualFenceCtes) — the oracle replicates the
-    // fallback machinery end to end (big cells, residuals, sub-Lloyd,
-    // member/prober sub-cells, the (cell, subcell) join), because at
-    // this cap the fallback IS the graph.
-    "x106_planted_fence_residual" ->
-      s"""WITH $plantedCtes,
-         |$residualFenceCtes
-         |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
-         |ORDER BY src_id, rnk""".stripMargin,
-
-    // x108: the bigram-LM perplexity gate — base-slice counts (the x83
-    // hash split), halving-bucket conditional surprise with +1 smoothing
-    // and max-surprise prefix backoff, integer sums, ×16 fixed-point
-    // average via integer division. Count CTEs materialized (each is
-    // referenced twice).
-    "x108_lm_perplexity_gate" -> {
-      import graft.ext.Sampling
-      s"""WITH occ AS MATERIALIZED (
-         |  SELECT doc_id AS id,
-         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base,
-         |         unnest(list_transform(range(1, len(t)),
-         |           i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
-         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |        FROM documents)),
-         |c12 AS MATERIALIZED (
-         |  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM occ WHERE in_base GROUP BY 1),
-         |c1 AS MATERIALIZED (
-         |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
-         |  FROM c12 GROUP BY 1),
-         |nm AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_mass FROM c12),
-         |sc AS (
-         |  SELECT o.id,
-         |         CASE WHEN c1.c1 IS NULL THEN length(bin(n.n_mass + 1)) - 1
-         |              ELSE (length(bin(c1.c1 + 1)) - 1)
-         |                   - (length(bin(COALESCE(c12.c12, 0) + 1)) - 1) END AS bits
-         |  FROM occ o LEFT JOIN c12 USING (bg)
-         |       LEFT JOIN c1 ON c1.w1 = split_part(o.bg, ' ', 1), nm n
-         |  WHERE NOT o.in_base)
-         |SELECT id AS doc_id,
-         |       CAST(count(*) AS BIGINT) AS n_bigrams,
-         |       CAST(SUM(bits) AS BIGINT) AS nll_bits,
-         |       (16 * CAST(SUM(bits) AS BIGINT)) // CAST(count(*) AS BIGINT) AS bits_x16,
-         |       (16 * CAST(SUM(bits) AS BIGINT)) // CAST(count(*) AS BIGINT) <= $LmGateBitsX16 AS kept
-         |FROM sc GROUP BY 1
-         |ORDER BY doc_id""".stripMargin
-    },
-
-    // x109: DSIR importance resampling — hashed unigram+bigram feature
-    // buckets, target/raw multinomials counted on the base slice (target
-    // = the x09 quality gate), halving-bucket integer log-importance per
-    // occurrence, offset-safe ×16 length normalization, and the
-    // hash-threshold power-of-two acceptance draw. Bucket CTEs
-    // materialized (each referenced by the scoring join).
-    "x109_dsir_resample" -> {
-      import graft.ext.Sampling
-      s"""WITH $qualityGateCte,
-         |docc AS MATERIALIZED (
-         |  SELECT doc_id AS id,
-         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base,
-         |         (quality_score >= $QualityGate) AS is_target,
-         |         ${u16Sql("'dsirb|' || g")} % $DsirBuckets AS bucket
-         |  FROM (SELECT q.doc_id, q.quality_score,
-         |               unnest(list_concat(qt.t, list_transform(range(1, len(qt.t)),
-         |                 i -> array_to_string(list_slice(qt.t, i, i + 1), ' ')))) AS g
-         |        FROM qq q JOIN qtoks qt USING (doc_id))),
-         |ctb AS MATERIALIZED (
-         |  SELECT bucket, CAST(count(*) AS BIGINT) AS c_t
-         |  FROM docc WHERE in_base AND is_target GROUP BY 1),
-         |crb AS MATERIALIZED (
-         |  SELECT bucket, CAST(count(*) AS BIGINT) AS c_r
-         |  FROM docc WHERE in_base GROUP BY 1),
-         |an AS (SELECT (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) FROM ctb) AS n_t,
-         |              (SELECT CAST(COALESCE(SUM(c_r), 0) AS BIGINT) FROM crb) AS n_r),
-         |sc AS (
-         |  SELECT o.id,
-         |         (length(bin((COALESCE(ct.c_t, 0) + 1) * (a.n_r + 1))) - 1)
-         |         - (length(bin((COALESCE(cr.c_r, 0) + 1) * (a.n_t + 1))) - 1) AS lam
-         |  FROM docc o LEFT JOIN ctb ct USING (bucket)
-         |       LEFT JOIN crb cr USING (bucket), an a
-         |  WHERE NOT o.in_base),
-         |pw AS (
-         |  SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-         |         CAST(SUM(lam) AS BIGINT) AS w_bits
-         |  FROM sc GROUP BY 1),
-         |ws AS (
-         |  SELECT doc_id, n_feats, w_bits,
-         |         (16 * w_bits + 2048 * n_feats) // n_feats - 2048 AS w_x16
-         |  FROM pw),
-         |wk AS (
-         |  SELECT *, CAST(least(16, greatest(0, $DsirThresholdBits - w_bits)) AS BIGINT) AS shift
-         |  FROM ws)
-         |SELECT doc_id, n_feats, w_bits, w_x16, shift,
-         |       ${u16Sql("'dsirk|' || CAST(doc_id AS VARCHAR)")} < 65536 // (CAST(1 AS BIGINT) << shift) AS accepted
-         |FROM wk ORDER BY doc_id""".stripMargin
-    },
-
-    // x110: char-level BPE — the x60 round algebra re-keyed to the
-    // distinct-word relation with frequency-weighted pair counts and
-    // </w> end-of-word markers (bpeRoundSql's weighted form).
-    "x110_bpe_char_merges" ->
-      s"""WITH w0 AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-         |        FROM documents)
-         |  GROUP BY 1),
-         |seqs0 AS (
-         |  SELECT word, freq,
-         |         list_concat(regexp_extract_all(word, '[a-z0-9]'), ['</w>']) AS t
-         |  FROM w0),
-         |${(1 to CharBpeRounds).map(r => bpeRoundSql(r, key = "word", weighted = true)).mkString(",\n")}
-         |SELECT round, pair, n, n_tokens_after
-         |FROM (${(1 to CharBpeRounds).map(r => s"SELECT * FROM row$r").mkString(" UNION ALL ")})
-         |ORDER BY round""".stripMargin,
-
-    // x107: the depth-2 recursion over the planted corpus in MERGED-mode
-    // geometry (deepFenceCtes) — two sub-Lloyd levels, accumulated
-    // offsets, per-level cap-bounded emits, the depth-exhaustion
-    // remainder, the defensive DISTINCT. The last spec-only fence branch
-    // promoted to a hash gate.
-    "x107_planted_fence_deep" ->
-      s"""WITH $plantedCtes,
-         |$deepFenceCtes
-         |SELECT src_id, nbr_id, cosine, rnk FROM gr WHERE rnk <= $KnnGraphK
-         |ORDER BY src_id, rnk""".stripMargin,
-
-    // x91: the x89 chain verbatim audited against the exact per-node
-    // top-k (the x85 brute chain over gn). Integer counts + one divide.
-    "x91_knn_graph_ivf_recall" ->
-      s"""WITH $ivfGraphCtes,
-         |g AS (SELECT src_id, nbr_id FROM gr WHERE rnk <= $KnnGraphK),
-         |bs AS (
-         |  SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
-         |         CAST(${dotSql("a.v", "b.v")} AS DOUBLE)
-         |           / (sqrt(CAST(a.norm_sq AS DOUBLE)) * sqrt(CAST(b.norm_sq AS DOUBLE))) AS cosine
-         |  FROM gn a JOIN gn b ON b.vec_id <> a.vec_id),
-         |bt AS (
-         |  SELECT src_id, nbr_id FROM (
-         |    SELECT src_id, nbr_id,
-         |           row_number() OVER (PARTITION BY src_id ORDER BY cosine DESC, nbr_id) AS rnk
-         |    FROM bs) WHERE rnk <= $KnnGraphK),
-         |ec AS (SELECT src_id, CAST(count(*) AS BIGINT) AS n_exact FROM bt GROUP BY 1),
-         |h AS (
-         |  SELECT bt.src_id, CAST(count(*) AS BIGINT) AS hits_ivf
-         |  FROM bt JOIN g ON bt.src_id = g.src_id AND bt.nbr_id = g.nbr_id
-         |  GROUP BY 1)
-         |SELECT ec.src_id, ec.n_exact,
-         |       CAST(COALESCE(h.hits_ivf, 0) AS BIGINT) AS hits_ivf,
-         |       CAST(COALESCE(h.hits_ivf, 0) AS DOUBLE) / CAST(ec.n_exact AS DOUBLE) AS recall_at_k
-         |FROM ec LEFT JOIN h USING (src_id)
-         |ORDER BY src_id""".stripMargin,
-
-    // x84: x79's lexical arm + fusion verbatim, with the x73 trained-
-    // cell SQ8 chain in the dense slot at armK depth. The dense chain
-    // (qv/trainedCellCtes/sq8CodesCte) trains over ALL embeddings — the
-    // registry query asserts embeddings ⊆ documents so this equals the
-    // engine's docs ∩ embs universe (loud-failure precondition).
-    "x84_hybrid_rrf_ivf" ->
-      s"""WITH qv AS (
-         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings),
-         |$trainedCellCtes,
-         |$sq8CodesCte,
-         |kcells AS (
-         |  SELECT r.vec_id, r.c_label AS cell, cb.code
-         |  FROM krank r JOIN cb USING (vec_id) WHERE rn = 1),
-         |kq AS (
-         |  SELECT r.vec_id AS q_id, r.c_label AS cell, cb.code AS q_code
-         |  FROM krank r JOIN cb USING (vec_id)
-         |  WHERE rn <= $ScaledNprobe AND r.vec_id < $QuerySetSize),
-         |ks AS (
-         |  SELECT q_id, kq.cell AS cell, c.vec_id AS c_id,
-         |         ${dotSql("q_code", "c.code")} AS dot_q8
-         |  FROM kq JOIN kcells c ON kq.cell = c.cell AND c.vec_id <> q_id),
-         |vr AS (
-         |  SELECT q_id, c_id,
-         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot_q8 DESC, c_id) AS BIGINT) AS vec_rnk
-         |  FROM ks),
-         |vec AS (SELECT q_id, c_id AS id, vec_rnk FROM vr WHERE vec_rnk <= $HybridArmK),
-         |toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |         CASE WHEN len(t) >= 3
-         |              THEN list_distinct(list_transform(range(1, len(t) - 1),
-         |                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
-         |              ELSE CAST([] AS VARCHAR[]) END AS sh
-         |  FROM toks),
-         |idx AS (
-         |  SELECT doc_id AS id, unnest(sh) AS shingle FROM sh
-         |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
-         |q AS (
-         |  SELECT doc_id AS q_id FROM documents
-         |  WHERE doc_id < $QuerySetSize
-         |    AND doc_id IN (SELECT vec_id FROM embeddings)),
-         |qsh AS (SELECT q.q_id, i.shingle FROM idx i JOIN q ON i.id = q.q_id),
-         |lexs AS (
-         |  SELECT qsh.q_id, i.id, count(*) AS n_common
-         |  FROM qsh JOIN idx i USING (shingle)
-         |  WHERE i.id <> qsh.q_id GROUP BY 1, 2),
-         |lexr AS (
-         |  SELECT q_id, id,
-         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY n_common DESC, id) AS BIGINT) AS lex_rnk
-         |  FROM lexs),
-         |lex AS (SELECT q_id, id, lex_rnk FROM lexr WHERE lex_rnk <= $HybridArmK),
-         |fused AS (
-         |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
-         |         COALESCE(l.id, v.id) AS doc_id, l.lex_rnk, v.vec_rnk
-         |  FROM lex l FULL OUTER JOIN vec v ON l.q_id = v.q_id AND l.id = v.id),
-         |fr AS (
-         |  SELECT q_id, doc_id, lex_rnk, vec_rnk,
-         |         COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(lex_rnk AS DOUBLE)), CAST(0 AS DOUBLE))
-         |         + COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(vec_rnk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
-         |  FROM fused),
-         |rr AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
-         |  FROM fr)
-         |SELECT q_id, doc_id, lex_rnk, vec_rnk, rrf, rnk FROM rr WHERE rnk <= $HybridTopK
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    // x83: x80's CTE chain with the md5 hash split (classifierSplitCtes,
-    // shared verbatim with x86's confusion matrix) — votes trained on
-    // the base slice only, applied to the held-out rest (whose tokens
-    // outside the training vocabulary simply find no weight row).
-    "x83_classifier_split" ->
-      s"""WITH $classifierSplitCtes
-         |SELECT l.doc_id,
-         |       COALESCE(sc.n_vocab_tokens, 0) AS n_vocab_tokens,
-         |       COALESCE(sc.vote_score, 0) AS vote_score,
-         |       COALESCE(sc.vote_score, 0) > 0 AS predicted_pos
-         |FROM (SELECT DISTINCT doc_id FROM lab WHERE NOT in_base) l
-         |LEFT JOIN sc USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
-
-    // x86: the x83 chain verbatim, predictions confronted with the
-    // held-out slice's own weak labels — integer confusion counts, then
-    // one divide per rate (NULL on an empty denominator).
-    "x86_classifier_confusion" ->
-      s"""WITH $classifierSplitCtes,
-         |pred AS (
-         |  SELECT l.doc_id, l.pos AS label_pos,
-         |         COALESCE(sc.vote_score, 0) > 0 AS predicted_pos
-         |  FROM (SELECT DISTINCT doc_id, pos FROM lab WHERE NOT in_base) l
-         |  LEFT JOIN sc USING (doc_id)),
-         |m AS (
-         |  SELECT
-         |    CAST(SUM(CASE WHEN label_pos AND predicted_pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         |    CAST(SUM(CASE WHEN NOT label_pos AND predicted_pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         |    CAST(SUM(CASE WHEN label_pos AND NOT predicted_pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-         |    CAST(SUM(CASE WHEN NOT label_pos AND NOT predicted_pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
-         |  FROM pred)
-         |SELECT tp, fp, fn, tn,
-         |       CASE WHEN tp + fp = 0 THEN NULL
-         |            ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS "precision",
-         |       CASE WHEN tp + fn = 0 THEN NULL
-         |            ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
-         |       CASE WHEN tp + fp + fn + tn = 0 THEN NULL
-         |            ELSE CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) END AS accuracy
-         |FROM m""".stripMargin,
-
-    // x90: the x83/x86 chain verbatim, plus in-sample TRAINING scores
-    // (sct), the integer threshold sweep over the reduced score
-    // distribution (correct(tau) = total_pos - cum_pos + cum_neg, with
-    // the synthetic min-1 all-positive candidate), argmax with the
-    // smallest-tau tiebreak, and the holdout confusion at that cut.
-    "x90_classifier_calibrated" ->
-      s"""WITH $classifierSplitCtes,
-         |sct AS (
-         |  SELECT doc_id, CAST(SUM(vote) AS BIGINT) AS vote_score
-         |  FROM dt JOIN v USING (token)
-         |  WHERE in_base GROUP BY 1),
-         |ts AS (
-         |  SELECT l.doc_id, l.pos, COALESCE(sct.vote_score, 0) AS vs
-         |  FROM (SELECT DISTINCT doc_id, pos FROM lab WHERE in_base) l
-         |  LEFT JOIN sct USING (doc_id)),
-         |cand AS (
-         |  SELECT vs AS tau,
-         |         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
-         |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS nn
-         |  FROM ts GROUP BY 1
-         |  UNION ALL
-         |  SELECT CAST(min(vs) - 1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM ts),
-         |cum AS (
-         |  SELECT tau,
-         |         SUM(np) OVER (ORDER BY tau ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cpos,
-         |         SUM(nn) OVER (ORDER BY tau ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cneg
-         |  FROM cand),
-         |ttot AS (
-         |  SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS total_pos FROM ts),
-         |best AS (
-         |  SELECT CAST(tau AS BIGINT) AS threshold FROM cum, ttot
-         |  ORDER BY (total_pos - cpos + cneg) DESC, tau LIMIT 1),
-         |hold AS (
-         |  SELECT l.doc_id, l.pos AS label_pos, COALESCE(sc.vote_score, 0) AS vs
-         |  FROM (SELECT DISTINCT doc_id, pos FROM lab WHERE NOT in_base) l
-         |  LEFT JOIN sc USING (doc_id)),
-         |m AS (
-         |  SELECT b.threshold,
-         |    CAST(SUM(CASE WHEN label_pos AND vs > b.threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         |    CAST(SUM(CASE WHEN NOT label_pos AND vs > b.threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         |    CAST(SUM(CASE WHEN label_pos AND vs <= b.threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-         |    CAST(SUM(CASE WHEN NOT label_pos AND vs <= b.threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn
-         |  FROM hold, best b GROUP BY 1)
-         |SELECT threshold, tp, fp, fn, tn,
-         |       CASE WHEN tp + fp = 0 THEN NULL
-         |            ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS "precision",
-         |       CASE WHEN tp + fn = 0 THEN NULL
-         |            ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
-         |       CASE WHEN tp + fp + fn + tn = 0 THEN NULL
-         |            ELSE CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE) END AS accuracy
-         |FROM m""".stripMargin,
-
-    // x79: both arms over the docs ∩ embeddings universe; the RRF score
-    // is two COALESCE'd single-divide terms summed once — two-term IEEE
-    // addition has no order hazard, so the doubles are bit-identical.
-    "x79_hybrid_rrf" ->
-      s"""WITH $shinglesCte,
-         |idx AS (
-         |  SELECT doc_id AS id, unnest(sh) AS shingle FROM sh
-         |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
-         |q AS (
-         |  SELECT doc_id AS q_id FROM documents
-         |  WHERE doc_id < $QuerySetSize
-         |    AND doc_id IN (SELECT vec_id FROM embeddings)),
-         |qsh AS (SELECT q.q_id, i.shingle FROM idx i JOIN q ON i.id = q.q_id),
-         |lexs AS (
-         |  SELECT qsh.q_id, i.id, count(*) AS n_common
-         |  FROM qsh JOIN idx i USING (shingle)
-         |  WHERE i.id <> qsh.q_id GROUP BY 1, 2),
-         |lexr AS (
-         |  SELECT q_id, id,
-         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY n_common DESC, id) AS BIGINT) AS lex_rnk
-         |  FROM lexs),
-         |lex AS (SELECT q_id, id, lex_rnk FROM lexr WHERE lex_rnk <= $HybridArmK),
-         |qv AS (
-         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings
-         |  WHERE vec_id IN (SELECT doc_id FROM documents)),
-         |nv AS (
-         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-         |vq AS (SELECT vec_id AS q_id, v AS qvec, norm_sq AS qn FROM nv WHERE vec_id < $QuerySetSize),
-         |vscored AS (
-         |  SELECT q_id, c.vec_id AS id,
-         |         CAST(${dotSql("qvec", "c.v")} AS DOUBLE)
-         |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.norm_sq AS DOUBLE))) AS cosine
-         |  FROM vq JOIN nv c ON c.vec_id <> q_id),
-         |vr AS (
-         |  SELECT q_id, id,
-         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS BIGINT) AS vec_rnk
-         |  FROM vscored),
-         |vec AS (SELECT q_id, id, vec_rnk FROM vr WHERE vec_rnk <= $HybridArmK),
-         |fused AS (
-         |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
-         |         COALESCE(l.id, v.id) AS doc_id, l.lex_rnk, v.vec_rnk
-         |  FROM lex l FULL OUTER JOIN vec v ON l.q_id = v.q_id AND l.id = v.id),
-         |fr AS (
-         |  SELECT q_id, doc_id, lex_rnk, vec_rnk,
-         |         COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(lex_rnk AS DOUBLE)), CAST(0 AS DOUBLE))
-         |         + COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(vec_rnk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
-         |  FROM fused),
-         |rr AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
-         |  FROM fr)
-         |SELECT q_id, doc_id, lex_rnk, vec_rnk, rrf, rnk FROM rr WHERE rnk <= $HybridTopK
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    // x88: x84's oracle with the x76 IVF×PQ chain in the dense slot —
-    // the PQ chain (stored codes + per-query ADC LUTs) scoped to the
-    // trained cells' probed members, rank cut at armK, then x79/x84's
-    // lexical arm + fusion verbatim. Same orphan precondition as x84.
-    "x88_hybrid_rrf_ivfpq" ->
-      s"""WITH $pqChainCtes,
-         |$trainedCellCtes,
-         |kcells AS (
-         |  SELECT r.vec_id, r.c_label AS cell, cr.code
-         |  FROM krank r JOIN codesrel cr USING (vec_id) WHERE rn = 1),
-         |kq AS (
-         |  SELECT r.vec_id AS q_id, r.c_label AS cell, lt.lut AS lut
-         |  FROM krank r JOIN lut lt ON lt.q_id = r.vec_id
-         |  WHERE rn <= $ScaledNprobe),
-         |ks AS (
-         |  SELECT l.q_id, l.cell, c.vec_id AS c_id,
-         |         $pqTermSql AS score_pq
-         |  FROM kq l JOIN kcells c ON l.cell = c.cell AND c.vec_id <> l.q_id),
-         |vr AS (
-         |  SELECT q_id, c_id,
-         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY score_pq DESC, c_id) AS BIGINT) AS vec_rnk
-         |  FROM ks),
-         |vec AS (SELECT q_id, c_id AS id, vec_rnk FROM vr WHERE vec_rnk <= $HybridArmK),
-         |toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |         CASE WHEN len(t) >= 3
-         |              THEN list_distinct(list_transform(range(1, len(t) - 1),
-         |                     i -> array_to_string(list_slice(t, i, i + 2), ' ')))
-         |              ELSE CAST([] AS VARCHAR[]) END AS sh
-         |  FROM toks),
-         |idx AS (
-         |  SELECT doc_id AS id, unnest(sh) AS shingle FROM sh
-         |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
-         |q AS (
-         |  SELECT doc_id AS q_id FROM documents
-         |  WHERE doc_id < $QuerySetSize
-         |    AND doc_id IN (SELECT vec_id FROM embeddings)),
-         |qsh AS (SELECT q.q_id, i.shingle FROM idx i JOIN q ON i.id = q.q_id),
-         |lexs AS (
-         |  SELECT qsh.q_id, i.id, count(*) AS n_common
-         |  FROM qsh JOIN idx i USING (shingle)
-         |  WHERE i.id <> qsh.q_id GROUP BY 1, 2),
-         |lexr AS (
-         |  SELECT q_id, id,
-         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY n_common DESC, id) AS BIGINT) AS lex_rnk
-         |  FROM lexs),
-         |lex AS (SELECT q_id, id, lex_rnk FROM lexr WHERE lex_rnk <= $HybridArmK),
-         |fused AS (
-         |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
-         |         COALESCE(l.id, v.id) AS doc_id, l.lex_rnk, v.vec_rnk
-         |  FROM lex l FULL OUTER JOIN vec v ON l.q_id = v.q_id AND l.id = v.id),
-         |fr AS (
-         |  SELECT q_id, doc_id, lex_rnk, vec_rnk,
-         |         COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(lex_rnk AS DOUBLE)), CAST(0 AS DOUBLE))
-         |         + COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(vec_rnk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
-         |  FROM fused),
-         |rr AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
-         |  FROM fr)
-         |SELECT q_id, doc_id, lex_rnk, vec_rnk, rrf, rnk FROM rr WHERE rnk <= $HybridTopK
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    // x87: x79's oracle with the lexical arm idf-weighted — per-shingle
-    // df off the same index, N as the ranked-universe count, weight =
-    // GREATEST(1, length(bin(N)) - length(bin(df)) + 1) (the integer
-    // halving-bucket idf staircase; bin() is exact on both engines), and
-    // the rank score the CAST-to-BIGINT sum of weights. Dense arm and
-    // fusion are x79's verbatim.
-    "x87_hybrid_rrf_bm25" ->
-      s"""WITH $shinglesCte,
-         |idx AS (
-         |  SELECT doc_id AS id, unnest(sh) AS shingle FROM sh
-         |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
-         |dfrel AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM idx GROUP BY 1),
-         |nu AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_universe FROM documents
-         |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
-         |q AS (
-         |  SELECT doc_id AS q_id FROM documents
-         |  WHERE doc_id < $QuerySetSize
-         |    AND doc_id IN (SELECT vec_id FROM embeddings)),
-         |qsh AS (SELECT q.q_id, i.shingle FROM idx i JOIN q ON i.id = q.q_id),
-         |lexs AS (
-         |  SELECT qsh.q_id, i.id,
-         |         CAST(SUM(GREATEST(1, length(bin(nu.n_universe)) - length(bin(dfrel.df)) + 1)) AS BIGINT) AS n_common
-         |  FROM qsh JOIN idx i USING (shingle) JOIN dfrel USING (shingle), nu
-         |  WHERE i.id <> qsh.q_id GROUP BY 1, 2),
-         |lexr AS (
-         |  SELECT q_id, id,
-         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY n_common DESC, id) AS BIGINT) AS lex_rnk
-         |  FROM lexs),
-         |lex AS (SELECT q_id, id, lex_rnk FROM lexr WHERE lex_rnk <= $HybridArmK),
-         |qv AS (
-         |  SELECT vec_id, ${quantSql("embedding")} AS v FROM embeddings
-         |  WHERE vec_id IN (SELECT doc_id FROM documents)),
-         |nv AS (
-         |  SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-         |vq AS (SELECT vec_id AS q_id, v AS qvec, norm_sq AS qn FROM nv WHERE vec_id < $QuerySetSize),
-         |vscored AS (
-         |  SELECT q_id, c.vec_id AS id,
-         |         CAST(${dotSql("qvec", "c.v")} AS DOUBLE)
-         |           / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(c.norm_sq AS DOUBLE))) AS cosine
-         |  FROM vq JOIN nv c ON c.vec_id <> q_id),
-         |vr AS (
-         |  SELECT q_id, id,
-         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, id) AS BIGINT) AS vec_rnk
-         |  FROM vscored),
-         |vec AS (SELECT q_id, id, vec_rnk FROM vr WHERE vec_rnk <= $HybridArmK),
-         |fused AS (
-         |  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
-         |         COALESCE(l.id, v.id) AS doc_id, l.lex_rnk, v.vec_rnk
-         |  FROM lex l FULL OUTER JOIN vec v ON l.q_id = v.q_id AND l.id = v.id),
-         |fr AS (
-         |  SELECT q_id, doc_id, lex_rnk, vec_rnk,
-         |         COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(lex_rnk AS DOUBLE)), CAST(0 AS DOUBLE))
-         |         + COALESCE(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + CAST(vec_rnk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
-         |  FROM fused),
-         |rr AS (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
-         |  FROM fr)
-         |SELECT q_id, doc_id, lex_rnk, vec_rnk, rrf, rnk FROM rr WHERE rnk <= $HybridTopK
-         |ORDER BY q_id, rnk""".stripMargin,
-
-    // x80: the x26 quality CTE chain provides the weak label; training
-    // and scoring are pure integer arithmetic (cross-multiplied df
-    // ratios, ±1 votes), so the gate is exact with no float tolerance.
-    "x80_quality_classifier" ->
-      s"""WITH $qualityGateCte,
-         |lab AS (
-         |  SELECT q.doc_id, qt.t, (q.quality_score >= $QualityGate) AS pos
-         |  FROM qq q JOIN qtoks qt USING (doc_id)),
-         |dt AS (
-         |  SELECT doc_id, pos, unnest(list_distinct(t)) AS token FROM lab),
-         |tot AS (
-         |  SELECT CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
-         |  FROM lab),
-         |w AS (
-         |  SELECT token,
-         |         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_df,
-         |         CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS neg_df
-         |  FROM dt GROUP BY 1),
-         |v AS (
-         |  SELECT token,
-         |         CASE WHEN pos_df * n_neg > neg_df * n_pos THEN 1
-         |              WHEN pos_df * n_neg < neg_df * n_pos THEN -1
-         |              ELSE 0 END AS vote
-         |  FROM w, tot),
-         |sc AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_vocab_tokens,
-         |         CAST(SUM(vote) AS BIGINT) AS vote_score
-         |  FROM dt JOIN v USING (token) GROUP BY 1)
-         |SELECT l.doc_id, l.pos AS label_pos,
-         |       COALESCE(sc.n_vocab_tokens, 0) AS n_vocab_tokens,
-         |       COALESCE(sc.vote_score, 0) AS vote_score,
-         |       COALESCE(sc.vote_score, 0) > 0 AS predicted_pos
-         |FROM lab l LEFT JOIN sc USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
-
-    // x65: the oracle aggregates the PLAIN single-copy events table —
-    // the stream ingested every row TWICE, so equality here is the
-    // exactly-once claim itself (a leaked key doubles a count).
-    "x65_stream_dedup_replay" ->
-      """SELECT event_type, count(*) AS n_events,
-        |       count(DISTINCT user_id) AS n_users,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    // x49: the x02 pair CTE re-aggregated to a source×source flow matrix;
-    // integer counts/sums, max over identically-computed doubles — exact.
-    "x49_source_dup_flow" ->
-      s"""WITH $shinglesCte,
-         |idx AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM sh),
-         |sizes AS (SELECT id, count(*) AS n FROM idx GROUP BY 1),
-         |common AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-         |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b, n_common,
-         |         CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
-         |  FROM common
-         |  JOIN sizes sa ON id_a = sa.id
-         |  JOIN sizes sb ON id_b = sb.id
-         |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JaccardThreshold)
-         |SELECT least(da.source, db.source) AS source_a,
-         |       greatest(da.source, db.source) AS source_b,
-         |       count(*) AS n_pairs,
-         |       CAST(SUM(n_common) AS BIGINT) AS overlap_shingles,
-         |       MAX(jaccard) AS max_jaccard
-         |FROM pairs
-         |JOIN documents da ON id_a = da.doc_id
-         |JOIN documents db ON id_b = db.doc_id
-         |GROUP BY 1, 2
-         |ORDER BY source_a, source_b""".stripMargin,
-
-    // x50: LSH (verified) vs exact pair sets merged on the canonical pair
-    // key; one all-integer summary row (LSH ⊆ exact by the shared verify
-    // filter, so n_missed = n_exact − n_sketch).
-    "x50_sketch_recall" ->
-      s"""WITH $minhashVerifiedCte,
-         |idx AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM sh),
-         |sizes AS (SELECT id, count(*) AS n FROM idx GROUP BY 1),
-         |common AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-         |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
-         |  GROUP BY 1, 2),
-         |exact_pairs AS (
-         |  SELECT id_a, id_b
-         |  FROM common
-         |  JOIN sizes sa ON id_a = sa.id
-         |  JOIN sizes sb ON id_b = sb.id
-         |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= $JaccardThreshold),
-         |sketch_pairs AS (
-         |  SELECT id_a, id_b FROM verified WHERE jaccard >= $JaccardThreshold),
-         |merged AS (
-         |  SELECT id_a, id_b, MAX(f_exact) AS in_exact, MAX(f_sketch) AS in_sketch
-         |  FROM (SELECT id_a, id_b, 1 AS f_exact, 0 AS f_sketch FROM exact_pairs
-         |        UNION ALL
-         |        SELECT id_a, id_b, 0 AS f_exact, 1 AS f_sketch FROM sketch_pairs) u
-         |  GROUP BY 1, 2)
-         |SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact_pairs,
-         |       CAST(SUM(in_sketch) AS BIGINT) AS n_sketch_pairs,
-         |       CAST(SUM(CASE WHEN in_exact = 1 AND in_sketch = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
-         |FROM merged""".stripMargin,
-
-    // x51: the prefix filter is recall-exact, so the oracle is x02's SQL
-    // verbatim — the x20/x20_star "two algorithms, one answer" precedent.
-    // The oracle does NOT model the prefix selection; it computes the
-    // ground-truth pair set the filter must reproduce exactly.
-    "x51_jaccard_prefix" -> ngramJaccardSql,
-
-    // x52: same inverted-index CTE as x02, containment score — the
-    // smaller set's coverage — instead of Jaccard, with the minSmall
-    // floor on the smaller set.
-    "x52_containment" ->
-      s"""WITH $shinglesCte,
-         |idx AS (SELECT doc_id AS id, unnest(sh) AS shingle FROM sh),
-         |sizes AS (SELECT id, count(*) AS n FROM idx GROUP BY 1),
-         |common AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
-         |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.id < b.id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, n_common,
-         |       CAST(n_common AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) AS containment
-         |FROM common
-         |JOIN sizes sa ON id_a = sa.id
-         |JOIN sizes sb ON id_b = sb.id
-         |WHERE least(sa.n, sb.n) >= $ContainmentMinSmall
-         |  AND CAST(n_common AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= $ContainmentThreshold
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // x53: the x20 recursive-CTE closure supplies cluster labels; the
-    // split is the salted md5-prefix draw over coalesce(label, doc_id),
-    // cuts interpolated from the same Sampling.cutFor constants as the
-    // Spark side.
-    "x53_cluster_split" ->
-      s"""WITH RECURSIVE $minhashVerifiedCte,
-         |$ccLabelsCte,
-         |keyed AS (
-         |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS split_key
-         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.v)
-         |SELECT doc_id, split_key,
-         |       CASE WHEN substr(md5(CAST(split_key AS VARCHAR) || '$SplitSalt'), 1, 8)
-         |                 < '${Sampling.cutFor(SplitTrainFrac)}' THEN 'train'
-         |            WHEN substr(md5(CAST(split_key AS VARCHAR) || '$SplitSalt'), 1, 8)
-         |                 < '${Sampling.cutFor(SplitTrainFrac + SplitValFrac)}' THEN 'val'
-         |            ELSE 'test' END AS split
-         |FROM keyed
-         |ORDER BY doc_id""".stripMargin,
-
-    // x54: same canonical-first-occurrence rule, window-rank formulation
-    // (the oracle needn't be scale-shaped): rn = 1 under
-    // (PARTITION BY block hash ORDER BY doc_id, idx) IS min(struct(id,idx)).
-    "x54_block_dedup" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |b0 AS (
-         |  SELECT doc_id, len(t) AS n,
-         |         list_transform(range(0, CAST(ceil(len(t) / ${BlockW}.0) AS BIGINT)),
-         |           j -> array_to_string(list_slice(t, j*$BlockW+1, j*$BlockW+$BlockW), ' ')) AS bl
-         |  FROM toks WHERE len(t) > 0),
-         |blocks AS (
-         |  SELECT doc_id, n, unnest(range(0, len(bl))) AS idx, unnest(bl) AS blk
-         |  FROM b0),
-         |ranked AS (
-         |  SELECT doc_id, n, idx, blk,
-         |         row_number() OVER (PARTITION BY md5(blk) ORDER BY doc_id, idx) AS rn
-         |  FROM blocks)
-         |SELECT doc_id,
-         |       CAST(count(*) AS BIGINT) AS n_blocks,
-         |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-         |       CAST(SUM(CASE WHEN rn = 1 THEN least($BlockW, n - idx*$BlockW) ELSE 0 END) AS BIGINT) AS n_tokens_kept,
-         |       sha256(coalesce(string_agg(blk, ' ' ORDER BY idx) FILTER (WHERE rn = 1), '')) AS clean_sha
-         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // x57: the x54 keep-first rule at EVERY offset (ExactSubstr
-    // granularity). rn = 1 under (PARTITION BY window hash ORDER BY
-    // doc_id, o) is the canonical occurrence; a position is duplicated iff
-    // some rn > 1 window covers it; spans = maximal covered runs (lag
-    // gap test ≡ the Spark side's interval fold).
-    "x57_substr_dedup" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |d AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
-         |w0 AS (
-         |  SELECT doc_id,
-         |         list_transform(range(0, n - $SubstrW + 1), j ->
-         |           md5(array_to_string(list_slice(t, j+1, j+$SubstrW), ' '))) AS hs
-         |  FROM d WHERE n >= $SubstrW),
-         |wins AS (
-         |  SELECT doc_id, unnest(range(0, len(hs))) AS o, unnest(hs) AS h
-         |  FROM w0),
-         |ranked AS (
-         |  SELECT doc_id, o,
-         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, o) AS rn
-         |  FROM wins),
-         |dropped AS (SELECT doc_id, o FROM ranked WHERE rn > 1),
-         |pos AS (
-         |  SELECT doc_id, unnest(range(0, n)) AS p, unnest(t) AS tok FROM d),
-         |cov AS (
-         |  SELECT DISTINCT ps.doc_id, ps.p
-         |  FROM pos ps JOIN dropped dr
-         |    ON ps.doc_id = dr.doc_id
-         |   AND dr.o <= ps.p AND ps.p < dr.o + $SubstrW),
-         |spans AS (
-         |  SELECT doc_id,
-         |         CAST(count(*) AS BIGINT) AS n_cov,
-         |         CAST(count(*) FILTER (WHERE prev IS NULL OR p - prev > 1)
-         |           AS BIGINT) AS n_spans
-         |  FROM (SELECT doc_id, p,
-         |               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
-         |        FROM cov)
-         |  GROUP BY doc_id),
-         |kept AS (
-         |  SELECT ps.doc_id,
-         |         sha256(coalesce(string_agg(ps.tok, ' ' ORDER BY ps.p)
-         |           FILTER (WHERE c.p IS NULL), '')) AS clean_sha
-         |  FROM pos ps LEFT JOIN cov c
-         |    ON ps.doc_id = c.doc_id AND ps.p = c.p
-         |  GROUP BY ps.doc_id)
-         |SELECT d.doc_id,
-         |       CAST(d.n AS BIGINT) AS n_tokens,
-         |       CAST(coalesce(s.n_cov, 0) AS BIGINT) AS n_dup_tokens,
-         |       CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_dup_spans,
-         |       k.clean_sha
-         |FROM d
-         |LEFT JOIN spans s ON d.doc_id = s.doc_id
-         |JOIN kept k ON d.doc_id = k.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
-
-    // x55: the x03 MinHash→LSH→verify chain with the x33 base/batch
-    // hash-split — candidates are batch×base band collisions only. The
-    // streaming twin registers the SAME oracle text below: the streamed
-    // state-index answer must equal the batch answer exactly — that
-    // identity IS the gated claim.
-    "x55_incremental_lsh" -> x55OracleSql,
-    "x55_incremental_lsh_stream" -> x55OracleSql,
-
-    // x56: exact integer centroid sums (DuckDB SUM(BIGINT) is HUGEINT —
-    // the |s|² accumulation the Spark side does in DECIMAL(38,0)); the
-    // score t mirrors the Spark expression tree operand-for-operand so
-    // the doubles are bit-identical; output is all-integer.
-    "x56_cluster_purity" ->
-      s"""WITH $centroidScoreCtes,
-         |assigned AS (
-         |  SELECT vec_id, label, c_label,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
-         |  FROM scored)
-         |SELECT label, c_label AS assigned_label, CAST(count(*) AS BIGINT) AS n_vecs
-         |FROM assigned WHERE rn = 1
-         |GROUP BY 1, 2
-         |ORDER BY label, assigned_label""".stripMargin,
-
-    // x59: the x56 assignment chain verbatim down to `assigned rn = 1`,
-    // then an exhaustive exact-cosine self-join keyed on the assigned
-    // cluster — the oracle computes the identical within-cluster
-    // semantics (never corpus-wide).
-    "x59_semdedup_prune" ->
-      s"""WITH $centroidScoreCtes,
-         |assigned AS (
-         |  SELECT vec_id, c_label,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY t, c_label) AS rn
-         |  FROM scored),
-         |a AS (SELECT vec_id, c_label FROM assigned WHERE rn = 1),
-         |n AS (SELECT vec_id, v, ${dotSql("v", "v")} AS norm_sq FROM qv),
-         |pairs AS (
-         |  SELECT x.c_label AS cluster, x.vec_id AS id_a, y.vec_id AS id_b,
-         |         CAST(${dotSql("na.v", "nb.v")} AS DOUBLE)
-         |           / (sqrt(CAST(na.norm_sq AS DOUBLE)) * sqrt(CAST(nb.norm_sq AS DOUBLE))) AS cosine
-         |  FROM a x JOIN a y ON x.c_label = y.c_label AND x.vec_id < y.vec_id
-         |  JOIN n na ON na.vec_id = x.vec_id
-         |  JOIN n nb ON nb.vec_id = y.vec_id)
-         |SELECT cluster, id_a, id_b, cosine FROM pairs
-         |WHERE cosine >= $SemDedupThreshold
-         |ORDER BY cluster, id_a, id_b""".stripMargin,
-
-    // x60: the x46 statistic iterated with application — k unrolled
-    // rounds, each: count pairs of the PREVIOUS round's rewrite, pick
-    // (n desc, pair asc), apply greedily leftmost (islands odd-rank ≡ the
-    // Spark fold; see bpeRoundSql).
-    "x60_bpe_merges" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |seqs0 AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
-         |${(1 to BpeRounds).map(r => bpeRoundSql(r)).mkString(",\n")}
-         |SELECT round, pair, n, n_tokens_after
-         |FROM (${(1 to BpeRounds).map(r => s"SELECT * FROM row$r").mkString(" UNION ALL ")})
-         |ORDER BY round""".stripMargin,
-
-    // x47: the oracle affords the 2080-per-row pair explosion the Spark
-    // side refuses; same binary-scale quantization (exact multiply,
-    // round half-away-from-zero in both engines), exact integer cells,
-    // 0-based indices surfaced from DuckDB's 1-based lists.
-    "x47_embedding_gram" ->
-      s"""WITH q AS (
-         |  SELECT list_transform(embedding,
-         |           x -> CAST(round(CAST(x AS DOUBLE) * $GramScale) AS BIGINT)) AS v
-         |  FROM embeddings),
-         |n AS (SELECT count(v) AS n_vectors FROM q),
-         |cells AS (
-         |  SELECT i, j,
-         |         CAST(SUM(v[CAST(i AS INT)] * v[CAST(j AS INT)]) AS BIGINT) AS sum_q
-         |  FROM q,
-         |       unnest(range(1, ${EmbeddingDims + 1})) AS u(i),
-         |       unnest(range(1, ${EmbeddingDims + 1})) AS w(j)
-         |  WHERE j >= i
-         |  GROUP BY i, j)
-         |SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j, sum_q,
-         |       CAST(sum_q AS DOUBLE) / CAST(n.n_vectors AS DOUBLE)
-         |         / ${GramScale * GramScale} AS gram
-         |FROM cells, n
-         |ORDER BY i, j""".stripMargin,
-
-    // x45: the bloom prefilter is invisible in the exact output — the
-    // oracle is x28's SQL verbatim (same eval split, same threshold).
-    "x45_decontamination_bloom" ->
-      s"""WITH $shinglesCte,
-         |ev AS (
-         |  SELECT DISTINCT unnest(sh) AS shingle FROM sh
-         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(EvalFrac)}'),
-         |tr AS (
-         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
-         |         unnest(sh) AS shingle
-         |  FROM sh
-         |  WHERE NOT (substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(EvalFrac)}')),
-         |hit AS (
-         |  SELECT tr.doc_id, tr.n_shingles, count(*) AS n_shared
-         |  FROM tr JOIN ev ON tr.shingle = ev.shingle
-         |  GROUP BY 1, 2)
-         |SELECT doc_id, n_shingles, n_shared,
-         |       CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap_frac
-         |FROM hit
-         |WHERE CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= $ContaminationThreshold
-         |ORDER BY doc_id""".stripMargin,
-
-    // Expectations audit: one scalar aggregate per rule, UNION ALL; the
-    // two binding rules (date horizon, quantity cap) prove the firing
-    // path, the rest the all-green path.
-    "x42_expectations" ->
-      """SELECT 'orders_date_horizon_2000' AS rule,
-        |       CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '2000-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-        |       count(*) AS n_checked
-        |FROM orders
-        |UNION ALL
-        |SELECT 'orders_price_positive',
-        |       CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT), count(*)
-        |FROM orders
-        |UNION ALL
-        |SELECT 'lineitem_quantity_cap_40',
-        |       CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1 AND 40 THEN 1 ELSE 0 END) AS BIGINT), count(*)
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'lineitem_orders_fk',
-        |       CAST((SELECT count(*) FROM lineitem
-        |             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
-        |       count(*)
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'part_pk_unique',
-        |       CAST(count(*) - count(DISTINCT p_partkey) AS BIGINT), count(*)
-        |FROM part
-        |UNION ALL
-        |SELECT 'customer_name_not_null',
-        |       CAST(count(*) - count(c_name) AS BIGINT), count(*)
-        |FROM customer
-        |UNION ALL
-        |SELECT 'events_value_nonnegative',
-        |       CAST(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT), count(*)
-        |FROM events
-        |ORDER BY rule""".stripMargin,
-
-    // Cohort retention: both week anchors are date_trunc Mondays, so the
-    // day delta is an exact multiple of 7 and CAST(x/7) truncates nothing.
-    "x41_cohort_retention" ->
-      """WITH fw AS (
-        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
-        |act AS (
-        |  SELECT e.user_id, fw.cohort_week,
-        |         CAST(date_diff('day', fw.cohort_week,
-        |                        date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset
-        |  FROM events e JOIN fw ON e.user_id = fw.user_id)
-        |SELECT epoch_us(cohort_week) AS cohort_week_us, week_offset,
-        |       count(DISTINCT user_id) AS n_active
-        |FROM act WHERE week_offset >= 0 GROUP BY 1, 2
-        |ORDER BY cohort_week_us, week_offset""".stripMargin,
-
-    // Funnel: stage minima via progressively-filtered keyed aggregates;
-    // strict > at every stage, NULLs ride the left joins.
-    "x40_funnel_journeys" ->
-      """WITH v AS (
-        |  SELECT user_id, min(ts) AS fv FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |c AS (
-        |  SELECT e.user_id, min(e.ts) AS fc
-        |  FROM events e JOIN v ON e.user_id = v.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > v.fv GROUP BY 1),
-        |p AS (
-        |  SELECT e.user_id, min(e.ts) AS fp
-        |  FROM events e JOIN c ON e.user_id = c.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > c.fc GROUP BY 1)
-        |SELECT v.user_id,
-        |       epoch_us(fv) AS first_view_us,
-        |       epoch_us(fc) AS first_click_us,
-        |       epoch_us(fp) AS first_purchase_us
-        |FROM v LEFT JOIN c ON v.user_id = c.user_id
-        |       LEFT JOIN p ON v.user_id = p.user_id
-        |ORDER BY v.user_id""".stripMargin,
-
-    // Misra-Gries in the exactness regime (k > per-source distinct): the
-    // UDAF's counters never evict, so the plain GROUP BY IS the oracle.
-    "x39_heavy_hitters" ->
-      """WITH t AS (
-        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-        |  FROM documents)
-        |SELECT source, tok AS token, count(*) AS n
-        |FROM t GROUP BY 1, 2
-        |ORDER BY source, token""".stripMargin,
-
-    "x38_winnow_fingerprints" ->
-      s"""WITH $winnowCte
-         |SELECT doc_id, unnest(fps) AS fingerprint
-         |FROM wf ORDER BY doc_id, fingerprint""".stripMargin,
-
-    // Passage-overlap pairs: per-doc fps are already distinct, so the
-    // inverted-index join counts distinct shared fingerprints — exactly
-    // Spark's post-explode count. All-integer, order-proof.
-    "x38_winnow_pairs" ->
-      s"""WITH $winnowCte,
-         |widx AS (SELECT doc_id AS id, unnest(fps) AS fp FROM wf),
-         |wc AS (
-         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
-         |  FROM widx a JOIN widx b ON a.fp = b.fp AND a.id < b.id
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, n_shared FROM wc
-         |WHERE n_shared >= $WinnowMinShared
-         |ORDER BY id_a, id_b""".stripMargin,
-
-    // Token-window chunking: window starts via range(), inclusive
-    // list_slice bounds mirror Spark's (start, length) slice exactly.
-    "x31_chunks" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM documents),
-         |d AS (
-         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t
-         |  FROM toks WHERE len(t) > 0),
-         |ks AS (
-         |  SELECT doc_id, n_tokens, t,
-         |         unnest(range(0, ((n_tokens - 1) // $ChunkStride) + 1)) AS k
-         |  FROM d),
-         |ch AS (
-         |  SELECT doc_id, n_tokens, CAST(k AS BIGINT) AS chunk_id,
-         |         list_slice(t, k * $ChunkStride + 1,
-         |                    k * $ChunkStride + $ChunkSize) AS chunk
-         |  FROM ks)
-         |SELECT doc_id, n_tokens, chunk_id,
-         |       CAST(len(chunk) AS BIGINT) AS chunk_tokens,
-         |       md5(array_to_string(chunk, ' ')) AS chunk_hash
-         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
-
-    // Salient terms: tf and df from the one occurrence relation, salience
-    // = the single IEEE divide of two BIGINTs, per-doc row_number ≤ k
-    // with the (salience DESC, tok) total order.
-    "x32_doc_keywords" ->
-      s"""WITH $tfSalienceCtes
-         |SELECT doc_id, rnk, tok, tf, df, salience FROM r
-         |WHERE rnk <= $KeywordsPerDoc
-         |ORDER BY doc_id, rnk""".stripMargin,
-
-    // Per-label centroids: zip-unnest (dim, quantized value), integer
-    // sums, two IEEE divides — same quantization CTE family as x05–x07.
-    // x26: the CTE chain composes the proven x09/x10 per-row fragments
-    // with the x20/x23 recursive component fixpoint; `qtoks` (not `toks`)
-    // avoids colliding with the minhashVerifiedCte's own token CTE.
-    "x26_pipeline_gate" ->
-      s"""WITH RECURSIVE $minhashVerifiedCte,
-         |$ccLabelsCte,
-         |dropped AS (SELECT v FROM lab WHERE label <> v),
-         |$qualityGateCte,
-         |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text))
-         |SELECT g.lang, count(*) AS n_docs,
-         |       CAST(SUM(g.n_tokens) AS BIGINT) AS total_tokens,
-         |       CAST(SUM(g.n_chars) AS BIGINT) AS total_chars,
-         |       MIN(g.quality_score) AS min_quality,
-         |       MAX(g.quality_score) AS max_quality
-         |FROM gated g
-         |WHERE g.doc_id IN (SELECT doc_id FROM keep)
-         |  AND g.doc_id NOT IN (SELECT v FROM dropped)
-         |GROUP BY g.lang
-         |ORDER BY g.lang""".stripMargin,
-
-    // x26b: the x26 chain widened into the FULL corpus build — gate →
-    // exact dedup → block-level span dedup (x54's stage, over the exact
-    // survivors) → near-dup anti-join → x53's leakage-safe cluster split —
-    // reported per (lang, split) with BOTH token totals (raw and
-    // post-block-dedup, the tokenizer-budget number a data plan consumes).
-    "x26b_corpus_build" ->
-      s"""WITH RECURSIVE $minhashVerifiedCte,
-         |$ccLabelsCte,
-         |dropped AS (SELECT v FROM lab WHERE label <> v),
-         |$qualityGateCte,
-         |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY sha256(text)),
-         |exact_kept AS (
-         |  SELECT * FROM gated WHERE doc_id IN (SELECT doc_id FROM keep)),
-         |btoks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |  FROM exact_kept),
-         |b0 AS (
-         |  SELECT doc_id, len(t) AS n,
-         |         list_transform(range(0, CAST(ceil(len(t) / ${BlockW}.0) AS BIGINT)),
-         |           j -> array_to_string(list_slice(t, j*$BlockW+1, j*$BlockW+$BlockW), ' ')) AS bl
-         |  FROM btoks WHERE len(t) > 0),
-         |blocks AS (
-         |  SELECT doc_id, n, unnest(range(0, len(bl))) AS idx, unnest(bl) AS blk
-         |  FROM b0),
-         |ranked AS (
-         |  SELECT doc_id, n, idx, blk,
-         |         row_number() OVER (PARTITION BY md5(blk) ORDER BY doc_id, idx) AS rn
-         |  FROM blocks),
-         |bstats AS (
-         |  SELECT doc_id,
-         |         CAST(SUM(CASE WHEN rn = 1 THEN least($BlockW, n - idx*$BlockW) ELSE 0 END) AS BIGINT) AS n_tokens_kept
-         |  FROM ranked GROUP BY doc_id),
-         |surv AS (
-         |  SELECT g.*, b.n_tokens_kept
-         |  FROM exact_kept g JOIN bstats b ON g.doc_id = b.doc_id
-         |  WHERE b.n_tokens_kept > 0
-         |    AND g.doc_id NOT IN (SELECT v FROM dropped)),
-         |keyed AS (
-         |  SELECT s.*, coalesce(l.label, s.doc_id) AS split_key
-         |  FROM surv s LEFT JOIN lab l ON s.doc_id = l.v),
-         |split AS (
-         |  SELECT *,
-         |         CASE WHEN substr(md5(CAST(split_key AS VARCHAR) || '$SplitSalt'), 1, 8)
-         |                   < '${Sampling.cutFor(SplitTrainFrac)}' THEN 'train'
-         |              WHEN substr(md5(CAST(split_key AS VARCHAR) || '$SplitSalt'), 1, 8)
-         |                   < '${Sampling.cutFor(SplitTrainFrac + SplitValFrac)}' THEN 'val'
-         |              ELSE 'test' END AS split
-         |  FROM keyed)
-         |SELECT lang, split, count(*) AS n_docs,
-         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-         |       CAST(SUM(n_tokens_kept) AS BIGINT) AS kept_block_tokens
-         |FROM split
-         |GROUP BY lang, split
-         |ORDER BY lang, split""".stripMargin,
-
-    // x28: per-doc shingle lists are DISTINCT (shinglesCte mirrors
-    // ShingleArray), and `ev` is DISTINCT, so the inner join counts each
-    // train shingle at most once — exactly Spark's LEFT SEMI count.
-    "x28_decontamination" ->
-      s"""WITH $shinglesCte,
-         |ev AS (
-         |  SELECT DISTINCT unnest(sh) AS shingle FROM sh
-         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(EvalFrac)}'),
-         |tr AS (
-         |  SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
-         |         unnest(sh) AS shingle
-         |  FROM sh
-         |  WHERE NOT (substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(EvalFrac)}')),
-         |hit AS (
-         |  SELECT tr.doc_id, tr.n_shingles, count(*) AS n_shared
-         |  FROM tr JOIN ev ON tr.shingle = ev.shingle
-         |  GROUP BY 1, 2)
-         |SELECT doc_id, n_shingles, n_shared,
-         |       CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap_frac
-         |FROM hit
-         |WHERE CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= $ContaminationThreshold
-         |ORDER BY doc_id""".stripMargin,
-
-    "x27_source_mixture" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, source, lang,
-         |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
-         |  FROM documents
-         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < $mixtureCaseSql)
-         |SELECT source, lang, count(*) AS n_docs,
-         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-         |FROM toks GROUP BY 1, 2
-         |ORDER BY source, lang""".stripMargin,
-
-    "x25_embedding_centroids" ->
-      s"""WITH q AS (
-         |  SELECT CAST(label AS BIGINT) AS label,
-         |         unnest(range(0, len(embedding))) AS dim,
-         |         unnest(${quantSql("embedding")}) AS q
-         |  FROM embeddings)
-         |SELECT label, CAST(dim AS BIGINT) AS dim,
-         |       count(*) AS n_vectors,
-         |       CAST(sum(q) AS BIGINT) AS sum_q,
-         |       CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*)
-         |         / ${Similarity.Scale} AS centroid
-         |FROM q GROUP BY 1, 2
-         |ORDER BY label, dim""".stripMargin,
-
-    "x22_vocab_coverage" ->
-      """WITH occ AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-        |  FROM documents),
-        |vocab AS (
-        |  SELECT tok FROM (SELECT tok, count(*) AS tf FROM occ GROUP BY 1)
-        |  ORDER BY tf DESC, tok LIMIT 50),
-        |j AS (
-        |  SELECT o.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
-        |  FROM occ o LEFT JOIN vocab v USING (tok))
-        |SELECT doc_id, count(*) AS n_tokens,
-        |       CAST(SUM(oov) AS BIGINT) AS n_oov,
-        |       CAST(SUM(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "x19_salted_agg" ->
-      """SELECT event_type,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
-        |       count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
-
-    // Hot-key join: every event joins its cohort aggregate (the 'view'
-    // firehose pooled on sentinel key -1, others per-user); above-average
-    // decided by the exact decimal cross-multiply v*n > s so the doubles
-    // never enter a comparison.
-    "x29_skew_join" ->
-      """WITH e AS (
-        |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
-        |         CASE WHEN event_type = 'view' THEN -1 ELSE user_id END AS k
-        |  FROM events),
-        |c AS (SELECT k, SUM(v) AS s, count(*) AS n FROM e GROUP BY k)
-        |SELECT e.event_type, count(*) AS n_events,
-        |       CAST(SUM(CASE WHEN e.v * c.n > c.s THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
-        |FROM e JOIN c ON e.k = c.k
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
-
-    "x18_text_rarity" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |  FROM documents),
-        |occ AS (
-        |  SELECT doc_id, t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS bigram
-        |  FROM toks, unnest(range(1, len(t))) AS u(i)
-        |  WHERE len(t) >= 2),
-        |cf AS (SELECT bigram, count(*) AS cf FROM occ GROUP BY 1)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |       CAST(SUM(cf.cf) AS DOUBLE) / count(*) AS avg_bigram_cf,
-        |       min(cf.cf) AS min_bigram_cf
-        |FROM occ JOIN cf USING (bigram)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "x17_json_props" ->
-      """SELECT event_type, count(*) AS n_events,
-        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
-        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-        |         / count(json_extract_string(props, '$.k')) AS avg_k,
-        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
-
-    "x16_range_value_bands" ->
-      """WITH bands AS (
-        |  SELECT i AS band_id, i * 8.0 AS lo, i * 8.0 + 15.0 AS hi
-        |  FROM unnest(range(0, 10)) AS t(i))
-        |SELECT band_id, lo, hi, count(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM events JOIN bands ON value >= lo AND value < hi
-        |GROUP BY 1, 2, 3 ORDER BY band_id""".stripMargin,
-
-    // Analytic twin of Multimodal's REAL codec path: the engine encodes
-    // genuine PPM/BMP containers and parses them back; the oracle never
-    // sees a byte — it recomputes the decoded luminance histogram from
-    // the deterministic pixel formula (channel at flat index i =
-    // (doc_id·37 + i·101) mod 256, luma = (77R+150G+29B) DIV 256,
-    // bucket = luma DIV 16) and the containers' arithmetic sizes (PPM:
-    // 9 + digits(w) + digits(h) + 3wh; BMP: 54 + h·rowSize with 4-byte
-    // row padding). A header, padding, row-order or channel-order bug in
-    // either codec path breaks this hash.
-    "x14_multimodal_histogram" ->
-      """WITH dims AS (
-        |  SELECT doc_id,
-        |         CAST(4 + (doc_id * 7) % 13 AS BIGINT) AS w,
-        |         CAST(4 + (doc_id * 11) % 13 AS BIGINT) AS h
-        |  FROM documents),
-        |lum AS (
-        |  SELECT doc_id, w, h,
-        |         ((77 * ((doc_id*37 + (3*i)*101) % 256)
-        |          + 150 * ((doc_id*37 + (3*i+1)*101) % 256)
-        |          + 29 * ((doc_id*37 + (3*i+2)*101) % 256)) // 256) // 16 AS bucket
-        |  FROM dims, unnest(range(0, w * h)) AS u(i))
-        |SELECT doc_id,
-        |       CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
-        |       CAST(CASE WHEN doc_id % 2 = 0
-        |            THEN 9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + 3*w*h
-        |            ELSE 54 + h * ((3*w + 3) // 4 * 4) END AS BIGINT) AS n_bytes,
-        |       CAST(bucket AS BIGINT) AS bucket,
-        |       CAST(count(*) AS BIGINT) AS n_in_bucket
-        |FROM lum
-        |GROUP BY 1, 2, 3, 4
-        |ORDER BY doc_id, bucket""".stripMargin)
+object Extensions extends ExtCore {
+  /** The full gated registry — the union of every family's slice. Key
+    * uniqueness across slices is spec-guarded (RegistrySpec). */
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesDedup ++ queriesQuality ++ queriesAnn ++ queriesGraph ++
+      queriesRetrieval ++ queriesStream ++ queriesEngineOps
+
+  /** DuckDB oracle twins, unioned the same way. */
+  val oracleSql: Map[String, String] =
+    oracleSqlDedup ++ oracleSqlQuality ++ oracleSqlAnn ++ oracleSqlGraph ++
+      oracleSqlRetrieval ++ oracleSqlStream ++ oracleSqlEngineOps
 }

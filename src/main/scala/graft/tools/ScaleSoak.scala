@@ -141,7 +141,24 @@ object ScaleSoak {
     // quantile twin (sketch bounds + broadcast filter — the 100 TB form
     // x67's Scaladoc promised; proximity spec-gated, cost soaked here)
     "x67_length_gate", "x67_approx",
-    "x67_onesource", "x67_approx_onesource")
+    "x67_onesource", "x67_approx_onesource",
+    // round-14 additions (verdict #4 + the round's new operators):
+    //  - x105: the stuffed-corpus full-BM25 ladder — cost ∝ posting
+    //    mass; the stuffed top-K tokens' postings grow linearly with
+    //    the corpus, so the slope prices the fat-posting regime the
+    //    df-cap/idf machinery exists for.
+    //  - x108: the bigram-LM gate — the count table is one groupBy over
+    //    base bigram occurrences (vocab²-bounded keys), scoring two
+    //    equi-joins; under replica salting the bigram vocabulary grows
+    //    ~linearly, the regime a min-count prune would cap at 100 TB.
+    //  - x109: DSIR — both multinomials are ≤ buckets rows BY
+    //    CONSTRUCTION, so the broadcast-join claim should read as a
+    //    scan-linear slope regardless of vocabulary growth.
+    //  - x110: char-BPE — the working set is the DISTINCT-WORD table;
+    //    salting grows vocabulary ~linearly with replicas, so the slope
+    //    prices the vocab-bounded (not corpus-bounded) shuffle claim.
+    "x105_bm25_stuffed_ladder", "x108_lm_perplexity_gate",
+    "x109_dsir_resample", "x110_bpe_char_merges")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
