@@ -469,14 +469,18 @@ object TextOps {
     * n_tokens_after = Σ freq·|symbols| — the corpus symbol mass that
     * proves the merge was APPLIED, not just counted). Merged symbols
     * are spelled a_b (x60's convention). */
-  def bpeMergeLoopChars(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int): DataFrame = {
-    var cur = ExtCaches.persistTracked(docs
-      .select(explode(tokens(col(textCol))).as("word"))
+  /** The distinct-word symbol relation char-BPE trains and applies
+    * over: (word, corpus freq, chars + the `</w>` marker). */
+  private def charWordSeqs(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
         concat(regexp_extract_all(col("word"), lit("[a-z0-9]"), lit(0)),
-          array(lit("</w>"))).as("t")))
+          array(lit("</w>"))).as("t"))
+
+  def bpeMergeLoopChars(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame = {
+    var cur = ExtCaches.persistTracked(charWordSeqs(docs, textCol))
     val rounds = (1 to k).map { r =>
       val top = topPair(cur, col("freq"))
       cur = ExtCaches.persistTracked(
@@ -488,6 +492,66 @@ object TextOps {
           col("m_n").as("n"), col("n_tokens_after"))
     }
     rounds.reduce(_.unionAll(_))
+  }
+
+  /** The VOCABULARY encoded by k char-BPE rounds (x111) — the
+    * tokenizer-apply half of [[bpeMergeLoopChars]]'s train→apply, the
+    * char-granularity twin of [[bpeEncode]]/x66: each round re-derives
+    * the same deterministic winner and folds it through every word's
+    * symbol sequence. The output IS the trained tokenizer's working
+    * state: one row per distinct word with its corpus frequency and
+    * final symbol sequence — what a production tokenizer freezes and
+    * ships (applying it to raw text is then one |vocab|-sized broadcast
+    * join, never a re-derivation). Same vocab-bounded scale shape as
+    * the trainer. */
+  def bpeEncodeChars(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    var cur = ExtCaches.persistTracked(charWordSeqs(docs, textCol))
+    (1 to k).foreach { _ =>
+      cur = ExtCaches.persistTracked(
+        applyTopMerge(cur, topPair(cur, col("freq")),
+          keep = Seq("word", "freq")))
+    }
+    cur
+  }
+
+  /** DSIR enrichment audit (x112) — the effectiveness number for
+    * [[dsirResample]], in the x86 confusion-matrix discipline: confront
+    * the ACCEPTED/REJECTED partition of the held-out pool with the
+    * held-out docs' own target labels (which played NO part in the
+    * weights — the models trained on the base slice only). ONE row of
+    * exact integer counts (kept/dropped × target/non-target) plus
+    * single-IEEE-divide rates and the enrichment lift
+    * (kept_target·n_dropped) / (dropped_target·n_kept) — a resample
+    * that works reads lift > 1: acceptance concentrates target-like
+    * documents. NULL-safe on empty partitions (a threshold outside the
+    * weight support keeps or drops everything). Scale shape: the x109
+    * plan plus one corpus equi-join against the label projection and
+    * one global aggregate. */
+  def dsirEnrichment(docs: DataFrame, idCol: String, textCol: String,
+                     targetCol: String, baseFrac: Double, buckets: Int,
+                     thresholdBits: Long): DataFrame = {
+    val scored = dsirResample(docs, idCol, textCol, targetCol, baseFrac,
+      buckets, thresholdBits)
+    val labels = docs.select(col(idCol).as("id"),
+      col(targetCol).as("is_target"))
+    def rate(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast(DoubleType))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+    scored.join(labels, Seq("id"))
+      .agg(
+        sum(when(col("accepted"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("accepted"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("accepted") && col("is_target"), 1L).otherwise(0L))
+          .as("kept_target"),
+        sum(when(!col("accepted") && col("is_target"), 1L).otherwise(0L))
+          .as("dropped_target"))
+      .withColumn("kept_target_rate", rate(col("kept_target"), col("n_kept")))
+      .withColumn("dropped_target_rate",
+        rate(col("dropped_target"), col("n_dropped")))
+      .withColumn("lift",
+        rate(col("kept_target") * col("n_dropped"),
+          col("dropped_target") * col("n_kept")))
   }
 
   /** The corpus ENCODED by k BPE merge rounds — x60's loop returning the

@@ -917,6 +917,40 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
       "doc_id", "text", CharBpeRounds)
       .orderBy(col("round"))
 
+  /** Char-BPE tokenizer-apply (x111) — the encode half of x110's
+    * train→apply, the char-granularity twin of x66: the distinct-word
+    * vocabulary after [[CharBpeRounds]] merge rounds, one row per word
+    * with its corpus frequency, symbol count and the md5 digest of the
+    * space-joined symbol sequence (the x66 hash-friendly convention) —
+    * the state a production tokenizer freezes and ships (raw text then
+    * encodes via one |vocab|-sized broadcast join). The oracle is
+    * x110's unrolled chain read at its FINAL seqs relation instead of
+    * the merge rows — the same spelling proves trainer and tokenizer
+    * agree, symbol for symbol (the digest covers order and content). */
+  def x111_bpe_char_encode(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.bpeEncodeChars(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", CharBpeRounds)
+      .select(col("word"), col("freq"),
+        size(col("t")).cast(LongType).as("n_symbols"),
+        md5(concat_ws(" ", col("t"))).as("seq_digest"))
+      .orderBy(col("word"))
+
+  /** DSIR enrichment audit (x112) — the measurement that makes x109 a
+    * curation tool instead of a determinism demo (the x86 discipline,
+    * applied to resampling): confront the accepted/rejected partition
+    * of the held-out pool with the held-out docs' own quality labels
+    * (which played no part in the weights). One row: exact integer
+    * counts, single-divide rates, and the enrichment lift — the
+    * measured answer to "did importance resampling concentrate
+    * target-like documents?" (it does: lift > 1 at every SF). */
+  def x112_dsir_enrichment(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.dsirEnrichment(
+      TextOps.qualityScore(Tables.documents(s, dir))
+        .withColumn("is_target", col("quality_score") >= QualityGate),
+      "doc_id", "text", "is_target", BaseFrac, DsirBuckets,
+      DsirThresholdBits)
+
 
   // ---- x53: leakage-safe cluster-aware train/val/test split ---------------
 
@@ -967,7 +1001,57 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     "x90_classifier_calibrated" -> (x90_classifier_calibrated _),
     "x108_lm_perplexity_gate" -> (x108_lm_perplexity_gate _),
     "x109_dsir_resample" -> (x109_dsir_resample _),
-    "x110_bpe_char_merges" -> (x110_bpe_char_merges _))
+    "x110_bpe_char_merges" -> (x110_bpe_char_merges _),
+    "x111_bpe_char_encode" -> (x111_bpe_char_encode _),
+    "x112_dsir_enrichment" -> (x112_dsir_enrichment _))
+
+  /** The DSIR chain (x109/x112), oracle side — features → bucket counts
+    * → mass anchors → product-form λ → per-doc weights → shift → the
+    * acceptance draw. `acc` carries (doc_id, n_feats, w_bits, w_x16,
+    * shift, accepted); callers prefix [[qualityGateCte]]. ONE spelling
+    * shared by the resample gate and the enrichment audit. */
+  private def dsirCtes: String = {
+    import graft.ext.Sampling
+    s"""docc AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base,
+       |         (quality_score >= $QualityGate) AS is_target,
+       |         ${u16Sql("'dsirb|' || g")} % $DsirBuckets AS bucket
+       |  FROM (SELECT q.doc_id, q.quality_score,
+       |               unnest(list_concat(qt.t, list_transform(range(1, len(qt.t)),
+       |                 i -> array_to_string(list_slice(qt.t, i, i + 1), ' ')))) AS g
+       |        FROM qq q JOIN qtoks qt USING (doc_id))),
+       |ctb AS MATERIALIZED (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS c_t
+       |  FROM docc WHERE in_base AND is_target GROUP BY 1),
+       |crb AS MATERIALIZED (
+       |  SELECT bucket, CAST(count(*) AS BIGINT) AS c_r
+       |  FROM docc WHERE in_base GROUP BY 1),
+       |an AS (SELECT (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) FROM ctb) AS n_t,
+       |              (SELECT CAST(COALESCE(SUM(c_r), 0) AS BIGINT) FROM crb) AS n_r),
+       |sc AS (
+       |  SELECT o.id,
+       |         (length(bin((COALESCE(ct.c_t, 0) + 1) * (a.n_r + 1))) - 1)
+       |         - (length(bin((COALESCE(cr.c_r, 0) + 1) * (a.n_t + 1))) - 1) AS lam
+       |  FROM docc o LEFT JOIN ctb ct USING (bucket)
+       |       LEFT JOIN crb cr USING (bucket), an a
+       |  WHERE NOT o.in_base),
+       |pw AS (
+       |  SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |         CAST(SUM(lam) AS BIGINT) AS w_bits
+       |  FROM sc GROUP BY 1),
+       |ws AS (
+       |  SELECT doc_id, n_feats, w_bits,
+       |         (16 * w_bits + 2048 * n_feats) // n_feats - 2048 AS w_x16
+       |  FROM pw),
+       |wk AS (
+       |  SELECT *, CAST(least(16, greatest(0, $DsirThresholdBits - w_bits)) AS BIGINT) AS shift
+       |  FROM ws),
+       |acc AS (
+       |  SELECT doc_id, n_feats, w_bits, w_x16, shift,
+       |         ${u16Sql("'dsirk|' || CAST(doc_id AS VARCHAR)")} < 65536 // (CAST(1 AS BIGINT) << shift) AS accepted
+       |  FROM wk)""".stripMargin
+  }
 
   protected def oracleSqlQuality: Map[String, String] = Map(
 
@@ -1369,50 +1453,38 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     // buckets, target/raw multinomials counted on the base slice (target
     // = the x09 quality gate), halving-bucket integer log-importance per
     // occurrence, offset-safe ×16 length normalization, and the
-    // hash-threshold power-of-two acceptance draw. Bucket CTEs
-    // materialized (each referenced by the scoring join).
-    "x109_dsir_resample" -> {
-      import graft.ext.Sampling
+    // hash-threshold power-of-two acceptance draw. CTE chain shared
+    // verbatim with x112's enrichment audit (dsirCtes — one spelling,
+    // so the audited resample is provably the gated one).
+    "x109_dsir_resample" ->
       s"""WITH $qualityGateCte,
-         |docc AS MATERIALIZED (
-         |  SELECT doc_id AS id,
-         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base,
-         |         (quality_score >= $QualityGate) AS is_target,
-         |         ${u16Sql("'dsirb|' || g")} % $DsirBuckets AS bucket
-         |  FROM (SELECT q.doc_id, q.quality_score,
-         |               unnest(list_concat(qt.t, list_transform(range(1, len(qt.t)),
-         |                 i -> array_to_string(list_slice(qt.t, i, i + 1), ' ')))) AS g
-         |        FROM qq q JOIN qtoks qt USING (doc_id))),
-         |ctb AS MATERIALIZED (
-         |  SELECT bucket, CAST(count(*) AS BIGINT) AS c_t
-         |  FROM docc WHERE in_base AND is_target GROUP BY 1),
-         |crb AS MATERIALIZED (
-         |  SELECT bucket, CAST(count(*) AS BIGINT) AS c_r
-         |  FROM docc WHERE in_base GROUP BY 1),
-         |an AS (SELECT (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) FROM ctb) AS n_t,
-         |              (SELECT CAST(COALESCE(SUM(c_r), 0) AS BIGINT) FROM crb) AS n_r),
-         |sc AS (
-         |  SELECT o.id,
-         |         (length(bin((COALESCE(ct.c_t, 0) + 1) * (a.n_r + 1))) - 1)
-         |         - (length(bin((COALESCE(cr.c_r, 0) + 1) * (a.n_t + 1))) - 1) AS lam
-         |  FROM docc o LEFT JOIN ctb ct USING (bucket)
-         |       LEFT JOIN crb cr USING (bucket), an a
-         |  WHERE NOT o.in_base),
-         |pw AS (
-         |  SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-         |         CAST(SUM(lam) AS BIGINT) AS w_bits
-         |  FROM sc GROUP BY 1),
-         |ws AS (
-         |  SELECT doc_id, n_feats, w_bits,
-         |         (16 * w_bits + 2048 * n_feats) // n_feats - 2048 AS w_x16
-         |  FROM pw),
-         |wk AS (
-         |  SELECT *, CAST(least(16, greatest(0, $DsirThresholdBits - w_bits)) AS BIGINT) AS shift
-         |  FROM ws)
-         |SELECT doc_id, n_feats, w_bits, w_x16, shift,
-         |       ${u16Sql("'dsirk|' || CAST(doc_id AS VARCHAR)")} < 65536 // (CAST(1 AS BIGINT) << shift) AS accepted
-         |FROM wk ORDER BY doc_id""".stripMargin
-    },
+         |$dsirCtes
+         |SELECT doc_id, n_feats, w_bits, w_x16, shift, accepted
+         |FROM acc ORDER BY doc_id""".stripMargin,
+
+    // x112: the enrichment audit — x109's accepted/rejected partition
+    // confronted with the held-out docs' own target labels (x86's
+    // confusion discipline applied to resampling): integer cells, one
+    // IEEE divide per rate, lift from exact integer products.
+    "x112_dsir_enrichment" ->
+      s"""WITH $qualityGateCte,
+         |$dsirCtes,
+         |lab AS (SELECT doc_id, (quality_score >= $QualityGate) AS is_target FROM qq),
+         |cells AS (
+         |  SELECT CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |         CAST(SUM(CASE WHEN NOT accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |         CAST(SUM(CASE WHEN accepted AND is_target THEN 1 ELSE 0 END) AS BIGINT) AS kept_target,
+         |         CAST(SUM(CASE WHEN NOT accepted AND is_target THEN 1 ELSE 0 END) AS BIGINT) AS dropped_target
+         |  FROM acc JOIN lab USING (doc_id))
+         |SELECT *,
+         |       CASE WHEN n_kept = 0 THEN NULL
+         |            ELSE CAST(kept_target AS DOUBLE) / CAST(n_kept AS DOUBLE) END AS kept_target_rate,
+         |       CASE WHEN n_dropped = 0 THEN NULL
+         |            ELSE CAST(dropped_target AS DOUBLE) / CAST(n_dropped AS DOUBLE) END AS dropped_target_rate,
+         |       CASE WHEN dropped_target * n_kept = 0 THEN NULL
+         |            ELSE CAST(kept_target * n_dropped AS DOUBLE)
+         |                 / CAST(dropped_target * n_kept AS DOUBLE) END AS lift
+         |FROM cells""".stripMargin,
 
 
     // x110: char-level BPE — the x60 round algebra re-keyed to the
@@ -1432,6 +1504,26 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
          |SELECT round, pair, n, n_tokens_after
          |FROM (${(1 to CharBpeRounds).map(r => s"SELECT * FROM row$r").mkString(" UNION ALL ")})
          |ORDER BY round""".stripMargin,
+
+    // x111: the encode half — the SAME unrolled chain as x110, read at
+    // its final seqs relation (the trained vocabulary's symbol
+    // sequences) instead of the per-round merge rows.
+    "x111_bpe_char_encode" ->
+      s"""WITH w0 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |        FROM documents)
+         |  GROUP BY 1),
+         |seqs0 AS (
+         |  SELECT word, freq,
+         |         list_concat(regexp_extract_all(word, '[a-z0-9]'), ['</w>']) AS t
+         |  FROM w0),
+         |${(1 to CharBpeRounds).map(r => bpeRoundSql(r, key = "word", weighted = true)).mkString(",\n")}
+         |SELECT word, freq,
+         |       CAST(len(t) AS BIGINT) AS n_symbols,
+         |       md5(array_to_string(t, ' ')) AS seq_digest
+         |FROM seqs$CharBpeRounds
+         |ORDER BY word""".stripMargin,
 
 
     // x83: x80's CTE chain with the md5 hash split (classifierSplitCtes,

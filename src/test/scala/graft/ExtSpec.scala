@@ -240,6 +240,59 @@ class TextOpsSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("bpeEncodeChars returns the encoded vocabulary; trainer and tokenizer agree") {
+    val docs = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "low"))
+      .toDF("doc_id", "text")
+    val r = TextOps.bpeEncodeChars(docs, "doc_id", "text", 3)
+      .orderBy("word").collect()
+      .map(x => (x.getAs[String]("word"), x.getAs[Long]("freq"),
+        x.getSeq[String](2).toList))
+    // after the 3 merges the trainer spec pins (l o, l_o w, l_o_w </w>):
+    // "low" collapses to ONE symbol (its </w> merge fired), "lower" keeps
+    // the un-merged tail — the trained vocabulary a tokenizer freezes
+    assert(r.toSeq == Seq(
+      ("low", 4L, List("l_o_w_</w>")),
+      ("lower", 2L, List("l_o_w", "e", "r", "</w>"))))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("dsirEnrichment cells equal the per-doc aggregation; rates and lift are NULL-safe") {
+    // held-out docs (ids 1, 2 at frac 0.5) now carry labels: 1 target,
+    // 2 not — the labels feed ONLY the audit, never the weights
+    val docs = Seq(
+      (6L, "apple banana apple banana", true),
+      (9L, "apple cherry banana cherry", true),
+      (11L, "zebra yak zebra yak", false),
+      (1L, "apple banana apple", true),
+      (2L, "zebra yak yak", false))
+      .toDF("doc_id", "text", "is_target")
+    // consistency at a thinning threshold: cells = hand-aggregation of
+    // the gated per-doc resample over the same inputs
+    val perDoc = TextOps.dsirResample(docs, "doc_id", "text", "is_target",
+        0.5, 1024, 0L)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Boolean]("accepted"))
+      .toMap
+    val labels = Map(1L -> true, 2L -> false)
+    val e = TextOps.dsirEnrichment(docs, "doc_id", "text", "is_target",
+      0.5, 1024, 0L).collect()(0)
+    val kept = perDoc.count(_._2)
+    assert(e.getAs[Long]("n_kept") == kept.toLong)
+    assert(e.getAs[Long]("n_dropped") == (2 - kept).toLong)
+    assert(e.getAs[Long]("kept_target") ==
+      perDoc.count { case (id, a) => a && labels(id) }.toLong)
+    // all-kept threshold: the dropped-side rate and the lift are NULL,
+    // not a division error
+    val loose = TextOps.dsirEnrichment(docs, "doc_id", "text", "is_target",
+      0.5, 1024, -100L).collect()(0)
+    assert(loose.getAs[Long]("n_kept") == 2L &&
+      loose.getAs[Long]("n_dropped") == 0L)
+    assert(loose.getAs[Long]("kept_target") == 1L)
+    assert(loose.getAs[Double]("kept_target_rate") == 0.5)
+    assert(loose.isNullAt(loose.fieldIndex("dropped_target_rate")))
+    assert(loose.isNullAt(loose.fieldIndex("lift")))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("dsirWeights: target-vocab held-out docs outweigh raw-vocab ones; base slice never weighed") {
     // same deterministic md5 split as the bigramLmScores spec: at frac
     // 0.5, ids 6,9,11 land in base, 1,2 in the held-out rest
