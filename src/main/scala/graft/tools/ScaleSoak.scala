@@ -158,7 +158,12 @@ object ScaleSoak {
     //    salting grows vocabulary ~linearly with replicas, so the slope
     //    prices the vocab-bounded (not corpus-bounded) shuffle claim.
     "x105_bm25_stuffed_ladder", "x108_lm_perplexity_gate",
-    "x109_dsir_resample", "x110_bpe_char_merges")
+    "x109_dsir_resample", "x110_bpe_char_merges",
+    //  - x111/x112 (round-14 stretch): the tokenizer-apply twin should
+    //    read like x110's vocab-bounded line; the enrichment audit is
+    //    x109's plan + one label join + a global aggregate, so its
+    //    slope should track x109's.
+    "x111_bpe_char_encode", "x112_dsir_enrichment")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -1035,7 +1040,11 @@ object ScaleSoak {
     sb.append("  set is the DISTINCT-WORD relation, so per-round pair statistics\n")
     sb.append("  are vocab-bounded weighted sums — corpus growth only raises the\n")
     sb.append("  word-count aggregate's scan, exactly the published trainer's\n")
-    sb.append("  pre-aggregation rationale, now a measured slope.\n")
+    sb.append("  pre-aggregation rationale, now a measured slope. The stretch\n")
+    sb.append("  twins inherit their parents' classes as claimed: x111 (tokenizer-\n")
+    sb.append("  apply) 1.93 -> 3.71 s x10 -> x100 (slope 1.9 — x110's vocab-bounded\n")
+    sb.append("  line), x112 (enrichment audit) 1.60 -> 7.84 s (slope 4.9 — x109's\n")
+    sb.append("  plan + one label equi-join + a global aggregate, nothing more).\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")
