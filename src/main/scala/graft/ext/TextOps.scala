@@ -422,6 +422,7 @@ object TextOps {
         .crossJoin(broadcast(top))
         .select(lit(r.toLong).as("round"), col("m_pair").as("pair"),
           col("m_n").as("n"), col("n_tokens_after"))
+        .filter(col("pair").isNotNull) // dead round (exhausted vocab): no row
     }
     rounds.reduce(_.unionAll(_))
   }
@@ -439,12 +440,22 @@ object TextOps {
       struct((-col("n")).as("nn"), col("pair"))).as("m"))
     .select(col("m.pair").as("m_pair"), col("m.n").as("m_n"))
 
+  /** Applies the 1-row winner everywhere. Null-winner guard (round-14
+    * advice): an exhausted vocabulary (no adjacent pair anywhere — k past
+    * total exhaustion) makes the ungrouped min_by yield one all-null row;
+    * merging against it must be the IDENTITY, not a fold against null —
+    * the oracle's sentinel row (bpeRoundSql's mt$r fallback) spells the
+    * same no-op, so both engines hold the sequences stable and emit no
+    * merge row for the dead round. Unreachable at gate configs (k ≪
+    * exhaustion) but now a defined semantics instead of a latent
+    * cross-engine divergence. */
   private def applyTopMerge(cur: DataFrame, top: DataFrame,
                             keep: Seq[String] = Seq("id")): DataFrame = {
     val a = split(col("m_pair"), " ")(0)
     val b = split(col("m_pair"), " ")(1)
     cur.crossJoin(broadcast(top))
-      .select(keep.map(col) :+ applyMerge(col("t"), a, b).as("t"): _*)
+      .select(keep.map(col) :+ when(col("m_pair").isNull, col("t"))
+        .otherwise(applyMerge(col("t"), a, b)).as("t"): _*)
   }
 
   /** k rounds of CHARACTER-level BPE training (x110) — the published
@@ -469,14 +480,38 @@ object TextOps {
     * n_tokens_after = Σ freq·|symbols| — the corpus symbol mass that
     * proves the merge was APPLIED, not just counted). Merged symbols
     * are spelled a_b (x60's convention). */
+  /** Unicode word extraction for the tokenizer family — `\p{L}\p{N}`
+    * word classes instead of [[tokens]]' `[a-z0-9]+` (round-14 verdict
+    * #2: the published tokenizer granularity is codepoint-level; the
+    * ASCII class silently DROPPED every non-ASCII character from
+    * training, the exact multilingual corpora DSIR/CCNet target).
+    * `\p{L}`/`\p{N}` are the Unicode general categories in both Java
+    * regex (Spark) and RE2 (DuckDB); on a pure-ASCII corpus this
+    * tokenization is provably identical to [[tokens]]', so the x110/x111
+    * hashes are unchanged by the switch. [[tokens]] itself stays ASCII —
+    * it feeds the x08…x66 analysis fleet whose oracles pin that class. */
+  private[ext] def tokensUnicode(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[\\p{L}\\p{N}]+"), lit(0))
+
+  /** One symbol per CODEPOINT — `.` matches a single code point in both
+    * Java regex and RE2 (words carry no line terminators). Non-BMP
+    * symbols (outside U+0000–U+FFFF) are the one documented divergence
+    * risk: Java matches them as single code points too, but a gate
+    * corpus stays BMP-only so the engines can never disagree on what a
+    * "character" is. */
+  private[ext] def codepoints(word: Column): Column =
+    regexp_extract_all(word, lit("."), lit(0))
+
   /** The distinct-word symbol relation char-BPE trains and applies
-    * over: (word, corpus freq, chars + the `</w>` marker). */
+    * over: (word, corpus freq, codepoints + the `</w>` marker).
+    * Codepoint-level since round 15 ([[tokensUnicode]]/[[codepoints]]) —
+    * byte-identical on ASCII corpora, correct on multilingual ones
+    * (gated by x110b's non-ASCII variant). */
   private def charWordSeqs(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(tokens(col(textCol))).as("word"))
+    docs.select(explode(tokensUnicode(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
-        concat(regexp_extract_all(col("word"), lit("[a-z0-9]"), lit(0)),
-          array(lit("</w>"))).as("t"))
+        concat(codepoints(col("word")), array(lit("</w>"))).as("t"))
 
   def bpeMergeLoopChars(docs: DataFrame, idCol: String, textCol: String,
                         k: Int): DataFrame = {
@@ -490,6 +525,7 @@ object TextOps {
         .crossJoin(broadcast(top))
         .select(lit(r.toLong).as("round"), col("m_pair").as("pair"),
           col("m_n").as("n"), col("n_tokens_after"))
+        .filter(col("pair").isNotNull) // dead round (exhausted vocab): no row
     }
     rounds.reduce(_.unionAll(_))
   }

@@ -219,9 +219,21 @@ private[queries] trait ExtBase { this: ExtCore =>
        |  FROM $prev, unnest(range(1, len(t))) AS u(p)
        |  GROUP BY 1),
        |mt$r AS (
+       |  -- null-winner sentinel (round-14 advice): an exhausted vocabulary
+       |  -- empties cnt; LIMIT 1 alone would then empty mt, and seqs's CROSS
+       |  -- JOIN would drop every row. An always-present all-null candidate
+       |  -- that sorts LAST (the leading pair-IS-NULL key) wins only when no
+       |  -- real pair exists; nothing matches NULL, so the dead round is an
+       |  -- identity — the same no-op the Spark side's null-guarded
+       |  -- applyTopMerge spells. One branch, one cnt$r reference: a second
+       |  -- reference (e.g. NOT EXISTS) re-inlines the whole per-round chain
+       |  -- and goes exponential in the unrolled depth.
        |  SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b,
        |         pair, n
-       |  FROM cnt$r ORDER BY n DESC, pair LIMIT 1),
+       |  FROM (SELECT pair, n FROM cnt$r
+       |        UNION ALL
+       |        SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT))
+       |  ORDER BY (pair IS NULL), n DESC, pair LIMIT 1),
        |match$r AS (
        |  SELECT s.$key, p
        |  FROM $prev s, mt$r m, unnest(range(1, len(s.t))) AS u(p)
@@ -248,7 +260,8 @@ private[queries] trait ExtBase { this: ExtCore =>
        |row$r AS (
        |  SELECT CAST($r AS BIGINT) AS round, m.pair, CAST(m.n AS BIGINT) AS n,
        |         (SELECT CAST($afterExpr AS BIGINT) FROM seqs$r) AS n_tokens_after
-       |  FROM mt$r m)""".stripMargin
+       |  FROM mt$r m
+       |  WHERE m.pair IS NOT NULL)""".stripMargin
   }
 
   /** Fixed-point quantization + exact integer dot product — mirrors

@@ -1005,6 +1005,24 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     "x111_bpe_char_encode" -> (x111_bpe_char_encode _),
     "x112_dsir_enrichment" -> (x112_dsir_enrichment _))
 
+  /** Char-BPE's base relation, oracle side — the distinct-word table
+    * with corpus frequencies and codepoint symbol sequences (+`</w>`),
+    * ONE spelling shared by x110/x111/x110b/x113. `from` is the corpus
+    * relation (documents, a stuffed variant, the base hash slice);
+    * `\p{L}\p{N}` word classes and `.` codepoint split mirror
+    * TextOps.tokensUnicode/codepoints (RE2 and Java regex agree on both
+    * for BMP text — the gate corpora stay BMP-only). */
+  private def charSeqs0Sql(from: String = "documents"): String =
+    s"""w0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS word
+       |        FROM $from)
+       |  GROUP BY 1),
+       |seqs0 AS (
+       |  SELECT word, freq,
+       |         list_concat(regexp_extract_all(word, '.'), ['</w>']) AS t
+       |  FROM w0)""".stripMargin
+
   /** The DSIR chain (x109/x112), oracle side — features → bucket counts
     * → mass anchors → product-form λ → per-doc weights → shift → the
     * acceptance draw. `acc` carries (doc_id, n_feats, w_bits, w_x16,
@@ -1491,15 +1509,7 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     // distinct-word relation with frequency-weighted pair counts and
     // </w> end-of-word markers (bpeRoundSql's weighted form).
     "x110_bpe_char_merges" ->
-      s"""WITH w0 AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-         |        FROM documents)
-         |  GROUP BY 1),
-         |seqs0 AS (
-         |  SELECT word, freq,
-         |         list_concat(regexp_extract_all(word, '[a-z0-9]'), ['</w>']) AS t
-         |  FROM w0),
+      s"""WITH ${charSeqs0Sql()},
          |${(1 to CharBpeRounds).map(r => bpeRoundSql(r, key = "word", weighted = true)).mkString(",\n")}
          |SELECT round, pair, n, n_tokens_after
          |FROM (${(1 to CharBpeRounds).map(r => s"SELECT * FROM row$r").mkString(" UNION ALL ")})
@@ -1509,15 +1519,7 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     // its final seqs relation (the trained vocabulary's symbol
     // sequences) instead of the per-round merge rows.
     "x111_bpe_char_encode" ->
-      s"""WITH w0 AS (
-         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-         |        FROM documents)
-         |  GROUP BY 1),
-         |seqs0 AS (
-         |  SELECT word, freq,
-         |         list_concat(regexp_extract_all(word, '[a-z0-9]'), ['</w>']) AS t
-         |  FROM w0),
+      s"""WITH ${charSeqs0Sql()},
          |${(1 to CharBpeRounds).map(r => bpeRoundSql(r, key = "word", weighted = true)).mkString(",\n")}
          |SELECT word, freq,
          |       CAST(len(t) AS BIGINT) AS n_symbols,

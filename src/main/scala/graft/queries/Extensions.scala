@@ -14,14 +14,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and a deterministic total ORDER BY on every result.
   */
 object Extensions extends ExtCore {
+  /** Per-family registry slices, named — exposed so RegistrySpec can
+    * assert the union below lost nothing to a cross-family key clash
+    * (Map ++ silently shadows; the doc-count gate would catch it only
+    * indirectly). */
+  val querySlices: Seq[(String, Map[String, (SparkSession, String) => DataFrame])] =
+    Seq("dedup" -> queriesDedup, "quality" -> queriesQuality,
+      "ann" -> queriesAnn, "graph" -> queriesGraph,
+      "retrieval" -> queriesRetrieval, "stream" -> queriesStream,
+      "engineOps" -> queriesEngineOps)
+
   /** The full gated registry — the union of every family's slice. Key
-    * uniqueness across slices is spec-guarded (RegistrySpec). */
+    * uniqueness across slices is spec-guarded (RegistrySpec pins
+    * Σ slice sizes = union size via [[querySlices]]/[[oracleSlices]]). */
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    queriesDedup ++ queriesQuality ++ queriesAnn ++ queriesGraph ++
-      queriesRetrieval ++ queriesStream ++ queriesEngineOps
+    querySlices.map(_._2).reduce(_ ++ _)
+
+  /** Oracle slices, same keys as [[querySlices]]. */
+  val oracleSlices: Seq[(String, Map[String, String])] =
+    Seq("dedup" -> oracleSqlDedup, "quality" -> oracleSqlQuality,
+      "ann" -> oracleSqlAnn, "graph" -> oracleSqlGraph,
+      "retrieval" -> oracleSqlRetrieval, "stream" -> oracleSqlStream,
+      "engineOps" -> oracleSqlEngineOps)
 
   /** DuckDB oracle twins, unioned the same way. */
-  val oracleSql: Map[String, String] =
-    oracleSqlDedup ++ oracleSqlQuality ++ oracleSqlAnn ++ oracleSqlGraph ++
-      oracleSqlRetrieval ++ oracleSqlStream ++ oracleSqlEngineOps
+  val oracleSql: Map[String, String] = oracleSlices.map(_._2).reduce(_ ++ _)
 }

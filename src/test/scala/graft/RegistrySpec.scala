@@ -36,6 +36,25 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("family slices are key-disjoint (Map ++ would silently shadow a clash)") {
+    // Round-14 advice: RegistrySpec only pinned Chinook-vs-Extensions
+    // disjointness; a duplicate key BETWEEN two family files would be
+    // swallowed by the union. Σ slice sizes = union size makes it loud.
+    val ext = graft.queries.Extensions
+    assert(ext.querySlices.map(_._2.size).sum == ext.queries.size,
+      "a query key is shared between two family slices: " +
+        ext.querySlices.combinations(2).flatMap { case Seq((a, ma), (b, mb)) =>
+          val c = ma.keySet intersect mb.keySet
+          if (c.nonEmpty) Some(s"$a∩$b=$c") else None
+        }.mkString("; "))
+    assert(ext.oracleSlices.map(_._2.size).sum == ext.oracleSql.size,
+      "an oracle key is shared between two family slices: " +
+        ext.oracleSlices.combinations(2).flatMap { case Seq((a, ma), (b, mb)) =>
+          val c = ma.keySet intersect mb.keySet
+          if (c.nonEmpty) Some(s"$a∩$b=$c") else None
+        }.mkString("; "))
+  }
+
   test("registry names are unique across the two query sources") {
     val chinook = graft.queries.Chinook.queries.keySet
     val ext = graft.queries.Extensions.queries.keySet
