@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 
 /** Text-analysis operators for LLM-data-pipeline workloads (SURVEY.md §7.6).
   *
@@ -537,9 +537,10 @@ object TextOps {
     * symbol sequence. The output IS the trained tokenizer's working
     * state: one row per distinct word with its corpus frequency and
     * final symbol sequence — what a production tokenizer freezes and
-    * ships (applying it to raw text is then one |vocab|-sized broadcast
-    * join, never a re-derivation). Same vocab-bounded scale shape as
-    * the trainer. */
+    * ships. [[bpeApplyVocab]] (x113) is that shipped forward pass: one
+    * |vocab|-sized broadcast join over raw unseen text, never a
+    * re-derivation — the claim is hash-gated, not scaladoc. Same
+    * vocab-bounded scale shape as the trainer. */
   def bpeEncodeChars(docs: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame = {
     var cur = ExtCaches.persistTracked(charWordSeqs(docs, textCol))
@@ -549,6 +550,72 @@ object TextOps {
           keep = Seq("word", "freq")))
     }
     cur
+  }
+
+  /** Char-BPE tokenizer APPLY on raw unseen text (x113) — the forward
+    * pass a frozen vocabulary ships for: encode documents that played NO
+    * part in training against the [[bpeEncodeChars]] word→symbols table.
+    * Per document: unicode word extraction ([[tokensUnicode]] — the
+    * trainer's own splitter), one broadcast left join of word
+    * occurrences against the |vocab|-sized frozen table, OOV words
+    * (unseen at train time) falling back to their raw codepoint symbols
+    * + `</w>` (the untrained-word identity every production BPE encoder
+    * degrades to — a merge table never fires on symbols it hasn't
+    * merged), then one per-document regroup rebuilding the sequence in
+    * word order. Output per the x66 digest convention: (id, n_words,
+    * n_oov_words, n_tokens, seq_digest) — n_oov_words is the coverage
+    * audit column (how much of the unseen corpus the frozen vocabulary
+    * actually covers). Documents with zero extractable words have no
+    * sequence and are excluded (a length gate catches them first; both
+    * engines drop them identically at the explode).
+    *
+    * Scale shape — the reason freeze→apply exists: the trainer's k
+    * per-round folds are paid ONCE at train time on the distinct-word
+    * relation; applying is one broadcast hash join (the vocab is
+    * |distinct words| ≤ a few million rows at 100 TB — and past
+    * broadcast size it becomes a shuffle equi-join on the word key, same
+    * plan class as x28's decontamination fallback) plus one per-doc
+    * groupBy whose shuffle carries token occurrences — linear in corpus
+    * size, zero per-round re-derivation. */
+  /** Deterministic OOV probe for the x113 apply gate: every third doc
+    * (u16 hash draw) gets one appended word derived from its own id
+    * ("ov" + 8 md5 hex chars) — unique per document, so it provably
+    * cannot appear in any OTHER document's slice of the corpus and the
+    * codepoint-fallback path must fire for it. The x105 discipline:
+    * when the natural corpus can't exercise a path (its generative
+    * vocabulary is small enough that a base slice covers every held-out
+    * word), synthesize the condition inside the query with portable
+    * hash draws, so both engines build the identical variant. */
+  def oovProbeVariant(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val ids = col(idCol).cast(StringType)
+    docs.select(col(idCol),
+      when(Planted.u16(concat(lit("oov|"), ids)) % 3 === 0L,
+        concat(col(textCol), lit(" ov"),
+          substring(md5(concat(lit("oovw|"), ids)), 1, 8)))
+        .otherwise(col(textCol)).as(textCol))
+  }
+
+  def bpeApplyVocab(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+      posexplode(tokensUnicode(col(textCol))).as(Seq("p", "word")))
+    words
+      .join(broadcast(vocab.select(col("word"), col("t").as("vt"))),
+        Seq("word"), "left")
+      .select(col("id"), col("p"), col("vt").isNull.as("oov"),
+        coalesce(col("vt"),
+          concat(codepoints(col("word")), array(lit("</w>")))).as("syms"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov_words"),
+        collect_list(struct(col("p"), col("syms"))).as("ps"))
+      .select(col("id"), col("n_words"), col("n_oov_words"),
+        flatten(transform(array_sort(col("ps")), s => s.getField("syms")))
+          .as("t"))
+      .select(col("id"), col("n_words"), col("n_oov_words"),
+        size(col("t")).cast(LongType).as("n_tokens"),
+        md5(concat_ws(" ", col("t"))).as("seq_digest"))
   }
 
   /** DSIR enrichment audit (x112) — the effectiveness number for

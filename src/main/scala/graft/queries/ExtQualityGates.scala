@@ -936,6 +936,40 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
         md5(concat_ws(" ", col("t"))).as("seq_digest"))
       .orderBy(col("word"))
 
+  /** Char-BPE apply on raw UNSEEN text (x113) — the round-14 verdict's
+    * #1: x111 froze the vocabulary but no gate RAN it forward. This one
+    * completes train→freeze→APPLY, the contract a production tokenizer
+    * actually ships: the vocabulary trains on the [[BaseFrac]] hash
+    * slice ONLY (x66/x83's split discipline), then encodes every
+    * held-out document via one broadcast join against the frozen
+    * word→symbols table, OOV words falling back to raw codepoints +
+    * `</w>` ([[graft.ext.TextOps.bpeApplyVocab]]). The natural corpus's
+    * generative vocabulary is small enough that the base slice covers
+    * every held-out word (measured: zero OOV at sf0.001), so the
+    * held-out side carries the [[graft.ext.TextOps.oovProbeVariant]]:
+    * every third held-out doc gets one id-derived word that provably
+    * cannot be in the base vocabulary — the fallback path FIRES, mixed
+    * with zero-OOV docs. Output per held-out doc: word count, OOV count
+    * (the coverage audit), token count, and the x66-convention sequence
+    * digest. The oracle is
+    * x110's unrolled chain trained on the same base slice, left-joined
+    * to the held-out docs' positional word relation with the same
+    * codepoint fallback — trainer, freezer and encoder proven to agree
+    * symbol for symbol on text none of them trained on. */
+  def x113_bpe_apply_unseen(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Sampling
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
+    val vocab = graft.ext.TextOps.bpeEncodeChars(
+      docs.filter(inBase), "doc_id", "text", CharBpeRounds)
+    graft.ext.TextOps.bpeApplyVocab(
+        graft.ext.TextOps.oovProbeVariant(docs.filter(!inBase), "doc_id", "text"),
+        "doc_id", "text", vocab.select("word", "t"))
+      .select(col("id").as("doc_id"), col("n_words"), col("n_oov_words"),
+        col("n_tokens"), col("seq_digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR enrichment audit (x112) — the measurement that makes x109 a
     * curation tool instead of a determinism demo (the x86 discipline,
     * applied to resampling): confront the accepted/rejected partition
@@ -1003,7 +1037,8 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     "x109_dsir_resample" -> (x109_dsir_resample _),
     "x110_bpe_char_merges" -> (x110_bpe_char_merges _),
     "x111_bpe_char_encode" -> (x111_bpe_char_encode _),
-    "x112_dsir_enrichment" -> (x112_dsir_enrichment _))
+    "x112_dsir_enrichment" -> (x112_dsir_enrichment _),
+    "x113_bpe_apply_unseen" -> (x113_bpe_apply_unseen _))
 
   /** Char-BPE's base relation, oracle side — the distinct-word table
     * with corpus frequencies and codepoint symbol sequences (+`</w>`),
@@ -1526,6 +1561,49 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
          |       md5(array_to_string(t, ' ')) AS seq_digest
          |FROM seqs$CharBpeRounds
          |ORDER BY word""".stripMargin,
+
+    // x113: the frozen vocabulary RUN FORWARD on unseen text — the x110
+    // chain trained on the base hash slice only, its final seqs relation
+    // read as the vocab, left-joined to the held-out docs' positional
+    // word relation; OOV words (no vocab row) fall back to raw
+    // codepoints + </w>, and each doc's sequence is rebuilt in word
+    // order before the digest.
+    "x113_bpe_apply_unseen" -> {
+      import graft.ext.Sampling
+      s"""WITH base AS (
+         |  SELECT text FROM documents
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}'),
+         |${charSeqs0Sql(from = "base")},
+         |${(1 to CharBpeRounds).map(r => bpeRoundSql(r, key = "word", weighted = true)).mkString(",\n")},
+         |vocab AS (SELECT word, t FROM seqs$CharBpeRounds),
+         |hd AS (
+         |  -- held-out docs + the OOV probe (TextOps.oovProbeVariant): every
+         |  -- third doc gets one id-derived word no base doc can contain
+         |  SELECT doc_id,
+         |         regexp_extract_all(lower(
+         |           CASE WHEN ${u16Sql("'oov|' || CAST(doc_id AS VARCHAR)")} % 3 = 0
+         |                THEN text || ' ov' || substr(md5('oovw|' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |                ELSE text END), '[\\p{L}\\p{N}]+') AS tw
+         |  FROM documents
+         |  WHERE NOT (substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}')),
+         |hw AS (
+         |  SELECT doc_id, p, tw[p] AS word
+         |  FROM hd, unnest(range(1, len(tw) + 1)) AS u(p)),
+         |js AS (
+         |  SELECT h.doc_id, h.p, (v.word IS NULL) AS oov,
+         |         COALESCE(v.t,
+         |           list_concat(regexp_extract_all(h.word, '.'), ['</w>'])) AS syms
+         |  FROM hw h LEFT JOIN vocab v USING (word)),
+         |sq AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_words,
+         |         flatten(list(syms ORDER BY p)) AS t
+         |  FROM js GROUP BY 1)
+         |SELECT doc_id, n_words, n_oov_words,
+         |       CAST(len(t) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(t, ' ')) AS seq_digest
+         |FROM sq ORDER BY doc_id""".stripMargin
+    },
 
 
     // x83: x80's CTE chain with the md5 hash split (classifierSplitCtes,

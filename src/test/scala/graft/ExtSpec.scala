@@ -256,6 +256,48 @@ class TextOpsSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("bpeApplyVocab: frozen vocab runs forward; OOV words fall back to codepoints") {
+    // train on docs 1-3 (the bpeEncodeChars spec's corpus), apply to an
+    // UNSEEN doc mixing trained words with an out-of-vocabulary one
+    val train = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "low"))
+      .toDF("doc_id", "text")
+    val vocab = TextOps.bpeEncodeChars(train, "doc_id", "text", 3)
+    val unseen = Seq((10L, "low zebra lower"), (11L, "low low"))
+      .toDF("doc_id", "text")
+    val r = TextOps.bpeApplyVocab(unseen, "doc_id", "text",
+        vocab.select("word", "t"))
+      .orderBy("id").collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[Long]("n_words"),
+        x.getAs[Long]("n_oov_words"), x.getAs[Long]("n_tokens"),
+        x.getAs[String]("seq_digest")))
+    // doc 10: low → [l_o_w_</w>] (1), zebra → OOV codepoints (6),
+    //         lower → [l_o_w, e, r, </w>] (4) — word ORDER is preserved
+    val doc10 = Seq("l_o_w_</w>",
+      "z", "e", "b", "r", "a", "</w>",
+      "l_o_w", "e", "r", "</w>").mkString(" ")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.toSeq == Seq(
+      (10L, 3L, 1L, 11L, md5hex(doc10)),
+      (11L, 2L, 0L, 2L, md5hex("l_o_w_</w> l_o_w_</w>"))))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("oovProbeVariant appends one id-derived word to every third doc only") {
+    val docs = (1L to 12L).map(i => (i, "plain text")).toDF("doc_id", "text")
+    val out = TextOps.oovProbeVariant(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text"))
+      .toMap
+    val stuffed = out.filter(_._2 != "plain text")
+    assert(stuffed.nonEmpty && stuffed.size < out.size,
+      "the probe must stuff SOME docs and leave others untouched")
+    stuffed.values.foreach(t =>
+      assert(t.matches("plain text ov[0-9a-f]{8}"), t))
+    assert(stuffed.values.toSeq.distinct.size == stuffed.size,
+      "probe words are id-derived, so they must be pairwise distinct")
+  }
+
   test("dsirEnrichment cells equal the per-doc aggregation; rates and lift are NULL-safe") {
     // held-out docs (ids 1, 2 at frac 0.5) now carry labels: 1 target,
     // 2 not — the labels feed ONLY the audit, never the weights
