@@ -596,6 +596,24 @@ object TextOps {
         .otherwise(col(textCol)).as(textCol))
   }
 
+  /** Deterministic NON-ASCII corpus variant for the x110b gate: every
+    * third doc (u16 hash draw) appends `reps` copies of `word` — a
+    * BMP-only multilingual token. Sized so the word's adjacent codepoint
+    * pairs outweigh the corpus's top ASCII pair at every SF (both sides
+    * scale linearly with doc count, so the margin is SF-invariant) and
+    * the merge table provably carries non-ASCII rows — the condition the
+    * old `[a-z0-9]` symbol class silently dropped. Same x105 synthesize-
+    * inside-the-query discipline as [[oovProbeVariant]]. */
+  def nonAsciiVariant(docs: DataFrame, idCol: String, textCol: String,
+                      word: String, reps: Int): DataFrame = {
+    val ids = col(idCol).cast(StringType)
+    val phrase = Seq.fill(reps)(word).mkString(" ")
+    docs.select(col(idCol),
+      when(Planted.u16(concat(lit("ub|"), ids)) % 3 === 0L,
+        concat(col(textCol), lit(" " + phrase)))
+        .otherwise(col(textCol)).as(textCol))
+  }
+
   def bpeApplyVocab(docs: DataFrame, idCol: String, textCol: String,
                     vocab: DataFrame): DataFrame = {
     val words = docs.select(col(idCol).as("id"),

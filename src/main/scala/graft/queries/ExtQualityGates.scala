@@ -936,6 +936,39 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
         md5(concat_ws(" ", col("t"))).as("seq_digest"))
       .orderBy(col("word"))
 
+  /** The x110b stuffing word: four BMP codepoints from three scripts
+    * (Greek, CJK, Cyrillic), already lowercase so `lower()` is the
+    * identity in both engines. Its four adjacent pairs (incl. the `</w>`
+    * word-final one) weigh [[UnicodeStuffReps]]·⌈n/3⌉ each — measured
+    * top ASCII pair is ≈9.3·n at every SF, the stuffing ≈13.3·n, so all
+    * [[CharBpeRounds]] winners are provably the non-ASCII word's own
+    * merge recursion, at a margin that scales WITH the corpus. */
+  val UnicodeStuffWord = "αβ日ц"
+  val UnicodeStuffReps = 40
+
+
+  /** Char-BPE over a MULTILINGUAL corpus (x110b) — the round-14
+    * verdict's #2 made a hashed fact: the old `[a-z0-9]` symbol class
+    * silently dropped every non-ASCII codepoint from training (fatal on
+    * the multilingual corpora DSIR/CCNet target — a wrong vocabulary
+    * with no error). The registry corpus is pure ASCII, so the gate
+    * synthesizes the condition inside the query
+    * ([[graft.ext.TextOps.nonAsciiVariant]] — the x105 discipline) and
+    * trains x110's loop over it: the merge table's rows are the
+    * stuffing word's own recursion (α β → α_β 日 → α_β_日 ц →
+    * α_β_日_ц </w>), each flagged `non_ascii` so the hashed VALUES prove
+    * the symbols survived word extraction, pair counting, the fold, and
+    * both engines' regexes. */
+  def x110b_bpe_char_unicode(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.bpeMergeLoopChars(
+      graft.ext.TextOps.nonAsciiVariant(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", UnicodeStuffWord, UnicodeStuffReps),
+      "doc_id", "text", CharBpeRounds)
+      .withColumn("non_ascii", col("pair").rlike("[^\\x00-\\x7f]"))
+      .orderBy(col("round"))
+
+
   /** Char-BPE apply on raw UNSEEN text (x113) — the round-14 verdict's
     * #1: x111 froze the vocabulary but no gate RAN it forward. This one
     * completes train→freeze→APPLY, the contract a production tokenizer
@@ -1038,7 +1071,8 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     "x110_bpe_char_merges" -> (x110_bpe_char_merges _),
     "x111_bpe_char_encode" -> (x111_bpe_char_encode _),
     "x112_dsir_enrichment" -> (x112_dsir_enrichment _),
-    "x113_bpe_apply_unseen" -> (x113_bpe_apply_unseen _))
+    "x113_bpe_apply_unseen" -> (x113_bpe_apply_unseen _),
+    "x110b_bpe_char_unicode" -> (x110b_bpe_char_unicode _))
 
   /** Char-BPE's base relation, oracle side — the distinct-word table
     * with corpus frequencies and codepoint symbol sequences (+`</w>`),
@@ -1549,6 +1583,26 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
          |SELECT round, pair, n, n_tokens_after
          |FROM (${(1 to CharBpeRounds).map(r => s"SELECT * FROM row$r").mkString(" UNION ALL ")})
          |ORDER BY round""".stripMargin,
+
+    // x110b: the same chain over the non-ASCII stuffed variant
+    // (TextOps.nonAsciiVariant — every third doc appends the
+    // three-script stuffing phrase), winners flagged non_ascii so the
+    // hashed values prove multilingual symbols survive both engines'
+    // word extraction, codepoint split, and merge fold.
+    "x110b_bpe_char_unicode" -> {
+      val phrase = Seq.fill(UnicodeStuffReps)(UnicodeStuffWord).mkString(" ")
+      s"""WITH uvar AS (
+         |  SELECT CASE WHEN ${u16Sql("'ub|' || CAST(doc_id AS VARCHAR)")} % 3 = 0
+         |              THEN text || ' $phrase'
+         |              ELSE text END AS text
+         |  FROM documents),
+         |${charSeqs0Sql(from = "uvar")},
+         |${(1 to CharBpeRounds).map(r => bpeRoundSql(r, key = "word", weighted = true)).mkString(",\n")}
+         |SELECT round, pair, n, n_tokens_after,
+         |       regexp_matches(pair, '[^\\x00-\\x7f]') AS non_ascii
+         |FROM (${(1 to CharBpeRounds).map(r => s"SELECT * FROM row$r").mkString(" UNION ALL ")})
+         |ORDER BY round""".stripMargin
+    },
 
     // x111: the encode half — the SAME unrolled chain as x110, read at
     // its final seqs relation (the trained vocabulary's symbol

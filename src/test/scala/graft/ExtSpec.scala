@@ -298,6 +298,29 @@ class TextOpsSpec extends SparkSpec {
       "probe words are id-derived, so they must be pairwise distinct")
   }
 
+  test("char-BPE trains on non-ASCII codepoints (the [a-z0-9] class dropped them)") {
+    // three scripts in one word: codepoint split + within-word merges
+    // must see every symbol (this corpus has NO ascii token at all)
+    val docs = Seq((1L, "αβ日ц αβ日ц"), (2L, "αβ日ц")).toDF("doc_id", "text")
+    val r = TextOps.bpeMergeLoopChars(docs, "doc_id", "text", 2)
+      .orderBy("round").collect()
+      .map(x => (x.getAs[Long]("round"), x.getAs[String]("pair"),
+        x.getAs[Long]("n")))
+    // freq("αβ日ц") = 3; all 4 adjacent pairs tie at 3 → pair-asc picks
+    // "α β" (UTF-8 byte order), then the merged symbol recurses
+    assert(r.toSeq == Seq((1L, "α β", 3L), (2L, "α_β 日", 3L)))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("nonAsciiVariant stuffs every third doc with the repeated phrase") {
+    val docs = (1L to 9L).map(i => (i, "base")).toDF("doc_id", "text")
+    val out = TextOps.nonAsciiVariant(docs, "doc_id", "text", "αβ", 3)
+      .collect().map(_.getAs[String]("text"))
+    assert(out.count(_ == "base αβ αβ αβ") > 0)
+    assert(out.count(_ == "base") > 0)
+    assert(out.forall(t => t == "base" || t == "base αβ αβ αβ"))
+  }
+
   test("dsirEnrichment cells equal the per-doc aggregation; rates and lift are NULL-safe") {
     // held-out docs (ids 1, 2 at frac 0.5) now carry labels: 1 target,
     // 2 not — the labels feed ONLY the audit, never the weights
