@@ -1114,12 +1114,25 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
        |crb AS MATERIALIZED (
        |  SELECT bucket, CAST(count(*) AS BIGINT) AS c_r
        |  FROM docc WHERE in_base GROUP BY 1),
-       |an AS (SELECT (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) FROM ctb) AS n_t,
-       |              (SELECT CAST(COALESCE(SUM(c_r), 0) AS BIGINT) FROM crb) AS n_r),
+       |an AS (
+       |  -- mass anchors + their overflow-guard normalization
+       |  -- (TextOps.dsirLambda): shift each mass operand into [2^30, 2^31)
+       |  -- and carry the shift; 0 at every gate scale
+       |  SELECT n_t, n_r,
+       |         greatest(0, length(bin(n_t + 1)) - 31) AS sn_t,
+       |         greatest(0, length(bin(n_r + 1)) - 31) AS sn_r,
+       |         (n_t + 1) >> sn_t AS m_t,
+       |         (n_r + 1) >> sn_r AS m_r
+       |  FROM (SELECT (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) FROM ctb) AS n_t,
+       |               (SELECT CAST(COALESCE(SUM(c_r), 0) AS BIGINT) FROM crb) AS n_r)),
        |sc AS (
        |  SELECT o.id,
-       |         (length(bin((COALESCE(ct.c_t, 0) + 1) * (a.n_r + 1))) - 1)
-       |         - (length(bin((COALESCE(cr.c_r, 0) + 1) * (a.n_t + 1))) - 1) AS lam
+       |         COALESCE(ct.c_t, 0) + 1 AS at,
+       |         COALESCE(cr.c_r, 0) + 1 AS ar,
+       |         greatest(0, length(bin(at)) - 31) AS sat,
+       |         greatest(0, length(bin(ar)) - 31) AS sar,
+       |         ((length(bin((at >> sat) * a.m_r)) - 1) + sat + a.sn_r)
+       |         - ((length(bin((ar >> sar) * a.m_t)) - 1) + sar + a.sn_t) AS lam
        |  FROM docc o LEFT JOIN ctb ct USING (bucket)
        |       LEFT JOIN crb cr USING (bucket), an a
        |  WHERE NOT o.in_base),

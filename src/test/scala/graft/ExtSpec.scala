@@ -2778,3 +2778,54 @@ class NndSpec extends SparkSpec {
     assert(planted >= 2.0 * iid, s"no structured-vs-iid separation: $planted vs $iid")
   }
 }
+
+/** The DSIR overflow guard (TextOps.dsirLambda) priced against
+  * BigInt-exact arithmetic at 100 TB-class masses — the round-14
+  * verdict's #3: the i64 bound must be CODE, not a scaladoc. */
+class DsirGuardSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def fl2(x: BigInt): Long = (x.bitLength - 1).toLong
+  private def exactLambda(cT: Long, cR: Long, nT: Long, nR: Long): Long =
+    fl2((BigInt(cT) + 1) * (BigInt(nR) + 1)) -
+      fl2((BigInt(cR) + 1) * (BigInt(nT) + 1))
+
+  test("dsirLambda matches the unguarded product exactly below 2^31 (s = 0)") {
+    val rows = Seq(
+      (0L, 0L, 1L, 1L), (3L, 7L, 100L, 400L), (999L, 1L, 12345L, 54321L),
+      ((1L << 30) - 1L, 1L << 29, (1L << 30) + 5L, (1L << 30) + 3L))
+    val got = rows.toDF("c_t", "c_r", "n_t", "n_r")
+      .select(graft.ext.TextOps.dsirLambda(
+        col("c_t"), col("c_r"), col("n_t"), col("n_r")).as("lam"))
+      .collect().map(_.getAs[Long]("lam"))
+    val want = rows.map { case (ct, cr, nt, nr) => exactLambda(ct, cr, nt, nr) }
+    assert(got.toSeq == want, s"s=0 regime must be bit-identical")
+  }
+
+  test("dsirLambda stays within 1 bit of BigInt-exact at masses >= 2^50") {
+    // synthetic 100 TB-class counts: the UNGUARDED i64 product
+    // (c+1)*(N+1) would exceed 2^63 and wrap on every one of these
+    val rows = Seq(
+      (3L << 48, 5L << 47, (1L << 51) + 17L, (1L << 52) + 3L),
+      (1L << 50, 1L << 49, (1L << 53) - 1L, (1L << 53) + 1L),
+      ((1L << 52) + 9L, 7L, (1L << 52) + 9L, (1L << 54) + 1234567L),
+      (0L, (1L << 51) - 3L, (1L << 55) + 42L, (1L << 51) - 2L),
+      ((1L << 61) - 1L, (1L << 60) + 5L, (1L << 61) - 1L, (1L << 62) - 7L))
+    rows.foreach { case (ct, cr, nt, nr) =>
+      assert((BigInt(ct) + 1) * (BigInt(nr) + 1) > BigInt(Long.MaxValue) ||
+        (BigInt(cr) + 1) * (BigInt(nt) + 1) > BigInt(Long.MaxValue),
+        "test row too small to exercise the guard")
+    }
+    val got = rows.toDF("c_t", "c_r", "n_t", "n_r")
+      .select(graft.ext.TextOps.dsirLambda(
+        col("c_t"), col("c_r"), col("n_t"), col("n_r")).as("lam"))
+      .collect().map(_.getAs[Long]("lam"))
+    rows.zip(got).foreach { case ((ct, cr, nt, nr), lam) =>
+      val exact = exactLambda(ct, cr, nt, nr)
+      assert(math.abs(lam - exact) <= 1L,
+        s"guarded lambda $lam drifted >1 bit from exact $exact " +
+          s"on (c_t=$ct, c_r=$cr, n_t=$nt, n_r=$nr)")
+    }
+  }
+}
