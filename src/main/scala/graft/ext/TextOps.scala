@@ -651,11 +651,28 @@ object TextOps {
     * one global aggregate. */
   def dsirEnrichment(docs: DataFrame, idCol: String, textCol: String,
                      targetCol: String, baseFrac: Double, buckets: Int,
-                     thresholdBits: Long): DataFrame = {
-    val scored = dsirResample(docs, idCol, textCol, targetCol, baseFrac,
-      buckets, thresholdBits)
-    val labels = docs.select(col(idCol).as("id"),
-      col(targetCol).as("is_target"))
+                     thresholdBits: Long): DataFrame =
+    enrichmentCells(
+      dsirResample(docs, idCol, textCol, targetCol, baseFrac, buckets,
+        thresholdBits),
+      docs.select(col(idCol).as("id"), col(targetCol).as("is_target")))
+
+  /** The x112b twin: the same audit row over the TOP-K schedule's
+    * partition — 1 vs the Bernoulli form's lift adjudicates the two
+    * published thinning schedules on the same weights with a number. */
+  def dsirTopKEnrichment(docs: DataFrame, idCol: String, textCol: String,
+                         targetCol: String, baseFrac: Double, buckets: Int,
+                         keepFrac: Double): DataFrame =
+    enrichmentCells(
+      dsirTopK(docs, idCol, textCol, targetCol, baseFrac, buckets, keepFrac),
+      docs.select(col(idCol).as("id"), col(targetCol).as("is_target")))
+
+  /** ONE spelling of the enrichment audit (x112/x112b): confront an
+    * accepted/rejected partition (`scored`: id, accepted) with held-out
+    * labels that played no part in the weights — exact integer cells,
+    * one IEEE divide per rate, NULL-safe on empty partitions. */
+  private def enrichmentCells(scored: DataFrame,
+                              labels: DataFrame): DataFrame = {
     def rate(num: Column, den: Column): Column =
       when(den === 0L, lit(null).cast(DoubleType))
         .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
@@ -890,4 +907,56 @@ object TextOps {
       .withColumn("accepted",
         Planted.u16(concat(lit(salt), col("id").cast("string"))) <
           expr("65536 DIV shiftleft(1L, cast(shift as int))"))
+
+  /** DSIR top-k thinning (x109b) — the paper's WITHOUT-REPLACEMENT
+    * schedule over the same integer weights (Xie et al. resample k docs
+    * via Gumbel top-k over log importance; [[dsirResample]] is the
+    * Bernoulli form): keep exactly the global budget K = ⌈keepFrac·n⌉
+    * best documents ordered by (w_bits DESC, u16 hash draw, id) — at
+    * whole-bit weight granularity the Gumbel keys collapse to exactly
+    * this ordering WITHIN the budget (strictly heavier docs always
+    * outrank lighter ones; the uniform hash draw is the tie-break the
+    * paper's i.i.d. noise provides inside a weight class). The
+    * difference from the published form — true Gumbel noise would
+    * occasionally promote a lighter doc over a heavier one — is the
+    * price of engine-exact integers, same honesty as the Bernoulli
+    * form's power-of-two grid.
+    *
+    * Scale shape (the fleet gate forbids an unpartitioned window over
+    * un-reduced input): the global rank DECOMPOSES — a tiny w_bits
+    * histogram (|distinct w_bits| rows — the weights span a few dozen
+    * bits BY CONSTRUCTION) gets the running count of strictly-heavier
+    * classes via a window over the reduced relation, and each doc's
+    * global rank is that broadcast offset + its row_number within its
+    * OWN bit class (window partitioned by w_bits). At 100 TB the
+    * boundary class is the one partition that can still be large; the
+    * production refinement is a second histogram over the draw within
+    * just that class — same decomposition, one level down. keepFrac
+    * must be dyadic (2⁻¹ at the gate) so ⌈n·keepFrac⌉ is float-exact
+    * on both engines. */
+  def dsirTopK(docs: DataFrame, idCol: String, textCol: String,
+               targetCol: String, baseFrac: Double, buckets: Int,
+               keepFrac: Double, salt: String = "dsirg|"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = ExtCaches.persistTracked(
+      dsirWeights(docs, idCol, textCol, targetCol, baseFrac, buckets)
+        .withColumn("draw",
+          Planted.u16(concat(lit(salt), col("id").cast(StringType)))))
+    val hist = w.groupBy(col("w_bits")).agg(count(lit(1)).as("n_bits"))
+    val above = Window.orderBy(col("w_bits").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("w_bits"),
+      coalesce(sum(col("n_bits")).over(above), lit(0L)).as("n_above"))
+    val total = hist.agg(sum(col("n_bits")).as("n_pool"))
+    val inClass = Window.partitionBy(col("w_bits"))
+      .orderBy(col("draw"), col("id"))
+    w.withColumn("rnk", row_number().over(inClass).cast(LongType))
+      .join(broadcast(cum), Seq("w_bits"))
+      .crossJoin(broadcast(total))
+      .withColumn("k_budget",
+        ceil(col("n_pool") * lit(keepFrac)).cast(LongType))
+      .withColumn("accepted", col("n_above") + col("rnk") <= col("k_budget"))
+      .select(col("id"), col("n_feats"), col("w_bits"), col("draw"),
+        col("accepted"))
+  }
 }

@@ -895,6 +895,44 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
       .orderBy(col("doc_id"))
 
 
+  /** Top-k thinning budget as a fraction of the held-out pool — DYADIC
+    * so ⌈n·frac⌉ is float-exact on both engines; 2⁻¹ lands the kept
+    * count (65 of 129 at sf0.001) near the Bernoulli form's measured
+    * 74, so the x112-vs-x112b lift comparison prices the SCHEDULE, not
+    * a budget difference. */
+  val DsirKeepFrac = 0.5
+
+
+  /** DSIR top-k thinning (x109b) — the paper's without-replacement
+    * schedule over the SAME integer weights as x109 (Gumbel top-k at
+    * whole-bit granularity: strictly heavier docs always outrank
+    * lighter; the u16 hash draw is the in-class tie-break). Exactly
+    * ⌈[[DsirKeepFrac]]·n⌉ docs keep, decomposed scale-safely (bit-class
+    * histogram offset + within-class rank — see
+    * [[graft.ext.TextOps.dsirTopK]]). The oracle replays the selection
+    * as one global rank window over the shared dsirCtes weights. */
+  def x109b_dsir_topk(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.dsirTopK(
+      TextOps.qualityScore(Tables.documents(s, dir))
+        .withColumn("is_target", col("quality_score") >= QualityGate),
+      "doc_id", "text", "is_target", BaseFrac, DsirBuckets, DsirKeepFrac)
+      .select(col("id").as("doc_id"), col("n_feats"), col("w_bits"),
+        col("draw"), col("accepted"))
+      .orderBy(col("doc_id"))
+
+
+  /** Enrichment audit of the top-k schedule (x112b) — x112's one-row
+    * confusion discipline over x109b's partition; its lift vs x112's
+    * adjudicates Bernoulli-vs-top-k thinning on the same weights with
+    * a number (top-k keeps no low-weight doc by luck, so it should
+    * concentrate target docs at least as hard). */
+  def x112b_topk_enrichment(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.dsirTopKEnrichment(
+      TextOps.qualityScore(Tables.documents(s, dir))
+        .withColumn("is_target", col("quality_score") >= QualityGate),
+      "doc_id", "text", "is_target", BaseFrac, DsirBuckets, DsirKeepFrac)
+
+
   /** Char-BPE training rounds — enough that merged symbols themselves
     * win later rounds (the recursion that makes BPE BPE), small enough
     * that the oracle's unrolled replay stays cheap. */
@@ -1072,7 +1110,9 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     "x111_bpe_char_encode" -> (x111_bpe_char_encode _),
     "x112_dsir_enrichment" -> (x112_dsir_enrichment _),
     "x113_bpe_apply_unseen" -> (x113_bpe_apply_unseen _),
-    "x110b_bpe_char_unicode" -> (x110b_bpe_char_unicode _))
+    "x110b_bpe_char_unicode" -> (x110b_bpe_char_unicode _),
+    "x109b_dsir_topk" -> (x109b_dsir_topk _),
+    "x112b_topk_enrichment" -> (x112b_topk_enrichment _))
 
   /** Char-BPE's base relation, oracle side — the distinct-word table
     * with corpus frequencies and codepoint symbol sequences (+`</w>`),
@@ -1576,6 +1616,63 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
          |         CAST(SUM(CASE WHEN accepted AND is_target THEN 1 ELSE 0 END) AS BIGINT) AS kept_target,
          |         CAST(SUM(CASE WHEN NOT accepted AND is_target THEN 1 ELSE 0 END) AS BIGINT) AS dropped_target
          |  FROM acc JOIN lab USING (doc_id))
+         |SELECT *,
+         |       CASE WHEN n_kept = 0 THEN NULL
+         |            ELSE CAST(kept_target AS DOUBLE) / CAST(n_kept AS DOUBLE) END AS kept_target_rate,
+         |       CASE WHEN n_dropped = 0 THEN NULL
+         |            ELSE CAST(dropped_target AS DOUBLE) / CAST(n_dropped AS DOUBLE) END AS dropped_target_rate,
+         |       CASE WHEN dropped_target * n_kept = 0 THEN NULL
+         |            ELSE CAST(kept_target * n_dropped AS DOUBLE)
+         |                 / CAST(dropped_target * n_kept AS DOUBLE) END AS lift
+         |FROM cells""".stripMargin,
+
+    // x109b: the top-k schedule — the same dsirCtes weights, selection
+    // replayed as ONE global rank window (w_bits DESC, u16 draw, id)
+    // under the dyadic ceil budget; the Spark side's histogram-offset
+    // decomposition is provably the same ordering.
+    "x109b_dsir_topk" ->
+      s"""WITH $qualityGateCte,
+         |$dsirCtes,
+         |g AS (
+         |  SELECT doc_id, n_feats, w_bits,
+         |         ${u16Sql("'dsirg|' || CAST(doc_id AS VARCHAR)")} AS draw
+         |  FROM ws),
+         |r AS (
+         |  SELECT *,
+         |         CAST(row_number() OVER (ORDER BY w_bits DESC, draw, doc_id) AS BIGINT) AS rnk,
+         |         CAST(count(*) OVER () AS BIGINT) AS n_pool
+         |  FROM g)
+         |SELECT doc_id, n_feats, w_bits, draw,
+         |       rnk <= CAST(ceil(n_pool * $DsirKeepFrac) AS BIGINT) AS accepted
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // x112b: x112's audit cells over the top-k partition — the CTE tail
+    // is shared verbatim with x112 so the two lifts differ only by the
+    // thinning schedule.
+    "x112b_topk_enrichment" ->
+      s"""WITH $qualityGateCte,
+         |$dsirCtes,
+         |g AS (
+         |  SELECT doc_id,
+         |         ${u16Sql("'dsirg|' || CAST(doc_id AS VARCHAR)")} AS draw,
+         |         w_bits
+         |  FROM ws),
+         |r AS (
+         |  SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY w_bits DESC, draw, doc_id) AS BIGINT) AS rnk,
+         |         CAST(count(*) OVER () AS BIGINT) AS n_pool
+         |  FROM g),
+         |sel AS (
+         |  SELECT doc_id,
+         |         rnk <= CAST(ceil(n_pool * $DsirKeepFrac) AS BIGINT) AS accepted
+         |  FROM r),
+         |lab AS (SELECT doc_id, (quality_score >= $QualityGate) AS is_target FROM qq),
+         |cells AS (
+         |  SELECT CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |         CAST(SUM(CASE WHEN NOT accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |         CAST(SUM(CASE WHEN accepted AND is_target THEN 1 ELSE 0 END) AS BIGINT) AS kept_target,
+         |         CAST(SUM(CASE WHEN NOT accepted AND is_target THEN 1 ELSE 0 END) AS BIGINT) AS dropped_target
+         |  FROM sel JOIN lab USING (doc_id))
          |SELECT *,
          |       CASE WHEN n_kept = 0 THEN NULL
          |            ELSE CAST(kept_target AS DOUBLE) / CAST(n_kept AS DOUBLE) END AS kept_target_rate,

@@ -321,6 +321,35 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(t => t == "base" || t == "base αβ αβ αβ"))
   }
 
+  test("dsirTopK keeps exactly the ceil budget, heaviest bit classes first") {
+    val docs = Seq(
+      (6L, "apple banana apple banana", true),
+      (9L, "apple cherry banana cherry", true),
+      (11L, "zebra yak zebra yak", false),
+      (1L, "apple banana apple", true),
+      (2L, "zebra yak yak", false),
+      (3L, "apple apple banana banana", true),
+      (4L, "yak zebra", false))
+      .toDF("doc_id", "text", "is_target")
+    val r = TextOps.dsirTopK(docs, "doc_id", "text", "is_target",
+        0.5, 1024, 0.5)
+      .collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[Long]("w_bits"),
+        x.getAs[Boolean]("accepted")))
+    val kept = r.filter(_._3)
+    // budget: ceil(0.5 * pool) exactly
+    assert(kept.length == math.ceil(r.length * 0.5).toInt,
+      s"budget violated: ${kept.length} of ${r.length}")
+    // without-replacement invariant: the selection is a prefix of the
+    // (w_bits DESC, draw, id) order, so NO dropped doc can be strictly
+    // heavier than ANY kept doc (the draw only breaks ties in-class)
+    val minKept = kept.map(_._2).min
+    val maxDropped = r.filter(!_._3).map(_._2).max
+    assert(maxDropped <= minKept,
+      s"a dropped doc outweighs a kept one: minKept=$minKept maxDropped=$maxDropped")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("dsirEnrichment cells equal the per-doc aggregation; rates and lift are NULL-safe") {
     // held-out docs (ids 1, 2 at frac 0.5) now carry labels: 1 target,
     // 2 not — the labels feed ONLY the audit, never the weights
