@@ -235,8 +235,21 @@ object Bench {
       "x26_pipeline_gate", "x26b_corpus_build", "x36_cluster_reps",
       "x53_cluster_split", "x68_cluster_size_hist")
     val starShared = Set("x20_dup_clusters_star")
+    // Soak-cadence carve-out (round-15, closing the round-14 verdict's
+    // #5): x107 is an intentionally adversarial oracle-replay stress
+    // (depth-2 recursion over the planted corpus — its cost IS the
+    // audit workload), and at sf0.1 its 42–116 s reps were the single
+    // largest extended line and its dominant noise source. Pinning the
+    // corpus was measured and rejected: the four recursion branches
+    // coexist ONLY at n = 2000 (under-cap and exhaustion empty at every
+    // smaller n across a coarse×cap×subCells grid — the merged-mode
+    // geometry is hash-jumpy), so a cheaper corpus would bench a gate
+    // with dead branches. It keeps its correctness gate at every SF and
+    // its fresh-JVM decade rows in ScaleSoak (SCALING.md), which is
+    // where a scaling-audit line belongs; the per-round bench drops it.
+    val soakCadence = Set("x107_planted_fence_deep")
     val xExt = all.filterNot(Headline).filterNot(_.startsWith("s"))
-      .filterNot(ccShared).filterNot(starShared)
+      .filterNot(ccShared).filterNot(starShared).filterNot(soakCadence)
     val extendedX = run(xExt, coldCaches = true)
     graft.ext.ExtCaches.clearCaches()
     // Family 4: the connected-component consumers. The eager fixpoints are

@@ -525,12 +525,31 @@ object ScaleSoak {
     sb.toString
   }
 
+  /** Hand-authored analysis sections appended BELOW the rendered master
+    * tables (the round-12/13 CellFence arms + production rule in
+    * SCALING.md). The renderer PRESERVES everything from the first
+    * marker heading to EOF across re-renders — folding them into the
+    * template was the round-14 verdict's #7 (the clobber-and-resplice
+    * tax had recurred three rounds running). A new hand section only
+    * needs to start at or below the marker to survive future renders. */
+  private val PreservedTailMarker = "\n## CellFence fallback arms"
+
+  private def preservedTail(path: String, marker: String): String = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return ""
+    val cur = Files.readString(p)
+    val i = cur.indexOf(marker)
+    if (i < 0) "" else cur.substring(i)
+  }
+
   /** `SPARK_GRAFT_SOAK_RENDER=1`: regenerate both SCALING docs from the
-    * ledger — no Spark, no measurement. */
+    * ledger — no Spark, no measurement. Hand-appended sections at or
+    * below [[PreservedTailMarker]] survive the render verbatim. */
   private def renderFromLedger(): Unit = {
     val cells = readLedger()
     require(cells.nonEmpty, s"empty soak ledger at $ledgerPath")
     val (plainCells, boilerCells) = cells.partition(c => !c.dir.startsWith("b"))
+    val keep = preservedTail("SCALING.md", PreservedTailMarker)
     val sb = new StringBuilder
     sb.append(plainPreamble(renderMode = true))
     sb.append(plainFindings())
@@ -539,8 +558,10 @@ object ScaleSoak {
       Seq(("slope x30/x3 (10x)", "x3", "x30"),
         ("slope x100/x10 (10x)", "x10", "x100"))))
     sb.append(ledgerFootnotes)
+    sb.append(keep)
     Files.writeString(Paths.get("SCALING.md"), sb.toString)
-    println("[soak] rendered SCALING.md from " + ledgerPath)
+    println("[soak] rendered SCALING.md from " + ledgerPath +
+      (if (keep.nonEmpty) " (hand sections preserved)" else ""))
     val bb = new StringBuilder
     bb.append(boilerPreamble(renderMode = true))
     bb.append(renderTables(boilerCells, BoilerFamily,
@@ -559,7 +580,9 @@ object ScaleSoak {
       "full-family single-JVM sweep — the protocol for the cells where\n" +
       "late-family JVM heap state once manufactured slopes (see findings).\n" +
       "Cells regenerate from soak_cells.tsv (`SPARK_GRAFT_SOAK_RENDER=1`);\n" +
-      "every soak run appends there, latest cell per (query, dir) wins.\n"
+      "every soak run appends there, latest cell per (query, dir) wins.\n" +
+      "Hand-authored sections below the first '## CellFence fallback arms'\n" +
+      "heading are PRESERVED verbatim across renders.\n"
 
   /** The analytic boiler join-size table (computed from corpus stats at
     * build time — stable per corpus generation; b100 from the round-8
