@@ -163,7 +163,18 @@ object ScaleSoak {
     //    read like x110's vocab-bounded line; the enrichment audit is
     //    x109's plan + one label join + a global aggregate, so its
     //    slope should track x109's.
-    "x111_bpe_char_encode", "x112_dsir_enrichment")
+    "x111_bpe_char_encode", "x112_dsir_enrichment",
+    //  - round-15 lines: x113 = train on the base slice (x110's class)
+    //    + ONE broadcast join over held-out occurrences + a per-doc
+    //    regroup — the apply half should slope like a linear scan
+    //    family, not the trainer; x110b = x110's loop over the stuffed
+    //    variant (same vocab-bounded class, constant extra stuffing
+    //    mass per doc); x109b = x109's weights + a tiny-histogram
+    //    offset + a per-bit-class rank window, so its slope should
+    //    track x109's; x112b likewise (one more label join + global
+    //    aggregate).
+    "x113_bpe_apply_unseen", "x110b_bpe_char_unicode",
+    "x109b_dsir_topk", "x112b_topk_enrichment")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -1068,6 +1079,24 @@ object ScaleSoak {
     sb.append("  apply) 1.93 -> 3.71 s x10 -> x100 (slope 1.9 — x110's vocab-bounded\n")
     sb.append("  line), x112 (enrichment audit) 1.60 -> 7.84 s (slope 4.9 — x109's\n")
     sb.append("  plan + one label equi-join + a global aggregate, nothing more).\n")
+    sb.append("- **Round-15 rows (x113/x110b/x109b/x112b, x3-x30 one sweep +\n")
+    sb.append("  fresh-JVM x100 cells).** x113 (char-BPE APPLY on unseen text)\n")
+    sb.append("  0.67 -> 1.45 s x10 -> x100 (slope 2.2 on 10x, near-FLAT absolute\n")
+    sb.append("  cost): train-once on the base slice's distinct-word relation,\n")
+    sb.append("  then ONE broadcast join over held-out occurrences + a per-doc\n")
+    sb.append("  regroup — the freeze->apply contract's whole point, now a\n")
+    sb.append("  measured line (compare the trainer x110's 4.77 s at x100: the\n")
+    sb.append("  apply half costs a third of one training sweep). x110b\n")
+    sb.append("  (multilingual char-BPE) 4.25 -> 5.69 s (slope 1.3, the flattest\n")
+    sb.append("  line in the family): x110's vocab-bounded class with a constant\n")
+    sb.append("  per-doc stuffing increment — non-ASCII symbols ride the same\n")
+    sb.append("  distinct-word algebra at zero extra asymptotic cost. x109b\n")
+    sb.append("  (DSIR top-k) 3.64 -> 9.15 s (slope 2.5, FLATTER than parent\n")
+    sb.append("  x109's 4.4): the added rank machinery is a |distinct w_bits|-row\n")
+    sb.append("  histogram + a per-bit-class window — the weights dominate, the\n")
+    sb.append("  selection is asymptotically free. x112b (its audit) 2.83 ->\n")
+    sb.append("  9.16 s (slope 3.2 — tracks x112's 4.9 class: one more label join\n")
+    sb.append("  + a global aggregate over the same chain).\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")
