@@ -1041,6 +1041,34 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
       .orderBy(col("doc_id"))
   }
 
+  /** Context-window packing by LEARNED tokenizer counts (x114) — the
+    * composition a pretraining pipeline actually runs, closed end to
+    * end: curate → train char-BPE on the base slice → freeze → APPLY to
+    * the held-out corpus (x113's chain, OOV probe included) → pack the
+    * encoded documents into [[CtxLen]]-token context windows by their
+    * REAL model-token counts (x44 packs by whitespace tokens — the
+    * pre-tokenizer approximation; this is the number the loader
+    * actually bills against the context). Same manifest algebra
+    * ([[graft.ext.Packing.packManifest]]: hash-sharded streams, one
+    * shard-partitioned cumulative-sum window), driven by x113's
+    * n_tokens. The oracle composes x113's CTE chain with x44's packing
+    * SQL — one spelling each, so the packed counts are provably the
+    * gated encoder's. */
+  def x114_bpe_pack_manifest(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Packing, Sampling}
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
+    val vocab = graft.ext.TextOps.bpeEncodeChars(
+      docs.filter(inBase), "doc_id", "text", CharBpeRounds)
+    val encoded = graft.ext.TextOps.bpeApplyVocab(
+      graft.ext.TextOps.oovProbeVariant(docs.filter(!inBase), "doc_id", "text"),
+      "doc_id", "text", vocab.select("word", "t"))
+    Packing.packManifest(
+        encoded.select(col("id").as("doc_id"), col("n_tokens")),
+        "doc_id", col("n_tokens"), CtxLen)
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR enrichment audit (x112) — the measurement that makes x109 a
     * curation tool instead of a determinism demo (the x86 discipline,
     * applied to resampling): confront the accepted/rejected partition
@@ -1112,7 +1140,8 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     "x113_bpe_apply_unseen" -> (x113_bpe_apply_unseen _),
     "x110b_bpe_char_unicode" -> (x110b_bpe_char_unicode _),
     "x109b_dsir_topk" -> (x109b_dsir_topk _),
-    "x112b_topk_enrichment" -> (x112b_topk_enrichment _))
+    "x112b_topk_enrichment" -> (x112b_topk_enrichment _),
+    "x114_bpe_pack_manifest" -> (x114_bpe_pack_manifest _))
 
   /** Char-BPE's base relation, oracle side — the distinct-word table
     * with corpus frequencies and codepoint symbol sequences (+`</w>`),
@@ -1131,6 +1160,45 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
        |  SELECT word, freq,
        |         list_concat(regexp_extract_all(word, '.'), ['</w>']) AS t
        |  FROM w0)""".stripMargin
+
+  /** The x113 apply chain, oracle side — train char-BPE on the base
+    * hash slice, freeze the vocab, left-join the held-out docs'
+    * positional word relation (OOV probe applied) with codepoint
+    * fallback, and rebuild each doc's sequence in word order. Ends at
+    * `sq` (doc_id, n_words, n_oov_words, t). ONE spelling shared by
+    * x113 (digest read) and x114 (packing read). */
+  private def bpeApplyCtes: String = {
+    import graft.ext.Sampling
+    s"""base AS (
+       |  SELECT text FROM documents
+       |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}'),
+       |${charSeqs0Sql(from = "base")},
+       |${(1 to CharBpeRounds).map(r => bpeRoundSql(r, key = "word", weighted = true)).mkString(",\n")},
+       |vocab AS (SELECT word, t FROM seqs$CharBpeRounds),
+       |hd AS (
+       |  -- held-out docs + the OOV probe (TextOps.oovProbeVariant): every
+       |  -- third doc gets one id-derived word no base doc can contain
+       |  SELECT doc_id,
+       |         regexp_extract_all(lower(
+       |           CASE WHEN ${u16Sql("'oov|' || CAST(doc_id AS VARCHAR)")} % 3 = 0
+       |                THEN text || ' ov' || substr(md5('oovw|' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |                ELSE text END), '[\\p{L}\\p{N}]+') AS tw
+       |  FROM documents
+       |  WHERE NOT (substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}')),
+       |hw AS (
+       |  SELECT doc_id, p, tw[p] AS word
+       |  FROM hd, unnest(range(1, len(tw) + 1)) AS u(p)),
+       |js AS (
+       |  SELECT h.doc_id, h.p, (v.word IS NULL) AS oov,
+       |         COALESCE(v.t,
+       |           list_concat(regexp_extract_all(h.word, '.'), ['</w>'])) AS syms
+       |  FROM hw h LEFT JOIN vocab v USING (word)),
+       |sq AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_words,
+       |         flatten(list(syms ORDER BY p)) AS t
+       |  FROM js GROUP BY 1)""".stripMargin
+  }
 
   /** The DSIR chain (x109/x112), oracle side — features → bucket counts
     * → mass anchors → product-form λ → per-doc weights → shift → the
@@ -1731,43 +1799,37 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     // read as the vocab, left-joined to the held-out docs' positional
     // word relation; OOV words (no vocab row) fall back to raw
     // codepoints + </w>, and each doc's sequence is rebuilt in word
-    // order before the digest.
-    "x113_bpe_apply_unseen" -> {
-      import graft.ext.Sampling
-      s"""WITH base AS (
-         |  SELECT text FROM documents
-         |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}'),
-         |${charSeqs0Sql(from = "base")},
-         |${(1 to CharBpeRounds).map(r => bpeRoundSql(r, key = "word", weighted = true)).mkString(",\n")},
-         |vocab AS (SELECT word, t FROM seqs$CharBpeRounds),
-         |hd AS (
-         |  -- held-out docs + the OOV probe (TextOps.oovProbeVariant): every
-         |  -- third doc gets one id-derived word no base doc can contain
-         |  SELECT doc_id,
-         |         regexp_extract_all(lower(
-         |           CASE WHEN ${u16Sql("'oov|' || CAST(doc_id AS VARCHAR)")} % 3 = 0
-         |                THEN text || ' ov' || substr(md5('oovw|' || CAST(doc_id AS VARCHAR)), 1, 8)
-         |                ELSE text END), '[\\p{L}\\p{N}]+') AS tw
-         |  FROM documents
-         |  WHERE NOT (substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}')),
-         |hw AS (
-         |  SELECT doc_id, p, tw[p] AS word
-         |  FROM hd, unnest(range(1, len(tw) + 1)) AS u(p)),
-         |js AS (
-         |  SELECT h.doc_id, h.p, (v.word IS NULL) AS oov,
-         |         COALESCE(v.t,
-         |           list_concat(regexp_extract_all(h.word, '.'), ['</w>'])) AS syms
-         |  FROM hw h LEFT JOIN vocab v USING (word)),
-         |sq AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |         CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_words,
-         |         flatten(list(syms ORDER BY p)) AS t
-         |  FROM js GROUP BY 1)
+    // order before the digest. CTE chain shared verbatim with x114
+    // (bpeApplyCtes), so the packed counts are provably this encoder's.
+    "x113_bpe_apply_unseen" ->
+      s"""WITH $bpeApplyCtes
          |SELECT doc_id, n_words, n_oov_words,
          |       CAST(len(t) AS BIGINT) AS n_tokens,
          |       md5(array_to_string(t, ' ')) AS seq_digest
-         |FROM sq ORDER BY doc_id""".stripMargin
-    },
+         |FROM sq ORDER BY doc_id""".stripMargin,
+
+    // x114: x113's encoder composed into x44's packing algebra — the
+    // manifest billed in LEARNED tokenizer counts (len(t) of the
+    // encoded sequence), not whitespace tokens.
+    "x114_bpe_pack_manifest" ->
+      s"""WITH $bpeApplyCtes,
+         |m AS (
+         |  SELECT doc_id,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         |         CAST(len(t) AS BIGINT) AS n_tokens
+         |  FROM sq),
+         |p AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+         |  FROM m WHERE n_tokens > 0)
+         |SELECT doc_id, shard, n_tokens,
+         |       cum_end - n_tokens AS start_offset,
+         |       (cum_end - n_tokens) // $CtxLen AS pack_first,
+         |       (cum_end - n_tokens) % $CtxLen AS offset_in_pack,
+         |       (cum_end - 1) // $CtxLen - (cum_end - n_tokens) // $CtxLen + 1 AS packs_spanned
+         |FROM p
+         |ORDER BY doc_id""".stripMargin,
 
 
     // x83: x80's CTE chain with the md5 hash split (classifierSplitCtes,

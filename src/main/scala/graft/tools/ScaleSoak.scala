@@ -174,7 +174,10 @@ object ScaleSoak {
     //    track x109's; x112b likewise (one more label join + global
     //    aggregate).
     "x113_bpe_apply_unseen", "x110b_bpe_char_unicode",
-    "x109b_dsir_topk", "x112b_topk_enrichment")
+    "x109b_dsir_topk", "x112b_topk_enrichment",
+    //  - x114 = x113's chain + one cumulative-sum window partitioned by
+    //    the 16 hash shards — should read as x113 plus a constant.
+    "x114_bpe_pack_manifest")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -1096,7 +1099,10 @@ object ScaleSoak {
     sb.append("  histogram + a per-bit-class window — the weights dominate, the\n")
     sb.append("  selection is asymptotically free. x112b (its audit) 2.83 ->\n")
     sb.append("  9.16 s (slope 3.2 — tracks x112's 4.9 class: one more label join\n")
-    sb.append("  + a global aggregate over the same chain).\n")
+    sb.append("  + a global aggregate over the same chain). x114 (packing in\n")
+    sb.append("  learned-tokenizer counts) 3.06 -> 5.36 s (slope 1.8): x113's\n")
+    sb.append("  apply chain plus one shard-partitioned cumulative-sum window —\n")
+    sb.append("  measured as exactly that, x113 + a near-constant.\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")

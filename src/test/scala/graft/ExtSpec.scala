@@ -321,6 +321,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(t => t == "base" || t == "base αβ αβ αβ"))
   }
 
+  test("packManifest over bpeApplyVocab bills packs in LEARNED token counts") {
+    // the x114 composition on the bpeApplyVocab spec's corpus: after 3
+    // merges "low" encodes to ONE symbol where whitespace counting
+    // would bill 1 anyway, but "lower" bills 4 symbols vs 1 word — the
+    // manifest MUST carry the encoder's counts, not the word counts
+    val train = Seq((1L, "low low low"), (2L, "lower lower"), (3L, "low"))
+      .toDF("doc_id", "text")
+    val vocab = TextOps.bpeEncodeChars(train, "doc_id", "text", 3)
+    val unseen = Seq((10L, "low zebra lower"), (11L, "low low"))
+      .toDF("doc_id", "text")
+    val encoded = TextOps.bpeApplyVocab(unseen, "doc_id", "text",
+      vocab.select("word", "t"))
+    val m = graft.ext.Packing.packManifest(
+        encoded.select(col("id").as("doc_id"), col("n_tokens")),
+        "doc_id", col("n_tokens"), 8L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("packs_spanned")))
+      .toMap
+    // doc 10 = 11 BPE tokens (1 + 6 OOV-codepoint + 4), doc 11 = 2 —
+    // vs 3 and 2 words: the 11 proves the learned counts flowed through
+    assert(m(10L)._1 == 11L && m(11L)._1 == 2L, m.toString)
+    // 11 tokens at ctxLen 8 must straddle a boundary wherever it starts
+    assert(m(10L)._2 >= 2L, s"an 11-token doc cannot fit one 8-token pack: $m")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("dsirTopK keeps exactly the ceil budget, heaviest bit classes first") {
     val docs = Seq(
       (6L, "apple banana apple banana", true),
