@@ -959,4 +959,55 @@ object TextOps {
       .select(col("id"), col("n_feats"), col("w_bits"), col("draw"),
         col("accepted"))
   }
+
+  /** DSIR thinning under a TOKEN budget (x109c) — the denominator a
+    * training run actually has: fill the budget greedily down the same
+    * (w_bits DESC, draw, id) importance order as [[dsirTopK]], keeping
+    * each document iff the INCLUSIVE running token mass still fits
+    * (prefix-truncate — the boundary-straddling doc is dropped and
+    * smaller later docs are NOT back-filled: budget fill is a prefix
+    * rule, not a knapsack). Budget = ⌈budgetFrac · pool token mass⌉
+    * with budgetFrac dyadic, so the ceil is float-exact cross-engine.
+    * Token currency is the corpus word count ([[tokens]] — x34's
+    * budget currency; a learned-count variant plugs x113's n_tokens
+    * into `tokenCount`).
+    *
+    * Scale shape = [[dsirTopK]]'s decomposition with masses instead of
+    * counts: a tiny per-bit-class token-mass histogram carries the
+    * strictly-heavier offset (window over the REDUCED relation), each
+    * doc adds its within-class inclusive running mass (window
+    * partitioned by w_bits) — no unpartitioned window ever sees the
+    * un-reduced pool. */
+  def dsirTokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                      targetCol: String, baseFrac: Double, buckets: Int,
+                      budgetFrac: Double, salt: String = "dsirg|")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col(idCol).as("id"),
+      size(tokens(col(textCol))).cast(LongType).as("n_tokens"))
+    val w = ExtCaches.persistTracked(
+      dsirWeights(docs, idCol, textCol, targetCol, baseFrac, buckets)
+        .withColumn("draw",
+          Planted.u16(concat(lit(salt), col("id").cast(StringType))))
+        .join(tk, Seq("id")))
+    val hist = w.groupBy(col("w_bits"))
+      .agg(sum(col("n_tokens")).as("mass_bits"))
+    val above = Window.orderBy(col("w_bits").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select(col("w_bits"),
+      coalesce(sum(col("mass_bits")).over(above), lit(0L)).as("mass_above"))
+    val total = hist.agg(sum(col("mass_bits")).as("pool_mass"))
+    val inClass = Window.partitionBy(col("w_bits"))
+      .orderBy(col("draw"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w.withColumn("cum_incl", sum(col("n_tokens")).over(inClass))
+      .join(broadcast(cum), Seq("w_bits"))
+      .crossJoin(broadcast(total))
+      .withColumn("budget",
+        ceil(col("pool_mass") * lit(budgetFrac)).cast(LongType))
+      .withColumn("accepted",
+        col("mass_above") + col("cum_incl") <= col("budget"))
+      .select(col("id"), col("n_feats"), col("w_bits"), col("draw"),
+        col("n_tokens"), col("accepted"))
+  }
 }

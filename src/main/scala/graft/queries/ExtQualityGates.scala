@@ -933,6 +933,33 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
       "doc_id", "text", "is_target", BaseFrac, DsirBuckets, DsirKeepFrac)
 
 
+  /** Token-budget fill fraction — dyadic (2⁻²) so ⌈mass·frac⌉ is
+    * float-exact on both engines; a quarter of the held-out pool's
+    * token mass keeps the accepted/rejected partition non-degenerate
+    * at every SF (the budget scales WITH the corpus). */
+  val DsirTokenBudgetFrac = 0.25
+
+
+  /** DSIR thinning under a TOKEN budget (x109c) — the budget a
+    * training run actually has is token-denominated (x34's currency),
+    * not doc-denominated: fill ⌈[[DsirTokenBudgetFrac]]·pool-mass⌉
+    * greedily down x109b's importance order, keeping each doc iff the
+    * inclusive running mass still fits (prefix-truncate, not a
+    * knapsack — documented in [[graft.ext.TextOps.dsirTokenBudget]]
+    * with the same scale-safe histogram-offset decomposition). The
+    * oracle replays the selection as one global running-sum window
+    * over the shared dsirCtes weights joined to the word counts. */
+  def x109c_dsir_token_budget(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.dsirTokenBudget(
+      TextOps.qualityScore(Tables.documents(s, dir))
+        .withColumn("is_target", col("quality_score") >= QualityGate),
+      "doc_id", "text", "is_target", BaseFrac, DsirBuckets,
+      DsirTokenBudgetFrac)
+      .select(col("id").as("doc_id"), col("n_feats"), col("w_bits"),
+        col("draw"), col("n_tokens"), col("accepted"))
+      .orderBy(col("doc_id"))
+
+
   /** Char-BPE training rounds — enough that merged symbols themselves
     * win later rounds (the recursion that makes BPE BPE), small enough
     * that the oracle's unrolled replay stays cheap. */
@@ -1141,7 +1168,8 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     "x110b_bpe_char_unicode" -> (x110b_bpe_char_unicode _),
     "x109b_dsir_topk" -> (x109b_dsir_topk _),
     "x112b_topk_enrichment" -> (x112b_topk_enrichment _),
-    "x114_bpe_pack_manifest" -> (x114_bpe_pack_manifest _))
+    "x114_bpe_pack_manifest" -> (x114_bpe_pack_manifest _),
+    "x109c_dsir_token_budget" -> (x109c_dsir_token_budget _))
 
   /** Char-BPE's base relation, oracle side — the distinct-word table
     * with corpus frequencies and codepoint symbol sequences (+`</w>`),
@@ -1712,6 +1740,32 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
          |  FROM g)
          |SELECT doc_id, n_feats, w_bits, draw,
          |       rnk <= CAST(ceil(n_pool * $DsirKeepFrac) AS BIGINT) AS accepted
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // x109c: the token-budget fill — the same dsirCtes weights joined
+    // to word counts, selection replayed as ONE global inclusive
+    // running-sum window down the importance order under the dyadic
+    // ceil budget; the Spark side's histogram-offset decomposition is
+    // provably the same prefix.
+    "x109c_dsir_token_budget" ->
+      s"""WITH $qualityGateCte,
+         |$dsirCtes,
+         |tk AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |g AS (
+         |  SELECT ws.doc_id, ws.n_feats, ws.w_bits, tk.n_tokens,
+         |         ${u16Sql("'dsirg|' || CAST(ws.doc_id AS VARCHAR)")} AS draw
+         |  FROM ws JOIN tk USING (doc_id)),
+         |r AS (
+         |  SELECT *,
+         |         CAST(SUM(n_tokens) OVER (ORDER BY w_bits DESC, draw, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_incl,
+         |         CAST(SUM(n_tokens) OVER () AS BIGINT) AS pool_mass
+         |  FROM g)
+         |SELECT doc_id, n_feats, w_bits, draw, n_tokens,
+         |       cum_incl <= CAST(ceil(pool_mass * $DsirTokenBudgetFrac) AS BIGINT) AS accepted
          |FROM r ORDER BY doc_id""".stripMargin,
 
     // x112b: x112's audit cells over the top-k partition — the CTE tail

@@ -177,7 +177,10 @@ object ScaleSoak {
     "x109b_dsir_topk", "x112b_topk_enrichment",
     //  - x114 = x113's chain + one cumulative-sum window partitioned by
     //    the 16 hash shards — should read as x113 plus a constant.
-    "x114_bpe_pack_manifest")
+    "x114_bpe_pack_manifest",
+    //  - x109c = x109b's decomposition with token masses instead of
+    //    counts + one word-count join — should track x109b's slope.
+    "x109c_dsir_token_budget")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -1102,7 +1105,10 @@ object ScaleSoak {
     sb.append("  + a global aggregate over the same chain). x114 (packing in\n")
     sb.append("  learned-tokenizer counts) 3.06 -> 5.36 s (slope 1.8): x113's\n")
     sb.append("  apply chain plus one shard-partitioned cumulative-sum window —\n")
-    sb.append("  measured as exactly that, x113 + a near-constant.\n")
+    sb.append("  measured as exactly that, x113 + a near-constant. x109c (token-\n")
+    sb.append("  budget DSIR) 2.18 -> 9.68 s (slope 4.4 — x109's weight class, as\n")
+    sb.append("  the shape predicts: the word-count join scans the corpus like the\n")
+    sb.append("  weights do; the budget machinery itself is histogram-sized).\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")

@@ -376,6 +376,37 @@ class TextOpsSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("dsirTokenBudget fills the prefix exactly: inclusive mass fits, next doc doesn't") {
+    val docs = Seq(
+      (6L, "apple banana apple banana", true),
+      (9L, "apple cherry banana cherry", true),
+      (11L, "zebra yak zebra yak", false),
+      (1L, "apple banana apple", true),
+      (2L, "zebra yak yak", false),
+      (3L, "apple apple banana banana", true),
+      (4L, "yak zebra", false))
+      .toDF("doc_id", "text", "is_target")
+    val r = TextOps.dsirTokenBudget(docs, "doc_id", "text", "is_target",
+        0.5, 1024, 0.5)
+      .collect()
+      .map(x => (x.getAs[Long]("id"), x.getAs[Long]("w_bits"),
+        x.getAs[Long]("draw"), x.getAs[Long]("n_tokens"),
+        x.getAs[Boolean]("accepted")))
+    val pool = r.map(_._4).sum
+    val budget = math.ceil(pool * 0.5).toLong
+    // replay the global prefix rule by hand: (w_bits DESC, draw, id)
+    val order = r.sortBy(x => (-x._2, x._3, x._1))
+    var cum = 0L
+    order.foreach { x =>
+      cum += x._4
+      assert(x._5 == (cum <= budget),
+        s"doc ${x._1}: inclusive mass $cum vs budget $budget, got ${x._5}")
+    }
+    // the partition is real: something kept, something dropped
+    assert(r.exists(_._5) && r.exists(!_._5))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("dsirEnrichment cells equal the per-doc aggregation; rates and lift are NULL-safe") {
     // held-out docs (ids 1, 2 at frac 0.5) now carry labels: 1 target,
     // 2 not — the labels feed ONLY the audit, never the weights
