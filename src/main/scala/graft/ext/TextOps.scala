@@ -667,6 +667,18 @@ object TextOps {
       dsirTopK(docs, idCol, textCol, targetCol, baseFrac, buckets, keepFrac),
       docs.select(col(idCol).as("id"), col(targetCol).as("is_target")))
 
+  /** The x112c twin: the audit row over the TOKEN-BUDGET schedule's
+    * partition — with x112/x112b it completes the trio, so all three
+    * published thinning denominators carry a measured lift. */
+  def dsirTokenBudgetEnrichment(docs: DataFrame, idCol: String,
+                                textCol: String, targetCol: String,
+                                baseFrac: Double, buckets: Int,
+                                budgetFrac: Double): DataFrame =
+    enrichmentCells(
+      dsirTokenBudget(docs, idCol, textCol, targetCol, baseFrac, buckets,
+        budgetFrac),
+      docs.select(col(idCol).as("id"), col(targetCol).as("is_target")))
+
   /** ONE spelling of the enrichment audit (x112/x112b): confront an
     * accepted/rejected partition (`scored`: id, accepted) with held-out
     * labels that played no part in the weights — exact integer cells,

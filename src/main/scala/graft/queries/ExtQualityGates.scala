@@ -960,6 +960,19 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
       .orderBy(col("doc_id"))
 
 
+  /** Enrichment audit of the token-budget schedule (x112c) —
+    * completing the trio: all three thinning denominators (Bernoulli
+    * x109, doc-count top-k x109b, token budget x109c) now carry a
+    * measured lift under the same one-row confusion discipline, CTE
+    * tails shared so the numbers differ only by schedule. */
+  def x112c_budget_enrichment(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.dsirTokenBudgetEnrichment(
+      TextOps.qualityScore(Tables.documents(s, dir))
+        .withColumn("is_target", col("quality_score") >= QualityGate),
+      "doc_id", "text", "is_target", BaseFrac, DsirBuckets,
+      DsirTokenBudgetFrac)
+
+
   /** Char-BPE training rounds — enough that merged symbols themselves
     * win later rounds (the recursion that makes BPE BPE), small enough
     * that the oracle's unrolled replay stays cheap. */
@@ -1169,7 +1182,8 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     "x109b_dsir_topk" -> (x109b_dsir_topk _),
     "x112b_topk_enrichment" -> (x112b_topk_enrichment _),
     "x114_bpe_pack_manifest" -> (x114_bpe_pack_manifest _),
-    "x109c_dsir_token_budget" -> (x109c_dsir_token_budget _))
+    "x109c_dsir_token_budget" -> (x109c_dsir_token_budget _),
+    "x112c_budget_enrichment" -> (x112c_budget_enrichment _))
 
   /** Char-BPE's base relation, oracle side — the distinct-word table
     * with corpus frequencies and codepoint symbol sequences (+`</w>`),
@@ -1767,6 +1781,47 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
          |SELECT doc_id, n_feats, w_bits, draw, n_tokens,
          |       cum_incl <= CAST(ceil(pool_mass * $DsirTokenBudgetFrac) AS BIGINT) AS accepted
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // x112c: the audit cells over the token-budget partition — the
+    // x109c selection CTEs + the shared cells tail, so the three lifts
+    // (x112/x112b/x112c) differ only by thinning schedule.
+    "x112c_budget_enrichment" ->
+      s"""WITH $qualityGateCte,
+         |$dsirCtes,
+         |tk AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |g AS (
+         |  SELECT ws.doc_id, tk.n_tokens, ws.w_bits,
+         |         ${u16Sql("'dsirg|' || CAST(ws.doc_id AS VARCHAR)")} AS draw
+         |  FROM ws JOIN tk USING (doc_id)),
+         |r AS (
+         |  SELECT doc_id,
+         |         CAST(SUM(n_tokens) OVER (ORDER BY w_bits DESC, draw, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_incl,
+         |         CAST(SUM(n_tokens) OVER () AS BIGINT) AS pool_mass
+         |  FROM g),
+         |sel AS (
+         |  SELECT doc_id,
+         |         cum_incl <= CAST(ceil(pool_mass * $DsirTokenBudgetFrac) AS BIGINT) AS accepted
+         |  FROM r),
+         |lab AS (SELECT doc_id, (quality_score >= $QualityGate) AS is_target FROM qq),
+         |cells AS (
+         |  SELECT CAST(SUM(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |         CAST(SUM(CASE WHEN NOT accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |         CAST(SUM(CASE WHEN accepted AND is_target THEN 1 ELSE 0 END) AS BIGINT) AS kept_target,
+         |         CAST(SUM(CASE WHEN NOT accepted AND is_target THEN 1 ELSE 0 END) AS BIGINT) AS dropped_target
+         |  FROM sel JOIN lab USING (doc_id))
+         |SELECT *,
+         |       CASE WHEN n_kept = 0 THEN NULL
+         |            ELSE CAST(kept_target AS DOUBLE) / CAST(n_kept AS DOUBLE) END AS kept_target_rate,
+         |       CASE WHEN n_dropped = 0 THEN NULL
+         |            ELSE CAST(dropped_target AS DOUBLE) / CAST(n_dropped AS DOUBLE) END AS dropped_target_rate,
+         |       CASE WHEN dropped_target * n_kept = 0 THEN NULL
+         |            ELSE CAST(kept_target * n_dropped AS DOUBLE)
+         |                 / CAST(dropped_target * n_kept AS DOUBLE) END AS lift
+         |FROM cells""".stripMargin,
 
     // x112b: x112's audit cells over the top-k partition — the CTE tail
     // is shared verbatim with x112 so the two lifts differ only by the

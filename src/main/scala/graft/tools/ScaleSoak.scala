@@ -180,7 +180,9 @@ object ScaleSoak {
     "x114_bpe_pack_manifest",
     //  - x109c = x109b's decomposition with token masses instead of
     //    counts + one word-count join — should track x109b's slope.
-    "x109c_dsir_token_budget")
+    "x109c_dsir_token_budget",
+    //  - x112c = x109c's chain + one label join + a global aggregate.
+    "x112c_budget_enrichment")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -1108,7 +1110,8 @@ object ScaleSoak {
     sb.append("  measured as exactly that, x113 + a near-constant. x109c (token-\n")
     sb.append("  budget DSIR) 2.18 -> 9.68 s (slope 4.4 — x109's weight class, as\n")
     sb.append("  the shape predicts: the word-count join scans the corpus like the\n")
-    sb.append("  weights do; the budget machinery itself is histogram-sized).\n")
+    sb.append("  weights do; the budget machinery itself is histogram-sized), and\n")
+    sb.append("  its audit x112c 2.37 -> 9.33 s (same class, one more label join).\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")

@@ -26,7 +26,7 @@ class RegistrySpec extends AnyFunSuite {
     val oneRowAggregates = Set("x01_dedup_exact", "q01_null", "q08_churn_rate",
       "x50_sketch_recall", "x86_classifier_confusion",
       "x90_classifier_calibrated", "x112_dsir_enrichment",
-      "x112b_topk_enrichment")
+      "x112b_topk_enrichment", "x112c_budget_enrichment")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle")
       // the driver's compare is row-order-sensitive — every oracle must
