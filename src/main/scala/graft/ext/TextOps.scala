@@ -489,7 +489,20 @@ object TextOps {
     * regex (Spark) and RE2 (DuckDB); on a pure-ASCII corpus this
     * tokenization is provably identical to [[tokens]]', so the x110/x111
     * hashes are unchanged by the switch. [[tokens]] itself stays ASCII —
-    * it feeds the x08…x66 analysis fleet whose oracles pin that class. */
+    * it feeds the x08…x66 analysis fleet whose oracles pin that class.
+    *
+    * Case-folding fence (round-15 advice): the `lower()` BEFORE
+    * extraction is Java full case mapping in Spark
+    * (UTF8String.toLowerCase falls back to String.toLowerCase on
+    * non-ASCII — context-sensitive final sigma Σ→ς, locale-free but
+    * condition-aware) vs utf8proc SIMPLE codepoint mapping in DuckDB
+    * (Σ→σ always). The engines agree on every one-to-one fold
+    * (Α→α, Ц→ц, …) — x110b's uppercase stuffing word pins exactly
+    * that — and can diverge only on the condition-/locale-sensitive
+    * set (final sigma, dotted I, Lithuanian accents): gate corpora
+    * must avoid those codepoints in UPPERCASE position, same fence
+    * class as the non-BMP caveat on [[codepoints]] (retired for the
+    * byte-level loop, where symbols are engine-neutral bytes). */
   private[ext] def tokensUnicode(text: Column): Column =
     regexp_extract_all(lower(text), lit("[\\p{L}\\p{N}]+"), lit(0))
 
@@ -579,9 +592,14 @@ object TextOps {
     * size, zero per-round re-derivation. */
   /** Deterministic OOV probe for the x113 apply gate: every third doc
     * (u16 hash draw) gets one appended word derived from its own id
-    * ("ov" + 8 md5 hex chars) — unique per document, so it provably
-    * cannot appear in any OTHER document's slice of the corpus and the
-    * codepoint-fallback path must fire for it. The x105 discipline:
+    * ("ov" + 8 md5 hex chars) — unique per document and
+    * collision-improbable (a base-slice doc would have to naturally
+    * contain that exact ov[0-9a-f]{8} token to put the probe word in
+    * the vocabulary; the x113 spec asserts n_oov_words > 0 at gate
+    * scale so a silent loss of OOV coverage fails loudly rather than
+    * staying hash-green with the fallback path unexercised). The
+    * codepoint-fallback path fires for every probe word not covered by
+    * the trained vocabulary. The x105 discipline:
     * when the natural corpus can't exercise a path (its generative
     * vocabulary is small enough that a base slice covers every held-out
     * word), synthesize the condition inside the query with portable
@@ -679,10 +697,19 @@ object TextOps {
         budgetFrac),
       docs.select(col(idCol).as("id"), col(targetCol).as("is_target")))
 
-  /** ONE spelling of the enrichment audit (x112/x112b): confront an
-    * accepted/rejected partition (`scored`: id, accepted) with held-out
-    * labels that played no part in the weights — exact integer cells,
-    * one IEEE divide per rate, NULL-safe on empty partitions. */
+  /** ONE spelling of the enrichment audit (x112/x112b/x112c): confront
+    * an accepted/rejected partition (`scored`: id, accepted) with
+    * held-out labels that played no part in the weights — exact integer
+    * cells, one IEEE divide per rate, NULL-safe on empty partitions.
+    * The lift is the RATIO OF THE TWO RATES (round-15 advice): the
+    * integer-product form kept_target·n_dropped wraps i64 silently in
+    * Spark (and errors in DuckDB) once cell counts approach 2³² — the
+    * same unguarded-product class [[dsirLambda]] guards against. Each
+    * rate is one exact Long→double cast pair and one divide; the ratio
+    * is a third IEEE divide, identical on both engines. NULL semantics
+    * are unchanged: an empty partition NULLs its rate (and the lift),
+    * and a zero dropped-target rate NULLs the lift (division by zero
+    * was NULL in the product form too). */
   private def enrichmentCells(scored: DataFrame,
                               labels: DataFrame): DataFrame = {
     def rate(num: Column, den: Column): Column =
@@ -700,8 +727,8 @@ object TextOps {
       .withColumn("dropped_target_rate",
         rate(col("dropped_target"), col("n_dropped")))
       .withColumn("lift",
-        rate(col("kept_target") * col("n_dropped"),
-          col("dropped_target") * col("n_kept")))
+        when(col("dropped_target_rate") === 0.0, lit(null).cast(DoubleType))
+          .otherwise(col("kept_target_rate") / col("dropped_target_rate")))
   }
 
   /** The corpus ENCODED by k BPE merge rounds — x60's loop returning the

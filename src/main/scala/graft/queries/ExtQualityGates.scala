@@ -1015,13 +1015,23 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
       .orderBy(col("word"))
 
   /** The x110b stuffing word: four BMP codepoints from three scripts
-    * (Greek, CJK, Cyrillic), already lowercase so `lower()` is the
-    * identity in both engines. Its four adjacent pairs (incl. the `</w>`
+    * (Greek, CJK, Cyrillic), with the Greek and Cyrillic letters
+    * UPPERCASE (Α U+0391, Ц U+0426 — round-15 advice): both engines'
+    * `lower()` must now actually FOLD non-ASCII letters (Α→α, Ц→ц)
+    * before word extraction, pinning that Spark's Java full case
+    * mapping and DuckDB's utf8proc simple mapping agree on the
+    * one-to-one folds — the lowered word is αβ日ц, so the merge rows
+    * (and the gate hash) are identical to the pre-advice lowercase
+    * spelling, but a folding divergence would now break the hash
+    * loudly. The condition-sensitive folds the engines genuinely
+    * differ on (final sigma, dotted I) stay fenced out of gate
+    * corpora — see TextOps.tokensUnicode's scaladoc. The lowered
+    * word's four adjacent pairs (incl. the `</w>`
     * word-final one) weigh [[UnicodeStuffReps]]·⌈n/3⌉ each — measured
     * top ASCII pair is ≈9.3·n at every SF, the stuffing ≈13.3·n, so all
     * [[CharBpeRounds]] winners are provably the non-ASCII word's own
     * merge recursion, at a margin that scales WITH the corpus. */
-  val UnicodeStuffWord = "αβ日ц"
+  val UnicodeStuffWord = "Αβ日Ц"
   val UnicodeStuffReps = 40
 
 
@@ -1731,9 +1741,12 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
          |            ELSE CAST(kept_target AS DOUBLE) / CAST(n_kept AS DOUBLE) END AS kept_target_rate,
          |       CASE WHEN n_dropped = 0 THEN NULL
          |            ELSE CAST(dropped_target AS DOUBLE) / CAST(n_dropped AS DOUBLE) END AS dropped_target_rate,
-         |       CASE WHEN dropped_target * n_kept = 0 THEN NULL
-         |            ELSE CAST(kept_target * n_dropped AS DOUBLE)
-         |                 / CAST(dropped_target * n_kept AS DOUBLE) END AS lift
+         |       -- rate-ratio lift (round-15 advice): the integer-product
+         |       -- form wraps i64 at 100 TB cell counts; lateral alias
+         |       -- reuse of the two NULL-safe rates, ratio = one more
+         |       -- IEEE divide, identical in Spark (enrichmentCells)
+         |       CASE WHEN dropped_target_rate = 0 THEN NULL
+         |            ELSE kept_target_rate / dropped_target_rate END AS lift
          |FROM cells""".stripMargin,
 
     // x109b: the top-k schedule — the same dsirCtes weights, selection
@@ -1818,9 +1831,12 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
          |            ELSE CAST(kept_target AS DOUBLE) / CAST(n_kept AS DOUBLE) END AS kept_target_rate,
          |       CASE WHEN n_dropped = 0 THEN NULL
          |            ELSE CAST(dropped_target AS DOUBLE) / CAST(n_dropped AS DOUBLE) END AS dropped_target_rate,
-         |       CASE WHEN dropped_target * n_kept = 0 THEN NULL
-         |            ELSE CAST(kept_target * n_dropped AS DOUBLE)
-         |                 / CAST(dropped_target * n_kept AS DOUBLE) END AS lift
+         |       -- rate-ratio lift (round-15 advice): the integer-product
+         |       -- form wraps i64 at 100 TB cell counts; lateral alias
+         |       -- reuse of the two NULL-safe rates, ratio = one more
+         |       -- IEEE divide, identical in Spark (enrichmentCells)
+         |       CASE WHEN dropped_target_rate = 0 THEN NULL
+         |            ELSE kept_target_rate / dropped_target_rate END AS lift
          |FROM cells""".stripMargin,
 
     // x112b: x112's audit cells over the top-k partition — the CTE tail
@@ -1855,9 +1871,12 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
          |            ELSE CAST(kept_target AS DOUBLE) / CAST(n_kept AS DOUBLE) END AS kept_target_rate,
          |       CASE WHEN n_dropped = 0 THEN NULL
          |            ELSE CAST(dropped_target AS DOUBLE) / CAST(n_dropped AS DOUBLE) END AS dropped_target_rate,
-         |       CASE WHEN dropped_target * n_kept = 0 THEN NULL
-         |            ELSE CAST(kept_target * n_dropped AS DOUBLE)
-         |                 / CAST(dropped_target * n_kept AS DOUBLE) END AS lift
+         |       -- rate-ratio lift (round-15 advice): the integer-product
+         |       -- form wraps i64 at 100 TB cell counts; lateral alias
+         |       -- reuse of the two NULL-safe rates, ratio = one more
+         |       -- IEEE divide, identical in Spark (enrichmentCells)
+         |       CASE WHEN dropped_target_rate = 0 THEN NULL
+         |            ELSE kept_target_rate / dropped_target_rate END AS lift
          |FROM cells""".stripMargin,
 
 

@@ -298,6 +298,35 @@ class TextOpsSpec extends SparkSpec {
       "probe words are id-derived, so they must be pairwise distinct")
   }
 
+  test("x113 gate corpus exercises BOTH the OOV fallback and the covered path") {
+    // Round-15 advice: the probe word is collision-improbable, not
+    // impossible — if a natural ov[0-9a-f]{8} token ever landed in the
+    // base vocabulary, the hash gate would stay green with the fallback
+    // path silently unexercised. This asserts coverage loss fails loudly.
+    val r = graft.queries.Extensions
+      .x113_bpe_apply_unseen(spark, "/root/testdata/sf0.001")
+      .select("n_oov_words").collect().map(_.getLong(0))
+    assert(r.count(_ > 0L) > 0, "no held-out doc exercised the OOV fallback")
+    assert(r.count(_ == 0L) > 0, "no held-out doc exercised the fully-covered path")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("char-BPE lower()-folds uppercase non-ASCII letters identically to the oracle's simple mapping") {
+    // Round-15 advice: Spark lower() is Java full case mapping on
+    // non-ASCII, DuckDB's is utf8proc simple mapping. On one-to-one
+    // folds (Α→α, Ц→ц) they agree — pin that the fold actually happens
+    // before word extraction (the x110b stuffing word is uppercase for
+    // the same reason). Condition-sensitive folds (final sigma) remain
+    // fenced out of gate corpora.
+    val docs = Seq((1L, "ΑΒ日Ц ΑΒ日Ц"), (2L, "Αβ日ц")).toDF("doc_id", "text")
+    val r = TextOps.bpeMergeLoopChars(docs, "doc_id", "text", 1)
+      .collect().map(x => (x.getAs[String]("pair"), x.getAs[Long]("n")))
+    // both spellings fold to the one word αβ日ц (freq 3): merges run on
+    // lowered symbols only, all four pairs tie at 3, pair-asc picks α β
+    assert(r.toSeq == Seq(("α β", 3L)))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("char-BPE trains on non-ASCII codepoints (the [a-z0-9] class dropped them)") {
     // three scripts in one word: codepoint split + within-word merges
     // must see every symbol (this corpus has NO ascii token at all)
