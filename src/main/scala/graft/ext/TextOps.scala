@@ -1008,8 +1008,9 @@ object TextOps {
     * rule, not a knapsack). Budget = ⌈budgetFrac · pool token mass⌉
     * with budgetFrac dyadic, so the ceil is float-exact cross-engine.
     * Token currency is the corpus word count ([[tokens]] — x34's
-    * budget currency; a learned-count variant plugs x113's n_tokens
-    * into `tokenCount`).
+    * budget currency); [[dsirTokenBudgetWith]] is the learned-count
+    * variant that plugs x113's n_tokens in (gated end to end by x115
+    * since round 16).
     *
     * Scale shape = [[dsirTopK]]'s decomposition with masses instead of
     * counts: a tiny per-bit-class token-mass histogram carries the
@@ -1021,14 +1022,29 @@ object TextOps {
                       targetCol: String, baseFrac: Double, buckets: Int,
                       budgetFrac: Double, salt: String = "dsirg|")
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tk = docs.select(col(idCol).as("id"),
       size(tokens(col(textCol))).cast(LongType).as("n_tokens"))
-    val w = ExtCaches.persistTracked(
+    dsirBudgetFill(
       dsirWeights(docs, idCol, textCol, targetCol, baseFrac, buckets)
         .withColumn("draw",
           Planted.u16(concat(lit(salt), col("id").cast(StringType))))
-        .join(tk, Seq("id")))
+        .join(tk, Seq("id")),
+      budgetFrac)
+  }
+
+  /** The budget-fill selection over an arbitrary weighted pool — the
+    * shared tail of [[dsirTokenBudget]] (whitespace-word currency) and
+    * [[dsirTokenBudgetWith]] (x115's LEARNED x113 token currency).
+    * `pool` carries (id, n_feats, w_bits, draw, n_tokens); each doc is
+    * kept iff the inclusive running mass down (w_bits DESC, draw, id)
+    * still fits ⌈budgetFrac · pool mass⌉ — prefix-truncate, not a
+    * knapsack. Scale decomposition = [[dsirTokenBudget]]'s scaladoc:
+    * bit-class mass histogram offset + within-class inclusive running
+    * sum; no unpartitioned window ever sees the un-reduced pool. */
+  private[graft] def dsirBudgetFill(pool: DataFrame,
+                                    budgetFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = ExtCaches.persistTracked(pool)
     val hist = w.groupBy(col("w_bits"))
       .agg(sum(col("n_tokens")).as("mass_bits"))
     val above = Window.orderBy(col("w_bits").desc)
@@ -1049,4 +1065,37 @@ object TextOps {
       .select(col("id"), col("n_feats"), col("w_bits"), col("draw"),
         col("n_tokens"), col("accepted"))
   }
+
+  /** DSIR token-budget thinning with an EXTERNAL token currency and an
+    * EXTERNAL pool restriction — the x115 composition closing the
+    * scaladoc variant [[dsirTokenBudget]] documents: the budget a
+    * training run actually spends is billed in the MODEL's learned
+    * token counts (x113's `n_tokens` — the number the loader packs
+    * against), not the whitespace-word approximation, and the pool is
+    * the survivor set of the upstream curation gates (the x108 LM
+    * gate), not the whole held-out slice. Same weights, same draw,
+    * same fill rule as [[dsirTokenBudget]]:
+    *  - `tokenCounts` — (id, n_tokens): the per-doc currency relation
+    *    (x115 passes the frozen-vocab encoder's output);
+    *  - `poolIds` — (id): the docs eligible for filling; the join is a
+    *    left-semi, so membership is a filter, never a fan-out.
+    * Budget = ⌈budgetFrac · Σ n_tokens over the RESTRICTED pool⌉ —
+    * the denominator a budget means after gating.
+    *
+    * Scale shape: [[dsirWeights]]' broadcast-model scoring + two
+    * equi-joins on the doc id (the currency relation and the semi-join
+    * filter — both corpus-partitioned, no new shuffle class) +
+    * [[dsirBudgetFill]]'s histogram decomposition. */
+  def dsirTokenBudgetWith(docs: DataFrame, idCol: String, textCol: String,
+                          targetCol: String, baseFrac: Double, buckets: Int,
+                          budgetFrac: Double, tokenCounts: DataFrame,
+                          poolIds: DataFrame, salt: String = "dsirg|")
+      : DataFrame =
+    dsirBudgetFill(
+      dsirWeights(docs, idCol, textCol, targetCol, baseFrac, buckets)
+        .withColumn("draw",
+          Planted.u16(concat(lit(salt), col("id").cast(StringType))))
+        .join(tokenCounts, Seq("id"))
+        .join(poolIds, Seq("id"), "left_semi"),
+      budgetFrac)
 }

@@ -1119,6 +1119,61 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
       .orderBy(col("doc_id"))
   }
 
+  /** The end-to-end pipeline gate (x115) — the composition a
+    * pretraining run actually ships, closed as ONE oracle-gated query
+    * (the round-15 verdict's #1): every stage was individually
+    * hash-proven (x108 LM gate, x109c budget fill, x113 encoder, x114
+    * packing) but the composition — where schedule and split
+    * disciplines could silently interact — was not.
+    *
+    * corpus → x108 LM-perplexity gate (bigram LM trained on the
+    * [[BaseFrac]] slice, held-out survivors at [[LmGateBitsX16]]) →
+    * DSIR token-budget thinning over the SURVIVOR pool
+    * ([[graft.ext.TextOps.dsirTokenBudgetWith]]) billed in the
+    * LEARNED token counts of x113's frozen-vocab encoder (OOV probe
+    * included — the shared gate corpus), budget =
+    * ⌈[[DsirTokenBudgetFrac]] · gated-pool learned-token mass⌉ —
+    * the number a training run actually spends, not the whitespace
+    * approximation x109c uses — → x44's packing algebra over the kept
+    * docs. Output = the packed manifest (x114's schema) of the
+    * curated, thinned corpus: the artifact a loader consumes.
+    *
+    * Pool membership is inner-join semantics on both engines: held-out
+    * docs with ≥2 whitespace tokens (LM-scoreable), LM-kept, with ≥1
+    * DSIR feature and ≥1 extractable word. The oracle composes the
+    * SHARED CTE chains — lmGateCtes + dsirCtes + bpeApplyCtes + x44's
+    * packing tail, one spelling each — so every stage of the hashed
+    * pipeline is provably the individually-gated one. */
+  def x115_curate_pack(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Packing, Sampling}
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val inBase = Sampling.hashThresholdPredicate(col("doc_id"), BaseFrac)
+    // stage 1 — LM perplexity gate (x108's chain, one spelling)
+    val lmKept = graft.ext.TextOps
+      .bigramLmScores(docs, "doc_id", "text", BaseFrac)
+      .filter(col("bits_x16") <= LmGateBitsX16)
+      .select(col("id"))
+    // stage 2 — the frozen-vocab encoder (x113's chain, OOV probe incl.)
+    val vocab = graft.ext.TextOps.bpeEncodeChars(
+      docs.filter(inBase), "doc_id", "text", CharBpeRounds)
+    val encoded = graft.ext.TextOps.bpeApplyVocab(
+      graft.ext.TextOps.oovProbeVariant(docs.filter(!inBase), "doc_id", "text"),
+      "doc_id", "text", vocab.select("word", "t"))
+    // stage 3 — DSIR token-budget thinning billed in the LEARNED counts
+    val thinned = graft.ext.TextOps.dsirTokenBudgetWith(
+      TextOps.qualityScore(Tables.documents(s, dir))
+        .withColumn("is_target", col("quality_score") >= QualityGate),
+      "doc_id", "text", "is_target", BaseFrac, DsirBuckets,
+      DsirTokenBudgetFrac, encoded.select(col("id"), col("n_tokens")),
+      lmKept)
+    // stage 4 — pack the kept docs (x44's manifest algebra)
+    Packing.packManifest(
+        thinned.filter(col("accepted"))
+          .select(col("id").as("doc_id"), col("n_tokens")),
+        "doc_id", col("n_tokens"), CtxLen)
+      .orderBy(col("doc_id"))
+  }
+
   /** DSIR enrichment audit (x112) — the measurement that makes x109 a
     * curation tool instead of a determinism demo (the x86 discipline,
     * applied to resampling): confront the accepted/rejected partition
@@ -1193,7 +1248,8 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     "x112b_topk_enrichment" -> (x112b_topk_enrichment _),
     "x114_bpe_pack_manifest" -> (x114_bpe_pack_manifest _),
     "x109c_dsir_token_budget" -> (x109c_dsir_token_budget _),
-    "x112c_budget_enrichment" -> (x112c_budget_enrichment _))
+    "x112c_budget_enrichment" -> (x112c_budget_enrichment _),
+    "x115_curate_pack" -> (x115_curate_pack _))
 
   /** Char-BPE's base relation, oracle side — the distinct-word table
     * with corpus frequencies and codepoint symbol sequences (+`</w>`),
@@ -1311,6 +1367,47 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
        |  SELECT doc_id, n_feats, w_bits, w_x16, shift,
        |         ${u16Sql("'dsirk|' || CAST(doc_id AS VARCHAR)")} < 65536 // (CAST(1 AS BIGINT) << shift) AS accepted
        |  FROM wk)""".stripMargin
+  }
+
+  /** The x108 bigram-LM gate chain, oracle side — base-slice bigram
+    * counts (the x83 hash split), halving-bucket conditional surprise
+    * with +1 smoothing and max-surprise prefix backoff, integer sums,
+    * ×16 fixed-point average, and the kept verdict at
+    * [[LmGateBitsX16]]. Ends at `lmk` (doc_id, n_bigrams, nll_bits,
+    * bits_x16, kept). CTE names are lm-prefixed so the chain composes
+    * with dsirCtes + bpeApplyCtes in x115 without collision; the
+    * standalone x108 oracle reads this same builder — ONE spelling, so
+    * the pipeline's gate stage is provably the gated x108. */
+  private def lmGateCtes: String = {
+    import graft.ext.Sampling
+    s"""lmocc AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base,
+       |         unnest(list_transform(range(1, len(t)),
+       |           i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |        FROM documents)),
+       |lmc12 AS MATERIALIZED (
+       |  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM lmocc WHERE in_base GROUP BY 1),
+       |lmc1 AS MATERIALIZED (
+       |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+       |  FROM lmc12 GROUP BY 1),
+       |lmnm AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_mass FROM lmc12),
+       |lmsc AS (
+       |  SELECT o.id,
+       |         CASE WHEN c1.c1 IS NULL THEN length(bin(n.n_mass + 1)) - 1
+       |              ELSE (length(bin(c1.c1 + 1)) - 1)
+       |                   - (length(bin(COALESCE(c12.c12, 0) + 1)) - 1) END AS bits
+       |  FROM lmocc o LEFT JOIN lmc12 c12 USING (bg)
+       |       LEFT JOIN lmc1 c1 ON c1.w1 = split_part(o.bg, ' ', 1), lmnm n
+       |  WHERE NOT o.in_base),
+       |lmk AS (
+       |  SELECT id AS doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         CAST(SUM(bits) AS BIGINT) AS nll_bits,
+       |         (16 * CAST(SUM(bits) AS BIGINT)) // CAST(count(*) AS BIGINT) AS bits_x16,
+       |         (16 * CAST(SUM(bits) AS BIGINT)) // CAST(count(*) AS BIGINT) <= $LmGateBitsX16 AS kept
+       |  FROM lmsc GROUP BY 1)""".stripMargin
   }
 
   protected def oracleSqlQuality: Map[String, String] = Map(
@@ -1674,39 +1771,12 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     // x108: the bigram-LM perplexity gate — base-slice counts (the x83
     // hash split), halving-bucket conditional surprise with +1 smoothing
     // and max-surprise prefix backoff, integer sums, ×16 fixed-point
-    // average via integer division. Count CTEs materialized (each is
-    // referenced twice).
-    "x108_lm_perplexity_gate" -> {
-      import graft.ext.Sampling
-      s"""WITH occ AS MATERIALIZED (
-         |  SELECT doc_id AS id,
-         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${Sampling.cutFor(BaseFrac)}' AS in_base,
-         |         unnest(list_transform(range(1, len(t)),
-         |           i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS bg
-         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-         |        FROM documents)),
-         |c12 AS MATERIALIZED (
-         |  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM occ WHERE in_base GROUP BY 1),
-         |c1 AS MATERIALIZED (
-         |  SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
-         |  FROM c12 GROUP BY 1),
-         |nm AS (SELECT CAST(SUM(c12) AS BIGINT) AS n_mass FROM c12),
-         |sc AS (
-         |  SELECT o.id,
-         |         CASE WHEN c1.c1 IS NULL THEN length(bin(n.n_mass + 1)) - 1
-         |              ELSE (length(bin(c1.c1 + 1)) - 1)
-         |                   - (length(bin(COALESCE(c12.c12, 0) + 1)) - 1) END AS bits
-         |  FROM occ o LEFT JOIN c12 USING (bg)
-         |       LEFT JOIN c1 ON c1.w1 = split_part(o.bg, ' ', 1), nm n
-         |  WHERE NOT o.in_base)
-         |SELECT id AS doc_id,
-         |       CAST(count(*) AS BIGINT) AS n_bigrams,
-         |       CAST(SUM(bits) AS BIGINT) AS nll_bits,
-         |       (16 * CAST(SUM(bits) AS BIGINT)) // CAST(count(*) AS BIGINT) AS bits_x16,
-         |       (16 * CAST(SUM(bits) AS BIGINT)) // CAST(count(*) AS BIGINT) <= $LmGateBitsX16 AS kept
-         |FROM sc GROUP BY 1
-         |ORDER BY doc_id""".stripMargin
-    },
+    // average via integer division. The chain lives in lmGateCtes (one
+    // spelling, shared with x115's pipeline composition).
+    "x108_lm_perplexity_gate" ->
+      s"""WITH $lmGateCtes
+         |SELECT doc_id, n_bigrams, nll_bits, bits_x16, kept
+         |FROM lmk ORDER BY doc_id""".stripMargin,
 
 
     // x109: DSIR importance resampling — hashed unigram+bigram feature
@@ -1957,6 +2027,48 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
          |       (cum_end - n_tokens) % $CtxLen AS offset_in_pack,
          |       (cum_end - 1) // $CtxLen - (cum_end - n_tokens) // $CtxLen + 1 AS packs_spanned
          |FROM p
+         |ORDER BY doc_id""".stripMargin,
+
+    // x115: the end-to-end pipeline — the three individually-gated
+    // chains composed verbatim (lmGateCtes -> the x108 gate verdict,
+    // dsirCtes -> the importance weights, bpeApplyCtes -> the learned
+    // token counts), the budget fill replayed as ONE global running-sum
+    // window over the LM-SURVIVOR pool in LEARNED token currency, and
+    // x44's packing tail over the kept docs.
+    "x115_curate_pack" ->
+      s"""WITH $qualityGateCte,
+         |$dsirCtes,
+         |$lmGateCtes,
+         |$bpeApplyCtes,
+         |xg AS (
+         |  SELECT ws.doc_id, ws.w_bits,
+         |         CAST(len(sq.t) AS BIGINT) AS n_tokens,
+         |         ${u16Sql("'dsirg|' || CAST(ws.doc_id AS VARCHAR)")} AS draw
+         |  FROM ws JOIN sq USING (doc_id) JOIN lmk USING (doc_id)
+         |  WHERE lmk.kept),
+         |xr AS (
+         |  SELECT *,
+         |         CAST(SUM(n_tokens) OVER (ORDER BY w_bits DESC, draw, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_incl,
+         |         CAST(SUM(n_tokens) OVER () AS BIGINT) AS pool_mass
+         |  FROM xg),
+         |xm AS (
+         |  SELECT doc_id,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         |         n_tokens
+         |  FROM xr
+         |  WHERE cum_incl <= CAST(ceil(pool_mass * $DsirTokenBudgetFrac) AS BIGINT)),
+         |xp AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+         |  FROM xm WHERE n_tokens > 0)
+         |SELECT doc_id, shard, n_tokens,
+         |       cum_end - n_tokens AS start_offset,
+         |       (cum_end - n_tokens) // $CtxLen AS pack_first,
+         |       (cum_end - n_tokens) % $CtxLen AS offset_in_pack,
+         |       (cum_end - 1) // $CtxLen - (cum_end - n_tokens) // $CtxLen + 1 AS packs_spanned
+         |FROM xp
          |ORDER BY doc_id""".stripMargin,
 
 

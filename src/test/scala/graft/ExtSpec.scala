@@ -311,6 +311,35 @@ class TextOpsSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("x115 composes: each stage thins the pool and the manifest bills LEARNED counts") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.Extensions
+    val lm = q.x108_lm_perplexity_gate(spark, dir).collect()
+    val keptIds = lm.filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds.nonEmpty && keptIds.size < lm.length,
+      "the LM gate must be a real partition of the held-out pool")
+    val learned = q.x113_bpe_apply_unseen(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val m = q.x115_curate_pack(spark, dir).collect()
+    // the budget fill thins the LM-survivor pool; nothing outside it packs
+    assert(m.nonEmpty && m.length < keptIds.size)
+    m.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(keptIds(id), s"packed doc $id was not LM-kept")
+      // billed in the encoder's counts, not whitespace words
+      assert(r.getAs[Long]("n_tokens") == learned(id),
+        s"doc $id manifest count != x113 learned count")
+    }
+    // prefix-fill respects the gated pool's learned-token budget
+    val poolMass = learned.collect { case (id, n) if keptIds(id) => n }.sum
+    val budget = math.ceil(poolMass * q.DsirTokenBudgetFrac).toLong
+    val packedMass = m.map(_.getAs[Long]("n_tokens")).sum
+    assert(packedMass <= budget && packedMass > 0,
+      s"packed mass $packedMass must fill within budget $budget")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("char-BPE lower()-folds uppercase non-ASCII letters identically to the oracle's simple mapping") {
     // Round-15 advice: Spark lower() is Java full case mapping on
     // non-ASCII, DuckDB's is utf8proc simple mapping. On one-to-one
