@@ -962,15 +962,23 @@ object TextOps {
     * form's power-of-two grid.
     *
     * Scale shape (the fleet gate forbids an unpartitioned window over
-    * un-reduced input): the global rank DECOMPOSES — a tiny w_bits
-    * histogram (|distinct w_bits| rows — the weights span a few dozen
-    * bits BY CONSTRUCTION) gets the running count of strictly-heavier
-    * classes via a window over the reduced relation, and each doc's
-    * global rank is that broadcast offset + its row_number within its
-    * OWN bit class (window partitioned by w_bits). At 100 TB the
-    * boundary class is the one partition that can still be large; the
-    * production refinement is a second histogram over the draw within
-    * just that class — same decomposition, one level down. keepFrac
+    * un-reduced input): the global rank DECOMPOSES TWICE — a tiny
+    * w_bits histogram (|distinct w_bits| rows — the weights span a few
+    * dozen bits BY CONSTRUCTION) gets the running count of
+    * strictly-heavier classes via a window over the reduced relation;
+    * then, because at 100 TB the budget-crossing bit class can by
+    * itself hold a corpus-scale row count, a SECOND histogram over
+    * (w_bits, draw) gets the running count of strictly-smaller draws
+    * within each class (window over the reduced cell relation,
+    * partitioned by w_bits), and the only window that touches the
+    * un-reduced pool is partitioned by the FULL (w_bits, draw) cell —
+    * expected n/2¹⁶ docs per cell within a class (round-15 verdict #2;
+    * the id-ordered row_number inside one equal-draw cell is the
+    * irreducible tie-break, the same honesty as the draw itself).
+    * rank-in-class = cell offset + row_number-in-cell is provably the
+    * (draw, id) rank the one-level form computed — the selection is
+    * bit-identical (DsirBoundarySpec pins it on a degenerate corpus
+    * whose every doc shares one bit class). keepFrac
     * must be dyadic (2⁻¹ at the gate) so ⌈n·keepFrac⌉ is float-exact
     * on both engines. */
   def dsirTopK(docs: DataFrame, idCol: String, textCol: String,
@@ -987,9 +995,22 @@ object TextOps {
     val cum = hist.select(col("w_bits"),
       coalesce(sum(col("n_bits")).over(above), lit(0L)).as("n_above"))
     val total = hist.agg(sum(col("n_bits")).as("n_pool"))
-    val inClass = Window.partitionBy(col("w_bits"))
-      .orderBy(col("draw"), col("id"))
-    w.withColumn("rnk", row_number().over(inClass).cast(LongType))
+    // second-level decomposition: cell histogram + within-class running
+    // offset over the REDUCED cells, so the corpus-sized window below
+    // partitions by the full (w_bits, draw) cell
+    val cells = w.groupBy(col("w_bits"), col("draw"))
+      .agg(count(lit(1)).as("n_cell"))
+    val aboveInClass = Window.partitionBy(col("w_bits"))
+      .orderBy(col("draw"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellOff = cells.select(col("w_bits"), col("draw"),
+      coalesce(sum(col("n_cell")).over(aboveInClass), lit(0L))
+        .as("n_above_cell"))
+    val inCell = Window.partitionBy(col("w_bits"), col("draw"))
+      .orderBy(col("id"))
+    w.join(broadcast(cellOff), Seq("w_bits", "draw"))
+      .withColumn("rnk",
+        col("n_above_cell") + row_number().over(inCell).cast(LongType))
       .join(broadcast(cum), Seq("w_bits"))
       .crossJoin(broadcast(total))
       .withColumn("k_budget",
@@ -1012,12 +1033,11 @@ object TextOps {
     * variant that plugs x113's n_tokens in (gated end to end by x115
     * since round 16).
     *
-    * Scale shape = [[dsirTopK]]'s decomposition with masses instead of
-    * counts: a tiny per-bit-class token-mass histogram carries the
-    * strictly-heavier offset (window over the REDUCED relation), each
-    * doc adds its within-class inclusive running mass (window
-    * partitioned by w_bits) — no unpartitioned window ever sees the
-    * un-reduced pool. */
+    * Scale shape = [[dsirBudgetFill]]'s two-level decomposition with
+    * masses instead of counts: bit-class histogram offset + (w_bits,
+    * draw) cell offset + within-CELL running mass — no unpartitioned
+    * window ever sees the un-reduced pool, and no partition is ever
+    * larger than one equal-draw cell of one bit class. */
   def dsirTokenBudget(docs: DataFrame, idCol: String, textCol: String,
                       targetCol: String, baseFrac: Double, buckets: Int,
                       budgetFrac: Double, salt: String = "dsirg|")
@@ -1038,9 +1058,16 @@ object TextOps {
     * `pool` carries (id, n_feats, w_bits, draw, n_tokens); each doc is
     * kept iff the inclusive running mass down (w_bits DESC, draw, id)
     * still fits ⌈budgetFrac · pool mass⌉ — prefix-truncate, not a
-    * knapsack. Scale decomposition = [[dsirTokenBudget]]'s scaladoc:
-    * bit-class mass histogram offset + within-class inclusive running
-    * sum; no unpartitioned window ever sees the un-reduced pool. */
+    * knapsack. Scale decomposition = [[dsirTopK]]'s two-level form
+    * with masses instead of counts (round-15 verdict #2): bit-class
+    * mass histogram offset (window over the reduced class relation) +
+    * per-(w_bits, draw) cell-mass offset (window over the reduced cell
+    * relation, partitioned by w_bits) + within-CELL inclusive running
+    * sum — the only window on the un-reduced pool partitions by the
+    * full cell, expected n/2¹⁶ docs within a class. Integer prefix
+    * masses regroup associatively, so cum_incl is bit-identical to the
+    * one-level form (DsirBoundarySpec pins it on a single-bit-class
+    * corpus). */
   private[graft] def dsirBudgetFill(pool: DataFrame,
                                     budgetFrac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1052,10 +1079,20 @@ object TextOps {
     val cum = hist.select(col("w_bits"),
       coalesce(sum(col("mass_bits")).over(above), lit(0L)).as("mass_above"))
     val total = hist.agg(sum(col("mass_bits")).as("pool_mass"))
-    val inClass = Window.partitionBy(col("w_bits"))
-      .orderBy(col("draw"), col("id"))
+    val cells = w.groupBy(col("w_bits"), col("draw"))
+      .agg(sum(col("n_tokens")).as("mass_cell"))
+    val aboveInClass = Window.partitionBy(col("w_bits"))
+      .orderBy(col("draw"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellOff = cells.select(col("w_bits"), col("draw"),
+      coalesce(sum(col("mass_cell")).over(aboveInClass), lit(0L))
+        .as("mass_above_cell"))
+    val inCell = Window.partitionBy(col("w_bits"), col("draw"))
+      .orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w.withColumn("cum_incl", sum(col("n_tokens")).over(inClass))
+    w.join(broadcast(cellOff), Seq("w_bits", "draw"))
+      .withColumn("cum_incl",
+        col("mass_above_cell") + sum(col("n_tokens")).over(inCell))
       .join(broadcast(cum), Seq("w_bits"))
       .crossJoin(broadcast(total))
       .withColumn("budget",

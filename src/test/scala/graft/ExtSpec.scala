@@ -2973,3 +2973,84 @@ class DsirGuardSpec extends SparkSpec {
     }
   }
 }
+
+/** Round-16 (the round-15 verdict's #2): the boundary-class refinement.
+  * At 100 TB the budget-crossing w_bits class can by itself hold a
+  * corpus-scale row count; dsirTopK/dsirBudgetFill now decompose the
+  * within-class rank/mass through a second (w_bits, draw) cell
+  * histogram so the only window on the un-reduced pool partitions by
+  * the full cell. These pin (a) bit-identity of the SELECTION against
+  * an independently re-derived global ranking on the adversarial
+  * corpus — one bit class holding ~all docs — and (b) the plan shape:
+  * every window either partitions by >= 2 columns or sits on reduced
+  * (aggregated) input. */
+class DsirBoundarySpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.ext.TextOps
+
+  // identical text for ~all docs => identical features => ONE w_bits
+  // class holding ~all of the held-out pool (the degenerate case the
+  // one-level decomposition would serve with a corpus-sized partition)
+  private val wordsA = (1 to 24).map(i => s"tok$i").mkString(" ")
+  private def corpus = (1L to 240L).map { i =>
+    (i, if (i % 40 == 0) "rare short outlier words" else wordsA, i % 2 == 0)
+  }.toDF("doc_id", "text", "is_target")
+
+  test("dsirTopK: single-bit-class corpus selects exactly the global-rank prefix") {
+    val out = TextOps.dsirTopK(corpus, "doc_id", "text", "is_target",
+      0.5, 64, 0.5).collect()
+    val classSizes = out.groupBy(_.getAs[Long]("w_bits")).map(_._2.length)
+    assert(classSizes.max >= out.length - 20,
+      s"corpus must be degenerate (one dominant bit class); got $classSizes")
+    val ordered = out.sortBy(r => (-r.getAs[Long]("w_bits"),
+      r.getAs[Long]("draw"), r.getAs[Long]("id")))
+    val k = math.ceil(out.length * 0.5).toInt
+    val expect = ordered.take(k).map(_.getAs[Long]("id")).toSet
+    val got = out.filter(_.getAs[Boolean]("accepted"))
+      .map(_.getAs[Long]("id")).toSet
+    assert(got == expect,
+      "two-level rank decomposition must reproduce the global (w_bits DESC, draw, id) prefix")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("dsirTokenBudget: single-bit-class corpus fills exactly the global running-mass prefix") {
+    val out = TextOps.dsirTokenBudget(corpus, "doc_id", "text", "is_target",
+      0.5, 64, 0.25).collect()
+    val ordered = out.sortBy(r => (-r.getAs[Long]("w_bits"),
+      r.getAs[Long]("draw"), r.getAs[Long]("id")))
+    val masses = ordered.map(_.getAs[Long]("n_tokens"))
+    val budget = math.ceil(masses.sum * 0.25).toLong
+    val expect = ordered.zip(masses.scanLeft(0L)(_ + _).tail)
+      .collect { case (r, cum) if cum <= budget => r.getAs[Long]("id") }.toSet
+    val got = out.filter(_.getAs[Boolean]("accepted"))
+      .map(_.getAs[Long]("id")).toSet
+    assert(got == expect && got.nonEmpty && got.size < out.length,
+      "two-level mass decomposition must reproduce the global inclusive-prefix fill")
+    graft.ext.ExtCaches.clearCaches()
+  }
+
+  test("no window on the un-reduced pool partitions by less than the (w_bits, draw) cell") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, Window => LWindow}
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case p: Project   => reduced(p.child)
+      case f: Filter    => reduced(f.child)
+      case w: LWindow   => reduced(w.child)
+      case _            => false
+    }
+    Seq(
+      TextOps.dsirTopK(corpus, "doc_id", "text", "is_target", 0.5, 64, 0.5),
+      TextOps.dsirTokenBudget(corpus, "doc_id", "text", "is_target", 0.5, 64, 0.25)
+    ).foreach { df =>
+      val wins = df.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }
+      assert(wins.nonEmpty, "expected window nodes in the plan")
+      wins.foreach { w =>
+        assert(w.partitionSpec.size >= 2 || reduced(w.child),
+          s"window partitioned by ${w.partitionSpec} over un-reduced input")
+      }
+      graft.ext.ExtCaches.clearCaches()
+    }
+  }
+}
