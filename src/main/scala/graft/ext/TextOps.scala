@@ -511,24 +511,62 @@ object TextOps {
     * symbols (outside U+0000–U+FFFF) are the one documented divergence
     * risk: Java matches them as single code points too, but a gate
     * corpus stays BMP-only so the engines can never disagree on what a
-    * "character" is. */
+    * "character" is. [[utf8Bytes]] (x110c, round 16) retires the
+    * question entirely — at byte granularity there is no character
+    * boundary to agree on, and its gate corpus carries an astral
+    * letter on purpose. */
   private[ext] def codepoints(word: Column): Column =
     regexp_extract_all(word, lit("."), lit(0))
 
-  /** The distinct-word symbol relation char-BPE trains and applies
-    * over: (word, corpus freq, codepoints + the `</w>` marker).
-    * Codepoint-level since round 15 ([[tokensUnicode]]/[[codepoints]]) —
-    * byte-identical on ASCII corpora, correct on multilingual ones
-    * (gated by x110b's non-ASCII variant). */
-  private def charWordSeqs(docs: DataFrame, textCol: String): DataFrame =
+  /** One symbol per UTF-8 BYTE of the word, spelled as a lowercase
+    * 2-hex-char string — the byte-level symbol universe (GPT-2
+    * granularity: Radford et al. 2019 run BPE over bytes so EVERY
+    * string is representable from a 256-symbol base alphabet, no OOV
+    * character possible). Engine-neutral BY CONSTRUCTION: both engines
+    * hex-encode the word's UTF-8 bytes and split the hex string into
+    * 2-char units, so the astral-plane "what is a character" question
+    * [[codepoints]] documents as its one divergence risk does not
+    * exist at this granularity — x110c gates it with an astral LETTER
+    * (𝛼 U+1D6FC, outside the BMP) provably in the merge table. */
+  private[ext] def utf8Bytes(word: Column): Column =
+    regexp_extract_all(lower(hex(encode(word, "UTF-8"))), lit(".."), lit(0))
+
+  /** The distinct-word symbol relation the weighted BPE loop trains
+    * and applies over: (word, corpus freq, `sym`(word) + the `</w>`
+    * marker). `sym` picks the granularity — [[codepoints]] (x110's
+    * published char level) or [[utf8Bytes]] (x110c's GPT-2 byte
+    * level); the loop algebra above it is identical. Codepoint form is
+    * byte-identical on ASCII corpora, correct on multilingual BMP ones
+    * (gated by x110b's non-ASCII variant); the byte form needs no BMP
+    * fence at all. */
+  private def wordSeqs(docs: DataFrame, textCol: String,
+                       sym: Column => Column): DataFrame =
     docs.select(explode(tokensUnicode(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word"), col("freq"),
-        concat(codepoints(col("word")), array(lit("</w>"))).as("t"))
+        concat(sym(col("word")), array(lit("</w>"))).as("t"))
+
+  private def charWordSeqs(docs: DataFrame, textCol: String): DataFrame =
+    wordSeqs(docs, textCol, codepoints)
 
   def bpeMergeLoopChars(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int): DataFrame = {
-    var cur = ExtCaches.persistTracked(charWordSeqs(docs, textCol))
+                        k: Int): DataFrame =
+    weightedMergeLoop(charWordSeqs(docs, textCol), k)
+
+  /** Byte-level BPE training (x110c) — [[bpeMergeLoopChars]]' loop over
+    * the [[utf8Bytes]] symbol universe: the same frequency-weighted
+    * distinct-word relation, pair statistic, 1-row min_by winner and
+    * greedy fold, with merges between (hex-spelled) UTF-8 bytes within
+    * words. Same vocab-bounded scale shape; the symbol alphabet is
+    * ≤ 256 base units + learned merges. */
+  def bpeMergeLoopBytes(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int): DataFrame =
+    weightedMergeLoop(wordSeqs(docs, textCol, utf8Bytes), k)
+
+  /** k frequency-weighted merge rounds over a (word, freq, t) seed —
+    * the shared trainer body of the char- and byte-level loops. */
+  private def weightedMergeLoop(seed: DataFrame, k: Int): DataFrame = {
+    var cur = ExtCaches.persistTracked(seed)
     val rounds = (1 to k).map { r =>
       val top = topPair(cur, col("freq"))
       cur = ExtCaches.persistTracked(

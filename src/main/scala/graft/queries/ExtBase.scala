@@ -206,7 +206,13 @@ private[queries] trait ExtBase { this: ExtCore =>
     * word-level loop over per-document sequences; `key = "word",
     * weighted = true` replays x110's char-level loop over the
     * distinct-word relation (pair counts and the post-merge symbol mass
-    * weighted by the carried `freq` column). */
+    * weighted by the carried `freq` column). `mt`/`seqs` are
+    * MATERIALIZED (round 16): DuckDB inlines plain CTEs, and each round
+    * references its predecessor ~3× (cnt, match, the rebuild), so an
+    * unrolled depth-k chain re-inlined the base scan 3^k times — at
+    * x110c's k = 6 that exhausted the file-handle budget outright.
+    * Materializing each round's two outputs makes the chain linear;
+    * values are unchanged (the hint only pins evaluation order). */
   private[queries] def bpeRoundSql(r: Int, key: String = "doc_id",
                           weighted: Boolean = false): String = {
     val prev = s"seqs${r - 1}"
@@ -218,7 +224,7 @@ private[queries] trait ExtBase { this: ExtCore =>
        |  SELECT t[p] || ' ' || t[p+1] AS pair, $nExpr AS n
        |  FROM $prev, unnest(range(1, len(t))) AS u(p)
        |  GROUP BY 1),
-       |mt$r AS (
+       |mt$r AS MATERIALIZED (
        |  -- null-winner sentinel (round-14 advice): an exhausted vocabulary
        |  -- empties cnt; LIMIT 1 alone would then empty mt, and seqs's CROSS
        |  -- JOIN would drop every row. An always-present all-null candidate
@@ -246,7 +252,7 @@ private[queries] trait ExtBase { this: ExtCore =>
        |                 p - row_number() OVER (PARTITION BY $key ORDER BY p) AS g
        |          FROM match$r))
        |  WHERE rk % 2 = 1),
-       |seqs$r AS (
+       |seqs$r AS MATERIALIZED (
        |  SELECT ps.$key$carryPs,
        |         list(CASE WHEN s1.p IS NOT NULL THEN m.a || '_' || m.b
        |                   ELSE ps.tok END ORDER BY ps.p) AS t

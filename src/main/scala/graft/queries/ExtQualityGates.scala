@@ -1057,6 +1057,54 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
       .orderBy(col("round"))
 
 
+  /** The x110c stuffing word: an ASTRAL-PLANE letter (𝛼 U+1D6FC,
+    * MATHEMATICAL ITALIC SMALL ALPHA — category Ll, OUTSIDE the BMP,
+    * UTF-8 f0 9d 9b bc) + BMP CJK + Cyrillic: nine UTF-8 bytes whose
+    * adjacent pairs weigh [[ByteStuffReps]]·⌈n/3⌉ ≈ 13.3·n each vs the
+    * measured ≈9.3·n top ASCII pair (byte pairs of ASCII words ARE
+    * their codepoint pairs), so every [[CharBpeRounds]] winner is the
+    * stuffed word's own byte-merge recursion — with the astral
+    * letter's bytes provably inside the merge table, the condition the
+    * codepoint form fences out of its gate corpora. */
+  val ByteStuffWord = "𝛼日ц"
+  val ByteStuffReps = 40
+
+
+  /** x110c's round count — deeper than [[CharBpeRounds]] BY NEED: the
+    * stuffed word's nine tied byte pairs merge in pair-asc order, and
+    * the astral letter's interior pair "9b bc" (bytes unreachable from
+    * ASCII or the BMP stuffing scripts) is reached at round 5; six
+    * rounds put the astral-only bytes provably inside the hashed merge
+    * table AND show the merged astral symbol itself winning a round
+    * (9b_bc at round 6) — the recursion-on-astral-bytes proof. */
+  val ByteBpeRounds = 6
+
+
+  /** Byte-level BPE training over a multilingual corpus with an
+    * ASTRAL-PLANE letter (x110c) — the round-15 verdict's #3: the
+    * published production granularity (GPT-2: BPE over UTF-8 bytes, so
+    * every string decomposes into a 256-symbol base alphabet and no
+    * character can be OOV) and the constructive retirement of the
+    * codepoint form's one documented divergence risk — bytes are
+    * engine-neutral, there is no "what is a character" question left.
+    * Same trainer algebra as x110/x110b ([[graft.ext.TextOps
+    * .bpeMergeLoopBytes]]: frequency-weighted distinct-word relation,
+    * deterministic 1-row winners, greedy fold), symbols spelled as
+    * lowercase 2-hex-char units; the `high_byte` flag marks winners
+    * containing a non-ASCII byte (≥ 0x80) so the hashed VALUES prove
+    * astral bytes survived word extraction, hex split, pair counting
+    * and the fold on both engines. */
+  def x110c_bpe_byte_merges(s: SparkSession, dir: String): DataFrame =
+    graft.ext.TextOps.bpeMergeLoopBytes(
+      graft.ext.TextOps.nonAsciiVariant(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", ByteStuffWord, ByteStuffReps),
+      "doc_id", "text", ByteBpeRounds)
+      .withColumn("high_byte",
+        col("pair").rlike("(^|[ _])[89a-f][0-9a-f]($|[ _])"))
+      .orderBy(col("round"))
+
+
   /** Char-BPE apply on raw UNSEEN text (x113) — the round-14 verdict's
     * #1: x111 froze the vocabulary but no gate RAN it forward. This one
     * completes train→freeze→APPLY, the contract a production tokenizer
@@ -1249,7 +1297,8 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     "x114_bpe_pack_manifest" -> (x114_bpe_pack_manifest _),
     "x109c_dsir_token_budget" -> (x109c_dsir_token_budget _),
     "x112c_budget_enrichment" -> (x112c_budget_enrichment _),
-    "x115_curate_pack" -> (x115_curate_pack _))
+    "x115_curate_pack" -> (x115_curate_pack _),
+    "x110c_bpe_byte_merges" -> (x110c_bpe_byte_merges _))
 
   /** Char-BPE's base relation, oracle side — the distinct-word table
     * with corpus frequencies and codepoint symbol sequences (+`</w>`),
@@ -1267,6 +1316,23 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
        |seqs0 AS (
        |  SELECT word, freq,
        |         list_concat(regexp_extract_all(word, '.'), ['</w>']) AS t
+       |  FROM w0)""".stripMargin
+
+  /** Byte-level seqs0, oracle side (x110c): the same distinct-word
+    * relation with symbols = the word's UTF-8 bytes as lowercase
+    * 2-hex-char units — both engines hex-encode the identical bytes,
+    * so the symbol split is engine-neutral by construction (mirrors
+    * TextOps.utf8Bytes; DuckDB's hex(BLOB) and Spark's hex(BINARY)
+    * agree after lower()). */
+  private def byteSeqs0Sql(from: String = "documents"): String =
+    s"""w0 AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS word
+       |        FROM $from)
+       |  GROUP BY 1),
+       |seqs0 AS (
+       |  SELECT word, freq,
+       |         list_concat(regexp_extract_all(lower(hex(encode(word))), '..'), ['</w>']) AS t
        |  FROM w0)""".stripMargin
 
   /** The x113 apply chain, oracle side — train char-BPE on the base
@@ -1977,6 +2043,26 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
          |SELECT round, pair, n, n_tokens_after,
          |       regexp_matches(pair, '[^\\x00-\\x7f]') AS non_ascii
          |FROM (${(1 to CharBpeRounds).map(r => s"SELECT * FROM row$r").mkString(" UNION ALL ")})
+         |ORDER BY round""".stripMargin
+    },
+
+    // x110c: the byte-level chain over the astral-stuffed variant —
+    // byteSeqs0Sql's engine-neutral hex-byte symbols through the same
+    // unrolled round algebra; high_byte flags winners carrying a
+    // >= 0x80 byte so the hashed values prove the astral letter's
+    // bytes are in the merge table.
+    "x110c_bpe_byte_merges" -> {
+      val phrase = Seq.fill(ByteStuffReps)(ByteStuffWord).mkString(" ")
+      s"""WITH uvar AS (
+         |  SELECT CASE WHEN ${u16Sql("'ub|' || CAST(doc_id AS VARCHAR)")} % 3 = 0
+         |              THEN text || ' $phrase'
+         |              ELSE text END AS text
+         |  FROM documents),
+         |${byteSeqs0Sql(from = "uvar")},
+         |${(1 to ByteBpeRounds).map(r => bpeRoundSql(r, key = "word", weighted = true)).mkString(",\n")}
+         |SELECT round, pair, n, n_tokens_after,
+         |       regexp_matches(pair, '(^|[ _])[89a-f][0-9a-f]($$|[ _])') AS high_byte
+         |FROM (${(1 to ByteBpeRounds).map(r => s"SELECT * FROM row$r").mkString(" UNION ALL ")})
          |ORDER BY round""".stripMargin
     },
 

@@ -370,6 +370,22 @@ class TextOpsSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("byte-level BPE merges astral-plane letters the codepoint form fences out") {
+    // 𝛼 (U+1D6FC, astral) = f0 9d 9b bc; ц = d1 86 → base symbols
+    // f0 9d 9b bc d1 86 </w>, freq 3; all six pairs tie at 3, pair-asc
+    // picks "86 </w>" (hex sorts before letters of later bytes), then
+    // the remaining smallest "9b bc"
+    val docs = Seq((1L, "𝛼ц 𝛼ц"), (2L, "𝛼ц")).toDF("doc_id", "text")
+    val r = TextOps.bpeMergeLoopBytes(docs, "doc_id", "text", 2)
+      .orderBy("round").collect()
+      .map(x => (x.getAs[Long]("round"), x.getAs[String]("pair"),
+        x.getAs[Long]("n"), x.getAs[Long]("n_tokens_after")))
+    assert(r.toSeq == Seq(
+      (1L, "86 </w>", 3L, 18L),
+      (2L, "9b bc", 3L, 15L)))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("nonAsciiVariant stuffs every third doc with the repeated phrase") {
     val docs = (1L to 9L).map(i => (i, "base")).toDF("doc_id", "text")
     val out = TextOps.nonAsciiVariant(docs, "doc_id", "text", "αβ", 3)
