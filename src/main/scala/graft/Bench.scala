@@ -248,8 +248,21 @@ object Bench {
     // its fresh-JVM decade rows in ScaleSoak (SCALING.md), which is
     // where a scaling-audit line belongs; the per-round bench drops it.
     val soakCadence = Set("x107_planted_fence_deep")
+    // Family 5 carve-out (round 16, closing the round-15 verdict's #4):
+    // the trained-index consumers share one coarse quantizer + one PQ
+    // codebook chain (ExtAnnGates.sharedCellStats / sharedPqState — the
+    // ccLabelsCache discipline), so like family 4 the training is built
+    // ONCE, timed as its own ann_trained_build line, and the consumers
+    // run warm; previously x88 re-trained the chain x76 had just paid
+    // for, and the two trainings dominated the two largest extended
+    // lines.
+    val annShared = Set("x73_sim_topk_ivf_scaled", "x74_sim_topk_pq",
+      "x75_sim_topk_pq_refined", "x76_sim_topk_ivf_pq",
+      "x77_sim_topk_ivf_pq_residual", "x84_hybrid_rrf_ivf",
+      "x88_hybrid_rrf_ivfpq")
     val xExt = all.filterNot(Headline).filterNot(_.startsWith("s"))
       .filterNot(ccShared).filterNot(starShared).filterNot(soakCadence)
+      .filterNot(annShared)
     val extendedX = run(xExt, coldCaches = true)
     graft.ext.ExtCaches.clearCaches()
     // Family 4: the connected-component consumers. The eager fixpoints are
@@ -270,9 +283,16 @@ object Bench {
       graft.queries.Extensions.warmStarLabels(spark, sfDir))
     val starRuns = run(all.filter(starShared), coldCaches = false)
     graft.ext.ExtCaches.clearCaches()
+    // Family 5: the trained-index consumers, anchors built once (see the
+    // annShared carve-out note above).
+    val annBuild = timedBuild("ann_trained_build")(
+      graft.queries.Extensions.warmAnnShared(spark, sfDir))
+    val annRuns = run(all.filter(annShared), coldCaches = false)
+    graft.ext.ExtCaches.clearCaches()
 
     val extended = extendedS ++ extendedX ++
-      (ccBuild +: ccRuns) ++ (starBuild +: starRuns)
+      (ccBuild +: ccRuns) ++ (starBuild +: starRuns) ++
+      (annBuild +: annRuns)
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // JSON line it finds there (BENCH_r03: a 2600-char line with 9-digit
     // seconds fell out of the window → "parsed": null). Keep the stdout

@@ -1421,13 +1421,23 @@ object Similarity {
     * PQ's point is the cheap per-candidate cost; the IVF composition
     * (probe cells first, ADC inside) reuses x70/x73's cell join in
     * front of this tail. */
+  /** `pqState`: an externally trained (coded, anchor, svRel) triple
+    * ([[pqTrainEncode]] output over the same corpus) — the x98/x84
+    * `cellStats` sharing precedent extended to the PQ codebooks (round
+    * 16): training is deterministic exact-integer Lloyd, so sharing
+    * changes cost, never results. Default: train internally. */
   def pqTopK(corpus: DataFrame, queryIds: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, codes: Int = 16,
-             lloydRounds: Int = 2, dims: Int = 64): DataFrame = {
-    val q = ExtCaches.persistTracked(
+             lloydRounds: Int = 2, dims: Int = 64,
+             pqState: Option[(DataFrame, DataFrame, DataFrame)] = None)
+      : DataFrame = {
+    // lazy: with pqState supplied the quantized scan is never needed,
+    // and an untouched persistTracked would still count as a cache fill
+    // in the bench's cf attribution column
+    lazy val q = ExtCaches.persistTracked(
       corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
     val (coded, lutRows) =
-      pqCodesAndLut(q, queryIds, idCol, m, codes, lloydRounds, dims)
+      pqCodesAndLut(q, queryIds, idCol, m, codes, lloydRounds, dims, pqState)
     // ALL queries packed into one row: the gate-clean 1-row anchor the
     // exhaustive ADC scan explodes per candidate row.
     val lut = lutRows.agg(collect_list(struct(col("q_id"), col("lut"))).as("qs"))
@@ -1451,11 +1461,13 @@ object Similarity {
     *  lutRows = (q_id, lut: per-subspace (code, term) struct lists)).
     * See [[pqTopK]]'s Scaladoc for the joint-Lloyd training design and
     * the determinism analysis. */
-  private def pqCodesAndLut(q: DataFrame, queryIds: DataFrame,
+  private def pqCodesAndLut(q: => DataFrame, queryIds: DataFrame,
                             idCol: String, m: Int,
-                            codes: Int, lloydRounds: Int,
-                            dims: Int): (DataFrame, DataFrame) = {
-    val (coded, anchor, svRel) = pqTrainEncode(q, m, codes, lloydRounds, dims)
+                            codes: Int, lloydRounds: Int, dims: Int,
+                            pqState: Option[(DataFrame, DataFrame, DataFrame)])
+      : (DataFrame, DataFrame) = {
+    val (coded, anchor, svRel) =
+      pqState.getOrElse(pqTrainEncode(q, m, codes, lloydRounds, dims))
     // Per-query ADC tables: per (q, sub), the (code, term) struct list
     // sorted by code (looked up BY KEY, so codebook cells that emptied
     // out during training cannot misalign positions); per q, the m
@@ -1561,14 +1573,16 @@ object Similarity {
                 vecCol: String, k: Int, cells: Int, cellLloydRounds: Int,
                 nprobe: Int, m: Int = 8, codes: Int = 16,
                 pqLloydRounds: Int = 2, dims: Int = 64,
-                cellStats: Option[DataFrame] = None): DataFrame = {
+                cellStats: Option[DataFrame] = None,
+                pqState: Option[(DataFrame, DataFrame, DataFrame)] = None)
+      : DataFrame = {
     val q = ExtCaches.persistTracked(
       corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
     val probes = ExtCaches.persistTracked(probesFromStats(q,
       cellStats.getOrElse(trainedCellStats(q, cells, cellLloydRounds)),
       nprobe))
     val (coded, lutRows) =
-      pqCodesAndLut(q, queryIds, idCol, m, codes, pqLloydRounds, dims)
+      pqCodesAndLut(q, queryIds, idCol, m, codes, pqLloydRounds, dims, pqState)
     val members = probes.filter(col("probe_rank") === 1)
       .select(col("id"), col("cell"))
       .join(coded, Seq("id"))
@@ -1629,12 +1643,13 @@ object Similarity {
                         idCol: String, vecCol: String, k: Int, cells: Int,
                         cellLloydRounds: Int, nprobe: Int, m: Int = 8,
                         codes: Int = 16, pqLloydRounds: Int = 2,
-                        dims: Int = 64): DataFrame = {
+                        dims: Int = 64,
+                        cellStats: Option[DataFrame] = None): DataFrame = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val subW = dims / m
     val q = ExtCaches.persistTracked(
       corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
-    val stats = trainedCellStats(q, cells, cellLloydRounds)
+    val stats = cellStats.getOrElse(trainedCellStats(q, cells, cellLloydRounds))
     val probes = ExtCaches.persistTracked(probesFromStats(q, stats, nprobe))
     val cent = roundedCentroids(stats)
     // Corpus residuals relative to each row's OWN (rank-1) cell.
@@ -1698,9 +1713,11 @@ object Similarity {
   def pqTopKRefined(corpus: DataFrame, queryIds: DataFrame, idCol: String,
                     vecCol: String, k: Int, shortlist: Int, m: Int = 8,
                     codes: Int = 16, lloydRounds: Int = 2,
-                    dims: Int = 64): DataFrame = {
+                    dims: Int = 64,
+                    pqState: Option[(DataFrame, DataFrame, DataFrame)] = None)
+      : DataFrame = {
     val short = pqTopK(corpus, queryIds, idCol, vecCol, shortlist, m,
-        codes, lloydRounds, dims)
+        codes, lloydRounds, dims, pqState)
       .select(col("q_id"), col("c_id"))
     val v = withNorm(corpus.select(col(idCol).as("id"),
       col(vecCol).as("vec")), "vec", "norm")

@@ -91,7 +91,8 @@ private[queries] trait ExtRetrievalGates { this: ExtCore =>
         denseArm = (corpus, queries, armK) =>
           Similarity.ivfSq8TopKScaled(corpus, queries, "id", "vec",
               k = armK, cells = ScaledCells,
-              lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
+              lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
+              cellStats = Some(sharedCellStats(s, dir)))
             .select(col("q_id"), col("c_id").as("id"),
               col("rnk").as("vec_rnk")))
       .crossJoin(orphanGuard(docs, embs, "x84"))
@@ -123,7 +124,9 @@ private[queries] trait ExtRetrievalGates { this: ExtCore =>
               k = armK, cells = ScaledCells,
               cellLloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
               m = PqM, codes = PqCodes, pqLloydRounds = PqLloydRounds,
-              dims = EmbeddingDims)
+              dims = EmbeddingDims,
+              cellStats = Some(sharedCellStats(s, dir)),
+              pqState = Some(sharedPqState(s, dir)))
             .select(col("q_id"), col("c_id").as("id"),
               col("rnk").as("vec_rnk")))
       .crossJoin(orphanGuard(docs, embs, "x88"))
