@@ -127,6 +127,59 @@ object Multimodal {
     out
   }
 
+  /** PNG via the JDK's own ImageIO (round 16 — the round-15 verdict's
+    * #6): the first COMPRESSED public container in the codec family.
+    * PPM/BMP proved the dual-container parse on raw rasters; PNG proves
+    * the same abstraction on a real-world deflate-compressed format
+    * with zero new dependencies (javax.imageio ships with the JDK and
+    * is pure JVM — no native codec, headless-safe). The pixel transfer
+    * runs through TYPE_INT_RGB getRGB/setRGB, which is bit-lossless
+    * for 24-bit truecolor (no color management on the default sRGB
+    * model), so decode(encode(img)) == img exactly — the property the
+    * x14b gate hashes. Compressed SIZE is deliberately never a hashed
+    * value: deflate output is an encoder-version detail, not a pixel
+    * fact (the PPM/BMP sizes are arithmetic; PNG's is not). */
+  def encodePng(img: DecodedImage): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        bi.setRGB(x, y, ((img.rgb(s) & 0xff) << 16) |
+          ((img.rgb(s + 1) & 0xff) << 8) | (img.rgb(s + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(bi, "png", bos)
+    require(ok, "JDK ImageIO has no PNG writer (should be impossible)")
+    bos.toByteArray
+  }
+
+  def decodePng(p: Array[Byte]): DecodedImage = {
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    require(bi != null, "ImageIO could not parse the PNG payload")
+    val (w, h) = (bi.getWidth, bi.getHeight)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val px = bi.getRGB(x, y)
+        val d = (y * w + x) * 3
+        rgb(d) = ((px >> 16) & 0xff).toByte
+        rgb(d + 1) = ((px >> 8) & 0xff).toByte
+        rgb(d + 2) = (px & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(w, h, rgb)
+  }
+
   // ---- decoders ----------------------------------------------------------
 
   /** Parse one P6 image starting at `off`; returns (image, bytes
@@ -202,6 +255,7 @@ object Multimodal {
     require(payload.length >= 2, "payload too short for any magic")
     if (payload(0) == 'P' && payload(1) == '6') decodePpmAt(payload, 0)._1
     else if (payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
+    else if (payload(0) == 0x89.toByte && payload(1) == 'P') decodePng(payload)
     else throw new IllegalArgumentException(
       s"unrecognized image magic: 0x${"%02x%02x".format(payload(0), payload(1))}")
   }
@@ -260,6 +314,43 @@ object Multimodal {
   def documentPixelHistogram(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     extractFeatures(imagesFromDocuments(docs)).toDF()
+  }
+
+  /** x14b features: everything the PNG decode RECOVERED — dims + the
+    * luminance histogram. No n_bytes: see [[encodePng]]. */
+  case class PngFeatures(doc_id: Long, width: Long, height: Long,
+                         bucket: Int, count: Long)
+
+  /** End-to-end PNG featurization (x14b): per document, write the
+    * deterministic [[pixelByte]] field through the JDK PNG encoder,
+    * parse the compressed bytes back with ImageIO, and histogram the
+    * decoded luminance with the decoded dims carried per row. Same
+    * partition-iterator shape as [[documentPixelHistogram]] (one
+    * encode+decode per row, payload bytes never driver-side); the
+    * DuckDB oracle recomputes every hashed column analytically from
+    * the pixel formula, so a deflate/filter/color-model bug anywhere
+    * in the JDK round trip — or in our raster transfer — breaks the
+    * hash. */
+  def documentPngHistogram(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast(LongType)).as[Long].mapPartitions { ids =>
+      ids.flatMap { d =>
+        val w = imageWidth(d); val h = imageHeight(d)
+        val img = DecodedImage(w, h, synthPixels(d, w, h))
+        val dec = decodePng(encodePng(img))
+        val hist = new Array[Long](HistogramBuckets)
+        var i = 0
+        while (i < dec.rgb.length) {
+          hist(lumaBucket(dec.rgb(i) & 0xff, dec.rgb(i + 1) & 0xff,
+            dec.rgb(i + 2) & 0xff)) += 1
+          i += 3
+        }
+        hist.iterator.zipWithIndex.collect {
+          case (cnt, bucket) if cnt > 0 =>
+            PngFeatures(d, dec.width.toLong, dec.height.toLong, bucket, cnt)
+        }
+      }
+    }.toDF()
   }
 
   // ---- transforms ------------------------------------------------------------
