@@ -63,6 +63,39 @@ class RegistrySpec extends AnyFunSuite {
     assert(clash.isEmpty, s"duplicate query names (one silently shadows): $clash")
   }
 
+  test("documented suite/test counts match the source tree (SURVEY.md, PLANS.md)") {
+    // Round-15 verdict #5: PLANS claimed 281 tests while the tree ran
+    // 280 — the registry-count pin discipline, extended to the suite
+    // inventory. Ground truth is a source scan: every suite in this
+    // tree registers tests as literal `test("...")` calls (grep-checked
+    // — no property()/it()/loop registration), so the scan equals the
+    // runtime count; introducing dynamic registration means rewriting
+    // this gate, deliberately. Each doc carries machine-checkable
+    // "<S> suites, <T> tests" markers.
+    val dir = new java.io.File("src/test/scala/graft")
+    val texts = dir.listFiles().filter(_.getName.endsWith(".scala")).map { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    val suites = texts.map(
+      raw"class +\w+ +extends +(SparkSpec|AnyFunSuite)".r.findAllIn(_).size).sum
+    val tests = texts.map(raw"(?m)^\s*test\(".r.findAllIn(_).size).sum
+    val marker = raw"(\d+) (?:ScalaTest )?suites, (\d+) tests".r
+    Seq("SURVEY.md", "PLANS.md").foreach { f =>
+      val text = {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.mkString finally src.close()
+      }
+      val found = marker.findAllMatchIn(text)
+        .map(m => (m.group(1).toInt, m.group(2).toInt)).toSeq
+      assert(found.nonEmpty,
+        s"$f: no '<S> suites, <T> tests' marker — add one so the counts are gated")
+      assert(found.forall(_ == ((suites, tests))),
+        s"$f documents ${found.distinct.mkString("/")}; the tree has " +
+          s"($suites suites, $tests tests) — sync the doc")
+    }
+  }
+
   test("documented registry count matches the code (SURVEY.md, README.md)") {
     // Round-6 lesson: three queries landed in a snapshot commit while
     // SURVEY/README kept the old counts for a full round. Each doc now
