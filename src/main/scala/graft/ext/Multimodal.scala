@@ -153,14 +153,24 @@ object Multimodal {
       }
       y += 1
     }
+    // Explicit MEMORY-cached image streams: ImageIO's convenience
+    // overloads default to a DISK-backed stream cache — one temp file
+    // created and deleted per call, which at 32 threads × corpus rows
+    // turns a CPU codec into filesystem churn (measured at the x100
+    // soak: reps degraded 35 → 81 s before this). The payload is a
+    // few KB; memory caching is strictly correct and allocation-local.
     val bos = new java.io.ByteArrayOutputStream()
-    val ok = javax.imageio.ImageIO.write(bi, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val ok = javax.imageio.ImageIO.write(bi, "png", ios)
+    ios.close()
     require(ok, "JDK ImageIO has no PNG writer (should be impossible)")
     bos.toByteArray
   }
 
   def decodePng(p: Array[Byte]): DecodedImage = {
-    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+    val bi = javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(p)))
     require(bi != null, "ImageIO could not parse the PNG payload")
     val (w, h) = (bi.getWidth, bi.getHeight)
     val rgb = new Array[Byte](w * h * 3)

@@ -182,7 +182,18 @@ object ScaleSoak {
     //    counts + one word-count join — should track x109b's slope.
     "x109c_dsir_token_budget",
     //  - x112c = x109c's chain + one label join + a global aggregate.
-    "x112c_budget_enrichment")
+    "x112c_budget_enrichment",
+    //  - round-16 lines: x115 = x108's scoring chain + x113's apply
+    //    chain + the budget fill (histogram-sized) + one shard-
+    //    partitioned packing window — the composition should read ~ the
+    //    SUM of its gated stages (x108 + x113 + a constant), nothing
+    //    multiplicative; x110c = x110's vocab-bounded trainer class at
+    //    byte granularity (~3x the base symbols per word, 6 rounds vs
+    //    4 — same distinct-word shuffle bound, bigger constant); x14b =
+    //    a per-row JDK PNG encode+decode — pure mapPartitions scan,
+    //    should read scan-linear with a larger per-row constant than
+    //    x14's raw-raster codecs (deflate is real work).
+    "x115_curate_pack", "x110c_bpe_byte_merges", "x14b_multimodal_png")
 
   /** Soak-only variants (not registry queries): the scaled x05 geometry —
     * 16 bands × 16 bits sampled from the sign signature (65k-key space)
@@ -1112,6 +1123,29 @@ object ScaleSoak {
     sb.append("  the shape predicts: the word-count join scans the corpus like the\n")
     sb.append("  weights do; the budget machinery itself is histogram-sized), and\n")
     sb.append("  its audit x112c 2.37 -> 9.33 s (same class, one more label join).\n")
+    sb.append("- **Round-16 rows (x115/x110c/x14b, x3-x30 one sweep + fresh-JVM\n")
+    sb.append("  x100 cells).** x115 (the end-to-end curate->thin->pack pipeline)\n")
+    sb.append("  12.88 -> 22.08 s x10 -> x100 (slope 1.7): the composition reads as\n")
+    sb.append("  the SUM of its gated stages (x108's scoring chain + x113's apply\n")
+    sb.append("  + a histogram-sized budget fill + one shard window) — nothing\n")
+    sb.append("  multiplicative appears when the stages compose, which is the\n")
+    sb.append("  point of gating the composition. x110c (byte-level BPE, 6\n")
+    sb.append("  rounds) 10.27 -> 12.01 s (slope 1.2, the flattest class in the\n")
+    sb.append("  family): bytes triple the per-word symbol count and add two\n")
+    sb.append("  rounds over x110, but the working set is STILL the distinct-word\n")
+    sb.append("  relation, so the corpus only pays the word-count scan — the\n")
+    sb.append("  constant is ~2x x110's, the class is identical. x14b (JDK PNG\n")
+    sb.append("  round trip) 0.48 -> 2.55 s x10 -> x100 (slope 2.7 — scan-linear\n")
+    sb.append("  with a sub-3 s absolute cost at 500k images), AFTER a measured\n")
+    sb.append("  fix the first sweep surfaced: ImageIO's convenience overloads\n")
+    sb.append("  default to a DISK-backed stream cache — one temp file created\n")
+    sb.append("  and deleted per image — and the x100 cell read 66 s with reps\n")
+    sb.append("  degrading 35 -> 81 as 32 threads churned the filesystem.\n")
+    sb.append("  Explicit MemoryCache image streams (Multimodal.encodePng/\n")
+    sb.append("  decodePng) cut the cell 26x with byte-identical output; the\n")
+    sb.append("  hash gate re-certified green at all three SFs after the change.\n")
+    sb.append("  The codec scan itself is embarrassingly parallel — the 100 TB\n")
+    sb.append("  posture is more executors, not bigger heaps.\n")
     sb.append("- Protocol notes, still earning their keep: cold cells are medians\n")
     sb.append("  of 3 fully-cold reps (the round-5 single-run protocol once\n")
     sb.append("  manufactured a slope from one scheduler fluke; reconfirmed this\n")
