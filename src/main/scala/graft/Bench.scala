@@ -259,10 +259,28 @@ object Bench {
     val annShared = Set("x73_sim_topk_ivf_scaled", "x74_sim_topk_pq",
       "x75_sim_topk_pq_refined", "x76_sim_topk_ivf_pq",
       "x77_sim_topk_ivf_pq_residual", "x84_hybrid_rrf_ivf",
-      "x88_hybrid_rrf_ivfpq")
+      "x88_hybrid_rrf_ivfpq",
+      // round 16: the raw-corpus graph builders now consume the same
+      // shared coarse quantizer (Similarity.knnGraphIvf* cellStats)
+      "x89_knn_graph_ivf", "x91_knn_graph_ivf_recall",
+      "x93_knn_graph_ivf_sq8", "x94_knn_graph_ivf_sq8_recall",
+      "x101_knn_graph_residual")
+    // Family 6 carve-out (round 16): the twin-corpus relevance gates
+    // (x102/x103/x104) share one quantizer trained over the augmented
+    // corpus and the planted-corpus gates (x97/x106) one over the
+    // planted corpus (ExtGraphGates.twinCellStats/plantedCellStats);
+    // both anchors are built once, timed as graph_trained_build, and
+    // the five consumers run warm — previously each gate re-trained
+    // its corpus's quantizer per rep.
+    val graphShared = Set("x97_planted_ivf_recall",
+      "x102_graph_relevance_ivf", "x103_graph_relevance_sq8",
+      "x104_graph_relevance_residual", "x106_planted_fence_residual",
+      // x98 consumes the same twin-corpus anchors (its orphan guard
+      // asserts the universe equality that makes them value-identical)
+      "x98_retrieval_relevance")
     val xExt = all.filterNot(Headline).filterNot(_.startsWith("s"))
       .filterNot(ccShared).filterNot(starShared).filterNot(soakCadence)
-      .filterNot(annShared)
+      .filterNot(annShared).filterNot(graphShared)
     val extendedX = run(xExt, coldCaches = true)
     graft.ext.ExtCaches.clearCaches()
     // Family 4: the connected-component consumers. The eager fixpoints are
@@ -289,10 +307,16 @@ object Bench {
       graft.queries.Extensions.warmAnnShared(spark, sfDir))
     val annRuns = run(all.filter(annShared), coldCaches = false)
     graft.ext.ExtCaches.clearCaches()
+    // Family 6: the twin-/planted-corpus trained-quantizer consumers
+    // (see the graphShared carve-out note above).
+    val graphBuild = timedBuild("graph_trained_build")(
+      graft.queries.Extensions.warmGraphShared(spark, sfDir))
+    val graphRuns = run(all.filter(graphShared), coldCaches = false)
+    graft.ext.ExtCaches.clearCaches()
 
     val extended = extendedS ++ extendedX ++
       (ccBuild +: ccRuns) ++ (starBuild +: starRuns) ++
-      (annBuild +: annRuns)
+      (annBuild +: annRuns) ++ (graphBuild +: graphRuns)
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // JSON line it finds there (BENCH_r03: a 2600-char line with 9-digit
     // seconds fell out of the window → "parsed": null). Keep the stdout

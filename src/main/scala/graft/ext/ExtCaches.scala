@@ -70,6 +70,33 @@ object ExtCaches {
     }
   }
 
+  /** Eager localCheckpoint with its blocks tracked for release at
+    * [[clearCaches]] — the Similarity-trainer lineage discipline
+    * (Similarity.cpTracked's hazard note applies verbatim) exposed for
+    * the OTHER iterative trainers. Round 16, measured: the BPE merge
+    * loops chained lazy persists, and because every round references
+    * the previous round TWICE (pair statistic + fold input), the
+    * analyzed plan grows 2^k — Catalyst re-renders the cached subtree
+    * per reference, and at k = 6 (x110c) the formatted plan was 940 KB
+    * with driver-side planning dominating the query (11.8 s vs the
+    * 4-round char twin's 1.7 s). Rooting each round at a LogicalRDD
+    * keeps the plan O(1) per round.
+    *
+    * HOLD-ACROSS-clearCaches HAZARD (same as cpTracked): once
+    * clearCaches releases the blocks, a held derivative CANNOT
+    * recompute — it fails loudly with a missing-block error. Every
+    * registry query constructs, runs, and dumps its result before any
+    * clearCaches, which is the intended contract. Counted in
+    * [[fillCount]] like every other tracked materialization so the
+    * bench's cf attribution column sees checkpoint fills too. */
+  def checkpointTracked(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    synchronized { fills += 1 }
+    trackReleasable(() =>
+      org.apache.spark.sql.graftfn.Lineage.release(cp, blocking = true))
+    cp
+  }
+
   private val releasables = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   /** Track a release action for storage that is NOT a persisted DataFrame

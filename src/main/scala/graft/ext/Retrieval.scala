@@ -123,11 +123,19 @@ object Retrieval {
           .groupBy(col("q_id"), col("id"))
           .agg(sum(col("idf_w")).as("n_common"))
       }
+    // Both arm shortlists persist (round 16): a shortlist is ≤
+    // |queries|·armK rows — broadcast-small at any scale — and the
+    // persist makes value-identical arms across SIBLING fusions one
+    // cache entry (the CacheManager dedupes on the canonical plan):
+    // x98's arms 1/2/3 share this count-lex shortlist and arms 1/4 the
+    // brute dense one, so the shared ranking executes once instead of
+    // per arm (x98: four fusions previously re-ranked the same arm
+    // relations; 231-Exchange plan, 15.6 s → see OPTIMIZATION_r16.md).
     val wl = Window.partitionBy(col("q_id")).orderBy(desc("n_common"), col("id"))
-    val lex = lexScored
+    val lex = ExtCaches.persistTracked(lexScored
       .withColumn("lex_rnk", row_number().over(wl).cast(LongType))
       .filter(col("lex_rnk") <= armK)
-      .select(col("q_id"), col("id"), col("lex_rnk"))
+      .select(col("q_id"), col("id"), col("lex_rnk")))
 
     // -- dense arm: exact cosine top-k over the same universe -----------
     val corpusVecs = embs.select(col(vecIdCol).as("id"), col(vecCol).as("vec"))
@@ -135,7 +143,7 @@ object Retrieval {
     val qVecs = corpusVecs.join(broadcast(qIds),
         corpusVecs("id") === qIds("q_id"))
       .select(col("id"), col("vec"))
-    val vec = denseArm(corpusVecs, qVecs, armK)
+    val vec = ExtCaches.persistTracked(denseArm(corpusVecs, qVecs, armK))
 
     // -- fusion ---------------------------------------------------------
     val rrf =

@@ -765,14 +765,21 @@ object Similarity {
                         cap: Option[Int]): CellFence =
     new CellFence(memberCells, probeCells, cap)
 
+  /** `cellStats`: an externally trained coarse-quantizer state (the
+    * x73/x88 anchor-sharing discipline extended to the graph builders,
+    * round 16): training is deterministic exact-integer Lloyd, so a
+    * caller holding the stats trained over a value-equal corpus gets
+    * bit-identical output while paying the Lloyd chain once per anchor
+    * instead of once per gate. */
   def knnGraphIvf(df: DataFrame, idCol: String, vecCol: String, k: Int,
                   cells: Int, lloydRounds: Int, nprobe: Int,
                   maxCellSize: Option[Int] = None,
-                  assertUnderCap: Boolean = false): DataFrame = {
+                  assertUnderCap: Boolean = false,
+                  cellStats: Option[DataFrame] = None): DataFrame = {
     val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
     val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
-    val p = ExtCaches.persistTracked(
-      trainedCellProbes(q, cells, lloydRounds, nprobe))
+    val stats = cellStats.getOrElse(trainedCellStats(q, cells, lloydRounds))
+    val p = ExtCaches.persistTracked(probesFromStats(q, stats, nprobe))
     graphFromProbes(v, p, k, maxCellSize, assertUnderCap, "knnGraphIvf")
   }
 
@@ -793,10 +800,11 @@ object Similarity {
                           k: Int, cells: Int, lloydRounds: Int, nprobe: Int,
                           maxCellSize: Int, subCells: Int, subNprobe: Int,
                           assertUnderCap: Boolean = false,
-                          depth: Int = 1): DataFrame = {
+                          depth: Int = 1,
+                          cellStats: Option[DataFrame] = None): DataFrame = {
     val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
     val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
-    val stats = trainedCellStats(q, cells, lloydRounds)
+    val stats = cellStats.getOrElse(trainedCellStats(q, cells, lloydRounds))
     val p = ExtCaches.persistTracked(probesFromStats(q, stats, nprobe))
     graphFromProbesWith(v, p, k, Some(maxCellSize), assertUnderCap,
       "knnGraphIvfResidual",
@@ -980,11 +988,12 @@ object Similarity {
                      cells: Int, lloydRounds: Int, nprobe: Int,
                      shortlist: Int,
                      maxCellSize: Option[Int] = None,
-                     assertUnderCap: Boolean = false): DataFrame = {
+                     assertUnderCap: Boolean = false,
+                     cellStats: Option[DataFrame] = None): DataFrame = {
     val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
     val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
-    val p = ExtCaches.persistTracked(
-      trainedCellProbes(q, cells, lloydRounds, nprobe))
+    val p = ExtCaches.persistTracked(probesFromStats(q,
+      cellStats.getOrElse(trainedCellStats(q, cells, lloydRounds)), nprobe))
     val coded = ExtCaches.persistTracked(
       sq8Codes(df.select(col(idCol), col(vecCol)), idCol, vecCol))
     val memberCells = p.filter(col("probe_rank") === 1)

@@ -412,6 +412,14 @@ object TextOps {
     * persist for the fixpoint's per-round localCheckpoint). */
   def bpeMergeLoop(docs: DataFrame, idCol: String, textCol: String,
                    k: Int): DataFrame = {
+    // Lazy persists KEPT here (round 16, measured both ways): this loop's
+    // per-round relation is CORPUS-sized (per-doc token arrays), so the
+    // eager-checkpoint swap that fixed the vocab-sized weighted loops
+    // (see weightedMergeLoop) costs an extra full materialization pass
+    // per round and measured 1.6 → 2.9 s at sf0.1 — while the plan at
+    // the gate's k = 4 stays small enough that the 2^k growth the
+    // checkpoint cures is not yet the bottleneck. At k in the thousands
+    // the trade flips; swap to ExtCaches.checkpointTracked then.
     var cur = ExtCaches.persistTracked(docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= 2))
@@ -566,10 +574,14 @@ object TextOps {
   /** k frequency-weighted merge rounds over a (word, freq, t) seed —
     * the shared trainer body of the char- and byte-level loops. */
   private def weightedMergeLoop(seed: DataFrame, k: Int): DataFrame = {
-    var cur = ExtCaches.persistTracked(seed)
+    // Eager per-round localCheckpoint — same 2^k-plan-growth argument
+    // as bpeMergeLoop (the fix was measured HERE first: x110c's 6-round
+    // byte loop rendered a 940 KB plan and ran 11.8 s vs the 4-round
+    // char twin's 1.7 s before the swap).
+    var cur = ExtCaches.checkpointTracked(seed)
     val rounds = (1 to k).map { r =>
       val top = topPair(cur, col("freq"))
-      cur = ExtCaches.persistTracked(
+      cur = ExtCaches.checkpointTracked(
         applyTopMerge(cur, top, keep = Seq("word", "freq")))
       cur.agg(sum(col("freq") * size(col("t"))).cast(LongType)
           .as("n_tokens_after"))
@@ -594,13 +606,20 @@ object TextOps {
     * vocab-bounded scale shape as the trainer. */
   def bpeEncodeChars(docs: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame = {
+    // Per-round lazy persists + ONE final eager checkpoint (round 16,
+    // measured): the persists let a warm re-construction dedupe against
+    // the still-cached rounds (the bench's warm-median contract), while
+    // the final checkpoint roots the returned vocabulary at a
+    // LogicalRDD so COMPOSITIONS over it (x113's apply join, x114's
+    // packing, x115's full pipeline) never re-render the k-round chain
+    // — x115's composed plan was 549 KB / 9.4 s before, 4.6 s after.
     var cur = ExtCaches.persistTracked(charWordSeqs(docs, textCol))
     (1 to k).foreach { _ =>
       cur = ExtCaches.persistTracked(
         applyTopMerge(cur, topPair(cur, col("freq")),
           keep = Seq("word", "freq")))
     }
-    cur
+    ExtCaches.checkpointTracked(cur)
   }
 
   /** Char-BPE tokenizer APPLY on raw unseen text (x113) — the forward

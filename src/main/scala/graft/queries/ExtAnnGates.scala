@@ -432,7 +432,8 @@ private[queries] trait ExtAnnGates { this: ExtCore =>
     Similarity.graphEdgesRecall(pe,
         Similarity.knnGraphIvf(pe, "vec_id", "embedding", k = KnnGraphK,
           cells = ScaledCells, lloydRounds = ScaledLloydRounds,
-          nprobe = ScaledNprobe, maxCellSize = Some(KnnCellCap)),
+          nprobe = ScaledNprobe, maxCellSize = Some(KnnCellCap),
+          cellStats = Some(plantedCellStats(s, dir))),
         "vec_id", "embedding", k = KnnGraphK, hitsCol = "hits_ivf")
       .orderBy(col("src_id"))
   }

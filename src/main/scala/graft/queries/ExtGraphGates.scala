@@ -191,7 +191,8 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
     Similarity.knnGraphIvf(Tables.embeddings(s, dir), "vec_id", "embedding",
         k = KnnGraphK, cells = ScaledCells,
         lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
-        maxCellSize = Some(KnnCellCap), assertUnderCap = true)
+        maxCellSize = Some(KnnCellCap), assertUnderCap = true,
+        cellStats = Some(sharedCellStats(s, dir)))
       .orderBy(col("src_id"), col("rnk"))
 
 
@@ -219,7 +220,8 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
         "embedding", k = KnnGraphK, cells = ScaledCells,
         lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
         maxCellSize = KnnCellCap, subCells = ResidualSubCells,
-        subNprobe = ResidualSubNprobe, assertUnderCap = true)
+        subNprobe = ResidualSubNprobe, assertUnderCap = true,
+        cellStats = Some(sharedCellStats(s, dir)))
       .orderBy(col("src_id"), col("rnk"))
 
 
@@ -245,6 +247,70 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
   }
 
 
+  /** Session-keyed trained-quantizer anchors for the graph family's two
+    * NON-raw corpora (round 16 — the [[ExtAnnGates]] sharedCellStats
+    * discipline extended sideways): x102/x103/x104 each train the SAME
+    * ScaledCells coarse quantizer over the twin-augmented corpus, and
+    * x97/x106 the same one over the planted corpus. Training is
+    * deterministic exact-integer Lloyd over a value-equal quantized
+    * relation (`quantize` commutes with the DoubleType widening
+    * twinEmbCorpus applies), so sharing changes cost, never results —
+    * every consumer's oracle stays hash-green. Cleared with the ANN
+    * anchors by the ExtCaches hook (same cache-epoch contract). */
+  private[queries] val graphCellStatsCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+  ExtCaches.registerClearHook(() => graphCellStatsCache.clear())
+
+  private[queries] def twinCellStats(s: SparkSession, dir: String): DataFrame =
+    graphCellStatsCache.getOrElseUpdate((s, dir, "twin"), {
+      val (u, _) = twinEmbCorpus(s, dir)
+      Similarity.trainedCellStats(
+        ExtCaches.persistTracked(u.select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("v"))),
+        ScaledCells, ScaledLloydRounds)
+    })
+
+  /** Twin-corpus PQ codebooks + codes (the sharedPqState discipline for
+    * the twin universe): x98's IVF×PQ arm trains the same joint-Lloyd
+    * chain over the same values — under its own orphan guard, which
+    * asserts the docs∩embs universe IS the embedding corpus. */
+  private[queries] val twinPqStateCache =
+    scala.collection.mutable.Map
+      .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+  ExtCaches.registerClearHook(() => twinPqStateCache.clear())
+
+  private[queries] def twinPqState(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    twinPqStateCache.getOrElseUpdate((s, dir), {
+      val (u, _) = twinEmbCorpus(s, dir)
+      Similarity.pqTrainEncode(
+        ExtCaches.persistTracked(u.select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("v"))),
+        PqM, PqCodes, PqLloydRounds, EmbeddingDims)
+    })
+
+  private[queries] def plantedCellStats(s: SparkSession, dir: String): DataFrame =
+    graphCellStatsCache.getOrElseUpdate((s, dir, "planted"), {
+      val pe = graft.ext.Planted.vectors(
+        Tables.embeddings(s, dir).select(col("vec_id")), "vec_id")
+      Similarity.trainedCellStats(
+        ExtCaches.persistTracked(pe.select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("v"))),
+        ScaledCells, ScaledLloydRounds)
+    })
+
+  /** Bench pre-warm for the graph family's shared anchors (the
+    * warmAnnShared precedent): the Lloyd chains are eager
+    * localCheckpoints, so invoking the two builders materializes both
+    * trained states. */
+  def warmGraphShared(s: SparkSession, dir: String): Unit = {
+    twinCellStats(s, dir)
+    plantedCellStats(s, dir)
+    twinPqState(s, dir)._1.count()
+    ()
+  }
+
+
   /** Planted relevance of the IVF-probed graph (x102) — x89's builder
     * over the twin-augmented corpus, reduced to the integer hit row
     * ([[graft.ext.Relevance.graphHitsAtK]]): does each query's top-
@@ -259,7 +325,7 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
       Similarity.knnGraphIvf(u, "vec_id", "embedding", k = KnnGraphK,
         cells = ScaledCells, lloydRounds = ScaledLloydRounds,
         nprobe = ScaledNprobe, maxCellSize = Some(KnnCellCap),
-        assertUnderCap = true),
+        assertUnderCap = true, cellStats = Some(twinCellStats(s, dir))),
       q, "vec_id", KnnGraphK)
   }
 
@@ -275,7 +341,8 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
       Similarity.knnGraphIvfSq8(u, "vec_id", "embedding", k = KnnGraphK,
         cells = ScaledCells, lloydRounds = ScaledLloydRounds,
         nprobe = ScaledNprobe, shortlist = KnnShortlist,
-        maxCellSize = Some(KnnCellCap), assertUnderCap = true),
+        maxCellSize = Some(KnnCellCap), assertUnderCap = true,
+        cellStats = Some(twinCellStats(s, dir))),
       q, "vec_id", KnnGraphK)
   }
 
@@ -295,7 +362,8 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
         k = KnnGraphK, cells = ScaledCells,
         lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
         maxCellSize = KnnCellCap, subCells = ResidualSubCells,
-        subNprobe = ResidualSubNprobe, assertUnderCap = true),
+        subNprobe = ResidualSubNprobe, assertUnderCap = true,
+        cellStats = Some(twinCellStats(s, dir))),
       q, "vec_id", KnnGraphK)
   }
 
@@ -329,7 +397,8 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
       "vec_id", "embedding", k = KnnGraphK, cells = ScaledCells,
       lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
       maxCellSize = PlantedFenceCap, subCells = ResidualSubCells,
-      subNprobe = ResidualSubNprobe)
+      subNprobe = ResidualSubNprobe,
+      cellStats = Some(plantedCellStats(s, dir)))
       .orderBy(col("src_id"), col("rnk"))
 
 
@@ -399,7 +468,8 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
     Similarity.graphEdgesRecall(e,
         Similarity.knnGraphIvf(e, "vec_id", "embedding", k = KnnGraphK,
           cells = ScaledCells, lloydRounds = ScaledLloydRounds,
-          nprobe = ScaledNprobe, maxCellSize = Some(KnnCellCap)),
+          nprobe = ScaledNprobe, maxCellSize = Some(KnnCellCap),
+          cellStats = Some(sharedCellStats(s, dir))),
         "vec_id", "embedding", k = KnnGraphK, hitsCol = "hits_ivf")
       .orderBy(col("src_id"))
   }
@@ -424,7 +494,8 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
         "embedding", k = KnnGraphK, cells = ScaledCells,
         lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
         shortlist = KnnShortlist,
-        maxCellSize = Some(KnnCellCap), assertUnderCap = true)
+        maxCellSize = Some(KnnCellCap), assertUnderCap = true,
+        cellStats = Some(sharedCellStats(s, dir)))
       .orderBy(col("src_id"), col("rnk"))
 
 
@@ -440,7 +511,8 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
         Similarity.knnGraphIvfSq8(e, "vec_id", "embedding", k = KnnGraphK,
           cells = ScaledCells, lloydRounds = ScaledLloydRounds,
           nprobe = ScaledNprobe, shortlist = KnnShortlist,
-          maxCellSize = Some(KnnCellCap)),
+          maxCellSize = Some(KnnCellCap),
+          cellStats = Some(sharedCellStats(s, dir))),
         "vec_id", "embedding", k = KnnGraphK, hitsCol = "hits_ivf_sq8")
       .orderBy(col("src_id"))
   }

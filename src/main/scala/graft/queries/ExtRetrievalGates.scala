@@ -208,10 +208,14 @@ private[queries] trait ExtRetrievalGates { this: ExtCore =>
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val embs = Tables.embeddings(s, dir).select(col("vec_id"),
       transform(col("embedding"), x => x.cast(DoubleType)).as("embedding"))
-    val udocs = docs.unionByName(
-      Relevance.twinDocs(docs, "doc_id", "text", RelevanceQueries))
-    val uembs = embs.unionByName(
-      Relevance.twinEmbs(embs, "vec_id", "embedding", RelevanceQueries))
+    // The twin-augmented corpus persists once (round 16): every arm's
+    // fusion derives its universe, index, and vectors from these two
+    // relations, and without the barrier each of the four arms re-built
+    // the union + twin projection per reference.
+    val udocs = graft.ext.ExtCaches.persistTracked(docs.unionByName(
+      Relevance.twinDocs(docs, "doc_id", "text", RelevanceQueries)))
+    val uembs = graft.ext.ExtCaches.persistTracked(embs.unionByName(
+      Relevance.twinEmbs(embs, "vec_id", "embedding", RelevanceQueries)))
     val queries = docs.filter(col("doc_id") < RelevanceQueries)
       .join(uembs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
     // The fusion runs UNCUT (k = 2·armK keeps every shortlist row — a
@@ -224,17 +228,16 @@ private[queries] trait ExtRetrievalGates { this: ExtCore =>
           "vec_id", "embedding", armK = HybridArmK, k = 2 * HybridArmK,
           rrfC = RrfC, idfWeighted = idf, denseArm = dense),
         queries, HybridTopK)
-    // ONE coarse-quantizer training shared by the SQ8 and PQ arms:
-    // training is deterministic (exact-integer Lloyd), so sharing the
-    // stats changes cost, never results — the oracle trains its cells
-    // once for both arms for the same reason. Trained over the same
-    // docs ∩ embs universe the arms receive.
-    val sharedStats = Similarity.trainedCellStats(
-      graft.ext.ExtCaches.persistTracked(
-        uembs.join(udocs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-          .select(col("vec_id").as("id"),
-            Similarity.quantize(col("embedding")).as("v"))),
-      ScaledCells, ScaledLloydRounds)
+    // Trained state comes from the SESSION-KEYED twin anchors
+    // (ExtGraphGates.twinCellStats / twinPqState — round 16): the
+    // anchors train over the full twin-augmented embedding corpus,
+    // which is value-identical to the docs ∩ embs universe the arms
+    // receive BECAUSE the orphan guard below asserts exactly that
+    // equality (and fails this query loudly the day it stops holding).
+    // Training is deterministic exact-integer Lloyd, so sharing with
+    // x102/x103/x104 changes cost, never results; previously this gate
+    // re-trained both chains per invocation.
+    val sharedStats = twinCellStats(s, dir)
     val sq8Arm: Retrieval.DenseArm = (corpus, qv, armK) =>
       Similarity.ivfSq8TopKScaled(corpus, qv, "id", "vec", k = armK,
           cells = ScaledCells, lloydRounds = ScaledLloydRounds,
@@ -245,7 +248,8 @@ private[queries] trait ExtRetrievalGates { this: ExtCore =>
           cells = ScaledCells, cellLloydRounds = ScaledLloydRounds,
           nprobe = ScaledNprobe, m = PqM, codes = PqCodes,
           pqLloydRounds = PqLloydRounds, dims = EmbeddingDims,
-          cellStats = Some(sharedStats))
+          cellStats = Some(sharedStats),
+          pqState = Some(twinPqState(s, dir)))
         .select(col("q_id"), col("c_id").as("id"), col("rnk").as("vec_rnk"))
     run("1_brute", idf = false, Retrieval.bruteArm)
       .unionByName(run("2_ivf_sq8", idf = false, sq8Arm))

@@ -2500,6 +2500,51 @@ class CellFenceSpec extends SparkSpec {
       s"cap guard lost its message: $e")
     graft.ext.ExtCaches.clearCaches()
   }
+
+  test("external cellStats anchor: bit-identical graphs from shared vs per-call training (IVF / SQ8 / residual)") {
+    // The round-16 anchor-sharing optimization: a caller may train the
+    // coarse quantizer once and hand the stats to every builder.
+    // Training is deterministic, so shared-stats output must equal the
+    // self-trained output ROW FOR ROW (cosines included) — the property
+    // the r16 bench families 5/6 and every gate oracle rely on.
+    import org.apache.spark.sql.functions.col
+    val df = corpus
+    def rows(g: org.apache.spark.sql.DataFrame) =
+      g.orderBy(col("src_id"), col("rnk")).collect().toSeq
+    val selfIvf = rows(Similarity.knnGraphIvf(df, "vec_id", "embedding",
+      k = 3, cells = 2, lloydRounds = 1, nprobe = 2))
+    graft.ext.ExtCaches.clearCaches()
+    val anchor = Similarity.trainedCellStats(
+      graft.ext.ExtCaches.persistTracked(df.select(col("vec_id").as("id"),
+        Similarity.quantize(col("embedding")).as("v"))),
+      cells = 2, lloydRounds = 1)
+    val sharedIvf = rows(Similarity.knnGraphIvf(df, "vec_id", "embedding",
+      k = 3, cells = 2, lloydRounds = 1, nprobe = 2,
+      cellStats = Some(anchor)))
+    assert(sharedIvf == selfIvf, "shared-stats IVF graph diverged")
+    val sharedSq8 = rows(Similarity.knnGraphIvfSq8(df, "vec_id", "embedding",
+      k = 3, cells = 2, lloydRounds = 1, nprobe = 2, shortlist = 10,
+      cellStats = Some(anchor)))
+    graft.ext.ExtCaches.clearCaches()
+    val selfSq8 = rows(Similarity.knnGraphIvfSq8(df, "vec_id", "embedding",
+      k = 3, cells = 2, lloydRounds = 1, nprobe = 2, shortlist = 10))
+    assert(sharedSq8 == selfSq8, "shared-stats SQ8 graph diverged")
+    graft.ext.ExtCaches.clearCaches()
+    val selfRes = rows(Similarity.knnGraphIvfResidual(df, "vec_id",
+      "embedding", k = 3, cells = 2, lloydRounds = 1, nprobe = 2,
+      maxCellSize = 20, subCells = 4, subNprobe = 2))
+    graft.ext.ExtCaches.clearCaches()
+    val anchor2 = Similarity.trainedCellStats(
+      graft.ext.ExtCaches.persistTracked(df.select(col("vec_id").as("id"),
+        Similarity.quantize(col("embedding")).as("v"))),
+      cells = 2, lloydRounds = 1)
+    val sharedRes = rows(Similarity.knnGraphIvfResidual(df, "vec_id",
+      "embedding", k = 3, cells = 2, lloydRounds = 1, nprobe = 2,
+      maxCellSize = 20, subCells = 4, subNprobe = 2,
+      cellStats = Some(anchor2)))
+    assert(sharedRes == selfRes, "shared-stats residual graph diverged")
+    graft.ext.ExtCaches.clearCaches()
+  }
 }
 
 /** The CellFence's banded fallback ON the corpus class that triggers it
