@@ -881,11 +881,12 @@ object Similarity {
     * With `trainOn` = `df` this is exactly [[knnGraphIvf]]. */
   def knnGraphIvfFrozen(df: DataFrame, trainOn: DataFrame, idCol: String,
                         vecCol: String, k: Int, cells: Int,
-                        lloydRounds: Int, nprobe: Int): DataFrame = {
+                        lloydRounds: Int, nprobe: Int,
+                        cellStats: Option[DataFrame] = None): DataFrame = {
     val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
     val qt = ExtCaches.persistTracked(
       trainOn.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
-    val stats = trainedCellStats(qt, cells, lloydRounds)
+    val stats = cellStats.getOrElse(trainedCellStats(qt, cells, lloydRounds))
     val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
     val p = ExtCaches.persistTracked(probesFromStats(q, stats, nprobe))
     graphFromProbes(v, p, k, maxCellSize = None, assertUnderCap = false,
@@ -920,15 +921,18 @@ object Similarity {
   def knnGraphIvfFoldIn(baseEdges: DataFrame, base: DataFrame,
                         batch: DataFrame, idCol: String, vecCol: String,
                         k: Int, cells: Int, lloydRounds: Int,
-                        nprobe: Int): DataFrame = {
+                        nprobe: Int,
+                        cellStats: Option[DataFrame] = None): DataFrame = {
     val vb = withNorm(base.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
     val vd = withNorm(batch.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
     val v = vb.unionByName(vd)
     val qb = ExtCaches.persistTracked(vb.select(col("id"), col("vec").as("v")))
     val qd = vd.select(col("id"), col("vec").as("v"))
     // Frozen quantizer: deterministic retrain from base ≡ loading the
-    // base build's persisted centroids.
-    val stats = trainedCellStats(qb, cells, lloydRounds)
+    // base build's persisted centroids (or the caller's, via cellStats —
+    // x99 trains the base quantizer ONCE for the stored build and this
+    // fold-in instead of twice; round 16).
+    val stats = cellStats.getOrElse(trainedCellStats(qb, cells, lloydRounds))
     val pb = ExtCaches.persistTracked(probesFromStats(qb, stats, nprobe))
     val pd = ExtCaches.persistTracked(probesFromStats(qd, stats, nprobe))
     def members(p: DataFrame): DataFrame =

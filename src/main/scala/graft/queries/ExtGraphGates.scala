@@ -534,12 +534,23 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
     val e = Tables.embeddings(s, dir)
     val inBase = Sampling.hashThresholdPredicate(col("vec_id"), BaseFrac)
     val base = e.filter(inBase)
+    // ONE base-slice quantizer training for both halves of the cadence
+    // (round 16): the stored build and the fold-in each re-derived the
+    // identical frozen quantizer — deterministic training means sharing
+    // the stats changes cost, never results (the spec pins fold-in ≡
+    // fresh row for row either way).
+    val baseStats = Similarity.trainedCellStats(
+      ExtCaches.persistTracked(base.select(col("vec_id").as("id"),
+        Similarity.quantize(col("embedding")).as("v"))),
+      ScaledCells, ScaledLloydRounds)
     val stored = Similarity.knnGraphIvfFrozen(base, base, "vec_id",
       "embedding", k = KnnGraphK, cells = ScaledCells,
-      lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
+      lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
+      cellStats = Some(baseStats))
     Similarity.knnGraphIvfFoldIn(stored, base, e.filter(!inBase),
         "vec_id", "embedding", k = KnnGraphK, cells = ScaledCells,
-        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe)
+        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
+        cellStats = Some(baseStats))
       .orderBy(col("src_id"), col("rnk"))
   }
 

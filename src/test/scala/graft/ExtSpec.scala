@@ -1657,6 +1657,44 @@ class EditDistSpec extends SparkSpec {
     graft.ext.ExtCaches.clearCaches()
   }
 
+  test("content filter: L1/2 lower-bounds edit distance, boundary pairs survive, expressions agree with brute values") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.graftfn.{CharHistogram, L1DistanceLong}
+    // Expression values vs a Scala-side brute histogram/L1.
+    val rows = Seq("abcabc", "xyzzy", "a𝛼b", "").toDF("s")
+      .select(col("s"), CharHistogram.of(col("s"), 32).as("h"))
+      .collect()
+    def brute(s: String): Seq[Long] = {
+      val h = new Array[Long](32)
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); h(cp % 32) += 1; i += Character.charCount(cp)
+      }
+      h.toSeq
+    }
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == brute(r.getString(0)), r.getString(0))
+    }
+    val l1 = Seq((Seq(1L, 2L, 0L), Seq(0L, 5L)))
+      .toDF("a", "b")
+      .select(L1DistanceLong.l1(col("a"), col("b")).as("d"))
+      .head().getLong(0)
+    assert(l1 == 1L + 3L + 0L)
+    // BOUNDARY pair: exactly k edits scattered through a gram-diverse
+    // text must still be emitted with the filter in place (the filter
+    // can only drop pairs with L1 > 2k, and ED = k implies L1 ≤ 2k).
+    val base = (1 to 30).map(i => f"tok$i%02d").mkString(" ")
+    val edited8 = (1 to 30).map { i =>
+      val t = f"tok$i%02d"
+      if (i % 3 == 0 && i <= 24) t.updated(0, ('a' + i).toChar) else t
+    }.mkString(" ")
+    val docs = Seq((1L, base), (2L, edited8)).toDF("doc_id", "text")
+    val ed = Dedup.editDistancePairs(docs, "doc_id", "text", k = 8, q = 5)
+      .collect()
+    assert(ed.length == 1 && ed(0).getAs[Long]("ed") == 8L, ed.mkString(","))
+    graft.ext.ExtCaches.clearCaches()
+  }
+
   test("low-diversity docs (short or repetitive) take the brute arm: the advice recall hole is closed") {
     // Round-8 advice counter-case verbatim: 'abcde' vs 'abcdx' (ED = 1).
     // Each text is a SINGLE 5-gram and one edit destroys it, so the gram
