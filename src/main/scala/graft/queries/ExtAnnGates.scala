@@ -376,16 +376,7 @@ private[queries] trait ExtAnnGates { this: ExtCore =>
   def x95_planted_purity(s: SparkSession, dir: String): DataFrame = {
     val pe = graft.ext.Planted.vectors(
       Tables.embeddings(s, dir).select(col("vec_id")), "vec_id")
-    val g = Similarity.knnGraph(pe, "vec_id", "embedding", k = KnnGraphK,
-        bands = SampledBands, bitsPerBand = SampledBandBits,
-        dims = EmbeddingDims, seed = SampledSeed)
-      .select(col("src_id"), col("nbr_id"))
-    val fwd = g.filter(col("src_id") < col("nbr_id"))
-      .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
-    val rev = g.filter(col("src_id") > col("nbr_id"))
-      .select(col("nbr_id").as("id_a"), col("src_id").as("id_b"))
-    val mutual = fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
-    Dedup.connectedComponentsStar(mutual, "id_a", "id_b")
+    bandedMutualCcLabels(s, dir, pe, "planted")
       .select(col("v").as("vec_id"), col("label").as("canonical_id"))
       .join(pe.select(col("vec_id"), col("label").as("planted_label")),
         Seq("vec_id"))

@@ -60,20 +60,38 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
     * wanting true semantic neighborhoods builds the graph with the
     * trained coarse quantizer instead (x89, recall 0.70-0.74 vs ~0.01)
     * and clusters ITS mutual edges. */
-  def x81_semantic_clusters(s: SparkSession, dir: String): DataFrame = {
-    val g = Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id",
-        "embedding", k = KnnGraphK, bands = SampledBands,
-        bitsPerBand = SampledBandBits, dims = EmbeddingDims,
-        seed = SampledSeed)
-      .select(col("src_id"), col("nbr_id"))
-    val fwd = g.filter(col("src_id") < col("nbr_id"))
-      .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
-    val rev = g.filter(col("src_id") > col("nbr_id"))
-      .select(col("nbr_id").as("id_a"), col("src_id").as("id_b"))
-    val mutual = fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
-    Dedup.clusterSummary(Dedup.connectedComponentsStar(mutual, "id_a", "id_b"))
+  /** The banded mutual-kNN component labels, computed ONCE per
+    * (session, dir, corpus) and shared by x81 + x92 (raw corpus — the
+    * two gates consume the IDENTICAL graph → mutual-edge → star-CC
+    * chain and previously each re-ran it) and by x95 (planted corpus)
+    * — the ccLabelsCache discipline (x20's fixpoint serves five
+    * consumers) applied to the graph family's clustering layer.
+    * Cleared by the ExtCaches hook like every keyed label cache. */
+  private[queries] val mutualCcCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  ExtCaches.registerClearHook(() => mutualCcCache.clear())
+
+  private[queries] def bandedMutualCcLabels(s: SparkSession, dir: String,
+                                            corpus: DataFrame,
+                                            key: String): DataFrame =
+    mutualCcCache.getOrElseUpdate((s, dir, key), {
+      val g = Similarity.knnGraph(corpus, "vec_id", "embedding",
+          k = KnnGraphK, bands = SampledBands,
+          bitsPerBand = SampledBandBits, dims = EmbeddingDims,
+          seed = SampledSeed)
+        .select(col("src_id"), col("nbr_id"))
+      val fwd = g.filter(col("src_id") < col("nbr_id"))
+        .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
+      val rev = g.filter(col("src_id") > col("nbr_id"))
+        .select(col("nbr_id").as("id_a"), col("src_id").as("id_b"))
+      val mutual = fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
+      Dedup.connectedComponentsStar(mutual, "id_a", "id_b")
+    })
+
+  def x81_semantic_clusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.clusterSummary(
+        bandedMutualCcLabels(s, dir, Tables.embeddings(s, dir), "raw"))
       .orderBy(col("canonical_id"))
-  }
 
 
   /** Cluster-vs-label purity matrix for the label-free clustering (x92,
@@ -98,16 +116,7 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
     * components are near-dup groups (their actual job), not labels. */
   def x92_cluster_label_purity(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-    val g = Similarity.knnGraph(e, "vec_id", "embedding", k = KnnGraphK,
-        bands = SampledBands, bitsPerBand = SampledBandBits,
-        dims = EmbeddingDims, seed = SampledSeed)
-      .select(col("src_id"), col("nbr_id"))
-    val fwd = g.filter(col("src_id") < col("nbr_id"))
-      .select(col("src_id").as("id_a"), col("nbr_id").as("id_b"))
-    val rev = g.filter(col("src_id") > col("nbr_id"))
-      .select(col("nbr_id").as("id_a"), col("src_id").as("id_b"))
-    val mutual = fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
-    Dedup.connectedComponentsStar(mutual, "id_a", "id_b")
+    bandedMutualCcLabels(s, dir, e, "raw")
       .select(col("v").as("vec_id"), col("label").as("canonical_id"))
       .join(e.select(col("vec_id"), col("label").as("meta_label")),
         Seq("vec_id"))
