@@ -317,6 +317,22 @@ object Bench {
     val extended = extendedS ++ extendedX ++
       (ccBuild +: ccRuns) ++ (starBuild +: starRuns) ++
       (annBuild +: annRuns) ++ (graphBuild +: graphRuns)
+    // Per-FAMILY subtotals for the printed line (round 17 — the r16
+    // verdict's #2: the stdout JSON itemizes only the 27 headline lines,
+    // so the driver's PERF comparison structurally cannot see the
+    // extended surface where ~90 % of runtime lives; the full per-query
+    // extended map never fits the ~1880-char stdout-tail parse window —
+    // 146 entries ≈ 3.5 kB — but six stable family subtotals cost ~100
+    // chars). Additions-only: a NEW top-level key, so every existing
+    // key and the headline "queries" map (whose sum some consumer may
+    // re-derive) are untouched. Full per-query extended numbers remain
+    // in bench_detail.json (git-tracked).
+    val extFamilies: Seq[(String, Double)] = Seq(
+      "s_ext" -> extendedS, "x_self" -> extendedX,
+      "cc" -> (ccBuild +: ccRuns), "star" -> (starBuild +: starRuns),
+      "ann" -> (annBuild +: annRuns),
+      "graph" -> (graphBuild +: graphRuns)
+    ).map { case (k, rs) => k -> rs.map(_._2).sum }
     // The driver keeps only the LAST ~2000 chars of stdout and parses the
     // JSON line it finds there (BENCH_r03: a 2600-char line with 9-digit
     // seconds fell out of the window → "parsed": null). Keep the stdout
@@ -347,6 +363,7 @@ object Bench {
       s"""{"metric":"total","value":${f(headline.map(_._2).sum)},"unit":"sec",""" +
         s""""reps":$reps,"queries":${obj(headline, f)},""" +
         (if (extMap) s""""extended":${obj(extended, extF)},""" else "") +
+        s""""extended_families":${obj(extFamilies, fmtAt(1))},""" +
         s""""extended_total":${f(extended.map(_._2).sum)},"sf":"$sfLabel","errors":$errs}"""
     // bench_detail.json is JSONL: line 1 the full-precision summary (same
     // shape as the stdout line — historical diffs keep working), line 2 the

@@ -90,6 +90,35 @@ object Retrieval {
                     dfCap: Option[Int] = None,
                     idfWeighted: Boolean = false,
                     denseArm: DenseArm = bruteArm): DataFrame = {
+    val (lex, vec) = hybridArms(docs, embs, queries, docIdCol, textCol,
+      vecIdCol, vecCol, armK, w, dfCap, idfWeighted, denseArm)
+    val rrf =
+      coalesce(lit(1.0) / (lit(rrfC.toDouble) + col("lex_rnk").cast(DoubleType)), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(rrfC.toDouble) + col("vec_rnk").cast(DoubleType)), lit(0.0))
+    val wf = Window.partitionBy(col("q_id")).orderBy(desc("rrf"), col("id"))
+    lex.join(vec, Seq("q_id", "id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rnk", row_number().over(wf).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("id").as("doc_id"),
+        col("lex_rnk"), col("vec_rnk"), col("rrf"), col("rnk"))
+  }
+
+  /** The two PERSISTED arm shortlists of [[hybridRrfTopK]], exposed
+    * (round 17) so a multi-configuration harness (x98) can fuse several
+    * arm pairs in ONE rank pass over a tagged union instead of one
+    * window + aggregate tower per configuration — the shortlists and
+    * their caching are exactly the fusion's (same spelling, same
+    * CacheManager dedupe across sibling configurations). */
+  private[graft] def hybridArms(docs: DataFrame, embs: DataFrame,
+                    queries: DataFrame,
+                    docIdCol: String, textCol: String,
+                    vecIdCol: String, vecCol: String,
+                    armK: Int, w: Int = 3,
+                    dfCap: Option[Int] = None,
+                    idfWeighted: Boolean = false,
+                    denseArm: DenseArm = bruteArm)
+      : (DataFrame, DataFrame) = {
     val embIds = embs.select(col(vecIdCol).as("id"))
     // ranked universe: documents that have an embedding
     val corpusDocs = docs.select(col(docIdCol).as("id"), col(textCol).as("text"))
@@ -144,18 +173,7 @@ object Retrieval {
         corpusVecs("id") === qIds("q_id"))
       .select(col("id"), col("vec"))
     val vec = ExtCaches.persistTracked(denseArm(corpusVecs, qVecs, armK))
-
-    // -- fusion ---------------------------------------------------------
-    val rrf =
-      coalesce(lit(1.0) / (lit(rrfC.toDouble) + col("lex_rnk").cast(DoubleType)), lit(0.0)) +
-      coalesce(lit(1.0) / (lit(rrfC.toDouble) + col("vec_rnk").cast(DoubleType)), lit(0.0))
-    val wf = Window.partitionBy(col("q_id")).orderBy(desc("rrf"), col("id"))
-    lex.join(vec, Seq("q_id", "id"), "full_outer")
-      .withColumn("rrf", rrf)
-      .withColumn("rnk", row_number().over(wf).cast(LongType))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("id").as("doc_id"),
-        col("lex_rnk"), col("vec_rnk"), col("rrf"), col("rnk"))
+    (lex, vec)
   }
 
   // ---- x105: the stuffed-corpus integer-BM25 ladder ------------------------

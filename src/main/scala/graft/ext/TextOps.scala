@@ -577,7 +577,14 @@ object TextOps {
     // Eager per-round localCheckpoint — same 2^k-plan-growth argument
     // as bpeMergeLoop (the fix was measured HERE first: x110c's 6-round
     // byte loop rendered a 940 KB plan and ran 11.8 s vs the 4-round
-    // char twin's 1.7 s before the swap).
+    // char twin's 1.7 s before the swap). Round-17 profile (DiagX110):
+    // the vocab is ~31 rows, the seed shuffle is 0.55 s and each round
+    // ~0.17 s of pure per-job overhead — no §2 partitioning lever
+    // applies. A cadence-2 checkpoint (lazy persist on odd rounds) was
+    // A/B'd to cut the job count and measured SLOWER (x110c 1.76 →
+    // 2.46 s: the next round's broadcast still forces the persist fill
+    // as its own job, so no job is saved and the persist adds cache
+    // bookkeeping). Kept at cadence 1, measured decision.
     var cur = ExtCaches.checkpointTracked(seed)
     val rounds = (1 to k).map { r =>
       val top = topPair(cur, col("freq"))

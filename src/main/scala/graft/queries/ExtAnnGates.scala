@@ -233,9 +233,9 @@ private[queries] trait ExtAnnGates { this: ExtCore =>
     * changes cost, never results; every consumer's oracle is unchanged
     * and stays hash-green. */
   private[queries] val annCellStatsCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[queries] val annPqStateCache =
-    scala.collection.mutable.Map
+    scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
   ExtCaches.registerClearHook(() => {
     annCellStatsCache.clear(); annPqStateCache.clear()
@@ -268,7 +268,7 @@ private[queries] trait ExtAnnGates { this: ExtCore =>
     * r16 anchors). Same cache-epoch contract as the anchors above;
     * bit-identity pinned by ResidualPqAnchorSpec and the oracle. */
   private[queries] val annResidualPqCache =
-    scala.collection.mutable.Map
+    scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
   ExtCaches.registerClearHook(() => annResidualPqCache.clear())
 
@@ -286,10 +286,25 @@ private[queries] trait ExtAnnGates { this: ExtCore =>
     * the trained-arm family's timed lines run against built state —
     * the warmCcLabels precedent. */
   def warmAnnShared(s: SparkSession, dir: String): Unit = {
-    sharedCellStats(s, dir)
-    sharedPqState(s, dir)._1.count()
-    // round 17: x77's residual-PQ anchor joins the family-5 build line.
-    sharedResidualPqState(s, dir)._1.count()
+    // Concurrent independent chains (round 17, guide §2.6 — the
+    // Chinook.warmCaches precedent): each Lloyd/PQ chain is a string of
+    // tiny serial jobs that leaves most task slots idle, and the two
+    // chains below share no ordering constraint (the residual-PQ anchor
+    // consumes sharedCellStats, so it rides the first thread). The keyed
+    // caches are TrieMaps and distinct keys are touched per thread.
+    // Settle both before surfacing a failure (the warmCaches rationale).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val settled = Seq(
+      Future {
+        sharedCellStats(s, dir)
+        // round 17: x77's residual-PQ anchor joins the family-5 build line.
+        sharedResidualPqState(s, dir)._1.count()
+      },
+      Future(sharedPqState(s, dir)._1.count()))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    settled.collectFirst { case scala.util.Failure(e) => throw e }
     ()
   }
 

@@ -266,8 +266,13 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
     * twinEmbCorpus applies), so sharing changes cost, never results —
     * every consumer's oracle stays hash-green. Cleared with the ANN
     * anchors by the ExtCaches hook (same cache-epoch contract). */
+  // TrieMap (round 17): warmGraphShared overlaps the independent anchor
+  // builds from a small thread pool (§2.6 — each Lloyd chain is a string
+  // of tiny serial jobs that leave most task slots idle), so the keyed
+  // caches must be thread-safe. Distinct keys per builder ⇒ no duplicated
+  // training under the race getOrElseUpdate allows.
   private[queries] val graphCellStatsCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   ExtCaches.registerClearHook(() => graphCellStatsCache.clear())
 
   private[queries] def twinCellStats(s: SparkSession, dir: String): DataFrame =
@@ -284,7 +289,7 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
     * chain over the same values — under its own orphan guard, which
     * asserts the docs∩embs universe IS the embedding corpus. */
   private[queries] val twinPqStateCache =
-    scala.collection.mutable.Map
+    scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
   ExtCaches.registerClearHook(() => twinPqStateCache.clear())
 
@@ -319,7 +324,7 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
     * (CellFenceSpec's shared-vs-per-call pin now covers the sub state).
     * Same cache-epoch contract as the coarse anchors above. */
   private[queries] val plantedSubStatsCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), Option[DataFrame]]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Option[DataFrame]]
   ExtCaches.registerClearHook(() => plantedSubStatsCache.clear())
 
   private[queries] def plantedSubStats(s: SparkSession, dir: String)
@@ -339,13 +344,28 @@ private[queries] trait ExtGraphGates { this: ExtCore =>
     * localCheckpoints, so invoking the two builders materializes both
     * trained states. */
   def warmGraphShared(s: SparkSession, dir: String): Unit = {
-    twinCellStats(s, dir)
-    plantedCellStats(s, dir)
-    // round 17: x106's residual sub-quantizer anchor joins the family-6
-    // build line (its sub-Lloyd chain is eager localCheckpoints, so
-    // invoking the builder materializes the trained state).
-    plantedSubStats(s, dir)
-    twinPqState(s, dir)._1.count()
+    // Concurrent independent chains (round 17, guide §2.6 — the
+    // warmAnnShared/warmCaches discipline): the twin-cell, planted and
+    // twin-PQ trainings are independent; x106's residual sub-quantizer
+    // anchor (round 17 — eager localCheckpoints, so invoking the builder
+    // materializes the trained state) consumes plantedCellStats and
+    // rides its thread. TrieMap caches, distinct keys per thread. The
+    // twin-corpus quantized scan is value-shared by threads 1 and 3 —
+    // a concurrent first fill may compute a partition twice (the
+    // persistEager race note), which costs one cheap projection pass
+    // and buys overlapping the three Lloyd chains' serial job strings.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val settled = Seq(
+      Future(twinCellStats(s, dir)),
+      Future {
+        plantedCellStats(s, dir)
+        plantedSubStats(s, dir)
+      },
+      Future(twinPqState(s, dir)._1.count()))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    settled.collectFirst { case scala.util.Failure(e) => throw e }
     ()
   }
 

@@ -218,16 +218,6 @@ private[queries] trait ExtRetrievalGates { this: ExtCore =>
       Relevance.twinEmbs(embs, "vec_id", "embedding", RelevanceQueries)))
     val queries = docs.filter(col("doc_id") < RelevanceQueries)
       .join(uembs.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
-    // The fusion runs UNCUT (k = 2·armK keeps every shortlist row — a
-    // query contributes at most armK rows per arm) so hitsAtK can read
-    // the per-arm shortlist columns; the headline hit@k still cuts at
-    // HybridTopK inside the aggregate.
-    def run(arm: String, idf: Boolean, dense: Retrieval.DenseArm): DataFrame =
-      Relevance.hitsAtK(arm,
-        Retrieval.hybridRrfTopK(udocs, uembs, queries, "doc_id", "text",
-          "vec_id", "embedding", armK = HybridArmK, k = 2 * HybridArmK,
-          rrfC = RrfC, idfWeighted = idf, denseArm = dense),
-        queries, HybridTopK)
     // Trained state comes from the SESSION-KEYED twin anchors
     // (ExtGraphGates.twinCellStats / twinPqState — round 16): the
     // anchors train over the full twin-augmented embedding corpus,
@@ -251,10 +241,61 @@ private[queries] trait ExtRetrievalGates { this: ExtCore =>
           cellStats = Some(sharedStats),
           pqState = Some(twinPqState(s, dir)))
         .select(col("q_id"), col("c_id").as("id"), col("rnk").as("vec_rnk"))
-    run("1_brute", idf = false, Retrieval.bruteArm)
-      .unionByName(run("2_ivf_sq8", idf = false, sq8Arm))
-      .unionByName(run("3_ivf_pq", idf = false, pqArm))
-      .unionByName(run("4_bm25_brute", idf = true, Retrieval.bruteArm))
+    // ONE multi-arm rank pass (round 17 — the r16 verdict's #5): the
+    // four fusions previously ran one full-outer join + rank window +
+    // ungrouped aggregate tower EACH over the (cached, ≤|queries|·armK
+    // row) arm shortlists. The arms now full-outer join per
+    // configuration (that join defines RRF's missing-arm semantics and
+    // cannot union earlier), are tagged and unioned, and ONE window
+    // partitioned by (arm, q_id) ranks all four at once — rank within
+    // (arm, q_id) is exactly the per-arm fusion's rank within q_id
+    // (same ordering expressions), so the rows entering the hit
+    // aggregate are identical and the oracle hash is unchanged. The
+    // fusion runs UNCUT to k = 2·armK (a query contributes at most armK
+    // rows per arm) so the aggregate can read the per-arm shortlist
+    // columns; the headline hit@k still cuts at HybridTopK inside it.
+    val armDefs: Seq[(String, Boolean, Retrieval.DenseArm)] = Seq(
+      ("1_brute", false, Retrieval.bruteArm),
+      ("2_ivf_sq8", false, sq8Arm),
+      ("3_ivf_pq", false, pqArm),
+      ("4_bm25_brute", true, Retrieval.bruteArm))
+    val fusedAll = armDefs.map { case (arm, idf, dense) =>
+      val (lex, vec) = Retrieval.hybridArms(udocs, uembs, queries,
+        "doc_id", "text", "vec_id", "embedding", armK = HybridArmK,
+        idfWeighted = idf, denseArm = dense)
+      lex.join(vec, Seq("q_id", "id"), "full_outer")
+        .withColumn("arm", lit(arm))
+    }.reduce(_.unionByName(_))
+    val rrf =
+      coalesce(lit(1.0) / (lit(RrfC.toDouble) + col("lex_rnk").cast(DoubleType)), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(RrfC.toDouble) + col("vec_rnk").cast(DoubleType)), lit(0.0))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("arm"), col("q_id")).orderBy(desc("rrf"), col("id"))
+    val ranked = fusedAll
+      .withColumn("rrf", rrf)
+      .withColumn("rnk", row_number().over(wf).cast(LongType))
+      .filter(col("rnk") <= 2L * HybridArmK)
+    // [[graft.ext.Relevance.hitsAtK]]'s aggregate, grouped by arm; the
+    // static arm list left-joins the grouped counts so an arm that
+    // retrieved nothing still emits its zero row (the ungrouped
+    // aggregate's semantics, preserved).
+    val isTwin = col("id") === col("q_id") + graft.ext.Relevance.TwinIdOffset
+    val hits = ranked.groupBy(col("arm")).agg(
+      count(when(isTwin && col("rnk") === 1L, lit(1))).as("hits_at_1"),
+      count(when(isTwin && col("rnk") <= HybridTopK, lit(1))).as("hits_at_k"),
+      count(when(isTwin && col("lex_rnk").isNotNull, lit(1))).as("hits_lex"),
+      count(when(isTwin && col("vec_rnk").isNotNull, lit(1))).as("hits_vec"))
+    import s.implicits._
+    armDefs.map(_._1).toDF("arm")
+      .join(hits, Seq("arm"), "left")
+      .crossJoin(broadcast(queries.agg(count(lit(1)).as("n_queries"))))
+      .select(col("arm"), col("n_queries"),
+        coalesce(col("hits_at_1"), lit(0L)).cast(LongType).as("hits_at_1"),
+        coalesce(col("hits_at_k"), lit(0L)).cast(LongType).as("hits_at_k"),
+        coalesce(col("hits_lex"), lit(0L)).cast(LongType).as("hits_lex"),
+        coalesce(col("hits_vec"), lit(0L)).cast(LongType).as("hits_vec"),
+        (coalesce(col("hits_at_k"), lit(0L)).cast(DoubleType) /
+          col("n_queries").cast(DoubleType)).as("hit_rate"))
       .crossJoin(orphanGuard(udocs, uembs, "x98"))
       .filter(col("precondition_ok").isNull)
       .drop("precondition_ok")
