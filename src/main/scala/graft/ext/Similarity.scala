@@ -609,16 +609,23 @@ object Similarity {
       // (CellFenceSpec pins shared-vs-per-call equality).
       val rq = bigMemberResiduals(v, stats)
       val sub = subStats.getOrElse(trainedCellStats(rq, subCells, lloydRounds))
-      val mSub = probesFromStats(rq, sub, 1)
+      // Both sub-cell assignment relations persist (round 17): they are
+      // small (members: one row per oversized member; probers: subNprobe
+      // rows per (src, probed big cell)) and — with the sub state
+      // anchored at a stable LogicalRDD — their canonical plans are
+      // stable, so warm re-invocations hit the cache instead of
+      // re-ranking every residual against the packed sub-centroids
+      // (the dominant per-rep cost left after the anchor landed).
+      val mSub = ExtCaches.persistTracked(probesFromStats(rq, sub, 1)
         .select(col("id").as("nbr_id"), col("cell").as("subcell"))
-        .join(bigM, Seq("nbr_id"))
-      val pSub = probesFromStats(
+        .join(bigM, Seq("nbr_id")))
+      val pSub = ExtCaches.persistTracked(probesFromStats(
           residual(bigP, "src_id")
             .select(struct(col("src_id"), col("cell")).as("id"),
               col("rv").as("v")),
           sub, subNprobe)
         .select(col("id.src_id").as("src_id"), col("id.cell").as("cell"),
-          col("cell").as("subcell"))
+          col("cell").as("subcell")))
       pSub.join(mSub, Seq("cell", "subcell"))
         .filter(col("src_id") =!= col("nbr_id"))
         .join(v.select(col("id").as("src_id"), col("vec").as("vs"),
