@@ -285,24 +285,40 @@ object Retrieval {
           sum(col("idf_w") * col("sat_tf")).cast(LongType).as("s_bm25")))
     val nQ = broadcast(
       corpus.filter(col(idCol) < nQueries).agg(count(lit(1)).as("n_queries")))
-    def arm(name: String, scoreCol: String): DataFrame = {
-      val wl = Window.partitionBy(col("q_id")).orderBy(desc(scoreCol), col("id"))
-      val ranked = scored.withColumn("rnk", row_number().over(wl).cast(LongType))
-        .filter(col("rnk") <= armK)
-      val isTwin = col("id") === col("q_id") + Relevance.TwinIdOffset
-      ranked.agg(
-        count(when(isTwin && col("rnk") === 1L, lit(1))).as("hits_at_1"),
+    // ONE multi-arm rank pass (round 17 — the x98 fusion discipline):
+    // the three arms previously ran one rank window + ungrouped
+    // aggregate tower each over the same cached score relation; they
+    // differ only in WHICH score column orders the window, so a tagged
+    // union with `score` selected per arm and one window partitioned by
+    // (arm, q_id) produces the identical per-arm ranks (same ordering
+    // expressions within each partition), and one grouped aggregate
+    // replaces the three. The static arm list left-joins the counts so
+    // an arm with no surviving rows still emits its zero row (the
+    // ungrouped aggregate's semantics, preserved).
+    val arms = Seq("1_count" -> "s_count", "2_idf" -> "s_idf",
+      "3_bm25_sat" -> "s_bm25")
+    val tagged = arms.map { case (name, scoreCol) =>
+      scored.select(lit(name).as("arm"), col("q_id"), col("id"),
+        col(scoreCol).as("score"))
+    }.reduce(_.unionByName(_))
+    val wl = Window.partitionBy(col("arm"), col("q_id"))
+      .orderBy(desc("score"), col("id"))
+    val isTwin = col("id") === col("q_id") + Relevance.TwinIdOffset
+    val armCounts = tagged
+      .withColumn("rnk", row_number().over(wl).cast(LongType))
+      .filter(col("rnk") <= armK)
+      .groupBy(col("arm"))
+      .agg(count(when(isTwin && col("rnk") === 1L, lit(1))).as("hits_at_1"),
         count(when(isTwin && col("rnk") <= k, lit(1))).as("hits_at_k"))
-        .crossJoin(nQ)
-        .select(lit(name).as("arm"), col("n_queries"),
-          col("hits_at_1").cast(LongType).as("hits_at_1"),
-          col("hits_at_k").cast(LongType).as("hits_at_k"),
-          (col("hits_at_k").cast(DoubleType) /
-            col("n_queries").cast(DoubleType)).as("hit_rate"))
-    }
-    arm("1_count", "s_count")
-      .unionByName(arm("2_idf", "s_idf"))
-      .unionByName(arm("3_bm25_sat", "s_bm25"))
+    import scored.sparkSession.implicits._
+    arms.map(_._1).toDF("arm")
+      .join(armCounts, Seq("arm"), "left")
+      .crossJoin(nQ)
+      .select(col("arm"), col("n_queries"),
+        coalesce(col("hits_at_1"), lit(0L)).cast(LongType).as("hits_at_1"),
+        coalesce(col("hits_at_k"), lit(0L)).cast(LongType).as("hits_at_k"),
+        (coalesce(col("hits_at_k"), lit(0L)).cast(DoubleType) /
+          col("n_queries").cast(DoubleType)).as("hit_rate"))
       .orderBy(col("arm"))
   }
 }
