@@ -621,7 +621,7 @@ object TextOps {
     * with the checkpoint blocks by the ExtCaches hook (the
     * graphCellStatsCache epoch contract — a kept entry would reference
     * released blocks and fail loudly, which the clear prevents). */
-  private val encodeCharsMemo = scala.collection.mutable.Map
+  private val encodeCharsMemo = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, Any, Int), DataFrame]
   ExtCaches.registerClearHook(() => encodeCharsMemo.clear())
 
