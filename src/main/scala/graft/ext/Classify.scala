@@ -128,10 +128,19 @@ object Classify {
                        labelCol: String, textCol: String): DataFrame = {
     val trainToks = distinctTokens(train, idCol, textCol,
       Some(col(labelCol).as("pos")))
-    val w = trainVotes(train, labelCol, trainToks)
-    val trainScores = applyVotes(
+    // The vote table persists here (round 17, §2.4 value-identical
+    // subtrees): unlike the single-consumer forms above, the calibrated
+    // form scores BOTH slices against `w`, and its totals anchor scans
+    // the raw train relation — unpersisted, the whole training tower
+    // (including that scan) executed once per reference. |vocab| rows.
+    val w = ExtCaches.persistTracked(trainVotes(train, labelCol, trainToks))
+    // trainScores is referenced three times inside calibratedConfusion
+    // (score histogram, floor row, totals anchor) — persist the
+    // |train|-row scored relation instead of re-running the scoring
+    // join per reference.
+    val trainScores = ExtCaches.persistTracked(applyVotes(
       train.select(col(idCol).as("id"), col(labelCol).as("label_pos")),
-      trainToks, w, idCol)
+      trainToks, w, idCol))
     val applyToks = distinctTokens(apply, idCol, textCol, None)
     val applyScores = applyVotes(
       apply.select(col(idCol).as("id"), col(labelCol).as("label_pos")),
@@ -167,10 +176,12 @@ object Classify {
                           labelCol: String, textCol: String): DataFrame = {
     val trainToks = distinctTokens(train, idCol, textCol,
       Some(col(labelCol).as("pos")))
-    val w = trainLogOdds(train, labelCol, trainToks)
-    val trainScores = applyWeights(
+    // Same two persists as [[nbVoteCalibrated]] (round 17): the weight
+    // table is scored against twice, trainScores referenced three times.
+    val w = ExtCaches.persistTracked(trainLogOdds(train, labelCol, trainToks))
+    val trainScores = ExtCaches.persistTracked(applyWeights(
       train.select(col(idCol).as("id"), col(labelCol).as("label_pos")),
-      trainToks, w, idCol)
+      trainToks, w, idCol))
     val applyToks = distinctTokens(apply, idCol, textCol, None)
     val applyScores = applyWeights(
       apply.select(col(idCol).as("id"), col(labelCol).as("label_pos")),
