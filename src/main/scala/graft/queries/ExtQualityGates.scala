@@ -272,9 +272,17 @@ private[queries] trait ExtQualityGates { this: ExtCore =>
     val dropped = labels
       .filter(col("label") =!= col("v"))
       .select(col("v").as("doc_id"))
-    val surv = exactKept
+    // surv is consumed TWICE (the split derivation and the final join),
+    // and its tower includes the block-dedup token pass — unpersisted,
+    // that pass executed once per reference (round 17, §2.4). Projected
+    // to the four columns the consumers need (§2.3 — the final
+    // aggregate never touches text), it is a narrow |survivors|-row
+    // persist.
+    val surv = ExtCaches.persistTracked(exactKept
       .join(blockStats, Seq("doc_id"))
       .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("n_tokens_kept")))
     val split = Sampling.clusterSplit(surv, "doc_id", labels,
       SplitTrainFrac, SplitValFrac, SplitSalt)
     surv
